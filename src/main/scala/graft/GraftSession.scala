@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the configuration this engine assumes everywhere.
+  *
+  * Tuned for correctness-parity with the DuckDB oracle (UTC, ANSI off) and
+  * for scale: AQE on (runtime coalesce + skew-join splitting), shuffle
+  * partitions sized to the local core count rather than Spark's default 200.
+  * On a real cluster the same builder is used with `master` unset and
+  * `spark.sql.shuffle.partitions` sized to ~2-3x total cores.
+  */
+object GraftSession {
+  def builder(master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"),
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // our sketch Aggregator buffers serialize as byte arrays; keep the
+      // objectHashAggregate path available for them
+      .config("spark.sql.execution.useObjectHashAggregateExec", "true")
+      // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type —
+      // read as long and normalize in Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
