@@ -27,8 +27,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.operators.CoreQueries.queries
+    graft.operators.CoreQueries.queries ++
+      graft.operators.SketchQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.operators.CoreQueries.oracles
+    graft.operators.CoreQueries.oracles ++
+      graft.operators.SketchQueries.oracles
 }

@@ -1,0 +1,182 @@
+package graft.aggregators
+
+import graft.sketch._
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Spark `Aggregator` wrappers over the sketch library — the reference's
+  * terminal sinks (`most_frequent`, `most_distinct`, `sample_unstable`,
+  * `sort_n_by`, mean/stddev) re-expressed as Catalyst aggregates so they
+  * get partial aggregation (reference ReduceA), exchange merge (ReduceB)
+  * and final merge (ReduceC) from the engine for free, with fixed-size
+  * buffers that are safe at any data scale.
+  *
+  * Buffers are Kryo-encoded (opaque binary, ObjectHashAggregate path);
+  * outputs use real SQL types so downstream plans stay columnar.
+  */
+object SketchAggregators {
+
+  /** approx COUNT(DISTINCT f(in)) — reference HyperLogLog sink. */
+  final class HllDistinct[IN](b: Int, f: IN => Any)
+      extends Aggregator[IN, HyperLogLog, Long] {
+    def zero: HyperLogLog = new HyperLogLog(b)
+    def reduce(buf: HyperLogLog, in: IN): HyperLogLog = buf.add(f(in))
+    def merge(a: HyperLogLog, c: HyperLogLog): HyperLogLog = a.merge(c)
+    def finish(r: HyperLogLog): Long = r.cardinality
+    def bufferEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** most_frequent(n, p, tol): top-n keys by count. */
+  final class MostFrequent[IN, K](n: Int, probability: Double, tolerance: Double,
+      key: IN => K)(implicit outEnc: Encoder[Seq[(K, Long)]])
+      extends Aggregator[IN, TopFreq[K], Seq[(K, Long)]] {
+    def zero: TopFreq[K] = TopFreq[K](n, probability, tolerance)
+    def reduce(buf: TopFreq[K], in: IN): TopFreq[K] = buf.push(key(in))
+    def merge(a: TopFreq[K], b: TopFreq[K]): TopFreq[K] = a.merge(b)
+    def finish(r: TopFreq[K]): Seq[(K, Long)] = r.topN
+    def bufferEncoder: Encoder[TopFreq[K]] = Encoders.kryo[TopFreq[K]]
+    def outputEncoder: Encoder[Seq[(K, Long)]] = outEnc
+  }
+
+  /** most_distinct(n, p, tol, err): top-n keys by approx COUNT(DISTINCT v). */
+  final class MostDistinct[IN, K](n: Int, probability: Double, tolerance: Double,
+      errorRate: Double, key: IN => K, value: IN => Any)
+      (implicit outEnc: Encoder[Seq[(K, Long)]])
+      extends Aggregator[IN, TopDistinct[K], Seq[(K, Long)]] {
+    def zero: TopDistinct[K] = TopDistinct[K](n, probability, tolerance, errorRate)
+    def reduce(buf: TopDistinct[K], in: IN): TopDistinct[K] = buf.push(key(in), value(in))
+    def merge(a: TopDistinct[K], b: TopDistinct[K]): TopDistinct[K] = a.merge(b)
+    def finish(r: TopDistinct[K]): Seq[(K, Long)] = r.topN
+    def bufferEncoder: Encoder[TopDistinct[K]] = Encoders.kryo[TopDistinct[K]]
+    def outputEncoder: Encoder[Seq[(K, Long)]] = outEnc
+  }
+
+  /** sample_unstable(k): exact-k mergeable uniform reservoir. */
+  final class SampleUnstable[T](k: Int, seed: Long)(implicit outEnc: Encoder[Seq[T]])
+      extends Aggregator[T, Reservoir[T], Seq[T]] {
+    def zero: Reservoir[T] = new Reservoir[T](k, seed)
+    def reduce(buf: Reservoir[T], in: T): Reservoir[T] = buf.add(in)
+    def merge(a: Reservoir[T], b: Reservoir[T]): Reservoir[T] = a.merge(b)
+    def finish(r: Reservoir[T]): Seq[T] = r.items.toSeq
+    def bufferEncoder: Encoder[Reservoir[T]] = Encoders.kryo[Reservoir[T]]
+    def outputEncoder: Encoder[Seq[T]] = outEnc
+  }
+
+  /** sort_n_by(n, cmp): bounded top-n, usable inside groupBy. */
+  final class SortNBy[T](n: Int, ord: Ordering[T])(implicit outEnc: Encoder[Seq[T]])
+      extends Aggregator[T, BoundedSort[T], Seq[T]] {
+    def zero: BoundedSort[T] = new BoundedSort[T](n, ord)
+    def reduce(buf: BoundedSort[T], in: T): BoundedSort[T] = buf.add(in)
+    def merge(a: BoundedSort[T], b: BoundedSort[T]): BoundedSort[T] = a.merge(b)
+    def finish(r: BoundedSort[T]): Seq[T] = r.sorted
+    def bufferEncoder: Encoder[BoundedSort[T]] = Encoders.kryo[BoundedSort[T]]
+    def outputEncoder: Encoder[Seq[T]] = outEnc
+  }
+
+  /** Kahan-compensated streaming mean — the reference's `mean` sink
+    * (par_sink/mean.rs:38-91): exact count-weighted merge of partials. */
+  final case class MeanState(sum: Double, correction: Double, count: Long)
+  final class KahanMean[IN](f: IN => Double)
+      extends Aggregator[IN, MeanState, Double] {
+    def zero: MeanState = MeanState(0.0, 0.0, 0L)
+    def reduce(s: MeanState, in: IN): MeanState = {
+      val y = f(in) - s.correction
+      val t = s.sum + y
+      MeanState(t, (t - s.sum) - y, s.count + 1)
+    }
+    def merge(a: MeanState, b: MeanState): MeanState =
+      MeanState(a.sum + b.sum, a.correction + b.correction, a.count + b.count)
+    def finish(s: MeanState): Double =
+      if (s.count == 0) Double.NaN else (s.sum - s.correction) / s.count
+    def bufferEncoder: Encoder[MeanState] = Encoders.product[MeanState]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Kahan-compensated streaming sum — the reference's `sum` sink
+    * (par_sink/sum.rs) with mean.rs's compensation. */
+  final class KahanSum[IN](f: IN => Double)
+      extends Aggregator[IN, MeanState, Double] {
+    def zero: MeanState = MeanState(0.0, 0.0, 0L)
+    def reduce(s: MeanState, in: IN): MeanState = {
+      val y = f(in) - s.correction
+      val t = s.sum + y
+      MeanState(t, (t - s.sum) - y, s.count + 1)
+    }
+    def merge(a: MeanState, b: MeanState): MeanState =
+      MeanState(a.sum + b.sum, a.correction + b.correction, a.count + b.count)
+    def finish(s: MeanState): Double = s.sum - s.correction
+    def bufferEncoder: Encoder[MeanState] = Encoders.product[MeanState]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** count sink (par_sink/count.rs). */
+  final class CountAll[IN] extends Aggregator[IN, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, in: IN): Long = b + 1
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(r: Long): Long = r
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Welford streaming population stddev with pairwise variance merge —
+    * the reference's `stddev` sink (par_sink/stddev.rs:38-95). */
+  final case class VarState(count: Long, mean: Double, m2: Double)
+  final class WelfordStddev[IN](f: IN => Double)
+      extends Aggregator[IN, VarState, Double] {
+    def zero: VarState = VarState(0L, 0.0, 0.0)
+    def reduce(s: VarState, in: IN): VarState = {
+      val x = f(in)
+      val n = s.count + 1
+      val d = x - s.mean
+      val mean = s.mean + d / n
+      VarState(n, mean, s.m2 + d * (x - mean))
+    }
+    def merge(a: VarState, b: VarState): VarState = {
+      if (a.count == 0) b
+      else if (b.count == 0) a
+      else {
+        val n = a.count + b.count
+        val d = b.mean - a.mean
+        VarState(n,
+          a.mean + d * b.count / n,
+          a.m2 + b.m2 + d * d * a.count * b.count / n)
+      }
+    }
+    def finish(s: VarState): Double =
+      if (s.count == 0) Double.NaN else math.sqrt(s.m2 / s.count)
+    def bufferEncoder: Encoder[VarState] = Encoders.product[VarState]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  // ---- combinators: the reference's "arbitrary sink nested under
+  // group_by" (par_sink/group_by.rs) = composable Aggregators -----------
+
+  /** Prepend a transform to an aggregator's input — the reference's
+    * `Pipe` sink composition (par_sink/pipe.rs). */
+  def contramap[A, IN, B, O](f: A => IN, agg: Aggregator[IN, B, O]): Aggregator[A, B, O] =
+    new Aggregator[A, B, O] {
+      def zero: B = agg.zero
+      def reduce(b: B, a: A): B = agg.reduce(b, f(a))
+      def merge(x: B, y: B): B = agg.merge(x, y)
+      def finish(b: B): O = agg.finish(b)
+      def bufferEncoder: Encoder[B] = agg.bufferEncoder
+      def outputEncoder: Encoder[O] = agg.outputEncoder
+    }
+
+  /** Run two aggregators over one pass — the reference's `fork` / tuple
+    * sinks (par_sink/fork.rs, tuple.rs). */
+  def zip2[IN, B1, O1, B2, O2](a1: Aggregator[IN, B1, O1], a2: Aggregator[IN, B2, O2])
+      (implicit outEnc: Encoder[(O1, O2)]): Aggregator[IN, (B1, B2), (O1, O2)] =
+    new Aggregator[IN, (B1, B2), (O1, O2)] {
+      def zero: (B1, B2) = (a1.zero, a2.zero)
+      def reduce(b: (B1, B2), in: IN): (B1, B2) =
+        (a1.reduce(b._1, in), a2.reduce(b._2, in))
+      def merge(x: (B1, B2), y: (B1, B2)): (B1, B2) =
+        (a1.merge(x._1, y._1), a2.merge(x._2, y._2))
+      def finish(b: (B1, B2)): (O1, O2) = (a1.finish(b._1), a2.finish(b._2))
+      def bufferEncoder: Encoder[(B1, B2)] = Encoders.kryo[(B1, B2)]
+      def outputEncoder: Encoder[(O1, O2)] = outEnc
+    }
+}

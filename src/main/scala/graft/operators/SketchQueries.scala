@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import graft.aggregators.SketchAggregators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's sketch sinks (amadeus-streaming) as Spark queries.
+  *
+  * Queries whose parameters put the sketch in its exact regime (tracked
+  * set ≥ true key cardinality) carry DuckDB oracles; genuinely
+  * approximate ones are declared without oracle SQL (driver records the
+  * weaker rows-only check) and their accuracy is asserted in the
+  * ScalaTest/ScalaCheck suites instead.
+  */
+object SketchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // -- HyperLogLog sink: approx COUNT(DISTINCT) ------------------------
+    "sk01_hll_distinct" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d).select(col("l_partkey")).as[Long]
+      val agg = new HllDistinct[Long](14, identity)
+      ds.select(agg.toColumn.name("approx_parts")).toDF("approx_parts")
+    }),
+
+    // -- most_frequent in exact regime (n ≥ distinct keys) ---------------
+    "sk02_most_frequent_exact" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.orders(s, d).select(col("o_orderpriority")).as[String]
+      val agg = new MostFrequent[String, String](10, 0.99, 0.002, identity)
+      ds.select(agg.toColumn.name("top")).toDF("top")
+        .select(explode(col("top")).as("kv"))
+        .select(col("kv._1").as("o_orderpriority"), col("kv._2").as("n"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+    }),
+
+    // -- most_frequent as a true sketch (2000 parts, track 20) -----------
+    "sk03_most_frequent_sketch" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d).select(col("l_partkey")).as[Long]
+      val agg = new MostFrequent[Long, Long](20, 0.99, 0.002, identity)
+      ds.select(agg.toColumn.name("top")).toDF("top")
+        .select(explode(col("top")).as("kv"))
+        .select(col("kv._1").as("l_partkey"), col("kv._2").as("n"))
+        .orderBy(col("n").desc, col("l_partkey"))
+    }),
+
+    // -- most_distinct: top keys by approx COUNT(DISTINCT custkey) -------
+    "sk04_most_distinct" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_custkey")).as[(String, Long)]
+      val agg = new MostDistinct[(String, Long), String](
+        10, 0.99, 0.002, 0.0808, _._1, _._2)
+      ds.select(agg.toColumn.name("top")).toDF("top")
+        .select(explode(col("top")).as("kv"))
+        .select(col("kv._1").as("o_orderpriority"), col("kv._2").as("n_cust"))
+        .orderBy(col("n_cust").desc, col("o_orderpriority"))
+    }),
+
+    // -- sample_unstable: exact-k mergeable reservoir --------------------
+    "sk05_reservoir_sample" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber")).as[(Long, Int)]
+      val agg = new SampleUnstable[(Long, Int)](50, 42L)
+      ds.select(agg.toColumn.name("sample")).toDF("sample")
+        .select(explode(col("sample")).as("t"))
+        .select(col("t._1").as("l_orderkey"), col("t._2").as("l_linenumber"))
+    }),
+
+    // -- sort_n_by inside group_by: per-status top-3 orders by price -----
+    "sk06_sort_n_by_group" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .as[(String, Long, Double)]
+      val ord = Ordering.by[(String, Long, Double), (Double, Long)](t => (-t._3, t._2))
+      val agg = new SortNBy[(String, Long, Double)](3, ord)
+      ds.groupByKey(_._1).agg(agg.toColumn.name("top"))
+        .toDF("o_orderstatus", "top")
+        .select(col("o_orderstatus"), explode(col("top")).as("t"))
+        .select(col("o_orderstatus"), col("t._2").as("o_orderkey"),
+          round(col("t._3"), 2).as("price"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    }),
+
+    // -- Kahan mean + Welford stddev (reference mean.rs / stddev.rs) -----
+    "sk07_kahan_welford" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d).select(col("l_quantity")).as[Double]
+      ds.select(
+          new KahanMean[Double](identity).toColumn.name("m"),
+          new WelfordStddev[Double](identity).toColumn.name("sd"))
+        .toDF("m", "sd")
+        .select(round(col("m"), 4).as("mean_qty"), round(col("sd"), 4).as("sd_qty"))
+    }),
+
+    // -- group_by(sub_sink): aggregator combinators under groupByKey -----
+    "sk08_group_sub_sink" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      val agg = zip2(
+        new CountAll[(Long, Double)](),
+        contramap((t: (Long, Double)) => t._2, new KahanSum[Double](identity)))
+      ds.groupByKey(_._1).agg(agg.toColumn.name("cs"))
+        .toDF("o_custkey", "cs")
+        .select(col("o_custkey"), col("cs._1").as("n_orders"),
+          round(col("cs._2"), 2).as("total_spent"))
+        .orderBy(col("o_custkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sk02_most_frequent_exact" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority LIMIT 10""".stripMargin,
+    "sk06_sort_n_by_group" ->
+      """SELECT o_orderstatus, o_orderkey, round(o_totalprice,2) AS price FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_orderstatus
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "sk07_kahan_welford" ->
+      """SELECT round(avg(l_quantity),4) AS mean_qty,
+        | round(stddev_pop(l_quantity),4) AS sd_qty FROM lineitem""".stripMargin,
+    "sk08_group_sub_sink" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total_spent
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  )
+}

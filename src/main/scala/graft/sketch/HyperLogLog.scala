@@ -1,0 +1,87 @@
+package graft.sketch
+
+import graft.functions.Hashing
+
+/** Mergeable HyperLogLog cardinality sketch.
+  *
+  * Capability parity with the reference's `HyperLogLog`
+  * (/root/reference/amadeus-streaming/src/distinct.rs:133+): fixed-size
+  * register array, union merge, estimate with small-range linear counting.
+  * Built from the published HyperLogLog algorithm (Flajolet et al. 2007);
+  * 64-bit hashing removes the need for the large-range correction.
+  *
+  * State is `2^b` bytes regardless of stream size — safe as a partial-agg
+  * buffer at any scale.
+  */
+final class HyperLogLog(val b: Int) extends Serializable {
+  require(b >= 4 && b <= 18, s"HLL precision b=$b out of [4,18]")
+  val m: Int = 1 << b
+  val registers: Array[Byte] = new Array[Byte](m)
+
+  def addHash(h: Long): this.type = {
+    val idx = (h >>> (64 - b)).toInt
+    // rank = leading zeros of the remaining 64-b bits, +1; the or-ed guard
+    // bit bounds the rank when those bits are all zero
+    val rank = java.lang.Long.numberOfLeadingZeros((h << b) | (1L << (b - 1))) + 1
+    if (rank > registers(idx)) registers(idx) = rank.toByte
+    this
+  }
+
+  def add(v: Any): this.type = addHash(Hashing.hashAny(v, 0x9c3779b9L))
+
+  /** Union-merge: register-wise max. Commutative, associative, idempotent. */
+  def merge(o: HyperLogLog): HyperLogLog = {
+    require(o.b == b, s"HLL precision mismatch: $b vs ${o.b}")
+    val out = new HyperLogLog(b)
+    var i = 0
+    while (i < m) {
+      val a = registers(i); val c = o.registers(i)
+      out.registers(i) = if (a > c) a else c
+      i += 1
+    }
+    out
+  }
+
+  private def alpha: Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  def estimate: Double = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val r = registers(i)
+      sum += java.lang.Double.longBitsToDouble((1023L - r) << 52) // 2^-r
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / sum
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+    else raw
+  }
+
+  def cardinality: Long = math.round(estimate)
+
+  /** Standard error of the estimate: 1.04 / sqrt(m). */
+  def errorRate: Double = 1.04 / math.sqrt(m.toDouble)
+
+  override def equals(other: Any): Boolean = other match {
+    case o: HyperLogLog => o.b == b && java.util.Arrays.equals(o.registers, registers)
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(registers)
+}
+
+object HyperLogLog {
+  /** Precision from a target standard error (reference constructor shape:
+    * `HyperLogLog::new(error_rate)`). */
+  def forError(errorRate: Double): HyperLogLog = {
+    val m = math.pow(1.04 / errorRate, 2.0)
+    val b = math.max(4, math.min(18, math.ceil(math.log(m) / math.log(2.0)).toInt))
+    new HyperLogLog(b)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sketch
+
+import scala.collection.mutable
+
+/** Heavy-hitters sketches: top-n keys by aggregated value, with a bounded
+  * tracked-key map backed by a Count-Min sketch for the untracked tail.
+  *
+  * Capability parity with the reference's `Top<A, C>`
+  * (/root/reference/amadeus-streaming/src/top.rs:11-120): `C = usize` is
+  * mostFrequent ("SELECT k ORDER BY count(*) DESC LIMIT n"), `C = HLL` is
+  * mostDistinct ("SELECT k ORDER BY count(DISTINCT v) DESC LIMIT n").
+  * Algorithm family: Filtered Space-Saving — untracked keys accumulate in
+  * the CMS; a key is promoted when its estimate beats the smallest tracked
+  * entry. State is O(n + depth*width) regardless of stream size.
+  */
+final class TopFreq[K](val n: Int, val depth: Int, val width: Int)
+    extends Serializable {
+  val heavy: mutable.HashMap[K, Long] = mutable.HashMap.empty
+  val cms: CountMinLong = new CountMinLong(depth, width)
+
+  def push(k: K, c: Long = 1L): this.type = {
+    heavy.get(k) match {
+      case Some(v) => heavy.update(k, v + c)
+      case None =>
+        val est = cms.addConservative(k, c)
+        if (heavy.size < n) heavy.update(k, est)
+        else {
+          val (mk, mv) = heavy.minBy(_._2)
+          if (est > mv) { heavy.remove(mk); heavy.update(k, est) }
+        }
+    }
+    this
+  }
+
+  /** Merge: union CMS, combine per-key totals (tracked count, else that
+    * side's CMS estimate), keep top n. Commutative. */
+  def merge(o: TopFreq[K]): TopFreq[K] = {
+    require(o.n == n && o.depth == depth && o.width == width, "TopFreq shape mismatch")
+    val out = new TopFreq[K](n, depth, width)
+    val merged = cms.merge(o.cms)
+    System.arraycopy(merged.cells, 0, out.cms.cells, 0, merged.cells.length)
+    def side(t: TopFreq[K], k: K): Long =
+      t.heavy.getOrElse(k, if (t.cms.estimate(k) > 0) t.cms.estimate(k) else 0L)
+    val keys = heavy.keySet ++ o.heavy.keySet
+    val totals = keys.toSeq.map(k => k -> (side(this, k) + side(o, k)))
+    totals.sortBy(-_._2).take(n).foreach { case (k, v) => out.heavy.update(k, v) }
+    out
+  }
+
+  /** Descending by count; ties broken by key string for determinism. */
+  def topN: Seq[(K, Long)] =
+    heavy.toSeq.sortBy { case (k, v) => (-v, String.valueOf(k)) }.take(n)
+}
+
+object TopFreq {
+  /** Reference parameter shape: most_frequent(n, probability, tolerance). */
+  def apply[K](n: Int, probability: Double, tolerance: Double): TopFreq[K] = {
+    val (d, w) = CountMin.shape(probability, tolerance)
+    new TopFreq[K](n, d, w)
+  }
+}
+
+/** Top-n keys by approximate COUNT(DISTINCT value): tracked keys hold an
+  * HLL each; the tail lives in a CountMin of HLL cells unioned together
+  * (reference `Top<A, HyperLogLogMagnitude<B>>`,
+  * /root/reference/amadeus-streaming/src/lib.rs:18 +
+  * par_sink/sample.rs:157-213). */
+final class TopDistinct[K](val n: Int, val depth: Int, val width: Int, val hllB: Int)
+    extends Serializable {
+  val monoid = new HllMonoid(hllB)
+  val heavy: mutable.HashMap[K, HyperLogLog] = mutable.HashMap.empty
+  val cms: CountMin[HyperLogLog] = new CountMin[HyperLogLog](depth, width, monoid)
+
+  def push(k: K, v: Any): this.type = {
+    heavy.get(k) match {
+      case Some(h) => h.add(v)
+      case None =>
+        val single = new HyperLogLog(hllB).add(v)
+        cms.add(k, single)
+        val est = cms.estimate(k)
+        if (heavy.size < n) heavy.update(k, est.merge(monoid.zero))
+        else {
+          val (mk, mv) = heavy.minBy { case (_, h) => h.estimate }
+          if (est.estimate > mv.estimate) { heavy.remove(mk); heavy.update(k, est.merge(monoid.zero)) }
+        }
+    }
+    this
+  }
+
+  def merge(o: TopDistinct[K]): TopDistinct[K] = {
+    require(o.n == n && o.depth == depth && o.width == width && o.hllB == hllB,
+      "TopDistinct shape mismatch")
+    val out = new TopDistinct[K](n, depth, width, hllB)
+    val merged = cms.merge(o.cms)
+    System.arraycopy(merged.cells, 0, out.cms.cells, 0, merged.cells.length)
+    def side(t: TopDistinct[K], k: K): Option[HyperLogLog] =
+      t.heavy.get(k).orElse(Some(t.cms.estimate(k)))
+    val keys = heavy.keySet ++ o.heavy.keySet
+    val totals = keys.toSeq.map { k =>
+      val h = (side(this, k).toList ++ side(o, k).toList)
+        .foldLeft(monoid.zero)(monoid.plus)
+      k -> h
+    }
+    totals.sortBy { case (k, h) => (-h.estimate, String.valueOf(k)) }
+      .take(n).foreach { case (k, h) => out.heavy.update(k, h) }
+    out
+  }
+
+  def topN: Seq[(K, Long)] =
+    heavy.toSeq.map { case (k, h) => k -> h.cardinality }
+      .sortBy { case (k, v) => (-v, String.valueOf(k)) }.take(n)
+}
+
+object TopDistinct {
+  /** Reference parameter shape:
+    * most_distinct(n, probability, tolerance, error_rate). */
+  def apply[K](n: Int, probability: Double, tolerance: Double,
+               errorRate: Double): TopDistinct[K] = {
+    val (d, w) = CountMin.shape(probability, tolerance)
+    val b = HyperLogLog.forError(errorRate).b
+    new TopDistinct[K](n, d, w, b)
+  }
+}

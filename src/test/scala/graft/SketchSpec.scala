@@ -1,0 +1,212 @@
+package graft
+
+import graft.sketch._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Unit + property-style tests for the sketch library, mirroring the
+  * reference's statistical assertions (SURVEY.md §5.5 / FIXTURES.md §7).
+  * Property tests run seeded-random trials (scalatestplus bridge is not in
+  * the offline cache, so no forAll). */
+class SketchSpec extends AnyFunSuite {
+
+  /** seeded-random stand-in for forAll */
+  private def trials(n: Int)(body: Random => Unit): Unit = {
+    (0 until n).foreach(i => body(new Random(1000 + i)))
+  }
+  private def randList(rnd: Random, maxLen: Int, lo: Int, hi: Int): List[Int] =
+    List.fill(rnd.nextInt(maxLen))(lo + rnd.nextInt(hi - lo + 1))
+
+  // ---- HyperLogLog ----------------------------------------------------
+
+  test("HLL accuracy within 3 sigma on 100k ints (distinct.rs:723-737 shape)") {
+    val hll = HyperLogLog.forError(0.05)
+    (0 until 100000).foreach(i => hll.add(i.toLong))
+    val est = hll.estimate
+    val err = hll.errorRate
+    assert(math.abs(est - 100000) < 3 * err * 100000,
+      s"estimate $est too far from 100000 (err=$err)")
+  }
+
+  test("HLL merge equals union (distinct.rs:703-721 shape)") {
+    val a = new HyperLogLog(12); val b = new HyperLogLog(12); val u = new HyperLogLog(12)
+    (0 until 5000).foreach { i => a.add(i.toLong); u.add(i.toLong) }
+    (2500 until 8000).foreach { i => b.add(i.toLong); u.add(i.toLong) }
+    assert(a.merge(b) == u)
+  }
+
+  test("HLL merge is commutative, associative, idempotent (property)") {
+    trials(50) { rnd =>
+      def mk(l: List[Int]) = l.foldLeft(new HyperLogLog(8))((h, v) => h.add(v.toLong))
+      val a = mk(randList(rnd, 200, 0, 10000))
+      val b = mk(randList(rnd, 200, 0, 10000))
+      val c = mk(randList(rnd, 200, 0, 10000))
+      assert(a.merge(b) == b.merge(a))
+      assert(a.merge(b).merge(c) == a.merge(b.merge(c)))
+      assert(a.merge(a) == a)
+    }
+  }
+
+  test("HLL small-range (linear counting) is near-exact") {
+    val hll = new HyperLogLog(14)
+    (0 until 2000).foreach(i => hll.add(i.toLong))
+    assert(math.abs(hll.cardinality - 2000L) <= 60, // ~3%: LC variance at m=16384
+      s"small-range estimate ${hll.cardinality}")
+  }
+
+  // ---- CountMin -------------------------------------------------------
+
+  test("CountMinLong conservative estimate bounds: true <= est <= true + tol*N") {
+    val cms = CountMin.longs(0.99, 0.002)
+    val rnd = new Random(42)
+    val keys = (0 until 500).map(i => s"k$i")
+    val truth = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var total = 0L
+    (0 until 100000).foreach { _ =>
+      val k = keys(math.min(499, math.abs(rnd.nextGaussian() * 100).toInt))
+      cms.addConservative(k, 1)
+      truth(k) += 1
+      total += 1
+    }
+    keys.foreach { k =>
+      val est = cms.estimate(k)
+      assert(est >= truth(k), s"underestimate for $k: $est < ${truth(k)}")
+      assert(est <= truth(k) + (0.002 * total).toLong + 1,
+        s"overestimate for $k: $est vs ${truth(k)}")
+    }
+  }
+
+  test("CountMinLong merge is element-wise sum and preserves upper bound") {
+    val a = CountMin.longs(0.99, 0.01); val b = CountMin.longs(0.99, 0.01)
+    (0 until 1000).foreach(i => a.addConservative(s"x${i % 50}", 1))
+    (0 until 1000).foreach(i => b.addConservative(s"x${i % 30}", 1))
+    val m = a.merge(b)
+    (0 until 50).foreach { i =>
+      val k = s"x$i"
+      assert(m.estimate(k) >= a.estimate(k).min(1000) + (if (i < 30) b.estimate(k).min(1000) else 0) - 1000)
+      assert(m.estimate(k) >= math.max(0, a.estimate(k)))
+    }
+  }
+
+  // ---- TopFreq --------------------------------------------------------
+
+  test("TopFreq finds heavy hitters on a skewed stream (top.rs:252-291 shape)") {
+    val rnd = new Random(7)
+    val top = TopFreq[String](10, 0.99, 0.002)
+    val truth = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    // zipf-ish: key i with weight ~ 1/(i+1)
+    val keys = (0 until 150).map(i => s"key$i")
+    val weights = keys.indices.map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val totalW = cum.last
+    (0 until 100000).foreach { _ =>
+      val r = rnd.nextDouble() * totalW
+      val k = keys(cum.indexWhere(r <= _))
+      top.push(k)
+      truth(k) += 1
+    }
+    val got = top.topN.map(_._1).toSet
+    val exact = truth.toSeq.sortBy(-_._2).take(6).map(_._1).toSet
+    // the clearly-separated head must be present
+    assert(exact.subsetOf(got), s"missing heavy hitters: ${exact -- got}")
+  }
+
+  test("TopFreq exact regime: n >= distinct keys gives exact counts") {
+    val top = TopFreq[String](10, 0.99, 0.002)
+    val counts = Map("a" -> 500L, "b" -> 300L, "c" -> 100L)
+    counts.foreach { case (k, c) => (0L until c).foreach(_ => top.push(k)) }
+    assert(top.topN == Seq("a" -> 500L, "b" -> 300L, "c" -> 100L))
+  }
+
+  test("TopFreq merge preserves exact counts in exact regime") {
+    val a = TopFreq[String](5, 0.99, 0.002); val b = TopFreq[String](5, 0.99, 0.002)
+    (0 until 100).foreach(_ => a.push("x")); (0 until 40).foreach(_ => a.push("y"))
+    (0 until 60).foreach(_ => b.push("y")); (0 until 10).foreach(_ => b.push("z"))
+    val m = a.merge(b)
+    assert(m.topN == Seq("x" -> 100L, "y" -> 100L, "z" -> 10L))
+    // commutativity
+    assert(b.merge(a).topN == m.topN)
+  }
+
+  // ---- TopDistinct ----------------------------------------------------
+
+  test("TopDistinct ranks keys by distinct-value count") {
+    val td = TopDistinct[String](5, 0.99, 0.002, 0.05)
+    (0 until 1000).foreach(i => td.push("many", i.toLong))
+    (0 until 100).foreach(i => td.push("some", i.toLong))
+    (0 until 1000).foreach(i => td.push("few", (i % 10).toLong)) // heavy but low-distinct
+    val ranked = td.topN.map(_._1)
+    assert(ranked.head == "many")
+    assert(ranked.indexOf("some") < ranked.indexOf("few"),
+      s"distinct-ranking wrong: $ranked")
+    val est = td.topN.head._2
+    assert(math.abs(est - 1000L) < 3 * 0.05 * 1000, s"HLL-in-top estimate $est")
+  }
+
+  test("TopDistinct merge unions per-key HLLs") {
+    val a = TopDistinct[String](5, 0.99, 0.002, 0.05)
+    val b = TopDistinct[String](5, 0.99, 0.002, 0.05)
+    (0 until 500).foreach(i => a.push("k", i.toLong))
+    (250 until 750).foreach(i => b.push("k", i.toLong))
+    val est = a.merge(b).topN.head._2
+    assert(math.abs(est - 750L) < 3 * 0.05 * 750, s"union estimate $est vs 750")
+  }
+
+  // ---- Reservoir ------------------------------------------------------
+
+  test("Reservoir size law: |sample| = min(k, n); seen adds up") {
+    val r = new Reservoir[Int](100, 1L)
+    (0 until 50).foreach(r.add)
+    assert(r.items.length == 50)
+    (50 until 5000).foreach(r.add)
+    assert(r.items.length == 100 && r.seen == 5000)
+  }
+
+  test("Reservoir uniformity: each element roughly equally likely (sample.rs:221-260 shape)") {
+    val hits = new Array[Int](200)
+    (0 until 400).foreach { trial =>
+      val r = new Reservoir[Int](20, trial.toLong)
+      (0 until 200).foreach(r.add)
+      r.items.foreach(i => hits(i) += 1)
+    }
+    // expected hits per element = 400*20/200 = 40
+    val (mn, mx) = (hits.min, hits.max)
+    assert(mn > 15 && mx < 75, s"reservoir skew: min=$mn max=$mx expected~40")
+  }
+
+  test("Reservoir merge is size-weighted: bigger stream dominates proportionally") {
+    var fromA = 0; var total = 0
+    (0 until 200).foreach { trial =>
+      val a = new Reservoir[Int](50, trial.toLong)
+      val b = new Reservoir[Int](50, (trial + 1000).toLong)
+      (0 until 3000).foreach(a.add)            // side A: values < 3000
+      (3000 until 4000).foreach(b.add)         // side B: values >= 3000
+      val m = a.merge(b)
+      assert(m.items.length == 50 && m.seen == 4000)
+      fromA += m.items.count(_ < 3000); total += m.items.length
+    }
+    val frac = fromA.toDouble / total // expect ~0.75
+    assert(math.abs(frac - 0.75) < 0.06, s"merge weighting off: $frac vs 0.75")
+  }
+
+  // ---- BoundedSort ----------------------------------------------------
+
+  test("BoundedSort equals sorted.take(n) (property)") {
+    trials(100) { rnd =>
+      val xs = randList(rnd, 300, -1000, 1000)
+      val n = 1 + rnd.nextInt(20)
+      val bs = xs.foldLeft(new BoundedSort[Int](n, Ordering.Int))(_.add(_))
+      assert(bs.sorted == xs.sorted.take(n))
+    }
+  }
+
+  test("BoundedSort merge equals concat-then-sort-take (property)") {
+    trials(100) { rnd =>
+      val xs = randList(rnd, 200, -100, 100)
+      val ys = randList(rnd, 200, -100, 100)
+      val a = xs.foldLeft(new BoundedSort[Int](7, Ordering.Int))(_.add(_))
+      val b = ys.foldLeft(new BoundedSort[Int](7, Ordering.Int))(_.add(_))
+      assert(a.merge(b).sorted == (xs ++ ys).sorted.take(7))
+    }
+  }
+}
