@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.aggregators.SketchAggregators._
+import graft.sketch.BoundedSort
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed façade over `Dataset[T]` exposing the reference's stream verb
+  * surface (amadeus `ParallelStream`/`DistributedStream`,
+  * /root/reference/amadeus-core/src/par_stream.rs).
+  *
+  * Design: every verb delegates to a declarative Dataset operation so the
+  * plan stays inside Catalyst (fusion, partial aggregation, AQE). Terminal
+  * sinks that the reference implements as ReduceA/B/C reducer trees map to
+  * Spark aggregates — which ARE a partial/merge/final tree — or to our
+  * sketch Aggregators. Nothing here collects to the driver except the
+  * terminal results themselves.
+  *
+  * Gradual typing (reference `Value` ⇄ `#[derive(Data)]`,
+  * amadeus-types/src/value.rs): `GraftStream.dynamic` wraps a DataFrame;
+  * `DynStream.downcast[T]` ≅ `value.downcast::<T>()`; `.upcast` ≅ static →
+  * dynamic (always succeeds).
+  */
+final case class GraftStream[T](ds: Dataset[T]) {
+
+  private def spark: SparkSession = ds.sparkSession
+
+  // ---- narrow transformations (par_stream.rs §2.2) --------------------
+
+  /** par_stream.rs:79-85 */
+  def map[B: Encoder](f: T => B): GraftStream[B] = GraftStream(ds.map(f))
+
+  /** par_stream.rs:88-95 — f returns a collection, flattened */
+  def flatMap[B: Encoder](f: T => IterableOnce[B]): GraftStream[B] =
+    GraftStream(ds.flatMap(f))
+
+  /** par_stream.rs:98-104 */
+  def filter(f: T => Boolean): GraftStream[T] = GraftStream(ds.filter(f))
+
+  /** par_stream.rs:61-67 — side-effect peek, identity on the stream */
+  def inspect(f: T => Unit)(implicit e: Encoder[T]): GraftStream[T] =
+    GraftStream(ds.map { t => f(t); t })
+
+  /** par_stream.rs:70-76 — in-place mutate; JVM rows are immutable so this
+    * is a map that returns the updated row */
+  def update(f: T => T)(implicit e: Encoder[T]): GraftStream[T] =
+    GraftStream(ds.map(f))
+
+  /** par_stream.rs:129-135 — concatenation, bag semantics (UNION ALL) */
+  def chain(other: GraftStream[T]): GraftStream[T] =
+    GraftStream(ds.union(other.ds))
+
+  /** Escape hatch: arbitrary Dataset-level pipe (≅ ParallelPipe). */
+  def pipe[B](f: Dataset[T] => Dataset[B]): GraftStream[B] = GraftStream(f(ds))
+
+  // ---- joins (broadcast-only in the reference, par_stream/join.rs) ----
+
+  /** left_join (par_stream.rs:107-115): the right side is a driver-local
+    * collection replicated to every task — exactly a broadcast variable.
+    * Emits (K, V1, matches) per left row; empty matches if none. */
+  def leftJoin[K, V2](right: Seq[(K, V2)])(key: T => K)
+      (implicit e: Encoder[(K, T, Seq[V2])]): GraftStream[(K, T, Seq[V2])] = {
+    val bc = spark.sparkContext.broadcast(right.groupMap(_._1)(_._2))
+    GraftStream(ds.map { t =>
+      val k = key(t)
+      (k, t, bc.value.getOrElse(k, Seq.empty))
+    })
+  }
+
+  /** inner_join (par_stream.rs:118-126): like leftJoin but drops
+    * non-matching left rows. */
+  def innerJoin[K, V2](right: Seq[(K, V2)])(key: T => K)
+      (implicit e: Encoder[(K, T, Seq[V2])]): GraftStream[(K, T, Seq[V2])] = {
+    val bc = spark.sparkContext.broadcast(right.groupMap(_._1)(_._2))
+    GraftStream(ds.flatMap { t =>
+      val k = key(t)
+      bc.value.get(k).map(vs => (k, t, vs))
+    })
+  }
+
+  // ---- terminal sinks (par_sink/*, §2.3) ------------------------------
+
+  /** par_sink/count.rs */
+  def count(): Long = ds.count()
+
+  /** par_sink/for_each.rs */
+  def forEach(f: T => Unit): Unit = ds.foreach(f)
+
+  /** par_sink/fold.rs — generic fold with explicit partial merge; runs as
+    * a two-level tree aggregate (ReduceA per partition, ReduceC final). */
+  def fold[B: scala.reflect.ClassTag](zero: B)(op: (B, T) => B, merge: (B, B) => B): B =
+    ds.rdd.treeAggregate(zero)(op, merge)
+
+  /** par_sink/sum.rs */
+  def sum(implicit num: Numeric[T], ct: scala.reflect.ClassTag[T]): T =
+    fold(num.zero)(num.plus, num.plus)
+
+  /** par_sink/combine.rs — reduce to Option (None on empty stream) */
+  def combine(f: (T, T) => T): Option[T] =
+    if (ds.isEmpty) None else Some(ds.reduce(f))
+
+  /** par_sink/mean.rs — Kahan-compensated */
+  def mean(f: T => Double): Double =
+    ds.select(new KahanMean[T](f).toColumn).head()
+
+  /** par_sink/stddev.rs — population stddev, Welford + pairwise merge */
+  def stddev(f: T => Double): Double =
+    ds.select(new WelfordStddev[T](f).toColumn).head()
+
+  /** par_sink/max.rs — extrema by Ordering; None on empty */
+  def max(implicit ord: Ordering[T]): Option[T] = combine(ord.max)
+  def min(implicit ord: Ordering[T]): Option[T] = combine(ord.min)
+  def maxBy[B](f: T => B)(implicit ord: Ordering[B]): Option[T] =
+    combine((a, b) => if (ord.gteq(f(a), f(b))) a else b)
+  def minBy[B](f: T => B)(implicit ord: Ordering[B]): Option[T] =
+    combine((a, b) => if (ord.lteq(f(a), f(b))) a else b)
+
+  /** par_sink/all.rs / any.rs — short-circuits via CollectLimitExec */
+  def all(f: T => Boolean): Boolean = ds.filter((t: T) => !f(t)).isEmpty
+  def any(f: T => Boolean): Boolean = !ds.filter(f).isEmpty
+
+  /** par_sink/histogram.rs — exact (key, count) sorted by key.
+    * Distributed groupBy+count; only the distinct-key result is collected. */
+  def histogram()(implicit ord: Ordering[T], e: Encoder[(T, Long)]): Seq[(T, Long)] = {
+    implicit val te: Encoder[T] = ds.encoder
+    ds.groupByKey(identity).count().collect().toSeq.sortBy(_._1)
+  }
+
+  /** par_stream.rs:181-191 sort_n_by — bounded top-n */
+  def sortNBy(n: Int)(implicit ord: Ordering[T]): Seq[T] = {
+    implicit val seqEnc: Encoder[Seq[T]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[T]]
+    ds.select(new SortNBy[T](n, ord).toColumn).head()
+  }
+
+  /** par_stream.rs:334-348 most_frequent — approx heavy hitters */
+  def mostFrequent(n: Int, probability: Double, tolerance: Double): Seq[(T, Long)] = {
+    implicit val outEnc: Encoder[Seq[(T, Long)]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[(T, Long)]]
+    ds.select(new MostFrequent[T, T](n, probability, tolerance, identity).toColumn).head()
+  }
+
+  /** par_stream.rs:351-372 most_distinct — top keys by distinct values */
+  def mostDistinct[K, V](n: Int, probability: Double, tolerance: Double,
+      errorRate: Double)(key: T => K, value: T => V): Seq[(K, Long)] = {
+    implicit val outEnc: Encoder[Seq[(K, Long)]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[(K, Long)]]
+    ds.select(new MostDistinct[T, K](n, probability, tolerance, errorRate,
+      key, value.andThen(_.asInstanceOf[Any])).toColumn).head()
+  }
+
+  /** par_stream.rs:375-389 sample_unstable — exact-k mergeable reservoir */
+  def sampleUnstable(k: Int, seed: Long = 42L): Seq[T] = {
+    implicit val outEnc: Encoder[Seq[T]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[T]]
+    ds.select(new SampleUnstable[T](k, seed).toColumn).head()
+  }
+
+  /** group_by(sub_sink) (par_sink/group_by.rs): arbitrary aggregator per
+    * key — Spark's partial aggregation replaces the reference's driver-side
+    * key-map merge, so this scales past driver memory. */
+  def groupBySink[K, B, O](key: T => K)(agg: Aggregator[T, B, O])
+      (implicit ke: Encoder[K], oe: Encoder[(K, O)]): Seq[(K, O)] =
+    ds.groupByKey(key).agg(agg.toColumn).collect().toSeq
+
+  /** fork (par_stream.rs:521-547): two sinks, ONE pass over the data. */
+  def fork[B1, O1, B2, O2](a: Aggregator[T, B1, O1], b: Aggregator[T, B2, O2]): (O1, O2) = {
+    implicit val outEnc: Encoder[(O1, O2)] =
+      org.apache.spark.sql.Encoders.kryo[(O1, O2)]
+    ds.select(zip2(a, b).toColumn).head()
+  }
+
+  /** par_sink/collect.rs */
+  def collect(): Seq[T] = ds.collect().toSeq
+
+  /** static → dynamic (always succeeds; ≅ T → Value upcast) */
+  def upcast: DynStream = DynStream(ds.toDF())
+}
+
+/** Dynamic (self-describing rows) side of the reference's gradual typing:
+  * DataFrame ≅ stream of `Value` (amadeus-types/src/value.rs:91-157). */
+final case class DynStream(df: DataFrame) {
+  /** dynamic → static downcast, ≅ `value.downcast::<T>()`
+    * (amadeus-types/src/lib.rs:114-146); fails analysis if incompatible. */
+  def downcast[T: Encoder]: GraftStream[T] = GraftStream(df.as[T])
+  def filter(cond: org.apache.spark.sql.Column): DynStream = DynStream(df.filter(cond))
+  def select(cols: org.apache.spark.sql.Column*): DynStream = DynStream(df.select(cols: _*))
+  def count(): Long = df.count()
+}
+
+object GraftStream {
+  /** in-memory collections → stream (into_par_stream/collections.rs) */
+  def fromSeq[T: Encoder](spark: SparkSession, seq: Seq[T]): GraftStream[T] =
+    GraftStream(spark.createDataset(seq))
+
+  /** Range source */
+  def range(spark: SparkSession, start: Long, end: Long): GraftStream[Long] = {
+    import spark.implicits._
+    GraftStream(spark.range(start, end).as[Long])
+  }
+
+  /** typed CSV source (amadeus-serde csv.rs: headerless, schema-first) */
+  def csv[T: Encoder](spark: SparkSession, path: String, header: Boolean = false): GraftStream[T] =
+    GraftStream(spark.read
+      .schema(implicitly[Encoder[T]].schema)
+      .option("header", header.toString).csv(path).as[T])
+
+  /** typed newline-JSON source (amadeus-serde json.rs) */
+  def json[T: Encoder](spark: SparkSession, path: String): GraftStream[T] =
+    GraftStream(spark.read.schema(implicitly[Encoder[T]].schema).json(path).as[T])
+
+  /** typed Parquet source (amadeus-parquet) — schema pruning pushes the
+    * typed row's columns down to the scan */
+  def parquet[T: Encoder](spark: SparkSession, path: String): GraftStream[T] =
+    GraftStream(spark.read.parquet(path).as[T])
+
+  /** dynamic (Value-typed) sources */
+  def dynamicParquet(spark: SparkSession, path: String): DynStream =
+    DynStream(spark.read.parquet(path))
+  def dynamicCsv(spark: SparkSession, path: String, header: Boolean = false): DynStream =
+    DynStream(spark.read.option("header", header.toString)
+      .option("inferSchema", "true").csv(path))
+  def dynamicJson(spark: SparkSession, path: String): DynStream =
+    DynStream(spark.read.json(path))
+}

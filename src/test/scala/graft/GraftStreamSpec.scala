@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.{DynStream, GraftStream}
+import graft.aggregators.SketchAggregators._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Façade verb coverage vs in-memory Scala-collection truth — the shape of
+  * the reference's tests/into_par_stream.rs + typed/untyped duality tests
+  * (tests/csv.rs:14-58). */
+class GraftStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  def ints: GraftStream[Long] = GraftStream.range(spark, 0, 1000)
+
+  test("map / filter / flatMap / chain against collection truth") {
+    assert(ints.map(_ * 2).sum == (0L until 1000L).map(_ * 2).sum)
+    assert(ints.filter(_ % 3 == 0).count() == (0L until 1000L).count(_ % 3 == 0))
+    assert(ints.flatMap(x => Seq(x, -x)).count() == 2000)
+    assert(ints.chain(ints).count() == 2000)
+    assert(ints.update(_ + 1).min.get == 1L)
+  }
+
+  test("fold / sum / combine / mean / stddev / max / min") {
+    val xs = (0L until 1000L)
+    assert(ints.fold(0L)(_ + _, _ + _) == xs.sum)
+    assert(ints.sum == xs.sum)
+    assert(ints.combine(_ + _).get == xs.sum)
+    assert(math.abs(ints.mean(_.toDouble) - 499.5) < 1e-9)
+    val mean = 499.5
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / 1000)
+    assert(math.abs(ints.stddev(_.toDouble) - sd) < 1e-9)
+    assert(ints.max.get == 999L && ints.min.get == 0L)
+    assert(ints.maxBy(x => -x).get == 0L)
+    assert(ints.minBy(x => -x).get == 999L)
+    assert(GraftStream.fromSeq[Long](spark, Seq.empty).combine(_ + _).isEmpty)
+  }
+
+  test("all / any short-circuit semantics") {
+    assert(ints.all(_ >= 0))
+    assert(!ints.all(_ < 999))
+    assert(ints.any(_ == 500))
+    assert(!ints.any(_ > 5000))
+  }
+
+  test("histogram matches exact groupBy count") {
+    val h = ints.map(_ % 5).histogram()
+    assert(h == Seq(0L -> 200L, 1L -> 200L, 2L -> 200L, 3L -> 200L, 4L -> 200L))
+  }
+
+  test("sortNBy / mostFrequent / sampleUnstable terminal sketches") {
+    assert(ints.sortNBy(5) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(ints.sortNBy(3)(Ordering[Long].reverse) == Seq(999L, 998L, 997L))
+    val mf = ints.map(_ % 4).mostFrequent(10, 0.99, 0.002)
+    assert(mf.toMap == Map(0L -> 250L, 1L -> 250L, 2L -> 250L, 3L -> 250L))
+    val sample = ints.sampleUnstable(25)
+    assert(sample.length == 25 && sample.distinct.length == 25)
+  }
+
+  test("mostDistinct ranks by distinct count") {
+    // key k has (k+1)*50 distinct values
+    val data = for (k <- 0 until 4; v <- 0 until (k + 1) * 50) yield (s"k$k", s"v$k-$v")
+    val st = GraftStream.fromSeq(spark, data)
+    val ranked = st.mostDistinct(4, 0.99, 0.002, 0.05)(_._1, _._2).map(_._1)
+    assert(ranked == Seq("k3", "k2", "k1", "k0"))
+  }
+
+  test("broadcast joins: reference emission shapes") {
+    val left = GraftStream.fromSeq(spark, Seq((1, "a"), (2, "b"), (3, "c")))
+    val dim = Seq(1 -> "one", 1 -> "uno", 2 -> "two")
+    val lj = left.leftJoin(dim)(_._1).collect().sortBy(_._2._1)
+    assert(lj == Seq(
+      (1, (1, "a"), Seq("one", "uno")),
+      (2, (2, "b"), Seq("two")),
+      (3, (3, "c"), Seq.empty)))
+    val ij = left.innerJoin(dim)(_._1).collect().sortBy(_._2._1)
+    assert(ij.map(_._1) == Seq(1, 2))
+  }
+
+  test("groupBySink: arbitrary aggregator nested under group_by") {
+    val st = GraftStream.fromSeq(spark, Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)))
+    val got = st.groupBySink(_._1)(
+      contramap((t: (String, Double)) => t._2, new KahanSum[Double](identity)))
+      .sortBy(_._1)
+    assert(got == Seq("a" -> 3.0, "b" -> 5.0))
+  }
+
+  test("fork: two sinks in one pass") {
+    val st = GraftStream.range(spark, 1, 101)
+    val (n, s) = st.fork(
+      new CountAll[Long](),
+      contramap((x: Long) => x.toDouble, new KahanSum[Double](identity)))
+    assert(n == 100L && s == 5050.0)
+  }
+
+  test("gradual typing: upcast/downcast round-trip (tests/csv.rs:44-58 shape)") {
+    val typed = GraftStream.fromSeq(spark, Seq((1L, "x"), (2L, "y")))
+    val dyn: DynStream = typed.upcast
+    assert(dyn.count() == 2)
+    val back = dyn.downcast[(Long, String)]
+    assert(back.collect().sortBy(_._1) == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("typed csv/json round-trip via GraftStream sources") {
+    val dir = "target/qtmp/stream_rt"
+    val data = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+    spark.createDataset(data).write.mode("overwrite").csv(dir + "/csv")
+    spark.createDataset(data).write.mode("overwrite").json(dir + "/json")
+    assert(GraftStream.csv[(Long, String, Double)](spark, dir + "/csv")
+      .collect().sortBy(_._1) == data)
+    assert(GraftStream.json[(Long, String, Double)](spark, dir + "/json")
+      .collect().sortBy(_._1) == data)
+    // dynamic read + downcast agreement (typed/untyped duality)
+    assert(GraftStream.dynamicCsv(spark, dir + "/csv").count() == 3)
+  }
+
+  test("results are partition-count independent (dist mirror)") {
+    val a = GraftStream(ints.ds.repartition(1))
+    val b = GraftStream(ints.ds.repartition(16))
+    assert(a.sum == b.sum)
+    assert(a.map(_ % 7).histogram() == b.map(_ % 7).histogram())
+    assert(a.sortNBy(10) == b.sortNBy(10))
+    assert(a.mean(_.toDouble) == b.mean(_.toDouble))
+  }
+}
