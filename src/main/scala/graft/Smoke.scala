@@ -14,6 +14,8 @@ object Smoke {
       val df = SparkEntry.queries(q)(spark, sf)
       df.show(5, truncate = false)
       println(s"SMOKE $q rows=${df.count()}")
+      if (args.length > 2)
+        df.coalesce(1).write.mode("overwrite").parquet(args(2))
     }
     spark.stop()
   }

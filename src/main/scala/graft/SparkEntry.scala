@@ -28,9 +28,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.CoreQueries.queries ++
-      graft.operators.SketchQueries.queries
+      graft.operators.SketchQueries.queries ++
+      graft.operators.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.operators.CoreQueries.oracles ++
-      graft.operators.SketchQueries.oracles
+      graft.operators.SketchQueries.oracles ++
+      graft.operators.PipelineQueries.oracles
 }

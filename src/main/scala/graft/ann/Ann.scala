@@ -1,0 +1,105 @@
+package graft.ann
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, same semantics:
+  *  - brute-force: exact cosine top-k via a broadcast join of the (small)
+  *    query set against the corpus — one scan, no shuffle of the corpus,
+  *    `TakeOrderedAndProject` per query. This is the correctness baseline
+  *    and is also the right plan at 100 TB when |queries| is small.
+  *  - LSH-bucketed: random-hyperplane signatures; corpus shuffled once on
+  *    band buckets; queries probe only their buckets. Approximate, scales
+  *    to large query sets (corpus×corpus self-join stays bucket-local).
+  *
+  * Cosine is a native column expression (zip_with + aggregate → codegen),
+  * no UDF in the hot path.
+  */
+object Ann {
+
+  /** cosine similarity between two array<float> columns, computed in
+    * double precision, null-safe for zero vectors */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k neighbors for each query id.
+    * @param emb    corpus: (idCol, vecCol)
+    * @param querySelector predicate choosing query rows from the corpus
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      querySelector: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(querySelector)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = emb
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("nvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** deterministic pseudo-random unit-ish hyperplanes: component j of
+    * plane p derived from mix64 — same on every executor, no state */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val h = Hashing.hashLong(p.toLong * 131071L + j.toLong, 0xABCDEFL)
+    (h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
+  }
+
+  /** nBits-bit random-hyperplane signature of a float-array column (UDF:
+    * procedural loop, still JVM-native) */
+  def signatureUdf(nBits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (vec: Seq[Float]) =>
+      var sig = 0L
+      var p = 0
+      while (p < nBits) {
+        var dot = 0.0
+        var j = 0
+        while (j < vec.length) { dot += vec(j) * planeComponent(p, j); j += 1 }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+
+  /** LSH approximate top-k: candidates share at least one signature band
+    * with the query; exact cosine re-ranking on candidates only. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      querySelector: Column, k: Int,
+      nBits: Int = 16, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = nBits / bands
+    val sig = signatureUdf(nBits)
+    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sig(col(vecCol)).as("sig"))
+    def banded(df: DataFrame) = df.select(col("id"), col("vec"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("h"))): _*)).as("bh"))
+      .select(col("id"), col("vec"), col("bh.band"), col("bh.h"))
+    val corpus = banded(withSig)
+    val queries = banded(withSig.filter(querySelector))
+      .withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec")
+    val cand = corpus.join(broadcast(queries),
+        Seq("band", "h")).filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("cos", cosine(col("qvec"), col("vec")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.dedup
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection primitives for training-data pipelines, built
+  * shuffle-aware for 100 TB corpora:
+  *
+  *  - exact:   hash-groupBy on a normalized digest (one shuffle on digest)
+  *  - MinHash+LSH: shingle → k minhashes → band buckets → join only within
+  *    buckets (candidate set ≪ n², no cross join ever materializes)
+  *  - SimHash: 64-bit signature, banded for candidate generation
+  *
+  * Signatures are computed row-local (narrow); only band-bucket joins
+  * shuffle, keyed on (band index, band hash) which distributes uniformly.
+  */
+object Dedup {
+
+  // ---- shingling ------------------------------------------------------
+
+  /** n-word shingles (order-sensitive) as a distinct set */
+  val wordShinglesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, n: Int) =>
+      if (text == null) Seq.empty[String]
+      else text.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq.distinct
+    }
+
+  def wordShingles(c: Column, n: Int): Column = wordShinglesUdf(c, lit(n))
+
+  // ---- MinHash --------------------------------------------------------
+
+  /** k-permutation MinHash signature over a shingle set. */
+  def minhashSignature(shingles: Seq[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val base = Hashing.hashString(sh, 0x1234L)
+      var i = 0
+      while (i < k) {
+        // one string hash + k cheap mixes instead of k string hashes
+        val h = Hashing.hashLong(base, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  val minhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (shingles: Seq[String], k: Int) => minhashSignature(shingles, k) }
+
+  /** band hashes for LSH bucketing: k = bands * rowsPerBand */
+  def bandHashes(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    (0 until bands).map { b =>
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < rowsPerBand) { h = (h ^ sig(b * rowsPerBand + r)) * 0x100000001b3L; r += 1 }
+      h
+    }.toArray
+  }
+
+  val bandsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (sig: Seq[Long], bands: Int, rows: Int) => bandHashes(sig.toArray, bands, rows) }
+
+  /** Exact jaccard between two shingle sets (verification step). */
+  val jaccardUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[String], b: Seq[String]) =>
+      if (a.isEmpty && b.isEmpty) 1.0
+      else {
+        val sa = a.toSet; val sb = b.toSet
+        sa.intersect(sb).size.toDouble / sa.union(sb).size
+      }
+    }
+
+  /** MinHash-LSH candidate pairs with exact-jaccard verification.
+    *
+    * @param df         input with an id column and a text column
+    * @param threshold  exact-jaccard acceptance threshold
+    * @return (idA, idB, jaccard) with idA < idB, verified >= threshold
+    *
+    * Plan shape at scale: narrow signature computation → explode bands
+    * (k small) → shuffle on band hash → per-bucket pair generation →
+    * distinct pairs → one join back to fetch shingles → verify. The only
+    * n²-ish step is within-bucket pairing, bounded by bucket size.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = k / bands
+    val withShingles = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+      .persist()
+    val banded = withShingles
+      .select(col("id"), bandsUdf(minhashUdf(col("sh"), lit(k)), lit(bands), lit(rowsPerBand)).as("bh"))
+      .select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
+    // candidate pairs: ids sharing any (band, hash) bucket
+    val l = banded.as("l"); val r = banded.as("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    // verify with exact jaccard on the shingle sets
+    val sa = withShingles.select(col("id").as("a"), col("sh").as("sha"))
+    val sb = withShingles.select(col("id").as("b"), col("sh").as("shb"))
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"), jaccardUdf(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over the token multiset (Charikar 2002). */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = Hashing.hashString(t, 0x51AA17L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) 0L else simhash64(text.split(" ").toSeq)
+    }
+
+  def simhash(c: Column): Column = simhashUdf(c)
+
+  /** Hamming distance between two 64-bit signatures (native, codegen'd). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: 4×16-bit band bucketing (any pair within
+    * hamming distance 3 shares at least one exact 16-bit band), verified
+    * by exact hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")).persist()
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("h"))): _*)).as("bh"))
+      .select(col("id"), col("sig"), col("bh.band"), col("bh.h"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        hamming64(col("l.sig"), col("r.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

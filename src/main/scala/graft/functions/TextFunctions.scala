@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything expressible with `org.apache.spark.sql.functions` stays a
+  * native (codegen'd) column expression; only genuinely procedural logic
+  * (language profiles, rolling hashes) uses Scala UDFs — still JVM-native,
+  * no serialization boundary. All functions are deterministic.
+  */
+object TextFunctions {
+
+  /** whitespace tokens; single-space-joined corpora keep exact counts */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword token estimate: words + punctuation + digit runs.
+    * A real BPE vocab is model-specific; this regex count is the standard
+    * scale-stable proxy (chars-per-token calibration). */
+  def subwordTokenEstimate(c: Column): Column =
+    size(split(regexp_replace(c, "([\\p{Punct}])", " $1 "), "\\s+"))
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** fraction of tokens that are stopwords — native lambda, no UDF */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks))
+  }
+
+  /** punctuation characters / total characters */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      (length(c) - length(regexp_replace(c, "\\p{Punct}", ""))).cast("double") / length(c))
+
+  /** mean token length in characters (single-space-joined text) */
+  def meanTokenLength(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, 0.0)
+      .otherwise((length(c) - n + 1).cast("double") / n)
+  }
+
+  /** Composite document quality score in [0,1]; formula is deliberately
+    * SQL-replicable (see TextQueries oracle) so it stays verifiable. */
+  def qualityScore(c: Column): Column =
+    round(
+      least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.4 +
+      least(stopwordRatio(c) * 5.0, lit(1.0)) * 0.3 +
+      least(meanTokenLength(c) / 8.0, lit(1.0)) * 0.3 -
+      punctRatio(c) * 0.2, 4)
+
+  // ---- language ID (n-gram/stopword heuristic) ------------------------
+
+  /** tiny per-language stopword profiles (public common-word lists) */
+  private val LangProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "an", "and", "of", "to", "in", "is", "that", "it", "for", "with", "as", "was", "on"),
+    "de" -> Set("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "nicht", "auf", "für"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "un", "una", "de", "que", "en", "por", "con", "para", "no"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "de", "que", "en", "pour", "dans", "avec", "pas", "du"),
+    "zh" -> Set("的", "是", "了", "在", "我", "有", "和", "就", "不", "人", "都", "一", "上", "也", "他"))
+
+  /** Language-ID over whitespace tokens: argmax of profile-hit rate, 'und'
+    * when nothing matches. Deterministic tie-break by language code. */
+  val langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null || text.isEmpty) "und"
+      else {
+        val toks = text.toLowerCase.split("\\s+")
+        val scores = LangProfiles.toSeq.map { case (lang, words) =>
+          (lang, toks.count(words.contains).toDouble / math.max(1, toks.length))
+        }
+        val best = scores.sortBy { case (l, s) => (-s, l) }.head
+        if (best._2 == 0.0) "und" else best._1
+      }
+    }
+
+  def langId(c: Column): Column = langIdUdf(c)
+
+  // ---- fingerprinting -------------------------------------------------
+
+  /** Rabin-Karp rolling-hash winnowing fingerprint (Schleimer et al. 2003):
+    * k-gram rolling hashes → min per window of w → combined 64-bit digest.
+    * Near-identical documents (small edits) keep most selected minima, and
+    * the digest is a compact equality key for exact dedup after
+    * normalization. */
+  def winnowingFingerprint(text: String, k: Int = 5, w: Int = 4): Long = {
+    if (text == null || text.length < k) return Hashing.hashString(if (text == null) "" else text, 7L)
+    val n = text.length - k + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { hashes(i) = Hashing.hashString(text.substring(i, i + k), 11L); i += 1 }
+    var digest = 0L
+    var win = 0
+    while (win + w <= n) {
+      var mn = hashes(win)
+      var j = 1
+      while (j < w) { val h = hashes(win + j); if (h < mn) mn = h; j += 1 }
+      digest = digest * 0x100000001b3L ^ mn
+      win += w
+    }
+    digest
+  }
+
+  val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) => winnowingFingerprint(text) }
+
+  def fingerprint(c: Column): Column = fingerprintUdf(c)
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Tables
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the documents/embeddings tables:
+  * deduplication (exact, MinHash-LSH, SimHash, n-gram jaccard, embedding
+  * cosine), similarity search (brute-force + LSH), and text analysis
+  * (language ID, quality, token stats, fingerprints).
+  *
+  * Exactly-computable queries carry DuckDB oracles; sketch/heuristic ones
+  * are rows-only and covered by PipelineSpec instead.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // -- exact dedup: normalized-digest groupBy, keep min doc_id ---------
+    "d01_exact_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy(col("digest"))
+      docs.select(col("doc_id"), md5(col("text")).as("digest"))
+        .withColumn("keep", (col("doc_id") === min(col("doc_id")).over(w)).cast("boolean"))
+        .select(col("doc_id"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- MinHash+LSH near-dup pairs, exact-jaccard verified --------------
+    "d02_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // -- SimHash signatures per doc (pair search tested in PipelineSpec) -
+    "d03_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // -- exact n-gram jaccard: top-10 most similar pairs -----------------
+    "d04_ngram_jaccard_top" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        Dedup.wordShingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(Dedup.jaccardUdf(col("sha"), col("shb")), 4).as("j"))
+        .orderBy(col("j").desc, col("a"), col("b"))
+        .limit(10)
+    }),
+
+    // -- embedding near-dup: top-10 pairs by cosine ----------------------
+    "d05_embedding_top_pairs" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(Ann.cosine(col("va"), col("vb")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("a"), col("b"))
+        .limit(10)
+    }),
+
+    // -- ANN: exact brute-force top-10 for 5 query vectors ---------------
+    "a01_ann_bruteforce" -> ((s, d) =>
+      Ann.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 5, k = 10)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
+
+    // -- ANN: LSH-bucketed approximate top-10 (scale path) ---------------
+    "a02_ann_lsh" -> ((s, d) =>
+      Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 5, k = 10)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
+
+    // -- text analysis: token stats per language -------------------------
+    "t01_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"),
+          round(avg(TextFunctions.stopwordRatio(col("text"), Seq("the", "a"))), 4)
+            .as("avg_stop_ratio"))
+        .orderBy(col("lang"))),
+
+    // -- text quality score (SQL-replicable formula) ---------------------
+    "t02_quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // -- language ID heuristic vs labeled lang ---------------------------
+    "t03_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))),
+
+    // -- winnowing fingerprints ------------------------------------------
+    "t04_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // -- multimodal: binary column -> batched stub decode -> features ----
+    "m01_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      Multimodal.extractFeatures(media)
+        .select(col("kind"), col("features"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+        .orderBy(col("kind"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT doc_id,
+        | (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d02_minhash_lsh" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
+        |      WHERE tri IS NOT NULL GROUP BY doc_id)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        | round(len(list_intersect(a.tris,b.tris))::DOUBLE
+        |       / len(list_distinct(a.tris||b.tris)), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
+        |      / len(list_distinct(a.tris||b.tris)) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    "d04_ngram_jaccard_top" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
+        |      WHERE tri IS NOT NULL GROUP BY doc_id)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        | round(len(list_intersect(a.tris,b.tris))::DOUBLE
+        |       / len(list_distinct(a.tris||b.tris)), 4) AS j
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |ORDER BY j DESC, a, b LIMIT 10""".stripMargin,
+    "d05_embedding_top_pairs" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, a, b LIMIT 10""".stripMargin,
+    "a01_ann_bruteforce" ->
+      """SELECT query_id, neighbor_id, round(CAST(cos AS DOUBLE),4) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |   list_cosine_similarity(q.embedding, n.embedding) AS cos,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+        |              n.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+        |  WHERE q.vec_id < 5
+        |) WHERE rn <= 10
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+    "t01_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | sum(len(string_split(text,' '))) AS n_tokens,
+        | round(avg(len(string_split(text,' '))), 4) AS avg_tokens,
+        | round(avg(len(list_filter(string_split(text,' '),
+        |   x -> x IN ('the','a')))::DOUBLE / len(string_split(text,' '))), 4)
+        |   AS avg_stop_ratio
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t02_quality_score" ->
+      """SELECT doc_id, round(
+        | least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        | least((len(list_filter(string_split(text,' '),
+        |   x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |              'that','for','on','with','as')))::DOUBLE
+        |   / len(string_split(text,' '))) * 5.0, 1.0) * 0.3 +
+        | least(((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+        |   / len(string_split(text,' '))) / 8.0, 1.0) * 0.3 -
+        | ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |   / length(text)) * 0.2
+        |, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the approximate training-data pipeline paths that
+  * the DuckDB oracle can't cover (LSH recall, SimHash, language ID,
+  * multimodal plumbing). */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.01"
+
+  test("MinHash-LSH finds the same pairs as exact jaccard (full recall here)") {
+    val docs = Tables.documents(spark, sfDir)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // exact: all pairs >= 0.8 trigram jaccard (known: 25 planted pairs)
+    val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+    val exact = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        Dedup.jaccardUdf(col("x.sh"), col("y.sh")).as("j"))
+      .filter(col("j") >= 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data lost its planted near-dups?")
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("SimHash flags synthetic near-identical docs, not unrelated ones") {
+    val base = (0 until 200).map(i => s"tok${i % 37}").mkString(" ")
+    val nearDup = base.replace("tok1 ", "tok999 ") // few-token edit
+    val other = (0 until 200).map(i => s"zzz${i * 7 % 91}").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "near-dup not flagged")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated docs flagged")
+  }
+
+  test("ANN LSH recall vs brute force is usable (>= 40% of true top-10)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ann.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.4, s"LSH mean recall $meanRecall too low")
+  }
+
+  test("language ID picks the right language on real-language samples") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with the fish"),
+      ("de", "der hund ist ein guter freund und die katze ist nicht böse"),
+      ("es", "el perro es un buen amigo y la casa es grande por la noche"),
+      ("fr", "le chien est un bon ami et la maison est grande dans la nuit"),
+      ("zh", "我 是 一 个 人 他 有 不 少 的 书 都 在 上 面"))
+    samples.foreach { case (expected, text) =>
+      val got = Seq(text).toDF("t").select(TextFunctions.langId(col("t"))).head().getString(0)
+      assert(got == expected, s"langId($expected-text) = $got")
+    }
+  }
+
+  test("winnowing fingerprint: equal for identical, differing for different") {
+    val a = TextFunctions.winnowingFingerprint("the quick brown fox jumps over the lazy dog")
+    val b = TextFunctions.winnowingFingerprint("the quick brown fox jumps over the lazy dog")
+    val c = TextFunctions.winnowingFingerprint("a completely different text with other content")
+    assert(a == b && a != c)
+  }
+
+  test("multimodal: stub decode is deterministic, batched, schema-stable") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "bytes", "meta"))
+    val f1 = Multimodal.extractFeatures(media, batchSize = 7)
+      .orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media.repartition(5), batchSize = 64)
+      .orderBy("media_id").collect()
+    assert(f1.sameElements(f2), "decode depends on batching/partitioning")
+    val feats = f1.head.getSeq[Float](2)
+    assert(feats.length == Multimodal.FeatureDim)
+    assert(Multimodal.frameSampleIndices(100, 10, 5) == Seq(0, 10, 20, 30, 40))
+  }
+}
