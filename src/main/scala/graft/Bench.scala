@@ -1,25 +1,63 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR at local[32] and prints ONE JSON line.
+  *
+  * Methodology: a warmup pass of every headline query absorbs JVM/codegen
+  * warmup (first-query penalty is ~8s otherwise), then each query is timed
+  * once, materialized through the noop sink so the full plan executes
+  * (a bare count() can let Catalyst skip work).
+  */
 object Bench {
+
+  /** Headline set — the BASELINE.md table shapes + pipeline heavies. */
+  val headline: Seq[String] = Seq(
+    "q01_tpch_agg",          // scan + partial/final agg
+    "q02_scan_filter_count", // pushed-filter scan
+    "q03_histogram",         // groupBy + count + sort
+    "q04_join_broadcast",    // broadcast inner join + agg
+    "q05_topn",              // TakeOrderedAndProject
+    "q09_stats",             // mean/stddev
+    "sk03_most_frequent_sketch", // TopK sketch aggregator
+    "sk04_most_distinct",    // Top[K, HLL] sketch aggregator
+    "d02_minhash_lsh",       // MinHash+LSH dedup
+    "a01_ann_bruteforce",    // cosine top-k
+    "m01_multimodal_features") // binary decode pipeline
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    val qs = headline.filter(SparkEntry.queries.contains)
+    qs.foreach { q =>
+      try run(q) catch { case e: Throwable =>
+        System.err.println(s"[bench-warmup] $q failed: ${e.getMessage}") }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = qs.map { q =>
+      val t0 = System.nanoTime()
+      val ok = try { run(q); true } catch { case _: Throwable => false }
+      q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

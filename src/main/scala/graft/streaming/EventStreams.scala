@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference has no event-time streaming (SURVEY.md §1.1: "streaming"
+  * there means sketch algorithms), so this module EXCEEDS the reference:
+  * watermarked windowed aggregation and stateful sessionization, designed
+  * so the same transformations run in batch mode (`DataFrame` in,
+  * `DataFrame` out — Spark unifies the two).
+  *
+  * Scale notes: state is keyed by (window, event_type) / user_id and
+  * bounded by the watermark — state store size is O(active keys), not
+  * O(stream length); sessionization state is one small Session per active
+  * user.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Watermarked sliding-window aggregation; works on a streaming OR batch
+    * DataFrame with (ts, event_type, value). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization with flatMapGroupsWithState: a session
+    * closes when a later event for the same user arrives more than
+    * `gapMinutes` after it (event-time gap split). With
+    * `ProcessingTimeTimeout` idle sessions are additionally flushed by
+    * timeout; the `NoTimeout` default keeps them in state, which makes
+    * batch-driven tests deterministic (a timeout re-arm otherwise
+    * generates empty batches forever and processAllAvailable never
+    * settles). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[Session]): Iterator[Session] = {
+      val gapMs = gapMinutes * 60000L
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+            cur = Some(s.copy(end = e.ts, n_events = s.n_events + 1,
+              total_value = s.total_value + e.value))
+          case Some(s) =>
+            out ::= s
+            cur = Some(Session(userId, e.ts, e.ts, 1L, e.value))
+          case None =>
+            cur = Some(Session(userId, e.ts, e.ts, 1L, e.value))
+        }
+      }
+      cur match {
+        case Some(s) if state.hasTimedOut =>
+          state.remove(); out ::= s
+        case Some(s) =>
+          state.update(s)
+          if (useTimeout) state.setTimeoutDuration(gapMs)
+        case None => if (state.hasTimedOut) state.remove()
+      }
+      out.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+  }
+
+  /** Streaming read of an events parquet directory (schema-first, as
+    * readStream requires). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming behavior: streaming windowed agg must agree with
+  * the batch run of the same transformation; sessionization must split on
+  * gaps. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming windowed agg == batch windowed agg on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 300).map { i =>
+      Event(i.toLong, ts(i), i % 10, if (i % 3 == 0) "click" else "view", i * 0.5)
+    }
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = EventStreams.windowedAgg(stream.toDF(), "1 hour", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("win_out")
+      .orderBy("bucket", "event_type").collect().toSeq
+    val batch = EventStreams.windowedAgg(events.toDF(), "1 hour", "1 hour")
+      .orderBy("bucket", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionize splits on gap and aggregates within sessions (batch drive)") {
+    val events = Seq(
+      Event(1, ts(0), 7, "a", 1.0),
+      Event(2, ts(10), 7, "a", 2.0),   // same session (gap 10 < 30)
+      Event(3, ts(100), 7, "a", 4.0),  // new session (gap 90)
+      Event(4, ts(105), 7, "a", 8.0),
+      Event(5, ts(0), 8, "b", 1.5))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = EventStreams.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // only sessions closed by a later event in the same batch are emitted;
+    // user 7's first session closes when event 3 arrives
+    val closed = spark.table("sess_out").as[Session].collect().toSeq
+    assert(closed.contains(Session(7, ts(0), ts(10), 2, 3.0)),
+      s"expected closed first session, got $closed")
+  }
+
+  test("file-based readStream over events parquet drives the same agg") {
+    val q = EventStreams.windowedAgg(
+        EventStreams.readEventStream(spark, "/root/testdata/sf0.001"),
+        "1 hour", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("file_out")
+    val batch = EventStreams.windowedAgg(
+      Tables.events(spark, "/root/testdata/sf0.001"), "1 hour", "1 hour")
+    assert(got.count() == batch.count())
+    assert(got.agg(sum("n")).head().getLong(0) ==
+      Tables.events(spark, "/root/testdata/sf0.001").count())
+  }
+}
