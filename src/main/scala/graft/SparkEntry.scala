@@ -29,10 +29,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.CoreQueries.queries ++
       graft.operators.SketchQueries.queries ++
-      graft.operators.PipelineQueries.queries
+      graft.operators.PipelineQueries.queries ++
+      graft.operators.SourceQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.operators.CoreQueries.oracles ++
       graft.operators.SketchQueries.oracles ++
-      graft.operators.PipelineQueries.oracles
+      graft.operators.PipelineQueries.oracles ++
+      graft.operators.SourceQueries.oracles
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{NetFunctions, TimeFunctions}
+import graft.sources.{Cloudfront, Warc}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/connector + scalar-function coverage (SURVEY.md §2.1, §2.4):
+  * CSV/JSON round-trips (read AND write — writers exceed the reference,
+  * whose Destination trait is unimplemented), partitioned-directory
+  * discovery, CloudFront log parsing, WARC splitting, JSON passthrough
+  * extraction, time and URL scalar functions.
+  *
+  * Round-trip queries write deterministic derived data under target/ and
+  * read it back, so the oracle can verify against the original parquet.
+  */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(sfDir: String, name: String): String =
+    s"target/qtmp/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
+  val queries: Map[String, Q] = Map(
+    // -- CSV source+sink round-trip (amadeus-serde csv.rs; headerless,
+    //    schema-first like the reference) --------------------------------
+    "s01_csv_roundtrip" -> ((s, d) => {
+      val dir = tmp(d, "csv")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").csv(dir)
+      s.read.schema("l_orderkey LONG, l_partkey LONG, l_quantity DOUBLE, l_returnflag STRING")
+        .csv(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- newline-JSON source+sink round-trip (amadeus-serde json.rs) -----
+    "s02_json_roundtrip" -> ((s, d) => {
+      val dir = tmp(d, "json")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").json(dir)
+      s.read.schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, o_orderstatus STRING")
+        .json(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // -- partitioned directory discovery (ParquetDirectory; key=value
+    //    dirs become partition columns, pruned on filter) ----------------
+    "s03_partitioned_dir" -> ((s, d) => {
+      val dir = tmp(d, "part_orders")
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // -- CloudFront access logs (amadeus-aws cloudfront.rs) --------------
+    "s04_cloudfront_logs" -> ((s, d) => {
+      val dir = tmp(d, "cf_logs")
+      val lines = Tables.orders(s, d).limit(2000).collect().map { r =>
+        val k = r.getLong(0)
+        val ip = s"10.${k % 256}.${(k / 256) % 256}.${k % 100}"
+        val st = Seq(200, 200, 200, 404, 304)((k % 5).toInt)
+        s"2019-12-0${k % 9 + 1}\t0${k % 10}:00:0${k % 10}\tSFO5-C1\t${100 + k % 900}\t$ip\tGET\t" +
+          s"d111.cf.net\t/obj/${k % 50}\t$st\t-\tMozilla%2F5.0\t-\t-\tHit\treq$k\thost.example\t" +
+          s"https\t${50 + k % 50}\t0.0${k % 9 + 1}\t-\tTLSv1.2\tECDHE\tHit"
+      }
+      import s.implicits._
+      s.createDataset(Seq("#Version: 1.0", "#Fields: date time ...") ++ lines)
+        .coalesce(1).write.mode("overwrite").text(dir)
+      Cloudfront.read(s, dir)
+        .groupBy(col("status"), col("result_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("response_bytes")), 2).as("bytes"),
+          round(avg(col("time_taken")), 4).as("avg_time"))
+        .orderBy(col("status"), col("result_type"))
+    }),
+
+    // -- WARC / CommonCrawl webpages (amadeus-commoncrawl) ---------------
+    "s05_warc_webpages" -> ((s, d) => {
+      val dir = tmp(d, "warc")
+      val docs = Tables.documents(s, d).limit(200).collect()
+      val warc = Warc.toWarcString(docs.map(r =>
+        (s"https://example.com/doc/${r.getLong(0)}", r.getString(1))).toSeq)
+      import s.implicits._
+      s.createDataset(Seq(warc)).coalesce(1).write.mode("overwrite").text(dir)
+      Warc.webpages(s, dir)
+        .select(NetFunctions.urlHost(col("url")).as("host"),
+          length(col("content")).as("len"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_pages"), sum(col("len")).as("total_chars"))
+        .orderBy(col("host"))
+    }),
+
+    // -- JSON passthrough type + extraction (Value::Json ≅ get_json) -----
+    "s06_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))
+        .orderBy(col("event_type"))),
+
+    // -- time scalar functions (time.rs; truncate_minutes + parts) -------
+    "f01_time_parts" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(TimeFunctions.truncateMinutes(col("ts"), 360).as("bucket6h"),
+          TimeFunctions.hourOf(col("ts")).as("h"))
+        .groupBy(col("bucket6h"))
+        .agg(count(lit(1)).as("n"), min(col("h")).as("min_hour"), max(col("h")).as("max_hour"))
+        .orderBy(col("bucket6h"))),
+
+    // -- URL scalar functions (Url value type) ---------------------------
+    "f02_url_functions" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id"), lit("?lang="), col("lang")).as("url"))
+        .select(NetFunctions.urlHost(col("url")).as("host"),
+          NetFunctions.urlQueryParam(col("url"), "lang").as("lang"),
+          NetFunctions.isValidUrl(col("url")).cast("int").as("valid"))
+        .groupBy(col("host"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("valid")).as("n_valid"))
+        .orderBy(col("host"), col("lang")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s02_json_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "s03_partitioned_dir" ->
+      """SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "s06_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f01_time_parts" ->
+      """SELECT to_timestamp(floor(epoch(ts)/21600)*21600)::TIMESTAMP AS bucket6h,
+        | count(*) AS n, min(hour(ts)) AS min_hour, max(hour(ts)) AS max_hour
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f02_url_functions" ->
+      """SELECT source || '.example.com' AS host, lang,
+        | count(*) AS n, count(*) AS n_valid
+        |FROM documents GROUP BY 1, 2 ORDER BY host, lang""".stripMargin
+  )
+}

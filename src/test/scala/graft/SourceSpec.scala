@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.{NetFunctions, TimeFunctions}
+import graft.sources.{Cloudfront, Jdbc, SchemaMapper, Warc}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connector + scalar-function behavior: golden-count parses in the style
+  * of the reference's connector tests (SURVEY.md §5.1). */
+class SourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  test("cloudfront: parses fields, '-' -> null, %-decode, comment skip") {
+    val dir = "target/qtmp/test_cf"
+    val lines = Seq(
+      "#Version: 1.0",
+      "#Fields: date time x-edge-location ...",
+      "2019-12-04\t21:02:31\tLAX1\t392\t192.0.2.100\tGET\td111.cf.net\t/index.html\t200\t-\t" +
+        "Mozilla%2F5.0%20(Windows)\tq=1\t-\tHit\treqid1\thost1\thttps\t23\t0.001\t-\tTLSv1.2\tECDHE-RSA\tHit",
+      "2019-12-04\t21:02:32\tLAX1\t0\t198.51.100.9\tHEAD\td111.cf.net\t/x.gif\t000\t-\t-\t-\t-\t" +
+        "Error\treqid2\thost1\thttp\t10\t0.5\t-\t-\t-\tError")
+    spark.createDataset(lines).coalesce(1).write.mode("overwrite").text(dir)
+    val rows = Cloudfront.read(spark, dir).orderBy("request_id").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getAs[String]("edge_location") == "LAX1")
+    assert(r1.getAs[Long]("response_bytes") == 392L)
+    assert(r1.getAs[Int]("status") == 200)
+    assert(r1.getAs[String]("user_agent") == "Mozilla/5.0 (Windows)") // %-decoded
+    assert(r1.getAs[String]("referer") == null)                        // '-' -> null
+    assert(r1.getAs[Double]("time_taken") == 0.001)
+    assert(r1.getAs[java.sql.Timestamp]("time").toString.startsWith("2019-12-04 21:02:31"))
+    val r2 = rows(1)
+    assert(r2.isNullAt(r2.fieldIndex("status")), "000 status must be null") // like reference Option<u16>
+    assert(r2.getAs[String]("ssl_protocol") == null)
+  }
+
+  test("warc: record split + header extract + webpage filter") {
+    val dir = "target/qtmp/test_warc"
+    val warc = Warc.toWarcString(Seq(
+      ("https://a.example/1", "hello world content"),
+      ("https://b.example/2", "second page\nwith newline"))) +
+      // a non-response record that webpages() must drop
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+    spark.createDataset(Seq(warc)).coalesce(1).write.mode("overwrite").text(dir)
+    val all = Warc.read(spark, dir).collect()
+    assert(all.length == 3)
+    val pages = Warc.webpages(spark, dir).orderBy("url").collect()
+    assert(pages.length == 2)
+    assert(pages(0).getString(0) == "https://a.example/1")
+    assert(pages(0).getString(1) == "hello world content")
+    assert(pages(1).getString(1).contains("with newline"))
+  }
+
+  test("jdbc: Table/Query forms wire through to the JDBC source") {
+    // no DB in this container: reaching the driver-resolution error proves
+    // the option plumbing; the rest is a Spark built-in
+    val e = intercept[Exception] {
+      Jdbc.read(spark, "jdbc:postgresql://nohost:5/db", Jdbc.Table("t"))
+    }
+    val msg = String.valueOf(e.getMessage) + String.valueOf(e.getCause)
+    assert(msg.contains("driver") || msg.contains("Driver") || msg.contains("connect"),
+      s"unexpected failure: $msg")
+  }
+
+  test("schema mapper: unsigned widening + round-trip naming") {
+    assert(SchemaMapper.toSpark("u64") == DecimalType(20, 0))
+    assert(SchemaMapper.toSpark("u32") == LongType)
+    assert(SchemaMapper.toSpark("u8") == ShortType)
+    assert(SchemaMapper.fromSpark(DecimalType(20, 0)) == "u64")
+    assert(SchemaMapper.fromSpark(SchemaMapper.group(
+      "a" -> LongType, "b" -> ArrayType(StringType, containsNull = false)))
+      == "group<a:i64,b:list<string>>")
+    // u64 max round-trips through Decimal(20,0)
+    val big = BigDecimal("18446744073709551615")
+    val df = Seq(big).toDF("v").select(col("v").cast(DecimalType(20, 0)).as("v"))
+    assert(df.head().getDecimal(0).toString == "18446744073709551615")
+  }
+
+  test("time functions: truncate_minutes and parts match JVM truth") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 14:37:44")
+    val df = Seq(ts).toDF("ts")
+    val got = df.select(
+      TimeFunctions.truncateMinutes(col("ts"), 15).as("t15"),
+      TimeFunctions.yearOf(col("ts")), TimeFunctions.monthOf(col("ts")),
+      TimeFunctions.dayOf(col("ts")), TimeFunctions.hourOf(col("ts")),
+      TimeFunctions.minuteOf(col("ts")), TimeFunctions.secondOf(col("ts"))).head()
+    assert(got.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-03-05 14:30:00"))
+    assert((1 to 6).map(got.getInt) == Seq(2024, 3, 5, 14, 37, 44))
+  }
+
+  test("net functions: url parts and IP validation") {
+    val df = Seq(
+      ("https://sub.example.com/a/b?x=1&y=2", "10.0.0.1"),
+      ("not a url", "999.1.1.1"),
+      ("ftp://files.example.org/pub", "::1")).toDF("url", "ip")
+    val got = df.select(
+      NetFunctions.urlHost(col("url")).as("host"),
+      NetFunctions.isValidUrl(col("url")).as("vu"),
+      NetFunctions.isIpAddr(col("ip")).as("vip"),
+      NetFunctions.ipv4ToLong(col("ip")).as("ipl")).collect()
+    assert(got(0).getString(0) == "sub.example.com" && got(0).getBoolean(1))
+    assert(got(0).getBoolean(2) && got(0).getLong(3) == 167772161L)
+    assert(!got(1).getBoolean(1) && !got(1).getBoolean(2))
+    assert(got(2).getString(0) == "files.example.org")
+    assert(got(2).getBoolean(2)) // ::1 is valid ipv6
+  }
+}
