@@ -62,15 +62,12 @@ object Dedup {
   val bandsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (sig: Seq[Long], bands: Int, rows: Int) => bandHashes(sig.toArray, bands, rows) }
 
-  /** Exact jaccard between two shingle sets (verification step). */
-  val jaccardUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Seq[String], b: Seq[String]) =>
-      if (a.isEmpty && b.isEmpty) 1.0
-      else {
-        val sa = a.toSet; val sb = b.toSet
-        sa.intersect(sb).size.toDouble / sa.union(sb).size
-      }
-    }
+  /** Exact jaccard between two distinct-element arrays — native set
+    * expressions (array_intersect/array_union), fully codegen'd; no UDF
+    * boxing on the verification hot path. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(a) === 0 && size(b) === 0, 1.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
   /** MinHash-LSH candidate pairs with exact-jaccard verification.
     *
@@ -104,7 +101,7 @@ object Dedup {
     val sa = withShingles.select(col("id").as("a"), col("sh").as("sha"))
     val sb = withShingles.select(col("id").as("b"), col("sh").as("shb"))
     cand.join(sa, "a").join(sb, "b")
-      .select(col("a"), col("b"), jaccardUdf(col("sha"), col("shb")).as("jaccard"))
+      .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -127,12 +124,15 @@ object Dedup {
     out
   }
 
-  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      if (text == null) 0L else simhash64(text.split(" ").toSeq)
-    }
-
-  def simhash(c: Column): Column = simhashUdf(c)
+  /** SimHash as a native codegen'd Catalyst expression
+    * (graft.plans.SimHash64Expression) over the whitespace tokens.
+    * Registered on the active session (idempotent) and invoked through
+    * the function registry — no private Column internals needed. */
+  def simhash(c: Column): Column = {
+    graft.plans.SimHash64Expression.register(
+      org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.functions.call_function("simhash64", split(c, " "))
+  }
 
   /** Hamming distance between two 64-bit signatures (native, codegen'd). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -220,7 +220,14 @@ object CoreQueries {
       s.range(0L, 1000000L)
         .groupBy((col("id") % 7).as("k"))
         .agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
-        .orderBy(col("k")))
+        .orderBy(col("k"))),
+
+    // -- exact interpolated percentiles (exceeds reference) --------------
+    "q22_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("q25_qty")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,6 +333,11 @@ object CoreQueries {
         | count(*) AS n FROM lineitem""".stripMargin,
     "q21_inmemory_range" ->
       """SELECT i % 7 AS k, sum(i) AS s, count(*) AS n
-        |FROM range(0, 1000000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM range(0, 1000000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_percentiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5),2) AS p50_price,
+        | round(quantile_cont(l_extendedprice, 0.95),2) AS p95_price,
+        | round(quantile_cont(l_quantity, 0.25),2) AS q25_qty
+        |FROM lineitem""".stripMargin
   )
 }

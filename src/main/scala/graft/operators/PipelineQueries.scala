@@ -55,7 +55,7 @@ object PipelineQueries {
       val b = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
       a.join(b, col("a") < col("b"))
         .select(col("a"), col("b"),
-          round(Dedup.jaccardUdf(col("sha"), col("shb")), 4).as("j"))
+          round(Dedup.jaccard(col("sha"), col("shb")), 4).as("j"))
         .orderBy(col("j").desc, col("a"), col("b"))
         .limit(10)
     }),

@@ -30,7 +30,7 @@ class PipelineSpec extends AnyFunSuite {
     val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
     val exact = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        Dedup.jaccardUdf(col("x.sh"), col("y.sh")).as("j"))
+        Dedup.jaccard(col("x.sh"), col("y.sh")).as("j"))
       .filter(col("j") >= 0.8)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "test data lost its planted near-dups?")
