@@ -227,7 +227,38 @@ object CoreQueries {
       Tables.lineitem(s, d).agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
         round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
-        round(expr("percentile(l_quantity, 0.25)"), 2).as("q25_qty")))
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("q25_qty"))),
+
+    // -- as-of join (reference lacks it; one-shuffle union-window) -------
+    "q23_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Joins.asofJoinBackward(p, c, "user_id", "ts", "ts", Seq("event_id"))
+        .agg(
+          count(lit(1)).as("n_purch"),
+          count(col("asof")).as("n_matched"),
+          round(avg((unix_micros(col("ts")) - unix_micros(col("asof.ts"))) / 1e6), 2)
+            .as("avg_gap_s"))
+    }),
+
+    // -- range join (bucketed; clicks within 1h before each purchase) ----
+    "q24_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val pairs = Joins.rangeJoinBucketed(p, c, "user_id", "ts", "ts",
+        beforeSec = 3600, afterSec = 0, rightPayload = Seq.empty)
+      val counts = pairs.groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
+      p.join(counts, Seq("event_id"), "left_outer")
+        .select(coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .groupBy(col("n_clicks")).agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("n_clicks"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -338,6 +369,21 @@ object CoreQueries {
       """SELECT round(quantile_cont(l_extendedprice, 0.5),2) AS p50_price,
         | round(quantile_cont(l_extendedprice, 0.95),2) AS p95_price,
         | round(quantile_cont(l_quantity, 0.25),2) AS q25_qty
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "q23_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click')
+        |SELECT count(*) AS n_purch, count(c.event_id) AS n_matched,
+        | round(avg(epoch(p.ts) - epoch(c.ts)), 2) AS avg_gap_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q24_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+        |     c AS (SELECT user_id, ts FROM events WHERE event_type='click')
+        |SELECT n_clicks, count(*) AS n_purchases FROM (
+        |  SELECT p.event_id, count(c.ts) AS n_clicks
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |  GROUP BY p.event_id)
+        |GROUP BY n_clicks ORDER BY n_clicks""".stripMargin
   )
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins the reference lacks entirely (SURVEY.md §2.2 "joins
+  * NOT present: no ... range/as-of joins"), built by composing Spark
+  * primitives — tier (a) of the custom-operator preference order: the
+  * semantics ARE expressible with built-ins, so no custom SparkPlan is
+  * warranted.
+  *
+  * Scale design:
+  *  - asofJoinBackward: ONE shuffle (hash partition by key), then a
+  *    per-key sort inside the window — no range fan-out, no n×m pairing.
+  *    Hot-key skew is the caveat (windows aren't AQE-split); salt the key
+  *    upstream if a single key exceeds an executor.
+  *  - rangeJoinBucketed: right rows shuffle once keyed by (key, bucket);
+  *    left rows duplicate into at most ceil(range/width)+1 buckets —
+  *    bounded fan-out instead of per-key cross products.
+  */
+object Joins {
+
+  /** Backward as-of join: for each left row, the latest right row of the
+    * same key with `rightTime <= leftTime`. Right rows at the exact left
+    * timestamp match (DuckDB `ASOF JOIN ... ON r.t <= l.t` semantics).
+    *
+    * @return left columns + `asof` struct column (null when no match)
+    *         containing `rightPayload` fields of the matched right row
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightPayload: Seq[String]): DataFrame = {
+    val rpay = struct((rightTime +: rightPayload).distinct.map(col): _*)
+    val rNorm = right.select(col(key).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__side"), rpay.as("__rpay"))
+    val rpayType = rNorm.schema("__rpay").dataType
+    val lNorm = left.select(col(key).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"), struct(left.columns.map(col): _*).as("__lpay"))
+      .withColumn("__rpay", lit(null).cast(rpayType))
+    val unioned = lNorm.select("__k", "__t", "__side", "__rpay", "__lpay")
+      .unionByName(rNorm.withColumn("__lpay",
+        lit(null).cast(lNorm.schema("__lpay").dataType))
+        .select("__k", "__t", "__side", "__rpay", "__lpay"))
+    // right (side 0) sorts before left (side 1) at equal __t, so an
+    // exactly-simultaneous right row is visible to the left row
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__lpay.*"), col("asof"))
+  }
+
+  /** Range join: pairs (l, r) with equal key and
+    * `r.time ∈ [l.time - before, l.time + after)`. Bucketed: bounded
+    * duplication of left rows, one shuffle of each side.
+    *
+    * @return left columns + `range_match` struct (inner semantics: only
+    *         matching pairs; one output row per pair)
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, beforeSec: Long, afterSec: Long,
+      rightPayload: Seq[String]): DataFrame = {
+    val widthSec = math.max(1L, beforeSec + afterSec)
+    val rpay = struct((rightTime +: rightPayload).distinct.map(col): _*)
+    val r = right.select(col(key).as("__k"),
+      floor(unix_timestamp(col(rightTime)) / widthSec).as("__b"),
+      col(rightTime).as("__rt"), rpay.as("range_match"))
+    val lt = unix_timestamp(col(leftTime))
+    val bLo = floor((lt - beforeSec) / widthSec)
+    val bHi = floor((lt + afterSec) / widthSec)
+    val l = left
+      .withColumn("__b", explode(sequence(bLo, bHi)))
+      .withColumn("__k", col(key))
+    l.join(r, Seq("__k", "__b"))
+      .filter(col("__rt") >= col(leftTime) - expr(s"INTERVAL $beforeSec SECOND") &&
+        col("__rt") < col(leftTime) + expr(s"INTERVAL $afterSec SECOND"))
+      .drop("__k", "__b", "__rt")
+  }
+
+  /** Reference implementation of the range join as a plain equi-join +
+    * filter (for equivalence testing and small dimensions). */
+  def rangeJoinPlain(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, beforeSec: Long, afterSec: Long,
+      rightPayload: Seq[String]): DataFrame = {
+    val rpay = struct((rightTime +: rightPayload).distinct.map(col): _*)
+    val r = right.select(col(key).as("__k"), col(rightTime).as("__rt"),
+      rpay.as("range_match"))
+    left.join(r, col(key) === col("__k") &&
+        col("__rt") >= col(leftTime) - expr(s"INTERVAL $beforeSec SECOND") &&
+        col("__rt") < col(leftTime) + expr(s"INTERVAL $afterSec SECOND"))
+      .drop("__k", "__rt")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of / range join semantics vs hand-computed truth, and bucketed ==
+  * plain equivalence. */
+class JoinsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  private def ts(s0: String) = java.sql.Timestamp.valueOf(s0)
+
+  test("asofJoinBackward: latest right <= left time, equal-instant matches, null when none") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:00:00")),
+      (3L, "u2", ts("2024-01-01 09:00:00")),   // before any right row -> null
+      (4L, "u2", ts("2024-01-01 11:30:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, "u1", ts("2024-01-01 09:55:00")),
+      (102L, "u1", ts("2024-01-01 10:00:00")),  // equal instant to left#1
+      (103L, "u1", ts("2024-01-01 11:59:00")),
+      (104L, "u2", ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Joins.asofJoinBackward(left, right, "user_id", "ts", "ts", Seq("event_id"))
+      .select(col("event_id"), col("asof.event_id").as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(
+      1L -> Some(102L), // equal instant preferred over 09:55
+      2L -> Some(103L),
+      3L -> None,
+      4L -> Some(104L)))
+  }
+
+  test("rangeJoinBucketed == rangeJoinPlain on real events (sf0.001)") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = e.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("range_match.ts").as("cts"))
+        .as[(Long, java.sql.Timestamp)].collect().toSet
+    val bucketed = pairs(Joins.rangeJoinBucketed(p, c, "user_id", "ts", "ts", 3600, 0, Seq.empty))
+    val plain = pairs(Joins.rangeJoinPlain(p, c, "user_id", "ts", "ts", 3600, 0, Seq.empty))
+    assert(bucketed == plain, s"bucketed missing ${plain -- bucketed}, extra ${bucketed -- plain}")
+    assert(plain.nonEmpty, "no pairs at all — fixture too small?")
+  }
+
+  test("range join boundary: inclusive lower, exclusive upper") {
+    val p = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val c = Seq(
+      ("u", ts("2024-01-01 09:00:00")),   // == lower bound -> in
+      ("u", ts("2024-01-01 08:59:59")),   // just below -> out
+      ("u", ts("2024-01-01 10:00:00")),   // == upper bound -> out
+      ("u", ts("2024-01-01 09:59:59"))    // just inside -> in
+    ).toDF("user_id", "ts")
+    val got = Joins.rangeJoinBucketed(p, c, "user_id", "ts", "ts", 3600, 0, Seq.empty)
+      .select(col("range_match.ts")).as[java.sql.Timestamp].collect().toSet
+    assert(got == Set(ts("2024-01-01 09:00:00"), ts("2024-01-01 09:59:59")))
+  }
+}
