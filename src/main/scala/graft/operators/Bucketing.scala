@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: co-located fact⋈fact joins with NO exchange.
+  *
+  * At 100 TB the dominant cost of a fact-fact equi-join is shuffling both
+  * sides. Writing both tables bucketed+sorted by the join key makes the
+  * join a zero-shuffle sort-merge over matching buckets: each task reads
+  * bucket i of both tables. The price is paid once at write time and
+  * amortized over every subsequent join/aggregation on that key — the
+  * right trade for repeatedly-joined curated tables (e.g. a training
+  * corpus keyed by document id).
+  *
+  * BucketingSpec asserts the join plan contains no ShuffleExchange.
+  */
+object Bucketing {
+
+  /** Write df as a bucketed+sorted managed table (session catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key. When both are bucketed
+    * into the same bucket count on the join key, Catalyst plans a
+    * sort-merge join with NO Exchange on either side. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}
