@@ -63,11 +63,14 @@ object Dedup {
     udf { (sig: Seq[Long], bands: Int, rows: Int) => bandHashes(sig.toArray, bands, rows) }
 
   /** Exact jaccard between two distinct-element arrays — native set
-    * expressions (array_intersect/array_union), fully codegen'd; no UDF
-    * boxing on the verification hot path. */
-  def jaccard(a: Column, b: Column): Column =
+    * expressions, no UDF boxing. One array_intersect instead of
+    * intersect+union: |A∪B| = |A|+|B|−|A∩B| for distinct-element arrays
+    * (same integers → bit-identical doubles vs the two-op form). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
     when(size(a) === 0 && size(b) === 0, 1.0)
-      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+      .otherwise(inter.cast("double") / (size(a) + size(b) - inter))
+  }
 
   /** MinHash-LSH candidate pairs with exact-jaccard verification.
     *

@@ -186,6 +186,17 @@ final case class DynStream(df: DataFrame) {
   def filter(cond: org.apache.spark.sql.Column): DynStream = DynStream(df.filter(cond))
   def select(cols: org.apache.spark.sql.Column*): DynStream = DynStream(df.select(cols: _*))
   def count(): Long = df.count()
+
+  /** `Group::get(name)` (amadeus-types group.rs:43-48): field access by
+    * name, dotted for nesting ("a.b.c"); analysis error if absent —
+    * mirroring the reference's Option-returning lookup at plan time. */
+  def get(name: String): org.apache.spark.sql.Column = df.col(name)
+
+  /** field access by ordinal (Group's index-by-position) */
+  def getAt(i: Int): org.apache.spark.sql.Column = df.col(df.columns(i))
+
+  /** field names in order (Group's name→ordinal map) */
+  def fieldNames: Seq[String] = df.columns.toSeq
 }
 
 object GraftStream {

@@ -47,11 +47,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
 
     // -- exact n-gram jaccard: top-10 most similar pairs -----------------
+    // exact n^2 by design (the oracle-verifiable twin of d02's LSH path).
+    // The pair join plans as BroadcastNestedLoopJoin whose parallelism is
+    // the LEFT side's partition count — a single-file parquet scan gives 1
+    // partition, serializing millions of array ops; repartition first.
     "d04_ngram_jaccard_top" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val sh = docs.select(col("doc_id"),
         Dedup.wordShingles(col("text"), 3).as("sh"))
-      val a = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+      val a = sh.repartition(32).select(col("doc_id").as("a"), col("sh").as("sha"))
       val b = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
       a.join(b, col("a") < col("b"))
         .select(col("a"), col("b"),
@@ -63,7 +67,7 @@ object PipelineQueries {
     // -- embedding near-dup: top-10 pairs by cosine ----------------------
     "d05_embedding_top_pairs" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val a = e.repartition(32).select(col("vec_id").as("a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
       a.join(b, col("a") < col("b"))
         .select(col("a"), col("b"),
@@ -116,6 +120,27 @@ object PipelineQueries {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // -- end-to-end curation: quality filter -> exact dedup -> stats -----
+    // the composition story: a training-data pipeline as ONE declarative
+    // plan (filter/pushdown -> window dedup -> aggregate), no staging
+    "p01_curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.tokenCount(col("text")).as("toks"))
+        .filter(col("q") >= 0.5)
+      val deduped = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          round(avg(col("q")), 4).as("avg_quality"))
+        .orderBy(col("lang"))
+    }),
+
     // -- multimodal: binary column -> batched stub decode -> features ----
     "m01_multimodal_features" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
@@ -129,6 +154,29 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p01_curation_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |   least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        |   least((len(list_filter(string_split(text,' '),
+        |     x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |                'that','for','on','with','as')))::DOUBLE
+        |     / len(string_split(text,' '))) * 5.0, 1.0) * 0.3 +
+        |   least(((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+        |     / len(string_split(text,' '))) / 8.0, 1.0) * 0.3 -
+        |   ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |     / length(text)) * 0.2 AS q_raw,
+        |   len(string_split(text,' ')) AS toks
+        |  FROM documents),
+        |rounded AS (SELECT doc_id, lang, text, toks, round(q_raw, 4) AS q FROM scored),
+        |filtered AS (SELECT * FROM rounded WHERE q >= 0.5),
+        |deduped AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM filtered)
+        |  WHERE rk = 1)
+        |SELECT lang, count(*) AS n_docs, sum(toks) AS n_tokens,
+        | round(avg(q), 4) AS avg_quality
+        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT doc_id,
         | (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep

@@ -107,6 +107,16 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(back.collect().sortBy(_._1) == Seq((1L, "x"), (2L, "y")))
   }
 
+  test("DynStream Group::get by name/ordinal, nested dotted access") {
+    val dyn = GraftStream.fromSeq(spark,
+      Seq((1L, ("inner", 42)), (2L, ("other", 7)))).upcast
+    assert(dyn.fieldNames == Seq("_1", "_2"))
+    val v = dyn.df.select(dyn.get("_2._2")).as[Int].collect().sorted.toSeq
+    assert(v == Seq(7, 42))
+    assert(dyn.df.select(dyn.getAt(0)).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    intercept[org.apache.spark.sql.AnalysisException] { dyn.get("missing") }
+  }
+
   test("typed csv/json round-trip via GraftStream sources") {
     val dir = "target/qtmp/stream_rt"
     val data = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
