@@ -24,7 +24,10 @@ object Bench {
     "sk04_most_distinct",    // Top[K, HLL] sketch aggregator
     "d02_minhash_lsh",       // MinHash+LSH dedup
     "a01_ann_bruteforce",    // cosine top-k
-    "m01_multimodal_features") // binary decode pipeline
+    "m01_multimodal_features", // binary decode pipeline
+    "q23_asof_join",         // one-shuffle as-of join
+    "q24_range_join",        // bucketed range join
+    "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -77,6 +77,9 @@ object PipelineQueries {
     }),
 
     // -- ANN: exact brute-force top-10 for 5 query vectors ---------------
+    // (|corpus| x |queries| scoring is small here; unlike d04/d05, a
+    // repartition shuffle costs more than its parallelism buys — real
+    // corpora arrive multi-partition anyway)
     "a01_ann_bruteforce" -> ((s, d) =>
       Ann.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           col("vec_id") < 5, k = 10)
