@@ -48,13 +48,20 @@ object TextFunctions {
   }
 
   /** Composite document quality score in [0,1]; formula is deliberately
-    * SQL-replicable (see TextQueries oracle) so it stays verifiable. */
+    * SQL-replicable (see TextQueries oracle) so it stays verifiable.
+    *
+    * 4-decimal quantization uses floor(x*1e4+0.5)/1e4 instead of round():
+    * Spark's round() rounds the double's shortest DECIMAL representation
+    * (BigDecimal.valueOf) while DuckDB rounds the BINARY value, so raw
+    * scores landing on a half boundary (e.g. 0.48925) split between
+    * engines; the floor form is pure IEEE arithmetic — bit-identical
+    * everywhere. */
   def qualityScore(c: Column): Column =
-    round(
+    floor((
       least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.4 +
       least(stopwordRatio(c) * 5.0, lit(1.0)) * 0.3 +
       least(meanTokenLength(c) / 8.0, lit(1.0)) * 0.3 -
-      punctRatio(c) * 0.2, 4)
+      punctRatio(c) * 0.2) * 10000.0 + 0.5) / 10000.0
 
   // ---- language ID (n-gram/stopword heuristic) ------------------------
 

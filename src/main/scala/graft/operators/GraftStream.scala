@@ -170,6 +170,31 @@ final case class GraftStream[T](ds: Dataset[T]) {
     ds.select(zip2(a, b).toColumn).head()
   }
 
+  /** tuple sinks (par_sink/tuple.rs, up to 8 in the reference): N
+    * aggregators over one pass, by nesting zip2 */
+  def fork3[B1, O1, B2, O2, B3, O3](a: Aggregator[T, B1, O1],
+      b: Aggregator[T, B2, O2], c: Aggregator[T, B3, O3]): (O1, O2, O3) = {
+    implicit val e1: Encoder[(O1, (O2, O3))] =
+      org.apache.spark.sql.Encoders.kryo[(O1, (O2, O3))]
+    implicit val e2: Encoder[(O2, O3)] =
+      org.apache.spark.sql.Encoders.kryo[(O2, O3)]
+    val (o1, (o2, o3)) = ds.select(zip2(a, zip2(b, c)).toColumn).head()
+    (o1, o2, o3)
+  }
+
+  def fork4[B1, O1, B2, O2, B3, O3, B4, O4](a: Aggregator[T, B1, O1],
+      b: Aggregator[T, B2, O2], c: Aggregator[T, B3, O3],
+      d2: Aggregator[T, B4, O4]): (O1, O2, O3, O4) = {
+    implicit val e1: Encoder[((O1, O2), (O3, O4))] =
+      org.apache.spark.sql.Encoders.kryo[((O1, O2), (O3, O4))]
+    implicit val e2: Encoder[(O1, O2)] =
+      org.apache.spark.sql.Encoders.kryo[(O1, O2)]
+    implicit val e3: Encoder[(O3, O4)] =
+      org.apache.spark.sql.Encoders.kryo[(O3, O4)]
+    val ((o1, o2), (o3, o4)) = ds.select(zip2(zip2(a, b), zip2(c, d2)).toColumn).head()
+    (o1, o2, o3, o4)
+  }
+
   /** par_sink/collect.rs */
   def collect(): Seq[T] = ds.collect().toSeq
 

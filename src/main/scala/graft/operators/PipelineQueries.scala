@@ -171,7 +171,7 @@ object PipelineQueries {
         |     / length(text)) * 0.2 AS q_raw,
         |   len(string_split(text,' ')) AS toks
         |  FROM documents),
-        |rounded AS (SELECT doc_id, lang, text, toks, round(q_raw, 4) AS q FROM scored),
+        |rounded AS (SELECT doc_id, lang, text, toks, floor(q_raw * 10000 + 0.5) / 10000 AS q FROM scored),
         |filtered AS (SELECT * FROM rounded WHERE q >= 0.5),
         |deduped AS (
         |  SELECT * FROM (SELECT *, row_number() OVER (
@@ -241,7 +241,7 @@ object PipelineQueries {
         |   AS avg_stop_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t02_quality_score" ->
-      """SELECT doc_id, round(
+      """SELECT doc_id, floor((
         | least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.4 +
         | least((len(list_filter(string_split(text,' '),
         |   x -> x IN ('the','a','an','and','or','of','to','in','is','it',
@@ -251,7 +251,7 @@ object PipelineQueries {
         |   / len(string_split(text,' '))) / 8.0, 1.0) * 0.3 -
         | ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
         |   / length(text)) * 0.2
-        |, 4) AS quality
+        |) * 10000 + 0.5) / 10000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

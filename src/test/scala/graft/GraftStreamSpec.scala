@@ -99,6 +99,17 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(n == 100L && s == 5050.0)
   }
 
+  test("fork3/fork4: tuple sinks in one pass") {
+    val st = GraftStream.range(spark, 1, 101)
+    val sum = contramap((x: Long) => x.toDouble, new KahanSum[Double](identity))
+    val mean = contramap((x: Long) => x.toDouble, new KahanMean[Double](identity))
+    val (n3, s3, m3) = st.fork3(new CountAll[Long](), sum, mean)
+    assert(n3 == 100L && s3 == 5050.0 && m3 == 50.5)
+    val (n4, s4, m4, sd4) = st.fork4(new CountAll[Long](), sum, mean,
+      contramap((x: Long) => x.toDouble, new WelfordStddev[Double](identity)))
+    assert(n4 == 100L && s4 == 5050.0 && m4 == 50.5 && math.abs(sd4 - 28.86607) < 1e-4)
+  }
+
   test("gradual typing: upcast/downcast round-trip (tests/csv.rs:44-58 shape)") {
     val typed = GraftStream.fromSeq(spark, Seq((1L, "x"), (2L, "y")))
     val dyn: DynStream = typed.upcast
