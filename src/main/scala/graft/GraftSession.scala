@@ -32,7 +32,11 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
 
   def get(): SparkSession = {
-    val spark = builder().getOrCreate()
+    // SPARK_GRAFT_JARS: app jar(s) to ship to remote executors when the
+    // master is a real cluster (standalone/yarn) instead of local[n]
+    val withJars = sys.env.get("SPARK_GRAFT_JARS")
+      .fold(builder())(j => builder().config("spark.jars", j))
+    val spark = withJars.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
