@@ -73,6 +73,55 @@ object Ann {
       sig
     }
 
+  /** IVF (inverted-file) approximate top-k: cluster the corpus into
+    * `nLists` Voronoi cells (k-means), search only the `nProbe` cells
+    * nearest to each query, exact cosine re-rank inside them.
+    *
+    * Scale shape: train on a sample (driver-bounded), assignment is a
+    * narrow map over the corpus, and the probe join shuffles corpus rows
+    * once keyed by cell id — each query scans ~nProbe/nLists of the data.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      querySelector: Column, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(withVec.select("features"))
+    val assigned = model.transform(withVec)
+      .select(col("id"), col("vec"), col("prediction").as("cell"))
+
+    // nProbe nearest cells per query, via a tiny broadcast centroid table
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "centroid")
+    val queries = assigned.filter(querySelector)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("centroid_cos").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("centroid_cos", cosine(col("qvec"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH approximate top-k: candidates share at least one signature band
     * with the query; exact cosine re-ranking on candidates only. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,

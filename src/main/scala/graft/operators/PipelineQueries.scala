@@ -91,6 +91,12 @@ object PipelineQueries {
           col("vec_id") < 5, k = 10)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
 
+    // -- ANN: IVF (k-means cells, probe nearest) -------------------------
+    "a03_ann_ivf" -> ((s, d) =>
+      Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 5, k = 10)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
+
     // -- text analysis: token stats per language -------------------------
     "t01_token_stats" -> ((s, d) =>
       Tables.documents(s, d)

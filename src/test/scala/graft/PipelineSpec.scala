@@ -64,6 +64,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(meanRecall >= 0.4, s"LSH mean recall $meanRecall too low")
   }
 
+  test("ANN IVF recall vs brute force is usable (>= 40% of true top-10)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.4, s"IVF mean recall $meanRecall too low")
+  }
+
   test("language ID picks the right language on real-language samples") {
     val samples = Seq(
       ("en", "the cat sat on the mat and it was happy with the fish"),
