@@ -55,6 +55,29 @@ class JoinsSpec extends AnyFunSuite {
     assert(plain.nonEmpty, "no pairs at all — fixture too small?")
   }
 
+  test("asofJoinBackward equals brute-force reference on random data (property)") {
+    val rnd = new scala.util.Random(2024)
+    (0 until 3).foreach { trial =>
+      val left = (0 until 150).map(i =>
+        (i.toLong, s"u${rnd.nextInt(8)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      val right = (0 until 150).map(i =>
+        (1000L + i, s"u${rnd.nextInt(8)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      val got = Joins.asofJoinBackward(
+          left.toDF("event_id", "user_id", "ts"),
+          right.toDF("event_id", "user_id", "ts"),
+          "user_id", "ts", "ts", Seq("event_id"))
+        .select(col("event_id"), col("asof.ts").as("mts"))
+        .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+      // brute force: per left row, max right ts <= left ts for same key.
+      // (tie-break on right event_id is unspecified; compare matched TIME)
+      val truth = left.map { case (id, k, t) =>
+        val cand = right.filter(r => r._2 == k && !r._3.after(t)).map(_._3)
+        id -> (if (cand.isEmpty) None else Some(cand.max))
+      }.toMap
+      assert(got == truth, s"trial $trial mismatch")
+    }
+  }
+
   test("range join boundary: inclusive lower, exclusive upper") {
     val p = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val c = Seq(
