@@ -92,6 +92,14 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("subword token estimate splits punctuation and scales with length") {
+    val df = Seq("hello, world! it's fine", "short").toDF("t")
+      .select(TextFunctions.subwordTokenEstimate(col("t")).as("n"))
+    val ns = df.as[Int].collect()
+    assert(ns(0) > 4, s"punct-split estimate too low: ${ns(0)}") // hello , world ! it ' s fine
+    assert(ns(1) == 1)
+  }
+
   test("winnowing fingerprint: equal for identical, differing for different") {
     val a = TextFunctions.winnowingFingerprint("the quick brown fox jumps over the lazy dog")
     val b = TextFunctions.winnowingFingerprint("the quick brown fox jumps over the lazy dog")
