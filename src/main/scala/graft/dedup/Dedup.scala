@@ -108,6 +108,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- duplicate clusters ---------------------------------------------
+
+  /** Connected components over the near-dup pair graph: every document in
+    * a duplicate cluster gets the cluster's minimum doc id as its
+    * representative (keep rep, drop the rest).
+    *
+    * Iterative min-label propagation — the standard distributed CC
+    * algorithm (what GraphX/Pregel does): each round, every node adopts
+    * the minimum label among itself and its neighbors; converges in
+    * O(cluster diameter) rounds. Near-dup clusters are shallow (dozens of
+    * docs), so a handful of join+groupBy rounds suffices at any corpus
+    * size; the driver only sees a per-round convergence counter.
+    *
+    * @param pairs (a, b) near-dup pairs (e.g. from minhashLshPairs)
+    * @return (doc_id, rep) for every doc appearing in a pair
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges.join(labels, edges("a") === labels("id"))
+        .groupBy(col("b").as("id2")).agg(min(col("rep")).as("nrep"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left_outer")
+        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .persist()
+      val changes = updated.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changes == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset (Charikar 2002). */

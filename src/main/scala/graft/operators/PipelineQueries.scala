@@ -64,6 +64,13 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // -- duplicate clusters: connected components over LSH pairs ---------
+    "d06_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      Dedup.duplicateClusters(pairs).orderBy(col("doc_id"))
+    }),
+
     // -- embedding near-dup: top-10 pairs by cosine ----------------------
     "d05_embedding_top_pairs" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -207,6 +214,28 @@ object PipelineQueries {
         |WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
         |      / len(list_distinct(a.tris||b.tris)) >= 0.8
         |ORDER BY a, b""".stripMargin,
+    "d06_dup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
+        |      WHERE tri IS NOT NULL GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
+        |        / len(list_distinct(a.tris||b.tris)) >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS doc_id, min(r) AS rep FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
     "d04_ngram_jaccard_top" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,

@@ -37,6 +37,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("duplicateClusters equals union-find on a chain + separate cluster") {
+    // chain 1-2-3-4 (diameter 3: needs multi-round propagation) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("SimHash flags synthetic near-identical docs, not unrelated ones") {
     val base = (0 until 200).map(i => s"tok${i % 37}").mkString(" ")
     val nearDup = base.replace("tok1 ", "tok999 ") // few-token edit
