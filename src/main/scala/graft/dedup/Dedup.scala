@@ -145,6 +145,13 @@ object Dedup {
       converged = changes == 0
       i += 1
     }
+    // min-label propagation needs O(component diameter) rounds; a chain
+    // longer than maxIters hops would otherwise silently return labels
+    // that are not the component minimum (diverging from any exact oracle)
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge after $maxIters rounds; " +
+          "raise maxIters (component diameter exceeds it)")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("rep"))
   }

@@ -363,7 +363,7 @@ object CoreQueries {
       """SELECT round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS total_charge,
         | count(*) AS n FROM lineitem""".stripMargin,
     "q21_inmemory_range" ->
-      """SELECT i % 7 AS k, sum(i) AS s, count(*) AS n
+      """SELECT i % 7 AS k, CAST(sum(i) AS BIGINT) AS s, count(*) AS n
         |FROM range(0, 1000000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_percentiles" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.5),2) AS p50_price,

@@ -190,7 +190,7 @@ object PipelineQueries {
         |  SELECT * FROM (SELECT *, row_number() OVER (
         |    PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM filtered)
         |  WHERE rk = 1)
-        |SELECT lang, count(*) AS n_docs, sum(toks) AS n_tokens,
+        |SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
         | round(avg(q), 4) AS avg_quality
         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
     "d01_exact_dedup" ->
@@ -269,7 +269,7 @@ object PipelineQueries {
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
     "t01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        | sum(len(string_split(text,' '))) AS n_tokens,
+        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
         | round(avg(len(string_split(text,' '))), 4) AS avg_tokens,
         | round(avg(len(list_filter(string_split(text,' '),
         |   x -> x IN ('the','a')))::DOUBLE / len(string_split(text,' '))), 4)

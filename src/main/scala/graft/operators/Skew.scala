@@ -26,6 +26,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       bigUnique: String, n: Int, joinType: String = "inner"): DataFrame = {
     require(n > 0)
+    // small-side-preserving types (right/full outer) would emit each
+    // unmatched small row n times — once per salt replica — silently
+    // changing join semantics; only big-side-preserving types are sound
+    require(Set("inner", "cross", "left", "leftouter",
+        "leftsemi", "leftanti").contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin: joinType '$joinType' preserves unmatched small-side " +
+        "rows, which salting would duplicate n times; use inner/left variants")
     val bigS = big.withColumn("__salt", pmod(xxhash64(col(bigUnique)), lit(n)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit((n - 1).toLong))))

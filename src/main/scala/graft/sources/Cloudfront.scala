@@ -55,7 +55,7 @@ object Cloudfront {
       to_timestamp(concat_ws(" ", f.getItem(0), f.getItem(1)),
         "yyyy-MM-dd HH:mm:ss").as("time"),
       s(2).as("edge_location"),
-      f.getItem(3).cast(LongType).as("response_bytes"),
+      s(3).cast(LongType).as("response_bytes"),
       s(4).as("remote_ip"),
       s(5).as("method"),
       s(6).as("host"),
@@ -69,8 +69,8 @@ object Cloudfront {
       s(14).as("request_id"),
       s(15).as("host_header"),
       s(16).as("protocol"),
-      f.getItem(17).cast(LongType).as("request_bytes"),
-      f.getItem(18).cast(DoubleType).as("time_taken"),
+      s(17).cast(LongType).as("request_bytes"),
+      s(18).cast(DoubleType).as("time_taken"),
       s(19).as("forwarded_for"),
       s(20).as("ssl_protocol"),
       s(21).as("ssl_cipher"),

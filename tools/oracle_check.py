@@ -56,8 +56,16 @@ def main():
         else:
             want = con.sql(oracle[qname]).df()
             g, w = norm(got), norm(want)
+            # the driver hash-compares typed values, so int64 `6` vs
+            # float64 `6.0` is a MISMATCH there (e.g. DuckDB sum(int) ->
+            # HUGEINT -> pandas float64). Flag dtype-kind drift loudly.
+            kind = lambda s: {"i": "int", "u": "int", "f": "float"}.get(s.dtype.kind, s.dtype.kind)
+            dty = [(c, kind(g[c]), kind(w[c])) for c in g.columns
+                   if c in w.columns and kind(g[c]) != kind(w[c])]
             if list(g.columns) != list(w.columns):
                 ok, status = False, f"SCHEMA got={list(g.columns)} want={list(w.columns)}"
+            elif dty:
+                ok, status = False, f"DTYPE {dty[:4]}"
             elif len(g) != len(w):
                 ok, status = False, f"ROWS got={len(g)} want={len(w)}"
             else:
