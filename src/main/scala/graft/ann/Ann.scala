@@ -21,8 +21,19 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   /** cosine similarity between two array<float> columns, computed in
-    * double precision, null-safe for zero vectors */
-  def cosine(a: Column, b: Column): Column = {
+    * double precision, null-safe for zero vectors.
+    *
+    * Native codegen'd Catalyst expression (one fused loop inside
+    * whole-stage codegen); `cosineHof` below is the declarative
+    * higher-order-function form it replaced — kept as the parity witness
+    * (PlanExprSpec asserts bit-identical results). */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarityExpression.cosineSim(a, b)
+
+  /** Declarative zip_with/aggregate cosine. Same semantics as `cosine`,
+    * but higher-order functions evaluate interpreted (no whole-stage
+    * codegen) and materialize the product array — reference only. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))

@@ -19,14 +19,20 @@ object Dedup {
 
   // ---- shingling ------------------------------------------------------
 
-  /** n-word shingles (order-sensitive) as a distinct set */
+  /** n-word shingles (order-sensitive) as a distinct set — UDF reference
+    * implementation, kept as the parity witness for the native
+    * expression (PlanExprSpec) */
   val wordShinglesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String, n: Int) =>
       if (text == null) Seq.empty[String]
       else text.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq.distinct
     }
 
-  def wordShingles(c: Column, n: Int): Column = wordShinglesUdf(c, lit(n))
+  /** Distinct n-word shingles of a text column, computed by the native
+    * codegen'd expression over UTF8String tokens (no UDF boxing). */
+  def wordShingles(c: Column, n: Int): Column =
+    graft.plans.WordShinglesExpression.wordShingles(
+      coalesce(split(c, " "), array()), n) // null text -> empty set, like the UDF
 
   // ---- MinHash --------------------------------------------------------
 
@@ -86,12 +92,14 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = k / bands
     val withShingles = df
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .persist()
+    // fused native expression: signature + band fold in one codegen'd
+    // loop (parity with minhashUdf ∘ bandsUdf asserted in PlanExprSpec)
     val banded = withShingles
-      .select(col("id"), bandsUdf(minhashUdf(col("sh"), lit(k)), lit(bands), lit(rowsPerBand)).as("bh"))
+      .select(col("id"),
+        graft.plans.MinHashBandsExpression.minhashBands(col("sh"), k, bands).as("bh"))
       .select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
     // candidate pairs: ids sharing any (band, hash) bucket
     val l = banded.as("l"); val r = banded.as("r")

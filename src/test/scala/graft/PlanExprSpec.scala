@@ -51,4 +51,66 @@ class PlanExprSpec extends AnyFunSuite {
     assert(!r.isNullAt(0))
     assert(r.isNullAt(1))
   }
+
+  test("cosine_sim equals the declarative zip_with/aggregate form bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2f - 1f))) :+
+      (200L, Seq.fill(64)(0f)) // zero vector -> 0.0 branch
+    val df = vecs.toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(graft.ann.Ann.cosine(col("a.v"), col("b.v")).as("native"),
+        graft.ann.Ann.cosineHof(col("a.v"), col("b.v")).as("hof"))
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_sim null semantics: null array, length mismatch, null element") {
+    graft.plans.CosineSimilarityExpression.register(spark)
+    val r = spark.sql(
+      """SELECT
+        | cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)),
+        | cosine_sim(array(1.0F, 2.0F), array(1.0F)),
+        | cosine_sim(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)),
+        | cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("word_shingles equals the shingling UDF (incl. null/short/empty texts)") {
+    val texts = Seq("the quick brown fox jumps", "a b", "", "x y z",
+      "dup dup dup dup dup", null)
+    val df = texts.toDF("t")
+    val native = df.select(Dedup.wordShingles(col("t"), 3)).collect()
+      .map(_.getSeq[String](0))
+    val viaUdf = df.select(Dedup.wordShinglesUdf(col("t"), lit(3))).collect()
+      .map(_.getSeq[String](0))
+    assert(native.toSeq == viaUdf.toSeq)
+  }
+
+  test("minhash_bands equals minhashSignature + bandHashes (interpreted and codegen)") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a b c d e f g h i j k l m", "", "one")
+    val shingled = texts.map(t =>
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq.distinct)
+    val want = shingled.map(sh =>
+      Dedup.bandHashes(Dedup.minhashSignature(sh, 64), 16, 4).toSeq)
+    val got = shingled.toDF("sh")
+      .select(graft.plans.MinHashBandsExpression.minhashBands(col("sh"), 64, 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(got.toSeq == want)
+    // interpreted eval path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = shingled.toDF("sh")
+        .select(graft.plans.MinHashBandsExpression.minhashBands(col("sh"), 64, 16))
+        .collect().map(_.getSeq[Long](0))
+      assert(interp.toSeq == want)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
