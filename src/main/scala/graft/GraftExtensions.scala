@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's `SparkSessionExtensions` installer — tier (c) of the
+  * custom-operator preference order, registered the way a deployed
+  * library would be:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (GraftSession sets this; any vanilla SparkSession builder or
+  * spark-submit conf can too.) It injects:
+  *
+  *  - the native codegen'd scalar functions (`simhash64`, `cosine_sim`,
+  *    `minhash_bands`, `word_shingles`) into the session's function
+  *    registry, so plain SQL — `spark.sql("SELECT cosine_sim(a, b)")` —
+  *    and every downstream tool sees them without per-session
+  *    `register()` calls;
+  *  - [[graft.plans.RangeJoinRule]] into the operator-optimization batch,
+  *    lowering point-in-interval joins written in SQL to bucketed
+  *    equi-joins (opt-in via `spark.graft.rangeJoin.bucketWidth`).
+  *
+  * The per-expression `register()` helpers remain for sessions built
+  * without extensions (they no-op when the function already exists).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        builder))
+    }
+    ext.injectOptimizerRule(_ => RangeJoinRule)
+  }
+}
+
+object GraftExtensions {
+
+  /** (name, usage, builder) for every native graft function. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("simhash64",
+      "simhash64(tokens) - 64-bit SimHash of an array<string> of tokens",
+      (exprs: Seq[Expression]) => SimHash64Expression(exprs.head)),
+    ("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two array<float|double> vectors",
+      (exprs: Seq[Expression]) => CosineSimilarityExpression(exprs(0), exprs(1))),
+    ("minhash_bands",
+      "minhash_bands(shingles, k, bands) - LSH band hashes of a MinHash-k signature",
+      (exprs: Seq[Expression]) => MinHashBandsExpression(
+        exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])),
+    ("word_shingles",
+      "word_shingles(tokens, n) - distinct space-joined n-grams of a token array",
+      (exprs: Seq[Expression]) => WordShinglesExpression(
+        exprs(0), exprs(1).eval().asInstanceOf[Int])))
+}

@@ -22,6 +22,9 @@ object GraftSession {
       // Spark 4 defaults ANSI on; the reference's Option-style parses expect
       // malformed casts to yield null, not throw — match that engine-wide
       .config("spark.sql.ansi.enabled", "false")
+      // native graft functions + RangeJoinRule, the way a deployed
+      // library installs them (works on spark-submit --conf too)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -115,11 +115,14 @@ case class CosineSimilarityExpression(left: Expression, right: Expression)
 
 object CosineSimilarityExpression {
 
-  /** SQL + Column registration: SELECT cosine_sim(a.embedding, b.embedding) */
+  /** SQL + Column registration: SELECT cosine_sim(a.embedding, b.embedding).
+    * No-op when GraftExtensions already injected the function. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarityExpression(exprs(0), exprs(1)),
-      "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarityExpression(exprs(0), exprs(1)),
+        "built-in")
 
   /** Column API (registers on the active session, idempotent). */
   def cosineSim(a: Column, b: Column): Column = {

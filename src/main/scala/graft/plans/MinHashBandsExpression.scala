@@ -128,12 +128,14 @@ object MinHashBandsExpression {
     * SELECT minhash_bands(shingles, 64, 16) — k and bands must be
     * literal ints (they shape the generated code). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_bands", exprs => MinHashBandsExpression(
-        exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]),
-      "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_bands")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_bands", exprs => MinHashBandsExpression(
+          exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]),
+        "built-in")
 
   /** Column API (registers on the active session, idempotent). */
   def minhashBands(shingles: Column, k: Int, bands: Int): Column = {

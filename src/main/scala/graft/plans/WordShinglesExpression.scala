@@ -80,12 +80,15 @@ object WordShinglesExpression {
     new GenericArrayData(seen.toArray())
   }
 
-  /** SQL + Column registration: SELECT word_shingles(split(text,' '), 3) */
+  /** SQL + Column registration: SELECT word_shingles(split(text,' '), 3).
+    * No-op when GraftExtensions already injected the function. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShinglesExpression(
-        exprs(0), exprs(1).eval().asInstanceOf[Int]),
-      "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "word_shingles", exprs => WordShinglesExpression(
+          exprs(0), exprs(1).eval().asInstanceOf[Int]),
+        "built-in")
 
   /** Column API (registers on the active session, idempotent). */
   def wordShingles(tokens: Column, n: Int): Column = {

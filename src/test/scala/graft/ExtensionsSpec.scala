@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions wiring: SQL-visible native functions without manual
+  * register(), and the RangeJoinRule rewrite of non-equi interval joins. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  test("extensions inject all native functions into plain SQL") {
+    val r = spark.sql(
+      """SELECT simhash64(split('a b c', ' ')) AS sh,
+        |  cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cs,
+        |  size(minhash_bands(array('x', 'y'), 64, 16)) AS mb,
+        |  word_shingles(split('a b c d', ' '), 3) AS ws""".stripMargin).head()
+    assert(!r.isNullAt(0))
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getInt(2) == 16)
+    assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
+  }
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("RangeJoinRule: non-equi interval join becomes a bucketed equi-join") {
+    val events = (0L until 2000L).map(i => (i, i * 37 % 100000)).toDF("eid", "t")
+    val windows = (0L until 50L).map(i =>
+      (i, i * 2000L, i * 2000L + 1500L)).toDF("wid", "lo", "hi")
+    events.createOrReplaceTempView("ext_events")
+    windows.createOrReplaceTempView("ext_windows")
+    val sql = """SELECT eid, wid FROM ext_events e JOIN ext_windows w
+                 ON e.t BETWEEN w.lo AND w.hi"""
+
+    val plain = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(physical(spark.sql(sql)).contains("BroadcastNestedLoopJoin"),
+      "precondition: without the rule this is a nested-loop join")
+
+    spark.conf.set(graft.plans.RangeJoinRule.WidthKey, "2000")
+    try {
+      val rewritten = spark.sql(sql)
+      val p = physical(rewritten)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"rule did not fire:\n$p")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.sameElements(plain), "bucketed rewrite changed the result")
+      assert(got.nonEmpty)
+    } finally spark.conf.unset(graft.plans.RangeJoinRule.WidthKey)
+  }
+
+  test("RangeJoinRule: leaves equi-key joins and outer joins alone") {
+    spark.conf.set(graft.plans.RangeJoinRule.WidthKey, "1000")
+    try {
+      val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+      val b = Seq((1L, 5L, 15L), (2L, 0L, 3L)).toDF("k2", "lo", "hi")
+      // equi conjunct present -> regular hash join, rule must not touch it
+      val equi = a.join(b, col("k") === col("k2") &&
+        col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(equi.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      assert(!physical(equi).contains("Generate"), "rule rewrote an equi join")
+      // outer interval join -> not eligible (inner-only rewrite)
+      val outer = a.join(b, col("t") >= col("lo") && col("t") <= col("hi"), "left")
+      assert(outer.count() == 2)
+      assert(!physical(outer).contains("Generate"), "rule rewrote an outer join")
+    } finally spark.conf.unset(graft.plans.RangeJoinRule.WidthKey)
+  }
+
+  test("RangeJoinRule: strict bounds and reversed operand order still rewrite") {
+    spark.conf.set(graft.plans.RangeJoinRule.WidthKey, "100")
+    try {
+      val pts = (0L until 500L).map(i => Tuple1(i * 7 % 1000)).toDF("p")
+      val ivs = Seq((0L, 100L), (250L, 400L), (900L, 999L)).toDF("lo", "hi")
+      val q = pts.join(ivs, col("lo") < col("p") && col("p") < col("hi"))
+      assert(physical(q).contains("Generate"), "rule did not fire on strict bounds")
+      val want = pts.collect().map(_.getLong(0)).flatMap { p =>
+        Seq((0L, 100L), (250L, 400L), (900L, 999L))
+          .filter { case (lo, hi) => lo < p && p < hi }.map(iv => (p, iv._1))
+      }.sorted.toSeq
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want)
+    } finally spark.conf.unset(graft.plans.RangeJoinRule.WidthKey)
+  }
+}
