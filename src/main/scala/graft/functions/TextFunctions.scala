@@ -63,6 +63,42 @@ object TextFunctions {
       least(meanTokenLength(c) / 8.0, lit(1.0)) * 0.3 -
       punctRatio(c) * 0.2) * 10000.0 + 0.5) / 10000.0
 
+  // ---- normalization / scrubbing (C4-style pre-dedup cleanup) ---------
+
+  /** Dedup-normalization: lowercase, strip ASCII punctuation, collapse
+    * whitespace runs, trim. The canonical key for exact/near dedup of
+    * texts differing only in case/punctuation/spacing. Regexes are
+    * deliberately RE2-compatible (no backrefs/lookaround) so the DuckDB
+    * oracle replays them verbatim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "\\p{Punct}", ""), "\\s+", " "))
+
+  /** PII scrubbing: emails, phone-shaped numbers, IPv4 literals, then
+    * any remaining 9+-digit runs → typed placeholders. Order matters
+    * (phones before bare digit runs). Patterns are the standard
+    * high-precision curation regexes — RE2-safe, no lookaround. */
+  def scrubPii(c: Column): Column = {
+    val email = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email, "\\d{3}[-. ]\\d{3}[-. ]\\d{4}", "<PHONE>")
+    val ip = regexp_replace(phone, "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\d{9,}", "<NUM>")
+  }
+
+  /** Word-bigram repetition ratio in [0,1]: 1 − distinct/total bigrams
+    * (Gopher/C4-style boilerplate signal; 0 for texts under 2 tokens).
+    * Quantized via the IEEE-stable floor form (see qualityScore). */
+  def repetitionRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    // sequence(0, n-2) would flip to a DESCENDING sequence for n<2 —
+    // guard before building bigrams
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    when(n < 2, 0.0).otherwise(
+      floor((lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - 1))
+        * 10000.0 + 0.5) / 10000.0)
+  }
+
   // ---- language ID (n-gram/stopword heuristic) ------------------------
 
   /** tiny per-language stopword profiles (public common-word lists) */

@@ -136,6 +136,38 @@ object PipelineQueries {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // -- normalization + PII scrub (C4-style pre-dedup cleanup) ----------
+    // digests keep the gate row small while hash-verifying every char of
+    // both transformed texts against the DuckDB regex replay
+    "t05_normalize_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(TextFunctions.normalize(col("text"))).as("norm_digest"),
+          md5(TextFunctions.scrubPii(col("text"))).as("scrub_digest"))
+        .orderBy(col("doc_id"))),
+
+    // -- word-bigram repetition ratio (boilerplate signal) ---------------
+    "t06_repetition_ratio" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // -- per-language stratified sample (Bernoulli per stratum) ----------
+    // the distinct-lang collect is dimension metadata (a handful of
+    // codes), not data; sampling itself is a narrow scan. Seeded, so
+    // deterministic per execution plan — but not replicable in another
+    // engine, hence rows-only + PipelineSpec bounds.
+    "p02_stratified_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val langs = docs.select(col("lang")).distinct()
+        .collect().map(_.getString(0))
+      val sampled = docs.stat.sampleBy("lang",
+        langs.map(_ -> 0.5).toMap, 42L)
+      sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // -- end-to-end curation: quality filter -> exact dedup -> stats -----
     // the composition story: a training-data pipeline as ONE declarative
     // plan (filter/pushdown -> window dedup -> aggregate), no staging
@@ -275,6 +307,25 @@ object PipelineQueries {
         |   x -> x IN ('the','a')))::DOUBLE / len(string_split(text,' '))), 4)
         |   AS avg_stop_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t05_normalize_scrub" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[[:punct:]]', '', 'g'), '\s+', ' ', 'g'))) AS norm_digest,
+        | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\d{9,}', '<NUM>', 'g')) AS scrub_digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t06_repetition_ratio" ->
+      """SELECT doc_id,
+        | CASE WHEN len(string_split(text,' ')) < 2 THEN 0.0
+        |  ELSE floor((1.0 - len(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |    )))::DOUBLE / (len(string_split(text,' ')) - 1)) * 10000 + 0.5)
+        |    / 10000 END AS rep_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t02_quality_score" ->
       """SELECT doc_id, floor((
         | least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.4 +

@@ -84,6 +84,24 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Streaming exact-dedup on id columns — the streaming twin of the
+    * batch `dropDuplicates` dedup stage in the curation pipeline.
+    *
+    * Uses `dropDuplicatesWithinWatermark`: the dedup state store only
+    * keeps ids inside the watermark horizon, so state is bounded by
+    * (arrival rate × watermark) instead of growing with the stream —
+    * the property that makes streaming ingest-dedup viable at 100 TB/day.
+    * Duplicates arriving later than `watermark` after the first copy are
+    * NOT caught (that is the documented contract of watermarked dedup);
+    * widen the watermark to widen the guarantee. Batch input degrades to
+    * plain `dropDuplicates` so one code path serves both modes. */
+  def dedupEvents(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+    else events.dropDuplicates(idCols)
+
   /** Streaming read of an events parquet directory (schema-first, as
     * readStream requires). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

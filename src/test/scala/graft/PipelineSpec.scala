@@ -115,6 +115,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b && a != c)
   }
 
+  test("normalize/scrub: punctuation-case-space variants collapse; PII masked") {
+    val df = Seq(
+      ("Hello,   World!", "hello world"),
+      ("hello world", "hello world"),
+      ("HELLO-WORLD", "helloworld")).toDF("t", "want")
+    val got = df.select(TextFunctions.normalize(col("t")).as("n"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+    val scrubbed = Seq("mail me at jo.doe+x@example.org or 555-123-4567 " +
+        "from 192.168.0.1 ref 123456789012").toDF("t")
+      .select(TextFunctions.scrubPii(col("t"))).head().getString(0)
+    assert(scrubbed == "mail me at <EMAIL> or <PHONE> from <IP> ref <NUM>",
+      s"got: $scrubbed")
+  }
+
+  test("repetition ratio: 0 for unique/short, 1 for fully repeated bigrams") {
+    val got = Seq("a b c d e", "x", "", "a a a a a a", "a b a b a b")
+      .toDF("t").select(TextFunctions.repetitionRatio(col("t")).as("r"))
+      .as[Double].collect().toSeq
+    assert(got(0) == 0.0 && got(1) == 0.0 && got(2) == 0.0)
+    assert(got(3) == 0.8) // 5 bigrams, 1 distinct -> 1 - 1/5
+    assert(got(4) == 0.6) // 5 bigrams, 2 distinct
+  }
+
+  test("stratified sample: every stratum within Bernoulli bounds, deterministic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val langs = docs.select("lang").distinct().as[String].collect()
+    val frac = langs.map(_ -> 0.5).toMap
+    val s1 = docs.stat.sampleBy("lang", frac, 42L)
+    val s2 = docs.stat.sampleBy("lang", frac, 42L)
+    assert(s1.orderBy("doc_id").collect().sameElements(s2.orderBy("doc_id").collect()),
+      "sampleBy with fixed seed must be deterministic")
+    val perLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    s1.groupBy("lang").count().as[(String, Long)].collect().foreach {
+      case (lang, n) =>
+        val total = perLang(lang)
+        // 5-sigma Bernoulli(0.5) bounds
+        val slack = 5.0 * math.sqrt(total * 0.25)
+        assert(math.abs(n - total * 0.5) <= slack,
+          s"stratum $lang sampled $n of $total")
+    }
+  }
+
   test("multimodal: stub decode is deterministic, batched, schema-stable") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.mediaFromDocuments(docs)

@@ -62,6 +62,24 @@ class StreamingSpec extends AnyFunSuite {
       s"expected closed first session, got $closed")
   }
 
+  test("streaming dedup drops in-watermark duplicates; batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0 until 100).map { i =>
+      Event(i.toLong % 40, ts(i % 120), i % 5, "e", 1.0) // ids repeat: 40 distinct
+    }
+    val stream = MemoryStream[Event]
+    stream.addData(base)
+    val q = EventStreams.dedupEvents(stream.toDF(), Seq("event_id"), "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out")
+    assert(streamed.count() == 40)
+    assert(streamed.select("event_id").distinct().count() == 40)
+    val batch = EventStreams.dedupEvents(base.toDF(), Seq("event_id"))
+    assert(batch.count() == 40)
+  }
+
   test("file-based readStream over events parquet drives the same agg") {
     val q = EventStreams.windowedAgg(
         EventStreams.readEventStream(spark, "/root/testdata/sf0.001"),
