@@ -58,5 +58,8 @@ object GraftExtensions {
     ("word_shingles",
       "word_shingles(tokens, n) - distinct space-joined n-grams of a token array",
       (exprs: Seq[Expression]) => WordShinglesExpression(
-        exprs(0), exprs(1).eval().asInstanceOf[Int])))
+        exprs(0), exprs(1).eval().asInstanceOf[Int])),
+    ("count_in_set",
+      "count_in_set(tokens, array(...)) - occurrences of set members in a token array",
+      (exprs: Seq[Expression]) => CountInSetExpression.builder(exprs)))
 }

@@ -27,24 +27,31 @@ object TextFunctions {
   val StopwordsEn: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
 
-  /** fraction of tokens that are stopwords — native lambda, no UDF */
+  /** fraction of tokens that are stopwords — native codegen'd set-probe
+    * expression (occurrence-counting; see CountInSetExpression).
+    *
+    * Branch-free on purpose: a `when(size(toks)===0, ...)` guard blocks
+    * common-subexpression elimination of the `split` shared with the
+    * other quality terms (conditional branches evaluate lazily, so CSE
+    * can't hoist them); `greatest(n, 1)` gives the same 0.0 for the
+    * degenerate case without splitting the expression tree. `split`
+    * never returns an empty array anyway (empty text → [""]). */
   def stopwordRatio(c: Column, stopwords: Seq[String] = StopwordsEn): Column = {
     val toks = tokens(c)
-    when(size(toks) === 0, 0.0)
-      .otherwise(
-        size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks))
+    graft.plans.CountInSetExpression.countInSet(toks, stopwords)
+      .cast("double") / greatest(size(toks), lit(1))
   }
 
-  /** punctuation characters / total characters */
+  /** punctuation characters / total characters (branch-free, see
+    * stopwordRatio) */
   def punctRatio(c: Column): Column =
-    when(length(c) === 0, 0.0).otherwise(
-      (length(c) - length(regexp_replace(c, "\\p{Punct}", ""))).cast("double") / length(c))
+    (length(c) - length(regexp_replace(c, "\\p{Punct}", ""))).cast("double") /
+      greatest(length(c), lit(1))
 
   /** mean token length in characters (single-space-joined text) */
   def meanTokenLength(c: Column): Column = {
     val n = tokenCount(c)
-    when(n === 0, 0.0)
-      .otherwise((length(c) - n + 1).cast("double") / n)
+    (length(c) - n + 1).cast("double") / greatest(n, lit(1))
   }
 
   /** Composite document quality score in [0,1]; formula is deliberately

@@ -92,6 +92,18 @@ class PlanExprSpec extends AnyFunSuite {
     assert(native.toSeq == viaUdf.toSeq)
   }
 
+  test("count_in_set equals the HOF filter form, counts occurrences") {
+    val words = graft.functions.TextFunctions.StopwordsEn
+    val df = Seq("the cat and the dog", "no stopwords here at all x", "", "the the the")
+      .toDF("t").select(split(col("t"), " ").as("toks"))
+    val native = df.select(
+      graft.plans.CountInSetExpression.countInSet(col("toks"), words)).as[Int].collect()
+    val hof = df.select(
+      size(filter(col("toks"), t => t.isInCollection(words)))).as[Int].collect()
+    assert(native.toSeq == hof.toSeq)
+    assert(native(3) == 3) // multiplicity, unlike array_intersect
+  }
+
   test("minhash_bands equals minhashSignature + bandHashes (interpreted and codegen)") {
     val texts = Seq("the quick brown fox jumps over the lazy dog",
       "a b c d e f g h i j k l m", "", "one")
