@@ -44,6 +44,21 @@ object ProfileMain {
     time("d02_bands")(sh.select(col("id"),
       graft.plans.MinHashBandsExpression.minhashBands(col("sh"), 64, 16).as("bh")))
     time("d02_full")(SparkEntry.queries("d02_minhash_lsh")(spark, sf))
+
+    // scale probe: 10x self-union (shifted ids) — near-dup structure per
+    // copy is preserved, and every doc gains 9 exact twins, so candidate
+    // volume stresses the LSH bucket join ~100x. A superlinear cliff
+    // here means hot buckets; ~linear-ish growth means the bucket join
+    // holds.
+    if (args.length > 1 && args(1) == "scale10") {
+      val docs10 = (0 until 10).map(i =>
+        docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionAll _)
+      println(s"PROFILE docs10 rows=${docs10.count()}")
+      time("d02_scale10")(
+        graft.dedup.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+          shingleN = 3, k = 64, bands = 16, threshold = 0.8))
+    }
     spark.stop()
   }
 }

@@ -65,7 +65,9 @@ object SourceQueries {
     // -- CloudFront access logs (amadeus-aws cloudfront.rs) --------------
     "s04_cloudfront_logs" -> ((s, d) => {
       val dir = tmp(d, "cf_logs")
-      val lines = Tables.orders(s, d).limit(2000).collect().map { r =>
+      // orderBy before limit: the fixture subset must be deterministic so
+      // the DuckDB oracle can re-derive it from orders directly
+      val lines = Tables.orders(s, d).orderBy("o_orderkey").limit(2000).collect().map { r =>
         val k = r.getLong(0)
         val ip = s"10.${k % 256}.${(k / 256) % 256}.${k % 100}"
         val st = Seq(200, 200, 200, 404, 304)((k % 5).toInt)
@@ -141,6 +143,21 @@ object SourceQueries {
     "s03_partitioned_dir" ->
       """SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // re-derives the log fixture's field formulas straight from orders —
+    // verifying the whole parse path (fixture render -> TSV split ->
+    // sentinel/cast -> aggregate) against an independent computation
+    "s04_cloudfront_logs" ->
+      """WITH k2 AS (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000),
+        |d AS (SELECT k,
+        |  CASE (k % 5) WHEN 3 THEN 404 WHEN 4 THEN 304 ELSE 200 END AS status,
+        |  'Hit' AS result_type,
+        |  100 + k % 900 AS response_bytes,
+        |  ('0.0' || (k % 9 + 1))::DOUBLE AS time_taken
+        | FROM k2)
+        |SELECT status, result_type, count(*) AS n,
+        | CAST(sum(response_bytes) AS BIGINT) AS bytes,
+        | round(avg(time_taken), 4) AS avg_time
+        |FROM d GROUP BY status, result_type ORDER BY status, result_type""".stripMargin,
     "s06_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k
