@@ -307,6 +307,40 @@ object PipelineQueries {
         |   x -> x IN ('the','a')))::DOUBLE / len(string_split(text,' '))), 4)
         |   AS avg_stop_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // replays the language-ID heuristic (per-language stopword hit rate,
+    // argmax with alphabetical tie-break, 'und' when nothing hits) in
+    // SQL — integer-ratio doubles are exact, so equality-to-greatest
+    // reproduces the argmax bit-for-bit
+    "t03_lang_id" ->
+      """WITH t AS (SELECT lang, string_split_regex(lower(text), '\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in',
+        |    'is','that','it','for','with','as','was','on')))::DOUBLE
+        |    / greatest(len(toks), 1) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein',
+        |    'eine','zu','den','von','mit','nicht','auf','für')))::DOUBLE
+        |    / greatest(len(toks), 1) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','las','y','es','un',
+        |    'una','de','que','en','por','con','para','no')))::DOUBLE
+        |    / greatest(len(toks), 1) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une',
+        |    'de','que','en','pour','dans','avec','pas','du')))::DOUBLE
+        |    / greatest(len(toks), 1) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就',
+        |    '不','人','都','一','上','也','他')))::DOUBLE
+        |    / greatest(len(toks), 1) AS s_zh
+        | FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS predicted
+        | FROM s)
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
     "t05_normalize_scrub" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -89,7 +89,9 @@ object SourceQueries {
     // -- WARC / CommonCrawl webpages (amadeus-commoncrawl) ---------------
     "s05_warc_webpages" -> ((s, d) => {
       val dir = tmp(d, "warc")
-      val docs = Tables.documents(s, d).limit(200).collect()
+      // orderBy before limit: deterministic subset, so the oracle can
+      // re-derive the aggregate from documents directly
+      val docs = Tables.documents(s, d).orderBy("doc_id").limit(200).collect()
       val warc = Warc.toWarcString(docs.map(r =>
         (s"https://example.com/doc/${r.getLong(0)}", r.getString(1))).toSeq)
       import s.implicits._
@@ -143,6 +145,15 @@ object SourceQueries {
     "s03_partitioned_dir" ->
       """SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // re-derives the WARC fixture aggregate from documents — verifying
+    // render -> length-delimited parse -> url/content round-trip. All
+    // fixture urls share one host; content survives byte-exact (the
+    // parser slices by Content-Length), so char counts must agree.
+    "s05_warc_webpages" ->
+      """WITH d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200)
+        |SELECT 'example.com' AS host, count(*) AS n_pages,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // re-derives the log fixture's field formulas straight from orders —
     // verifying the whole parse path (fixture render -> TSV split ->
     // sentinel/cast -> aggregate) against an independent computation
