@@ -94,15 +94,26 @@ object Ann {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       querySelector: Column, k: Int,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      maxTrainRows: Long = 20000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
 
     val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // train centroids on a bounded seeded sample: k-means quality needs
+    // only a representative sample, and fitting on the full corpus would
+    // make training the scale bottleneck (every IVF/FAISS deployment
+    // trains on a sample for the same reason). Assignment below still
+    // scans everything — that's the narrow, parallel part.
+    val n = withVec.count()
+    val train =
+      if (n <= maxTrainRows) withVec.select("features")
+      else withVec.select("features")
+        .sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(withVec.select("features"))
+      .fit(train)
     val assigned = model.transform(withVec)
       .select(col("id"), col("vec"), col("prediction").as("cell"))
 

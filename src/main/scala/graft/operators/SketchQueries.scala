@@ -112,7 +112,19 @@ object SketchQueries {
         .select(col("o_custkey"), col("cs._1").as("n_orders"),
           round(col("cs._2"), 2).as("total_spent"))
         .orderBy(col("o_custkey"))
-    })
+    }),
+
+    // -- approximate quantiles (mergeable quantile sketch) ---------------
+    // approx_percentile is Spark's Greenwald-Khanna-family sketch: the
+    // scale path for percentiles (q22 is the exact twin). Rows-only:
+    // rank-error contracts differ per engine; SketchSpec bounds it
+    // against the exact answer instead.
+    "sk09_approx_quantiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("p50"),
+          round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 2).as("p95"),
+          round(expr("approx_percentile(l_extendedprice, 0.99, 1000)"), 2).as("p99")))
   )
 
   val oracles: Map[String, String] = Map(

@@ -209,4 +209,47 @@ class SketchSpec extends AnyFunSuite {
       assert(a.merge(b).sorted == (xs ++ ys).sorted.take(7))
     }
   }
+
+  // ---- approx quantiles (sk09): rank-error bound vs exact -------------
+
+  test("approx_percentile lands within rank-error bounds of exact") {
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    import org.apache.spark.sql.functions._
+    // accuracy 1000 -> rank error <= 1/1000; allow 2x slack, check that
+    // each approx quantile sits between the exact quantiles at q +- eps
+    val eps = 0.002
+    val r = li.agg(
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").as("ap"),
+      expr(s"percentile(l_extendedprice, array(${0.5 - eps}, ${0.95 - eps}, ${0.99 - eps}))").as("lo"),
+      expr(s"percentile(l_extendedprice, array(${0.5 + eps}, ${0.95 + eps}, ${0.99 + eps}))").as("hi"))
+      .head()
+    val ap = r.getSeq[Double](0); val lo = r.getSeq[Double](1); val hi = r.getSeq[Double](2)
+    (0 until 3).foreach { i =>
+      assert(ap(i) >= lo(i) && ap(i) <= hi(i),
+        s"quantile $i out of rank bounds: ${ap(i)} not in [${lo(i)}, ${hi(i)}]")
+    }
+  }
+
+  // ---- compaction -----------------------------------------------------
+
+  test("compactParquet merges small files, preserves rows and content") {
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    li.repartition(40).write.mode("overwrite").parquet(s"$tmp/in") // 40 small files
+    val stats = graft.operators.Maintenance.compactParquet(
+      spark, s"$tmp/in", s"$tmp/out", targetFileMB = 64)
+    assert(stats.inputFiles >= 40)
+    assert(stats.outputFiles < 40)
+    assert(stats.rows == li.count())
+    // partition-order-independent content check (double sums differ in
+    // last ULPs across partitionings, by design)
+    val a = spark.read.parquet(s"$tmp/in").agg(sum("l_orderkey")).head().getLong(0)
+    val b = spark.read.parquet(s"$tmp/out").agg(sum("l_orderkey")).head().getLong(0)
+    assert(a == b)
+    val outFiles = new java.io.File(s"$tmp/out").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(outFiles == stats.outputFiles)
+  }
 }
