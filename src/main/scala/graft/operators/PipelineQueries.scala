@@ -189,6 +189,22 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // -- cap per key: keep best-K docs per source (C4-style domain cap) --
+    // one shuffle on source; the window is the distributed form of
+    // "sort within group, take K" — no driver involvement at any size
+    "p03_cap_per_source" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- multimodal: binary column -> batched stub decode -> features ----
     "m01_multimodal_features" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
@@ -307,6 +323,24 @@ object PipelineQueries {
         |   x -> x IN ('the','a')))::DOUBLE / len(string_split(text,' '))), 4)
         |   AS avg_stop_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "p03_cap_per_source" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, floor((
+        |   least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        |   least((len(list_filter(string_split(text,' '),
+        |     x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |                'that','for','on','with','as')))::DOUBLE
+        |     / len(string_split(text,' '))) * 5.0, 1.0) * 0.3 +
+        |   least(((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+        |     / len(string_split(text,' '))) / 8.0, 1.0) * 0.3 -
+        |   ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |     / length(text)) * 0.2
+        |  ) * 10000 + 0.5) / 10000 AS q
+        |  FROM documents),
+        |ranked AS (SELECT doc_id, source, row_number() OVER (
+        |  PARTITION BY source ORDER BY q DESC, doc_id) AS rk FROM scored)
+        |SELECT doc_id, source, rk FROM ranked WHERE rk <= 50
+        |ORDER BY doc_id""".stripMargin,
     // replays the language-ID heuristic (per-language stopword hit rate,
     // argmax with alphabetical tie-break, 'und' when nothing hits) in
     // SQL — integer-ratio doubles are exact, so equality-to-greatest
