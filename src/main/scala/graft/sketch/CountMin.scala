@@ -43,19 +43,22 @@ final class CountMin[V](val depth: Int, val width: Int, val monoid: ValueMonoid[
     a
   }
 
-  @inline private def slot(row: Int, k: Any): Int = {
-    // double hashing h1 + row*h2 gives depth pairwise-independent rows
-    val h1 = Hashing.hashAny(k, 0x5bd1e995L)
-    val h2 = Hashing.hashAny(k, 0x27d4eb2fL) | 1L
-    val h = h1 + row.toLong * h2
-    row * width + java.lang.Math.floorMod(h, width.toLong).toInt
-  }
+  // double hashing h1 + row*h2 gives depth pairwise-independent rows;
+  // the key hashes are row-independent, so hash once per key
+  @inline private def slotFromHashes(row: Int, h1: Long, h2: Long): Int =
+    row * width + java.lang.Math.floorMod(h1 + row.toLong * h2, width.toLong).toInt
+
+  @inline private def slot(row: Int, k: Any): Int =
+    slotFromHashes(row,
+      Hashing.hashAny(k, 0x5bd1e995L), Hashing.hashAny(k, 0x27d4eb2fL) | 1L)
 
   /** Monoid union add (used for HLL cells and for merged counts). */
   def add(k: Any, v: V): this.type = {
+    val h1 = Hashing.hashAny(k, 0x5bd1e995L)
+    val h2 = Hashing.hashAny(k, 0x27d4eb2fL) | 1L
     var r = 0
     while (r < depth) {
-      val i = slot(r, k)
+      val i = slotFromHashes(r, h1, h2)
       cells(i) = monoid.plus(cells(i).asInstanceOf[V], v).asInstanceOf[AnyRef]
       r += 1
     }
@@ -63,10 +66,12 @@ final class CountMin[V](val depth: Int, val width: Int, val monoid: ValueMonoid[
   }
 
   def estimate(k: Any): V = {
-    var best = cells(slot(0, k)).asInstanceOf[V]
+    val h1 = Hashing.hashAny(k, 0x5bd1e995L)
+    val h2 = Hashing.hashAny(k, 0x27d4eb2fL) | 1L
+    var best = cells(slotFromHashes(0, h1, h2)).asInstanceOf[V]
     var r = 1
     while (r < depth) {
-      val v = cells(slot(r, k)).asInstanceOf[V]
+      val v = cells(slotFromHashes(r, h1, h2)).asInstanceOf[V]
       if (monoid.score(v) < monoid.score(best)) best = v
       r += 1
     }
@@ -111,20 +116,25 @@ final class CountMinLong(val depth: Int, val width: Int) extends Serializable {
   require(depth > 0 && width > 0)
   val cells: Array[Long] = new Array[Long](depth * width)
 
-  @inline private def slot(row: Int, k: Any): Int = {
-    val h1 = Hashing.hashAny(k, 0x5bd1e995L)
-    val h2 = Hashing.hashAny(k, 0x27d4eb2fL) | 1L
-    val h = h1 + row.toLong * h2
-    row * width + java.lang.Math.floorMod(h, width.toLong).toInt
-  }
+  // the two key hashes are row-independent: compute once per key, derive
+  // each row's slot with one multiply-add (was 2*depth hashes per push)
+  @inline private def slotFromHashes(row: Int, h1: Long, h2: Long): Int =
+    row * width + java.lang.Math.floorMod(h1 + row.toLong * h2, width.toLong).toInt
+
+  // per-push scratch, reused: buffer updates are single-threaded per
+  // aggregation task, and a fresh Array per row is pure GC pressure
+  @transient private var scratch: Array[Int] = _
 
   /** Conservative-update add; returns the post-update estimate. */
   def addConservative(k: Any, c: Long): Long = {
-    val slots = new Array[Int](depth)
+    if (scratch == null) scratch = new Array[Int](depth)
+    val slots = scratch
+    val h1 = Hashing.hashAny(k, 0x5bd1e995L)
+    val h2 = Hashing.hashAny(k, 0x27d4eb2fL) | 1L
     var est = Long.MaxValue
     var r = 0
     while (r < depth) {
-      slots(r) = slot(r, k)
+      slots(r) = slotFromHashes(r, h1, h2)
       val v = cells(slots(r))
       if (v < est) est = v
       r += 1
@@ -139,10 +149,12 @@ final class CountMinLong(val depth: Int, val width: Int) extends Serializable {
   }
 
   def estimate(k: Any): Long = {
+    val h1 = Hashing.hashAny(k, 0x5bd1e995L)
+    val h2 = Hashing.hashAny(k, 0x27d4eb2fL) | 1L
     var est = Long.MaxValue
     var r = 0
     while (r < depth) {
-      val v = cells(slot(r, k))
+      val v = cells(slotFromHashes(r, h1, h2))
       if (v < est) est = v
       r += 1
     }

@@ -18,15 +18,43 @@ final class TopFreq[K](val n: Int, val depth: Int, val width: Int)
   val heavy: mutable.HashMap[K, Long] = mutable.HashMap.empty
   val cms: CountMinLong = new CountMinLong(depth, width)
 
+  // cached minimum tracked entry: on near-uniform streams most pushes
+  // are untracked keys, and a fresh minBy per push is an O(n) scan with
+  // a tuple allocation — the dominant cost of the whole sketch. The
+  // cache is invalidated (rescanned lazily) whenever the tracked map
+  // changes in a way that can move the minimum. Among tied minima the
+  // evicted key is the cache's scan order rather than a per-push scan
+  // order — any such choice is a valid Filtered-Space-Saving instance.
+  @transient private var minVal: Long = -1L
+  @transient private var minKey: K = _
+
+  private def refreshMin(): Unit = {
+    var mv = Long.MaxValue
+    var mk: K = null.asInstanceOf[K]
+    val it = heavy.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._2 < mv) { mv = e._2; mk = e._1 }
+    }
+    minVal = mv; minKey = mk
+  }
+
   def push(k: K, c: Long = 1L): this.type = {
     heavy.get(k) match {
-      case Some(v) => heavy.update(k, v + c)
+      case Some(v) =>
+        heavy.update(k, v + c)
+        if (minVal >= 0 && k == minKey) minVal = -1L // min grew; rescan lazily
       case None =>
         val est = cms.addConservative(k, c)
-        if (heavy.size < n) heavy.update(k, est)
-        else {
-          val (mk, mv) = heavy.minBy(_._2)
-          if (est > mv) { heavy.remove(mk); heavy.update(k, est) }
+        if (heavy.size < n) {
+          heavy.update(k, est)
+          minVal = -1L
+        } else {
+          if (minVal < 0) refreshMin()
+          if (est > minVal) {
+            heavy.remove(minKey); heavy.update(k, est)
+            minVal = -1L
+          }
         }
     }
     this
