@@ -258,7 +258,36 @@ object CoreQueries {
         .select(coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
         .groupBy(col("n_clicks")).agg(count(lit(1)).as("n_purchases"))
         .orderBy(col("n_clicks"))
-    })
+    }),
+
+    // -- set operations (reference has only chain=union; SURVEY §2.2
+    // "missing entirely" list) ------------------------------------------
+    "q25_setops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val filled = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val both = open.intersect(filled).count()
+      val openOnly = open.except(filled).count()
+      val filledOnly = filled.except(open).count()
+      import s.implicits._
+      Seq((both, openOnly, filledOnly))
+        .toDF("n_both", "n_open_only", "n_filled_only")
+    }),
+
+    // -- exact decimal arithmetic (money semantics; reference's decimal
+    // ops are largely unimplemented — SURVEY §2.4) -----------------------
+    // decimal all the way through the aggregation (exact, unlike the
+    // double-path q01), double only at the very edge so both engines
+    // convert the SAME exact decimal once
+    "q26_decimal_exact" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("decimal(14,2)").as("p"),
+          col("l_discount").cast("decimal(14,2)").as("dc"))
+        .agg(
+          sum(col("p")).cast("double").as("sum_price"),
+          sum(col("p") * (lit(1).cast("decimal(3,2)") - col("dc")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -384,6 +413,20 @@ object CoreQueries {
         |  FROM p LEFT JOIN c ON p.user_id = c.user_id
         |    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |  GROUP BY p.event_id)
-        |GROUP BY n_clicks ORDER BY n_clicks""".stripMargin
+        |GROUP BY n_clicks ORDER BY n_clicks""".stripMargin,
+    "q25_setops" ->
+      """WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus='O'),
+        |  filled AS (SELECT o_custkey FROM orders WHERE o_orderstatus='F')
+        |SELECT
+        | (SELECT count(*) FROM (SELECT * FROM open INTERSECT SELECT * FROM filled)) AS n_both,
+        | (SELECT count(*) FROM (SELECT * FROM open EXCEPT SELECT * FROM filled)) AS n_open_only,
+        | (SELECT count(*) FROM (SELECT * FROM filled EXCEPT SELECT * FROM open)) AS n_filled_only""".stripMargin,
+    "q26_decimal_exact" ->
+      """SELECT
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS n
+        |FROM lineitem""".stripMargin
   )
 }
