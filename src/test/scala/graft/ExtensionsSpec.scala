@@ -72,6 +72,27 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.RangeJoinRule.WidthKey)
   }
 
+  test("RangeJoinRule: timestamp point-in-interval joins rewrite and agree") {
+    spark.conf.set(graft.plans.RangeJoinRule.WidthKey, "3600") // 1h buckets
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+      val events = (0 until 300).map(i => (i.toLong, ts(i % 24, (i * 7) % 60))).toDF("eid", "t")
+      val windows = Seq((1L, ts(1, 30), ts(3, 0)), (2L, ts(10, 0), ts(10, 59)),
+        (3L, ts(22, 15), ts(23, 45))).toDF("wid", "lo", "hi")
+      val q = events.join(windows, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(physical(q).contains("Generate"), "rule did not fire on timestamps")
+      val got = q.select("eid", "wid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val evs = events.collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+      val wins = windows.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      val want = (for {
+        (e, t) <- evs; (w, lo, hi) <- wins
+        if !t.before(lo) && !t.after(hi)
+      } yield (e, w)).sorted
+      assert(got.sameElements(want))
+      assert(want.nonEmpty)
+    } finally spark.conf.unset(graft.plans.RangeJoinRule.WidthKey)
+  }
+
   test("RangeJoinRule: strict bounds and reversed operand order still rewrite") {
     spark.conf.set(graft.plans.RangeJoinRule.WidthKey, "100")
     try {
