@@ -40,6 +40,31 @@ object ScaleLeversExample {
       s"shuffleFree=${!plan.contains("Exchange")}")
     spark.sql("DROP TABLE IF EXISTS ex_li")
     spark.sql("DROP TABLE IF EXISTS ex_ord")
+
+    // range-join rule: a plain SQL BETWEEN join, lowered from nested-loop
+    // to a bucketed equi-join once the width hint is set
+    events.createOrReplaceTempView("ex_events")
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"))
+      .limit(20).createOrReplaceTempView("ex_windows")
+    val sql = """SELECT count(*) AS n FROM ex_events e JOIN ex_windows w
+                 ON e.ts BETWEEN w.lo AND w.hi"""
+    spark.conf.set(graft.plans.RangeJoinRule.WidthKey, "3600")
+    val rj = spark.sql(sql)
+    println(s"SCALE range-join rows=${rj.head().getLong(0)} " +
+      s"nestedLoopFree=${!rj.queryExecution.executedPlan.toString.contains("NestedLoop")}")
+    spark.conf.unset(graft.plans.RangeJoinRule.WidthKey)
+
+    // compaction: 40 small files -> byte-sized outputs, narrow rewrite
+    val tmp = java.nio.file.Files.createTempDirectory("ex_compact").toString
+    Tables.lineitem(spark, sfDir).repartition(40)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stats = graft.operators.Maintenance.compactParquet(
+      spark, s"$tmp/in", s"$tmp/out", targetFileMB = 128)
+    println(s"SCALE compaction ${stats.inputFiles} files " +
+      s"(${stats.inputBytes / 1024}KiB) -> ${stats.outputFiles} files, " +
+      s"rows=${stats.rows}")
     spark.stop()
   }
 }
