@@ -69,4 +69,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast of query set:\n$p")
   }
+
+  test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
+    // without the partial group-limit, every row shuffles to its key's
+    // partition before the rank filter — the difference between moving
+    // top-51-per-source and moving the whole corpus
+    val p = plan("p03_cap_per_source")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"no map-side group limit:\n$p")
+    assert("WindowGroupLimit .*Final".r.findFirstIn(p).isDefined)
+  }
 }
