@@ -97,10 +97,14 @@ object Dedup {
       .persist()
     // fused native expression: signature + band fold in one codegen'd
     // loop (parity with minhashUdf ∘ bandsUdf asserted in PlanExprSpec)
+    // persisted: the self-join below references this plan twice, and
+    // without the cache each side recomputes the signature pass; the
+    // cached form is 16 longs per doc — smaller than the shingle cache
     val banded = withShingles
       .select(col("id"),
         graft.plans.MinHashBandsExpression.minhashBands(col("sh"), k, bands).as("bh"))
       .select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
+      .persist()
     // candidate pairs: ids sharing any (band, hash) bucket
     val l = banded.as("l"); val r = banded.as("r")
     val cand = l.join(r,
