@@ -174,13 +174,18 @@ object PipelineQueries {
     "p01_curation_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+      // project the digest and DROP text before the dedup window: the
+      // window's exchange then moves a 32-char digest per row instead of
+      // the document body — the difference between shuffling hashes and
+      // shuffling the corpus
+      val scored = docs.select(col("doc_id"), col("lang"),
         TextFunctions.qualityScore(col("text")).as("q"),
-        TextFunctions.tokenCount(col("text")).as("toks"))
+        TextFunctions.tokenCount(col("text")).as("toks"),
+        md5(col("text")).as("digest"))
         .filter(col("q") >= 0.5)
       val deduped = scored
         .withColumn("rk", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
         .filter(col("rk") === 1)
       deduped.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
