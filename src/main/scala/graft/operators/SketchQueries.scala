@@ -114,6 +114,24 @@ object SketchQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // -- per-key reservoir: exact-k uniform sample inside each group -----
+    // the reference's sample_unstable is global-only; per-key sampling
+    // (cap examples per class/domain) composes the same mergeable
+    // Reservoir under groupByKey. Sample CONTENTS depend on partition
+    // order (rows-only would be meaningless) — the output is the
+    // deterministic shape (group, capped size), contents spec-checked.
+    "sk10_reservoir_per_key" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.events(s, d)
+        .select(col("event_type"), col("event_id")).as[(String, Long)]
+      val agg = contramap((t: (String, Long)) => t._2,
+        new SampleUnstable[Long](5, 42L))
+      ds.groupByKey(_._1).agg(agg.toColumn.name("sample"))
+        .toDF("event_type", "sample")
+        .select(col("event_type"), size(col("sample")).cast("long").as("n_sampled"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- approximate quantiles (mergeable quantile sketch) ---------------
     // approx_percentile is Spark's Greenwald-Khanna-family sketch: the
     // scale path for percentiles (q22 is the exact twin). Rows-only:
@@ -144,6 +162,9 @@ object SketchQueries {
     "sk08_group_sub_sink" ->
       """SELECT o_custkey, count(*) AS n_orders,
         | round(sum(o_totalprice),2) AS total_spent
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "sk10_reservoir_per_key" ->
+      """SELECT event_type, least(5, count(*)) AS n_sampled
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -102,6 +102,25 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
     else events.dropDuplicates(idCols)
 
+  /** Streaming near-dup document filter: dedup on the digest of the
+    * NORMALIZED text (lowercase, punctuation stripped, whitespace
+    * collapsed — `TextFunctions.normalize`), so case/punctuation/spacing
+    * variants of the same document are dropped as they arrive. The same
+    * watermark-bounded-state contract as [[dedupEvents]]; batch input
+    * degrades to a plain digest dropDuplicates. This is the streaming
+    * twin of the curation pipeline's dedup stage (p01). */
+  def dedupDocsNormalized(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame = {
+    val keyed = docs.withColumn("__norm_digest",
+      md5(graft.functions.TextFunctions.normalize(col(textCol))))
+    val deduped =
+      if (docs.isStreaming)
+        keyed.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("__norm_digest")
+      else keyed.dropDuplicates("__norm_digest")
+    deduped.drop("__norm_digest")
+  }
+
   /** Streaming read of an events parquet directory (schema-first, as
     * readStream requires). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -77,4 +77,19 @@ class AggregatorSpec extends AnyFunSuite {
       .collect().toMap
     assert(got == Map("a" -> ((2L, 3.0)), "b" -> ((3L, 60.0))))
   }
+
+  test("per-key reservoir: exact capped size, sampled ids belong to the key") {
+    import spark.implicits._
+    val data = (0 until 500).map(i => (s"k${i % 3}", i.toLong))
+    val agg = contramap((t: (String, Long)) => t._2, new SampleUnstable[Long](7, 99L))
+    val got = data.toDS().repartition(8).groupByKey(_._1)
+      .agg(agg.toColumn.name("sample")).collect().toMap
+    val byKey = data.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == byKey.keySet)
+    got.foreach { case (k, sample) =>
+      assert(sample.length == math.min(7, byKey(k).size))
+      assert(sample.distinct.length == sample.length, s"dup in sample for $k")
+      assert(sample.forall(byKey(k).contains), s"foreign id sampled for $k")
+    }
+  }
 }

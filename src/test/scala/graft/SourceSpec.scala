@@ -60,6 +60,29 @@ class SourceSpec extends AnyFunSuite {
     assert(pages(1).getString(1).contains("with newline"))
   }
 
+  test("warc: length-delimited parse survives a body containing the marker") {
+    // the failure mode of marker-splitting parsers: an HTTP payload that
+    // embeds the record separator. Content-Length slicing must keep the
+    // record whole and byte-exact (incl. gzip and multibyte content).
+    val evil = "prefix WARC/1.0\r\n fake-header: x\r\n\r\n suffix — ü文"
+    val warc = Warc.toWarcString(Seq(
+      ("https://a.example/evil", evil),
+      ("https://a.example/after", "still parsed")))
+    val parsed = Warc.parseRecords(warc.getBytes("UTF-8"))
+    assert(parsed.length == 2, s"record mis-split: ${parsed.map(_.url)}")
+    assert(parsed(0).content == evil)
+    assert(parsed(1).content == "still parsed")
+    // gzip path: concatenated members, as CommonCrawl lays records out
+    val bos = new java.io.ByteArrayOutputStream()
+    Seq(Warc.toWarcString(Seq(("https://g.example/1", evil))),
+        Warc.toWarcString(Seq(("https://g.example/2", "two")))).foreach { s =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.finish()
+    }
+    val viaGz = Warc.parseRecords(Warc.gunzipIfNeeded(bos.toByteArray))
+    assert(viaGz.map(_.content) == Seq(evil, "two"))
+  }
+
   test("jdbc: Table/Query forms wire through to the JDBC source") {
     // no DB in this container: reaching the driver-resolution error proves
     // the option plumbing; the rest is a Spark built-in

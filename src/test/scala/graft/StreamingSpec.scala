@@ -80,6 +80,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() == 40)
   }
 
+  test("streaming normalized dedup drops case/punct/space variants") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ts(0), "Hello,   World!"),
+      (2L, ts(1), "hello world"),        // normalized twin of 1
+      (3L, ts(2), "HELLO WORLD"),        // another twin
+      (4L, ts(3), "a different document"),
+      (5L, ts(4), "a, different - document")) // twin of 4
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    stream.addData(docs)
+    val q = EventStreams.dedupDocsNormalized(
+        stream.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "2 hours")
+      .writeStream.format("memory").queryName("norm_dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("norm_dedup_out")
+    assert(kept.count() == 2, s"expected 2 distinct docs, got ${kept.count()}")
+    assert(!kept.columns.contains("__norm_digest"))
+    val batch = EventStreams.dedupDocsNormalized(
+      docs.toDF("doc_id", "ts", "text"), "text", "ts")
+    assert(batch.count() == 2)
+  }
+
   test("file-based readStream over events parquet drives the same agg") {
     val q = EventStreams.windowedAgg(
         EventStreams.readEventStream(spark, "/root/testdata/sf0.001"),
