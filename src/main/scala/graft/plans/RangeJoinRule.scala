@@ -81,8 +81,25 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def bucket(e: Expression, w: Double): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType)))
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Bucket id of a value. `exact=true` (all-integral join columns,
+    * whole width): sign-correct integer floor division —
+    * (p − pmod(p,w)) div w, exact for the full long range. Otherwise:
+    * floor of double division (documented |x| < 2⁵² caveat for
+    * fractional widths / timestamp seconds). The flag is decided ONCE
+    * per join from all three expressions — mixing paths between the
+    * point and interval sides would misalign buckets. */
+  private def bucket(e: Expression, w: Double, exact: Boolean): Expression =
+    if (exact) {
+      val wl = Literal(w.toLong, LongType)
+      val p = Cast(e, LongType)
+      // numerator is an exact multiple of w, so truncating div == floor
+      IntegralDivide(Subtract(p, Pmod(p, wl)), wl)
+    } else Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType)))
 
   def apply(plan: LogicalPlan): LogicalPlan = {
     val w = width
@@ -121,10 +138,12 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             case None => j
             case Some((p, lo, hi, pointOnLeft)) =>
               val (pSide, iSide) = if (pointOnLeft) (left, right) else (right, left)
-              val pAlias = Alias(bucket(p, w), "__graft_bucket")()
+              val exact = w.isWhole && w <= Long.MaxValue.toDouble &&
+                Seq(p, lo, hi).forall(e => isIntegral(e.dataType))
+              val pAlias = Alias(bucket(p, w, exact), "__graft_bucket")()
               val pProj = Project(pSide.output :+ pAlias, pSide)
-              val bLo = bucket(lo, w)
-              val bHi = bucket(hi, w)
+              val bLo = bucket(lo, w, exact)
+              val bHi = bucket(hi, w, exact)
               // guard inverted/null intervals: empty bucket list, no fan-out
               // Sequence is TimeZoneAwareExpression: unresolved until the
               // session tz is pinned, even for integral sequences

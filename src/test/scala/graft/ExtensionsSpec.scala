@@ -93,6 +93,32 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.RangeJoinRule.WidthKey)
   }
 
+  test("RangeJoinRule: integral path is exact for negatives and beyond 2^53") {
+    spark.conf.set(graft.plans.RangeJoinRule.WidthKey, "3600")
+    try {
+      val base = 1L << 60 // doubles can't resolve +-3600 here
+      val pts = (-50 until 50).map(i => Tuple1(base + i * 137L - 3000L)).toDF("p")
+      val ivs = Seq((1L, base - 3600L, base - 1L), (2L, base, base + 3599L),
+        (3L, base - 7200L, base - 3601L)).toDF("wid", "lo", "hi")
+      val q = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(physical(q).contains("Generate"), "rule did not fire")
+      val want = (for {
+        Tuple1(p) <- pts.as[Tuple1[Long]].collect()
+        (w, lo, hi) <- ivs.as[(Long, Long, Long)].collect()
+        if p >= lo && p <= hi
+      } yield (p, w)).sorted
+      val got = q.select("p", "wid").as[(Long, Long)].collect().sorted
+      assert(got.sameElements(want), s"exact-path mismatch: got ${got.length}, want ${want.length}")
+      assert(want.nonEmpty)
+      // negatives: floor (not truncate-toward-zero) bucketing
+      val negPts = (-20 until 20).map(i => Tuple1(i * 500L)).toDF("p")
+      val negIvs = Seq((9L, -3601L, -1L)).toDF("wid", "lo", "hi")
+      val nq = negPts.join(negIvs, col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(nq.select("p").as[Long].collect().sorted.toSeq ==
+        Seq(-3500L, -3000L, -2500L, -2000L, -1500L, -1000L, -500L))
+    } finally spark.conf.unset(graft.plans.RangeJoinRule.WidthKey)
+  }
+
   test("RangeJoinRule: strict bounds and reversed operand order still rewrite") {
     spark.conf.set(graft.plans.RangeJoinRule.WidthKey, "100")
     try {
