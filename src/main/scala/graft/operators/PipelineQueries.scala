@@ -194,6 +194,24 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // -- decontamination: corpus docs sharing an 8-gram with a benchmark -
+    // the standard test-set contamination check. The benchmark's distinct
+    // 8-grams are a broadcast-sized set at any corpus scale (benchmarks
+    // are small by definition); corpus side is a narrow explode + one
+    // broadcast semi-join — the corpus never shuffles.
+    "d07_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select(explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
+        .distinct()
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
+        .join(broadcast(bench), "g8")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g8")).as("n_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- cap per key: keep best-K docs per source (C4-style domain cap) --
     // one shuffle on source; the window is the distributed form of
     // "sort within group, take K" — no driver involvement at any size
@@ -208,6 +226,16 @@ object PipelineQueries {
         .filter(col("rk") <= 50)
         .select(col("doc_id"), col("source"), col("rk"))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- sequence packing: docs -> fixed-capacity context windows --------
+    "t07_sequence_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("toks"))
+      Packing.packByOrder(docs, "doc_id", "toks", capacity = 2048L)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy(col("bin"))
     }),
 
     // -- multimodal: binary column -> batched stub decode -> features ----
@@ -328,6 +356,30 @@ object PipelineQueries {
         |   x -> x IN ('the','a')))::DOUBLE / len(string_split(text,' '))), 4)
         |   AS avg_stop_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t07_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  sum(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) - toks AS strt FROM t)
+        |SELECT CAST(strt // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
+        | CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY bin ORDER BY bin""".stripMargin,
+    "d07_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win
+        |            || ' ' || lead(tok,3) OVER win || ' ' || lead(tok,4) OVER win
+        |            || ' ' || lead(tok,5) OVER win || ' ' || lead(tok,6) OVER win
+        |            || ' ' || lead(tok,7) OVER win AS g8
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 10 = 0 AND g8 IS NOT NULL)
+        |SELECT g.doc_id, count(DISTINCT g.g8) AS n_overlap
+        |FROM g JOIN bench USING (g8)
+        |WHERE g.doc_id % 10 != 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "p03_cap_per_source" ->
       """WITH scored AS (
         |  SELECT doc_id, source, floor((

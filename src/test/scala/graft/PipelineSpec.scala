@@ -158,6 +158,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: bins independent of partitioning, equal to serial scan") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 400L).map(i => (i, 50L + (i * 37) % 300)).toDF("doc_id", "toks")
+    val cap = 1000L
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Packing.packByOrder(df, "doc_id", "toks", cap)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(13))
+    assert(a.sameElements(b), "bin assignment depends on partitioning")
+    // serial reference: running offset in doc_id order
+    var off = 0L
+    val want = (0L until 400L).map { i =>
+      val t = 50L + (i * 37) % 300
+      val bin = off / cap; off += t; (i, bin)
+    }
+    assert(a.toSeq == want)
+  }
+
+  test("contamination: flags exactly the docs sharing an 8-gram with the benchmark") {
+    import org.apache.spark.sql.functions._
+    val bench = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (0L, bench),                                      // benchmark doc
+      (1L, s"prefix words $bench trailing"),            // contains the 8-gram
+      (2L, "totally unrelated text with many distinct words here"),
+      (3L, "one two three four five SIX seven eight nine")) // 8-gram broken
+      .toDF("doc_id", "text")
+    val b8 = docs.filter(col("doc_id") === 0)
+      .select(explode(Dedup.wordShingles(col("text"), 8)).as("g8")).distinct()
+    val flagged = docs.filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
+      .join(broadcast(b8), "g8")
+      .select(col("doc_id")).distinct().as[Long].collect().sorted
+    assert(flagged.toSeq == Seq(1L))
+  }
+
   test("multimodal: stub decode is deterministic, batched, schema-stable") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.mediaFromDocuments(docs)
