@@ -228,6 +228,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- n-gram LM stats: top bigrams by corpus frequency ----------------
+    // narrow explode -> one shuffle on the bigram; the classic language-
+    // model count table at corpus scale
+    "t08_top_bigrams" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ")
+      val bigrams = transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      docs.filter(size(toks) >= 2)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+    }),
+
+    // -- per-group distribution stats: exact percentiles by language -----
+    "t09_group_percentiles" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextFunctions.tokenCount(col("text")).as("toks"))
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(toks, 0.5)"), 2).as("p50_toks"),
+          round(expr("percentile(toks, 0.95)"), 2).as("p95_toks"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
+
     // -- sequence packing: docs -> fixed-capacity context windows --------
     "t07_sequence_packing" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
@@ -355,6 +380,19 @@ object PipelineQueries {
         | round(avg(len(list_filter(string_split(text,' '),
         |   x -> x IN ('the','a')))::DOUBLE / len(string_split(text,' '))), 4)
         |   AS avg_stop_ratio
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t08_top_bigrams" ->
+      """WITH t AS (SELECT string_split(text,' ') AS l FROM documents
+        |           WHERE len(string_split(text,' ')) >= 2),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(l)-1),
+        |        i -> l[i] || ' ' || l[i+1])) AS bigram FROM t)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "t09_group_percentiles" ->
+      """SELECT lang,
+        | round(quantile_cont(len(string_split(text,' ')), 0.5), 2) AS p50_toks,
+        | round(quantile_cont(len(string_split(text,' ')), 0.95), 2) AS p95_toks,
+        | count(*) AS n
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t07_sequence_packing" ->
       """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS toks FROM documents),
