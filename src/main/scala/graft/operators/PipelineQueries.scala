@@ -228,6 +228,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- joint text+vector curation: quality-filtered docs ⋈ embeddings --
+    // the cross-modal join every curation stack runs: text-side filters
+    // prune before the join (pushdown), embeddings join 1:1 on id, and
+    // the reference vector is a broadcast scalar — corpus shuffles once
+    "p04_text_vector_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .filter(col("q") >= 0.5)
+      val emb = Tables.embeddings(s, d)
+      val ref = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("ref_vec"))
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(ref))
+        .groupBy(col("lang"), col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(Ann.cosine(col("embedding"), col("ref_vec"))), 4).as("avg_ref_cos"),
+          // avg of bit-identical quantized inputs can land exactly on a
+          // half boundary, where Spark/DuckDB round() split — use the
+          // IEEE-stable floor form (see TextFunctions.qualityScore)
+          (floor(avg(col("q")) * 10000.0 + 0.5) / 10000.0).as("avg_q"))
+        .orderBy(col("lang"), col("label"))
+    }),
+
     // -- n-gram LM stats: top bigrams by corpus frequency ----------------
     // narrow explode -> one shuffle on the bigram; the classic language-
     // model count table at corpus scale
@@ -381,6 +405,29 @@ object PipelineQueries {
         |   x -> x IN ('the','a')))::DOUBLE / len(string_split(text,' '))), 4)
         |   AS avg_stop_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "p04_text_vector_join" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, floor((
+        |   least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        |   least((len(list_filter(string_split(text,' '),
+        |     x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |                'that','for','on','with','as')))::DOUBLE
+        |     / len(string_split(text,' '))) * 5.0, 1.0) * 0.3 +
+        |   least(((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+        |     / len(string_split(text,' '))) / 8.0, 1.0) * 0.3 -
+        |   ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |     / length(text)) * 0.2
+        |  ) * 10000 + 0.5) / 10000 AS q
+        |  FROM documents),
+        |ref AS (SELECT embedding AS ref_vec FROM embeddings WHERE vec_id = 0)
+        |SELECT s.lang, e.label, count(*) AS n,
+        | round(avg(CAST(list_cosine_similarity(e.embedding, ref.ref_vec) AS DOUBLE)), 4)
+        |   AS avg_ref_cos,
+        | floor(avg(s.q) * 10000 + 0.5) / 10000 AS avg_q
+        |FROM scored s JOIN embeddings e ON s.doc_id = e.vec_id
+        |CROSS JOIN ref
+        |WHERE s.q >= 0.5
+        |GROUP BY s.lang, e.label ORDER BY s.lang, e.label""".stripMargin,
     "t08_top_bigrams" ->
       """WITH t AS (SELECT string_split(text,' ') AS l FROM documents
         |           WHERE len(string_split(text,' ')) >= 2),
