@@ -70,6 +70,11 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast of query set:\n$p")
   }
 
+  test("d07: decontamination joins the benchmark set by broadcast (corpus unshuffled)") {
+    val p = plan("d07_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
