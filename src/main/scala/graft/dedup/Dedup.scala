@@ -82,6 +82,19 @@ object Dedup {
     *
     * @param df         input with an id column and a text column
     * @param threshold  exact-jaccard acceptance threshold
+    * @param maxBucket  hot-bucket cap: band buckets holding more than this
+    *                   many documents are excluded from pair generation
+    *                   (0 = uncapped). Within-bucket pairing is the one
+    *                   quadratic step of LSH; on a 100 TB corpus a single
+    *                   degenerate bucket (empty/boilerplate texts that all
+    *                   fold to one band hash) turns it into an n² shuffle
+    *                   that no executor survives. Capping drops only
+    *                   pathological buckets — docs that similar are exact
+    *                   or near-exact dups, caught far cheaper by digest
+    *                   dedup upstream — so production pipelines always cap.
+    *                   The census also prunes singleton buckets (n = 1),
+    *                   which generate no pairs, before they reach the
+    *                   self-join.
     * @return (idA, idB, jaccard) with idA < idB, verified >= threshold
     *
     * Plan shape at scale: narrow signature computation → explode bands
@@ -91,7 +104,7 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
     val withShingles = df
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .persist()
@@ -106,7 +119,18 @@ object Dedup {
       .select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
       .persist()
     // candidate pairs: ids sharing any (band, hash) bucket
-    val l = banded.as("l"); val r = banded.as("r")
+    val pruned =
+      if (maxBucket > 0) {
+        // bucket census on the same (band, h) key the self-join shuffles
+        // on — the aggregation reuses that partitioning, so the cap costs
+        // one map-side-combined count, not an extra wide shuffle
+        val ok = banded.groupBy(col("band"), col("h"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2, maxBucket))
+          .select(col("band"), col("h"))
+        banded.join(ok, Seq("band", "h"))
+      } else banded
+    val l = pruned.as("l"); val r = pruned.as("r")
     val cand = l.join(r,
         col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
         col("l.id") < col("r.id"))

@@ -37,6 +37,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("LSH hot-bucket cap: generous cap is lossless, tight cap sheds the hot bucket") {
+    // 30 identical docs (every band bucket holds all 30 → hot) plus one
+    // small near-dup pair that lands in its own buckets
+    val boiler = (0 until 30).map(i => (100L + i, "lorem ipsum dolor sit amet consectetur"))
+    val pairA = (1L, "alpha beta gamma delta epsilon zeta eta theta")
+    val pairB = (2L, "alpha beta gamma delta epsilon zeta eta iota")
+    val docs = (boiler :+ pairA :+ pairB).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val generous = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5,
+        maxBucket = 1000)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(generous == uncapped, "cap above every bucket size must be lossless")
+    val tight = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5,
+        maxBucket = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(tight == Set((1L, 2L)),
+      s"tight cap should keep only the small-bucket pair, got $tight")
+  }
+
   test("duplicateClusters equals union-find on a chain + separate cluster") {
     // chain 1-2-3-4 (diameter 3: needs multi-round propagation) + pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
