@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => RangeJoinRule)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 

@@ -244,6 +244,22 @@ object CoreQueries {
             .as("avg_gap_s"))
     }),
 
+    // -- as-of join via the native tier-(c) AsofJoinExec (same oracle as
+    // q23: DuckDB ASOF LEFT JOIN hash-verifies the custom SparkPlan) ----
+    "q27_asof_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Joins.asofJoinNative(p, c, "user_id", "ts", "ts", Seq("event_id"))
+        .agg(
+          count(lit(1)).as("n_purch"),
+          count(col("asof")).as("n_matched"),
+          round(avg((unix_micros(col("ts")) - unix_micros(col("asof.ts"))) / 1e6), 2)
+            .as("avg_gap_s"))
+    }),
+
     // -- range join (bucketed; clicks within 1h before each purchase) ----
     "q24_range_join" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -400,6 +416,12 @@ object CoreQueries {
         | round(quantile_cont(l_quantity, 0.25),2) AS q25_qty
         |FROM lineitem""".stripMargin,
     "q23_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click')
+        |SELECT count(*) AS n_purch, count(c.event_id) AS n_matched,
+        | round(avg(epoch(p.ts) - epoch(c.ts)), 2) AS avg_gap_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q27_asof_native" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
         |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click')
         |SELECT count(*) AS n_purch, count(c.event_id) AS n_matched,

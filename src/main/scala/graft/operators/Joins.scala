@@ -51,6 +51,48 @@ object Joins {
       .select(col("__lpay.*"), col("asof"))
   }
 
+  /** Backward as-of join via the native [[graft.plans.AsofJoinExec]]
+    * operator — same contract and output schema as [[asofJoinBackward]]
+    * (left columns + nullable `asof` struct of rightTime + payload), but
+    * planned as a sort-merge pass: each side shuffles and sorts
+    * independently instead of sorting the union through one window, and
+    * the output keeps the left side's (key, time) partitioning/order for
+    * downstream reuse. Requires [[graft.GraftExtensions]] on the session;
+    * otherwise self-installs through `spark.experimental.extraStrategies`.
+    *
+    * Tie/null semantics match asofJoinBackward (see [[graft.plans.AsofJoin]]
+    * scaladoc); select the needed columns upstream — the optimizer does
+    * not prune through a custom node.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import graft.plans.{AsofJoin, AsofJoinStrategy}
+    val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!spark.sessionState.planner.strategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // self-join safety: re-alias the right side when it shares attribute
+    // ids with the left (the analyzer's DeduplicateRelations does not
+    // know this node)
+    val rPlan: LogicalPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    val payloadAttrs = (rightTime +: rightPayload).distinct.map(attr(rPlan, _))
+    val structT = StructType(payloadAttrs.map(a => StructField(a.name, a.dataType, a.nullable)))
+    val asofAttr = AttributeReference("asof", structT)()
+    org.apache.spark.sql.graft.SqlBridge.ofRows(spark,
+      AsofJoin(lPlan, rPlan, Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
+        attr(lPlan, leftTime), attr(rPlan, rightTime), payloadAttrs, asofAttr))
+  }
+
   /** Range join: pairs (l, r) with equal key and
     * `r.time ∈ [l.time - before, l.time + after)`. Bucketed: bounded
     * duplication of left rows, one shuffle of each side.

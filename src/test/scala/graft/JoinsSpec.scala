@@ -78,6 +78,61 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinNative: same hand-computed truth as the window twin") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:00:00")),
+      (3L, "u2", ts("2024-01-01 09:00:00")),
+      (4L, "u2", ts("2024-01-01 11:30:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, "u1", ts("2024-01-01 09:55:00")),
+      (102L, "u1", ts("2024-01-01 10:00:00")),
+      (103L, "u1", ts("2024-01-01 11:59:00")),
+      (104L, "u2", ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val df = Joins.asofJoinNative(left, right, "user_id", "ts", "ts", Seq("event_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    // physical nodeName strips the Exec suffix: "AsofJoin [keys...]"
+    assert(plan.contains("AsofJoin ["), s"native exec not planned:\n$plan")
+    assert(!plan.contains("Window"), s"fell back to the window twin:\n$plan")
+    val got = df.select(col("event_id"), col("asof.event_id").as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(102L), 2L -> Some(103L), 3L -> None, 4L -> Some(104L)))
+  }
+
+  test("asofJoinNative equals window twin on random data, incl. self-join source") {
+    val rnd = new scala.util.Random(777)
+    (0 until 3).foreach { trial =>
+      val left = (0 until 200).map(i =>
+        (i.toLong, s"u${rnd.nextInt(7)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+        .toDF("event_id", "user_id", "ts")
+      val right = (0 until 200).map(i =>
+        (1000L + i, s"u${rnd.nextInt(7)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+        .toDF("event_id", "user_id", "ts")
+      def res(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("event_id"), col("asof.ts").as("mts"))
+          .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+      val native = res(Joins.asofJoinNative(left, right, "user_id", "ts", "ts", Seq("event_id")))
+      val window = res(Joins.asofJoinBackward(left, right, "user_id", "ts", "ts", Seq("event_id")))
+      assert(native == window, s"trial $trial native != window twin")
+    }
+    // both sides carved from the SAME DataFrame (shared attribute ids):
+    // exercises the re-alias path the analyzer can't do for a custom node
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n"), count(col("asof")).as("m"),
+        sum(unix_micros(col("asof.ts"))).as("s"))
+        .as[(Long, Long, Option[Long])].collect().head
+    val nat = agg(Joins.asofJoinNative(p, c, "user_id", "ts", "ts", Seq("event_id")))
+    val win = agg(Joins.asofJoinBackward(p, c, "user_id", "ts", "ts", Seq("event_id")))
+    assert(nat == win, "self-join-source events mismatch")
+  }
+
   test("range join boundary: inclusive lower, exclusive upper") {
     val p = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val c = Seq(
