@@ -24,8 +24,10 @@ object Bench {
     "sk04_most_distinct",    // Top[K, HLL] sketch aggregator
     "d02_minhash_lsh",       // MinHash+LSH dedup
     "a01_ann_bruteforce",    // cosine top-k
+    "a02_ann_lsh",           // LSH ANN (native hyperplane signature)
     "m01_multimodal_features", // binary decode pipeline
-    "q23_asof_join",         // one-shuffle as-of join
+    "q23_asof_join",         // one-shuffle as-of join (window form)
+    "q27_asof_native",       // custom AsofJoinExec (vs q23's window form)
     "q24_range_join",        // bucketed range join
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 

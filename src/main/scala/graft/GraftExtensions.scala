@@ -44,6 +44,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Extract a constant-int function argument, with a clear
+    * AnalysisException instead of an opaque ClassCastException when the
+    * argument is non-foldable (`minhash_bands(sh, some_col, 16)`) or a
+    * non-int literal (`word_shingles(toks, '3')`, BIGINT literals). */
+  def literalInt(exprs: Seq[Expression], i: Int, fn: String): Int = {
+    def fail(got: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "INVALID_PARAMETER_VALUE.INTEGER",
+        Map("parameter" -> s"arg${i + 1}", "functionName" -> fn,
+          "invalidValue" -> got))
+    val e = exprs(i)
+    if (!e.foldable) fail(s"non-constant expression ${e.sql}")
+    e.eval() match {
+      case n: Int => n
+      case other => fail(s"${e.dataType.simpleString} value $other")
+    }
+  }
+
   /** (name, usage, builder) for every native graft function. */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("simhash64",
@@ -55,12 +73,17 @@ object GraftExtensions {
     ("minhash_bands",
       "minhash_bands(shingles, k, bands) - LSH band hashes of a MinHash-k signature",
       (exprs: Seq[Expression]) => MinHashBandsExpression(
-        exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])),
+        exprs(0), literalInt(exprs, 1, "minhash_bands"),
+        literalInt(exprs, 2, "minhash_bands"))),
     ("word_shingles",
       "word_shingles(tokens, n) - distinct space-joined n-grams of a token array",
       (exprs: Seq[Expression]) => WordShinglesExpression(
-        exprs(0), exprs(1).eval().asInstanceOf[Int])),
+        exprs(0), literalInt(exprs, 1, "word_shingles"))),
     ("count_in_set",
       "count_in_set(tokens, array(...)) - occurrences of set members in a token array",
-      (exprs: Seq[Expression]) => CountInSetExpression.builder(exprs)))
+      (exprs: Seq[Expression]) => CountInSetExpression.builder(exprs)),
+    ("hyperplane_sig",
+      "hyperplane_sig(vec, nBits) - random-hyperplane LSH signature of an embedding",
+      (exprs: Seq[Expression]) => HyperplaneSignatureExpression(
+        exprs(0), literalInt(exprs, 1, "hyperplane_sig"))))
 }

@@ -18,12 +18,22 @@ object Bucketing {
 
   /** Write df as a bucketed+sorted managed table (session catalog). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a prior session's orphaned managed-table location (catalog entry
+    // gone, directory left behind) blocks CREATE with
+    // LOCATION_ALREADY_EXISTS — clear it before writing
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key. When both are bucketed
     * into the same bucket count on the join key, Catalyst plans a

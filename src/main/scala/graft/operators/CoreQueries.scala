@@ -29,7 +29,7 @@ object CoreQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // -- TPC-H Q1 shape: the canonical partial+final aggregation ---------
     "q01_tpch_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -304,6 +304,44 @@ object CoreQueries {
           sum(col("p") * (lit(1).cast("decimal(3,2)") - col("dc")))
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("n")))
+  ) ++ scaleLeverQueries
+
+  /** Scale-lever operators gated against the plain-join oracle: the salted
+    * and bucketed formulations must be RESULT-IDENTICAL to the naive join
+    * (the whole point — they change the physical shuffle shape, not the
+    * semantics), so the DuckDB plain-join SQL hash-verifies both.
+    */
+  private def scaleLeverQueries: Map[String, Q] = Map(
+    // -- skew-salted join (Skew.saltedJoin): hot l_partkey keys spread over
+    // 8 sub-keys; aggregate downstream proves semantic equality ----------
+    "q28_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Skew.saltedJoin(li, p, "l_partkey", "l_orderkey", n = 8)
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // -- bucketed co-located join (Bucketing): both sides written
+    // bucketed+sorted by custkey, then joined with no Exchange (asserted
+    // in BucketingSpec; here the RESULT is hash-gated vs the plain join) -
+    "q29_bucketed_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Bucketing.writeBucketed(o, "graft_q29_orders", "custkey", nBuckets = 8)
+      Bucketing.writeBucketed(c, "graft_q29_customer", "custkey", nBuckets = 8)
+      Bucketing.bucketedJoin(s, "graft_q29_orders", "graft_q29_customer", "custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -449,6 +487,16 @@ object CoreQueries {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
         |   (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS n
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    // plain-join oracles: salting/bucketing must not change results
+    "q28_salted_join" ->
+      """SELECT p_brand, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q29_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(sum(o_totalprice),2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

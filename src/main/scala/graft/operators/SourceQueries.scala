@@ -104,6 +104,34 @@ object SourceQueries {
         .orderBy(col("host"))
     }),
 
+    // -- LIVE JDBC round-trip (Postgres-connector parity, exercised
+    //    against a real database): Derby embedded ships in
+    //    /opt/spark/jars, so this runs Jdbc.write -> CREATE TABLE +
+    //    INSERTs -> Jdbc.read back through BOTH select forms (Table and
+    //    Query — reference PostgresSelect::{Table,Query},
+    //    amadeus-postgres/src/lib.rs:71-86). The oracle recomputes the
+    //    same aggregate from the customer parquet, so a hash match proves
+    //    the DB round-trip is lossless. ----------------------------------
+    "s07_jdbc_roundtrip" -> ((s, d) => {
+      val url = s"jdbc:derby:${tmp(d, "derbydb")};create=true"
+      val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      graft.sources.Jdbc.write(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        url, "graft_customer", mode = "overwrite", props = props)
+      val viaTable = graft.sources.Jdbc.read(s, url,
+        graft.sources.Jdbc.Table("graft_customer"), props)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      // Spark's Derby dialect quote-creates lowercase column names, so the
+      // pushed-down query must quote them (Derby folds unquoted to upper)
+      val viaQuery = graft.sources.Jdbc.read(s, url,
+        graft.sources.Jdbc.Query(
+          """SELECT "c_mktsegment", "c_acctbal" FROM graft_customer"""), props)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      viaTable.join(viaQuery, Seq("c_mktsegment"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // -- JSON passthrough type + extraction (Value::Json ≅ get_json) -----
     "s06_json_extract" -> ((s, d) =>
       Tables.events(s, d)
@@ -169,6 +197,9 @@ object SourceQueries {
         | CAST(sum(response_bytes) AS BIGINT) AS bytes,
         | round(avg(time_taken), 4) AS avg_time
         |FROM d GROUP BY status, result_type ORDER BY status, result_type""".stripMargin,
+    "s07_jdbc_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "s06_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k

@@ -133,8 +133,8 @@ object MinHashBandsExpression {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "minhash_bands", exprs => MinHashBandsExpression(
           exprs(0),
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Int]),
+          graft.GraftExtensions.literalInt(exprs, 1, "minhash_bands"),
+          graft.GraftExtensions.literalInt(exprs, 2, "minhash_bands")),
         "built-in")
 
   /** Column API (registers on the active session, idempotent). */

@@ -87,7 +87,7 @@ object WordShinglesExpression {
         org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "word_shingles", exprs => WordShinglesExpression(
-          exprs(0), exprs(1).eval().asInstanceOf[Int]),
+          exprs(0), graft.GraftExtensions.literalInt(exprs, 1, "word_shingles")),
         "built-in")
 
   /** Column API (registers on the active session, idempotent). */

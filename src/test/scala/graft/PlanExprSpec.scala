@@ -125,4 +125,44 @@ class PlanExprSpec extends AnyFunSuite {
       assert(interp.toSeq == want)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("hyperplane_sig native expression is bit-identical to the witness UDF") {
+    val rnd = new scala.util.Random(13)
+    val vecs = Seq.tabulate(300)(i =>
+      (i.toLong, Seq.fill(32)(rnd.nextFloat() * 2f - 1f))) :+
+      (300L, Seq.fill(32)(0f)) // zero vector: every dot==0 -> sig 0
+    val df = vecs.toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    for (nBits <- Seq(1, 16, 63)) {
+      val native = df.select(graft.ann.Ann.signature(col("v"), nBits))
+        .collect().map(_.getLong(0))
+      val udfv = df.select(graft.ann.Ann.signatureUdf(nBits)(col("v")))
+        .collect().map(_.getLong(0))
+      assert(native.sameElements(udfv), s"nBits=$nBits mismatch")
+    }
+    // interpreted eval agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(graft.ann.Ann.signature(col("v"), 16))
+        .collect().map(_.getLong(0))
+      val cgOff = df.select(graft.ann.Ann.signatureUdf(16)(col("v")))
+        .collect().map(_.getLong(0))
+      assert(interp.sameElements(cgOff))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // null array -> null; non-literal nBits -> clear AnalysisException
+    graft.plans.HyperplaneSignatureExpression.register(spark)
+    val r = spark.sql("SELECT hyperplane_sig(CAST(NULL AS ARRAY<FLOAT>), 16)").head()
+    assert(r.isNullAt(0))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hyperplane_sig(array(1.0f), CAST(id AS INT)) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("hyperplane_sig"))
+  }
+
+  test("a02 LSH plan contains no Scala UDF (native signature in hot path)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("a02_ann_lsh")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"UDF found in a02 plan:\n${plan.take(500)}")
+  }
 }

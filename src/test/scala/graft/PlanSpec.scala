@@ -75,6 +75,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
   }
 
+  test("q27: downstream per-key aggregate reuses AsofJoinExec's exchange") {
+    // AsofJoinExec declares outputPartitioning = left partitioning
+    // (hash on the join key): a groupBy on that key must NOT re-shuffle
+    // the join output — only the two input-side exchanges may appear.
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val agg = graft.operators.Joins.asofJoinNative(p, c, "user_id", "ts", "ts", Seq("event_id"))
+      .groupBy(col("user_id")).agg(count(col("asof")).as("n_matched"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"native asof not planned:\n$plan")
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nExchanges == 2,
+      s"expected 2 input-side exchanges, found $nExchanges (exchange not reused):\n$plan")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
