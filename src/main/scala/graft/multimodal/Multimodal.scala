@@ -9,12 +9,17 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, plus batched decode /
   * feature-extract / resize / frame-sample operators.
   *
-  * The decode step is STUBBED: this container has no codec libraries, so
-  * `decodeStub` produces a deterministic fake feature vector keyed on the
-  * bytes. Everything around it — schema, per-partition batching, the
-  * operator signatures, partitioning behavior — is the real Spark plumbing
-  * a production pipeline would keep while swapping the stub for an actual
-  * codec (e.g. via JNI or a Pandas-UDF sidecar on PySpark clusters).
+  * Decode has TWO paths:
+  *  - a REAL pure-JVM decoder for binary PPM (P6) images ([[decodePpm]]):
+  *    header parse (whitespace/comments), pixel plane decode, integer
+  *    channel statistics as the feature vector — proving the batching /
+  *    schema / partitioning plumbing end-to-end on genuine bytes (the
+  *    m01 gate query hash-verifies the decoded features against a DuckDB
+  *    replay of the synthetic image content);
+  *  - `decodeStub` for formats whose codecs this container lacks
+  *    (JPEG/audio/video): a deterministic fake keyed on the bytes. A
+  *    production deployment swaps the stub for a JNI codec or a
+  *    Pandas-UDF sidecar without touching the plan shape.
   */
 object Multimodal {
 
@@ -41,6 +46,70 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  /** REAL decoder for binary PPM (P6): parses the header (magic,
+    * whitespace, `#` comments, width, height, maxval) and the RGB pixel
+    * plane, returning integer-exact channel statistics as the feature
+    * vector: [w, h, sumR, sumG, sumB, sumAll, minByte, maxByte].
+    * All values are integers < 2^24, hence exactly representable as
+    * Float — the m01 oracle recomputes them in DuckDB and hash-matches.
+    * Returns None for anything that is not a complete P6 image. */
+  def decodePpm(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    pos += 1 // exactly one whitespace byte separates maxval from pixels
+    val need = w * h * 3
+    if (pos + need > bytes.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mn = 255; var mx = 0
+    var i = 0
+    while (i < need) {
+      val v = bytes(pos + i) & 0xff
+      (i % 3: @annotation.switch) match {
+        case 0 => sr += v
+        case 1 => sg += v
+        case 2 => sb += v
+      }
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    Some(Array(w.toFloat, h.toFloat, sr.toFloat, sg.toFloat, sb.toFloat,
+      (sr + sg + sb).toFloat, mn.toFloat, mx.toFloat))
+  }
+
+  /** Deterministic synthetic P6 image for doc/media id: dims and pixel
+    * values are closed-form in the id so a SQL oracle can replay the
+    * decoded statistics. w=(id%5)+1, h=(id%4)+2, pixel byte i =
+    * (id*31 + i) % 256. */
+  def ppmFromId(id: Long): Array[Byte] = {
+    val w = (id % 5 + 1).toInt
+    val h = (id % 4 + 2).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) { px(i) = ((id * 31 + i) % 256).toByte; i += 1 }
+    header ++ px
   }
 
   /** STUB resize — a real impl would rescale pixels; the fake re-hashes
@@ -76,25 +145,38 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch: real codecs initialize once per batch here
         batch.iterator.map { r =>
-          val feats = decodeStub(r.getAs[Array[Byte]](bytesIdx))
-          Row(r.getLong(idIdx), r.getString(kindIdx), feats.toSeq)
+          val bytes = r.getAs[Array[Byte]](bytesIdx)
+          val kind = r.getString(kindIdx)
+          // real PPM path for images, stub for codec-less formats
+          val feats =
+            if (kind == "image") decodePpm(bytes).getOrElse(decodeStub(bytes))
+            else decodeStub(bytes)
+          Row(r.getLong(idIdx), kind, feats.toSeq)
         }
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Build a media table from a text corpus (test harness: bytes = utf-8
-    * text, metadata derived deterministically). */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
+  /** Build a media table from a text corpus (test harness): image rows
+    * carry REAL renderable P6 bytes ([[ppmFromId]]); audio/video rows
+    * carry utf-8 text bytes for the stub path. Metadata derived
+    * deterministically. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val ppm = udf((id: Long) => ppmFromId(id))
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("bytes"),
-      struct(
-        (pmod(col("doc_id"), lit(640)) + 16).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(480)) + 16).cast("int").as("height"),
-        lit(16000).cast("int").as("sample_rate"),
-        (pmod(col("doc_id"), lit(300)) + 1).cast("int").as("n_frames")).as("meta"))
+      col("doc_id"), col("text"))
+      .select(
+        col("media_id"), col("kind"),
+        when(col("kind") === "image", ppm(col("doc_id")))
+          .otherwise(encode(col("text"), "UTF-8")).as("bytes"),
+        struct(
+          (pmod(col("doc_id"), lit(5)) + 1).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("height"),
+          lit(16000).cast("int").as("sample_rate"),
+          (pmod(col("doc_id"), lit(300)) + 1).cast("int").as("n_frames")).as("meta"))
+  }
 }

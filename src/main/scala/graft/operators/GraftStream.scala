@@ -120,10 +120,21 @@ final case class GraftStream[T](ds: Dataset[T]) {
   def any(f: T => Boolean): Boolean = !ds.filter(f).isEmpty
 
   /** par_sink/histogram.rs — exact (key, count) sorted by key.
-    * Distributed groupBy+count; only the distinct-key result is collected. */
+    * Distributed groupBy+count; only the distinct-key result is collected.
+    *
+    * DRIVER-MEMORY CLIFF (reference parity: amadeus also returns a Vec):
+    * the result is one entry PER DISTINCT KEY, so a high-cardinality key
+    * at corpus scale OOMs the driver. For anything whose cardinality you
+    * can't bound, use [[histogramDs]] and keep the frame distributed. */
   def histogram()(implicit ord: Ordering[T], e: Encoder[(T, Long)]): Seq[(T, Long)] = {
+    histogramDs().collect().toSeq.sortBy(_._1)
+  }
+
+  /** Driver-safe histogram: the same distributed groupBy+count, NOT
+    * collected — compose, write, or top-n it without driver materialization. */
+  def histogramDs()(implicit e: Encoder[(T, Long)]): Dataset[(T, Long)] = {
     implicit val te: Encoder[T] = ds.encoder
-    ds.groupByKey(identity).count().collect().toSeq.sortBy(_._1)
+    ds.groupByKey(identity).count()
   }
 
   /** par_stream.rs:181-191 sort_n_by — bounded top-n */
@@ -158,10 +169,18 @@ final case class GraftStream[T](ds: Dataset[T]) {
 
   /** group_by(sub_sink) (par_sink/group_by.rs): arbitrary aggregator per
     * key — Spark's partial aggregation replaces the reference's driver-side
-    * key-map merge, so this scales past driver memory. */
+    * key-map merge, so the AGGREGATION scales past driver memory; the
+    * collected result is still one row per key (driver cliff at
+    * unbounded key cardinality — use [[groupBySinkDs]] there). */
   def groupBySink[K, B, O](key: T => K)(agg: Aggregator[T, B, O])
       (implicit ke: Encoder[K], oe: Encoder[(K, O)]): Seq[(K, O)] =
-    ds.groupByKey(key).agg(agg.toColumn).collect().toSeq
+    groupBySinkDs(key)(agg).collect().toSeq
+
+  /** Driver-safe group_by(sub_sink): distributed per-key aggregation,
+    * NOT collected. */
+  def groupBySinkDs[K, B, O](key: T => K)(agg: Aggregator[T, B, O])
+      (implicit ke: Encoder[K], oe: Encoder[(K, O)]): Dataset[(K, O)] =
+    ds.groupByKey(key).agg(agg.toColumn)
 
   /** fork (par_stream.rs:521-547): two sinks, ONE pass over the data. */
   def fork[B1, O1, B2, O2](a: Aggregator[T, B1, O1], b: Aggregator[T, B2, O2]): (O1, O2) = {

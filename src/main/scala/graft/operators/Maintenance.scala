@@ -17,11 +17,16 @@ object Maintenance {
 
   /** Compact a parquet directory into ~`targetFileMB` files.
     *
-    * Output file count is sized from the directory's actual bytes. By
-    * default the rewrite uses `coalesce` (narrow — each output task
-    * reads a set of input files, no shuffle); pass `shuffle = true` to
+    * The requested file count is sized from the directory's on-disk
+    * (compressed) bytes. By default the rewrite uses `coalesce` (narrow —
+    * each output task reads a set of input files, no shuffle); note
+    * `coalesce` can only LOWER the partition count, so the actual output
+    * may have fewer files than requested (and file sizes drift from the
+    * target when compression ratios vary). Pass `shuffle = true` to
     * `repartition` instead when input files are size-skewed and evenly
     * sized outputs matter more than avoiding one shuffle.
+    * `CompactionStats.outputFiles` reports the file count ACTUALLY
+    * written (listed post-write), not the request.
     *
     * Writes to `outDir` (overwrite) rather than in place: compaction
     * into the live directory is not atomic on plain filesystems — the
@@ -38,7 +43,10 @@ object Maintenance {
     val df = spark.read.parquet(inDir)
     val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
     sized.write.mode(SaveMode.Overwrite).parquet(outDir)
-    CompactionStats(summary.getFileCount, summary.getLength, nOut,
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val written = fs.listStatus(outPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    CompactionStats(summary.getFileCount, summary.getLength, written,
       spark.read.parquet(outDir).count())
   }
 }

@@ -288,13 +288,20 @@ object PipelineQueries {
     }),
 
     // -- multimodal: binary column -> batched stub decode -> features ----
+    // image rows are REAL P6 (PPM) bytes decoded by the pure-JVM parser;
+    // the decoded channel statistics are integer-exact, so DuckDB replays
+    // them from the synthetic image formulas and hash-verifies the whole
+    // decode path (header parse -> pixel plane -> features). Audio/video
+    // stay on the stub path (counted, features excluded from the output).
     "m01_multimodal_features" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      def imgF(i: Int) = sum(when(col("kind") === "image",
+        element_at(col("features"), i).cast("double")))
       Multimodal.extractFeatures(media)
-        .select(col("kind"), col("features"))
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
-          round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+          imgF(1).as("sum_w"), imgF(3).as("sum_r"), imgF(4).as("sum_g"),
+          imgF(5).as("sum_b"), imgF(7).as("sum_min"), imgF(8).as("sum_max"))
         .orderBy(col("kind"))
     })
   )
@@ -441,6 +448,34 @@ object PipelineQueries {
         | round(quantile_cont(len(string_split(text,' ')), 0.95), 2) AS p95_toks,
         | count(*) AS n
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // replays the synthetic P6 content (w=(id%5)+1, h=(id%4)+2, pixel
+    // byte i=(id*31+i)%256) and re-derives the channel statistics the
+    // PPM decoder must produce; sums are integers, hence float-exact
+    "m01_multimodal_features" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind FROM documents),
+        |img AS (SELECT doc_id, (doc_id % 5) + 1 AS w, (doc_id % 4) + 2 AS h
+        |  FROM m WHERE kind = 'image'),
+        |pix0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(0, w*h*3 - 1)) AS i FROM img),
+        |pix AS (SELECT doc_id, w, (doc_id * 31 + i) % 256 AS v, i % 3 AS ch
+        |  FROM pix0),
+        |per AS (SELECT doc_id, any_value(w) AS w,
+        |   sum(CASE WHEN ch=0 THEN v END) AS sr,
+        |   sum(CASE WHEN ch=1 THEN v END) AS sg,
+        |   sum(CASE WHEN ch=2 THEN v END) AS sb,
+        |   min(v) AS mn, max(v) AS mx
+        |  FROM pix GROUP BY doc_id)
+        |SELECT m.kind, count(*) AS n,
+        | CAST(sum(p.w) AS DOUBLE) AS sum_w,
+        | CAST(sum(p.sr) AS DOUBLE) AS sum_r,
+        | CAST(sum(p.sg) AS DOUBLE) AS sum_g,
+        | CAST(sum(p.sb) AS DOUBLE) AS sum_b,
+        | CAST(sum(p.mn) AS DOUBLE) AS sum_min,
+        | CAST(sum(p.mx) AS DOUBLE) AS sum_max
+        |FROM m LEFT JOIN per p ON m.doc_id = p.doc_id
+        |GROUP BY m.kind ORDER BY m.kind""".stripMargin,
     "t07_sequence_packing" ->
       """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS toks FROM documents),
         |c AS (SELECT doc_id, toks,

@@ -43,8 +43,18 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthKey = "spark.graft.rangeJoin.bucketWidth"
 
+  /** Runtime cap on replicas per interval row (0 disables). A degenerate
+    * interval spanning ≫ width would otherwise fan out into
+    * ceil(span/width)+1 replicas — an executor OOM or max-array-length
+    * crash with no hint of the cause. Exceeding the cap raises an
+    * actionable error naming this conf and the width conf instead. */
+  val MaxBucketsKey = "spark.graft.rangeJoin.maxBucketsPerRow"
+
   private def width: Double =
     try conf.getConfString(WidthKey, "0").toDouble catch { case _: NumberFormatException => 0.0 }
+
+  private def maxBuckets: Long =
+    try conf.getConfString(MaxBucketsKey, "8192").toLong catch { case _: NumberFormatException => 8192L }
 
   /** Some(true) if e references only `l`'s output, Some(false) if only
     * `r`'s; None for literals, mixed, or empty references. */
@@ -147,9 +157,23 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               // guard inverted/null intervals: empty bucket list, no fan-out
               // Sequence is TimeZoneAwareExpression: unresolved until the
               // session tz is pinned, even for integral sequences
-              val buckets = If(LessThanOrEqual(bLo, bHi),
-                Sequence(bLo, bHi, None, Some(conf.sessionLocalTimeZone)),
-                Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+              val emptyBuckets =
+                Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false))
+              val seq = Sequence(bLo, bHi, None, Some(conf.sessionLocalTimeZone))
+              val mb = maxBuckets
+              // runtime fan-out cap: a row whose interval spans more than
+              // maxBuckets buckets raises an actionable error instead of
+              // exploding toward an OOM/max-array-length crash
+              val guarded =
+                if (mb <= 0) seq
+                else If(LessThanOrEqual(Subtract(bHi, bLo), Literal(mb)),
+                  seq,
+                  Cast(RaiseError(Literal(
+                    s"graft range-join rewrite: an interval spans more than $mb " +
+                      s"buckets of width $w; raise $WidthKey toward the p99 " +
+                      s"interval length or adjust $MaxBucketsKey")),
+                    ArrayType(LongType, containsNull = false)))
+              val buckets = If(LessThanOrEqual(bLo, bHi), guarded, emptyBuckets)
               val gAttr = AttributeReference("__graft_bucket_g", LongType, nullable = false)()
               val gen = Generate(Explode(buckets), Nil, outer = false, None, Seq(gAttr), iSide)
               val newCond = And(EqualTo(pAlias.toAttribute, gAttr), cond)

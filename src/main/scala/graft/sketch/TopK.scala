@@ -25,7 +25,13 @@ final class TopFreq[K](val n: Int, val depth: Int, val width: Int)
   // changes in a way that can move the minimum. Among tied minima the
   // evicted key is the cache's scan order rather than a per-push scan
   // order — any such choice is a valid Filtered-Space-Saving instance.
-  @transient private var minVal: Long = -1L
+  // Validity lives in a dedicated Boolean (NOT a sentinel value of
+  // minVal): deserialization skips @transient initializers and zeroes
+  // the fields, and `false` is exactly the invalid state — a sentinel
+  // like -1L would deserialize to 0L and read as a valid cache with a
+  // null minKey.
+  @transient private var minValid: Boolean = false
+  @transient private var minVal: Long = 0L
   @transient private var minKey: K = _
 
   private def refreshMin(): Unit = {
@@ -36,24 +42,24 @@ final class TopFreq[K](val n: Int, val depth: Int, val width: Int)
       val e = it.next()
       if (e._2 < mv) { mv = e._2; mk = e._1 }
     }
-    minVal = mv; minKey = mk
+    minVal = mv; minKey = mk; minValid = true
   }
 
   def push(k: K, c: Long = 1L): this.type = {
     heavy.get(k) match {
       case Some(v) =>
         heavy.update(k, v + c)
-        if (minVal >= 0 && k == minKey) minVal = -1L // min grew; rescan lazily
+        if (minValid && k == minKey) minValid = false // min grew; rescan lazily
       case None =>
         val est = cms.addConservative(k, c)
         if (heavy.size < n) {
           heavy.update(k, est)
-          minVal = -1L
+          minValid = false
         } else {
-          if (minVal < 0) refreshMin()
+          if (!minValid) refreshMin()
           if (est > minVal) {
             heavy.remove(minKey); heavy.update(k, est)
-            minVal = -1L
+            minValid = false
           }
         }
     }

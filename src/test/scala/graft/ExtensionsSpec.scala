@@ -55,6 +55,28 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.RangeJoinRule.WidthKey)
   }
 
+  test("RangeJoinRule: fan-out cap raises an actionable error, not an OOM") {
+    spark.conf.set(graft.plans.RangeJoinRule.WidthKey, "10")
+    spark.conf.set(graft.plans.RangeJoinRule.MaxBucketsKey, "5")
+    try {
+      val pts = Seq((1L, 42L)).toDF("eid", "t")
+      val wide = Seq((1L, 0L, 10000L)).toDF("wid", "lo", "hi") // 1000 buckets of 10
+      val q = pts.join(wide, col("t") >= col("lo") && col("t") <= col("hi"))
+      val e = intercept[Exception] { q.collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(graft.plans.RangeJoinRule.WidthKey)),
+        s"error does not name the width conf: ${msgs(e).mkString(" | ")}")
+      // within the cap: same join shape still works
+      val narrow = Seq((1L, 40L, 60L)).toDF("wid", "lo", "hi")
+      val ok = pts.join(narrow, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(ok.count() == 1)
+    } finally {
+      spark.conf.unset(graft.plans.RangeJoinRule.WidthKey)
+      spark.conf.unset(graft.plans.RangeJoinRule.MaxBucketsKey)
+    }
+  }
+
   test("RangeJoinRule: leaves equi-key joins and outer joins alone") {
     spark.conf.set(graft.plans.RangeJoinRule.WidthKey, "1000")
     try {

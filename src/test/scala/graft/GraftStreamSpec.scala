@@ -54,6 +54,22 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(h == Seq(0L -> 200L, 1L -> 200L, 2L -> 200L, 3L -> 200L, 4L -> 200L))
   }
 
+  test("histogramDs / groupBySinkDs stay distributed (no driver collect in plan)") {
+    // the Ds variants return un-collected frames: composing a further
+    // distributed op (filter + count) must work without materializing
+    // per-key rows on the driver, and the plan is a plain partial+final
+    // aggregate with no CollectLimit/local relation
+    val hDs = ints.map(_ % 5).histogramDs()
+    assert(hDs.isInstanceOf[org.apache.spark.sql.Dataset[_]])
+    val plan = hDs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectLimit"), s"driver-side limit in plan:\n$plan")
+    assert(hDs.filter(_._2 > 0L).count() == 5L)
+    assert(hDs.collect().toMap == ints.map(_ % 5).histogram().toMap)
+    val gDs = ints.groupBySinkDs(_ % 3)(new CountAll[Long]())
+    assert(gDs.count() == 3L)
+    assert(gDs.collect().toMap == ints.groupBySink(_ % 3)(new CountAll[Long]()).toMap)
+  }
+
   test("sortNBy / mostFrequent / sampleUnstable terminal sketches") {
     assert(ints.sortNBy(5) == Seq(0L, 1L, 2L, 3L, 4L))
     assert(ints.sortNBy(3)(Ordering[Long].reverse) == Seq(999L, 998L, 997L))

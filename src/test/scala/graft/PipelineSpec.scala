@@ -215,6 +215,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(flagged.toSeq == Seq(1L))
   }
 
+  test("multimodal: PPM decoder parses header+pixels, rejects junk") {
+    // 2x1 image, known pixels, comment in header
+    val img = ("P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60))
+    val f = Multimodal.decodePpm(img).get
+    assert(f.toSeq == Seq(2f, 1f, 50f, 70f, 90f, 210f, 10f, 60f))
+    // synthetic generator round-trips through the parser
+    val g = Multimodal.decodePpm(Multimodal.ppmFromId(7L)).get
+    assert(g(0) == (7 % 5 + 1).toFloat && g(1) == (7 % 4 + 2).toFloat)
+    val n = (7 % 5 + 1) * (7 % 4 + 2) * 3
+    assert(g(5) == (0 until n).map(i => (7 * 31 + i) % 256).sum.toFloat)
+    // rejects: wrong magic, truncated pixel plane, absurd maxval
+    assert(Multimodal.decodePpm("P5\n1 1\n255\n".getBytes ++ Array[Byte](1)).isEmpty)
+    assert(Multimodal.decodePpm("P6\n2 2\n255\n".getBytes ++ Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodePpm("P6\n1 1\n999\n".getBytes ++ Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("multimodal: stub decode is deterministic, batched, schema-stable") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.mediaFromDocuments(docs)

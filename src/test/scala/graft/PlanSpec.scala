@@ -94,6 +94,13 @@ class PlanSpec extends AnyFunSuite {
       s"expected 2 input-side exchanges, found $nExchanges (exchange not reused):\n$plan")
   }
 
+  test("d02: LSH verify join semi-prunes the shingle table to candidate ids") {
+    // without the prune, both fetch joins shuffle every document's
+    // shingle arrays; with it, only near-miss docs' shingles move
+    val p = plan("d02_minhash_lsh")
+    assert(p.contains("LeftSemi"), s"no semi-join prune before verify:\n$p")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
