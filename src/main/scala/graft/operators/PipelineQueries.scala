@@ -288,6 +288,21 @@ object PipelineQueries {
     }),
 
     // -- multimodal: binary column -> batched stub decode -> features ----
+    // batch twin of the streaming sessionizer (EventStreams.sessionize):
+    // 30-min gap sessions over events, reduced to a session-size profile.
+    // Gap test and durations are exact integer microseconds; only the
+    // value sum is a (rounded) double.
+    "st01_sessionization" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      graft.streaming.EventStreams.sessionizeBatch(e, gapMinutes = 30)
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("total_value")), 2).as("sum_value"),
+          sum(unix_micros(col("end")) - unix_micros(col("start"))).as("sum_dur_us"))
+        .orderBy(col("n_events"))
+    }),
+
     // image rows are REAL P6 (PPM) bytes decoded by the pure-JVM parser;
     // the decoded channel statistics are integer-exact, so DuckDB replays
     // them from the synthetic image formulas and hash-verifies the whole
@@ -448,6 +463,26 @@ object PipelineQueries {
         | round(quantile_cont(len(string_split(text,' ')), 0.95), 2) AS p95_toks,
         | count(*) AS n
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // gaps-and-islands: lag -> gap flag -> running sum -> session agg;
+    // gap test in exact integer microseconds (date_diff), matching the
+    // Spark side's unix_micros arithmetic
+    "st01_sessionization" ->
+      """WITH l AS (SELECT event_id, ts, user_id, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+        |    date_diff('microsecond', prev_ts, ts) > 1800000000 THEN 1
+        |    ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_no FROM f),
+        |sess AS (SELECT user_id, sess_no, min(ts) AS st, max(ts) AS en,
+        |    count(*) AS n_events, sum(value) AS total_value
+        |  FROM s GROUP BY user_id, sess_no)
+        |SELECT n_events, count(*) AS n_sessions,
+        | round(sum(total_value), 2) AS sum_value,
+        | CAST(sum(date_diff('microsecond', st, en)) AS BIGINT) AS sum_dur_us
+        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin,
+
     // replays the synthetic P6 content (w=(id%5)+1, h=(id%4)+2, pixel
     // byte i=(id*31+i)%256) and re-derives the channel statistics the
     // PPM decoder must produce; sums are integers, hence float-exact

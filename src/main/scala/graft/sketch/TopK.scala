@@ -13,8 +13,16 @@ import scala.collection.mutable
   * the CMS; a key is promoted when its estimate beats the smallest tracked
   * entry. State is O(n + depth*width) regardless of stream size.
   */
-final class TopFreq[K](val n: Int, val depth: Int, val width: Int)
-    extends Serializable {
+final class TopFreq[K](val n: Int, val depth: Int, val width: Int,
+    val capacity: Int = 0) extends Serializable {
+  // tracking slack: hold 4n counters, report n. Space-Saving's count
+  // error is ≤ N/tracked, so the boundary churn that misranks keys sits
+  // at rank ~4n while the REPORTED top n stay well inside the guarantee
+  // — the standard fix for near-tied distributions at O(n) extra memory.
+  // (SketchSpec pins ≥19/20 overlap vs exact under Zipf; near-uniform
+  // data where ranks n..4n are within CMS tolerance of each other
+  // remains genuinely unrankable by any bounded-memory sketch.)
+  val cap: Int = if (capacity > 0) capacity else math.max(n, 4 * n)
   val heavy: mutable.HashMap[K, Long] = mutable.HashMap.empty
   val cms: CountMinLong = new CountMinLong(depth, width)
 
@@ -52,7 +60,7 @@ final class TopFreq[K](val n: Int, val depth: Int, val width: Int)
         if (minValid && k == minKey) minValid = false // min grew; rescan lazily
       case None =>
         val est = cms.addConservative(k, c)
-        if (heavy.size < n) {
+        if (heavy.size < cap) {
           heavy.update(k, est)
           minValid = false
         } else {
@@ -67,17 +75,20 @@ final class TopFreq[K](val n: Int, val depth: Int, val width: Int)
   }
 
   /** Merge: union CMS, combine per-key totals (tracked count, else that
-    * side's CMS estimate), keep top n. Commutative. */
+    * side's CMS estimate), keep the top `cap` tracked (slack preserved
+    * through partial-agg merges so the final topN still has margin).
+    * Commutative. */
   def merge(o: TopFreq[K]): TopFreq[K] = {
-    require(o.n == n && o.depth == depth && o.width == width, "TopFreq shape mismatch")
-    val out = new TopFreq[K](n, depth, width)
+    require(o.n == n && o.depth == depth && o.width == width && o.cap == cap,
+      "TopFreq shape mismatch")
+    val out = new TopFreq[K](n, depth, width, cap)
     val merged = cms.merge(o.cms)
     System.arraycopy(merged.cells, 0, out.cms.cells, 0, merged.cells.length)
     def side(t: TopFreq[K], k: K): Long =
       t.heavy.getOrElse(k, if (t.cms.estimate(k) > 0) t.cms.estimate(k) else 0L)
     val keys = heavy.keySet ++ o.heavy.keySet
     val totals = keys.toSeq.map(k => k -> (side(this, k) + side(o, k)))
-    totals.sortBy(-_._2).take(n).foreach { case (k, v) => out.heavy.update(k, v) }
+    totals.sortBy(-_._2).take(cap).foreach { case (k, v) => out.heavy.update(k, v) }
     out
   }
 

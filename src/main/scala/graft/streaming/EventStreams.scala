@@ -84,6 +84,34 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Batch twin of [[sessionize]]: the same gap-split semantics as a pure
+    * declarative gaps-and-islands plan (lag → new-session flag → running
+    * sum → per-session aggregate) — one shuffle on user_id, fully inside
+    * Catalyst, replayable by any SQL engine (the st01 gate query
+    * hash-verifies it against a DuckDB gaps-and-islands oracle).
+    *
+    * Equivalence contract (asserted in StreamingSpec): this emits EVERY
+    * session including each user's trailing one, while the
+    * flatMapGroupsWithState form emits only gap-closed sessions (the
+    * trailing session stays in state awaiting more events/timeout).
+    * Gap comparison is in exact integer microseconds on both sides.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess", when(col("prev_ts").isNull ||
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .drop("sess_no")
+  }
+
   /** Streaming exact-dedup on id columns — the streaming twin of the
     * batch `dropDuplicates` dedup stage in the curation pipeline.
     *

@@ -130,6 +130,35 @@ class SketchSpec extends AnyFunSuite {
 
   // ---- TopDistinct ----------------------------------------------------
 
+  test("TopFreq: >=19/20 overlap with exact top-20 under Zipf skew, merged") {
+    // Zipf(s=1.1) over 5000 keys by inverse-CDF sampling — the realistic
+    // heavy-hitter regime (token/url/key frequencies). With tracking
+    // slack (cap = 4n), the reported top 20 must overlap the exact top 20
+    // in >=19 keys even when the sketch is built distributed (8 partial
+    // sketches merged). Near-uniform data, where ranks n..4n differ by
+    // less than the CMS tolerance, is NOT covered by this bound — no
+    // bounded-memory sketch can rank statistically-tied keys.
+    val rnd = new scala.util.Random(42)
+    val nKeys = 5000
+    val cum = Array.tabulate(nKeys)(i => 1.0 / math.pow(i + 1, 1.1))
+      .scanLeft(0.0)(_ + _).tail
+    def draw(): Long = {
+      val x = rnd.nextDouble() * cum.last
+      val i = java.util.Arrays.binarySearch(cum, x)
+      (if (i >= 0) i else -i - 1).toLong
+    }
+    val data = Array.fill(200000)(draw())
+    val exactTop = data.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (k, v) => (-v, k) }.take(20).map(_._1).toSet
+    val merged = data.grouped(25000).map { chunk =>
+      chunk.foldLeft(TopFreq[Long](20, 0.99, 0.002))((t, k) => t.push(k))
+    }.reduce(_ merge _)
+    val got = merged.topN.map(_._1).toSet
+    assert(got.size == 20)
+    val overlap = (exactTop & got).size
+    assert(overlap >= 19, s"only $overlap/20 heavy hitters found under Zipf")
+  }
+
   test("TopDistinct ranks keys by distinct-value count") {
     val td = TopDistinct[String](5, 0.99, 0.002, 0.05)
     (0 until 1000).foreach(i => td.push("many", i.toLong))

@@ -62,6 +62,32 @@ class StreamingSpec extends AnyFunSuite {
       s"expected closed first session, got $closed")
   }
 
+  test("sessionizeBatch == streaming closed sessions + one trailing session per user") {
+    val events = Seq(
+      Event(1, ts(0), 7, "a", 1.0),
+      Event(2, ts(10), 7, "a", 2.0),   // same session (gap 10 < 30)
+      Event(3, ts(100), 7, "a", 4.0),  // new session (gap 90)
+      Event(4, ts(105), 7, "a", 8.0),
+      Event(5, ts(0), 8, "b", 1.5))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = EventStreams.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_twin_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table("sess_twin_out").as[Session].collect().toSet
+    val batch = EventStreams.sessionizeBatch(events.toDF(), gapMinutes = 30)
+      .select(col("user_id"), col("start"), col("end"), col("n_events"), col("total_value"))
+      .as[Session].collect().toSet
+    // every gap-closed streaming session appears identically in the batch
+    // twin, and the batch twin adds exactly the per-user trailing sessions
+    assert(closed.subsetOf(batch), s"closed=$closed not within batch=$batch")
+    assert(batch == closed ++ Set(
+      Session(7, ts(100), ts(105), 2, 12.0),
+      Session(8, ts(0), ts(0), 1, 1.5)))
+  }
+
   test("streaming dedup drops in-watermark duplicates; batch twin agrees") {
     implicit val sqlCtx = spark.sqlContext
     val base = (0 until 100).map { i =>
