@@ -241,6 +241,50 @@ final case class DynStream(df: DataFrame) {
 
   /** field names in order (Group's name→ordinal map) */
   def fieldNames: Seq[String] = df.columns.toSeq
+
+  // ---- Value::as_* downcast family ------------------------------------
+  // (amadeus-types/src/value.rs:449-1200). Column-level checked
+  // downcasts: with ANSI off (GraftSession), an incoercible value casts
+  // to NULL — the faithful Spark mapping of the reference's
+  // Option-returning `as_*`; the `into_*` consuming twins have no JVM
+  // meaning (no move semantics) and collapse onto these. Unsigned types
+  // land in the one-size-wider signed type, matching
+  // [[graft.sources.SchemaMapper]] so every downcast round-trips through
+  // parquet/CSV/JDBC unchanged.
+  private def as(name: String, t: String) = get(name).cast(t)
+  def asBool(name: String): org.apache.spark.sql.Column = as(name, "boolean")
+  def asI8(name: String): org.apache.spark.sql.Column = as(name, "tinyint")
+  def asI16(name: String): org.apache.spark.sql.Column = as(name, "smallint")
+  def asI32(name: String): org.apache.spark.sql.Column = as(name, "int")
+  def asI64(name: String): org.apache.spark.sql.Column = as(name, "bigint")
+  def asU8(name: String): org.apache.spark.sql.Column = as(name, "smallint")
+  def asU16(name: String): org.apache.spark.sql.Column = as(name, "int")
+  def asU32(name: String): org.apache.spark.sql.Column = as(name, "bigint")
+  def asU64(name: String): org.apache.spark.sql.Column = as(name, "decimal(20,0)")
+  def asF32(name: String): org.apache.spark.sql.Column = as(name, "float")
+  def asF64(name: String): org.apache.spark.sql.Column = as(name, "double")
+  def asDecimal(name: String, precision: Int = 38, scale: Int = 18): org.apache.spark.sql.Column =
+    as(name, s"decimal($precision,$scale)")
+  def asString(name: String): org.apache.spark.sql.Column = as(name, "string")
+  def asBytes(name: String): org.apache.spark.sql.Column = as(name, "binary")
+  def asDate(name: String): org.apache.spark.sql.Column = as(name, "date")
+  /** μs from midnight (the reference's Time has no Spark native type) */
+  def asTime(name: String): org.apache.spark.sql.Column = as(name, "bigint")
+  def asTimestamp(name: String): org.apache.spark.sql.Column = as(name, "timestamp")
+  def asTimestampNtz(name: String): org.apache.spark.sql.Column = as(name, "timestamp_ntz")
+  /** Value::Json passthrough + pointer extraction (`as_json`) */
+  def asJson(name: String, path: String = "$"): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.get_json_object(asString(name), path)
+  /** enum ≅ its string discriminant */
+  def asEnum(name: String): org.apache.spark.sql.Column = asString(name)
+  def asUrl(name: String): org.apache.spark.sql.Column = asString(name)
+  def asIpAddr(name: String): org.apache.spark.sql.Column = asString(name)
+  /** as_list / as_group: structural — the column already IS the
+    * composite; element/field access composes via getItem/getField */
+  def asList(name: String): org.apache.spark.sql.Column = get(name)
+  def asGroup(name: String): org.apache.spark.sql.Column = get(name)
+  /** Option::Some unwrap ≅ null-filter + value */
+  def asSome(name: String): DynStream = DynStream(df.filter(get(name).isNotNull))
 }
 
 object GraftStream {

@@ -144,6 +144,30 @@ class GraftStreamSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] { dyn.get("missing") }
   }
 
+  test("DynStream Value::as_* downcasts: widening, null-on-mismatch, json, option") {
+    val dyn = GraftStream.fromSeq(spark, Seq(
+      ("42", 7L, 3.5, """{"k":1}""", Option("x")),
+      ("not-a-number", 300L, -1.25, """{"k":2}""", None))).upcast
+    // numeric downcasts: coercible strings convert, junk -> NULL (= None)
+    val i32 = dyn.df.select(dyn.asI32("_1")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(i32.toSet == Set(Some(42), None))
+    // u8 widens to short: 300 survives (stored widened, like SchemaMapper)
+    assert(dyn.df.select(dyn.asU8("_2")).collect().map(_.getShort(0)).toSet ==
+      Set(7.toShort, 300.toShort))
+    assert(dyn.df.select(dyn.asU64("_2")).schema.head.dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    assert(dyn.df.select(dyn.asF32("_3")).collect().map(_.getFloat(0)).toSet ==
+      Set(3.5f, -1.25f))
+    // as_json pointer extraction
+    assert(dyn.df.select(dyn.asJson("_4", "$.k")).collect()
+      .map(_.getString(0)).toSet == Set("1", "2"))
+    // Option unwrap: null-filter semantics
+    assert(dyn.asSome("_5").count() == 1)
+    // bool downcast of junk -> null, not an error (ANSI off)
+    assert(dyn.df.select(dyn.asBool("_1")).collect().count(_.isNullAt(0)) == 2)
+  }
+
   test("typed csv/json round-trip via GraftStream sources") {
     val dir = "target/qtmp/stream_rt"
     val data = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
