@@ -168,14 +168,20 @@ object Ann {
     val corpus = banded(withSig)
     val queries = banded(withSig.filter(querySelector))
       .withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec")
+    // score BEFORE the distinct: a pair surfacing in b bands re-computes
+    // the (fused, codegen'd) cosine b≤4 times map-side, but the dedup
+    // exchange then carries three scalars per candidate instead of both
+    // full embedding vectors as grouping keys — the shuffle is what hurts
+    // at corpus scale, not the dot product. cos is deterministic per
+    // pair, so distinct on (query_id, neighbor_id, cos) == distinct pairs.
     val cand = corpus.join(broadcast(queries),
         Seq("band", "h")).filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("cos", cosine(col("qvec"), col("vec")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 }
