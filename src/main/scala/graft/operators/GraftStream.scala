@@ -160,6 +160,24 @@ final case class GraftStream[T](ds: Dataset[T]) {
       key, value.andThen(_.asInstanceOf[Any])).toColumn).head()
   }
 
+  /** SampleTotal (amadeus-streaming/src/sample.rs:7-33): exactly-k
+    * uniform sample WITHOUT replacement. The reference streams one pass
+    * with sequential selection (Algorithm S), which is why it must be
+    * told the population size up front; the Spark-first equivalent is a
+    * random-permutation prefix — rank every row by a seeded random key
+    * and take the k smallest — which Catalyst plans as
+    * TakeOrderedAndProject: per-partition bounded top-k (narrow), driver
+    * merge of partitions×k candidates, NO global sort and no prior
+    * count. Statistically identical (any fixed k-subset is equally
+    * likely), deterministic for a fixed seed and partition layout.
+    * Exactly min(k, population) rows out. */
+  def sampleTotal(k: Int, seed: Long = 42L): GraftStream[T] = {
+    implicit val te: Encoder[T] = ds.encoder
+    import org.apache.spark.sql.functions.{col, rand}
+    val keyed = ds.toDF().withColumn("__r", rand(seed))
+    GraftStream(keyed.orderBy(col("__r")).limit(k).drop("__r").as[T])
+  }
+
   /** par_stream.rs:375-389 sample_unstable — exact-k mergeable reservoir */
   def sampleUnstable(k: Int, seed: Long = 42L): Seq[T] = {
     implicit val outEnc: Encoder[Seq[T]] =

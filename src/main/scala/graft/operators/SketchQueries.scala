@@ -129,6 +129,23 @@ object SketchQueries {
     // Reservoir under groupByKey. Sample CONTENTS depend on partition
     // order (rows-only would be meaningless) — the output is the
     // deterministic shape (group, capped size), contents spec-checked.
+    // -- sample_total (exact-k without replacement, sample.rs:7-33) ------
+    // random-permutation-prefix form -> TakeOrderedAndProject (PlanSpec).
+    // The output aggregates the sample's CONTRACT, which IS
+    // SQL-expressible and hash-gated: exactly k rows, all distinct, all
+    // from the population (semi-join back to documents). The sampled ids
+    // themselves are seed-dependent (rows-only would be the only option),
+    // but the contract oracle pins exactness through the driver gate.
+    "sk11_sample_total" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val sample = GraftStream(docs).sampleTotal(100, seed = 7L).ds.toDF("doc_id")
+      val valid = sample.join(Tables.documents(s, d).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      sample.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_distinct"))
+        .crossJoin(valid.agg(count(lit(1)).as("n_valid")))
+    }),
+
     "sk10_reservoir_per_key" -> ((s, d) => {
       import s.implicits._
       val ds = Tables.events(s, d)
@@ -172,6 +189,8 @@ object SketchQueries {
       """SELECT o_custkey, count(*) AS n_orders,
         | round(sum(o_totalprice),2) AS total_spent
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "sk11_sample_total" ->
+      "SELECT CAST(100 AS BIGINT) AS n_rows, CAST(100 AS BIGINT) AS n_distinct, CAST(100 AS BIGINT) AS n_valid",
     "sk10_reservoir_per_key" ->
       """SELECT event_type, least(5, count(*)) AS n_sampled
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

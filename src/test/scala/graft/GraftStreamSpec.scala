@@ -79,6 +79,22 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(sample.length == 25 && sample.distinct.length == 25)
   }
 
+  test("sampleTotal: exactly k, no replacement, deterministic, roughly uniform") {
+    val s = ints.sampleTotal(100, seed = 7L).collect()
+    assert(s.length == 100 && s.distinct.length == 100)
+    assert(s.forall(v => v >= 0 && v < 1000))
+    // deterministic under a fixed seed + layout
+    assert(ints.sampleTotal(100, seed = 7L).collect() == s)
+    // different seed -> (almost surely) different subset
+    assert(ints.sampleTotal(100, seed = 8L).collect().toSet != s.toSet)
+    // k >= population degrades to the whole population
+    assert(ints.sampleTotal(5000).collect().sorted == (0L until 1000L))
+    // rough uniformity: mean of a 100-of-1000 uniform draw has sd ~29;
+    // 5 sigma around 499.5
+    val mean = s.sum.toDouble / s.length
+    assert(math.abs(mean - 499.5) < 145, s"suspicious sample mean $mean")
+  }
+
   test("mostDistinct ranks by distinct count") {
     // key k has (k+1)*50 distinct values
     val data = for (k <- 0 until 4; v <- 0 until (k + 1) * 50) yield (s"k$k", s"v$k-$v")

@@ -94,6 +94,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected 2 input-side exchanges, found $nExchanges (exchange not reused):\n$plan")
   }
 
+  test("sk11: sampleTotal plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("sk11_sample_total")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact-k sample degraded to a global sort:\n$p")
+  }
+
   test("d02: LSH verify join semi-prunes the shingle table to candidate ids") {
     // without the prune, both fetch joins shuffle every document's
     // shingle arrays; with it, only near-miss docs' shingles move
