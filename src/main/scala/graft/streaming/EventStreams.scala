@@ -149,6 +149,32 @@ object EventStreams {
     deduped.drop("__norm_digest")
   }
 
+  /** Streaming NEAR-dup document filter keyed on the 64-bit SimHash of
+    * the normalized token stream: documents whose signatures collide
+    * exactly within the watermark horizon are dropped as they arrive.
+    *
+    * This is the streaming analog of `Dedup.simhashPairs` restricted to
+    * hamming distance 0 — banded candidate joins are not expressible in
+    * a single watermarked streaming stage (a stateful self-join over 4
+    * band keys would need multi-key state Spark's dedup operator doesn't
+    * provide), but distance-0 collisions already catch the
+    * near-identical boilerplate that dominates streaming ingest, with
+    * the same bounded-state contract as [[dedupEvents]]. Batch input
+    * degrades to a plain signature dropDuplicates. The SimHash is the
+    * native codegen'd expression — no UDF in the stream. */
+  def dedupDocsSimhash(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame = {
+    val keyed = docs.withColumn("__simhash",
+      graft.dedup.Dedup.simhash(
+        graft.functions.TextFunctions.normalize(col(textCol))))
+    val deduped =
+      if (docs.isStreaming)
+        keyed.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("__simhash")
+      else keyed.dropDuplicates("__simhash")
+    deduped.drop("__simhash")
+  }
+
   /** Streaming read of an events parquet directory (schema-first, as
     * readStream requires). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -129,6 +129,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() == 2)
   }
 
+  test("streaming simhash near-dup filter drops signature-colliding docs") {
+    implicit val sqlCtx = spark.sqlContext
+    // identical token streams after normalization -> same simhash; a
+    // genuinely different text -> different signature survives
+    val docs = Seq(
+      (1L, ts(0), "The quick brown fox jumps over the lazy dog"),
+      (2L, ts(1), "the QUICK brown fox... jumps over the lazy dog!"), // near-dup
+      (3L, ts(2), "an entirely unrelated piece of text about sparks"),
+      (4L, ts(3), "The quick brown fox jumps over the lazy dog")) // exact dup
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    stream.addData(docs)
+    val q = EventStreams.dedupDocsSimhash(
+        stream.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "2 hours")
+      .writeStream.format("memory").queryName("simhash_dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("simhash_dedup_out")
+    assert(kept.count() == 2, s"expected 2 docs after near-dup filter, got ${kept.count()}")
+    assert(!kept.columns.contains("__simhash"))
+    // batch twin agrees
+    assert(EventStreams.dedupDocsSimhash(
+      docs.toDF("doc_id", "ts", "text"), "text", "ts").count() == 2)
+  }
+
   test("file-based readStream over events parquet drives the same agg") {
     val q = EventStreams.windowedAgg(
         EventStreams.readEventStream(spark, "/root/testdata/sf0.001"),
