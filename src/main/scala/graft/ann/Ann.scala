@@ -86,50 +86,90 @@ object Ann {
   def signature(vec: Column, nBits: Int): Column =
     graft.plans.HyperplaneSignatureExpression.hyperplaneSig(vec, nBits)
 
+  /** Driver-local spherical k-means (Lloyd's on unit vectors, cosine
+    * metric) over a bounded sample — the IVF trainer. k·dim·iters flops
+    * on ≤ maxTrainRows rows: microseconds of driver CPU, ZERO Spark jobs
+    * (the MLlib form this replaced launched several jobs per iteration
+    * and dominated a03's runtime). Deterministic under `seed`. */
+  private[ann] def sphericalKMeans(sample: Array[Array[Float]], k: Int,
+      iters: Int, seed: Long): Array[Array[Float]] = {
+    require(sample.nonEmpty, "ivf training sample is empty")
+    val dim = sample(0).length
+    def normalized(v: Array[Float]): Array[Float] = {
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(n2)
+      if (n == 0.0) v else v.map(x => (x / n).toFloat)
+    }
+    val unit = sample.map(normalized)
+    val rnd = new scala.util.Random(seed)
+    var cents = rnd.shuffle(unit.indices.toVector).take(k).map(unit).toArray
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      unit.foreach { v =>
+        var best = 0; var bestD = Double.MinValue; var c = 0
+        while (c < cents.length) {
+          val d = dot(v, cents(c)); if (d > bestD) { bestD = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) unit(rnd.nextInt(unit.length)) // re-seed empty cell
+        else normalized(sums(c).map(_.toFloat))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: cluster the corpus into
-    * `nLists` Voronoi cells (k-means), search only the `nProbe` cells
-    * nearest to each query, exact cosine re-rank inside them.
+    * `nLists` Voronoi cells (spherical k-means — the cosine-metric
+    * variant, matching the cosine ranking), search only the `nProbe`
+    * cells nearest to each query, exact cosine re-rank inside them.
     *
-    * Scale shape: train on a sample (driver-bounded), assignment is a
-    * narrow map over the corpus, and the probe join shuffles corpus rows
-    * once keyed by cell id — each query scans ~nProbe/nLists of the data.
+    * Scale shape: train on a driver-bounded sample with zero Spark jobs,
+    * assignment is ONE narrow codegen'd pass over the corpus (an
+    * argmax-of-16-fused-cosines expression against literal centroids —
+    * no MLlib model broadcast, no ml-vector conversion), and the probe
+    * join shuffles corpus rows once keyed by cell id — each query scans
+    * ~nProbe/nLists of the data.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       querySelector: Column, k: Int,
       nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       maxTrainRows: Long = 20000L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
 
-    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // train centroids on a bounded sample: k-means quality needs only a
-    // representative sample, and fitting on the full corpus would make
-    // training the scale bottleneck (every IVF/FAISS deployment trains on
-    // a sample for the same reason). The sample takes the first
-    // maxTrainRows/nParts rows of EVERY partition — spread across the
-    // whole corpus with no prior count() job (an exact-fraction sample
-    // would need a full extra scan just to size the fraction; VERDICT r2
-    // "what's wrong" #2). Assignment below still scans everything —
-    // that's the narrow, parallel part.
-    val feat = withVec.select("features")
-    val nParts = math.max(1, feat.rdd.getNumPartitions)
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // bounded training sample: first maxTrainRows/nParts rows of EVERY
+    // partition — spread across the corpus with no prior count() job
+    val vecOnly = withVec.select("vec")
+    val nParts = math.max(1, vecOnly.rdd.getNumPartitions)
     val perPart = math.max(1, (maxTrainRows / nParts).toInt)
-    val train = emb.sparkSession.createDataFrame(
-      feat.rdd.mapPartitions(_.take(perPart)), feat.schema)
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(train)
-    val assigned = model.transform(withVec)
-      .select(col("id"), col("vec"), col("prediction").as("cell"))
+    val sample = vecOnly.rdd.mapPartitions(_.take(perPart))
+      .map(_.getSeq[Float](0).toArray).collect()
+    val cents = sphericalKMeans(sample, nLists, iters = 10, seed)
 
-    // nProbe nearest cells per query, via a tiny broadcast centroid table
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat).toSeq)
-    }.toSeq
+    // assignment: argmax over nLists fused cosine evaluations against
+    // literal centroid arrays — narrow, whole-stage-codegen'd
+    val centCols = cents.map(c => cosine(col("vec"), typedlit(c.toSeq)))
+    val cosArr = array(centCols: _*)
+    val assigned = withVec.withColumn("cell",
+      (array_position(cosArr, array_max(cosArr)) - 1).cast("int"))
+
     val spark = emb.sparkSession
     import spark.implicits._
-    val centDf = centroids.toDF("cell", "centroid")
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
     val queries = assigned.filter(querySelector)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
     val wProbe = Window.partitionBy(col("query_id"))
