@@ -94,6 +94,22 @@ class SourceSpec extends AnyFunSuite {
       s"unexpected failure: $msg")
   }
 
+  test("jdbc: LIVE partitioned parallel read against embedded Derby") {
+    // the one Jdbc feature s07 doesn't cover: split reads via
+    // (partitionColumn, lower, upper, numPartitions) — mandatory at scale
+    val url = "jdbc:derby:target/qtmp/derby_part_test;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val data = (0L until 200L).map(i => (i, s"name_$i", i * 1.5))
+    Jdbc.write(data.toDF("id", "name", "score"), url, "part_read_t",
+      mode = "overwrite", props = props)
+    val part = Jdbc.read(spark, url, Jdbc.Table("part_read_t"), props,
+      partitioning = Some(Jdbc.Partitioning("id", 0L, 200L, 4)))
+    assert(part.rdd.getNumPartitions == 4, "partitioned read did not split")
+    val got = part.select(col("id"), col("name"), col("score"))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == data, "partitioned read lost or duplicated rows")
+  }
+
   test("schema mapper: unsigned widening + round-trip naming") {
     assert(SchemaMapper.toSpark("u64") == DecimalType(20, 0))
     assert(SchemaMapper.toSpark("u32") == LongType)
