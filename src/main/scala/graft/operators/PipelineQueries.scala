@@ -104,6 +104,27 @@ object PipelineQueries {
           col("vec_id") < 5, k = 10)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
 
+    // -- ANN recall CONTRACT, gate-enforced: a02/a03's neighbor sets are
+    // seed-deterministic but engine-specific (no SQL replay of the LSH /
+    // IVF structures), so those stay rows-only; what IS hash-gateable is
+    // the recall guarantee itself — brute-force truth and both
+    // approximate answers computed in-plan, recall via semi-joins, the
+    // thresholds mirroring PipelineSpec. The driver now re-proves the
+    // approximation quality every round, not just ScalaTest. ------------
+    "a04_ann_contract" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+      val bf = pairs(Ann.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10))
+      val lsh = pairs(Ann.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10))
+      val ivf = pairs(Ann.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10))
+      val total = bf.count().toDouble
+      val lshHit = bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val ivfHit = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      import s.implicits._
+      Seq((lshHit / total >= 0.4, ivfHit / total >= 0.4))
+        .toDF("lsh_recall_ok", "ivf_recall_ok")
+    }),
+
     // -- text analysis: token stats per language -------------------------
     "t01_token_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -322,6 +343,8 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a04_ann_contract" ->
+      "SELECT TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok",
     "p01_curation_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, text,

@@ -129,6 +129,29 @@ object SketchQueries {
     // Reservoir under groupByKey. Sample CONTENTS depend on partition
     // order (rows-only would be meaningless) — the output is the
     // deterministic shape (group, capped size), contents spec-checked.
+    // -- sketch accuracy CONTRACTS, gate-enforced: the HLL estimate and
+    // the reservoir members are engine-specific (rows-only as values),
+    // but their guarantees are checkable facts — estimate within 3σ of
+    // the exact distinct count, reservoir exactly k distinct members all
+    // drawn from the population. --------------------------------------
+    "sk12_sketch_contracts" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.lineitem(s, d).select(col("l_partkey")).as[Long]
+      val est = keys.select(new HllDistinct[Long](14, identity).toColumn).head()
+      val exact = keys.distinct().count()
+      // b=14 -> relative sigma = 1.04/sqrt(2^14) ≈ 0.81%
+      val hllOk = math.abs(est - exact).toDouble / exact <= 3 * 1.04 / math.sqrt(1 << 14)
+      // rows are sampled from a multiset (partkeys repeat), so the
+      // contract is exact SIZE, not distinctness of values
+      val sample = GraftStream(keys).sampleUnstable(50, seed = 11L)
+      val resSizeOk = sample.length == 50
+      // membership via anti-join (no population collect on the driver)
+      val outside = sample.toDF("l_partkey")
+        .join(keys.toDF(), Seq("l_partkey"), "left_anti").count()
+      Seq((hllOk, resSizeOk, outside == 0L))
+        .toDF("hll_ok", "res_size_ok", "res_member_ok")
+    }),
+
     // -- sample_total (exact-k without replacement, sample.rs:7-33) ------
     // random-permutation-prefix form -> TakeOrderedAndProject (PlanSpec).
     // The output aggregates the sample's CONTRACT, which IS
@@ -191,6 +214,8 @@ object SketchQueries {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "sk11_sample_total" ->
       "SELECT CAST(100 AS BIGINT) AS n_rows, CAST(100 AS BIGINT) AS n_distinct, CAST(100 AS BIGINT) AS n_valid",
+    "sk12_sketch_contracts" ->
+      "SELECT TRUE AS hll_ok, TRUE AS res_size_ok, TRUE AS res_member_ok",
     "sk10_reservoir_per_key" ->
       """SELECT event_type, least(5, count(*)) AS n_sampled
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
