@@ -189,6 +189,44 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // -- stratified-sampling CONTRACT, gate-enforced: sampled-per-stratum
+    // counts are seed-dependent (rows-only in p02), but each stratum's
+    // rate must sit within 5σ of the target Bernoulli fraction — the
+    // oracle lists the strata, so a vanished stratum also fails ---------
+    "p05_sample_contract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val langs = docs.select(col("lang")).distinct()
+        .collect().map(_.getString(0))
+      val sampled = docs.stat.sampleBy("lang", langs.map(_ -> 0.5).toMap, 42L)
+      val tot = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val got = sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      tot.join(got, Seq("lang"), "left_outer")
+        .select(col("lang"),
+          (abs(coalesce(col("n_sampled"), lit(0L)) - col("n_total") * 0.5) <=
+            lit(5.0) * sqrt(col("n_total") * 0.25)).as("rate_ok"))
+        .orderBy(col("lang"))
+    }),
+
+    // -- SimHash banding CONTRACT, gate-enforced: 4×16-bit banding
+    // guarantees EVERY pair within hamming distance 3 shares an exact
+    // band (pigeonhole: 3 flipped bits cannot touch 4 bands), and the
+    // verify step filters false positives — so simhashPairs must equal
+    // the brute-force hamming join exactly. Both sides computed in-plan.
+    "d08_simhash_contract" -> ((s, d) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      val l = sigs.as("l"); val r = sigs.as("r")
+      val brute = l.join(r, col("l.doc_id") < col("r.doc_id"))
+        .filter(Dedup.hamming64(col("l.sig"), col("r.sig")) <= 3)
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      val lsh = Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
+        .select(col("a"), col("b"))
+      import s.implicits._
+      Seq((lsh.join(brute, Seq("a", "b"), "left_anti").count() == 0L,
+        brute.join(lsh, Seq("a", "b"), "left_anti").count() == 0L))
+        .toDF("no_false_pairs", "no_missed_pairs")
+    }),
+
     // -- end-to-end curation: quality filter -> exact dedup -> stats -----
     // the composition story: a training-data pipeline as ONE declarative
     // plan (filter/pushdown -> window dedup -> aggregate), no staging
@@ -345,6 +383,10 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "a04_ann_contract" ->
       "SELECT TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok",
+    "p05_sample_contract" ->
+      "SELECT DISTINCT lang, TRUE AS rate_ok FROM documents ORDER BY lang",
+    "d08_simhash_contract" ->
+      "SELECT TRUE AS no_false_pairs, TRUE AS no_missed_pairs",
     "p01_curation_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, text,
