@@ -152,6 +152,23 @@ object SketchQueries {
         .toDF("hll_ok", "res_size_ok", "res_member_ok")
     }),
 
+    // -- approx-quantile rank CONTRACT, gate-enforced: the sketch values
+    // are engine-specific (sk09 rows-only), but the rank guarantee is a
+    // fact — the fraction of rows at or below the approximate pXX must
+    // sit within a small margin of XX (GK accuracy 1000 → rank error
+    // ≤ 1e-3; margin 0.02 absorbs ties) -------------------------------
+    "sk13_quantile_contract" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("p"))
+      val qs = li.agg(
+        expr("approx_percentile(p, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(p, 0.95, 1000)").as("a95"))
+      li.crossJoin(broadcast(qs))
+        .agg(avg(when(col("p") <= col("a50"), 1.0).otherwise(0.0)).as("r50"),
+          avg(when(col("p") <= col("a95"), 1.0).otherwise(0.0)).as("r95"))
+        .select((col("r50") >= 0.48 && col("r50") <= 0.52).as("p50_rank_ok"),
+          (col("r95") >= 0.93 && col("r95") <= 0.97).as("p95_rank_ok"))
+    }),
+
     // -- sample_total (exact-k without replacement, sample.rs:7-33) ------
     // random-permutation-prefix form -> TakeOrderedAndProject (PlanSpec).
     // The output aggregates the sample's CONTRACT, which IS
@@ -216,6 +233,8 @@ object SketchQueries {
       "SELECT CAST(100 AS BIGINT) AS n_rows, CAST(100 AS BIGINT) AS n_distinct, CAST(100 AS BIGINT) AS n_valid",
     "sk12_sketch_contracts" ->
       "SELECT TRUE AS hll_ok, TRUE AS res_size_ok, TRUE AS res_member_ok",
+    "sk13_quantile_contract" ->
+      "SELECT TRUE AS p50_rank_ok, TRUE AS p95_rank_ok",
     "sk10_reservoir_per_key" ->
       """SELECT event_type, least(5, count(*)) AS n_sampled
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
