@@ -190,6 +190,68 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Persistent IVF index: train centroids, assign cells, and write the
+    * corpus as a table BUCKETED BY CELL — the build-once/probe-many
+    * production shape. Probing with [[ivfTopKIndexed]] then prunes at the
+    * bucket level: an `cell IN (...)` filter on a bucketed table makes
+    * Spark read ONLY the probed cells' files (SelectedBucketsCount in the
+    * scan), so each query batch touches ~nProbe/nLists of the index
+    * bytes — no re-assignment scan, no shuffle of the corpus at query
+    * time. Returns the centroids (tiny; persist them next to the table).
+    */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      table: String, nLists: Int = 16, seed: Long = 42L,
+      maxTrainRows: Long = 20000L): Array[Array[Float]] = {
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val vecOnly = withVec.select("vec")
+    val nParts = math.max(1, vecOnly.rdd.getNumPartitions)
+    val perPart = math.max(1, (maxTrainRows / nParts).toInt)
+    val sample = vecOnly.rdd.mapPartitions(_.take(perPart))
+      .map(_.getSeq[Float](0).toArray).collect()
+    val cents = sphericalKMeans(sample, nLists, iters = 10, seed)
+    val centCols = cents.map(c => cosine(col("vec"), typedlit(c.toSeq)))
+    val cosArr = array(centCols: _*)
+    val assigned = withVec.withColumn("cell",
+      (array_position(cosArr, array_max(cosArr)) - 1).cast("int"))
+    graft.operators.Bucketing.writeBucketed(assigned, table, "cell", nLists)
+    cents
+  }
+
+  /** Probe a [[buildIvfIndex]] table: per-query nProbe nearest cells via
+    * the (tiny) centroid set, one bucket-pruned scan of the index
+    * restricted to the union of probed cells, exact cosine re-rank
+    * inside them. The probed-cell union is bounded by queries×nProbe
+    * (driver-side, small by contract — ANN probing is a small-query-set
+    * operation; large query sets belong on [[lshTopK]]'s corpus-shuffle
+    * path). */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      cents: Array[Array[Float]], queries: DataFrame, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+    val q = queries.select(col("query_id"), col("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("centroid_cos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centDf))
+      .withColumn("centroid_cos", cosine(col("qvec"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    // literal cell list => bucket pruning on the bucketed index scan
+    val cells = probed.select("cell").distinct().as[Int].collect().sorted
+    val idx = spark.table(table).filter(col("cell").isin(cells.map(Int.box): _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    idx.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH approximate top-k: candidates share at least one signature band
     * with the query; exact cosine re-ranking on candidates only. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,

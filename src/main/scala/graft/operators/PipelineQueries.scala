@@ -104,6 +104,23 @@ object PipelineQueries {
           col("vec_id") < 5, k = 10)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
 
+    // -- persistent IVF index CONTRACT, gate-enforced: the bucket-pruned
+    // probe of the build-once index must return EXACTLY what the in-plan
+    // IVF returns (same seed -> same centroids -> same assignment) ------
+    "a05_ann_index_contract" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Ann.buildIvfIndex(emb, "vec_id", "embedding",
+        "graft_ivf_idx_gate", nLists = 16, seed = 42L)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val indexed = Ann.ivfTopKIndexed(s, "graft_ivf_idx_gate", cents, queries, k = 10)
+      val direct = Ann.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 10)
+      import s.implicits._
+      Seq((indexed.exceptAll(direct).count() == 0L &&
+        direct.exceptAll(indexed).count() == 0L))
+        .toDF("indexed_matches_direct")
+    }),
+
     // -- ANN recall CONTRACT, gate-enforced: a02/a03's neighbor sets are
     // seed-deterministic but engine-specific (no SQL replay of the LSH /
     // IVF structures), so those stay rows-only; what IS hash-gateable is
@@ -383,6 +400,8 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "a04_ann_contract" ->
       "SELECT TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok",
+    "a05_ann_index_contract" ->
+      "SELECT TRUE AS indexed_matches_direct",
     "p05_sample_contract" ->
       "SELECT DISTINCT lang, TRUE AS rate_ok FROM documents ORDER BY lang",
     "d08_simhash_contract" ->

@@ -215,6 +215,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(flagged.toSeq == Seq(1L))
   }
 
+  test("IVF persistent index: bucket-pruned probe equals the in-plan IVF") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.ann.Ann.buildIvfIndex(emb, "vec_id", "embedding",
+      "graft_ivf_idx_spec", nLists = 16, seed = 42L)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val indexed = graft.ann.Ann.ivfTopKIndexed(spark, "graft_ivf_idx_spec",
+      cents, queries, k = 10)
+    // same seed -> same centroids -> same assignment: results identical
+    val direct = graft.ann.Ann.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 5, k = 10)
+    val a = indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, -t._3, t._2))
+    val b = direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, -t._3, t._2))
+    assert(a.sameElements(b), s"indexed probe diverged from in-plan IVF")
+    // the probe scan must be bucket-pruned, not a full index read
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"no bucket pruning in probe scan:\n${plan.take(800)}")
+  }
+
   test("multimodal: PPM decoder parses header+pixels, rejects junk") {
     // 2x1 image, known pixels, comment in header
     val img = ("P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
