@@ -152,6 +152,29 @@ object SketchQueries {
         .toDF("hll_ok", "res_size_ok", "res_member_ok")
     }),
 
+    // -- per-key distinct-count CONTRACT, gate-enforced: sk04's RANKING
+    // is HLL-noise-sensitive (rows-only), but each tracked key's HLL
+    // estimate must sit within 3σ of its exact distinct count; the
+    // oracle enumerates the keys so a dropped key also fails -----------
+    "sk14_distinct_contract" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_custkey")).as[(String, Long)]
+      val agg = new MostDistinct[(String, Long), String](
+        10, 0.99, 0.002, 0.0808, _._1, _._2)
+      val est = ds.select(agg.toColumn.name("top")).toDF("top")
+        .select(explode(col("top")).as("kv"))
+        .select(col("kv._1").as("o_orderpriority"), col("kv._2").as("est"))
+      val exact = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact"))
+      // error_rate 0.0808 -> b=8 -> sigma = 1.04/sqrt(256) = 6.5%
+      est.join(exact, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"),
+          (abs(col("est") - col("exact")) / col("exact") <= 3 * 1.04 / 16.0)
+            .as("est_ok"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- approx-quantile rank CONTRACT, gate-enforced: the sketch values
     // are engine-specific (sk09 rows-only), but the rank guarantee is a
     // fact — the fraction of rows at or below the approximate pXX must
@@ -235,6 +258,8 @@ object SketchQueries {
       "SELECT TRUE AS hll_ok, TRUE AS res_size_ok, TRUE AS res_member_ok",
     "sk13_quantile_contract" ->
       "SELECT TRUE AS p50_rank_ok, TRUE AS p95_rank_ok",
+    "sk14_distinct_contract" ->
+      "SELECT DISTINCT o_orderpriority, TRUE AS est_ok FROM orders ORDER BY o_orderpriority",
     "sk10_reservoir_per_key" ->
       """SELECT event_type, least(5, count(*)) AS n_sampled
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -110,8 +110,10 @@ object TopFreq {
   * (reference `Top<A, HyperLogLogMagnitude<B>>`,
   * /root/reference/amadeus-streaming/src/lib.rs:18 +
   * par_sink/sample.rs:157-213). */
-final class TopDistinct[K](val n: Int, val depth: Int, val width: Int, val hllB: Int)
-    extends Serializable {
+final class TopDistinct[K](val n: Int, val depth: Int, val width: Int, val hllB: Int,
+    val capacity: Int = 0) extends Serializable {
+  /** same tracking-slack rationale as [[TopFreq]]: hold 4n, report n */
+  val cap: Int = if (capacity > 0) capacity else math.max(n, 4 * n)
   val monoid = new HllMonoid(hllB)
   val heavy: mutable.HashMap[K, HyperLogLog] = mutable.HashMap.empty
   val cms: CountMin[HyperLogLog] = new CountMin[HyperLogLog](depth, width, monoid)
@@ -123,7 +125,7 @@ final class TopDistinct[K](val n: Int, val depth: Int, val width: Int, val hllB:
         val single = new HyperLogLog(hllB).add(v)
         cms.add(k, single)
         val est = cms.estimate(k)
-        if (heavy.size < n) heavy.update(k, est.merge(monoid.zero))
+        if (heavy.size < cap) heavy.update(k, est.merge(monoid.zero))
         else {
           val (mk, mv) = heavy.minBy { case (_, h) => h.estimate }
           if (est.estimate > mv.estimate) { heavy.remove(mk); heavy.update(k, est.merge(monoid.zero)) }
@@ -133,9 +135,9 @@ final class TopDistinct[K](val n: Int, val depth: Int, val width: Int, val hllB:
   }
 
   def merge(o: TopDistinct[K]): TopDistinct[K] = {
-    require(o.n == n && o.depth == depth && o.width == width && o.hllB == hllB,
-      "TopDistinct shape mismatch")
-    val out = new TopDistinct[K](n, depth, width, hllB)
+    require(o.n == n && o.depth == depth && o.width == width && o.hllB == hllB &&
+      o.cap == cap, "TopDistinct shape mismatch")
+    val out = new TopDistinct[K](n, depth, width, hllB, cap)
     val merged = cms.merge(o.cms)
     System.arraycopy(merged.cells, 0, out.cms.cells, 0, merged.cells.length)
     def side(t: TopDistinct[K], k: K): Option[HyperLogLog] =
@@ -147,7 +149,7 @@ final class TopDistinct[K](val n: Int, val depth: Int, val width: Int, val hllB:
       k -> h
     }
     totals.sortBy { case (k, h) => (-h.estimate, String.valueOf(k)) }
-      .take(n).foreach { case (k, h) => out.heavy.update(k, h) }
+      .take(cap).foreach { case (k, h) => out.heavy.update(k, h) }
     out
   }
 
