@@ -303,7 +303,21 @@ object CoreQueries {
           sum(col("p")).cast("double").as("sum_price"),
           sum(col("p") * (lit(1).cast("decimal(3,2)") - col("dc")))
             .cast("double").as("sum_disc_price"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // -- pivot / cross-tab (exceeds reference; RelationalGroupedDataset
+    // .pivot with EXPLICIT values — the values-less overload runs an extra
+    // distinct job, never do that at scale) ------------------------------
+    "q30_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority")))
   ) ++ scaleLeverQueries
 
   /** Scale-lever operators gated against the plain-join oracle: the salted
@@ -488,6 +502,12 @@ object CoreQueries {
         |   (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS n
         |FROM lineitem""".stripMargin,
+    "q30_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus='F') AS n_f,
+        | count(*) FILTER (WHERE o_orderstatus='O') AS n_o,
+        | count(*) FILTER (WHERE o_orderstatus='P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // plain-join oracles: salting/bucketing must not change results
     "q28_salted_join" ->
       """SELECT p_brand, round(sum(l_quantity),2) AS sum_qty, count(*) AS n

@@ -394,8 +394,89 @@ object PipelineQueries {
           imgF(1).as("sum_w"), imgF(3).as("sum_r"), imgF(4).as("sum_g"),
           imgF(5).as("sum_b"), imgF(7).as("sum_min"), imgF(8).as("sum_max"))
         .orderBy(col("kind"))
+    }),
+
+    // -- bloom-prefiltered decontamination: result-identical to d07 (same
+    // oracle SQL), but the first corpus pass probes a ~64 KB bloom bitset
+    // embedded in the plan instead of hash-joining the full benchmark
+    // n-gram set; the exact confirm join then only sees might-contain
+    // survivors. Bloom never false-negatives, the confirm join kills the
+    // false positives — so equality to the exact result is structural,
+    // and the gate hash-verifies it. At corpus scale this replaces a
+    // broadcast of every benchmark n-gram with a fixed-size bitset probe
+    // inside whole-stage codegen. ---------------------------------------
+    "d09_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select(explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
+        .distinct()
+      val bloom = graft.functions.BloomFunctions.build(
+        bench, "g8", expectedItems = 100000L, numBits = 1L << 19)
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
+        .filter(graft.functions.BloomFunctions.mightContain(bloom, col("g8")))
+        .join(broadcast(bench), "g8")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g8")).as("n_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- int8 scalar quantization of the embedding corpus: per-vector
+    // scale + max/mean reconstruction error, all IEEE-exact arithmetic
+    // (floor-based rounding), replayed verbatim by the DuckDB list oracle
+    // — a hash-verified row for the quantization path. -------------------
+    "e01_embedding_quantize" -> ((s, d) => {
+      import graft.ann.Quantize
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Quantize.sq8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"),
+          round(col("scale"), 8).as("scale_r"),
+          round(Quantize.sq8MaxError(col("embedding"), col("scale")), 8).as("max_err"),
+          round(Quantize.sq8MeanError(col("embedding"), col("scale")), 8).as("mean_err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // -- quantization CONTRACT, gate-enforced: dequantize∘quantize must
+    // reconstruct every element within scale/2 (the SQ8 error bound), and
+    // codes must stay in [-127, 127]. Computed in-plan over the whole
+    // corpus; the oracle pins the expected booleans. ---------------------
+    "e02_quantize_contract" -> ((s, d) => {
+      import graft.ann.Quantize
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Quantize.sq8Scale(col("embedding")).as("scale"))
+        .select(col("embedding"), col("scale"),
+          Quantize.sq8Quantize(col("embedding"), col("scale")).as("codes"))
+      val checked = q.select(
+        (Quantize.sq8MaxError(col("embedding"), col("scale")) <=
+          col("scale") * 0.5 + lit(1e-15)).as("err_ok"),
+        (aggregate(col("codes"), lit(127),
+          (m, c) => greatest(m, abs(c.cast("int")))) <= 127).as("range_ok"))
+      checked.agg(
+        min(col("err_ok")).as("all_err_in_bound"),
+        min(col("range_ok")).as("all_codes_in_range"))
     })
   )
+
+  /** Shared by d07 (exact) and d09 (bloom-prefiltered): the two queries
+    * are result-identical by construction, so one oracle gates both. */
+  private val contaminationOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win
+      |            || ' ' || lead(tok,3) OVER win || ' ' || lead(tok,4) OVER win
+      |            || ' ' || lead(tok,5) OVER win || ' ' || lead(tok,6) OVER win
+      |            || ' ' || lead(tok,7) OVER win AS g8
+      |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 10 = 0 AND g8 IS NOT NULL)
+      |SELECT g.doc_id, count(DISTINCT g.g8) AS n_overlap
+      |FROM g JOIN bench USING (g8)
+      |WHERE g.doc_id % 10 != 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "a04_ann_contract" ->
@@ -603,22 +684,28 @@ object PipelineQueries {
         |SELECT CAST(strt // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
         | CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM c GROUP BY bin ORDER BY bin""".stripMargin,
-    "d07_contamination" ->
-      """WITH w AS (
-        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-        |         generate_subscripts(string_split(text,' '),1) AS pos
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win
-        |            || ' ' || lead(tok,3) OVER win || ' ' || lead(tok,4) OVER win
-        |            || ' ' || lead(tok,5) OVER win || ' ' || lead(tok,6) OVER win
-        |            || ' ' || lead(tok,7) OVER win AS g8
-        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-        |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 10 = 0 AND g8 IS NOT NULL)
-        |SELECT g.doc_id, count(DISTINCT g.g8) AS n_overlap
-        |FROM g JOIN bench USING (g8)
-        |WHERE g.doc_id % 10 != 0
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "d07_contamination" -> contaminationOracle,
+    // d09 is the bloom-prefiltered form of d07 — result-identical by
+    // construction (no false negatives + exact confirm), same oracle
+    "d09_bloom_decontaminate" -> contaminationOracle,
+    "e01_embedding_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, scale,
+        |  list_max(list_transform(embedding, x ->
+        |    abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE)/scale + 0.5)*scale))) AS mx,
+        |  list_sum(list_transform(embedding, x ->
+        |    abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE)/scale + 0.5)*scale)))
+        |    / len(embedding) AS mn
+        |  FROM s)
+        |SELECT vec_id, round(scale, 8) AS scale_r, round(mx, 8) AS max_err,
+        |  round(mn, 8) AS mean_err
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "e02_quantize_contract" ->
+      "SELECT TRUE AS all_err_in_bound, TRUE AS all_codes_in_range",
     "p03_cap_per_source" ->
       """WITH scored AS (
         |  SELECT doc_id, source, floor((

@@ -132,6 +132,24 @@ object SourceQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // -- ORC source+sink round-trip: the second columnar format Spark
+    //    ships natively (predicate pushdown + column pruning like
+    //    parquet). Write part as ORC, read it back, aggregate; the oracle
+    //    recomputes from the original parquet, so a hash match proves the
+    //    ORC write→read path is lossless. --------------------------------
+    "s08_orc_roundtrip" -> ((s, d) => {
+      val dir = tmp(d, "orc")
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size")).as("sum_size"),
+          round(sum(col("p_retailprice")), 2).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
     // -- JSON passthrough type + extraction (Value::Json ≅ get_json) -----
     "s06_json_extract" -> ((s, d) =>
       Tables.events(s, d)
@@ -200,6 +218,10 @@ object SourceQueries {
     "s07_jdbc_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "s08_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size,
+        | round(sum(p_retailprice),2) AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "s06_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k

@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession}
 object SqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** Lift a raw Catalyst [[Expression]] into the public Column API (the
+    * Spark 4 Column is a ColumnNode wrapper; `ExpressionUtils.column` is
+    * the sql-private bridge connector libraries use). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column back to its Catalyst [[Expression]]. */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

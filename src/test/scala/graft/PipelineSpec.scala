@@ -266,4 +266,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.length == Multimodal.FeatureDim)
     assert(Multimodal.frameSampleIndices(100, 10, 5) == Seq(0, 10, 20, 30, 40))
   }
+
+  test("bloom filter: zero false negatives; prefiltered decontamination equals exact") {
+    import graft.functions.BloomFunctions
+    // no false negatives — every inserted member must probe true
+    val members = (1 to 2000).map(i => s"member-$i")
+    val mdf = members.toDF("g")
+    val bloom = BloomFunctions.build(mdf, "g", expectedItems = 2000, numBits = 1 << 15)
+    val probed = mdf.filter(BloomFunctions.mightContain(bloom, col("g"))).count()
+    assert(probed == members.length, s"bloom false-negatived ${members.length - probed} members")
+    // some selectivity on non-members (sized for ~2% fp at 16 bits/item)
+    val non = (1 to 2000).map(i => s"other-$i").toDF("g")
+    val fp = non.filter(BloomFunctions.mightContain(bloom, col("g"))).count()
+    assert(fp < 400, s"bloom passed $fp of 2000 non-members — far above the sized fp rate")
+    // the gate twin: d09 (bloom-prefilter + exact confirm) == d07 (exact)
+    val d = "/root/testdata/sf0.001"
+    val exact = graft.operators.PipelineQueries.queries("d07_contamination")(spark, d).collect()
+    val bloomed = graft.operators.PipelineQueries.queries("d09_bloom_decontaminate")(spark, d).collect()
+    assert(bloomed.sameElements(exact), "bloom-prefiltered decontamination diverged from exact")
+  }
+
+  test("sq8 quantization: roundtrip error within scale/2, codes in [-127,127]") {
+    import graft.ann.Quantize
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.select(col("vec_id"), col("embedding"),
+        Quantize.sq8Scale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        Quantize.sq8Quantize(col("embedding"), col("scale")).as("codes"),
+        Quantize.sq8MaxError(col("embedding"), col("scale")).as("max_err"))
+    val bad = q.filter(col("max_err") > col("scale") * 0.5 + 1e-15).count()
+    assert(bad == 0, s"$bad vectors exceed the scale/2 SQ8 error bound")
+    val outOfRange = q.select(explode(col("codes")).as("c"))
+      .filter(abs(col("c").cast("int")) > 127).count()
+    assert(outOfRange == 0, s"$outOfRange codes outside [-127,127]")
+    // dequantize really reconstructs: cosine(orig, dequant) stays ~1
+    val cos = q.select(graft.ann.Ann.cosine(col("embedding"),
+        Quantize.sq8Dequantize(col("codes"), col("scale"))).as("c"))
+      .agg(min(col("c"))).head.getDouble(0)
+    assert(cos > 0.999, s"dequantized cosine dropped to $cos")
+  }
 }
