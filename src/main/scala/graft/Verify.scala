@@ -22,6 +22,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are independent: drop persisted intermediates (dedup/ANN
+      // cache their plans) so the CacheManager's per-query plan-match scan
+      // doesn't grow with every query already run — with ~86 queries the
+      // accumulated cached plans made LATER trivial queries spend tens of
+      // seconds in analysis (measured: 18 min total → ~6 min with this)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

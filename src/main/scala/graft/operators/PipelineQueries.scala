@@ -121,6 +121,23 @@ object PipelineQueries {
         .toDF("indexed_matches_direct")
     }),
 
+    // -- ANN over the QUANTIZED corpus: exact top-k on int8-reconstructed
+    // vectors. SQ8's floor arithmetic is IEEE-exact, so DuckDB replays
+    // quantize→dequantize bit-identically and the whole quantized search
+    // path hash-verifies — unusual for an ANN variant. Pairs with e01/e02
+    // (quantization quality) and the AnnSpec recall test (quantized vs
+    // full-precision neighbors). ----------------------------------------
+    "a06_ann_quantized" -> ((s, d) => {
+      import graft.ann.Quantize
+      val emb = Tables.embeddings(s, d)
+      val deq = emb.select(col("vec_id"),
+        Quantize.sq8Dequantize(
+          Quantize.sq8Quantize(col("embedding"), Quantize.sq8Scale(col("embedding"))),
+          Quantize.sq8Scale(col("embedding"))).as("embedding"))
+      Ann.bruteForceTopK(deq, "vec_id", "embedding", col("vec_id") < 5, k = 10)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
     // -- ANN recall CONTRACT, gate-enforced: a02/a03's neighbor sets are
     // seed-deterministic but engine-specific (no SQL replay of the LSH /
     // IVF structures), so those stay rows-only; what IS hash-gateable is
@@ -377,6 +394,25 @@ object PipelineQueries {
           round(sum(col("total_value")), 2).as("sum_value"),
           sum(unix_micros(col("end")) - unix_micros(col("start"))).as("sum_dur_us"))
         .orderBy(col("n_events"))
+    }),
+
+    // batch twin of the watermarked stream-stream interval join
+    // (EventStreams.attributionJoin): purchases joined to the same
+    // user's clicks in the preceding hour, profiled per purchase. The
+    // lag is exact integer microseconds; value is the purchase's, summed
+    // once per purchase via first(). StreamingSpec proves the streaming
+    // plan emits the same rows; this gate hash-verifies the semantics.
+    "st02_stream_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      graft.streaming.EventStreams.attributionJoin(e, horizonMinutes = 60)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          max(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("max_lag_us"),
+          round(first(col("value")), 2).as("purchase_value"))
+        .orderBy(col("purchase_id"))
     }),
 
     // image rows are REAL P6 (PPM) bytes decoded by the pure-JVM parser;
@@ -706,6 +742,39 @@ object PipelineQueries {
         |FROM e ORDER BY vec_id""".stripMargin,
     "e02_quantize_contract" ->
       "SELECT TRUE AS all_err_in_bound, TRUE AS all_codes_in_range",
+    // quantize→dequantize replay (same floor arithmetic as e01), then
+    // the a01 top-k pattern over the reconstructed float vectors
+    "a06_ann_quantized" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE)/scale + 0.5)*scale AS FLOAT)) AS emb
+        |  FROM s)
+        |SELECT query_id, neighbor_id, round(CAST(cos AS DOUBLE),4) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |   list_cosine_similarity(q.emb, n.emb) AS cos,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.emb, n.emb) DESC,
+        |              n.vec_id) AS rn
+        |  FROM d q JOIN d n ON n.vec_id != q.vec_id
+        |  WHERE q.vec_id < 5
+        |) WHERE rn <= 10
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+    // self-join replay of the interval join: purchases to same-user
+    // clicks within the preceding hour, microsecond-exact lag
+    "st02_stream_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+        | max(date_diff('microsecond', c.ts, p.ts)) AS max_lag_us,
+        | round(any_value(p.value), 2) AS purchase_value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "p03_cap_per_source" ->
       """WITH scored AS (
         |  SELECT doc_id, source, floor((

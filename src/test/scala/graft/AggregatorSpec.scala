@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Spark-level tests for the sketch Aggregators: results must be
   * independent of physical partitioning — the moral equivalent of the
   * reference's `_dist.rs` mirror test suite (SURVEY.md §5.3). */
-class AggregatorSpec extends AnyFunSuite {
+class AggregatorSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
 

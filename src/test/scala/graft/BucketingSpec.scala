@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Bucketed co-located join: correctness + the zero-shuffle plan shape. */
-class BucketingSpec extends AnyFunSuite {
+class BucketingSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4)

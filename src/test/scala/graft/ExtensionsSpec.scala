@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** GraftExtensions wiring: SQL-visible native functions without manual
   * register(), and the RangeJoinRule rewrite of non-equi interval joins. */
-class ExtensionsSpec extends AnyFunSuite {
+class ExtensionsSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()

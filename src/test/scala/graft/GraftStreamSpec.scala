@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Façade verb coverage vs in-memory Scala-collection truth — the shape of
   * the reference's tests/into_par_stream.rs + typed/untyped duality tests
   * (tests/csv.rs:14-58). */
-class GraftStreamSpec extends AnyFunSuite {
+class GraftStreamSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()

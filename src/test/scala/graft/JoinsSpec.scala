@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** As-of / range join semantics vs hand-computed truth, and bucketed ==
   * plain equivalence. */
-class JoinsSpec extends AnyFunSuite {
+class JoinsSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()

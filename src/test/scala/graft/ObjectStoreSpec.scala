@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the FileSystem API, discover key=value partitions, prune them — runs
   * here against [[S3MockFileSystem]]; only the byte transport is local.
   */
-class ObjectStoreSpec extends AnyFunSuite {
+class ObjectStoreSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()

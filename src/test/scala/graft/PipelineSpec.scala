@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Behavior tests for the approximate training-data pipeline paths that
   * the DuckDB oracle can't cover (LSH recall, SimHash, language ID,
   * multimodal plumbing). */
-class PipelineSpec extends AnyFunSuite {
+class PipelineSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()
@@ -90,6 +90,22 @@ class PipelineSpec extends AnyFunSuite {
     }
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.4, s"LSH mean recall $meanRecall too low")
+  }
+
+  test("quantized ANN: int8-reconstructed top-10 keeps >= 80% of exact neighbors") {
+    val d = sfDir
+    def sets(name: String) =
+      graft.operators.PipelineQueries.queries(name)(spark, d)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets("a01_ann_bruteforce")
+    val quant = sets("a06_ann_quantized")
+    val recalls = exact.map { case (q, truth) =>
+      quant.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.8,
+      s"quantized mean recall $meanRecall — SQ8 should barely perturb ranking")
   }
 
   test("ANN IVF recall vs brute force is usable (>= 40% of true top-10)") {

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Custom Catalyst Expression checks: interpreted vs codegen parity, SQL
   * registration, null handling. */
-class PlanExprSpec extends AnyFunSuite {
+class PlanExprSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()

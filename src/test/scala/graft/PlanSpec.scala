@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * broadcast, bounded top-n, partial aggregation, whole-stage codegen —
   * so a regression that silently de-optimizes a plan fails CI, not a
   * 100 TB run. */
-class PlanSpec extends AnyFunSuite {
+class PlanSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()

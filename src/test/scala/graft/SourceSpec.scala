@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Connector + scalar-function behavior: golden-count parses in the style
   * of the reference's connector tests (SURVEY.md §5.1). */
-class SourceSpec extends AnyFunSuite {
+class SourceSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()

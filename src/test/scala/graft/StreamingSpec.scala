@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Structured Streaming behavior: streaming windowed agg must agree with
   * the batch run of the same transformation; sessionization must split on
   * gaps. */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with CacheHygiene {
 
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()
@@ -151,6 +151,37 @@ class StreamingSpec extends AnyFunSuite {
     // batch twin agrees
     assert(EventStreams.dedupDocsSimhash(
       docs.toDF("doc_id", "ts", "text"), "text", "ts").count() == 2)
+  }
+
+  test("stream-stream interval join emits exactly the batch join's rows") {
+    implicit val sqlCtx = spark.sqlContext
+    // clicks at minutes 0,30,61,100; purchases at 65 and 200:
+    //  - purchase@65 attributes to clicks@30 (35m ago) and @61 (4m ago),
+    //    NOT @0 (65m > 1h horizon)
+    //  - purchase@200 attributes to nothing (click@100 is 100m old)
+    //  - user 9's click never joins user 1's purchases
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 0.0),
+      Event(2, ts(30), 1, "click", 0.0),
+      Event(3, ts(61), 1, "click", 0.0),
+      Event(4, ts(100), 1, "click", 0.0),
+      Event(5, ts(65), 1, "purchase", 9.99),
+      Event(6, ts(200), 1, "purchase", 5.0),
+      Event(7, ts(64), 9, "click", 0.0))
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = EventStreams.attributionJoin(stream.toDF(), horizonMinutes = 60)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val cols = Seq("purchase_id", "click_id", "purchase_ts", "click_ts",
+      "user_id", "value")
+    val streamed = spark.table("attr_out")
+      .select(cols.map(col): _*).collect().toSet
+    val batch = EventStreams.attributionJoin(events.toDF(), horizonMinutes = 60)
+      .select(cols.map(col): _*).collect().toSet
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    assert(batch.map(r => (r.getLong(0), r.getLong(1))) == Set((5L, 2L), (5L, 3L)))
   }
 
   test("file-based readStream over events parquet drives the same agg") {
