@@ -85,5 +85,8 @@ object GraftExtensions {
     ("hyperplane_sig",
       "hyperplane_sig(vec, nBits) - random-hyperplane LSH signature of an embedding",
       (exprs: Seq[Expression]) => HyperplaneSignatureExpression(
-        exprs(0), literalInt(exprs, 1, "hyperplane_sig"))))
+        exprs(0), literalInt(exprs, 1, "hyperplane_sig"))),
+    ("zorder2",
+      "zorder2(a, b) - 64-bit Morton (Z-order) code of two bigint coordinates",
+      (exprs: Seq[Expression]) => ZOrder2Expression(exprs(0), exprs(1))))
 }

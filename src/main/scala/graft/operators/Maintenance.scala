@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators — the operational side of running a
   * 100 TB corpus: ingest and per-partition writes accumulate small
@@ -48,5 +49,64 @@ object Maintenance {
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     CompactionStats(summary.getFileCount, summary.getLength, written,
       spark.read.parquet(outDir).count())
+  }
+
+  /** Rewrite `df` as `nFiles` parquet files Z-order-clustered on two
+    * numeric columns, so parquet min/max stats prune point/range scans
+    * on EITHER column (the Delta/Iceberg OPTIMIZE ZORDER effect, built
+    * from plain Spark pieces).
+    *
+    * Each coordinate is rank-scaled through sampled quantiles: one
+    * distributed `approxQuantile` pass per REWRITE (both columns in a
+    * single call) yields ~1k sorted boundaries per column, and the
+    * codegen'd [[graft.plans.RankBucketsExpression]] binary-searches
+    * each value into its bucket. Rank scaling makes the curve robust to
+    * skewed value distributions (equal-width scaling would collapse a
+    * heavy-tailed column into a few cells), and the quantile sketch
+    * keeps it distributed — no `percent_rank()` global window, whose
+    * single-partition sort is exactly the scale cliff this operator
+    * exists to avoid. Rows then route through `repartitionByRange` +
+    * `sortWithinPartitions` on the codegen'd
+    * [[graft.plans.ZOrder2Expression]] Morton code, and the write drops
+    * the helper column.
+    *
+    * This is a LAYOUT operator: the rewritten table must contain exactly
+    * the input rows (gate-verified by z01's aggregate replay); the
+    * clustering benefit is asserted separately in MaintenanceSpec by
+    * measuring per-file min/max spans of both columns.
+    */
+  def zorderParquet(df: DataFrame, colA: String, colB: String,
+      outDir: String, nFiles: Int = 8, buckets: Int = 1024): Unit = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Array(boundsA, boundsB) = df.stat.approxQuantile(
+      Array(colA, colB), probs, 1.0 / (4 * buckets))
+    def rankBits(c: String, bounds: Array[Double]): Column =
+      graft.plans.RankBucketsExpression.rankBuckets(col(c), bounds)
+    val z = df
+      .withColumn("__z", graft.plans.ZOrder2Expression.zorder2(
+        rankBits(colA, boundsA), rankBits(colB, boundsB)))
+    z.repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
+  /** Snapshot merge (upsert): the CDC-compaction pattern for plain
+    * parquet tables — `updates` rows win over `base` rows sharing the
+    * same key; base rows without an update survive; brand-new keys
+    * append. Equivalent to SQL `MERGE INTO ... WHEN MATCHED UPDATE WHEN
+    * NOT MATCHED INSERT` materialized as a fresh snapshot.
+    *
+    * Plan shape: one left-anti join (base ⟕̸ updates on the key) + union.
+    * The anti join shuffles on the key (or broadcasts when `updates` is
+    * small — Catalyst picks, AQE re-picks at runtime), and the union is
+    * free. No driver-side state; scales as one join at any size. The
+    * caller owns the atomic directory swap, as with [[compactParquet]].
+    */
+  def mergeSnapshot(base: DataFrame, updates: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "mergeSnapshot needs at least one key column")
+    base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
   }
 }

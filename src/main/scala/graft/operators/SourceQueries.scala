@@ -150,6 +150,42 @@ object SourceQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // -- Z-order layout round-trip: rewrite lineitem clustered on the
+    //    Morton curve of (l_partkey, l_suppkey), read it back, aggregate.
+    //    The oracle recomputes from the ORIGINAL table, so a hash match
+    //    proves the layout rewrite is lossless — the contract any
+    //    OPTIMIZE-style operator must satisfy. Clustering QUALITY
+    //    (per-file min/max narrowing on both columns) is asserted in
+    //    MaintenanceSpec, not here. ---------------------------------------
+    "z01_zorder_roundtrip" -> ((s, d) => {
+      val dir = tmp(d, "zorder")
+      Maintenance.zorderParquet(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity")),
+        "l_partkey", "l_suppkey", dir, nFiles = 8)
+      s.read.parquet(dir)
+        .groupBy((col("l_partkey") % 10).as("pk_mod"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("pk_mod"))
+    }),
+
+    // -- snapshot merge (upsert): updates win by key, unmatched base
+    //    survives, new keys append — MERGE INTO materialized as a fresh
+    //    snapshot; the oracle replays the anti-join + union in SQL. -------
+    "u01_snapshot_merge" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val updates = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      Maintenance.mergeSnapshot(base, updates, Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // -- JSON passthrough type + extraction (Value::Json ≅ get_json) -----
     "s06_json_extract" -> ((s, d) =>
       Tables.events(s, d)
@@ -222,6 +258,23 @@ object SourceQueries {
       """SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size,
         | round(sum(p_retailprice),2) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // z01 aggregates the REWRITTEN table; recomputing from the original
+    // lineitem proves the z-order rewrite lost/duplicated nothing
+    "z01_zorder_roundtrip" ->
+      """SELECT l_partkey % 10 AS pk_mod, count(*) AS n,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+        |FROM lineitem GROUP BY pk_mod ORDER BY pk_mod""".stripMargin,
+    "u01_snapshot_merge" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 != 0),
+        |u AS (SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+        |      FROM orders WHERE o_orderkey % 2 = 0),
+        |m AS (SELECT * FROM base
+        |      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+        |      UNION ALL SELECT * FROM u)
+        |SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice),2) AS sum_price
+        |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "s06_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k

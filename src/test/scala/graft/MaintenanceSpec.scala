@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Maintenance
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Table-maintenance operators: Z-order layout really narrows per-file
+  * column spans (the property that makes min/max pruning work), and
+  * snapshot merge implements upsert semantics exactly. */
+class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  test("zorder2: known bit patterns and 2-D locality") {
+    import graft.plans.ZOrder
+    // interleave: a takes even bits, b odd bits
+    assert(ZOrder.interleave(0L, 0L) == 0L)
+    assert(ZOrder.interleave(1L, 0L) == 1L)   // a bit0 -> z bit0
+    assert(ZOrder.interleave(0L, 1L) == 2L)   // b bit0 -> z bit1
+    assert(ZOrder.interleave(3L, 0L) == 5L)   // 0b11 -> 0b101
+    assert(ZOrder.interleave(0L, 3L) == 10L)  // 0b11 -> 0b1010
+    assert(ZOrder.interleave(0xFFFFFFFFL, 0xFFFFFFFFL) == -1L) // all 64 bits
+    // locality: neighbors in both dims have closer z than far points
+    val z00 = ZOrder.interleave(10, 10)
+    val zNear = ZOrder.interleave(11, 10)
+    val zFar = ZOrder.interleave(1000, 1000)
+    assert(math.abs(z00 - zNear) < math.abs(z00 - zFar))
+  }
+
+  test("zorder2 expression: codegen equals interpreted equals helper") {
+    graft.plans.ZOrder2Expression.register(spark)
+    val df = Seq((3L, 5L), (0L, 0L), (123456789L, 987654321L), (-1L, 7L))
+      .toDF("a", "b")
+    val got = df.selectExpr("zorder2(a, b) AS z").as[Long].collect()
+    val want = df.as[(Long, Long)].collect()
+      .map { case (a, b) => graft.plans.ZOrder.interleave(a, b) }
+    assert(got.sameElements(want))
+  }
+
+  test("zorder layout narrows per-file spans on BOTH columns vs arrival order") {
+    // 2-D uniform grid in arrival (row-major) order: sorted-by-x only,
+    // so y spans the full range inside every file
+    val n = 64
+    val rows = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val df = rows.toDF("x", "y")
+    val base = "target/qtmp/zorder_spec"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$base/plain")
+    // plain layout: split row-major into 8 files
+    spark.read.parquet(s"$base/plain").repartitionByRange(8, col("x"))
+      .write.mode("overwrite").parquet(s"$base/by_x")
+    Maintenance.zorderParquet(df, "x", "y", s"$base/zorder", nFiles = 8)
+
+    def meanSpan(dir: String): (Double, Double) = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy")).head
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+    val (xByX, yByX) = meanSpan(s"$base/by_x")
+    val (xZ, yZ) = meanSpan(s"$base/zorder")
+    // single-column layout: x narrow, y full-range (~n-1) — a filter on
+    // y prunes NOTHING
+    assert(yByX > n * 0.9, s"by_x layout should leave y unclustered, span $yByX")
+    // z-order balances the spans: BOTH dims well under the full range,
+    // so min/max stats prune filters on EITHER column. (Total area per
+    // file is ~fixed at 1/nFiles regardless of layout — the win is the
+    // bounded WORST dimension, not smaller area.)
+    assert(xZ < n * 0.6 && yZ < n * 0.6, s"zorder spans ($xZ, $yZ) not narrowed")
+    assert(math.max(xZ, yZ) < math.max(xByX, yByX) * 0.6,
+      s"zorder worst-dim span ${math.max(xZ, yZ)} vs by_x ${math.max(xByX, yByX)}")
+  }
+
+  test("mergeSnapshot: update wins, unmatched base survives, new key appends") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val merged = Maintenance.mergeSnapshot(base, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(merged == Seq(
+      (1L, "a", 10.0),   // untouched base
+      (2L, "B", 99.0),   // update replaced base
+      (3L, "c", 30.0),   // untouched base
+      (4L, "d", 40.0)))  // new key inserted
+  }
+}
