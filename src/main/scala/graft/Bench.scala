@@ -29,6 +29,8 @@ object Bench {
     "q23_asof_join",         // one-shuffle as-of join (window form)
     "q27_asof_native",       // custom AsofJoinExec (vs q23's window form)
     "q24_range_join",        // bucketed range join
+    "d07_contamination",     // exact decontamination (broadcast 8-gram set)
+    "d09_bloom_decontaminate", // bloom-prefiltered twin (same oracle as d07)
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {

@@ -171,6 +171,28 @@ object SourceQueries {
         .orderBy(col("pk_mod"))
     }),
 
+    // -- z-order clustering CONTRACT, gate-enforced: after the rewrite,
+    //    the mean per-file min/max span of BOTH clustered columns must be
+    //    well under the column's full range — the measurable property
+    //    that makes parquet stats prune filters on either column. Columns
+    //    chosen independent (l_suppkey is derived from l_partkey in
+    //    TPC-H, so that pair would confound the measurement). -------------
+    "z02_zorder_contract" -> ((s, d) => {
+      val dir = tmp(d, "zorder_c")
+      Maintenance.zorderParquet(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", dir, nFiles = 16)
+      val rng = Tables.lineitem(s, d).agg(
+        (max("l_orderkey") - min("l_orderkey")).cast("double").as("ra"),
+        (max("l_partkey") - min("l_partkey")).cast("double").as("rb")).head()
+      s.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("l_orderkey") - min("l_orderkey")).cast("double").as("sa"),
+          (max("l_partkey") - min("l_partkey")).cast("double").as("sb"))
+        .agg((avg(col("sa")) < rng.getDouble(0) * 0.7).as("orderkey_clustered"),
+          (avg(col("sb")) < rng.getDouble(1) * 0.7).as("partkey_clustered"))
+    }),
+
     // -- snapshot merge (upsert): updates win by key, unmatched base
     //    survives, new keys append — MERGE INTO materialized as a fresh
     //    snapshot; the oracle replays the anti-join + union in SQL. -------
@@ -265,6 +287,8 @@ object SourceQueries {
         | round(sum(l_quantity),2) AS sum_qty,
         | CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
         |FROM lineitem GROUP BY pk_mod ORDER BY pk_mod""".stripMargin,
+    "z02_zorder_contract" ->
+      "SELECT TRUE AS orderkey_clustered, TRUE AS partkey_clustered",
     "u01_snapshot_merge" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 != 0),
         |u AS (SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)

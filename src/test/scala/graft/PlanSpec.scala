@@ -75,6 +75,15 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
   }
 
+  test("d09: bloom probe is a plan-embedded filter feeding the confirm join") {
+    val p = plan("d09_bloom_decontaminate")
+    // the bitset probe must be a Filter expression (bloom_filter_might_contain
+    // over the binary literal), not a join — rows that fail it never reach
+    // the exact confirm join
+    assert(p.contains("might_contain"), s"bloom probe missing from plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"exact confirm join not broadcast:\n$p")
+  }
+
   test("q27: downstream per-key aggregate reuses AsofJoinExec's exchange") {
     // AsofJoinExec declares outputPartitioning = left partitioning
     // (hash on the join key): a groupBy on that key must NOT re-shuffle
