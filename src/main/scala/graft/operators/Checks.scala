@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks (expectations) compiled into ONE
+  * aggregate pass — the Deequ/Great-Expectations capability a corpus
+  * pipeline needs for schema-drift and contract enforcement, expressed
+  * Spark-first.
+  *
+  * Every row-level check is a boolean Column; `run` folds all of them
+  * into a single `agg` (conditional sums), so N checks over 100 TB cost
+  * one scan and one partial→final aggregation — adding a check is free.
+  * Uniqueness cannot be a row predicate; it rides the same pass as
+  * `count(*) - approx/exact distinct` terms. Output is long-form
+  * `(check, violations, n_rows)` so downstream alerting can threshold per
+  * check.
+  *
+  * The reference has no data-quality surface (north-star extension);
+  * the single-pass folding mirrors how its tuple sinks fuse multiple
+  * aggregations into one traversal (amadeus-core/src/pipe.rs tuple
+  * impls) — here Catalyst does the fusing.
+  */
+object Checks {
+
+  /** A named row-level expectation: `holds` must be true for every row;
+    * null counts as a violation unless the check itself handles null. */
+  final case class Check(name: String, holds: Column)
+
+  def notNull(c: String): Check =
+    Check(s"${c}_not_null", col(c).isNotNull)
+
+  /** Inclusive numeric range; nulls violate (range implies presence). */
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"${c}_in_range", col(c).isNotNull && col(c) >= lo && col(c) <= hi)
+
+  /** Value in an allowed set; nulls violate. */
+  def inSet(c: String, allowed: Seq[String]): Check =
+    Check(s"${c}_in_set", col(c).isin(allowed: _*))
+
+  /** Full-match against a regex; nulls violate. */
+  def matches(c: String, regex: String): Check =
+    Check(s"${c}_matches", col(c).rlike(regex))
+
+  /** Column-length bound for strings (e.g. doc length contracts). */
+  def maxLength(c: String, n: Int): Check =
+    Check(s"${c}_max_len", col(c).isNotNull && length(col(c)) <= n)
+
+  /** Run row checks + key-uniqueness checks in ONE aggregate pass over
+    * `df`. For each row check the violation count is a conditional sum;
+    * for each uniqueness check it is `count(*) - count(distinct key)`
+    * (0 ⇔ key unique; `count(distinct)` ignores NULL in both Spark and
+    * SQL, so null keys count toward the tally — pair with [[notNull]]
+    * to attribute them separately). Returns long-form
+    * (check, violations, n_rows). */
+  def run(df: DataFrame, checks: Seq[Check],
+      uniqueKeys: Seq[String] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniqueKeys.nonEmpty, "no checks given")
+    val rowAggs = checks.map(k =>
+      sum(when(!coalesce(k.holds, lit(false)), 1L).otherwise(0L)).as(k.name))
+    val uniqAggs = uniqueKeys.map(c =>
+      (count(lit(1)) - countDistinct(col(c))).as(s"${c}_unique"))
+    val total = count(lit(1)).as("__rows")
+    val aggs = rowAggs ++ uniqAggs :+ total
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val names = checks.map(_.name) ++ uniqueKeys.map(c => s"${c}_unique")
+    val stacked = names.map(n => s"'$n', `$n`").mkString(", ")
+    wide.selectExpr(
+        s"stack(${names.size}, $stacked) AS (check, violations)",
+        "__rows AS n_rows")
+      .select(col("check"), col("violations"), col("n_rows"))
+  }
+}

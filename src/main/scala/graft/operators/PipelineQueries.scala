@@ -396,6 +396,26 @@ object PipelineQueries {
         .orderBy(col("n_events"))
     }),
 
+    // -- declarative data-quality checks, ONE aggregate pass per table:
+    // conditional-sum violations + uniqueness via count-minus-distinct.
+    // The totalprice bound is set low on purpose so some checks report
+    // REAL nonzero violation counts the oracle must reproduce. ----------
+    "p06_data_checks" -> ((s, d) => {
+      import graft.operators.Checks._
+      val oc = run(Tables.orders(s, d), Seq(
+          notNull("o_custkey"),
+          inRange("o_totalprice", 0.0, 200000.0),
+          inSet("o_orderstatus", Seq("F", "O", "P"))),
+          uniqueKeys = Seq("o_orderkey"))
+        .withColumn("tbl", lit("orders"))
+      val lc = run(Tables.lineitem(s, d), Seq(
+          inRange("l_quantity", 1.0, 50.0),
+          inRange("l_discount", 0.0, 0.1),
+          notNull("l_orderkey")))
+        .withColumn("tbl", lit("lineitem"))
+      oc.unionByName(lc).orderBy(col("tbl"), col("check"))
+    }),
+
     // batch twin of the watermarked stream-stream interval join
     // (EventStreams.attributionJoin): purchases joined to the same
     // user's clicks in the preceding hour, profiled per purchase. The
@@ -764,6 +784,34 @@ object PipelineQueries {
         |  WHERE q.vec_id < 5
         |) WHERE rn <= 10
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+    // every violation count re-derived with CASE sums; rows via count(*)
+    "p06_data_checks" ->
+      """WITH o AS (SELECT
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS not_null,
+        |  sum(CASE WHEN NOT coalesce(o_totalprice >= 0 AND o_totalprice <= 200000,
+        |    FALSE) THEN 1 ELSE 0 END) AS in_range,
+        |  sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE)
+        |    THEN 1 ELSE 0 END) AS in_set,
+        |  count(*) - count(DISTINCT o_orderkey) AS uniq,
+        |  count(*) AS n FROM orders),
+        |l AS (SELECT
+        |  sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 50,
+        |    FALSE) THEN 1 ELSE 0 END) AS q_range,
+        |  sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.1,
+        |    FALSE) THEN 1 ELSE 0 END) AS d_range,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS ok_null,
+        |  count(*) AS n FROM lineitem),
+        |u AS (
+        |  SELECT 'o_custkey_not_null' AS check, not_null AS violations, n, 'orders' AS tbl FROM o
+        |  UNION ALL SELECT 'o_totalprice_in_range', in_range, n, 'orders' FROM o
+        |  UNION ALL SELECT 'o_orderstatus_in_set', in_set, n, 'orders' FROM o
+        |  UNION ALL SELECT 'o_orderkey_unique', uniq, n, 'orders' FROM o
+        |  UNION ALL SELECT 'l_quantity_in_range', q_range, n, 'lineitem' FROM l
+        |  UNION ALL SELECT 'l_discount_in_range', d_range, n, 'lineitem' FROM l
+        |  UNION ALL SELECT 'l_orderkey_not_null', ok_null, n, 'lineitem' FROM l)
+        |SELECT "check", CAST(violations AS BIGINT) AS violations,
+        | n AS n_rows, tbl FROM u ORDER BY tbl, "check"""".stripMargin,
+
     // self-join replay of the interval join: purchases to same-user
     // clicks within the preceding hour, microsecond-exact lag
     "st02_stream_join" ->

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Checks
+import graft.operators.Checks._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-quality checks: exact violation counts on known-dirty data, and
+  * the one-pass plan claim (N checks = one scan + one aggregation). */
+class ChecksSpec extends AnyFunSuite with CacheHygiene {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  test("violation counts are exact on known-dirty data") {
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "ok"),
+      (2L, -5.0, "ok"),      // range violation
+      (null, 20.0, "ok"),    // null violation
+      (4L, 999.0, "bad"),    // range + set violation
+      (4L, 30.0, "ok"))      // duplicate key
+      .toDF("k", "v", "s")
+    val got = Checks.run(df,
+        Seq(notNull("k"), inRange("v", 0.0, 100.0), inSet("s", Seq("ok"))),
+        uniqueKeys = Seq("k"))
+      .orderBy("check")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("k_not_null", 1L, 5L),
+      // countDistinct ignores NULL (as does the SQL oracle), so the null
+      // key counts toward the uniqueness tally: 5 rows - 3 distinct = 2.
+      // Pair with notNull(k) to attribute the null separately.
+      ("k_unique", 2L, 5L),
+      ("s_in_set", 1L, 5L),
+      ("v_in_range", 2L, 5L)))
+  }
+
+  test("N checks compile to one scan and one aggregation") {
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+    val checked = Checks.run(df, Seq(
+      notNull("o_custkey"), inRange("o_totalprice", 0, 1e9),
+      inSet("o_orderstatus", Seq("F", "O", "P")),
+      matches("o_orderpriority", "^[0-9]-[A-Z ]+$"),
+      maxLength("o_orderpriority", 20)), uniqueKeys = Seq("o_orderkey"))
+    val plan = checked.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one scan:\n$plan")
+    // partial + final of ONE aggregate (distinct adds its expand stage,
+    // but no second scan and no join)
+    assert(!plan.contains("Join"), s"checks must not join:\n$plan")
+    assert(checked.count() == 6)
+  }
+
+  test("unique check counts duplicate keys, not duplicate rows") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "s")
+    val got = Checks.run(df, Nil, uniqueKeys = Seq("k"))
+      .as[(String, Long, Long)].collect().head
+    assert(got == ("k_unique", 1L, 3L))
+  }
+}
