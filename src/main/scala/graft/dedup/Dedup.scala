@@ -162,6 +162,102 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- incremental LSH index ------------------------------------------
+
+  /** Build a persistent MinHash-LSH index over the current corpus so
+    * later batches can be deduplicated incrementally: each
+    * [[appendToLshIndex]] signatures ONLY the new documents and probes
+    * the store by bucket, so daily ingest costs O(batch), not O(corpus).
+    *
+    * Layout under `path`:
+    *  - `meta/`  (id, sh)      — shingle sets, for exact-jaccard verify
+    *  - `bands/` (id, band, h) — exploded LSH bucket keys
+    *
+    * Signatures are hash-derived (no RNG), so build + appends in any
+    * batch order produce exactly the pairs of a one-shot
+    * [[minhashLshPairs]] over the union — the d10 gate hash-verifies
+    * that equality against the same exact-jaccard oracle as d02, and
+    * PipelineSpec exercises a two-append sequence. */
+  def buildLshIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 3, k: Int = 64, bands: Int = 16): Unit = {
+    val spark = df.sparkSession
+    df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+      .write.mode("overwrite").parquet(s"$path/meta/batch=base")
+    spark.read.parquet(s"$path/meta/batch=base")
+      .select(col("id"),
+        graft.plans.MinHashBandsExpression.minhashBands(col("sh"), k, bands).as("bh"))
+      .select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
+      .write.mode("overwrite").parquet(s"$path/bands/batch=base")
+  }
+
+  /** Append a document batch to a [[buildLshIndex]] store and return the
+    * verified near-dup pairs INVOLVING the new docs (new↔old and
+    * new↔new; the store's old↔old pairs were reported when they were
+    * appended).
+    *
+    * Scale shape: the batch is signatured narrowly and BROADCAST against
+    * the store's band table — the corpus-sized side is scanned once and
+    * never shuffled; the shingle fetch joins are semi-join-pruned to
+    * candidate ids exactly as in [[minhashLshPairs]].
+    *
+    * Durability/ordering: the pair report is WRITTEN TO DISK
+    * (`pairs/batch=<id>`) before the store gains the batch's
+    * `meta/bands/batch=<id>` segments, and the returned frame reads that
+    * written report — so no plan re-execution can observe the
+    * post-append store and double-count (a lazily re-executed plan over
+    * a mutated store is exactly how a subtle ×2 pair bug crept in during
+    * development). Re-running the same `batchId` overwrites all three
+    * segments — idempotent re-ingest. */
+  def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String, batchId: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(batchId.matches("[A-Za-z0-9_-]+") && batchId != "base",
+      s"batchId must be a fresh [A-Za-z0-9_-]+ segment name, got '$batchId'")
+    val newMeta = newDocs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+      .persist()
+    val newBanded = newMeta
+      .select(col("id"),
+        graft.plans.MinHashBandsExpression.minhashBands(col("sh"), k, bands).as("bh"))
+      .select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
+      .persist()
+    // store segments as of BEFORE this batch (its batch=<id> dirs are
+    // excluded even on re-ingest: the filter prunes them at plan time)
+    val oldMeta = spark.read.parquet(s"$path/meta")
+      .filter(col("batch") =!= batchId).drop("batch")
+    val oldBands = spark.read.parquet(s"$path/bands")
+      .filter(col("batch") =!= batchId).drop("batch")
+    // candidates with >=1 new side; store side scanned once, unshuffled
+    val newVsOld = oldBands.join(
+        broadcast(newBanded.withColumnRenamed("id", "nid")), Seq("band", "h"))
+      .filter(col("id") =!= col("nid"))
+      .select(least(col("id"), col("nid")).as("a"),
+        greatest(col("id"), col("nid")).as("b"))
+    val l = newBanded.as("l"); val r = newBanded.as("r")
+    val newVsNew = l.join(broadcast(r),
+        col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+    val cand = newVsOld.unionByName(newVsNew).distinct()
+    // verify with exact jaccard over the combined shingle store
+    val allMeta = oldMeta.unionByName(newMeta)
+    val candIds = cand.select(col("a").as("id"))
+      .union(cand.select(col("b").as("id")))
+    val needed = allMeta.join(candIds, Seq("id"), "left_semi")
+    val sa = needed.select(col("id").as("a"), col("sh").as("sha"))
+    val sb = needed.select(col("id").as("b"), col("sh").as("shb"))
+    val pairs = cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // disk barrier: report first, then the store segments
+    pairs.write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
+    newMeta.write.mode("overwrite").parquet(s"$path/meta/batch=$batchId")
+    newBanded.write.mode("overwrite").parquet(s"$path/bands/batch=$batchId")
+    newMeta.unpersist(); newBanded.unpersist()
+    spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
+  }
+
   // ---- duplicate clusters ---------------------------------------------
 
   /** Connected components over the near-dup pair graph: every document in

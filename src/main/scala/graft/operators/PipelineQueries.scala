@@ -40,6 +40,26 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // -- incremental LSH: build index on 3/4 of the corpus, append the
+    // rest as an ingest batch; (build-time pairs) ∪ (append's new pairs)
+    // must equal the one-shot d02 over the full corpus — same oracle.
+    // The append broadcasts the BATCH's bands and scans the store once,
+    // unshuffled: the O(batch) daily-ingest shape. ----------------------
+    "d10_incremental_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/lsh_idx"
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 4 === 0)
+      Dedup.buildLshIndex(old, "doc_id", "text", dir)
+      val oldPairs = Dedup.minhashLshPairs(old, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val newPairs = Dedup.appendToLshIndex(s, dir, fresh, "doc_id", "text",
+        batchId = "b1", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      oldPairs.unionByName(newPairs)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // -- SimHash signatures per doc (pair search tested in PipelineSpec) -
     "d03_simhash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -515,6 +535,26 @@ object PipelineQueries {
     })
   )
 
+  /** Shared by d02 (one-shot) and d10 (incremental index): exact-jaccard
+    * pairs at threshold 0.8 over the full corpus. */
+  private val lshPairsOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+      |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
+      |      WHERE tri IS NOT NULL GROUP BY doc_id)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      | round(len(list_intersect(a.tris,b.tris))::DOUBLE
+      |       / len(list_distinct(a.tris||b.tris)), 4) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
+      |      / len(list_distinct(a.tris||b.tris)) >= 0.8
+      |ORDER BY a, b""".stripMargin
+
   /** Shared by d07 (exact) and d09 (bloom-prefiltered): the two queries
     * are result-identical by construction, so one oracle gates both. */
   private val contaminationOracle: String =
@@ -570,23 +610,10 @@ object PipelineQueries {
       """SELECT doc_id,
         | (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "d02_minhash_lsh" ->
-      """WITH w AS (
-        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-        |         generate_subscripts(string_split(text,' '),1) AS pos
-        |  FROM documents),
-        |t AS (SELECT doc_id,
-        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
-        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-        |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
-        |      WHERE tri IS NOT NULL GROUP BY doc_id)
-        |SELECT a.doc_id AS a, b.doc_id AS b,
-        | round(len(list_intersect(a.tris,b.tris))::DOUBLE
-        |       / len(list_distinct(a.tris||b.tris)), 4) AS jaccard
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
-        |      / len(list_distinct(a.tris||b.tris)) >= 0.8
-        |ORDER BY a, b""".stripMargin,
+    "d02_minhash_lsh" -> lshPairsOracle,
+    // d10 is the incremental-index formulation of d02 — deterministic
+    // signatures make batch order irrelevant, so one oracle gates both
+    "d10_incremental_lsh" -> lshPairsOracle,
     "d06_dup_clusters" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,

@@ -283,6 +283,28 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(Multimodal.frameSampleIndices(100, 10, 5) == Seq(0, 10, 20, 30, 40))
   }
 
+  test("incremental LSH index: build + two appends equals one-shot batch dedup") {
+    import graft.dedup.Dedup
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val dir = "target/qtmp/lsh_idx_spec"
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    Dedup.buildLshIndex(b0, "doc_id", "text", dir)
+    val p0 = Dedup.minhashLshPairs(b0, "doc_id", "text", threshold = 0.8)
+    val p1 = Dedup.appendToLshIndex(spark, dir, b1, "doc_id", "text", "b1", threshold = 0.8)
+    val p2 = Dedup.appendToLshIndex(spark, dir, b2, "doc_id", "text", "b2", threshold = 0.8)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    val incremental = pairSet(p0) ++ pairSet(p1) ++ pairSet(p2)
+    val oneShot = pairSet(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8))
+    assert(incremental == oneShot,
+      s"incremental-only=${incremental -- oneShot} oneshot-only=${oneShot -- incremental}")
+    assert(oneShot.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
   test("bloom filter: zero false negatives; prefiltered decontamination equals exact") {
     import graft.functions.BloomFunctions
     // no false negatives — every inserted member must probe true
