@@ -78,6 +78,45 @@ object Dedup {
       .otherwise(inter.cast("double") / (size(a) + size(b) - inter))
   }
 
+  /** Per-document cross-corpus duplicate n-gram fraction — the
+    * RefinedWeb/Gopher-style signal "what share of this doc's distinct
+    * n-grams also appear in at least one OTHER document". High values flag
+    * boilerplate and template spam that per-doc repetition metrics miss.
+    *
+    * Plan shape: one narrow shingle explode, a gram-keyed count aggregate
+    * (vocabulary-sized), a gram-keyed join back, and a per-doc aggregate —
+    * two shuffles total, both on the gram key. `wordShingles` emits
+    * DISTINCT shingles per doc, so `count(*)` per gram IS the number of
+    * containing documents.
+    *
+    * @param hashGrams the 100 TB switch: project `xxhash64(gram)` before
+    *   either shuffle, so the exchanges move 8-byte longs instead of
+    *   n-word strings (for 8-grams of ~7-char words, a ~7× shuffle-byte
+    *   reduction). Collisions are 2⁻⁶⁴-scale — astronomically below any
+    *   quality-signal tolerance. Off in the gate query only because the
+    *   oracle must replay gram identity in ANSI SQL; results are
+    *   spec-proved identical on the test corpus (PipelineSpec).
+    *
+    * Fraction uses the IEEE-stable floor form (see
+    * TextFunctions.qualityScore) — avg of exact 0.0/1.0 doubles is
+    * order-independent, and floor(x·10⁴+0.5)/10⁴ rounds identically on
+    * every engine.
+    */
+  def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
+      n: Int, hashGrams: Boolean): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("g0"))
+    val grams = exploded.select(col(idCol),
+      (if (hashGrams) xxhash64(col("g0")) else col("g0")).as("g"))
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    grams.join(counts, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        (floor(avg(when(col("nd") >= 2, 1.0).otherwise(0.0)) * 10000 + lit(0.5))
+          / 10000).as("dup_frac"))
+  }
+
   /** MinHash-LSH candidate pairs with exact-jaccard verification.
     *
     * @param df         input with an id column and a text column

@@ -318,7 +318,40 @@ object CoreQueries {
           coalesce(col("O"), lit(0L)).as("n_o"),
           coalesce(col("P"), lit(0L)).as("n_p"))
         .orderBy(col("o_orderpriority")))
-  ) ++ scaleLeverQueries
+  ) ++ scaleLeverQueries ++ Map[String, Q](
+
+    // -- cube / grouping sets (exceeds reference): all 2^k grouping
+    // combinations in ONE pass — Catalyst expands the cube into a single
+    // Expand + partial/final aggregate, so the input is scanned once
+    // regardless of how many grouping sets it feeds --------------------
+    "q31_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // -- typed cogroup (GraftStream.coGroup): per-order reconciliation of
+    // the orders and lineitem sides in one co-partitioned pass. Sums are
+    // carried in exact integer cents so the result is independent of the
+    // (arbitrary) within-group iteration order ---------------------------
+    "q32_cogroup" -> ((s, d) => {
+      import s.implicits._
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity")).as[(Long, Double)]
+      GraftStream(ord).coGroup(GraftStream(li))(_._1, _._1) { (k, os, ls) =>
+        var nOrders = 0L; var priceCents = 0L
+        os.foreach { o => nOrders += 1; priceCents += math.round(o._2 * 100) }
+        var nItems = 0L; var qtyCents = 0L
+        ls.foreach { l => nItems += 1; qtyCents += math.round(l._2 * 100) }
+        Iterator((k, nOrders, nItems, priceCents, qtyCents))
+      }.ds.toDF("o_orderkey", "n_orders", "n_items", "price_cents", "qty_cents")
+        .orderBy(col("o_orderkey"))
+    })
+  )
 
   /** Scale-lever operators gated against the plain-join oracle: the salted
     * and bucketed formulations must be RESULT-IDENTICAL to the naive join
@@ -517,6 +550,27 @@ object CoreQueries {
       """SELECT c_mktsegment, count(*) AS n,
         | round(sum(o_totalprice),2) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q31_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // cogroup == two grouped aggregates reconciled by a full outer join
+    // (integer-cents sums keep both engines bit-exact)
+    "q32_cogroup" ->
+      """WITH o AS (SELECT o_orderkey, count(*) AS n_orders,
+        |   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        | FROM orders GROUP BY o_orderkey),
+        |l AS (SELECT l_orderkey, count(*) AS n_items,
+        |   CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+        | FROM lineitem GROUP BY l_orderkey)
+        |SELECT coalesce(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+        | coalesce(o.n_orders, 0) AS n_orders,
+        | coalesce(l.n_items, 0) AS n_items,
+        | coalesce(o.price_cents, 0) AS price_cents,
+        | coalesce(l.qty_cents, 0) AS qty_cents
+        |FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -78,6 +78,21 @@ final case class GraftStream[T](ds: Dataset[T]) {
     })
   }
 
+  /** Distributed cogroup (exceeds the reference's broadcast-only joins):
+    * both sides shuffle ONCE on the key, then `f` sees each key with both
+    * sides' full match iterators — the general (K, Iter[V1], Iter[V2])
+    * shape the reference's `left_join`/`inner_join` only approximate with
+    * a driver-replicated right side. Backed by
+    * `KeyValueGroupedDataset.cogroup`, so each side is a single hash
+    * partitioning (spillable, no driver collection at any size).
+    */
+  def coGroup[K: Encoder, U, R: Encoder](other: GraftStream[U])(
+      keyL: T => K, keyR: U => K)(
+      f: (K, Iterator[T], Iterator[U]) => IterableOnce[R]): GraftStream[R] =
+    GraftStream(ds.groupByKey(keyL).cogroup(other.ds.groupByKey(keyR)) {
+      (k, ls, rs) => f(k, ls, rs).iterator
+    })
+
   // ---- terminal sinks (par_sink/*, §2.3) ------------------------------
 
   /** par_sink/count.rs */

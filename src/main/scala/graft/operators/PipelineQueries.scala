@@ -379,6 +379,45 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("bigram")).limit(20)
     }),
 
+    // -- TF-IDF distinctive terms per language ---------------------------
+    // the classic corpus-statistics query: one explode, two aggregates
+    // (term frequency per language, document frequency across the corpus)
+    // joined on the vocabulary — shuffles are vocabulary-sized, never
+    // corpus-sized. N arrives as a broadcast scalar, and the top-5 per
+    // language is a WindowGroupLimit, not a global sort.
+    "t10_tfidf_top_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val nDocs = docs.agg(count(lit(1)).as("n_total"))
+      val tf = toks.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+        .withColumn("score", round(col("tf") *
+          log(col("n_total").cast("double") / col("df")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("term"), col("score"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // -- cross-document duplicate n-gram fraction ------------------------
+    // the RefinedWeb/Gopher-style contamination signal: what fraction of a
+    // doc's distinct 8-grams also occur in OTHER documents. Gate form uses
+    // gram strings so DuckDB can replay it; `Dedup.dupNgramFraction` offers
+    // the 100 TB shape (grams hashed to int64 before either shuffle),
+    // spec-proved equal in PipelineSpec.
+    "d11_dup_ngram_fraction" -> ((s, d) =>
+      Dedup.dupNgramFraction(
+        Tables.documents(s, d), textCol = "text", idCol = "doc_id",
+        n = 8, hashGrams = false)
+        .orderBy(col("doc_id"))),
+
     // -- per-group distribution stats: exact percentiles by language -----
     "t09_group_percentiles" -> ((s, d) =>
       Tables.documents(s, d)
@@ -705,6 +744,40 @@ object PipelineQueries {
         |        i -> l[i] || ' ' || l[i+1])) AS bigram FROM t)
         |SELECT bigram, count(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "t10_tfidf_top_terms" ->
+      """WITH t AS (SELECT lang, doc_id, unnest(string_split(text,' ')) AS term
+        |           FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |sc AS (SELECT tf.lang, tf.term,
+        |         round(tf.tf * ln(n.n_total::DOUBLE / df.df), 4) AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY lang ORDER BY score DESC, term) AS rk FROM sc)
+        |SELECT lang, term, score, rk FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+    // same windowed 8-gram construction as the contamination oracle, then
+    // per-doc share of grams seen in >= 2 documents
+    "d11_dup_ngram_fraction" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win
+        |            || ' ' || lead(tok,3) OVER win || ' ' || lead(tok,4) OVER win
+        |            || ' ' || lead(tok,5) OVER win || ' ' || lead(tok,6) OVER win
+        |            || ' ' || lead(tok,7) OVER win AS g8
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |dg AS (SELECT DISTINCT doc_id, g8 FROM g WHERE g8 IS NOT NULL),
+        |c AS (SELECT g8, count(*) AS nd FROM dg GROUP BY 1)
+        |SELECT dg.doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | floor(avg(CASE WHEN c.nd >= 2 THEN 1.0 ELSE 0.0 END) * 10000 + 0.5)
+        |   / 10000 AS dup_frac
+        |FROM dg JOIN c USING (g8)
+        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
     "t09_group_percentiles" ->
       """SELECT lang,
         | round(quantile_cont(len(string_split(text,' ')), 0.5), 2) AS p50_toks,

@@ -205,4 +205,22 @@ class GraftStreamSpec extends AnyFunSuite with CacheHygiene {
     assert(a.sortNBy(10) == b.sortNBy(10))
     assert(a.mean(_.toDouble) == b.mean(_.toDouble))
   }
+
+  test("coGroup: per-key reconcile matches collection groupBy truth") {
+    val left = GraftStream(spark.createDataset((0L until 100L).map(k => (k % 10, k))))
+    val right = GraftStream(spark.createDataset((0L until 40L).map(k => (k % 20, k * 2))))
+    val got = left.coGroup(right)(_._1, _._1) { (k, ls, rs) =>
+      // the match iterators are single-pass: materialize once, then derive
+      val lv = ls.map(_._2).toSeq; val rv = rs.map(_._2).toSeq
+      Iterator((k, lv.sum, rv.sum, lv.size))
+    }.ds.collect().sortBy(_._1)
+    // collection truth: keys from EITHER side appear exactly once
+    val lm = (0L until 100L).map(k => (k % 10, k)).groupMap(_._1)(_._2)
+    val rm = (0L until 40L).map(k => (k % 20, k * 2)).groupMap(_._1)(_._2)
+    val want = (lm.keySet ++ rm.keySet).toSeq.sorted.map { k =>
+      (k, lm.getOrElse(k, Nil).sum, rm.getOrElse(k, Nil).sum,
+        lm.getOrElse(k, Nil).size)
+    }
+    assert(got.toSeq == want)
+  }
 }

@@ -343,4 +343,19 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       .agg(min(col("c"))).head.getDouble(0)
     assert(cos > 0.999, s"dequantized cosine dropped to $cos")
   }
+
+  test("dupNgramFraction: hashed-gram shuffle (100 TB shape) == string grams") {
+    val docs = Tables.documents(spark, sfDir)
+    def rows(hashed: Boolean) =
+      Dedup.dupNgramFraction(docs, "text", "doc_id", 8, hashGrams = hashed)
+        .select(col("doc_id"), col("n_grams"), col("n_dup"), col("dup_frac"))
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val str = rows(hashed = false)
+    val hsh = rows(hashed = true)
+    assert(str.nonEmpty, "no docs with >= 8 tokens?")
+    assert(str == hsh, "xxhash64 gram projection changed the result")
+    // the signal actually fires: the corpus has planted near-dups, so some
+    // docs must have a nonzero cross-doc duplicate fraction
+    assert(str.exists(_._4 > 0), "no cross-document duplicate 8-grams found")
+  }
 }
