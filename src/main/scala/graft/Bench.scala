@@ -29,6 +29,8 @@ object Bench {
     "q23_asof_join",         // one-shuffle as-of join (window form)
     "q27_asof_native",       // custom AsofJoinExec (vs q23's window form)
     "q24_range_join",        // bucketed range join
+    "q33_tpch_q3",           // 3-way fact join, pushed filters, bounded top-n
+    "q34_tpch_q5",           // 6-table join: broadcast dim chain + fact shuffles
     "d07_contamination",     // exact decontamination (broadcast 8-gram set)
     "d09_bloom_decontaminate", // bloom-prefiltered twin (same oracle as d07)
     "p01_curation_pipeline") // quality -> dedup -> stats composition
@@ -44,7 +46,12 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q04,q05 times a subset with the
+    // same warmup+noop methodology (driver runs without it → full headline)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val qs = headline.filter(SparkEntry.queries.contains)
+      .filter(q => only.forall(_.contains(q)))
     qs.foreach { q =>
       try run(q) catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $q failed: ${e.getMessage}") }

@@ -350,6 +350,65 @@ object CoreQueries {
         Iterator((k, nOrders, nItems, priceCents, qtyCents))
       }.ds.toDF("o_orderkey", "n_orders", "n_items", "price_cents", "qty_cents")
         .orderBy(col("o_orderkey"))
+    }),
+
+    // -- TPC-H Q3 shape: the canonical shipping-priority 3-way join ------
+    // filters pushed into all three scans BEFORE any join; lineitem⋈orders
+    // shuffles on the orderkey both sides already produce; the filtered
+    // customer side is left to AQE — at this SF it broadcasts, at 100 TB
+    // (where BUILDING customers are far over the broadcast threshold) the
+    // same plan degrades gracefully to a shuffle join. TakeOrdered caps
+    // the result without a global sort.
+    "q33_tpch_q3" -> ((s, d) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // -- TPC-H Q5 shape: 6-table join mixing both join strategies --------
+    // region→nation→supplier collapse into ONE broadcast dim (fixed-size
+    // at ANY corpus scale — the explicit broadcast is the 100 TB-correct
+    // call, unlike Q3's data-dependent customer side); lineitem⋈orders⋈
+    // customer are the genuine shuffles. The c_nationkey = s_nationkey
+    // condition rides the broadcast join, not an extra exchange.
+    "q34_tpch_q5" -> ((s, d) => {
+      val r = Tables.region(s, d)
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      val n = Tables.nation(s, d)
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d)
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     })
   )
 
@@ -571,6 +630,28 @@ object CoreQueries {
         | coalesce(o.price_cents, 0) AS price_cents,
         | coalesce(l.qty_cents, 0) AS qty_cents
         |FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q33_tpch_q3" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q34_tpch_q5" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
   )
 }

@@ -150,6 +150,24 @@ object SourceQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // -- Hive-style partitioned WRITE + partition-pruned read: the layout
+    //    every 100 TB corpus uses (partition by coarse key, prune at plan
+    //    time). Write documents partitioned by lang, read back with a
+    //    lang filter — the filter becomes a PartitionFilter (asserted in
+    //    PlanSpec: only matching directories are LISTED, non-matching
+    //    partitions are never opened), and the oracle recomputes from the
+    //    original table so the hash proves the layout is lossless. -------
+    "s09_partitioned_write" -> ((s, d) => {
+      val dir = tmp(d, "docs_by_lang")
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // -- Z-order layout round-trip: rewrite lineitem clustered on the
     //    Morton curve of (l_partkey, l_suppkey), read it back, aggregate.
     //    The oracle recomputes from the ORIGINAL table, so a hash match
@@ -280,6 +298,11 @@ object SourceQueries {
       """SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size,
         | round(sum(p_retailprice),2) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "s09_partitioned_write" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en','de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // z01 aggregates the REWRITTEN table; recomputing from the original
     // lineitem proves the z-order rewrite lost/duplicated nothing
     "z01_zorder_roundtrip" ->

@@ -116,6 +116,39 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(p.contains("LeftSemi"), s"no semi-join prune before verify:\n$p")
   }
 
+  test("s09: lang filter prunes partitions at plan time (PartitionFilters)") {
+    val p = plan("s09_partitioned_write")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("lang"),
+      s"lang filter did not become a partition filter:\n$p")
+    assert(scanLine.contains("IN (en,de)") || scanLine.contains("IN (de,en)"),
+      s"expected lang IN pruning predicate, got: $scanLine")
+    // and the filter must be PURELY partition-level: nothing to evaluate
+    // per-row (DataFilters) or push into the parquet reader (PushedFilters)
+    assert(scanLine.contains("DataFilters: []") &&
+      scanLine.contains("PushedFilters: []"),
+      s"lang filter leaked out of the partition layer: $scanLine")
+  }
+
+  test("q33: selective filters are pushed to all scans; top-10 is bounded") {
+    val p = plan("q33_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-n:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+      || p.contains("GreaterThan(l_shipdate"), s"l_shipdate not pushed:\n$p")
+    assert(p.contains("LessThan(o_orderdate"), s"o_orderdate not pushed:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment not pushed:\n$p")
+  }
+
+  test("q34: fixed-size dim chain broadcasts; fact joins stay shuffles") {
+    val p = plan("q34_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$p")
+    // the two fact-fact joins (l⋈o, ⋈c) must NOT have been force-broadcast:
+    // at 100 TB they are shuffle joins; locally AQE may pick broadcast for
+    // the post-filter orders side, so just require the plan executes the
+    // broadcast for supplier chain without a cartesian anywhere
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q5 plan:\n$p")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
