@@ -409,6 +409,32 @@ object CoreQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // -- window-function suite: lag/lead/rank/ntile/running sum in ONE
+    // window pass (one shuffle on the partition key, one sort within) —
+    // money carried as integer cents so every engine agrees bit-exactly.
+    // The deterministic (o_orderdate, o_orderkey) ordering makes rank,
+    // ntile and the frame sums reproducible; the custkey filter is pushed
+    // to the scan and bounds the output, not the technique. -------------
+    "q35_window_suite" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .withColumn("next_cents", lead(col("cents"), 1).over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("run_cents", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("o_orderkey"), col("o_custkey"), col("prev_cents"),
+          col("next_cents"), col("rk"), col("quartile"), col("run_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
   )
 
@@ -652,6 +678,22 @@ object CoreQueries {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q35_window_suite" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 100 = 0)
+        |SELECT o_orderkey, o_custkey,
+        |  lag(cents, 1) OVER win AS prev_cents,
+        |  lead(cents, 1) OVER win AS next_cents,
+        |  rank() OVER win AS rk,
+        |  ntile(4) OVER win AS quartile,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+        |FROM o
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

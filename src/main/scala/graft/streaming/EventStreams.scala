@@ -216,6 +216,33 @@ object EventStreams {
 
   /** Streaming read of an events parquet directory (schema-first, as
     * readStream requires). */
+  /** Continuous near-dup ingest: every micro-batch of a document stream is
+    * appended to a persistent MinHash-LSH index store
+    * ([[graft.dedup.Dedup.appendToLshIndex]]), writing the batch's verified
+    * near-dup pairs (new↔old and new↔new) under `indexPath/pairs/batch=e<N>`
+    * before the store gains the batch — the production shape for deduping
+    * an ingest firehose against an ever-growing corpus without ever
+    * re-scanning it (the store side is scanned once per batch, unshuffled;
+    * the batch side is broadcast).
+    *
+    * `foreachBatch` is the standard boundary for streaming writes that
+    * need batch-only logic (multi-pass joins against a mutable store).
+    * Effectively-once ingest comes from the store's idempotent batch
+    * segments keyed by the streaming epoch id: a replayed epoch overwrites
+    * its OWN `meta/bands/pairs` segments and its plan-time `batch=` filter
+    * excludes them from "old", so re-processing never double-counts.
+    */
+  def lshIngest(docs: DataFrame, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        graft.dedup.Dedup.appendToLshIndex(batch.sparkSession, indexPath,
+          batch.toDF(), idCol, textCol, s"e$epochId", threshold = threshold)
+        ()
+    }
+
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),

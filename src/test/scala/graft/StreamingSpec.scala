@@ -198,4 +198,34 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
     assert(got.agg(sum("n")).head().getLong(0) ==
       Tables.events(spark, "/root/testdata/sf0.001").count())
   }
+
+  test("streaming LSH ingest: micro-batched appends equal one-shot batch dedup") {
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val dir = "target/qtmp/lsh_stream_idx"
+    // base corpus indexed in batch; its internal pairs via the one-shot op
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    Dedup.buildLshIndex(base, "doc_id", "text", dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    val basePairs = pairSet(Dedup.minhashLshPairs(base, "doc_id", "text", threshold = 0.8))
+    // remaining docs arrive as two stream micro-batches (epochs e0, e1)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.lshIngest(
+      stream.toDF().toDF("doc_id", "text"), dir).start()
+    def batchOf(m: Int) = docs.filter(col("doc_id") % 3 === m)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    try {
+      stream.addData(batchOf(1)); q.processAllAvailable()
+      stream.addData(batchOf(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamedPairs = pairSet(spark.read.parquet(s"$dir/pairs"))
+    val oneShot = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8))
+    assert(oneShot.nonEmpty, "fixture should contain near-dup pairs")
+    assert(basePairs ++ streamedPairs == oneShot,
+      s"missing=${oneShot -- basePairs -- streamedPairs} " +
+        s"extra=${(basePairs ++ streamedPairs) -- oneShot}")
+  }
 }
