@@ -131,6 +131,75 @@ object Ann {
     cents
   }
 
+  /** Bounded driver-side training sample + spherical k-means: first
+    * maxTrainRows/nParts rows of EVERY partition — spread across the
+    * corpus with no prior count() job. Shared by the IVF paths and
+    * [[semDedup]]. Expects the vector column to be named `vec`. */
+  private[ann] def trainCentroids(withVec: DataFrame, nLists: Int,
+      seed: Long, maxTrainRows: Long): Array[Array[Float]] = {
+    val vecOnly = withVec.select("vec")
+    val nParts = math.max(1, vecOnly.rdd.getNumPartitions)
+    val perPart = math.max(1, (maxTrainRows / nParts).toInt)
+    val sample = vecOnly.rdd.mapPartitions(_.take(perPart))
+      .map(_.getSeq[Float](0).toArray).collect()
+    sphericalKMeans(sample, nLists, iters = 10, seed)
+  }
+
+  /** Nearest-centroid cell assignment: argmax over nLists fused cosine
+    * evaluations against literal centroid arrays — narrow,
+    * whole-stage-codegen'd, no model broadcast. */
+  private[ann] def assignCells(withVec: DataFrame,
+      cents: Array[Array[Float]]): DataFrame = {
+    val centCols = cents.map(c => cosine(col("vec"), typedlit(c.toSeq)))
+    val cosArr = array(centCols: _*)
+    withVec.withColumn("cell",
+      (array_position(cosArr, array_max(cosArr)) - 1).cast("int"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): drop documents whose
+    * embeddings are near-identical to a kept document. The corpus is
+    * clustered into `nLists` Voronoi cells (spherical k-means on a
+    * bounded driver sample — same trainer as IVF), pairs are compared
+    * ONLY within a cell (the paper's key trick: semantic dups land in the
+    * same cluster, so the n² comparison shrinks to Σ cell²), duplicate
+    * groups are closed over connected components, and each group keeps
+    * its minimum id.
+    *
+    * Scale shape: assignment is one narrow codegen'd pass; the within-cell
+    * self-join shuffles the corpus once keyed by cell and is quadratic
+    * only inside a cell (nLists scales with corpus size in production —
+    * the paper uses ~10⁵ clusters for LAION — keeping cells bounded; a
+    * degenerate all-in-one-cell corpus should raise nLists, mirroring
+    * [[graft.dedup.Dedup.minhashLshPairs]]'s maxBucket note).
+    *
+    * Cache retention: the assigned frame is persisted (consumed by the
+    * pair join twice and the final keep join); callers running many
+    * passes should `spark.catalog.clearCache()` between them.
+    *
+    * @return (idCol, keep) for every input row — keep=false means a more
+    *         senior near-identical document exists.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nLists: Int = 16, seed: Long = 42L,
+      maxTrainRows: Long = 20000L): DataFrame = {
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cents = trainCentroids(withVec, nLists, seed, maxTrainRows)
+    val assigned = assignCells(withVec, cents).persist()
+    val l = assigned.select(col("cell"), col("id").as("a"), col("vec").as("va"))
+    val r = assigned.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
+    val pairs = l.join(r, Seq("cell")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= tau)
+    // duplicate groups may chain across pairs (a~b, b~c): close them and
+    // keep each group's minimum id, exactly like text dedup
+    val reps = graft.dedup.Dedup.duplicateClusters(pairs.select(col("a"), col("b")))
+      .withColumnRenamed("doc_id", "id")
+    assigned.join(reps, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        (col("rep").isNull || col("rep") === col("id")).as("keep"))
+  }
+
   /** IVF (inverted-file) approximate top-k: cluster the corpus into
     * `nLists` Voronoi cells (spherical k-means — the cosine-metric
     * variant, matching the cosine ranking), search only the `nProbe`
@@ -150,21 +219,8 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
 
     val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // bounded training sample: first maxTrainRows/nParts rows of EVERY
-    // partition — spread across the corpus with no prior count() job
-    val vecOnly = withVec.select("vec")
-    val nParts = math.max(1, vecOnly.rdd.getNumPartitions)
-    val perPart = math.max(1, (maxTrainRows / nParts).toInt)
-    val sample = vecOnly.rdd.mapPartitions(_.take(perPart))
-      .map(_.getSeq[Float](0).toArray).collect()
-    val cents = sphericalKMeans(sample, nLists, iters = 10, seed)
-
-    // assignment: argmax over nLists fused cosine evaluations against
-    // literal centroid arrays — narrow, whole-stage-codegen'd
-    val centCols = cents.map(c => cosine(col("vec"), typedlit(c.toSeq)))
-    val cosArr = array(centCols: _*)
-    val assigned = withVec.withColumn("cell",
-      (array_position(cosArr, array_max(cosArr)) - 1).cast("int"))
+    val cents = trainCentroids(withVec, nLists, seed, maxTrainRows)
+    val assigned = assignCells(withVec, cents)
 
     val spark = emb.sparkSession
     import spark.implicits._
@@ -203,16 +259,8 @@ object Ann {
       table: String, nLists: Int = 16, seed: Long = 42L,
       maxTrainRows: Long = 20000L): Array[Array[Float]] = {
     val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val vecOnly = withVec.select("vec")
-    val nParts = math.max(1, vecOnly.rdd.getNumPartitions)
-    val perPart = math.max(1, (maxTrainRows / nParts).toInt)
-    val sample = vecOnly.rdd.mapPartitions(_.take(perPart))
-      .map(_.getSeq[Float](0).toArray).collect()
-    val cents = sphericalKMeans(sample, nLists, iters = 10, seed)
-    val centCols = cents.map(c => cosine(col("vec"), typedlit(c.toSeq)))
-    val cosArr = array(centCols: _*)
-    val assigned = withVec.withColumn("cell",
-      (array_position(cosArr, array_max(cosArr)) - 1).cast("int"))
+    val cents = trainCentroids(withVec, nLists, seed, maxTrainRows)
+    val assigned = assignCells(withVec, cents)
     graft.operators.Bucketing.writeBucketed(assigned, table, "cell", nLists)
     cents
   }

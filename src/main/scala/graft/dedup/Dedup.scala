@@ -201,6 +201,86 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- exact duplicate-substring spans --------------------------------
+
+  /** Exact duplicate-substring spans — the ExactSubstr dedup of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed for a distributed engine. The paper builds a
+    * corpus-wide suffix array and reports every ≥50-token substring that
+    * occurs twice; a suffix array is inherently single-machine, so the
+    * distributed shape instead finds every maximal token span whose
+    * EVERY k-token window occurs at least `minOccurrences` times in the
+    * corpus (all positions counted, same-doc repeats included) — the
+    * same spans the suffix array yields for duplicated regions ≥ k
+    * tokens, found with two gram-keyed shuffles instead of a global sort:
+    *
+    *  1. window generation is NARROW — `transform(sequence(...))` builds
+    *     (pos, gram) structs inside whole-stage codegen, no shuffle;
+    *  2. one gram-keyed count aggregate (map-side combined; the gram
+    *     table is vocabulary-like, ≪ corpus after combine);
+    *  3. one gram-keyed LEFT SEMI join back to (doc, pos) — duplicated
+    *     positions only, never the corpus text;
+    *  4. per-doc gaps-and-islands merge of overlapping/adjacent windows
+    *     (windows at distance ≤ k merge; a fixed k makes the island rule
+    *     a single lag comparison).
+    *
+    * @param hashGrams the 100 TB switch (same as [[dupNgramFraction]]):
+    *   project `xxhash64(gram)` before the shuffle so both wide stages
+    *   move 8-byte longs instead of k-word strings. Off in the gate
+    *   query only so the oracle can replay gram identity in ANSI SQL.
+    * @return (idCol, span_start, span_end) — token-index spans
+    *   (inclusive, 0-based), one row per maximal duplicated span.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minOccurrences: Long = 2,
+      hashGrams: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"window size k must be >= 1, got $k")
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val grams0 = toks.select(col("id"),
+      explode(when(size(col("t")) >= k,
+        transform(sequence(lit(0), size(col("t")) - k),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("t"), i + 1, lit(k))).as("gram"))))
+        .otherwise(array())).as("pg"))
+      .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val grams = if (hashGrams) grams0.withColumn("gram", xxhash64(col("gram")))
+      else grams0
+    val dupGrams = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minOccurrences).select(col("gram"))
+    val dup = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // new island unless this window overlaps or exactly abuts the
+    // previous one (distance <= k); first row's lag is null -> island
+    val islands = dup
+      .withColumn("ni",
+        when(col("pos") - lag(col("pos"), 1).over(wOrd) <= k, 0L).otherwise(1L))
+      .withColumn("isl", sum(col("ni")).over(wOrd))
+    islands.groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - 1).cast("long").as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Per-document share of tokens inside a duplicated span (companion
+    * summary to [[duplicateSpans]] — the "what fraction of this doc is
+    * boilerplate someone else also has" number pipelines threshold on).
+    * Docs with no duplicated span report 0.0. One extra broadcast-able
+    * join of the (sparse) span list against per-doc token counts. */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minOccurrences: Long = 2,
+      hashGrams: Boolean = true): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minOccurrences, hashGrams)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_toks"))
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_toks"))
+      .join(spans, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_toks"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_toks"),
+        (floor(coalesce(col("dup_toks"), lit(0L)) / col("n_toks") * 10000 + lit(0.5))
+          / 10000).as("dup_frac"))
+  }
+
   // ---- incremental LSH index ------------------------------------------
 
   /** Build a persistent MinHash-LSH index over the current corpus so

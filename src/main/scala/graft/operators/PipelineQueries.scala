@@ -571,6 +571,41 @@ object PipelineQueries {
       checked.agg(
         min(col("err_ok")).as("all_err_in_bound"),
         min(col("range_ok")).as("all_codes_in_range"))
+    }),
+
+    // -- exact duplicate-substring spans (Lee et al. 2021 ExactSubstr,
+    // distributed): maximal token spans whose every 8-token window
+    // occurs >= 2 times corpus-wide. hashGrams stays off here only so
+    // the DuckDB oracle can replay gram identity; production runs flip
+    // it and shuffle 8-byte hashes. ---------------------------------------
+    "d12_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 8, minOccurrences = 2, hashGrams = false)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // -- corpus-trained bigram LM score (CCNet-style perplexity filter);
+    // hashTokens off only for oracle replayability, as with d12. ---------
+    "t11_lm_score" -> ((s, d) =>
+      LanguageModel.bigramLogLikelihood(Tables.documents(s, d), "doc_id", "text",
+          hashTokens = false)
+        .orderBy(col("doc_id"))),
+
+    // -- SemDeDup: embedding-cluster semantic dedup. The corpus has no
+    // natural pairs above cos 0.52, so the gate plants exact clones of
+    // vec_id < 50 (re-id'd +10000): identical vectors deterministically
+    // share a cell regardless of where k-means puts the centroids, each
+    // dup group is {v, v+10000} with rep = v, and no original pair
+    // reaches tau=0.999 — so the expected keep set is exact and the
+    // oracle replays it without replaying k-means. The hash row therefore
+    // verifies assignment co-location + pair generation + component
+    // closure + keep selection end-to-end. -------------------------------
+    "d13_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val clones = e.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      Ann.semDedup(e.unionByName(clones), "vec_id", "embedding",
+          tau = 0.999, nLists = 8)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -613,7 +648,65 @@ object PipelineQueries {
       |WHERE g.doc_id % 10 != 0
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  /** d12: same windowed 8-gram construction as the contamination oracle,
+    * kept with its position so duplicated windows can be merged into
+    * maximal spans by the same gaps-and-islands rule as the Spark side
+    * (distance <= k merges; lag NULL starts an island). */
+  private val dupSpansOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |g AS (SELECT doc_id, pos - 1 AS p,
+      |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win
+      |            || ' ' || lead(tok,3) OVER win || ' ' || lead(tok,4) OVER win
+      |            || ' ' || lead(tok,5) OVER win || ' ' || lead(tok,6) OVER win
+      |            || ' ' || lead(tok,7) OVER win AS g8
+      |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |gg AS (SELECT doc_id, p, g8 FROM g WHERE g8 IS NOT NULL),
+      |dup AS (SELECT g8 FROM gg GROUP BY g8 HAVING count(*) >= 2),
+      |d AS (SELECT doc_id, p FROM gg JOIN dup USING (g8)),
+      |i AS (SELECT doc_id, p,
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+      |             THEN 0 ELSE 1 END AS ni
+      |      FROM d),
+      |s AS (SELECT doc_id, p,
+      |        sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM i)
+      |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+      |       CAST(max(p) + 7 AS BIGINT) AS span_end
+      |FROM s GROUP BY doc_id, isl
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** t11: bigram stream via the same window-lead construction, counts and
+    * history totals replayed relationally, add-one smoothing in double. */
+  private val lmScoreOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |bg0 AS (SELECT doc_id, tok AS w1,
+      |          lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |        FROM w),
+      |bgn AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bgn GROUP BY 1, 2),
+      |ch AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS ch FROM cb GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM w)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  floor(avg(ln((cb.cb + 1.0) / (ch.ch + v.v))) * 10000 + 0.5) / 10000 AS ll
+      |FROM bgn JOIN cb USING (w1, w2) JOIN ch USING (w1) CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d12_dup_spans" -> dupSpansOracle,
+    "t11_lm_score" -> lmScoreOracle,
+    // d13: clones (vec_id >= 10000) drop, originals keep — exact by
+    // construction (no original pair reaches tau; see the query comment)
+    "d13_semdedup" ->
+      """SELECT vec_id, vec_id < 10000 AS keep FROM (
+        |  SELECT vec_id FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id FROM embeddings WHERE vec_id < 50)
+        |ORDER BY vec_id""".stripMargin,
     "a04_ann_contract" ->
       "SELECT TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok",
     "a05_ann_index_contract" ->

@@ -344,6 +344,129 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(cos > 0.999, s"dequantized cosine dropped to $cos")
   }
 
+  test("duplicateSpans: known planted duplicates merge into maximal spans") {
+    // doc 1 and 2 share the 10-token prefix (positions 0..9 -> windows
+    // 0,1,2 with k=8 -> one span [0,9]); doc 3 is unique; doc 4 repeats
+    // doc 1's unique tail nowhere. Token streams built to avoid
+    // accidental 8-gram collisions.
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared tail1a tail1b tail1c"),
+      (2L, s"$shared tail2a tail2b tail2c"),
+      (3L, (1 to 16).map(i => s"solo$i").mkString(" ")),
+      (4L, (1 to 16).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 0L, 9L), (2L, 0L, 9L)),
+      s"expected the shared 10-token prefix as one span per doc, got $spans")
+
+    // same-doc repetition counts toward minOccurrences: one doc whose
+    // 8-gram repeats within itself gets a span covering both copies
+    // (windows at distance <= k merge across the repeat boundary)
+    val selfRep = Seq((9L, ((1 to 8) ++ (1 to 8)).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val selfSpans = Dedup.duplicateSpans(selfRep, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(selfSpans == Set((9L, 0L, 15L)), s"self-repeat span wrong: $selfSpans")
+  }
+
+  test("duplicateSpans/Stats: hashed-gram shuffle (100 TB shape) == string grams") {
+    val docs = Tables.documents(spark, sfDir)
+    val plain = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8,
+      hashGrams = false).as[(Long, Long, Long)].collect().toSet
+    val hashed = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8,
+      hashGrams = true).as[(Long, Long, Long)].collect().toSet
+    assert(plain.nonEmpty, "corpus should contain duplicated spans (d01 dups)")
+    assert(hashed == plain, "xxhash64 gram projection must not change spans")
+    // stats: dup_frac in [0,1], exact-dup docs (same text twice) are 1.0
+    val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 8)
+    val bad = stats.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count()
+    assert(bad == 0, "dup_frac out of [0,1]")
+    val fullDup = docs.groupBy(md5(col("text"))).agg(
+        count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"))
+      .filter(col("n") >= 2).select("doc_id")
+    val notFull = fullDup.join(stats, "doc_id")
+      .filter(col("dup_frac") < 1.0).count()
+    assert(notFull == 0, "exact-duplicate docs must be fully covered by spans")
+  }
+
+  test("bigram LM: hand-computed likelihood on a tiny corpus; hashed == plain") {
+    import graft.operators.LanguageModel
+    // corpus = one doc "a b a b": bigrams (a,b),(b,a),(a,b)
+    // cb(a,b)=2 cb(b,a)=1; ch(a)=2 ch(b)=1; V=2
+    // ll = avg(ln(3/4), ln(2/3), ln(3/4))
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = LanguageModel.bigramLogLikelihood(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toList
+    val want = math.floor(
+      (math.log(3.0 / 4) + math.log(2.0 / 3) + math.log(3.0 / 4)) / 3
+        * 10000 + 0.5) / 10000
+    assert(got == List((1L, 3L, want)), s"got $got, want ll=$want")
+
+    // short docs (<2 tokens) have no bigrams and drop out
+    val short = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val ids = LanguageModel.bigramLogLikelihood(short, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L), s"1-token doc must be absent, got $ids")
+
+    // the 100 TB switch: xxhash64-keyed counts give identical scores
+    val corpus = Tables.documents(spark, sfDir)
+    val plain = LanguageModel.bigramLogLikelihood(corpus, "doc_id", "text",
+      hashTokens = false).as[(Long, Long, Double)].collect().toSet
+    val hashed = LanguageModel.bigramLogLikelihood(corpus, "doc_id", "text",
+      hashTokens = true).as[(Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty && hashed == plain,
+      "hashed-token LM must score identically to string-token LM")
+  }
+
+  test("semDedup: planted duplicate groups keep exactly their min id") {
+    // three well-separated direction groups; groups 1 and 2 contain
+    // exact duplicates (cos = 1), group 3 is all-distinct directions
+    def v(axis: Int, jitter: Float = 0f): Seq[Float] = {
+      val a = Array.fill(8)(0.01f); a(axis) = 1f
+      if (jitter != 0f) a((axis + 1) % 8) += jitter
+      a.toSeq
+    }
+    val rows = Seq(
+      (10L, v(0)), (11L, v(0)), (12L, v(0)),       // dup group -> keep 10
+      (20L, v(3)), (21L, v(3)),                    // dup group -> keep 20
+      (30L, v(6)), (31L, v(6, jitter = 3f))        // distinct directions
+    )
+    val emb = rows.toDF("vec_id", "embedding")
+    val keep = Ann.semDedup(emb, "vec_id", "embedding", tau = 0.999,
+        nLists = 3, maxTrainRows = 100)
+      .as[(Long, Boolean)].collect().toMap
+    assert(keep == Map(10L -> true, 11L -> false, 12L -> false,
+      20L -> true, 21L -> false, 30L -> true, 31L -> true), s"got $keep")
+  }
+
+  test("semDedup contract on the corpus: dropped docs have a kept near-dup") {
+    // the raw corpus tops out at cos ~0.51, so plant clones (the d13
+    // gate construction) to exercise drops at scale
+    val raw = Tables.embeddings(spark, sfDir)
+    val emb = raw.unionByName(raw.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 10000))
+    val tau = 0.999
+    val keep = Ann.semDedup(emb, "vec_id", "embedding", tau, nLists = 8)
+    val n = emb.count()
+    assert(keep.count() == n, "semDedup must emit one row per input")
+    // every dropped doc must have SOME kept doc with exact cos >= tau
+    // (a global witness is implied by the cluster-local one, and
+    // recomputing cells here would re-run k-means against a different
+    // partitioning)
+    val dropped = keep.filter(!col("keep")).select(col("vec_id").as("d"))
+    val kept = keep.filter(col("keep")).select(col("vec_id").as("k"))
+    val witness = dropped
+      .join(emb.select(col("vec_id").as("d"), col("embedding").as("dv")), "d")
+      .join(kept.join(
+        emb.select(col("vec_id").as("k"), col("embedding").as("kv")), "k"),
+        Ann.cosine(col("dv"), col("kv")) >= tau, "left_semi")
+    assert(witness.count() == dropped.count(),
+      "some dropped doc has no kept near-duplicate witness")
+    assert(dropped.count() == 50, "exactly the 50 planted clones must drop")
+  }
+
   test("dupNgramFraction: hashed-gram shuffle (100 TB shape) == string grams") {
     val docs = Tables.documents(spark, sfDir)
     def rows(hashed: Boolean) =
