@@ -55,11 +55,19 @@ object Bench {
     qs.foreach { q =>
       try run(q) catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $q failed: ${e.getMessage}") }
+      spark.catalog.clearCache()
     }
     val results = qs.map { q =>
       val t0 = System.nanoTime()
       val ok = try { run(q); true } catch { case _: Throwable => false }
-      q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = (System.nanoTime() - t0) / 1e9
+      // queries are independent; drop persisted intermediates OUTSIDE the
+      // timed region (same rationale as Verify: the dedup queries persist
+      // plan-internal frames they cannot unpersist before their result
+      // materializes, and ~40 accumulated cached plans made the LAST
+      // headline query analyze 10x slower — measured 7.3s vs 0.77s clean)
+      spark.catalog.clearCache()
+      q -> (if (ok) t else -1.0)
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
