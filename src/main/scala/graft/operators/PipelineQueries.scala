@@ -590,6 +590,26 @@ object PipelineQueries {
           hashTokens = false)
         .orderBy(col("doc_id"))),
 
+    // -- learned BPE subword tokenization: one distributed word-count
+    // pass trains the merges driver-side (bounded word table), encode
+    // runs per-row. rows-only (merge training isn't SQL-replayable);
+    // the merge algebra is hand-verified in PipelineSpec. ----------------
+    "t12_bpe_tokens" -> ((s, d) => {
+      import graft.functions.Bpe
+      val docs = Tables.documents(s, d)
+      val model = Bpe.train(docs, "text", nMerges = 64)
+      docs.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          Bpe.tokenCount(model)(col("text")).cast("long").as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_bpe")).as("bpe_tokens"),
+          round(avg(col("n_bpe").cast("double") / col("n_words")), 4)
+            .as("avg_tokens_per_word"))
+        .orderBy(col("lang"))
+    }),
+
     // -- SemDeDup: embedding-cluster semantic dedup. The corpus has no
     // natural pairs above cos 0.52, so the gate plants exact clones of
     // vec_id < 50 (re-id'd +10000): identical vectors deterministically

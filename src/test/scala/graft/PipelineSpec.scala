@@ -420,6 +420,55 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       "hashed-token LM must score identically to string-token LM")
   }
 
+  test("BPE: classic hug/pug/hugs corpus learns the textbook merges") {
+    import graft.functions.Bpe
+    // HF tokenizers' canonical example: hug x10, pug x5, hugs x5
+    val words = Array(("hug", 10L), ("pug", 5L), ("hugs", 5L))
+    val model = Bpe.trainFromWordCounts(words, nMerges = 3)
+    // (u,g) at 20 wins round 1; (h,ug) ties (ug,</w>) at 15, lexicographic
+    // tie-break picks "h" < "ug"; (hug,</w>) at 10 wins round 3
+    assert(model.merges == Seq(("u", "g"), ("h", "ug"), ("hug", Bpe.EndOfWord)),
+      s"got ${model.merges}")
+
+    // distributed train over a DataFrame with those frequencies agrees
+    val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(5)("hugs"))
+      .map(Tuple1(_)).toDF("text")
+    assert(Bpe.train(corpus, "text", nMerges = 3).merges == model.merges,
+      "distributed word-count train must equal serial train")
+
+    // encode applies merges greedily lowest-rank-first
+    val enc = corpus.limit(1).select(Bpe.encode(model)(lit("hug pug hugs")))
+      .as[Seq[String]].head()
+    assert(enc == Seq("hug" + Bpe.EndOfWord,
+      "p", "ug", Bpe.EndOfWord, "hug", "s", Bpe.EndOfWord), s"got $enc")
+
+    // nulls/empties are safe; token count matches encode length
+    val cnt = corpus.limit(1)
+      .select(Bpe.tokenCount(model)(lit("hug pug hugs")).as("n"),
+        Bpe.tokenCount(model)(lit(null.asInstanceOf[String])).as("z"))
+      .as[(Int, Int)].head()
+    assert(cnt == ((7, 0)), s"got $cnt")
+  }
+
+  test("BPE on the corpus: deterministic model, compression > 1 subword/word") {
+    import graft.functions.Bpe
+    val docs = Tables.documents(spark, sfDir)
+    val m1 = Bpe.train(docs, "text", nMerges = 32)
+    val m2 = Bpe.train(docs, "text", nMerges = 32)
+    assert(m1.merges == m2.merges, "training must be deterministic")
+    assert(m1.merges.size == 32, "corpus is rich enough for 32 merges")
+    val stats = docs.select(
+        size(split(col("text"), " ")).cast("double").as("w"),
+        Bpe.tokenCount(m1)(col("text")).cast("double").as("b"))
+      .agg(sum(col("b")).as("b"), sum(col("w")).as("w"))
+      .as[(Double, Double)].head()
+    // chars-per-word >> merges learned, so subwords/word stays > 1 but
+    // far below chars/word: encode is actually merging
+    val perWord = stats._1 / stats._2
+    assert(perWord > 1.0 && perWord < 6.0,
+      s"suspicious subwords/word ratio $perWord")
+  }
+
   test("semDedup: planted duplicate groups keep exactly their min id") {
     // three well-separated direction groups; groups 1 and 2 contain
     // exact duplicates (cos = 1), group 3 is all-distinct directions
