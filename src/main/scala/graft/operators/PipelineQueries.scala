@@ -590,6 +590,15 @@ object PipelineQueries {
           hashTokens = false)
         .orderBy(col("doc_id"))),
 
+    // -- deterministic train/val/test split: md5-hex-prefix bucketing,
+    // replayed verbatim by the oracle (string comparison of fixed-length
+    // lowercase hex == numeric comparison). ------------------------------
+    "p07_train_split" -> ((s, d) =>
+      Splits.assign(Tables.documents(s, d), "doc_id", salt = "r3")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))),
+
     // -- learned BPE subword tokenization: one distributed word-count
     // pass trains the merges driver-side (bounded word table), encode
     // runs per-row. rows-only (merge training isn't SQL-replayable);
@@ -719,6 +728,15 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "d12_dup_spans" -> dupSpansOracle,
     "t11_lm_score" -> lmScoreOracle,
+    // p07: thresholds 'e6' = round(256*0.90) = 230, 'f3' = round(256*0.95)
+    "p07_train_split" ->
+      """WITH s AS (SELECT lang,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR || ':r3'),1,2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(doc_id::VARCHAR || ':r3'),1,2) < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents)
+        |SELECT split, lang, count(*) AS n FROM s
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     // d13: clones (vec_id >= 10000) drop, originals keep — exact by
     // construction (no original pair reaches tau; see the query comment)
     "d13_semdedup" ->

@@ -420,6 +420,30 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       "hashed-token LM must score identically to string-token LM")
   }
 
+  test("splits: deterministic, partition-invariant, proportional, key-coherent") {
+    import graft.operators.Splits
+    val docs = Tables.documents(spark, sfDir)
+    val a = Splits.assign(docs, "doc_id", "s").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = Splits.assign(docs.repartition(13), "doc_id", "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "assignment must not depend on partitioning")
+    // proportions: 90/5/5 within 5 sigma of binomial on 500 docs
+    val n = a.size.toDouble
+    val train = a.values.count(_ == "train") / n
+    assert(math.abs(train - 230.0 / 256) < 5 * math.sqrt(0.9 * 0.1 / n),
+      s"train fraction $train off")
+    // same key -> same split regardless of other columns (leakage guard)
+    val byLang = Splits.assign(docs, "lang", "s")
+      .select("lang", "split").distinct().count()
+    assert(byLang == docs.select("lang").distinct().count(),
+      "all docs of one key must land in one split")
+    // different salt re-splits
+    val c = Splits.assign(docs, "doc_id", "other-salt")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(c != a, "salt must give an independent split")
+  }
+
   test("BPE: classic hug/pug/hugs corpus learns the textbook merges") {
     import graft.functions.Bpe
     // HF tokenizers' canonical example: hug x10, pug x5, hugs x5
