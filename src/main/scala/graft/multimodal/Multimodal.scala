@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   *    schema / partitioning plumbing end-to-end on genuine bytes (the
   *    m01 gate query hash-verifies the decoded features against a DuckDB
   *    replay of the synthetic image content);
+  *  - a REAL pure-JVM decoder for RIFF/WAVE PCM16 audio ([[decodeWav]]):
+  *    chunk walk, sample decode, integer sample statistics — the audio
+  *    path gets the same end-to-end proof (m01 hash-verifies both);
   *  - `decodeStub` for formats whose codecs this container lacks
-  *    (JPEG/audio/video): a deterministic fake keyed on the bytes. A
+  *    (JPEG/MP3/video): a deterministic fake keyed on the bytes. A
   *    production deployment swaps the stub for a JNI codec or a
   *    Pandas-UDF sidecar without touching the plan shape.
   */
@@ -112,6 +115,80 @@ object Multimodal {
     header ++ px
   }
 
+  /** REAL decoder for RIFF/WAVE PCM16: parses the RIFF header, walks the
+    * chunk list to `fmt ` (requires audioFormat=1, bitsPerSample=16) and
+    * `data`, and decodes the little-endian samples. Features (all
+    * integer-exact in Float — |sum| ≤ nSamples·32768 stays < 2²⁴ for the
+    * synthetic clips):
+    * [sampleRate, nSamples, sum, sumAbs, min, max, first, last].
+    * Returns None for anything that is not complete PCM16 WAV. */
+  def decodeWav(bytes: Array[Byte]): Option[Array[Float]] = {
+    def le16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def le32(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+      ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+    def tag(p: Int, s: String): Boolean = p + 4 <= bytes.length &&
+      (0 until 4).forall(i => bytes(p + i) == s.charAt(i).toByte)
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var sampleRate = -1
+    var dataPos = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataPos < 0)) {
+      val sz = le32(pos + 4)
+      if (sz < 0 || pos + 8 + sz > bytes.length) return None
+      if (tag(pos, "fmt ")) {
+        // chunk body: format@+0, channels@+2, rate@+4, bits/sample@+14
+        if (sz < 16 || le16(pos + 8) != 1 || le16(pos + 8 + 14) != 16) return None
+        sampleRate = le32(pos + 12)
+      } else if (tag(pos, "data")) { dataPos = pos + 8; dataLen = sz }
+      pos += 8 + sz + (sz & 1) // chunks are 2-byte aligned
+    }
+    if (sampleRate <= 0 || dataPos < 0 || dataLen < 2 || dataLen % 2 != 0)
+      return None
+    val n = dataLen / 2
+    var sum = 0L; var sumAbs = 0L
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var i = 0
+    while (i < n) {
+      val s = le16(dataPos + 2 * i).toShort.toInt
+      sum += s; sumAbs += math.abs(s)
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      i += 1
+    }
+    val first = le16(dataPos).toShort.toInt
+    val last = le16(dataPos + 2 * (n - 1)).toShort.toInt
+    Some(Array(sampleRate.toFloat, n.toFloat, sum.toFloat, sumAbs.toFloat,
+      mn.toFloat, mx.toFloat, first.toFloat, last.toFloat))
+  }
+
+  /** Deterministic synthetic PCM16 WAV for doc/media id — closed-form so
+    * a SQL oracle can replay the decoded statistics:
+    * n = id%50+20 samples, rate = 8000+(id%4)*4000,
+    * sample i = ((id*37 + i*13) % 4001) - 2000. */
+  def wavFromId(id: Long): Array[Byte] = {
+    val n = (id % 50 + 20).toInt
+    val rate = (8000 + (id % 4) * 4000).toInt
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2)      // block align
+      .putShort(16)     // bits/sample
+    buf.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((id * 37 + i * 13) % 4001) - 2000).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   /** STUB resize — a real impl would rescale pixels; the fake re-hashes
     * with the target dims so output depends on (bytes, w, h). */
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
@@ -148,9 +225,11 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](bytesIdx)
           val kind = r.getString(kindIdx)
           // real PPM path for images, stub for codec-less formats
-          val feats =
-            if (kind == "image") decodePpm(bytes).getOrElse(decodeStub(bytes))
-            else decodeStub(bytes)
+          val feats = kind match {
+            case "image" => decodePpm(bytes).getOrElse(decodeStub(bytes))
+            case "audio" => decodeWav(bytes).getOrElse(decodeStub(bytes))
+            case _       => decodeStub(bytes)
+          }
           Row(r.getLong(idIdx), kind, feats.toSeq)
         }
       }
@@ -159,11 +238,12 @@ object Multimodal {
   }
 
   /** Build a media table from a text corpus (test harness): image rows
-    * carry REAL renderable P6 bytes ([[ppmFromId]]); audio/video rows
-    * carry utf-8 text bytes for the stub path. Metadata derived
-    * deterministically. */
+    * carry REAL renderable P6 bytes ([[ppmFromId]]), audio rows REAL
+    * PCM16 WAV bytes ([[wavFromId]]); video rows carry utf-8 text bytes
+    * for the stub path. Metadata derived deterministically. */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     val ppm = udf((id: Long) => ppmFromId(id))
+    val wav = udf((id: Long) => wavFromId(id))
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -172,6 +252,7 @@ object Multimodal {
       .select(
         col("media_id"), col("kind"),
         when(col("kind") === "image", ppm(col("doc_id")))
+          .when(col("kind") === "audio", wav(col("doc_id")))
           .otherwise(encode(col("text"), "UTF-8")).as("bytes"),
         struct(
           (pmod(col("doc_id"), lit(5)) + 1).cast("int").as("width"),

@@ -501,13 +501,17 @@ object PipelineQueries {
     // stay on the stub path (counted, features excluded from the output).
     "m01_multimodal_features" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
-      def imgF(i: Int) = sum(when(col("kind") === "image",
+      def kindF(k: String)(i: Int) = sum(when(col("kind") === k,
         element_at(col("features"), i).cast("double")))
+      val imgF = kindF("image") _
+      val audF = kindF("audio") _
       Multimodal.extractFeatures(media)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           imgF(1).as("sum_w"), imgF(3).as("sum_r"), imgF(4).as("sum_g"),
-          imgF(5).as("sum_b"), imgF(7).as("sum_min"), imgF(8).as("sum_max"))
+          imgF(5).as("sum_b"), imgF(7).as("sum_min"), imgF(8).as("sum_max"),
+          audF(3).as("a_sum"), audF(4).as("a_abs"),
+          audF(5).as("a_min"), audF(6).as("a_max"))
         .orderBy(col("kind"))
     }),
 
@@ -953,15 +957,29 @@ object PipelineQueries {
         |   sum(CASE WHEN ch=1 THEN v END) AS sg,
         |   sum(CASE WHEN ch=2 THEN v END) AS sb,
         |   min(v) AS mn, max(v) AS mx
-        |  FROM pix GROUP BY doc_id)
+        |  FROM pix GROUP BY doc_id),
+        |aud AS (SELECT doc_id, (doc_id % 50) + 20 AS ns FROM m
+        |  WHERE kind = 'audio'),
+        |smp0 AS (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS i
+        |  FROM aud),
+        |smp AS (SELECT doc_id, ((doc_id*37 + i*13) % 4001) - 2000 AS s
+        |  FROM smp0),
+        |pera AS (SELECT doc_id, sum(s) AS asum, sum(abs(s)) AS aabs,
+        |   min(s) AS amin, max(s) AS amax
+        |  FROM smp GROUP BY doc_id)
         |SELECT m.kind, count(*) AS n,
         | CAST(sum(p.w) AS DOUBLE) AS sum_w,
         | CAST(sum(p.sr) AS DOUBLE) AS sum_r,
         | CAST(sum(p.sg) AS DOUBLE) AS sum_g,
         | CAST(sum(p.sb) AS DOUBLE) AS sum_b,
         | CAST(sum(p.mn) AS DOUBLE) AS sum_min,
-        | CAST(sum(p.mx) AS DOUBLE) AS sum_max
+        | CAST(sum(p.mx) AS DOUBLE) AS sum_max,
+        | CAST(sum(a.asum) AS DOUBLE) AS a_sum,
+        | CAST(sum(a.aabs) AS DOUBLE) AS a_abs,
+        | CAST(sum(a.amin) AS DOUBLE) AS a_min,
+        | CAST(sum(a.amax) AS DOUBLE) AS a_max
         |FROM m LEFT JOIN per p ON m.doc_id = p.doc_id
+        |LEFT JOIN pera a ON m.doc_id = a.doc_id
         |GROUP BY m.kind ORDER BY m.kind""".stripMargin,
     "t07_sequence_packing" ->
       """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS toks FROM documents),

@@ -268,6 +268,35 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(Multimodal.decodePpm("P6\n1 1\n999\n".getBytes ++ Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("multimodal: WAV decoder parses RIFF chunks+samples, rejects junk") {
+    // hand-built mono PCM16, 3 samples: 100, -200, 32767 @ 8000 Hz
+    def wav(samples: Seq[Short], fmt: Short = 1, bits: Short = 16): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(fmt).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(bits)
+      b.put("data".getBytes).putInt(dataLen)
+      samples.foreach(b.putShort)
+      b.array()
+    }
+    val f = Multimodal.decodeWav(wav(Seq(100, -200, 32767))).get
+    assert(f.toSeq == Seq(8000f, 3f, 32667f, 33067f, -200f, 32767f, 100f, 32767f))
+    // synthetic generator round-trips through the parser
+    val id = 11L
+    val g = Multimodal.decodeWav(Multimodal.wavFromId(id)).get
+    val n = (id % 50 + 20).toInt
+    val samples = (0 until n).map(i => ((id * 37 + i * 13) % 4001 - 2000).toInt)
+    assert(g(0) == (8000 + (id % 4) * 4000).toFloat && g(1) == n.toFloat)
+    assert(g(2) == samples.sum.toFloat && g(4) == samples.min.toFloat)
+    // rejects: non-RIFF, float format, odd data length, truncation
+    assert(Multimodal.decodeWav("not a wav at all............................".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(wav(Seq(1, 2), fmt = 3)).isEmpty)
+    assert(Multimodal.decodeWav(wav(Seq(1, 2)).dropRight(1)).isEmpty)
+    assert(Multimodal.decodeWav(wav(Seq(1, 2), bits = 8)).isEmpty)
+  }
+
   test("multimodal: stub decode is deterministic, batched, schema-stable") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.mediaFromDocuments(docs)
