@@ -33,6 +33,8 @@ object Bench {
     "q34_tpch_q5",           // 6-table join: broadcast dim chain + fact shuffles
     "d07_contamination",     // exact decontamination (broadcast 8-gram set)
     "d09_bloom_decontaminate", // bloom-prefiltered twin (same oracle as d07)
+    "d12_dup_spans",         // ExactSubstr duplicate spans (Lee et al. 2021)
+    "t11_lm_score",          // corpus-trained bigram LM quality score
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {

@@ -579,19 +579,22 @@ object PipelineQueries {
 
     // -- exact duplicate-substring spans (Lee et al. 2021 ExactSubstr,
     // distributed): maximal token spans whose every 8-token window
-    // occurs >= 2 times corpus-wide. hashGrams stays off here only so
-    // the DuckDB oracle can replay gram identity; production runs flip
-    // it and shuffle 8-byte hashes. ---------------------------------------
+    // occurs >= 2 times corpus-wide. Runs the PRODUCTION hashed-gram
+    // path (shuffles move 8-byte longs): the oracle replays the output
+    // SPANS, not gram identity, and spans are hash-representation-free
+    // (PipelineSpec proves hashed == string on this corpus; a divergence
+    // needs a real xxhash64 collision). ----------------------------------
     "d12_dup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
-          k = 8, minOccurrences = 2, hashGrams = false)
+          k = 8, minOccurrences = 2, hashGrams = true)
         .orderBy(col("doc_id"), col("span_start"))),
 
     // -- corpus-trained bigram LM score (CCNet-style perplexity filter);
-    // hashTokens off only for oracle replayability, as with d12. ---------
+    // production hashed-token path for the same reason as d12: the
+    // oracle replays scores, which depend only on counts. ----------------
     "t11_lm_score" -> ((s, d) =>
       LanguageModel.bigramLogLikelihood(Tables.documents(s, d), "doc_id", "text",
-          hashTokens = false)
+          hashTokens = true)
         .orderBy(col("doc_id"))),
 
     // -- deterministic train/val/test split: md5-hex-prefix bucketing,

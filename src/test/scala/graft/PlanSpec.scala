@@ -158,4 +158,33 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"no map-side group limit:\n$p")
     assert("WindowGroupLimit .*Final".r.findFirstIn(p).isDefined)
   }
+
+  test("d12: dup-gram count is partial->final; verify join is a semi-prune") {
+    val p = plan("d12_dup_spans")
+    // the gram census must map-side combine (repeated grams collapse
+    // before the exchange) and the duplicated-position fetch must be a
+    // semi join, never a full join carrying gram strings back out
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"gram count lost its partial stage:\n$p")
+    assert(p.contains("LeftSemi"), s"dup-gram fetch is not a semi join:\n$p")
+  }
+
+  test("t11: LM vocab scalar broadcasts; no UDF anywhere in the plan") {
+    val p = plan("t11_lm_score")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"vocab-size scalar should cross in as a broadcast:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"UDF leaked into the LM hot path:\n$p")
+  }
+
+  test("p07: split assignment is narrow — no exchange before the aggregate") {
+    // md5-prefix bucketing must stay inside the scan's codegen stage;
+    // the only exchange is the groupBy's
+    val df = SparkEntry.queries("p07_train_split")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // one shuffle for groupBy(split,lang), one for the final orderBy
+    assert(exchanges <= 2, s"split assignment introduced extra exchanges:\n$p")
+    assert(!p.contains("ScalaUDF"), s"split must be pure column ops:\n$p")
+  }
 }
