@@ -169,25 +169,35 @@ object Ann {
     * Scale shape: assignment is one narrow codegen'd pass; the within-cell
     * self-join shuffles the corpus once keyed by cell and is quadratic
     * only inside a cell (nLists scales with corpus size in production —
-    * the paper uses ~10⁵ clusters for LAION — keeping cells bounded; a
-    * degenerate all-in-one-cell corpus should raise nLists, mirroring
-    * [[graft.dedup.Dedup.minhashLshPairs]]'s maxBucket note).
-    *
-    * Cache retention: the assigned frame is persisted (consumed by the
-    * pair join twice and the final keep join); callers running many
-    * passes should `spark.catalog.clearCache()` between them.
+    * the paper uses ~10⁵ clusters for LAION — keeping cells bounded).
+    * `maxCell` is the belt-and-braces guard for data skew nLists can't
+    * fix (boilerplate embeddings collapsing into one Voronoi cell): cells
+    * above it are excluded from pair generation — their docs keep=true,
+    * exactly like [[graft.dedup.Dedup.minhashLshPairs]]'s maxBucket (docs
+    * that degenerate are exact dups, caught upstream far cheaper).
+    * Nothing corpus-sized is cached: both self-join sides share one
+    * canonical plan (exchange reuse), and the keep-join reads only ids.
     *
     * @return (idCol, keep) for every input row — keep=false means a more
     *         senior near-identical document exists.
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
-      nLists: Int = 16, seed: Long = 42L,
-      maxTrainRows: Long = 20000L): DataFrame = {
+      nLists: Int = 16, seed: Long = 42L, maxTrainRows: Long = 20000L,
+      maxCell: Long = 0L): DataFrame = {
     val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cents = trainCentroids(withVec, nLists, seed, maxTrainRows)
-    val assigned = assignCells(withVec, cents).persist()
-    val l = assigned.select(col("cell"), col("id").as("a"), col("vec").as("va"))
-    val r = assigned.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
+    val assigned = assignCells(withVec, cents)
+    val paired =
+      if (maxCell > 0) {
+        // cell census on the same key the self-join shuffles on — the
+        // aggregate reuses that partitioning (cf. minhashLshPairs)
+        val ok = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2, maxCell)).select(col("cell"))
+        assigned.join(ok, Seq("cell"))
+      } else assigned
+    val l = paired.select(col("cell"), col("id").as("a"), col("vec").as("va"))
+    val r = paired.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
     val pairs = l.join(r, Seq("cell")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= tau)
@@ -195,7 +205,7 @@ object Ann {
     // keep each group's minimum id, exactly like text dedup
     val reps = graft.dedup.Dedup.duplicateClusters(pairs.select(col("a"), col("b")))
       .withColumnRenamed("doc_id", "id")
-    assigned.join(reps, Seq("id"), "left_outer")
+    withVec.select(col("id")).join(reps, Seq("id"), "left_outer")
       .select(col("id").as(idCol),
         (col("rep").isNull || col("rep") === col("id")).as("keep"))
   }

@@ -212,11 +212,14 @@ object Dedup {
     * Better"), re-expressed for a distributed engine. The paper builds a
     * corpus-wide suffix array and reports every ≥50-token substring that
     * occurs twice; a suffix array is inherently single-machine, so the
-    * distributed shape instead finds every maximal token span whose
-    * EVERY k-token window occurs at least `minOccurrences` times in the
-    * corpus (all positions counted, same-doc repeats included) — the
-    * same spans the suffix array yields for duplicated regions ≥ k
-    * tokens, found with two gram-keyed shuffles instead of a global sort:
+    * distributed shape instead reports every maximal contiguous token
+    * run COVERED by duplicated k-token windows (windows occurring at
+    * least `minOccurrences` times corpus-wide, all positions counted,
+    * same-doc repeats included; windows whose starts are ≤ k apart merge,
+    * so coverage within a span is gapless). A region the suffix array
+    * reports as duplicated ≥ k tokens is always covered; a span may also
+    * bridge two duplicated regions that overlap or abut. Found with two
+    * gram-keyed shuffles instead of a global sort:
     *
     *  1. window generation is NARROW — `transform(sequence(...))` builds
     *     (pos, gram) structs inside whole-stage codegen, no shuffle;

@@ -147,7 +147,24 @@ object Bpe {
   }
 
   /** Learned-vocabulary token count (the number a packing/budget stage
-    * divides by). */
-  def tokenCount(model: Model)(text: Column): Column =
-    size(encode(model)(text))
+    * divides by). Count-only path: sums memoized per-word subword counts
+    * without materializing the token arrays `encode` would build — the
+    * corpus-wide aggregate (t12) never allocates a Seq[String] per doc.
+    * Parity with `size(encode(...))` is spec-asserted. */
+  def tokenCount(model: Model)(text: Column): Column = {
+    val rank = model.rank
+    val f = udf { (s: String) =>
+      if (s == null) 0
+      else {
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        var n = 0
+        s.split(" ").foreach { w =>
+          if (w.nonEmpty)
+            n += memo.getOrElseUpdate(w, applyMerges(baseSymbols(w), rank).length)
+        }
+        n
+      }
+    }
+    f(text)
+  }
 }

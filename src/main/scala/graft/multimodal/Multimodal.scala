@@ -137,8 +137,11 @@ object Multimodal {
       val sz = le32(pos + 4)
       if (sz < 0 || pos + 8 + sz > bytes.length) return None
       if (tag(pos, "fmt ")) {
-        // chunk body: format@+0, channels@+2, rate@+4, bits/sample@+14
-        if (sz < 16 || le16(pos + 8) != 1 || le16(pos + 8 + 14) != 16) return None
+        // chunk body: format@+0, channels@+2, rate@+4, bits/sample@+14.
+        // mono only: interleaved multi-channel data would silently mix
+        // L/R samples into one statistic stream — reject, don't guess
+        if (sz < 16 || le16(pos + 8) != 1 || le16(pos + 8 + 2) != 1 ||
+          le16(pos + 8 + 14) != 16) return None
         sampleRate = le32(pos + 12)
       } else if (tag(pos, "data")) { dataPos = pos + 8; dataLen = sz }
       pos += 8 + sz + (sz & 1) // chunks are 2-byte aligned

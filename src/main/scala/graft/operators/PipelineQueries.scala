@@ -578,8 +578,8 @@ object PipelineQueries {
     }),
 
     // -- exact duplicate-substring spans (Lee et al. 2021 ExactSubstr,
-    // distributed): maximal token spans whose every 8-token window
-    // occurs >= 2 times corpus-wide. Runs the PRODUCTION hashed-gram
+    // distributed): maximal contiguous token runs covered by 8-token
+    // windows occurring >= 2 times corpus-wide. Runs the PRODUCTION hashed-gram
     // path (shuffles move 8-byte longs): the oracle replays the output
     // SPANS, not gram identity, and spans are hash-representation-free
     // (PipelineSpec proves hashed == string on this corpus; a divergence

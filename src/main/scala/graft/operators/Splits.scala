@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** Bucket threshold as a two-hex-char string: pct of 256, clamped. */
+  /** Bucket threshold as a two-hex-char string: pct of 256, clamped.
+    * 256 (a 100% threshold) must sort ABOVE every 2-char hex bucket —
+    * f"%02x" would render it "100", which sorts below "ff" ('1' < 'f')
+    * and silently misassigned any 100%-boundary split — so it maps to
+    * "g0" ('g' > 'f' beats all of "00".."ff"). */
   private def hexThreshold(pctTimes256: Int): String =
-    f"${math.min(256, math.max(0, pctTimes256))}%02x"
+    if (pctTimes256 >= 256) "g0"
+    else f"${math.max(0, pctTimes256)}%02x"
 
   /** Split label column for `key`: "train" | "val" | "test" with
     * approximately trainPct/valPct/(100-trainPct-valPct) proportions

@@ -270,12 +270,13 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
 
   test("multimodal: WAV decoder parses RIFF chunks+samples, rejects junk") {
     // hand-built mono PCM16, 3 samples: 100, -200, 32767 @ 8000 Hz
-    def wav(samples: Seq[Short], fmt: Short = 1, bits: Short = 16): Array[Byte] = {
+    def wav(samples: Seq[Short], fmt: Short = 1, bits: Short = 16,
+        channels: Short = 1): Array[Byte] = {
       val dataLen = samples.length * 2
       val b = java.nio.ByteBuffer.allocate(44 + dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
-      b.put("fmt ".getBytes).putInt(16).putShort(fmt).putShort(1)
+      b.put("fmt ".getBytes).putInt(16).putShort(fmt).putShort(channels)
         .putInt(8000).putInt(16000).putShort(2).putShort(bits)
       b.put("data".getBytes).putInt(dataLen)
       samples.foreach(b.putShort)
@@ -295,6 +296,8 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(Multimodal.decodeWav(wav(Seq(1, 2), fmt = 3)).isEmpty)
     assert(Multimodal.decodeWav(wav(Seq(1, 2)).dropRight(1)).isEmpty)
     assert(Multimodal.decodeWav(wav(Seq(1, 2), bits = 8)).isEmpty)
+    // stereo would conflate interleaved channels into one stream — reject
+    assert(Multimodal.decodeWav(wav(Seq(1, 2, 3, 4), channels = 2)).isEmpty)
   }
 
   test("multimodal: stub decode is deterministic, batched, schema-stable") {
@@ -471,6 +474,14 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     val c = Splits.assign(docs, "doc_id", "other-salt")
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(c != a, "salt must give an independent split")
+    // 100%-boundary thresholds: the "100" > "ff" lexicographic trap
+    val all95 = Splits.assign(docs, "doc_id", "s", trainPct = 95, valPct = 5)
+      .select("split").distinct().as[String].collect().toSet
+    assert(all95 == Set("train", "val"),
+      s"95/5/0 must produce no test rows, got $all95")
+    val all100 = Splits.assign(docs, "doc_id", "s", trainPct = 100, valPct = 0)
+      .select("split").distinct().as[String].collect().toSet
+    assert(all100 == Set("train"), s"100/0/0 must be all train, got $all100")
   }
 
   test("BPE: classic hug/pug/hugs corpus learns the textbook merges") {
@@ -541,6 +552,19 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       .as[(Long, Boolean)].collect().toMap
     assert(keep == Map(10L -> true, 11L -> false, 12L -> false,
       20L -> true, 21L -> false, 30L -> true, 31L -> true), s"got $keep")
+
+    // hot-cell cap (skew guard): a generous cap is lossless; a cap below
+    // the dup-group cell's size sheds that cell (its docs keep=true)
+    val generous = Ann.semDedup(emb, "vec_id", "embedding", tau = 0.999,
+        nLists = 3, maxTrainRows = 100, maxCell = 100)
+      .as[(Long, Boolean)].collect().toMap
+    assert(generous == keep, "cap above every cell size must be lossless")
+    val tight = Ann.semDedup(emb, "vec_id", "embedding", tau = 0.999,
+        nLists = 3, maxTrainRows = 100, maxCell = 2)
+      .as[(Long, Boolean)].collect().toMap
+    assert(tight(10L) && tight(11L) && tight(12L),
+      s"cells over the cap must be excluded from pairing, got $tight")
+    assert(!tight(21L), s"the 2-doc dup cell is within the cap, got $tight")
   }
 
   test("semDedup contract on the corpus: dropped docs have a kept near-dup") {
