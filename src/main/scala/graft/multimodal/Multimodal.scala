@@ -192,6 +192,59 @@ object Multimodal {
     buf.array()
   }
 
+  /** REAL nearest-neighbor resize for P6 PPM: decodes the header, samples
+    * source pixels at floor(dst·src/dstDim) (the standard NN mapping) and
+    * re-emits a complete P6 image. Integer-exact, so a resize→decode
+    * pipeline is SQL-replayable end-to-end (the m02 gate hash-verifies
+    * it). Returns None for non-P6 input — callers fall back to
+    * [[resizeStub]] exactly as decode falls back for codec-less kinds. */
+  def resizePpm(bytes: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0, s"bad resize target ${dstW}x$dstH")
+    // reuse the strict header parse: decodePpm validates shape; re-parse
+    // dims cheaply here (header is tiny)
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    pos += 1
+    if (pos + w * h * 3 > bytes.length) return None
+    val header = s"P6\n$dstW $dstH\n$maxv\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](dstW * dstH * 3)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * h / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * w / dstW
+        val src = pos + (sy * w + sx) * 3
+        val dst = (y * dstW + x) * 3
+        out(dst) = bytes(src); out(dst + 1) = bytes(src + 1)
+        out(dst + 2) = bytes(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(header ++ out)
+  }
+
   /** STUB resize — a real impl would rescale pixels; the fake re-hashes
     * with the target dims so output depends on (bytes, w, h). */
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {

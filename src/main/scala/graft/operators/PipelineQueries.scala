@@ -515,6 +515,24 @@ object PipelineQueries {
         .orderBy(col("kind"))
     }),
 
+    // -- REAL image resize pipeline: every image row nearest-neighbor
+    // resized to 2x2 (pure-JVM P6 resample), re-decoded, per-image channel
+    // sums. NN source-pixel indices are closed-form integer arithmetic,
+    // so DuckDB replays resample+decode end-to-end and hash-verifies. ----
+    "m02_image_resize" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "image")
+      val resize = udf((b: Array[Byte]) =>
+        Multimodal.resizePpm(b, 2, 2).getOrElse(Multimodal.resizeStub(b, 2, 2)))
+      val resized = media.select(col("media_id"), col("kind"),
+        resize(col("bytes")).as("bytes"))
+      def f(i: Int) = element_at(col("features"), i).cast("long")
+      Multimodal.extractFeatures(resized)
+        .select(col("media_id"), f(3).as("sum_r"), f(4).as("sum_g"),
+          f(5).as("sum_b"), f(7).as("px_min"), f(8).as("px_max"))
+        .orderBy(col("media_id"))
+    }),
+
     // -- bloom-prefiltered decontamination: result-identical to d07 (same
     // oracle SQL), but the first corpus pass probes a ~64 KB bloom bitset
     // embedded in the plan instead of hash-joining the full benchmark
@@ -984,6 +1002,25 @@ object PipelineQueries {
         |FROM m LEFT JOIN per p ON m.doc_id = p.doc_id
         |LEFT JOIN pera a ON m.doc_id = a.doc_id
         |GROUP BY m.kind ORDER BY m.kind""".stripMargin,
+    // m02: 2x2 NN resize of the synthetic P6 images, replayed pixel-exact.
+    // i enumerates (y,x,ch) of the 12 output bytes: y=i//6, x=(i//3)%2,
+    // ch=i%3; NN source indices sy=(y*h)//2, sx=(x*w)//2.
+    "m02_image_resize" ->
+      """WITH m AS (SELECT doc_id, (doc_id % 5) + 1 AS w, (doc_id % 4) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px0 AS (SELECT doc_id, w, h, unnest(generate_series(0, 11)) AS i
+        |  FROM m),
+        |px AS (SELECT doc_id, i % 3 AS ch,
+        |   (doc_id*31 + ((((i//6) * h) // 2) * w + (((i//3) % 2) * w) // 2) * 3
+        |     + (i % 3)) % 256 AS v
+        |  FROM px0)
+        |SELECT doc_id AS media_id,
+        | CAST(sum(CASE WHEN ch=0 THEN v END) AS BIGINT) AS sum_r,
+        | CAST(sum(CASE WHEN ch=1 THEN v END) AS BIGINT) AS sum_g,
+        | CAST(sum(CASE WHEN ch=2 THEN v END) AS BIGINT) AS sum_b,
+        | CAST(min(v) AS BIGINT) AS px_min,
+        | CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "t07_sequence_packing" ->
       """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS toks FROM documents),
         |c AS (SELECT doc_id, toks,

@@ -300,6 +300,30 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(Multimodal.decodeWav(wav(Seq(1, 2, 3, 4), channels = 2)).isEmpty)
   }
 
+  test("multimodal: PPM nearest-neighbor resize resamples exact pixels") {
+    // 2x1 source, pixels A=(10,20,30) B=(40,50,60)
+    val src = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60))
+    // downscale to 1x1: NN picks sx = 0*2/1 = 0 -> pixel A
+    val down = Multimodal.resizePpm(src, 1, 1).get
+    assert(Multimodal.decodePpm(down).get.toSeq ==
+      Seq(1f, 1f, 10f, 20f, 30f, 60f, 10f, 30f))
+    // upscale to 4x1: x -> sx = x*2/4 = [0,0,1,1] -> A A B B
+    val up = Multimodal.resizePpm(src, 4, 1).get
+    val f = Multimodal.decodePpm(up).get
+    assert(f(0) == 4f && f(2) == 2 * 10f + 2 * 40f, s"got ${f.toSeq}")
+    // resize output is itself a valid P6 the decoder accepts; junk -> None
+    assert(Multimodal.resizePpm("garbage".getBytes, 2, 2).isEmpty)
+    // synthetic generator: resize(id) then decode == closed-form NN replay
+    val id = 13L
+    val w = (id % 5 + 1).toInt; val h = (id % 4 + 2).toInt
+    val g = Multimodal.decodePpm(
+      Multimodal.resizePpm(Multimodal.ppmFromId(id), 2, 2).get).get
+    val expect = for (y <- 0 until 2; x <- 0 until 2; ch <- 0 until 3)
+      yield (id * 31 + ((y * h / 2) * w + (x * w / 2)) * 3 + ch) % 256
+    assert(g(5) == expect.sum.toFloat, s"NN replay mismatch: ${g.toSeq}")
+  }
+
   test("multimodal: stub decode is deterministic, batched, schema-stable") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.mediaFromDocuments(docs)
