@@ -19,8 +19,12 @@ import org.apache.spark.sql.types._
   *  - a REAL pure-JVM decoder for RIFF/WAVE PCM16 audio ([[decodeWav]]):
   *    chunk walk, sample decode, integer sample statistics — the audio
   *    path gets the same end-to-end proof (m01 hash-verifies both);
+  *  - a REAL frame walker for concatenated-P6 video streams (the
+  *    `ffmpeg -f image2pipe -vcodec ppm` shape): [[ppmStreamFrames]]
+  *    splits frames, [[sampleFrames]] strided-samples and re-decodes
+  *    them (m03 hash-verifies the sampled-frame statistics);
   *  - `decodeStub` for formats whose codecs this container lacks
-  *    (JPEG/MP3/video): a deterministic fake keyed on the bytes. A
+  *    (JPEG/MP3/MP4): a deterministic fake keyed on the bytes. A
   *    production deployment swaps the stub for a JNI codec or a
   *    Pandas-UDF sidecar without touching the plan shape.
   */
@@ -260,6 +264,65 @@ object Multimodal {
   def frameSampleIndices(nFrames: Int, stride: Int, maxFrames: Int): Seq[Int] =
     (0 until nFrames by stride).take(maxFrames)
 
+  /** REAL video-as-PPM-stream decoder: concatenated P6 frames (what
+    * `ffmpeg -f image2pipe -vcodec ppm` emits) are split by walking each
+    * frame's header + pixel plane. Returns the byte offsets/lengths of
+    * every complete frame, or Nil if the bytes aren't a P6 stream. */
+  def ppmStreamFrames(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var pos = 0
+    var ok = true
+    while (ok && pos + 2 <= bytes.length) {
+      val start = pos
+      if (bytes(pos) != 'P' || bytes(pos + 1) != '6') { ok = false }
+      else {
+        var p = pos + 2
+        def skipWs(): Unit = {
+          var go = true
+          while (go && p < bytes.length) {
+            val c = bytes(p)
+            if (c == '#') { while (p < bytes.length && bytes(p) != '\n') p += 1 }
+            else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') p += 1
+            else go = false
+          }
+        }
+        def readInt(): Int = {
+          skipWs()
+          var v = 0; var any = false
+          while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+            v = v * 10 + (bytes(p) - '0'); p += 1; any = true
+          }
+          if (any) v else -1
+        }
+        val w = readInt(); val h = readInt(); val maxv = readInt()
+        if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) ok = false
+        else {
+          p += 1
+          val end = p + w * h * 3
+          if (end > bytes.length) ok = false
+          else { out += ((start, end - start)); pos = end }
+        }
+      }
+    }
+    if (pos != bytes.length) Seq.empty // trailing junk -> not a P6 stream
+    else out.result()
+  }
+
+  /** Sample every `stride`-th frame (≤ `maxFrames`) of a P6 stream and
+    * decode each to its feature vector. None when the bytes are not a
+    * P6 stream (callers fall back to the stub, as with decode/resize). */
+  def sampleFrames(bytes: Array[Byte], stride: Int,
+      maxFrames: Int): Option[Seq[(Int, Array[Float])]] = {
+    val frames = ppmStreamFrames(bytes)
+    if (frames.isEmpty) None
+    else Some(frameSampleIndices(frames.length, stride, maxFrames).map { i =>
+      val (off, len) = frames(i)
+      val f = decodePpm(java.util.Arrays.copyOfRange(bytes, off, off + len))
+        .getOrElse(sys.error(s"frame $i failed to re-decode")) // unreachable: walked above
+      (i, f)
+    })
+  }
+
   /** Batched feature extraction over the binary column: mapPartitions with
     * an explicit batch shape (grouped iterator) — the JVM analog of
     * mapInPandas batches, so a codec that amortizes per-batch setup slots
@@ -284,7 +347,15 @@ object Multimodal {
           val feats = kind match {
             case "image" => decodePpm(bytes).getOrElse(decodeStub(bytes))
             case "audio" => decodeWav(bytes).getOrElse(decodeStub(bytes))
-            case _       => decodeStub(bytes)
+            case "video" => sampleFrames(bytes, stride = 2, maxFrames = 4)
+              .map { sampled =>
+                val nf = ppmStreamFrames(bytes).length
+                Array(nf.toFloat, sampled.length.toFloat,
+                  sampled.map(_._2(5).toDouble).sum.toFloat,
+                  sampled.map(_._2(6)).min, sampled.map(_._2(7)).max,
+                  sampled.head._2(0), sampled.head._2(1), 0f)
+              }.getOrElse(decodeStub(bytes))
+            case _ => decodeStub(bytes)
           }
           Row(r.getLong(idIdx), kind, feats.toSeq)
         }
@@ -293,13 +364,21 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic synthetic P6 STREAM (video) for doc/media id:
+    * (id % 4) + 2 frames, frame j = [[ppmFromId]](id + j) — closed-form
+    * per frame so a SQL oracle replays sampled-frame statistics. */
+  def ppmStreamFromId(id: Long): Array[Byte] =
+    (0 until (id % 4 + 2).toInt).toArray.flatMap(j => ppmFromId(id + j))
+
   /** Build a media table from a text corpus (test harness): image rows
     * carry REAL renderable P6 bytes ([[ppmFromId]]), audio rows REAL
-    * PCM16 WAV bytes ([[wavFromId]]); video rows carry utf-8 text bytes
-    * for the stub path. Metadata derived deterministically. */
+    * PCM16 WAV bytes ([[wavFromId]]), video rows a REAL concatenated-P6
+    * frame stream ([[ppmStreamFromId]] — the image2pipe shape). Metadata
+    * derived deterministically. */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     val ppm = udf((id: Long) => ppmFromId(id))
     val wav = udf((id: Long) => wavFromId(id))
+    val vid = udf((id: Long) => ppmStreamFromId(id))
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -309,6 +388,7 @@ object Multimodal {
         col("media_id"), col("kind"),
         when(col("kind") === "image", ppm(col("doc_id")))
           .when(col("kind") === "audio", wav(col("doc_id")))
+          .when(col("kind") === "video", vid(col("doc_id")))
           .otherwise(encode(col("text"), "UTF-8")).as("bytes"),
         struct(
           (pmod(col("doc_id"), lit(5)) + 1).cast("int").as("width"),

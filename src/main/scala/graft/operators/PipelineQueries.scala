@@ -533,6 +533,23 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // -- REAL video frame-sampling pipeline: walk the concatenated-P6
+    // stream, sample every 2nd frame (cap 4 — never binding at <= 5
+    // frames), decode each, per-video statistics. Frame content is
+    // closed-form, so DuckDB replays walk+sample+decode exactly. --------
+    "m03_video_frames" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "video")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("n_frames"),
+          element_at(col("features"), 2).cast("long").as("n_sampled"),
+          element_at(col("features"), 3).cast("long").as("sum_all"),
+          element_at(col("features"), 4).cast("long").as("px_min"),
+          element_at(col("features"), 5).cast("long").as("px_max"))
+        .orderBy(col("media_id"))
+    }),
+
     // -- bloom-prefiltered decontamination: result-identical to d07 (same
     // oracle SQL), but the first corpus pass probes a ~64 KB bloom bitset
     // embedded in the plan instead of hash-joining the full benchmark
@@ -1002,6 +1019,27 @@ object PipelineQueries {
         |FROM m LEFT JOIN per p ON m.doc_id = p.doc_id
         |LEFT JOIN pera a ON m.doc_id = a.doc_id
         |GROUP BY m.kind ORDER BY m.kind""".stripMargin,
+    // m03: sampled frames j ∈ {0,2,4} of the (doc_id%4)+2-frame stream;
+    // frame j = the synthetic image of id doc_id+j, replayed pixel-exact
+    "m03_video_frames" ->
+      """WITH v AS (SELECT doc_id, (doc_id % 4) + 2 AS nf FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |fr0 AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS j
+        |  FROM v),
+        |fr AS (SELECT doc_id, nf, j, ((doc_id + j) % 5) + 1 AS w,
+        |         ((doc_id + j) % 4) + 2 AS h
+        |  FROM fr0 WHERE j % 2 = 0),
+        |px0 AS (SELECT doc_id, nf, j,
+        |  unnest(generate_series(0, w*h*3 - 1)) AS i FROM fr),
+        |px AS (SELECT doc_id, nf, j, ((doc_id + j)*31 + i) % 256 AS val
+        |  FROM px0)
+        |SELECT doc_id AS media_id,
+        | CAST(any_value(nf) AS BIGINT) AS n_frames,
+        | CAST(count(DISTINCT j) AS BIGINT) AS n_sampled,
+        | CAST(sum(val) AS BIGINT) AS sum_all,
+        | CAST(min(val) AS BIGINT) AS px_min,
+        | CAST(max(val) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // m02: 2x2 NN resize of the synthetic P6 images, replayed pixel-exact.
     // i enumerates (y,x,ch) of the 12 output bytes: y=i//6, x=(i//3)%2,
     // ch=i%3; NN source indices sy=(y*h)//2, sx=(x*w)//2.

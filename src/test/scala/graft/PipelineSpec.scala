@@ -324,6 +324,27 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(g(5) == expect.sum.toFloat, s"NN replay mismatch: ${g.toSeq}")
   }
 
+  test("multimodal: P6 stream walker splits frames; sampling strides and caps") {
+    val f0 = Multimodal.ppmFromId(3L)
+    val f1 = Multimodal.ppmFromId(4L)
+    val f2 = Multimodal.ppmFromId(5L)
+    val stream = f0 ++ f1 ++ f2
+    val frames = Multimodal.ppmStreamFrames(stream)
+    assert(frames == Seq((0, f0.length), (f0.length, f1.length),
+      (f0.length + f1.length, f2.length)), s"got $frames")
+    // sampled frames re-decode to the same features as standalone decode
+    val sampled = Multimodal.sampleFrames(stream, stride = 2, maxFrames = 4).get
+    assert(sampled.map(_._1) == Seq(0, 2))
+    assert(sampled(0)._2.toSeq == Multimodal.decodePpm(f0).get.toSeq)
+    assert(sampled(1)._2.toSeq == Multimodal.decodePpm(f2).get.toSeq)
+    // cap binds before stride runs out
+    assert(Multimodal.sampleFrames(stream, 1, 2).get.map(_._1) == Seq(0, 1))
+    // trailing junk or a truncated last frame rejects the whole stream
+    assert(Multimodal.ppmStreamFrames(stream ++ "x".getBytes).isEmpty)
+    assert(Multimodal.ppmStreamFrames(stream.dropRight(1)).isEmpty)
+    assert(Multimodal.sampleFrames("nope".getBytes, 2, 4).isEmpty)
+  }
+
   test("multimodal: stub decode is deterministic, batched, schema-stable") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.mediaFromDocuments(docs)
