@@ -515,6 +515,30 @@ object PipelineQueries {
         .orderBy(col("kind"))
     }),
 
+    // -- full training-mix composition: quality filter → ExactSubstr
+    // dup-fraction filter (drop docs >= 50% duplicated tokens) →
+    // deterministic split → per-(split, lang) doc/token stats. Every
+    // stage is independently hash-verified elsewhere (t02, d12, p07);
+    // this gate proves they COMPOSE exactly — one oracle replays the
+    // whole mix. Scale shape: quality/split are narrow; the only wide
+    // stages are d12's two gram-keyed shuffles and the final aggregate.
+    "p08_training_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("dup_frac"))
+      Splits.assign(docs, "doc_id", salt = "r3")
+        .select(col("doc_id"), col("lang"), col("split"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+        .filter(col("q") >= 0.5)
+        .join(stats, Seq("doc_id"))
+        .filter(col("dup_frac") < 0.5)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          round(avg(col("q")), 4).as("avg_q"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // -- REAL image resize pipeline: every image row nearest-neighbor
     // resized to 2x2 (pure-JVM P6 resample), re-decoded, per-image channel
     // sums. NN source-pixel indices are closed-form integer arithmetic,
@@ -767,8 +791,62 @@ object PipelineQueries {
       |FROM bgn JOIN cb USING (w1, w2) JOIN ch USING (w1) CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** p08: the composition oracle — quality formula (as p01/p04), the d12
+    * span chain aggregated to a per-doc duplicated-token fraction, and
+    * the p07 split assignment, composed in one replay. */
+  private val trainingMixOracle: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang, floor((
+      |   least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+      |   least((len(list_filter(string_split(text,' '),
+      |     x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+      |                'that','for','on','with','as')))::DOUBLE
+      |     / len(string_split(text,' '))) * 5.0, 1.0) * 0.3 +
+      |   least(((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+      |     / len(string_split(text,' '))) / 8.0, 1.0) * 0.3 -
+      |   ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |     / length(text)) * 0.2
+      |  ) * 10000 + 0.5) / 10000 AS q,
+      |  len(string_split(text,' ')) AS toks,
+      |  CASE WHEN substr(md5(doc_id::VARCHAR || ':r3'),1,2) < 'e6' THEN 'train'
+      |       WHEN substr(md5(doc_id::VARCHAR || ':r3'),1,2) < 'f3' THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |g AS (SELECT doc_id, pos - 1 AS p,
+      |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win
+      |            || ' ' || lead(tok,3) OVER win || ' ' || lead(tok,4) OVER win
+      |            || ' ' || lead(tok,5) OVER win || ' ' || lead(tok,6) OVER win
+      |            || ' ' || lead(tok,7) OVER win AS g8
+      |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |gg AS (SELECT doc_id, p, g8 FROM g WHERE g8 IS NOT NULL),
+      |dupg AS (SELECT g8 FROM gg GROUP BY g8 HAVING count(*) >= 2),
+      |dpos AS (SELECT doc_id, p FROM gg JOIN dupg USING (g8)),
+      |isl0 AS (SELECT doc_id, p,
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+      |             THEN 0 ELSE 1 END AS ni
+      |      FROM dpos),
+      |isl AS (SELECT doc_id, p,
+      |        sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM isl0),
+      |spans AS (SELECT doc_id, min(p) AS s, max(p) + 7 AS e
+      |  FROM isl GROUP BY doc_id, grp),
+      |dup AS (SELECT doc_id, sum(e - s + 1) AS dup_toks FROM spans
+      |  GROUP BY doc_id),
+      |fr AS (SELECT s.doc_id, s.lang, s.split, s.q, s.toks,
+      |        floor(coalesce(d.dup_toks, 0)::DOUBLE / s.toks * 10000 + 0.5)
+      |          / 10000 AS dup_frac
+      |       FROM scored s LEFT JOIN dup d USING (doc_id))
+      |SELECT split, lang, count(*) AS n_docs,
+      | CAST(sum(toks) AS BIGINT) AS n_tokens, round(avg(q), 4) AS avg_q
+      |FROM fr WHERE q >= 0.5 AND dup_frac < 0.5
+      |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d12_dup_spans" -> dupSpansOracle,
+    "p08_training_mix" -> trainingMixOracle,
     "t11_lm_score" -> lmScoreOracle,
     // p07: thresholds 'e6' = round(256*0.90) = 230, 'f3' = round(256*0.95)
     "p07_train_split" ->
