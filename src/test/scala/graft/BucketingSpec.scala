@@ -8,12 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Bucketed co-located join: correctness + the zero-shuffle plan shape. */
 class BucketingSpec extends AnyFunSuite with CacheHygiene {
 
+  // OWN session (shared SparkContext + extensions, isolated conf): this
+  // suite toggles AQE/broadcast thresholds, and suites run in parallel —
+  // mutating the shared session's conf races other suites' mid-flight
+  // plans (observed: it flipped MaintenanceSpec's z-order shuffle layout)
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4)
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    s.newSession()
   }
 
   test("bucketed fact-fact join has no shuffle exchange and matches plain join") {

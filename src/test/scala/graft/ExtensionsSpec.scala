@@ -8,10 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * register(), and the RangeJoinRule rewrite of non-equi interval joins. */
 class ExtensionsSpec extends AnyFunSuite with CacheHygiene {
 
+  // OWN session (see BucketingSpec): this suite sets the RangeJoinRule
+  // width conf, which would otherwise rewrite OTHER parallel suites'
+  // non-equi joins mid-flight
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    s.newSession()
   }
   import spark.implicits._
 

