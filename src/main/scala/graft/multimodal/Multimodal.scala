@@ -55,16 +55,19 @@ object Multimodal {
     out
   }
 
-  /** REAL decoder for binary PPM (P6): parses the header (magic,
-    * whitespace, `#` comments, width, height, maxval) and the RGB pixel
-    * plane, returning integer-exact channel statistics as the feature
-    * vector: [w, h, sumR, sumG, sumB, sumAll, minByte, maxByte].
-    * All values are integers < 2^24, hence exactly representable as
-    * Float — the m01 oracle recomputes them in DuckDB and hash-matches.
-    * Returns None for anything that is not a complete P6 image. */
-  def decodePpm(bytes: Array[Byte]): Option[Array[Float]] = {
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
-    var pos = 2
+  /** Strict P6 header parse, shared by decode / resize / stream walk —
+    * ONE place to validate hostile headers. Returns
+    * (w, h, maxv, pixelStart) with the pixel plane verified complete.
+    * All size arithmetic runs in Long: a header like `P6 46341 46341`
+    * would wrap `w*h*3` in Int, sneak past a length check, and crash
+    * the task on an out-of-bounds read instead of falling back to the
+    * stub path. Dim digits are capped while reading so the accumulator
+    * itself can't overflow. */
+  private def parseP6(bytes: Array[Byte],
+      offset: Int): Option[(Int, Int, Int, Int)] = {
+    if (offset + 2 > bytes.length || bytes(offset) != 'P' ||
+      bytes(offset + 1) != '6') return None
+    var pos = offset + 2
     def skipWs(): Unit = {
       var go = true
       while (go && pos < bytes.length) {
@@ -76,17 +79,31 @@ object Multimodal {
     }
     def readInt(): Int = {
       skipWs()
-      var v = 0; var any = false
+      var v = 0L; var any = false
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
-        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+        if (v <= Int.MaxValue) v = v * 10 + (bytes(pos) - '0')
+        pos += 1; any = true
       }
-      if (any) v else -1
+      if (any && v <= Int.MaxValue) v.toInt else -1
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
     pos += 1 // exactly one whitespace byte separates maxval from pixels
-    val need = w * h * 3
-    if (pos + need > bytes.length) return None
+    val need = w.toLong * h * 3
+    if (pos.toLong + need > bytes.length) return None
+    Some((w, h, maxv, pos))
+  }
+
+  /** REAL decoder for binary PPM (P6): parses the header (magic,
+    * whitespace, `#` comments, width, height, maxval) and the RGB pixel
+    * plane, returning integer-exact channel statistics as the feature
+    * vector: [w, h, sumR, sumG, sumB, sumAll, minByte, maxByte].
+    * All values are integers < 2^24, hence exactly representable as
+    * Float — the m01 oracle recomputes them in DuckDB and hash-matches.
+    * Returns None for anything that is not a complete P6 image. */
+  def decodePpm(bytes: Array[Byte]): Option[Array[Float]] = {
+    val (w, h, _, pos) = parseP6(bytes, 0).getOrElse(return None)
+    val need = w * h * 3 // safe: parseP6 verified the plane fits the array
     var sr = 0L; var sg = 0L; var sb = 0L
     var mn = 255; var mx = 0
     var i = 0
@@ -204,31 +221,7 @@ object Multimodal {
     * [[resizeStub]] exactly as decode falls back for codec-less kinds. */
   def resizePpm(bytes: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
     require(dstW > 0 && dstH > 0, s"bad resize target ${dstW}x$dstH")
-    // reuse the strict header parse: decodePpm validates shape; re-parse
-    // dims cheaply here (header is tiny)
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
-    var pos = 2
-    def skipWs(): Unit = {
-      var go = true
-      while (go && pos < bytes.length) {
-        val c = bytes(pos)
-        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
-        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
-        else go = false
-      }
-    }
-    def readInt(): Int = {
-      skipWs()
-      var v = 0; var any = false
-      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
-        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
-      }
-      if (any) v else -1
-    }
-    val w = readInt(); val h = readInt(); val maxv = readInt()
-    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
-    pos += 1
-    if (pos + w * h * 3 > bytes.length) return None
+    val (w, h, maxv, pos) = parseP6(bytes, 0).getOrElse(return None)
     val header = s"P6\n$dstW $dstH\n$maxv\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new Array[Byte](dstW * dstH * 3)
@@ -272,39 +265,17 @@ object Multimodal {
     val out = Seq.newBuilder[(Int, Int)]
     var pos = 0
     var ok = true
-    while (ok && pos + 2 <= bytes.length) {
-      val start = pos
-      if (bytes(pos) != 'P' || bytes(pos + 1) != '6') { ok = false }
-      else {
-        var p = pos + 2
-        def skipWs(): Unit = {
-          var go = true
-          while (go && p < bytes.length) {
-            val c = bytes(p)
-            if (c == '#') { while (p < bytes.length && bytes(p) != '\n') p += 1 }
-            else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') p += 1
-            else go = false
-          }
-        }
-        def readInt(): Int = {
-          skipWs()
-          var v = 0; var any = false
-          while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
-            v = v * 10 + (bytes(p) - '0'); p += 1; any = true
-          }
-          if (any) v else -1
-        }
-        val w = readInt(); val h = readInt(); val maxv = readInt()
-        if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) ok = false
-        else {
-          p += 1
-          val end = p + w * h * 3
-          if (end > bytes.length) ok = false
-          else { out += ((start, end - start)); pos = end }
-        }
+    while (ok && pos < bytes.length) {
+      parseP6(bytes, pos) match {
+        case Some((w, h, _, pixelStart)) =>
+          // parseP6 verified the plane fits, so `end` cannot overflow
+          val end = pixelStart + w * h * 3
+          out += ((pos, end - pos))
+          pos = end
+        case None => ok = false
       }
     }
-    if (pos != bytes.length) Seq.empty // trailing junk -> not a P6 stream
+    if (!ok || pos != bytes.length) Seq.empty // trailing junk/truncation
     else out.result()
   }
 
@@ -314,14 +285,19 @@ object Multimodal {
   def sampleFrames(bytes: Array[Byte], stride: Int,
       maxFrames: Int): Option[Seq[(Int, Array[Float])]] = {
     val frames = ppmStreamFrames(bytes)
-    if (frames.isEmpty) None
-    else Some(frameSampleIndices(frames.length, stride, maxFrames).map { i =>
+    if (frames.isEmpty) None else Some(sampleWalked(bytes, frames, stride, maxFrames))
+  }
+
+  /** Sampling over a pre-walked frame list — lets hot paths that also
+    * need the total frame count walk the stream ONCE. */
+  private def sampleWalked(bytes: Array[Byte], frames: Seq[(Int, Int)],
+      stride: Int, maxFrames: Int): Seq[(Int, Array[Float])] =
+    frameSampleIndices(frames.length, stride, maxFrames).map { i =>
       val (off, len) = frames(i)
       val f = decodePpm(java.util.Arrays.copyOfRange(bytes, off, off + len))
         .getOrElse(sys.error(s"frame $i failed to re-decode")) // unreachable: walked above
       (i, f)
-    })
-  }
+    }
 
   /** Batched feature extraction over the binary column: mapPartitions with
     * an explicit batch shape (grouped iterator) — the JVM analog of
@@ -347,14 +323,16 @@ object Multimodal {
           val feats = kind match {
             case "image" => decodePpm(bytes).getOrElse(decodeStub(bytes))
             case "audio" => decodeWav(bytes).getOrElse(decodeStub(bytes))
-            case "video" => sampleFrames(bytes, stride = 2, maxFrames = 4)
-              .map { sampled =>
-                val nf = ppmStreamFrames(bytes).length
-                Array(nf.toFloat, sampled.length.toFloat,
+            case "video" =>
+              val frames = ppmStreamFrames(bytes) // ONE stream walk
+              if (frames.isEmpty) decodeStub(bytes)
+              else {
+                val sampled = sampleWalked(bytes, frames, stride = 2, maxFrames = 4)
+                Array(frames.length.toFloat, sampled.length.toFloat,
                   sampled.map(_._2(5).toDouble).sum.toFloat,
                   sampled.map(_._2(6)).min, sampled.map(_._2(7)).max,
                   sampled.head._2(0), sampled.head._2(1), 0f)
-              }.getOrElse(decodeStub(bytes))
+              }
             case _ => decodeStub(bytes)
           }
           Row(r.getLong(idIdx), kind, feats.toSeq)

@@ -494,11 +494,12 @@ object PipelineQueries {
         .orderBy(col("purchase_id"))
     }),
 
-    // image rows are REAL P6 (PPM) bytes decoded by the pure-JVM parser;
-    // the decoded channel statistics are integer-exact, so DuckDB replays
-    // them from the synthetic image formulas and hash-verifies the whole
-    // decode path (header parse -> pixel plane -> features). Audio/video
-    // stay on the stub path (counted, features excluded from the output).
+    // image rows are REAL P6 bytes and audio rows REAL PCM16 WAV bytes,
+    // both decoded by the pure-JVM parsers; the decoded statistics are
+    // integer-exact, so DuckDB replays them from the synthetic content
+    // formulas and hash-verifies both decode paths end-to-end. Video
+    // rows take the real frame-walk path (hash-verified separately by
+    // m03); only their count lands in this gate's output.
     "m01_multimodal_features" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
       def kindF(k: String)(i: Int) = sum(when(col("kind") === k,

@@ -266,6 +266,16 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(Multimodal.decodePpm("P5\n1 1\n255\n".getBytes ++ Array[Byte](1)).isEmpty)
     assert(Multimodal.decodePpm("P6\n2 2\n255\n".getBytes ++ Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.decodePpm("P6\n1 1\n999\n".getBytes ++ Array[Byte](1, 2, 3)).isEmpty)
+    // hostile headers whose w*h*3 wraps Int must reject, not crash:
+    // 46341^2*3 is negative in Int; 65536^2*3 wraps to exactly 0; and a
+    // digit string overflowing the accumulator itself
+    for (hdr <- Seq("P6\n46341 46341\n255\n", "P6\n65536 65536\n255\n",
+        "P6\n99999999999999999999 1\n255\n")) {
+      val junk = hdr.getBytes("US-ASCII") ++ Array.fill[Byte](64)(7)
+      assert(Multimodal.decodePpm(junk).isEmpty, s"accepted $hdr")
+      assert(Multimodal.resizePpm(junk, 2, 2).isEmpty, s"resize accepted $hdr")
+      assert(Multimodal.ppmStreamFrames(junk).isEmpty, s"walk accepted $hdr")
+    }
   }
 
   test("multimodal: WAV decoder parses RIFF chunks+samples, rejects junk") {
