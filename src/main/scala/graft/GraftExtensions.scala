@@ -70,6 +70,9 @@ object GraftExtensions {
     ("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two array<float|double> vectors",
       (exprs: Seq[Expression]) => CosineSimilarityExpression(exprs(0), exprs(1))),
+    ("dot_product",
+      "dot_product(a, b) - dot product of two array<float|double> vectors",
+      (exprs: Seq[Expression]) => DotProductExpression(exprs(0), exprs(1))),
     ("minhash_bands",
       "minhash_bands(shingles, k, bands) - LSH band hashes of a MinHash-k signature",
       (exprs: Seq[Expression]) => MinHashBandsExpression(

@@ -657,6 +657,43 @@ object PipelineQueries {
           hashTokens = true)
         .orderBy(col("doc_id"))),
 
+    // -- PCA CONTRACT, gate-enforced: components orthonormal, variances
+    // sorted, reconstruction residual non-negative and monotone in k
+    // (Pythagoras form — no reconstruction materialized), and the
+    // corpus variance of the first projection equals its eigenvalue.
+    // The eigenbasis itself isn't SQL-replayable; the contract is. -------
+    "e03_pca_contract" -> ((s, d) => {
+      import graft.ann.Pca
+      val emb = Tables.embeddings(s, d)
+      val m2 = Pca.fit(emb, "embedding", 2)
+      val m4 = Pca.fit(emb, "embedding", 4)
+      val ortho = (for {
+        i <- m4.components.indices; j <- i until m4.k
+      } yield {
+        val dot = (0 until m4.d).map(r => m4.components(i)(r) * m4.components(j)(r)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
+      }).forall(identity)
+      val varSorted = m4.variances.sliding(2).forall(p => p(0) >= p(1) - 1e-12) &&
+        m4.variances.forall(_ >= -1e-12)
+      val projected = emb.select(col("embedding").as("v"))
+        .withColumn("p2", Pca.project(m2)(col("v")))
+        .withColumn("p4", Pca.project(m4)(col("v")))
+        .select(
+          Pca.residual2(m2)(col("v"), col("p2")).as("r2"),
+          Pca.residual2(m4)(col("v"), col("p4")).as("r4"),
+          element_at(col("p4"), 1).as("c1"))
+      projected.agg(
+          (avg(col("r4")) <= avg(col("r2")) + 1e-9).as("residual_monotone_in_k"),
+          (min(col("r4")) >= -1e-6).as("residual_nonneg"),
+          (abs(avg(col("c1") * col("c1")) - avg(col("c1")) * avg(col("c1"))
+            - m4.variances(0)) <= m4.variances(0) * 1e-6 + 1e-9)
+            .as("c1_variance_is_eigenvalue"))
+        .select(lit(ortho).as("orthonormal"),
+          lit(varSorted).as("variances_sorted"),
+          col("residual_monotone_in_k"), col("residual_nonneg"),
+          col("c1_variance_is_eigenvalue"))
+    }),
+
     // -- deterministic train/val/test split: md5-hex-prefix bucketing,
     // replayed verbatim by the oracle (string comparison of fixed-length
     // lowercase hex == numeric comparison). ------------------------------
@@ -849,6 +886,10 @@ object PipelineQueries {
     "d12_dup_spans" -> dupSpansOracle,
     "p08_training_mix" -> trainingMixOracle,
     "t11_lm_score" -> lmScoreOracle,
+    "e03_pca_contract" ->
+      """SELECT TRUE AS orthonormal, TRUE AS variances_sorted,
+        | TRUE AS residual_monotone_in_k, TRUE AS residual_nonneg,
+        | TRUE AS c1_variance_is_eigenvalue""".stripMargin,
     // p07: thresholds 'e6' = round(256*0.90) = 230, 'f3' = round(256*0.95)
     "p07_train_split" ->
       """WITH s AS (SELECT lang,

@@ -588,6 +588,42 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"suspicious subwords/word ratio $perWord")
   }
 
+  test("PCA: planted principal axis recovered; projection matches hand math") {
+    import graft.ann.Pca
+    // points strictly along direction (0.6, 0.8) from mean (10, 20):
+    // first component must be exactly that axis, second variance ~ 0
+    val ts = Seq(-3.0, -1.0, 0.0, 2.0, 2.0)
+    val rows = ts.map(t =>
+      Tuple1(Seq((10 + t * 0.6).toFloat, (20 + t * 0.8).toFloat)))
+    val df = rows.toDF("embedding")
+    val m = Pca.fit(df, "embedding", 2)
+    assert(math.abs(m.components(0)(0) - 0.6) < 1e-5 &&
+      math.abs(m.components(0)(1) - 0.8) < 1e-5,
+      s"axis ${m.components(0).toSeq}")
+    val tsMean = ts.sum / ts.size
+    val wantVar = ts.map(t => (t - tsMean) * (t - tsMean)).sum / ts.size
+    assert(math.abs(m.variances(0) - wantVar) < 1e-4, s"var ${m.variances.toSeq}")
+    assert(math.abs(m.variances(1)) < 1e-6, "off-axis variance must vanish")
+    // projection of a known point: coordinate = t (up to float32 input)
+    val p = df.select(Pca.project(m)(col("embedding"))).as[Seq[Double]].collect()
+    ts.zip(p).foreach { case (t, proj) =>
+      assert(math.abs(proj.head - (t - tsMean)) < 1e-4, s"proj $proj for t=$t")
+    }
+    // residual is ~0 for in-subspace data
+    val r = df.select(Pca.residual2(m)(col("embedding"),
+      Pca.project(m)(col("embedding")))).as[Double].collect()
+    assert(r.forall(math.abs(_) < 1e-6), s"residuals ${r.toSeq}")
+
+    // jacobi: known symmetric matrix [[2,1],[1,2]] -> eigenvalues {1,3}
+    val (ev, _) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(ev.sorted.zip(Array(1.0, 3.0)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-12 }, s"eigenvalues ${ev.toSeq}")
+
+    // determinism: fit twice, same model
+    val m2 = Pca.fit(df, "embedding", 2)
+    assert(m2.components.map(_.toSeq).toSeq == m.components.map(_.toSeq).toSeq)
+  }
+
   test("semDedup: planted duplicate groups keep exactly their min id") {
     // three well-separated direction groups; groups 1 and 2 contain
     // exact duplicates (cos = 1), group 3 is all-distinct directions

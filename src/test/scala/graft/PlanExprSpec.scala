@@ -69,6 +69,35 @@ class PlanExprSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("dot_product equals the declarative zip_with/aggregate form bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(100)(i =>
+      (i.toLong, Seq.fill(32)(rnd.nextFloat() * 2f - 1f))) :+
+      (100L, Seq.fill(32)(0f))
+    val df = vecs.toDF("id", "v")
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val rows = df.as("a").crossJoin(df.as("b"))
+      .select(graft.plans.DotProductExpression.dot(col("a.v"), col("b.v")).as("native"),
+        hof(col("a.v"), col("b.v")).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // null semantics mirror cosine_sim
+    graft.plans.DotProductExpression.register(spark)
+    val n = spark.sql(
+      """SELECT dot_product(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)),
+        | dot_product(array(1.0F, 2.0F), array(1.0F)),
+        | dot_product(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)),
+        | dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D))""".stripMargin).head()
+    assert(n.isNullAt(0) && n.isNullAt(1) && n.isNullAt(2))
+    assert(n.getDouble(3) == 23.0)
+  }
+
   test("cosine_sim null semantics: null array, length mismatch, null element") {
     graft.plans.CosineSimilarityExpression.register(spark)
     val r = spark.sql(
