@@ -694,6 +694,41 @@ object PipelineQueries {
           col("c1_variance_is_eigenvalue"))
     }),
 
+    // -- PCA rotation contract, gate-enforced: a FULL-RANK PCA is a
+    // rigid rotation + translation, so Euclidean top-10 neighbors in
+    // projected space must equal top-10 in the original space exactly
+    // (distances rounded to 1e-9 to absorb last-ulp rotation noise,
+    // ties broken by id). Verifies projection + centering + full
+    // orthonormality end-to-end on the corpus. ---------------------------
+    "a07_pca_rotation_contract" -> ((s, d) => {
+      import graft.ann.Pca
+      import graft.plans.DotProductExpression.dot
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val m = Pca.fit(emb, "embedding", 64)
+      def top10(src: DataFrame, label: String): DataFrame = {
+        val q = src.filter(col("id") < 5)
+          .select(col("id").as("query_id"), col("v").as("qv"))
+        val dist2 = round(dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("v"))
+          + dot(col("v"), col("v")), 9)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("neighbor_id"))
+        src.select(col("id").as("neighbor_id"), col("v"))
+          .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"), dist2.as("d2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select(col("query_id"), col("rn"), col("neighbor_id").as(label))
+      }
+      val orig = top10(emb.select(col("vec_id").as("id"),
+        col("embedding").as("v")), "n_orig")
+      val proj = top10(emb.select(col("vec_id").as("id"),
+        Pca.project(m)(col("embedding")).as("v")), "n_proj")
+      orig.join(proj, Seq("query_id", "rn"))
+        .agg((count(lit(1)) === lit(50L) &&
+          min(col("n_orig") === col("n_proj")).cast("boolean"))
+          .as("rotation_preserves_ranking"))
+    }),
+
     // -- deterministic train/val/test split: md5-hex-prefix bucketing,
     // replayed verbatim by the oracle (string comparison of fixed-length
     // lowercase hex == numeric comparison). ------------------------------
@@ -890,6 +925,8 @@ object PipelineQueries {
       """SELECT TRUE AS orthonormal, TRUE AS variances_sorted,
         | TRUE AS residual_monotone_in_k, TRUE AS residual_nonneg,
         | TRUE AS c1_variance_is_eigenvalue""".stripMargin,
+    "a07_pca_rotation_contract" ->
+      "SELECT TRUE AS rotation_preserves_ranking",
     // p07: thresholds 'e6' = round(256*0.90) = 230, 'f3' = round(256*0.95)
     "p07_train_split" ->
       """WITH s AS (SELECT lang,
