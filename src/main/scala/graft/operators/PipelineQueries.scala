@@ -694,6 +694,28 @@ object PipelineQueries {
           col("c1_variance_is_eigenvalue"))
     }),
 
+    // -- trainable quality classifier CONTRACT, gate-enforced: full-batch
+    // logistic GD must learn a planted linearly separable concept
+    // (label = tokens >= 100, recoverable from feature 0) to >= 99%
+    // training accuracy with a 100x loss reduction. Proves the
+    // distributed gradient machinery; real deployments feed weak labels
+    // (wiki-vs-crawl) through the same fit/score. ------------------------
+    "t13_quality_classifier" -> ((s, d) => {
+      import graft.operators.Classifier
+      val docs = Tables.documents(s, d).select(
+        Classifier.textFeatures(col("text")).as("features"),
+        (size(split(col("text"), " ")) >= 100).cast("int").as("label"))
+      val m = Classifier.fit(docs, "features", "label", iters = 80, lr = 2.0)
+      val lossConverged = m.losses.last < m.losses.head * 0.1
+      docs.select(
+          ((Classifier.score(m)(col("features")) >= 0.5).cast("int")
+            === col("label")).cast("int").as("ok"))
+        .agg(avg(col("ok")).as("acc"), count(lit(1)).as("n"))
+        .select((col("acc") >= 0.99).as("separable_concept_learned"),
+          lit(lossConverged).as("loss_converged"),
+          col("n").cast("long").as("n_train"))
+    }),
+
     // -- PCA rotation contract, gate-enforced: a FULL-RANK PCA is a
     // rigid rotation + translation, so Euclidean top-10 neighbors in
     // projected space must equal top-10 in the original space exactly
@@ -927,6 +949,9 @@ object PipelineQueries {
         | TRUE AS c1_variance_is_eigenvalue""".stripMargin,
     "a07_pca_rotation_contract" ->
       "SELECT TRUE AS rotation_preserves_ranking",
+    "t13_quality_classifier" ->
+      """SELECT TRUE AS separable_concept_learned, TRUE AS loss_converged,
+        | (SELECT count(*) FROM documents) AS n_train""".stripMargin,
     // p07: thresholds 'e6' = round(256*0.90) = 230, 'f3' = round(256*0.95)
     "p07_train_split" ->
       """WITH s AS (SELECT lang,

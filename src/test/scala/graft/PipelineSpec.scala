@@ -588,6 +588,31 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"suspicious subwords/word ratio $perWord")
   }
 
+  test("classifier: separable 2-D data reaches 100% accuracy; loss decreases") {
+    import graft.operators.Classifier
+    // two linearly separable clouds around (0,0) and (3,3)
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      val y = i % 2
+      val cx = if (y == 1) 3.0 else 0.0
+      (Seq(cx + rnd.nextGaussian() * 0.4, cx + rnd.nextGaussian() * 0.4), y)
+    }
+    val df = rows.toDF("features", "label")
+    val m = Classifier.fit(df, "features", "label", iters = 100, lr = 1.0)
+    // loss monotone non-increasing (full-batch GD with a sane lr)
+    m.losses.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"loss increased: $a -> $b")
+    }
+    val acc = df.select(
+        ((Classifier.score(m)(col("features")) >= 0.5).cast("int") === col("label"))
+          .cast("int").as("ok"))
+      .agg(avg(col("ok"))).as[Double].head()
+    assert(acc == 1.0, s"separable data must fit exactly, got $acc")
+    // determinism: same data, same model
+    val m2 = Classifier.fit(df, "features", "label", iters = 100, lr = 1.0)
+    assert(m2.weights.toSeq == m.weights.toSeq && m2.intercept == m.intercept)
+  }
+
   test("PCA: planted principal axis recovered; projection matches hand math") {
     import graft.ann.Pca
     // points strictly along direction (0.6, 0.8) from mean (10, 20):
