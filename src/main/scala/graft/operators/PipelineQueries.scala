@@ -694,6 +694,15 @@ object PipelineQueries {
           col("c1_variance_is_eigenvalue"))
     }),
 
+    // -- deterministic epoch reshuffle: salted-md5 global order, the
+    // step between split assignment and packing; replayed verbatim. -----
+    "p09_train_order" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Splits.shuffleOrder(col("doc_id"), "ord-r3").as("ord"))
+        .orderBy(col("ord"), col("doc_id"))
+        .limit(50)),
+
     // -- trainable quality classifier CONTRACT, gate-enforced: full-batch
     // logistic GD must learn a planted linearly separable concept
     // (label = tokens >= 100, recoverable from feature 0) to >= 99%
@@ -952,6 +961,9 @@ object PipelineQueries {
     "t13_quality_classifier" ->
       """SELECT TRUE AS separable_concept_learned, TRUE AS loss_converged,
         | (SELECT count(*) FROM documents) AS n_train""".stripMargin,
+    "p09_train_order" ->
+      """SELECT doc_id, md5(doc_id::VARCHAR || ':ord-r3') AS ord
+        |FROM documents ORDER BY ord, doc_id LIMIT 50""".stripMargin,
     // p07: thresholds 'e6' = round(256*0.90) = 230, 'f3' = round(256*0.95)
     "p07_train_split" ->
       """WITH s AS (SELECT lang,

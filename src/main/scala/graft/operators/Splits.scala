@@ -51,4 +51,15 @@ object Splits {
   def assign(df: DataFrame, keyCol: String, salt: String,
       trainPct: Int = 90, valPct: Int = 5): DataFrame =
     df.withColumn("split", splitLabel(col(keyCol), salt, trainPct, valPct))
+
+  /** Deterministic global training order: sort key = md5(key || salt).
+    * A different salt per epoch gives independent reshuffles of the
+    * whole corpus with zero RNG state — the reshuffle-per-epoch step
+    * between [[assign]] and sequence packing. Engine-replayable like the
+    * split (the p09 gate hash-verifies the order against DuckDB).
+    * Sorting globally is one range exchange; at 100 TB feed this to
+    * `repartitionByRange(...).sortWithinPartitions(...)` and let writers
+    * emit ordered shards instead of asking for a single total order. */
+  def shuffleOrder(key: Column, salt: String): Column =
+    md5(concat(key.cast("string"), lit(":" + salt)))
 }
