@@ -49,24 +49,80 @@ object LanguageModel {
     */
   def bigramLogLikelihood(df: DataFrame, idCol: String, textCol: String,
       hashTokens: Boolean = false): DataFrame = {
-    def key(c: Column): Column = if (hashTokens) xxhash64(c) else c
-    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-    val bg = toks.select(col("id"),
-      explode(when(size(col("t")) >= 2,
-        transform(sequence(lit(0), size(col("t")) - 2),
-          i => struct(element_at(col("t"), i + 1).as("w1"),
-            element_at(col("t"), i + 2).as("w2"))))
-        .otherwise(array())).as("b"))
-      .select(col("id"), key(col("b.w1")).as("w1"), key(col("b.w2")).as("w2"))
+    val bg = docBigrams(df, idCol, textCol, hashTokens)
     val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val ch = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
-    val v = toks.select(explode(col("t")).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
+    val v = vocabSize(df, textCol, hashTokens)
     bg.join(cb, Seq("w1", "w2")).join(ch, Seq("w1")).crossJoin(broadcast(v))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (floor(avg(log((col("cb") + lit(1.0)) / (col("ch") + col("v"))))
           * 10000 + lit(0.5)) / 10000).as("ll"))
       .select(col("id").as(idCol), col("n_bigrams"), col("ll"))
+  }
+
+  /** (id, w1, w2) bigram stream — narrow transform(sequence(...)). */
+  private def docBigrams(df: DataFrame, idCol: String, textCol: String,
+      hashTokens: Boolean): DataFrame = {
+    def key(c: Column): Column = if (hashTokens) xxhash64(c) else c
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .select(col("id"),
+        explode(when(size(col("t")) >= 2,
+          transform(sequence(lit(0), size(col("t")) - 2),
+            i => struct(element_at(col("t"), i + 1).as("w1"),
+              element_at(col("t"), i + 2).as("w2"))))
+          .otherwise(array())).as("b"))
+      .select(col("id"), key(col("b.w1")).as("w1"), key(col("b.w2")).as("w2"))
+  }
+
+  /** one-row distinct-token count, aliased `v`. */
+  private def vocabSize(df: DataFrame, textCol: String,
+      hashTokens: Boolean): DataFrame = {
+    def key(c: Column): Column = if (hashTokens) xxhash64(c) else c
+    df.select(explode(split(col(textCol), " ")).as("tok0"))
+      .agg(countDistinct(key(col("tok0"))).as("v"))
+  }
+
+  /** Moore–Lewis cross-entropy data selection (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data"): score
+    * every document by
+    *
+    *   avg over bigrams of [ ln P_target(w2|w1) − ln P_general(w2|w1) ]
+    *
+    * where the TARGET model trains on the in-domain subset
+    * (`targetCond`) and the GENERAL model on the whole corpus, both
+    * add-one smoothed. Positive scores mean "looks like the target
+    * domain"; pipelines keep the top slice — THE classic method for
+    * selecting in-domain training data from a large crawl.
+    *
+    * Scale shape: identical to [[bigramLogLikelihood]] ×2 — both count
+    * tables collapse to vocabulary size under map-side combine before
+    * their exchanges; target-side counts join LEFT (unseen bigrams get
+    * count 0, smoothing keeps the log finite); the two one-row vocab
+    * frames broadcast. `hashTokens` as elsewhere.
+    */
+  def mooreLewisScore(df: DataFrame, idCol: String, textCol: String,
+      targetCond: Column, hashTokens: Boolean = false): DataFrame = {
+    val bg = docBigrams(df, idCol, textCol, hashTokens)
+    val tgt = df.filter(targetCond)
+    val bgT = docBigrams(tgt, idCol, textCol, hashTokens)
+    val cbG = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val chG = cbG.groupBy(col("w1")).agg(sum(col("cbg")).as("chg"))
+    val cbT = bgT.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbt"))
+    val chT = cbT.groupBy(col("w1")).agg(sum(col("cbt")).as("cht"))
+    val vG = vocabSize(df, textCol, hashTokens).withColumnRenamed("v", "vg")
+    val vT = vocabSize(tgt, textCol, hashTokens).withColumnRenamed("v", "vt")
+    bg.join(cbG, Seq("w1", "w2")).join(chG, Seq("w1"))
+      .join(cbT, Seq("w1", "w2"), "left_outer")
+      .join(chT, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vG)).crossJoin(broadcast(vT))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(avg(
+          log((coalesce(col("cbt"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("cht"), lit(0L)) + col("vt")))
+            - log((col("cbg") + lit(1.0)) / (col("chg") + col("vg"))))
+          * 10000 + lit(0.5)) / 10000).as("ml_score"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("ml_score"))
   }
 }

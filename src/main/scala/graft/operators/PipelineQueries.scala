@@ -694,6 +694,14 @@ object PipelineQueries {
           col("c1_variance_is_eigenvalue"))
     }),
 
+    // -- Moore-Lewis cross-entropy data selection: target LM = the 'en'
+    // subset, general LM = whole corpus; per-doc in-domain score.
+    // Production hashed-token path; the oracle replays the counts. ------
+    "t14_moore_lewis" -> ((s, d) =>
+      LanguageModel.mooreLewisScore(Tables.documents(s, d), "doc_id", "text",
+          targetCond = col("lang") === "en", hashTokens = true)
+        .orderBy(col("doc_id"))),
+
     // -- deterministic epoch reshuffle: salted-md5 global order, the
     // step between split assignment and packing; replayed verbatim. -----
     "p09_train_order" -> ((s, d) =>
@@ -964,6 +972,32 @@ object PipelineQueries {
     "p09_train_order" ->
       """SELECT doc_id, md5(doc_id::VARCHAR || ':ord-r3') AS ord
         |FROM documents ORDER BY ord, doc_id LIMIT 50""".stripMargin,
+    // t14: the t11 bigram construction twice — target ('en') and general —
+    // add-one smoothed, coalesce(0) where the target never saw the gram
+    "t14_moore_lewis" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |bg0 AS (SELECT doc_id, lang, tok AS w1,
+        |          lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM w),
+        |bgn AS (SELECT doc_id, lang, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+        |cbg AS (SELECT w1, w2, count(*) AS cbg FROM bgn GROUP BY 1, 2),
+        |chg AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS chg FROM cbg GROUP BY 1),
+        |cbt AS (SELECT w1, w2, count(*) AS cbt FROM bgn WHERE lang = 'en'
+        |        GROUP BY 1, 2),
+        |cht AS (SELECT w1, CAST(sum(cbt) AS BIGINT) AS cht FROM cbt GROUP BY 1),
+        |vg AS (SELECT count(DISTINCT tok) AS vg FROM w),
+        |vt AS (SELECT count(DISTINCT tok) AS vt FROM w WHERE lang = 'en')
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | floor(avg(ln((coalesce(cbt.cbt, 0) + 1.0) / (coalesce(cht.cht, 0) + vt.vt))
+        |         - ln((cbg.cbg + 1.0) / (chg.chg + vg.vg))) * 10000 + 0.5) / 10000
+        |   AS ml_score
+        |FROM bgn JOIN cbg USING (w1, w2) JOIN chg USING (w1)
+        |LEFT JOIN cbt USING (w1, w2) LEFT JOIN cht USING (w1)
+        |CROSS JOIN vg CROSS JOIN vt
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // p07: thresholds 'e6' = round(256*0.90) = 230, 'f3' = round(256*0.95)
     "p07_train_split" ->
       """WITH s AS (SELECT lang,

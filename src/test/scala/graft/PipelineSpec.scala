@@ -709,6 +709,35 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(dropped.count() == 50, "exactly the 50 planted clones must drop")
   }
 
+  test("Moore-Lewis: in-domain docs score above out-of-domain; hashed == plain") {
+    import graft.operators.LanguageModel
+    // target domain reuses a distinctive bigram vocabulary
+    val docs = (
+      (0 until 10).map(i => (i.toLong, "t", "alpha beta gamma alpha beta")) ++
+      (10 until 20).map(i => (i.toLong, "g", "delta epsilon zeta delta epsilon"))
+    ).toDF("doc_id", "dom", "text")
+    val scores = LanguageModel.mooreLewisScore(docs, "doc_id", "text",
+        targetCond = col("dom") === "t")
+      .join(docs.select(col("doc_id"), col("dom")), "doc_id")
+      .groupBy(col("dom")).agg(avg(col("ml_score")).as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("t") > scores("g"),
+      s"in-domain must outscore out-of-domain: $scores")
+    assert(scores("t") > 0 && scores("g") < 0,
+      s"signs should separate domains here: $scores")
+
+    // the 100 TB switch: hashed token keys give identical scores
+    val corpus = Tables.documents(spark, sfDir)
+    val plain = LanguageModel.mooreLewisScore(corpus, "doc_id", "text",
+      col("lang") === "en", hashTokens = false)
+      .as[(Long, Long, Double)].collect().toSet
+    val hashed = LanguageModel.mooreLewisScore(corpus, "doc_id", "text",
+      col("lang") === "en", hashTokens = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty && hashed == plain,
+      "hashed-token Moore-Lewis must score identically")
+  }
+
   test("dupNgramFraction: hashed-gram shuffle (100 TB shape) == string grams") {
     val docs = Tables.documents(spark, sfDir)
     def rows(hashed: Boolean) =
