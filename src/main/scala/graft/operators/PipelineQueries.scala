@@ -694,6 +694,29 @@ object PipelineQueries {
           col("c1_variance_is_eigenvalue"))
     }),
 
+    // -- per-language token-budget selection (data mixing): take docs in
+    // quality order until each language's token budget fills — the
+    // running total INCLUDING the current doc decides admission, so the
+    // first doc crossing the budget still enters (budgets are soft
+    // ceilings in mixing recipes). One window per lang; replayable. -----
+    "p10_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 20000L
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .filter(col("cum") - col("toks") < budget)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          round(min(col("q")), 4).as("q_floor"))
+        .orderBy(col("lang"))
+    }),
+
     // -- Moore-Lewis cross-entropy data selection: target LM = the 'en'
     // subset, general LM = whole corpus; per-doc in-domain score.
     // Production hashed-token path; the oracle replays the counts. ------
@@ -972,6 +995,31 @@ object PipelineQueries {
     "p09_train_order" ->
       """SELECT doc_id, md5(doc_id::VARCHAR || ':ord-r3') AS ord
         |FROM documents ORDER BY ord, doc_id LIMIT 50""".stripMargin,
+    // p10: the p01/p04 quality formula + a per-lang cumulative-token
+    // window; admission = running total before this doc under budget
+    "p10_token_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, floor((
+        |   least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        |   least((len(list_filter(string_split(text,' '),
+        |     x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |                'that','for','on','with','as')))::DOUBLE
+        |     / len(string_split(text,' '))) * 5.0, 1.0) * 0.3 +
+        |   least(((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+        |     / len(string_split(text,' '))) / 8.0, 1.0) * 0.3 -
+        |   ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |     / length(text)) * 0.2
+        |  ) * 10000 + 0.5) / 10000 AS q,
+        |  len(string_split(text,' ')) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, q, toks,
+        |  sum(toks) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM scored)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        | round(min(q), 4) AS q_floor
+        |FROM c WHERE cum - toks < 20000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // t14: the t11 bigram construction twice — target ('en') and general —
     // add-one smoothed, coalesce(0) where the target never saw the gram
     "t14_moore_lewis" ->
