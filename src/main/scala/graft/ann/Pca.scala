@@ -83,6 +83,12 @@ object Pca {
       }
       sweep += 1
     }
+    // silent non-convergence would hand back a diagonal that is NOT the
+    // spectrum and components that are not principal axes — same loud
+    // contract as duplicateClusters' convergence check
+    require(off <= tol,
+      s"jacobiEigen did not converge after $sweeps sweeps (off-diag $off); " +
+        "raise sweeps for this matrix")
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 

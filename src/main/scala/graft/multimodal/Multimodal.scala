@@ -220,17 +220,21 @@ object Multimodal {
     * it). Returns None for non-P6 input — callers fall back to
     * [[resizeStub]] exactly as decode falls back for codec-less kinds. */
   def resizePpm(bytes: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
-    require(dstW > 0 && dstH > 0, s"bad resize target ${dstW}x$dstH")
+    require(dstW > 0 && dstH > 0 &&
+      dstW.toLong * dstH * 3 <= Int.MaxValue - 64,
+      s"bad resize target ${dstW}x$dstH")
     val (w, h, maxv, pos) = parseP6(bytes, 0).getOrElse(return None)
     val header = s"P6\n$dstW $dstH\n$maxv\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new Array[Byte](dstW * dstH * 3)
     var y = 0
     while (y < dstH) {
-      val sy = y * h / dstH
+      // Long domain: y*h wraps Int for legitimately huge (~2 GB) planes
+      // — sy/sx themselves fit Int (< h, < w)
+      val sy = (y.toLong * h / dstH).toInt
       var x = 0
       while (x < dstW) {
-        val sx = x * w / dstW
+        val sx = (x.toLong * w / dstW).toInt
         val src = pos + (sy * w + sx) * 3
         val dst = (y * dstW + x) * 3
         out(dst) = bytes(src); out(dst + 1) = bytes(src + 1)

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * L2-regularized logistic regression, FULL-BATCH gradient descent:
   * each iteration is ONE distributed `treeAggregate` pass producing the
-  * exact gradient (d+1 doubles of state per partial, independent of
-  * corpus size — the same partial/merge shape as the sketches and PCA's
-  * Gram pass), followed by a driver-side weight update. Deterministic:
+  * exact gradient (d+3 doubles of state per partial — gradient, bias
+  * gradient, loss, count — independent of corpus size; the same
+  * partial/merge shape as the sketches and PCA's Gram pass), followed
+  * by a driver-side weight update. Deterministic:
   * no sampling, no row-order dependence (gradient terms are summed, and
   * FP addition order varies only within the merge tree — spec-verified
   * stable for the gate's data), fixed iteration count.
@@ -37,9 +38,13 @@ object Classifier {
     * passes over the corpus. */
   def fit(df: DataFrame, featuresCol: String, labelCol: String,
       iters: Int = 50, lr: Double = 1.0, l2: Double = 1e-4): Model = {
+    // persisted: every GD iteration re-reads this (d+1 doubles per doc,
+    // NOT corpus-sized) — without the cache, 80 iterations re-run the
+    // scan + feature extraction 80 times
     val rows = df.select(col(featuresCol), col(labelCol).cast("double"))
       .na.drop()
       .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+      .persist()
     val d = rows.first()._1.length
     var w = new Array[Double](d)
     var b = 0.0
@@ -78,6 +83,7 @@ object Classifier {
       w = wNew
       it += 1
     }
+    rows.unpersist(blocking = false)
     Model(w, b, losses)
   }
 

@@ -105,6 +105,11 @@ object LanguageModel {
       targetCond: Column, hashTokens: Boolean = false): DataFrame = {
     val bg = docBigrams(df, idCol, textCol, hashTokens)
     val tgt = df.filter(targetCond)
+    // an empty target would make vt = 0 and the smoothed target term
+    // (0+1)/(0+0) — non-ANSI division yields NULL and every score would
+    // silently be NULL; fail loud instead (cheap limit-1 probe)
+    require(!tgt.isEmpty,
+      "mooreLewisScore: targetCond matches no rows — no target model to train")
     val bgT = docBigrams(tgt, idCol, textCol, hashTokens)
     val cbG = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
     val chG = cbG.groupBy(col("w1")).agg(sum(col("cbg")).as("chg"))

@@ -665,8 +665,11 @@ object PipelineQueries {
     "e03_pca_contract" -> ((s, d) => {
       import graft.ann.Pca
       val emb = Tables.embeddings(s, d)
-      val m2 = Pca.fit(emb, "embedding", 2)
+      // fit computes the full spectrum and takes the top k, so the k=2
+      // model is exactly the k=4 model's prefix — one distributed pass
       val m4 = Pca.fit(emb, "embedding", 4)
+      val m2 = m4.copy(components = m4.components.take(2),
+        variances = m4.variances.take(2))
       val ortho = (for {
         i <- m4.components.indices; j <- i until m4.k
       } yield {
@@ -695,10 +698,11 @@ object PipelineQueries {
     }),
 
     // -- per-language token-budget selection (data mixing): take docs in
-    // quality order until each language's token budget fills — the
-    // running total INCLUDING the current doc decides admission, so the
-    // first doc crossing the budget still enters (budgets are soft
-    // ceilings in mixing recipes). One window per lang; replayable. -----
+    // quality order until each language's token budget fills — a doc is
+    // admitted iff the running total BEFORE it (cum - toks) is still
+    // under budget, so the first doc crossing the budget still enters
+    // (budgets are soft ceilings in mixing recipes). One window per
+    // lang; replayable. --------------------------------------------------
     "p10_token_budget" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 20000L
