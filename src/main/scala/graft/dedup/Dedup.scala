@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Caller-invoked unpersist handle for operators that must persist
+    * plan-internal frames: the frames feed multiple downstream branches,
+    * so the operator cannot unpersist them before the caller materializes
+    * the (lazy) result. Invoke AFTER the returned frame's terminal action;
+    * idempotent, and blocking so executor storage is actually freed. */
+  final class CacheHandle private[dedup] (frames: Seq[DataFrame]) {
+    def unpersist(): Unit = frames.foreach(_.unpersist(true))
+  }
+
   // ---- shingling ------------------------------------------------------
 
   /** n-word shingles (order-sensitive) as a distinct set — UDF reference
@@ -156,7 +165,18 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 0): DataFrame =
+    minhashLshPairsTracked(df, idCol, textCol, shingleN, k, bands,
+      threshold, maxBucket)._1
+
+  /** [[minhashLshPairs]] plus a [[CacheHandle]] over its two plan-internal
+    * persists (the band projection and the candidate pairs). Long-running
+    * sessions doing many dedup passes should use this form and invoke the
+    * handle after the pair frame's terminal action, instead of a blanket
+    * `spark.catalog.clearCache()` that also evicts unrelated caches. */
+  def minhashLshPairsTracked(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 0): (DataFrame, CacheHandle) = {
     val src = df.select(col(idCol).as("id"), col(textCol).as("txt"))
     // fused native expressions: shingles → signature → band fold in one
     // narrow codegen'd pass (parity with minhashUdf ∘ bandsUdf asserted
@@ -200,9 +220,10 @@ object Dedup {
       .select(col("id"), wordShingles(col("txt"), shingleN).as("sh"))
     val sa = needed.select(col("id").as("a"), col("sh").as("sha"))
     val sb = needed.select(col("id").as("b"), col("sh").as("shb"))
-    cand.join(sa, "a").join(sb, "b")
+    val pairs = cand.join(sa, "a").join(sb, "b")
       .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (pairs, new CacheHandle(Seq(banded, cand)))
   }
 
   // ---- exact duplicate-substring spans --------------------------------
@@ -466,22 +487,52 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4×16-bit band bucketing (any pair within
     * hamming distance 3 shares at least one exact 16-bit band), verified
-    * by exact hamming distance. */
+    * by exact hamming distance.
+    *
+    * @param maxBucket hot-bucket cap, same census prune as
+    *   [[minhashLshPairs]]: band buckets holding more than this many
+    *   documents are excluded from pair generation (0 = uncapped). A
+    *   degenerate 16-bit band bucket — empty or boilerplate docs that all
+    *   collapse to one signature — makes the within-bucket self-join n²;
+    *   docs that identical are caught far cheaper by exact digest dedup
+    *   upstream. The census groups on the same (band, h) key the
+    *   self-join shuffles on, so it reuses that partitioning and costs
+    *   one map-side-combined count, not an extra wide shuffle. The
+    *   default (1000) is far above any honest bucket at gate scale —
+    *   the d08 completeness contract (simhashPairs == brute-force
+    *   hamming join on a 500-doc corpus) stays exact — while bounding
+    *   per-bucket pair generation at 10⁶ on any corpus. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    simhashPairsTracked(df, idCol, textCol, maxHamming, maxBucket)._1
+
+  /** [[simhashPairs]] plus a [[CacheHandle]] over its signature persist —
+    * same caller-invoked unpersist discipline as [[minhashLshPairsTracked]]. */
+  def simhashPairsTracked(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): (DataFrame, CacheHandle) = {
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")).persist()
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("h"))): _*)).as("bh"))
       .select(col("id"), col("sig"), col("bh.band"), col("bh.h"))
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r,
+    val pruned =
+      if (maxBucket > 0) {
+        // singleton buckets (n = 1) generate no pairs either; prune both
+        val ok = banded.groupBy(col("band"), col("h"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2, maxBucket))
+          .select(col("band"), col("h"))
+        banded.join(ok, Seq("band", "h"))
+      } else banded
+    val l = pruned.as("l"); val r = pruned.as("r")
+    val pairs = l.join(r,
         col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         hamming64(col("l.sig"), col("r.sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    (pairs, new CacheHandle(Seq(sigs)))
   }
 }

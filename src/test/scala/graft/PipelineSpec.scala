@@ -77,6 +77,40 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       "unrelated docs flagged")
   }
 
+  test("simhashPairs degenerate corpus: default cap bounds pair generation") {
+    // 10k identical docs collapse to ONE signature, so every 16-bit band
+    // bucket holds all 10k ids — uncapped, the within-bucket self-join
+    // would emit 4 bands x 10k^2/2 = 2e8 raw pairs before distinct. The
+    // default census cap (1000) sheds those buckets, and the honest
+    // near-dup pair in its own small buckets still pairs; this test
+    // finishing in seconds IS the boundedness proof.
+    val boiler = (0 until 10000).map(i => (1000L + i, "lorem ipsum dolor sit amet"))
+    val base = (0 until 200).map(i => s"tok${i % 37}").mkString(" ")
+    val nearDup = base.replace("tok1 ", "tok999 ")
+    val docs = (boiler :+ ((1L, base)) :+ ((2L, nearDup))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"capped run should keep only the small-bucket pair, got ${pairs.size} pairs")
+  }
+
+  test("tracked dedup handles: invoking the handle empties the cache manager") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val (pairs, h1) = Dedup.minhashLshPairsTracked(docs, "doc_id", "text")
+    pairs.write.format("noop").mode("overwrite").save() // terminal action
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "operator should have persisted plan-internal frames")
+    h1.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "minhash handle must drop every plan-internal persist")
+    val (spairs, h2) = Dedup.simhashPairsTracked(docs, "doc_id", "text")
+    spairs.write.format("noop").mode("overwrite").save()
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    h2.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "simhash handle must drop the signature persist")
+  }
+
   test("ANN LSH recall vs brute force is usable (>= 40% of true top-10)") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
