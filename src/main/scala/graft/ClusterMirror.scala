@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Distributed-mirror run — the moral equivalent of the reference's
+  * `_dist` test suite (each test runs on a thread pool AND a
+  * constellation process pool, e.g. /root/reference/tests/csv_dist.rs):
+  * run a representative query subset on a REAL multi-JVM standalone
+  * cluster, then on local[4], and assert collected results are identical.
+  *
+  * Multi-JVM executors catch what local[n] structurally cannot: closure
+  * serialization (local mode never serializes closures), Kryo round-trips
+  * of custom Aggregator buffers across a real exchange, codegen
+  * reference-object shipping (`addReferenceObj` state of the native
+  * expressions), and custom SparkPlan `doExecute` under remote task
+  * scheduling.
+  *
+  * Representative set (one per risk class):
+  *  - q01_tpch_agg         plain scan + partial/final agg
+  *  - sk02_most_frequent_exact  custom Aggregator, Kryo buffer across exchange
+  *  - sk08_group_sub_sink  nested sketch sinks under groupBy
+  *  - d02_minhash_lsh      dedup: persists, native minhash/shingle exprs, self-join
+  *  - q27_asof_native      custom LogicalPlan/Strategy/SparkPlan doExecute
+  *  - t03_lang_id          CountInSetExpression reference objects in codegen
+  *  - m01_multimodal_features  mapPartitions binary decoders
+  *
+  * Usage (see .claude/skills/verify — `local-cluster[...]` does NOT work
+  * against the /opt/spark distribution layout; a real standalone
+  * master/worker does):
+  * {{{
+  *   sbt -batch package
+  *   /opt/spark/sbin/start-master.sh -h 127.0.0.1 -p 7077
+  *   /opt/spark/sbin/start-worker.sh spark://127.0.0.1:7077 -c 4 -m 4g
+  *   SPARK_GRAFT_JARS=target/scala-2.13/<jar> \
+  *     sbt -batch "runMain graft.ClusterMirror spark://127.0.0.1:7077"
+  * }}}
+  * Prints one `MIRROR <query> match=true|false` line per query and exits
+  * non-zero on any mismatch.
+  */
+object ClusterMirror {
+
+  val mirrorSet: Seq[String] = Seq(
+    "q01_tpch_agg", "sk02_most_frequent_exact", "sk08_group_sub_sink",
+    "d02_minhash_lsh", "q27_asof_native", "t03_lang_id",
+    "m01_multimodal_features")
+
+  /** Collect a query's result as row-strings, order-normalized. */
+  private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val out = df.collect().map(_.toString).sorted.toSeq
+    spark.catalog.clearCache() // dedup queries persist internals
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val master = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "spark://127.0.0.1:7077"))
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+
+    // pass 1: the real cluster (separate executor JVMs)
+    val jars = sys.env.get("SPARK_GRAFT_JARS")
+    val b = GraftSession.builder(master, 8)
+    val clustered = jars.fold(b)(j => b.config("spark.jars", j)).getOrCreate()
+    clustered.sparkContext.setLogLevel("WARN")
+    require(!clustered.sparkContext.isLocal, s"master $master is not a cluster")
+    val onCluster = mirrorSet.map(q => q -> snapshot(clustered, q, sfDir)).toMap
+    clustered.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+    // pass 2: local mode, fresh session in the same JVM
+    val local = GraftSession.builder("local[4]", 8).getOrCreate()
+    local.sparkContext.setLogLevel("WARN")
+    val results = mirrorSet.map { q =>
+      val l = snapshot(local, q, sfDir)
+      val ok = l == onCluster(q)
+      println(s"MIRROR $q match=$ok rows=${l.size}")
+      if (!ok) {
+        val c = onCluster(q)
+        (l.toSet -- c.toSet).take(3).foreach(r => println(s"  local-only: $r"))
+        (c.toSet -- l.toSet).take(3).foreach(r => println(s"  cluster-only: $r"))
+      }
+      ok
+    }
+    local.stop()
+    println(s"MIRROR_TOTAL ${results.count(identity)}/${results.size} matched")
+    if (!results.forall(identity)) sys.exit(1)
+  }
+}

@@ -94,11 +94,14 @@ object Pca {
 
   /** Fit a k-component model: one distributed Gram pass + driver eigen. */
   def fit(emb: DataFrame, vecCol: String, k: Int): Model = {
-    val vecs = emb.select(col(vecCol)).na.drop()
-      .rdd.map(_.getSeq[Float](0).toArray)
+    val cleaned = emb.select(col(vecCol)).na.drop()
+    // learn d from a LocalLimit(1) probe — the scan short-circuits after
+    // one row, so the Gram pass below is the only full pass over the
+    // data. (Persisting the corpus-sized vector RDD to share the two
+    // jobs would be exactly the cache that dies first at 100 TB.)
+    val d = cleaned.limit(1).head().getSeq[Float](0).length
+    val vecs = cleaned.rdd.map(_.getSeq[Float](0).toArray)
     // partial state: [n, Σv (d), Σ v·vᵀ upper triangle (d(d+1)/2)]
-    val first = vecs.first()
-    val d = first.length
     require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
     val triLen = d * (d + 1) / 2
     def zero = new Array[Double](1 + d + triLen)

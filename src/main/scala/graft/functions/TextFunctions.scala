@@ -117,7 +117,9 @@ object TextFunctions {
     "zh" -> Set("的", "是", "了", "在", "我", "有", "和", "就", "不", "人", "都", "一", "上", "也", "他"))
 
   /** Language-ID over whitespace tokens: argmax of profile-hit rate, 'und'
-    * when nothing matches. Deterministic tie-break by language code. */
+    * when nothing matches. Deterministic tie-break by language code.
+    * UDF reference implementation — kept as the parity witness for the
+    * native column form (PlanExprSpec asserts bit-identical predictions). */
   val langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
       if (text == null || text.isEmpty) "und"
@@ -131,7 +133,27 @@ object TextFunctions {
       }
     }
 
-  def langId(c: Column): Column = langIdUdf(c)
+  /** Native language ID: per-language hit counts via the codegen'd
+    * set-probe expression (CountInSetExpression — one hash probe per
+    * token), argmax as a when-chain in ascending language order (first
+    * match wins = the UDF's `(-score, lang)` tie-break). Integer-ratio
+    * doubles are exact, so `score === greatest(scores)` reproduces the
+    * argmax bit-for-bit — the same trick the t03 DuckDB oracle already
+    * relies on. Whole expression stays inside whole-stage codegen; no
+    * ScalaUDF row boundary. */
+  def langId(c: Column): Column = {
+    val toks = split(lower(c), "\\s+")
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val scores = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> (graft.plans.CountInSetExpression.countInSet(toks, words.toSeq.sorted)
+        .cast("double") / n)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val argmax = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best, lang).otherwise(acc)
+    }
+    when(c.isNull || length(c) === 0 || best === 0.0, "und").otherwise(argmax)
+  }
 
   // ---- fingerprinting -------------------------------------------------
 

@@ -156,7 +156,10 @@ object Multimodal {
     var dataLen = -1
     while (pos + 8 <= bytes.length && (sampleRate < 0 || dataPos < 0)) {
       val sz = le32(pos + 4)
-      if (sz < 0 || pos + 8 + sz > bytes.length) return None
+      // Long arithmetic: a hostile chunk size near Int.MaxValue wraps the
+      // Int sum negative and would pass the check (same overflow class
+      // parseP6 hardens against), then crash the sample reads
+      if (sz < 0 || pos.toLong + 8L + sz > bytes.length) return None
       if (tag(pos, "fmt ")) {
         // chunk body: format@+0, channels@+2, rate@+4, bits/sample@+14.
         // mono only: interleaved multi-channel data would silently mix

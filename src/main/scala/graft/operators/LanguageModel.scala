@@ -46,6 +46,15 @@ object LanguageModel {
     * The returned `ll` is floor-rounded to 4 decimals (IEEE-stable
     * half-up, replayable by any engine); `n_bigrams` is the count the
     * average runs over.
+    *
+    * KNOWN RISK (accepted): the floor is applied to an `avg(log(...))`,
+    * and FP summation order inside avg differs between Spark's partial
+    * aggregation and a replaying engine's — a last-ulp difference can in
+    * principle flip the floor when the scaled value lands within an ulp
+    * of an integer boundary. Observed flake rate so far: zero across all
+    * rounds; per-doc averages run over few hundred bigrams, keeping
+    * accumulated error ≪ the 1e-4 quantum. Applies equally to
+    * mooreLewisScore and the d12/p08 dup_frac roundings.
     */
   def bigramLogLikelihood(df: DataFrame, idCol: String, textCol: String,
       hashTokens: Boolean = false): DataFrame = {

@@ -68,6 +68,8 @@ object PipelineQueries {
 
     // -- exact n-gram jaccard: top-10 most similar pairs -----------------
     // exact n^2 by design (the oracle-verifiable twin of d02's LSH path).
+    // NON-PRODUCTION gate shape: never copy this into a pipeline — use
+    // Dedup.minhashLshPairs (d02) for near-dup pairs at scale.
     // The pair join plans as BroadcastNestedLoopJoin whose parallelism is
     // the LEFT side's partition count — a single-file parquet scan gives 1
     // partition, serializing millions of array ops; repartition first.
@@ -92,6 +94,9 @@ object PipelineQueries {
     }),
 
     // -- embedding near-dup: top-10 pairs by cosine ----------------------
+    // exact n^2 by design (oracle twin). NON-PRODUCTION gate shape: use
+    // Ann.bruteForceTopK with a query filter (a01) or the LSH/IVF paths
+    // (a02/a03) for similarity search at scale.
     "d05_embedding_top_pairs" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val a = e.repartition(32).select(col("vec_id").as("a"), col("embedding").as("va"))
@@ -729,6 +734,37 @@ object PipelineQueries {
           targetCond = col("lang") === "en", hashTokens = true)
         .orderBy(col("doc_id"))),
 
+    // -- winnowing fingerprint CONTRACT, gate-enforced (the t04 digest's
+    // documented guarantee, corpus-wide and in-plan): the fingerprint is
+    // an equality key for exact dedup after normalization — (1) duplicate
+    // groups exist (the corpus ships with all-distinct texts, so the
+    // query plants its own: the first 20 docs unioned back in — the
+    // booleans don't depend on which docs are doubled), (2) every group
+    // of docs with identical normalized text carries exactly ONE distinct
+    // fingerprint, (3) the 64-bit digest is injective on this corpus's
+    // distinct normalized texts (no collisions — birthday bound
+    // 500²/2⁶⁴ ≈ 10⁻¹⁴, and a collision would be deterministic, so exact
+    // equality is a stable gate). ----------------------------------------
+    "t15_fingerprint_contract" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.normalize(col("text")).as("norm"))
+      val planted = docs.orderBy(col("doc_id")).limit(20)
+      val fp = docs.unionByName(planted)
+        .select(col("norm"), TextFunctions.fingerprint(col("norm")).as("fp"))
+      val groups = fp.groupBy(col("norm"))
+        .agg(countDistinct(col("fp")).as("nfp"), count(lit(1)).as("n"),
+          min(col("fp")).as("fp1"))
+        .persist()
+      val hasDups = groups.filter(col("n") >= 2).count() > 0
+      val oneFpPerText = groups.filter(col("nfp") > 1).count() == 0
+      val Array(texts, fps) = groups
+        .agg(count(lit(1)), countDistinct(col("fp1"))).head().toSeq.toArray
+      groups.unpersist()
+      Seq((hasDups, oneFpPerText, texts == fps))
+        .toDF("planted_dups_exist", "dup_groups_share_fp", "fp_injective_on_corpus")
+    }),
+
     // -- deterministic epoch reshuffle: salted-md5 global order, the
     // step between split assignment and packing; replayed verbatim. -----
     "p09_train_order" -> ((s, d) =>
@@ -1075,6 +1111,9 @@ object PipelineQueries {
       "SELECT DISTINCT lang, TRUE AS rate_ok FROM documents ORDER BY lang",
     "d08_simhash_contract" ->
       "SELECT TRUE AS no_false_pairs, TRUE AS no_missed_pairs",
+    "t15_fingerprint_contract" ->
+      ("SELECT TRUE AS planted_dups_exist, TRUE AS dup_groups_share_fp, " +
+        "TRUE AS fp_injective_on_corpus"),
     "p01_curation_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, text,

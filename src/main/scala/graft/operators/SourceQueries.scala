@@ -168,6 +168,28 @@ object SourceQueries {
         .orderBy(col("lang"))
     }),
 
+    // -- object-store scheme round-trip: the s09 shape executed through
+    //    the `s3m://` mock FileSystem (zero-egress stand-in for s3a) —
+    //    scheme resolution, bucket-URI qualification, committer renames,
+    //    key=value partition discovery and pruning all flow through the
+    //    FileSystem seam exactly as against S3; only byte transport is
+    //    local. Oracle recomputes from the ORIGINAL table, so the hash
+    //    proves the through-scheme layout is lossless. ---------------------
+    "s10_object_store_roundtrip" -> ((s, d) => {
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.s3m.impl", classOf[graft.sources.S3MockFileSystem].getName)
+      hc.set("fs.s3m.impl.disable.cache", "true")
+      val local = new java.io.File(tmp(d, "s3m_store")).getAbsolutePath
+      val dir = s"s3m://gate-bucket$local"
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("lang").isin("en", "de")) // partition-pruning filter
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // -- Z-order layout round-trip: rewrite lineitem clustered on the
     //    Morton curve of (l_partkey, l_suppkey), read it back, aggregate.
     //    The oracle recomputes from the ORIGINAL table, so a hash match
@@ -299,6 +321,13 @@ object SourceQueries {
         | round(sum(p_retailprice),2) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "s09_partitioned_write" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en','de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // s10 recomputes the s09 shape from the original table: a hash match
+    // proves the s3m:// write+partitioned read round-trip is lossless
+    "s10_object_store_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en','de')

@@ -1,4 +1,4 @@
-package graft
+package graft.sources
 
 import java.net.URI
 

@@ -17,7 +17,7 @@ class ObjectStoreSpec extends AnyFunSuite with CacheHygiene {
     val s = GraftSession.builder("local[4]", 4).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val hc = s.sparkContext.hadoopConfiguration
-    hc.set("fs.s3m.impl", classOf[S3MockFileSystem].getName)
+    hc.set("fs.s3m.impl", classOf[graft.sources.S3MockFileSystem].getName)
     hc.set("fs.s3m.impl.disable.cache", "true")
     s
   }

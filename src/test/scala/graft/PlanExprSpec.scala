@@ -187,6 +187,27 @@ class PlanExprSpec extends AnyFunSuite with CacheHygiene {
     assert(err.getMessage.contains("hyperplane_sig"))
   }
 
+  test("native langId is bit-identical to the witness UDF; t03 plan has no UDF") {
+    // full corpus parity: every labeled language + edge rows
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("text"))
+      .unionByName(Seq("", " ", "der der der", "的 是 了", "zzz qqq xyzzy",
+        "the el le der 的").toDF("text")) // cross-language tie row
+    val both = docs.select(
+      graft.functions.TextFunctions.langId(col("text")).as("native"),
+      graft.functions.TextFunctions.langIdUdf(col("text")).as("witness"))
+    assert(both.filter(col("native") =!= col("witness")).count() == 0,
+      "native langId diverged from the UDF witness")
+    // null text -> 'und' like the UDF
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(graft.functions.TextFunctions.langId(col("text"))).head().getString(0)
+    assert(nullRow == "und")
+    val q = SparkEntry.queries("t03_lang_id")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"UDF found in t03 plan:\n${plan.take(500)}")
+  }
+
   test("a02 LSH plan contains no Scala UDF (native signature in hot path)") {
     val sfDir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("a02_ann_lsh")(spark, sfDir)

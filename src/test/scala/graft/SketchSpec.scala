@@ -262,6 +262,42 @@ class SketchSpec extends AnyFunSuite {
 
   // ---- compaction -----------------------------------------------------
 
+  test("HLL serialization golden: register layout and Kryo wire bytes are pinned") {
+    // Reference precedent: amadeus cross-checks its HLL serialized form
+    // against a protobuf golden (amadeus-streaming/src/distinct.rs:738-756)
+    // so a layout change between versions cannot silently corrupt merged
+    // state. Here both layers are pinned for a fixed input: the register
+    // array (hash/rank algorithm golden) and the Kryo-encoded aggregation
+    // buffer exactly as it crosses the exchange (wire-format golden). If a
+    // Spark/Kryo upgrade changes the wire bytes, this fails LOUDLY and the
+    // golden must be consciously re-pinned (mixed-version clusters merging
+    // old and new buffers would disagree).
+    import graft.sketch.HyperLogLog
+    def md5(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+    val hll = new HyperLogLog(8)
+    (0 until 1000).foreach(i => hll.add(s"item-$i"))
+    assert(hll.registers.take(16).map("%02x".format(_)).mkString ==
+      "05040507020204020300010205030101", "register prefix drifted")
+    assert(md5(hll.registers) == "04351aa23fc8f3b200c4c43a55046e20",
+      "register array golden drifted: hashAny/rank/layout changed")
+    assert(hll.cardinality == 936L, "estimate drifted (1000 true distinct, b=8)")
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.Encoders.kryo[HyperLogLog]
+        .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[HyperLogLog]])
+    val row = enc.createSerializer()(hll)
+    val bytes = row.getBinary(0)
+    assert(bytes.length == 294, s"Kryo buffer length drifted: ${bytes.length}")
+    assert(md5(bytes) == "addb06a579008fd3ddedcfab082218af",
+      "Kryo wire-format golden drifted: re-pin consciously after verifying " +
+        "mixed-version merge safety")
+    // deserialize -> merge round trip stays exact
+    val back = enc.resolveAndBind().createDeserializer()(row)
+    assert(back.merge(hll).cardinality == hll.cardinality)
+    assert(back == hll)
+  }
+
   test("compactParquet merges small files, preserves rows and content") {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     import org.apache.spark.sql.functions._
