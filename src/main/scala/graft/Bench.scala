@@ -34,6 +34,8 @@ object Bench {
     "q24_range_join",        // bucketed range join
     "q33_tpch_q3",           // 3-way fact join, pushed filters, bounded top-n
     "q34_tpch_q5",           // 6-table join: broadcast dim chain + fact shuffles
+    "q36_tpch_q18",          // agg-before-join: HAVING prunes facts pre-join
+    "q37_tpch_q10",          // 4-table join, pushed flags/dates, top-20
     "d07_contamination",     // exact decontamination (broadcast 8-gram set)
     "d09_bloom_decontaminate", // bloom-prefiltered twin (same oracle as d07)
     "d12_dup_spans",         // ExactSubstr duplicate spans (Lee et al. 2021)

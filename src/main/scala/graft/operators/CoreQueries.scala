@@ -411,6 +411,57 @@ object CoreQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // -- TPC-H Q18 shape: large-volume orders (groupBy + HAVING before
+    // any join). The aggregate runs FIRST — map-side combinable on
+    // l_orderkey, reducing the fact table to per-order sums — and the
+    // HAVING prunes to the rare big orders BEFORE the joins, so the
+    // sparse surviving key set drives cheap joins against orders and
+    // customer instead of joining full facts and aggregating last.
+    // Money as integer cents (cross-engine bit-exact, as q35). -----------
+    "q36_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          (round(col("o_totalprice") * 100)).cast("long").as("cents"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("cents"), col("sum_qty"))
+        .orderBy(col("cents").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // -- TPC-H Q10 shape: returned-item revenue by customer. Both
+    // selective filters (return flag, order quarter) push to the scans;
+    // nation is the broadcast dim; the customer join keys the single
+    // genuine shuffle; bounded top-20 via TakeOrderedAndProject. ---------
+    "q37_tpch_q10" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        // floor form, not round(): a revenue landing on a half-cent
+        // boundary splits between engines (see qualityScore's Scaladoc)
+        .agg((floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            * 100 + lit(0.5)) / 100).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // -- window-function suite: lag/lead/rank/ntile/running sum in ONE
     // window pass (one shuffle on the partition key, one sort within) —
     // money carried as integer cents so every engine agrees bit-exactly.
@@ -679,6 +730,26 @@ object CoreQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q36_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        | CAST(round(o_totalprice*100) AS BIGINT) AS cents, sum_qty
+        |FROM (SELECT l_orderkey, round(sum(l_quantity),2) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 300) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY cents DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q37_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | floor(sum(l_extendedprice*(1-l_discount))*100 + 0.5)/100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q35_window_suite" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate,
