@@ -149,6 +149,28 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(!p.contains("CartesianProduct"), s"cartesian in Q5 plan:\n$p")
   }
 
+  test("q36: lineitem aggregates BEFORE any join (HAVING prunes pre-join)") {
+    val p = plan("q36_tpch_q18")
+    // the sum_qty > 300 filter must sit between the aggregate and the
+    // joins — i.e. the aggregate is not above any join in the plan text
+    // (joins appear earlier in toString than their children)
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = math.max(p.indexOf("BroadcastHashJoin"),
+      math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin")))
+    assert(aggIdx >= 0 && joinIdx >= 0, s"missing agg or join:\n$p")
+    assert(joinIdx < aggIdx,
+      s"aggregate should be BELOW the joins (agg-before-join):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not bounded:\n$p")
+  }
+
+  test("q37: return-flag and date filters push to the scans; nation broadcasts") {
+    val p = plan("q37_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"orderdate not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation dim not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not bounded:\n$p")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
