@@ -499,6 +499,19 @@ object PipelineQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // -- REAL Structured Streaming execution inside the gate: events
+    // staged as 3 ascending time-range files, one micro-batch per file
+    // (watermark advances across batches, windowed state merges across
+    // batch boundaries), Complete-mode memory sink. Tumbling 1-hour
+    // windows == date_trunc('hour') relationally — the q13 groups, so
+    // the rounded sums are the same proven-stable values. ----------------
+    "st03_stream_windowed" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
+      graft.streaming.EventStreams.windowedAggStreamed(s, e,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st03_stage")
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
     // image rows are REAL P6 bytes and audio rows REAL PCM16 WAV bytes,
     // both decoded by the pure-JVM parsers; the decoded statistics are
     // integer-exact, so DuckDB replays them from the synthetic content
@@ -1457,6 +1470,13 @@ object PipelineQueries {
         |  UNION ALL SELECT 'l_orderkey_not_null', ok_null, n, 'lineitem' FROM l)
         |SELECT "check", CAST(violations AS BIGINT) AS violations,
         | n AS n_rows, tbl FROM u ORDER BY tbl, "check"""".stripMargin,
+
+    // streamed tumbling windows == batch date_trunc buckets (q13's
+    // groups, recomputed relationally)
+    "st03_stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
     // self-join replay of the interval join: purchases to same-user
     // clicks within the preceding hour, microsecond-exact lag

@@ -38,6 +38,53 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Drive [[windowedAgg]] as a REAL streaming query and return the final
+    * result table: the input is staged as `nFiles` parquet files of
+    * contiguous ascending time ranges, read back with
+    * `maxFilesPerTrigger=1` + `Trigger.AvailableNow` (one file per
+    * micro-batch, so the watermark advances across ≥ nFiles batches and
+    * windowed state must merge across batch boundaries), Complete-mode
+    * memory sink. Ascending file order means the watermark only ever
+    * trails the data — no honest row arrives late — so the result must
+    * equal the batch windowed aggregation exactly; the st03 gate
+    * hash-verifies that against a relational replay. File order is made
+    * deterministic by staging to explicit names with strictly increasing
+    * modification times (FileStreamSource orders by (modTime, path)).
+    * Late-DROP behavior (rows beyond the watermark discarded) is
+    * spec-verified in StreamingSpec, not here: a gate must be
+    * deterministic, and drop timing depends on micro-batch boundaries. */
+  def windowedAggStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int = 3,
+      sinkName: String = "st03_sink"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inDir = new java.io.File(s"$stageDir/in")
+    if (inDir.exists()) inDir.listFiles().foreach(_.delete())
+    inDir.mkdirs()
+    val ranked = events.withColumn("fidx",
+      ntile(nFiles).over(Window.orderBy(col("ts"))))
+    (1 to nFiles).foreach { i =>
+      val part = s"$stageDir/stage_$i"
+      ranked.filter(col("fidx") === i).drop("fidx").coalesce(1)
+        .write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"$i%02d.parquet")
+      java.nio.file.Files.move(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    spark.catalog.dropTempView(sinkName)
+    val q = windowedAgg(
+        spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: a session
     * closes when a later event for the same user arrives more than
     * `gapMinutes` after it (event-time gap split). With

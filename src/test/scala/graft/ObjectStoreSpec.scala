@@ -19,6 +19,8 @@ class ObjectStoreSpec extends AnyFunSuite with CacheHygiene {
     val hc = s.sparkContext.hadoopConfiguration
     hc.set("fs.s3m.impl", classOf[graft.sources.S3MockFileSystem].getName)
     hc.set("fs.s3m.impl.disable.cache", "true")
+    hc.set("fs.s3f.impl", classOf[FlakyMockFileSystem].getName)
+    hc.set("fs.s3f.impl.disable.cache", "true")
     s
   }
   import spark.implicits._
@@ -38,6 +40,38 @@ class ObjectStoreSpec extends AnyFunSuite with CacheHygiene {
     // the scan really went through the mock scheme, not a local alias
     assert(back.inputFiles.nonEmpty && back.inputFiles.forall(_.startsWith("s3m://test-bucket/")),
       s"expected s3m:// input files, got ${back.inputFiles.take(2).mkString(", ")}")
+  }
+
+  test("retrying reads survive injected transient failures (amadeus-aws parity)") {
+    // write through the reliable mock, read through the FLAKY scheme with
+    // a failure injected every 5th read call (parquet reads arrive as a few large buffer reads); the RetryingInputStream
+    // must resume at the failed offset and the full scan must be
+    // bit-identical to the reliable read
+    val local = new java.io.File("target/qtmp/s3m/flaky").getAbsolutePath
+    val df = (1 to 5000).map(i => (i.toLong, s"row$i" * 8, i % 13)).toDF("id", "s", "k")
+    df.write.mode("overwrite").parquet(s"s3m://test-bucket$local")
+    FlakyMockFileSystem.reads.set(0)
+    FlakyMockFileSystem.injectedFailures.set(0)
+    FlakyMockFileSystem.failEvery = 5
+    try {
+      val back = spark.read.parquet(s"s3f://test-bucket$local")
+        .orderBy("id").collect().map(_.toString).toSeq
+      val want = spark.read.parquet(s"s3m://test-bucket$local")
+        .orderBy("id").collect().map(_.toString).toSeq
+      assert(back == want, "flaky-scheme read diverged from reliable read")
+      assert(FlakyMockFileSystem.injectedFailures.get() > 0,
+        s"no failures injected (reads=${FlakyMockFileSystem.reads.get()}) — " +
+          "the test proved nothing; lower failEvery")
+    } finally FlakyMockFileSystem.failEvery = 0
+  }
+
+  test("retry budget exhausts: persistent failure surfaces, not an infinite loop") {
+    val boom = new graft.sources.RetryingInputStream(
+      _ => new java.io.InputStream {
+        override def read(): Int = throw new java.io.IOException("always down")
+      }, maxRetries = 2, backoffMs = 1)
+    val e = intercept[java.io.IOException] { boom.read() }
+    assert(e.getMessage == "always down")
   }
 
   test("partition discovery + pruning over bucket-style URIs") {

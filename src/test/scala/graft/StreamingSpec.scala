@@ -199,6 +199,27 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
       Tables.events(spark, "/root/testdata/sf0.001").count())
   }
 
+  test("windowedAggStreamed: >= 3 micro-batches, result equals batch agg exactly") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d)
+      .select(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+    val streamed = EventStreams.windowedAggStreamed(spark, e,
+        "target/qtmp/st03_spec_stage", nFiles = 3, sinkName = "st03_spec_sink")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = EventStreams.windowedAgg(e, "1 hour", "1 hour")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch,
+      s"streamed(${streamed.size}) != batch(${batch.size})")
+    assert(streamed.nonEmpty)
+    // three staged files must exist with strictly increasing mod times
+    val files = new java.io.File("target/qtmp/st03_spec_stage/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 3)
+    assert(files.map(_.lastModified()).sliding(2).forall(p => p(0) < p(1)))
+  }
+
   test("streaming LSH ingest: micro-batched appends equal one-shot batch dedup") {
     import graft.dedup.Dedup
     implicit val sqlCtx = spark.sqlContext
