@@ -59,6 +59,10 @@ object ClusterMirror {
 
     // pass 1: the real cluster (separate executor JVMs)
     val jars = sys.env.get("SPARK_GRAFT_JARS")
+    require(jars.nonEmpty,
+      "set SPARK_GRAFT_JARS=<path to the packaged graft jar> — remote " +
+        "executors need the classes shipped, or every task dies with " +
+        "ClassNotFoundException (use tools/cluster_mirror.sh)")
     val b = GraftSession.builder(master, 8)
     val clustered = jars.fold(b)(j => b.config("spark.jars", j)).getOrCreate()
     clustered.sparkContext.setLogLevel("WARN")

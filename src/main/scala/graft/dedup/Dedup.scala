@@ -493,15 +493,23 @@ object Dedup {
     *   [[minhashLshPairs]]: band buckets holding more than this many
     *   documents are excluded from pair generation (0 = uncapped). A
     *   degenerate 16-bit band bucket — empty or boilerplate docs that all
-    *   collapse to one signature — makes the within-bucket self-join n²;
-    *   docs that identical are caught far cheaper by exact digest dedup
-    *   upstream. The census groups on the same (band, h) key the
-    *   self-join shuffles on, so it reuses that partitioning and costs
-    *   one map-side-combined count, not an extra wide shuffle. The
-    *   default (1000) is far above any honest bucket at gate scale —
-    *   the d08 completeness contract (simhashPairs == brute-force
-    *   hamming join on a 500-doc corpus) stays exact — while bounding
-    *   per-bucket pair generation at 10⁶ on any corpus. */
+    *   collapse to one signature — makes the within-bucket self-join n².
+    *   The census groups on the same (band, h) key the self-join
+    *   shuffles on, so it reuses that partitioning and costs one
+    *   map-side-combined count, not an extra wide shuffle.
+    *
+    *   CAVEAT — the banding completeness guarantee ("every pair within
+    *   hamming distance 3 shares a band") holds UNCONDITIONALLY only
+    *   uncapped: with a cap, a near-dup pair whose every shared band
+    *   lands in a >maxBucket bucket is missed. Byte-identical and
+    *   normalize-identical docs are caught upstream by digest dedup
+    *   (d01/t15 shapes), but >maxBucket clusters of near-identical
+    *   not-byte-identical docs would lose pairs — set maxBucket = 0 when
+    *   completeness matters more than the n² risk, or raise it above the
+    *   largest honest cluster. The default (1000, bounding per-bucket
+    *   pair generation at 10⁶) is far above any honest bucket at gate
+    *   scale, so the d08 contract (pairs == brute-force hamming join on
+    *   the 500-doc corpus) stays exact. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
     simhashPairsTracked(df, idCol, textCol, maxHamming, maxBucket)._1

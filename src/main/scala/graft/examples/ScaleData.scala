@@ -54,7 +54,8 @@ object ScaleData {
       .withColumn("c_custkey", col("c_custkey") + lit(i * off)))
     rep("documents", (df, i) => saltedDocs(df, i))
     // fixed-size dims + tables the heavies don't scale: pass-through copy
-    Seq("region", "nation", "supplier", "part", "embeddings").foreach { t =>
+    // (events included so every gate query can run against this dir)
+    Seq("region", "nation", "supplier", "part", "embeddings", "events").foreach { t =>
       Tables.load(spark, src, t)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
     }

@@ -124,7 +124,9 @@ object TextFunctions {
     udf { (text: String) =>
       if (text == null || text.isEmpty) "und"
       else {
-        val toks = text.toLowerCase.split("\\s+")
+        // Locale.ROOT: default-locale toLowerCase diverges from Spark's
+        // lower() on e.g. tr-TR JVMs (dotless ı), breaking witness parity
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         val scores = LangProfiles.toSeq.map { case (lang, words) =>
           (lang, toks.count(words.contains).toDouble / math.max(1, toks.length))
         }

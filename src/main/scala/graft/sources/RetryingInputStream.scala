@@ -37,8 +37,11 @@ class RetryingInputStream(openAt: Long => InputStream,
   private def withRetry[T](f: => T): T = {
     var attempt = 0
     while (true) {
-      ensureOpen()
-      try return f
+      // the reopen itself is retried too: a transient failure on the
+      // re-GET (connection refused right after a dropped read — the most
+      // common object-store failure mode) must consume retry budget, not
+      // escape the loop
+      try { ensureOpen(); return f }
       catch {
         case e: IOException =>
           attempt += 1

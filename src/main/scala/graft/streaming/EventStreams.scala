@@ -60,19 +60,24 @@ object EventStreams {
     val inDir = new java.io.File(s"$stageDir/in")
     if (inDir.exists()) inDir.listFiles().foreach(_.delete())
     inDir.mkdirs()
+    // persist: the loop below filters `ranked` once per file — without
+    // the persist each write re-runs the full scan + the single-partition
+    // ntile sort nFiles times
     val ranked = events.withColumn("fidx",
-      ntile(nFiles).over(Window.orderBy(col("ts"))))
-    (1 to nFiles).foreach { i =>
-      val part = s"$stageDir/stage_$i"
-      ranked.filter(col("fidx") === i).drop("fidx").coalesce(1)
-        .write.mode("overwrite").parquet(part)
-      val src = new java.io.File(part).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(inDir, f"$i%02d.parquet")
-      java.nio.file.Files.move(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.setLastModified(1700000000000L + i * 60000L)
-    }
+      ntile(nFiles).over(Window.orderBy(col("ts")))).persist()
+    try {
+      (1 to nFiles).foreach { i =>
+        val part = s"$stageDir/stage_$i"
+        ranked.filter(col("fidx") === i).drop("fidx").coalesce(1)
+          .write.mode("overwrite").parquet(part)
+        val src = new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"$i%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+    } finally ranked.unpersist()
     spark.catalog.dropTempView(sinkName)
     val q = windowedAgg(
         spark.readStream.schema(events.schema)

@@ -24,17 +24,24 @@ class FlakyMockFileSystem extends graft.sources.S3MockFileSystem {
 }
 
 object FlakyMockFileSystem {
-  /** fail every Nth read call across all streams; 0 disables injection */
+  /** fail every Nth read call PER STREAM; 0 disables injection. The
+    * counter is per-stream on purpose: a global counter shared across
+    * local[4]'s concurrent scan tasks could land one stream's retry on
+    * the next multiple of N again and (rarely) exhaust the retry budget —
+    * a test flake. Per-stream stride-1 counting makes the retry (that
+    * stream's next read) deterministically succeed. */
   @volatile var failEvery: Long = 0L
   val reads = new AtomicLong(0)
   val injectedFailures = new AtomicLong(0)
 
   private final class FlakyStream(in: InputStream) extends InputStream {
+    private var myReads = 0L
     private def maybeFail(): Unit = {
-      val n = reads.incrementAndGet()
-      if (failEvery > 0 && n % failEvery == 0) {
+      reads.incrementAndGet()
+      myReads += 1
+      if (failEvery > 0 && myReads % failEvery == 0) {
         injectedFailures.incrementAndGet()
-        throw new IOException(s"injected transient failure at read #$n")
+        throw new IOException(s"injected transient failure at stream read #$myReads")
       }
     }
     override def read(): Int = { maybeFail(); in.read() }
