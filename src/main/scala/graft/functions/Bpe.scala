@@ -146,6 +146,15 @@ object Bpe {
     f(text)
   }
 
+  /** Inverse of [[encode]] up to whitespace normalization: BPE merges
+    * only ever concatenate adjacent symbols of one word, so joining the
+    * subword tokens and turning each end-of-word marker back into a
+    * space reproduces the single-spaced word sequence exactly. Pure
+    * column functions (codegen'd — no UDF), so the t16 round-trip
+    * contract costs one narrow projection over the encoded frame. */
+  def decode(tokens: Column): Column =
+    rtrim(replace(concat_ws("", tokens), lit(EndOfWord), lit(" ")))
+
   /** Learned-vocabulary token count (the number a packing/budget stage
     * divides by). Count-only path: sums memoized per-word subword counts
     * without materializing the token arrays `encode` would build — the

@@ -873,6 +873,42 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // -- BPE tokenizer CONTRACT, gate-enforced (upgrades t12 from
+    // rows-only — merge TRAINING isn't SQL-replayable, but the learned
+    // tokenizer's algebra is): (1) round-trip — decode(encode(text))
+    // reproduces the single-spaced word sequence for EVERY document
+    // (merges only concatenate within-word symbols, so losslessness is
+    // the invariant that breaks first under any encode/merge bug);
+    // (2) the allocation-free tokenCount path agrees with
+    // size(encode(...)) corpus-wide; (3) per-doc token counts respect
+    // the algebraic bounds n_words <= n_bpe <= n_chars + n_words (every
+    // word is 1..len+1 tokens); (4) 64 merges strictly compress the
+    // corpus below its unmerged symbol count — i.e. training learned
+    // something. The oracle replays only count(*): every boolean is a
+    // corpus-wide invariant the plan must prove TRUE. ---------------------
+    "t16_bpe_contract" -> ((s, d) => {
+      import graft.functions.Bpe
+      val docs = Tables.documents(s, d)
+      val model = Bpe.train(docs, "text", nMerges = 64)
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val enc = docs.select(col("text"),
+        Bpe.encode(model)(col("text")).as("toks"),
+        Bpe.tokenCount(model)(col("text")).cast("long").as("n_bpe"))
+      val per = enc.select(
+        Bpe.decode(col("toks")).eqNullSafe(concat_ws(" ", words)).as("rt"),
+        (size(col("toks")).cast("long") === col("n_bpe")).as("parity"),
+        col("n_bpe"),
+        size(words).cast("long").as("n_words"),
+        (length(replace(col("text"), lit(" "), lit(""))) + size(words))
+          .cast("long").as("n_base"))
+      per.agg(count(lit(1)).as("n_docs"),
+        min(col("rt")).as("roundtrip_ok"),
+        min(col("parity")).as("count_parity"),
+        min(col("n_bpe") >= col("n_words") && col("n_bpe") <= col("n_base"))
+          .as("bounds_ok"),
+        (sum(col("n_bpe")) < sum(col("n_base"))).as("compresses"))
+    }),
+
     // -- SemDeDup: embedding-cluster semantic dedup. The corpus has no
     // natural pairs above cos 0.52, so the gate plants exact clones of
     // vec_id < 50 (re-id'd +10000): identical vectors deterministically
@@ -1127,6 +1163,10 @@ object PipelineQueries {
     "t15_fingerprint_contract" ->
       ("SELECT TRUE AS planted_dups_exist, TRUE AS dup_groups_share_fp, " +
         "TRUE AS fp_injective_on_corpus"),
+    "t16_bpe_contract" ->
+      ("SELECT count(*) AS n_docs, TRUE AS roundtrip_ok, " +
+        "TRUE AS count_parity, TRUE AS bounds_ok, TRUE AS compresses " +
+        "FROM documents"),
     "p01_curation_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, text,

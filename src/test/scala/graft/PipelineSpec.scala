@@ -601,6 +601,14 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
         Bpe.tokenCount(model)(lit(null.asInstanceOf[String])).as("z"))
       .as[(Int, Int)].head()
     assert(cnt == ((7, 0)), s"got $cnt")
+
+    // decode inverts encode up to whitespace normalization, including
+    // repeated-space input and the empty string
+    val dec = corpus.limit(1).select(
+        Bpe.decode(Bpe.encode(model)(lit("hug  pug hugs"))).as("a"),
+        Bpe.decode(Bpe.encode(model)(lit(""))).as("b"))
+      .as[(String, String)].head()
+    assert(dec == (("hug pug hugs", "")), s"got $dec")
   }
 
   test("BPE on the corpus: deterministic model, compression > 1 subword/word") {
