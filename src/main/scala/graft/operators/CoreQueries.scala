@@ -462,6 +462,70 @@ object CoreQueries {
         .limit(20)
     }),
 
+    // -- TPC-H Q21 shape: suppliers solely at fault on a finished
+    // multi-supplier order — THE fact-self-semi/anti-join stress test
+    // (this corpus has no receipt/commit dates, so "at fault" =
+    // returned the item, l_returnflag = 'R'; the SHAPE is the point).
+    // All three lineitem subsets and orders hash-partition on
+    // l_orderkey, so the join chain shuffles once per input with no
+    // intermediate re-exchange; EXISTS (another supplier on the order)
+    // plans as LEFT SEMI and NOT EXISTS (another supplier ALSO at
+    // fault) as LEFT ANTI — both streamed, never materializing the
+    // per-order pair blowup a naive self-join would. Supplier is the
+    // fixed-size broadcast dim; bounded top-20 via TakeOrdered. ----------
+    "q38_tpch_q21" -> ((s, d) => {
+      val l1 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("l2_orderkey"),
+          col("l_suppkey").as("l2_suppkey"))
+      val l3 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_orderkey"),
+          col("l_suppkey").as("l3_suppkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      l1.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+          col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // -- TPC-H Q17 shape: small-quantity lineitems for one brand vs the
+    // per-part average — the aggregate-join-back (decorrelated scalar
+    // subquery) pattern. The broadcast part filter prunes lineitem FIRST
+    // (~3% of parts — at 100 TB the difference between scanning 3% and
+    // 100% of the fact). The pruned fact is read twice, but column
+    // pruning narrows each pass to exactly its columns (2-col scan for
+    // the avg, 3-col for the probe) — narrower than the shared-exchange
+    // alternative, which would have to carry the probe's columns through
+    // the aggregate's shuffle; the avg aggregates map-side down to one
+    // row per part before its exchange, and the join-back keys both
+    // sides on the same l_partkey (locally the tiny aggregate
+    // broadcasts; at scale it's a co-partitioned SMJ — either way no
+    // third shuffle). The 0.2·avg threshold is bit-exact cross-engine:
+    // quantities are integer-valued, so the sum inside avg is
+    // order-independent. --------------------------------------------------
+    "q39_tpch_q17" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
+      val l = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val lim = l.groupBy(col("l_partkey"))
+        .agg((avg(col("l_quantity")) * lit(0.2)).as("qty_limit"))
+      l.join(lim, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_limit"))
+        .agg((floor(sum(col("l_extendedprice")) / 7.0 * 100 + lit(0.5)) / 100)
+          .as("avg_yearly"))
+    }),
+
     // -- window-function suite: lag/lead/rank/ntile/running sum in ONE
     // window pass (one shuffle on the partition key, one sort within) —
     // money carried as integer cents so every engine agrees bit-exactly.
@@ -750,6 +814,30 @@ object CoreQueries {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q38_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q39_tpch_q17" ->
+      """WITH l AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |a AS (SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_limit
+        |      FROM l GROUP BY l_partkey)
+        |SELECT floor(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+        |FROM l JOIN a USING (l_partkey)
+        |WHERE l_quantity < qty_limit""".stripMargin,
     "q35_window_suite" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate,

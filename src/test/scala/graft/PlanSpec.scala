@@ -171,6 +171,33 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 not bounded:\n$p")
   }
 
+  test("q38: EXISTS/NOT EXISTS plan as streamed semi/anti joins; supplier broadcasts") {
+    val p = plan("q38_tpch_q21")
+    // the self-join correlation must become LEFT SEMI + LEFT ANTI — a
+    // rewrite through a full join + dedup would materialize per-order
+    // supplier pairs, quadratic in lines-per-order at scale
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not bounded:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q21 plan:\n$p")
+    // both fault filters push into their lineitem scans, pruning at I/O
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+  }
+
+  test("q39: brand prune is a broadcast join below the agg; agg below the join-back") {
+    val p = plan("q39_tpch_q17")
+    assert(p.contains("EqualTo(p_brand,Brand#1)"), s"brand not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part prune not broadcast:\n$p")
+    // the per-part avg must aggregate BELOW the join-back (map-side
+    // combinable to one row per part), never join raw fact to raw fact
+    val aggIdx = p.indexOf("partial_avg")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
+      s"per-part avg should sit below the join-back:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q17 plan:\n$p")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
