@@ -48,4 +48,31 @@ class SkewSpec extends AnyFunSuite with CacheHygiene {
       .select("k", "name").as[(String, Option[String])].collect().toSet
     assert(got == Set(("a", Some("x")), ("zzz", None)))
   }
+
+  test("AQE splits a skewed SMJ partition at runtime (skew=true in final plan)") {
+    // GraftSession ships skewJoin.enabled=true as the first line of defense
+    // (Skew.scala's Scaladoc) — prove the runtime re-plan actually fires,
+    // not just that the conf is set. Scratch session: thresholds lowered so
+    // a ~MB hot partition counts as skewed at test scale, broadcasts off so
+    // the join stays an SMJ (AQE can only skew-split shuffle joins).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    import s.implicits._
+    val fact = (0 until 60000).map(i =>
+      (i.toLong, if (i % 20 != 0) "hot" else s"k${i % 97}",
+        s"padpadpadpadpadpadpadpad$i")).toDF("row_id", "k", "v")
+    val dim = (Seq("hot") ++ (0 until 97).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"name$i") }.toDF("k", "name")
+    val joined = fact.join(dim, Seq("k"))
+    // execute THIS queryExecution (count() would plan its own) so the
+    // adaptive plan finalizes before inspection
+    assert(joined.collect().length == 60000)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE did not split the hot partition — no skew=true in final plan:\n$p")
+  }
 }
