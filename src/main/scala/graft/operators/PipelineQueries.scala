@@ -512,6 +512,36 @@ object PipelineQueries {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    // -- REAL streaming × sketch aggregators: the HLL Kryo buffer rides
+    // the streaming state store across 3 micro-batch boundaries. The
+    // streamed estimate must be BIT-IDENTICAL to the batch aggregation
+    // (HLL register merge is a pointwise max — order/partitioning
+    // independent), and both must sit within the 3σ envelope of the
+    // exact per-type distinct count (b=12 → σ = 1.04/√4096 ≈ 1.63%;
+    // deterministic: the hash is fixed, so pass/fail can't flake).
+    // n_exact is replayed by the oracle, making a dropped or invented
+    // event_type key fail the hash too. ----------------------------------
+    "st04_stream_hll_contract" -> ((s, d) => {
+      import graft.aggregators.SketchAggregators.HllDistinct
+      import s.implicits._
+      val e = Tables.events(s, d).select(col("ts"), col("user_id"), col("event_type"))
+      val streamed = graft.streaming.EventStreams.hllDistinctStreamed(s, e,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st04_stage")
+        .withColumnRenamed("approx_users", "streamed_est")
+      val batch = e.select(col("event_type"), col("user_id")).as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new HllDistinct[(String, Long)](12, _._2).toColumn.name("batch_est"))
+        .toDF("event_type", "batch_est")
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      streamed.join(batch, Seq("event_type")).join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (col("streamed_est") === col("batch_est")).as("streamed_eq_batch"),
+          (abs(col("streamed_est") - col("n_exact")) / col("n_exact")
+            <= 3 * 1.04 / 64.0).as("within_3sigma"))
+        .orderBy(col("event_type"))
+    }),
+
     // image rows are REAL P6 bytes and audio rows REAL PCM16 WAV bytes,
     // both decoded by the pure-JVM parsers; the decoded statistics are
     // integer-exact, so DuckDB replays them from the synthetic content
@@ -1517,6 +1547,11 @@ object PipelineQueries {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         | count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "st04_stream_hll_contract" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS streamed_eq_batch, TRUE AS within_3sigma
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // self-join replay of the interval join: purchases to same-user
     // clicks within the preceding hour, microsecond-exact lag

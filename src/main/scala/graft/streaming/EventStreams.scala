@@ -55,7 +55,21 @@ object EventStreams {
     * deterministic, and drop timing depends on micro-batch boundaries. */
   def windowedAggStreamed(spark: SparkSession, events: DataFrame,
       stageDir: String, nFiles: Int = 3,
-      sinkName: String = "st03_sink"): DataFrame = {
+      sinkName: String = "st03_sink"): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName)(windowedAgg(_))
+
+  /** Stage `events` as `nFiles` parquet files of contiguous ascending
+    * time ranges and run `agg` over them as a REAL streaming query:
+    * `maxFilesPerTrigger=1` + `Trigger.AvailableNow` (one file per
+    * micro-batch, so state must merge across ≥ nFiles batch
+    * boundaries), Complete-mode memory sink, returned as the sink
+    * table. File order is deterministic: explicit names with strictly
+    * increasing modification times (FileStreamSource orders by
+    * (modTime, path)). Shared by st03 (windowed agg) and st04 (sketch
+    * aggregator state). */
+  def runStagedStream(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int, sinkName: String)
+      (agg: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val inDir = new java.io.File(s"$stageDir/in")
     if (inDir.exists()) inDir.listFiles().foreach(_.delete())
@@ -79,7 +93,7 @@ object EventStreams {
       }
     } finally ranked.unpersist()
     spark.catalog.dropTempView(sinkName)
-    val q = windowedAgg(
+    val q = agg(
         spark.readStream.schema(events.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath))
       .writeStream.format("memory").queryName(sinkName)
@@ -89,6 +103,25 @@ object EventStreams {
     q.awaitTermination()
     spark.table(sinkName)
   }
+
+  /** Streamed approx-distinct users per event type: the HyperLogLog
+    * sketch aggregator's Kryo buffer rides the streaming state store and
+    * merges across micro-batch boundaries. HLL register merge is a
+    * pointwise max — commutative, associative, idempotent — so the
+    * streamed estimate is BIT-IDENTICAL to the batch aggregation of the
+    * same data regardless of how rows split into micro-batches; the st04
+    * gate enforces that equality plus the 3σ accuracy envelope. */
+  def hllDistinctStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int = 3, sinkName: String = "st04_sink",
+      b: Int = 12): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName) { df =>
+      import spark.implicits._
+      import graft.aggregators.SketchAggregators.HllDistinct
+      df.select(col("event_type"), col("user_id")).as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new HllDistinct[(String, Long)](b, _._2).toColumn.name("approx_users"))
+        .toDF("event_type", "approx_users")
+    }
 
   /** Gap-based sessionization with flatMapGroupsWithState: a session
     * closes when a later event for the same user arrives more than

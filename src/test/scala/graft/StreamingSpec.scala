@@ -220,6 +220,23 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
     assert(files.map(_.lastModified()).sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("hllDistinctStreamed: sketch state store merge is bit-identical to batch") {
+    import org.apache.spark.sql.functions.col
+    import graft.aggregators.SketchAggregators.HllDistinct
+    import spark.implicits._
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val streamed = EventStreams.hllDistinctStreamed(spark, e,
+        "target/qtmp/st04_spec_stage", nFiles = 3, sinkName = "st04_spec_sink")
+      .as[(String, Long)].collect().sorted.toSeq
+    val batch = e.select(col("event_type"), col("user_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new HllDistinct[(String, Long)](12, _._2).toColumn.name("n"))
+      .collect().sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed $streamed != batch $batch")
+  }
+
   test("streaming LSH ingest: micro-batched appends equal one-shot batch dedup") {
     import graft.dedup.Dedup
     implicit val sqlCtx = spark.sqlContext
