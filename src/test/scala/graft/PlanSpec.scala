@@ -236,4 +236,58 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(exchanges <= 2, s"split assignment introduced extra exchanges:\n$p")
     assert(!p.contains("ScalaUDF"), s"split must be pure column ops:\n$p")
   }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // THE biggest 100 TB scan lever after static pruning: a filter that
+    // only exists on the dim side (here lang names via a join) must still
+    // prune the partitioned fact's directories — Catalyst injects a
+    // dynamicpruning#N subquery into the scan's PartitionFilters, so only
+    // the joined partitions' files are ever opened
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "target/qtmp/dpp_docs"
+    Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    // dim must be a REAL relation: a local Seq constant-folds to a bare
+    // LocalRelation, leaving no selective Filter node for the DPP rule
+    // to derive a pruning subquery from
+    val dimDir = "target/qtmp/dpp_dim"
+    Seq(("en", 1), ("de", 2), ("es", 3), ("fr", 4), ("zh", 5))
+      .toDF("lang", "lang_id").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = spark.read.parquet(dir)
+      .join(dim.filter(col("lang_id") === 1), Seq("lang"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in the scan:\n$p")
+    val got = q.collect()
+    assert(got.length == 1 && got(0).getString(0) == "en")
+  }
+
+  test("runtime bloom filter: selective dim join injects a fact-side prefilter") {
+    // the runtime twin of d09's explicit bloom: for a shuffle join with a
+    // selective creation side, Catalyst builds a bloom filter over the dim
+    // keys at runtime and applies might_contain on the fact BEFORE its
+    // exchange — rows for absent keys never shuffle. Scratch session:
+    // thresholds lowered so test-scale tables qualify, broadcasts off so
+    // the join keeps a fact-side exchange worth pruning.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    import org.apache.spark.sql.functions._
+    val fact = Tables.lineitem(s, sf).select(col("l_orderkey"), col("l_quantity"))
+    val dim = Tables.orders(s, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val q = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"no runtime bloom filter on the fact side:\n$p")
+    assert(q.head().getLong(0) > 0)
+  }
 }
