@@ -37,6 +37,7 @@ object Bench {
     "q36_tpch_q18",          // agg-before-join: HAVING prunes facts pre-join
     "q37_tpch_q10",          // 4-table join, pushed flags/dates, top-20
     "q38_tpch_q21",          // fact self-semi/anti joins on shared partitioning
+    "q40_tpch_q21_agg",      // Q21 aggregate rewrite: one fact shuffle (vs q38)
     "q39_tpch_q17",          // agg-join-back, broadcast brand prune
     "d07_contamination",     // exact decontamination (broadcast 8-gram set)
     "d09_bloom_decontaminate", // bloom-prefiltered twin (same oracle as d07)

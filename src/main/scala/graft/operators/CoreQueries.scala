@@ -497,6 +497,41 @@ object CoreQueries {
         .limit(20)
     }),
 
+    // -- Q21 AGGREGATE-REWRITE TWIN (same oracle as q38, result-identical
+    // by construction): the EXISTS/NOT EXISTS correlation collapses into
+    // per-order supplier statistics — group lineitem ONCE by
+    // (orderkey, suppkey) with a map-side-combined fault count, then
+    // derive per-order (n suppliers, n fault suppliers) as WINDOW sums
+    // over that already-small frame; a qualifying l1 group is exactly one
+    // with n_supp > 1, n_fault_supp == 1, and its own fault count > 0.
+    // The fact is scanned once and shuffled once (pre-aggregated) —
+    // q38's form scans it three times and shuffles all three — and the
+    // window's orderkey exchange moves one row per (order, supplier),
+    // orders of magnitude smaller than raw lineitem. Plan-guarded:
+    // exactly one lineitem scan. ------------------------------------------
+    "q40_tpch_q21_agg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+      val perOrdSupp = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(count(when(col("l_returnflag") === "R", 1)).as("n_fault_rows"))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_fault_supp",
+          sum((col("n_fault_rows") > 0).cast("long")).over(w))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      perOrdSupp
+        .filter(col("n_fault_rows") > 0 && col("n_supp") > 1 &&
+          col("n_fault_supp") === 1)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("n_fault_rows")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // -- TPC-H Q17 shape: small-quantity lineitems for one brand vs the
     // per-part average — the aggregate-join-back (decorrelated scalar
     // subquery) pattern. The broadcast part filter prunes lineitem FIRST
@@ -590,6 +625,23 @@ object CoreQueries {
         .orderBy(col("c_mktsegment"))
     })
   )
+
+  /** TPC-H Q21 shape: shared by q38 (semi/anti form) and q40 (aggregate
+    * rewrite) — the two must produce identical rows. */
+  private val q21Oracle: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q01_tpch_agg" ->
@@ -814,20 +866,10 @@ object CoreQueries {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-    "q38_tpch_q21" ->
-      """SELECT s_name, count(*) AS numwait
-        |FROM lineitem l1
-        |JOIN orders ON o_orderkey = l1.l_orderkey
-        |JOIN supplier ON s_suppkey = l1.l_suppkey
-        |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey
-        |      AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey
-        |      AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_returnflag = 'R')
-        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q38_tpch_q21" -> q21Oracle,
+    // q40 is the aggregate rewrite of the same query — one oracle gates
+    // both, the same pattern as d07/d09 and d02/d10
+    "q40_tpch_q21_agg" -> q21Oracle,
     "q39_tpch_q17" ->
       """WITH l AS (
         |  SELECT l_partkey, l_quantity, l_extendedprice

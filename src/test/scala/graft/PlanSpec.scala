@@ -185,6 +185,17 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
   }
 
+  test("q40: the Q21 aggregate rewrite scans lineitem exactly once") {
+    val p = plan("q40_tpch_q21_agg")
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE lineitem scan, found $scans:\n$p")
+    // and the (orderkey, suppkey) rollup map-side combines before its
+    // exchange — the fact crosses the wire pre-aggregated
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-(order,supp) rollup lost its partial stage:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not bounded:\n$p")
+  }
+
   test("q39: brand prune is a broadcast join below the agg; agg below the join-back") {
     val p = plan("q39_tpch_q17")
     assert(p.contains("EqualTo(p_brand,Brand#1)"), s"brand not pushed:\n$p")
