@@ -23,6 +23,10 @@ import org.apache.spark.sql.SparkSession
   *  - q27_asof_native      custom LogicalPlan/Strategy/SparkPlan doExecute
   *  - t03_lang_id          CountInSetExpression reference objects in codegen
   *  - m01_multimodal_features  mapPartitions binary decoders
+  *  - t16_bpe_contract     driver-trained model closure-shipped to executors
+  *                         (the UDF captures the merge-rank Map — local mode
+  *                         never serializes it)
+  *  - q40_tpch_q21_agg     window stats over a rollup under remote exchange
   *
   * Usage (see .claude/skills/verify — `local-cluster[...]` does NOT work
   * against the /opt/spark distribution layout; a real standalone
@@ -42,7 +46,7 @@ object ClusterMirror {
   val mirrorSet: Seq[String] = Seq(
     "q01_tpch_agg", "sk02_most_frequent_exact", "sk08_group_sub_sink",
     "d02_minhash_lsh", "q27_asof_native", "t03_lang_id",
-    "m01_multimodal_features")
+    "m01_multimodal_features", "t16_bpe_contract", "q40_tpch_q21_agg")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
