@@ -39,9 +39,21 @@ object Bpe {
       merges.zipWithIndex.toMap
   }
 
-  /** Split a word into base symbols: one per character + end-of-word. */
-  private[graft] def baseSymbols(word: String): Vector[String] =
-    word.map(_.toString).toVector :+ EndOfWord
+  /** Split a word into base symbols: one per CODE POINT + end-of-word.
+    * Code points, not Java chars: splitting a surrogate pair would
+    * create lone-surrogate symbols that corrupt to U+FFFD crossing
+    * Spark's UTF8String boundary, and would break the t16 bounds
+    * contract (whose n_chars side counts code points). */
+  private[graft] def baseSymbols(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    (out += EndOfWord).result()
+  }
 
   /** Apply ranked merges to one word's symbol sequence until no adjacent
     * pair has a rank (the standard greedy lowest-rank-first loop). */
@@ -149,9 +161,16 @@ object Bpe {
   /** Inverse of [[encode]] up to whitespace normalization: BPE merges
     * only ever concatenate adjacent symbols of one word, so joining the
     * subword tokens and turning each end-of-word marker back into a
-    * space reproduces the single-spaced word sequence exactly. Pure
-    * column functions (codegen'd — no UDF), so the t16 round-trip
-    * contract costs one narrow projection over the encoded frame. */
+    * space reproduces the single-spaced word sequence. Pure column
+    * functions (codegen'd — no UDF), so the t16 round-trip contract
+    * costs one narrow projection over the encoded frame.
+    *
+    * CAVEAT: like every sentinel-based BPE (the `</w>` convention is
+    * standard), decode is only a true inverse when the text does not
+    * itself contain the literal marker substring — an in-content
+    * `</w>` is indistinguishable from a word boundary. The t16 gate's
+    * corpus is verified free of `<`; redefine [[EndOfWord]] (e.g. to a
+    * private-use codepoint) for corpora where that collision is live. */
   def decode(tokens: Column): Column =
     rtrim(replace(concat_ws("", tokens), lit(EndOfWord), lit(" ")))
 

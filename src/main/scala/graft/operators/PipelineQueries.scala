@@ -522,23 +522,21 @@ object PipelineQueries {
     // n_exact is replayed by the oracle, making a dropped or invented
     // event_type key fail the hash too. ----------------------------------
     "st04_stream_hll_contract" -> ((s, d) => {
-      import graft.aggregators.SketchAggregators.HllDistinct
-      import s.implicits._
+      import graft.streaming.EventStreams
+      val b = 12
       val e = Tables.events(s, d).select(col("ts"), col("user_id"), col("event_type"))
-      val streamed = graft.streaming.EventStreams.hllDistinctStreamed(s, e,
-          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st04_stage")
+      val streamed = EventStreams.hllDistinctStreamed(s, e,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st04_stage", b = b)
         .withColumnRenamed("approx_users", "streamed_est")
-      val batch = e.select(col("event_type"), col("user_id")).as[(String, Long)]
-        .groupByKey(_._1)
-        .agg(new HllDistinct[(String, Long)](12, _._2).toColumn.name("batch_est"))
-        .toDF("event_type", "batch_est")
+      val batch = EventStreams.hllUsersPerType(e, b)
+        .withColumnRenamed("approx_users", "batch_est")
       val exact = e.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
       streamed.join(batch, Seq("event_type")).join(exact, Seq("event_type"))
         .select(col("event_type"), col("n_exact"),
           (col("streamed_est") === col("batch_est")).as("streamed_eq_batch"),
           (abs(col("streamed_est") - col("n_exact")) / col("n_exact")
-            <= 3 * 1.04 / 64.0).as("within_3sigma"))
+            <= EventStreams.hll3Sigma(b)).as("within_3sigma"))
         .orderBy(col("event_type"))
     }),
 

@@ -114,14 +114,25 @@ object EventStreams {
   def hllDistinctStreamed(spark: SparkSession, events: DataFrame,
       stageDir: String, nFiles: Int = 3, sinkName: String = "st04_sink",
       b: Int = 12): DataFrame =
-    runStagedStream(spark, events, stageDir, nFiles, sinkName) { df =>
-      import spark.implicits._
-      import graft.aggregators.SketchAggregators.HllDistinct
-      df.select(col("event_type"), col("user_id")).as[(String, Long)]
-        .groupByKey(_._1)
-        .agg(new HllDistinct[(String, Long)](b, _._2).toColumn.name("approx_users"))
-        .toDF("event_type", "approx_users")
-    }
+    runStagedStream(spark, events, stageDir, nFiles, sinkName)(
+      hllUsersPerType(_, b))
+
+  /** The per-event-type HLL distinct-users aggregation — ONE definition
+    * shared by the streamed form above, st04's batch twin, and the
+    * StreamingSpec parity test, so sketch parameters cannot silently
+    * diverge between the sides being compared. Works on a streaming or
+    * batch frame with (event_type, user_id). */
+  def hllUsersPerType(df: DataFrame, b: Int = 12): DataFrame = {
+    import df.sparkSession.implicits._
+    import graft.aggregators.SketchAggregators.HllDistinct
+    df.select(col("event_type"), col("user_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new HllDistinct[(String, Long)](b, _._2).toColumn.name("approx_users"))
+      .toDF("event_type", "approx_users")
+  }
+
+  /** 3σ relative-error envelope for an HLL with 2^b registers. */
+  def hll3Sigma(b: Int): Double = 3 * 1.04 / math.sqrt((1 << b).toDouble)
 
   /** Gap-based sessionization with flatMapGroupsWithState: a session
     * closes when a later event for the same user arrives more than

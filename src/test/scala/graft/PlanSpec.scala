@@ -181,8 +181,11 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 not bounded:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in Q21 plan:\n$p")
-    // both fault filters push into their lineitem scans, pruning at I/O
-    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+    // BOTH fault filters (l1's and the anti-join side l3's) push into
+    // their lineitem scans — one occurrence would mean the anti side
+    // scans the full fact
+    assert("EqualTo\\(l_returnflag,R\\)".r.findAllIn(p).size >= 2,
+      s"expected returnflag pushed into both fault scans:\n$p")
   }
 
   test("q40: the Q21 aggregate rewrite scans lineitem exactly once") {
@@ -190,8 +193,11 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     val scans = "lineitem\\.parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected ONE lineitem scan, found $scans:\n$p")
     // and the (orderkey, suppkey) rollup map-side combines before its
-    // exchange — the fact crosses the wire pre-aggregated
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
+    // exchange — the fact crosses the wire pre-aggregated. Match the
+    // rollup's OWN partial stage (partial_count of the fault CASE), not
+    // just any HashAggregate pair: the final s_name agg alone would
+    // satisfy a bare >= 2 count and mask a raw-fact shuffle
+    assert(p.contains("partial_count(CASE WHEN"),
       s"per-(order,supp) rollup lost its partial stage:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 not bounded:\n$p")
   }

@@ -222,17 +222,14 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
 
   test("hllDistinctStreamed: sketch state store merge is bit-identical to batch") {
     import org.apache.spark.sql.functions.col
-    import graft.aggregators.SketchAggregators.HllDistinct
     import spark.implicits._
     val e = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("ts"), col("user_id"), col("event_type"))
     val streamed = EventStreams.hllDistinctStreamed(spark, e,
         "target/qtmp/st04_spec_stage", nFiles = 3, sinkName = "st04_spec_sink")
       .as[(String, Long)].collect().sorted.toSeq
-    val batch = e.select(col("event_type"), col("user_id")).as[(String, Long)]
-      .groupByKey(_._1)
-      .agg(new HllDistinct[(String, Long)](12, _._2).toColumn.name("n"))
-      .collect().sorted.toSeq
+    val batch = EventStreams.hllUsersPerType(e)
+      .as[(String, Long)].collect().sorted.toSeq
     assert(streamed.nonEmpty && streamed == batch,
       s"streamed $streamed != batch $batch")
   }
