@@ -150,6 +150,53 @@ object SourceQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // -- malformed-record handling: the Spark mirror of the reference's
+    //    per-row Result<T, E> surface (every typed amadeus source yields
+    //    Result<Row, Error> — consumers unwrap, drop, or inspect). A CSV
+    //    is staged with a deterministically corrupted numeric field on
+    //    every 7th order (o_orderkey % 7 == 0 → "corrupt"), then read
+    //    back under the parser modes: PERMISSIVE keeps Err rows as
+    //    nulls + _corrupt_record (≅ inspecting the Result), DROPMALFORMED
+    //    silently drops them (≅ filter_map(Result::ok)); FAILFAST
+    //    (≅ unwrap, throws on first Err) is spec-verified in SourceSpec
+    //    since a gate can't hash an exception. The oracle replays all
+    //    counts and the good-row cents sum from the clean table. ---------
+    "s11_malformed_records" -> ((s, d) => {
+      val dir = tmp(d, "badcsv")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit("corrupt"))
+            .otherwise(col("o_totalprice").cast("string")).as("o_totalprice"))
+        .write.mode("overwrite").csv(dir)
+      val perm = s.read
+        .schema("o_orderkey LONG, o_totalprice DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir)
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("_corrupt_record").isNotNull, 1)).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull,
+            round(col("o_totalprice") * 100).cast("long"))).as("good_cents"))
+      // FOOTGUN, deliberately exercised: under DROPMALFORMED a count
+      // that doesn't need the fallible column never parses it (CSV
+      // column pruning), so nothing is dropped — a bare count(*), and
+      // even a sum the optimizer later prunes away, both report all
+      // 15000 rows "surviving" (measured). The drop only happens when
+      // the conversion reaches the OUTPUT, so the gate emits the
+      // dropped-side cents sum as a column — which must also equal the
+      // PERMISSIVE side's good_cents, making the two modes' agreement
+      // part of the hash.
+      val dropped = s.read.schema("o_orderkey LONG, o_totalprice DOUBLE")
+        .option("mode", "DROPMALFORMED").csv(dir)
+        .agg(count(lit(1)).as("n_dropmalformed_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("dropped_good_cents"))
+      perm.crossJoin(dropped)
+        .select(col("n_total"), col("n_corrupt"),
+          col("n_dropmalformed_rows"), col("good_cents"),
+          col("dropped_good_cents"))
+    }),
+
     // -- Hive-style partitioned WRITE + partition-pruned read: the layout
     //    every 100 TB corpus uses (partition by coarse key, prune at plan
     //    time). Write documents partitioned by lang, read back with a
@@ -320,6 +367,17 @@ object SourceQueries {
       """SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size,
         | round(sum(p_retailprice),2) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "s11_malformed_records" ->
+      """SELECT count(*) AS n_total,
+        | count(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_corrupt,
+        | count(*) FILTER (WHERE o_orderkey % 7 <> 0) AS n_dropmalformed_rows,
+        | CAST(sum(CASE WHEN o_orderkey % 7 <> 0
+        |   THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)
+        |   AS good_cents,
+        | CAST(sum(CASE WHEN o_orderkey % 7 <> 0
+        |   THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)
+        |   AS dropped_good_cents
+        |FROM orders""".stripMargin,
     "s09_partitioned_write" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars

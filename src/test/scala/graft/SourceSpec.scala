@@ -110,6 +110,28 @@ class SourceSpec extends AnyFunSuite with CacheHygiene {
     assert(got == data, "partitioned read lost or duplicated rows")
   }
 
+  test("malformed CSV: FAILFAST throws on the first bad row (Result unwrap)") {
+    // the third parser mode of the s11 gate — ≅ the reference's
+    // .unwrap() on a Result row; PERMISSIVE/DROPMALFORMED are gate-hashed
+    val dir = "target/qtmp/failfast_csv"
+    Seq(("1", "10.5"), ("2", "corrupt"), ("3", "30.0"))
+      .toDF("k", "v").write.mode("overwrite").csv(dir)
+    val e = intercept[Exception] {
+      spark.read.schema("k LONG, v DOUBLE")
+        .option("mode", "FAILFAST").csv(dir).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      (c.getMessage.contains("Malformed") || c.getMessage.contains("FAILFAST"))),
+      s"expected a malformed-record failure, got: $e")
+    // and the same data under DROPMALFORMED keeps exactly the good rows
+    val kept = spark.read.schema("k LONG, v DOUBLE")
+      .option("mode", "DROPMALFORMED").csv(dir)
+      .as[(Long, Double)].collect().toSet
+    assert(kept == Set((1L, 10.5), (3L, 30.0)))
+  }
+
   test("schema mapper: unsigned widening + round-trip naming") {
     assert(SchemaMapper.toSpark("u64") == DecimalType(20, 0))
     assert(SchemaMapper.toSpark("u32") == LongType)
