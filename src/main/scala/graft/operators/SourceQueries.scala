@@ -197,6 +197,32 @@ object SourceQueries {
           col("dropped_good_cents"))
     }),
 
+    // -- parquet schema evolution: a 100 TB corpus is never written in
+    //    one sitting — files accumulate across schema versions. Stage
+    //    the first half of documents WITHOUT the n_chars column (v1) and
+    //    the second half with it (v2), read the directory with
+    //    mergeSchema: v1 rows surface n_chars as NULL, v2 rows keep
+    //    theirs, nothing is dropped or coerced. The oracle replays the
+    //    doc_id split from the clean table. Spark reconciles the union
+    //    schema per file at scan time — no rewrite of the v1 files, the
+    //    operational property that matters at corpus scale. -------------
+    "s12_schema_evolution" -> ((s, d) => {
+      val dir = tmp(d, "schema_evo")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val half = 250L // doc_ids are 0..499 at any sf; split is id-stable
+      docs.filter(col("doc_id") < half).drop("n_chars")
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      docs.filter(col("doc_id") >= half)
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // -- Hive-style partitioned WRITE + partition-pruned read: the layout
     //    every 100 TB corpus uses (partition by coarse key, prune at plan
     //    time). Write documents partitioned by lang, read back with a
@@ -367,6 +393,12 @@ object SourceQueries {
       """SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size,
         | round(sum(p_retailprice),2) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "s12_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        | count(*) FILTER (WHERE doc_id >= 250) AS n_with_chars,
+        | CAST(sum(CASE WHEN doc_id >= 250 THEN n_chars END) AS BIGINT)
+        |   AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "s11_malformed_records" ->
       """SELECT count(*) AS n_total,
         | count(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_corrupt,
