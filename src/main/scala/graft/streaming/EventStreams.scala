@@ -70,6 +70,25 @@ object EventStreams {
   def runStagedStream(spark: SparkSession, events: DataFrame,
       stageDir: String, nFiles: Int, sinkName: String)
       (agg: DataFrame => DataFrame): DataFrame = {
+    val inDir = stageAscendingFiles(events, stageDir, nFiles)
+    spark.catalog.dropTempView(sinkName)
+    val q = agg(
+        spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
+  /** Stage `events` as `nFiles` parquet files of contiguous ascending
+    * time ranges under `stageDir/in`, named 01.parquet.. with strictly
+    * increasing modification times (FileStreamSource orders by
+    * (modTime, path)); returns the staging directory. */
+  def stageAscendingFiles(events: DataFrame, stageDir: String,
+      nFiles: Int): java.io.File = {
     import org.apache.spark.sql.expressions.Window
     val inDir = new java.io.File(s"$stageDir/in")
     if (inDir.exists()) inDir.listFiles().foreach(_.delete())
@@ -92,16 +111,7 @@ object EventStreams {
         dst.setLastModified(1700000000000L + i * 60000L)
       }
     } finally ranked.unpersist()
-    spark.catalog.dropTempView(sinkName)
-    val q = agg(
-        spark.readStream.schema(events.schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName)
+    inDir
   }
 
   /** Streamed approx-distinct users per event type: the HyperLogLog

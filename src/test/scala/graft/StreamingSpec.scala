@@ -234,6 +234,59 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
       s"streamed $streamed != batch $batch")
   }
 
+  test("checkpointed restart: resumes from committed offsets, no duplicate windows") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    // the production crash/redeploy story: append-mode parquet sink +
+    // checkpoint. Run 1 sees 2 of 3 staged files and finalizes the
+    // watermark-closed windows; run 2 (a NEW query over the same
+    // checkpoint) must process ONLY the third file, never re-emit run 1's
+    // windows, and everything emitted must match the batch aggregation.
+    val base = "target/qtmp/st_ckpt"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete()
+    }
+    rmrf(new java.io.File(base))
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("event_type"), col("value"))
+    val in = EventStreams.stageAscendingFiles(e, s"$base/stage", 3)
+    // hide the last file from run 1 (keep its modTime for ordering)
+    val f3 = new java.io.File(in, "03.parquet")
+    val mt3 = f3.lastModified()
+    val hidden = new java.io.File(base, "hidden.parquet")
+    java.nio.file.Files.move(f3.toPath, hidden.toPath)
+    def runOnce(): Unit = {
+      val q = EventStreams.windowedAgg(
+          spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1").parquet(in.getAbsolutePath))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val after1 = spark.read.parquet(s"$base/out").count()
+    assert(after1 > 0, "run 1 should finalize some watermark-closed windows")
+    java.nio.file.Files.move(hidden.toPath, f3.toPath)
+    f3.setLastModified(mt3)
+    runOnce()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() > after1,
+      "restart should finalize further windows from the third file")
+    // exactly-once: no (bucket, event_type) emitted twice across runs
+    val dupes = out.groupBy(col("bucket"), col("event_type"))
+      .count().filter(col("count") > 1).count()
+    assert(dupes == 0, s"$dupes duplicate windows across restart")
+    // every emitted row agrees with the batch aggregation bit-for-bit
+    val batch = EventStreams.windowedAgg(e)
+    val mismatched = out.join(batch, Seq("bucket", "event_type", "n", "sum_value"),
+      "left_anti").count()
+    assert(mismatched == 0, s"$mismatched emitted rows disagree with batch")
+  }
+
   test("streaming LSH ingest: micro-batched appends equal one-shot batch dedup") {
     import graft.dedup.Dedup
     implicit val sqlCtx = spark.sqlContext
