@@ -210,10 +210,12 @@ object SourceQueries {
       val dir = tmp(d, "schema_evo")
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val half = 250L // doc_ids are 0..499 at any sf; split is id-stable
-      docs.filter(col("doc_id") < half).drop("n_chars")
+      // parity split: exactly half the corpus lands in each schema
+      // version at ANY scale factor (an absolute doc_id threshold would
+      // silently degrade to a sliver of v1 files on bigger corpora)
+      docs.filter(col("doc_id") % 2 === 0).drop("n_chars")
         .write.mode("overwrite").parquet(s"$dir/v1")
-      docs.filter(col("doc_id") >= half)
+      docs.filter(col("doc_id") % 2 =!= 0)
         .write.mode("overwrite").parquet(s"$dir/v2")
       s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
         .groupBy(col("lang"))
@@ -395,8 +397,8 @@ object SourceQueries {
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "s12_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,
-        | count(*) FILTER (WHERE doc_id >= 250) AS n_with_chars,
-        | CAST(sum(CASE WHEN doc_id >= 250 THEN n_chars END) AS BIGINT)
+        | count(*) FILTER (WHERE doc_id % 2 <> 0) AS n_with_chars,
+        | CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars END) AS BIGINT)
         |   AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "s11_malformed_records" ->
