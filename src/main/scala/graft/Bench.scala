@@ -39,6 +39,8 @@ object Bench {
     "q38_tpch_q21",          // fact self-semi/anti joins on shared partitioning
     "q40_tpch_q21_agg",      // Q21 aggregate rewrite: one fact shuffle (vs q38)
     "q39_tpch_q17",          // agg-join-back, broadcast brand prune
+    "q41_tpch_q13",          // outer-join count histogram, agg-below-join
+    "q43_tpch_q7",           // two-nation volume: broadcast-folded dim pair
     "d07_contamination",     // exact decontamination (broadcast 8-gram set)
     "d09_bloom_decontaminate", // bloom-prefiltered twin (same oracle as d07)
     "d12_dup_spans",         // ExactSubstr duplicate spans (Lee et al. 2021)

@@ -585,6 +585,93 @@ object CoreQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("prev_cents"),
           col("next_cents"), col("rk"), col("quartile"), col("run_cents"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // -- TPC-H Q13 shape: customer order-count distribution. The naive
+    // form outer-joins customer⋈orders THEN counts — shuffling every
+    // order row on o_custkey. Here orders pre-aggregates to per-customer
+    // counts FIRST (map-side combinable: the shuffle moves one row per
+    // customer, not per order), and the LEFT join from customer surfaces
+    // never-matched customers as count 0 — the part an inner-join-based
+    // rewrite would silently drop. The status filter stands in for Q13's
+    // o_comment NOT LIKE (corpus has no comment column); it must apply
+    // BEFORE the join, not after, to keep only-filtered-order customers
+    // in the zero bucket. ------------------------------------------------
+    "q41_tpch_q13" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .filter(col("o_orderstatus") =!= "F")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // -- TPC-H Q22 shape: rich-but-inactive customers. Two decorrelations
+    // in one query: the scalar AVG subquery becomes a 1-row aggregate
+    // broadcast-nested-loop-joined back (never a shuffle), and NOT EXISTS
+    // becomes a LEFT ANTI hash join against the pruned recent-orders
+    // projection (the date filter pushes to that scan, so the anti side
+    // carries one slim column). "Country code" is nationkey mod 10 — the
+    // corpus has no phone column; the original's no-orders-at-all
+    // predicate becomes no-RECENT-orders because every synthetic customer
+    // has ordered at least once (an empty anti-join would gate nothing). -
+    "q42_tpch_q22" -> ((s, d) => {
+      val inCodes = Tables.customer(s, d)
+        .filter((col("c_nationkey") % 10).isin(1, 3, 5, 7, 9))
+        .select((col("c_nationkey") % 10).cast("int").as("cntrycode"),
+          col("c_custkey"), col("c_acctbal"))
+      val avgBal = inCodes.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      inCodes.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    }),
+
+    // -- TPC-H Q7 shape: bilateral trade volume by year. Both fixed-size
+    // nation dims fold into supplier/customer via broadcast BEFORE the
+    // fact joins, so the 2-of-25-nations selectivity prunes lineitem at
+    // its first (broadcast) join; with both sides restricted to the same
+    // pair, Q7's OR'd nation-pair condition reduces to supp≠cust riding
+    // the final join. Customer stays a shuffle join on purpose: at real
+    // scale two nations of customers is still ~8% of a data-dependent
+    // table (AQE may demote it to broadcast at bench sf — that's its
+    // call, not the plan's assumption). ----------------------------------
+    "q43_tpch_q7" -> ((s, d) => {
+      val pair = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(pair.select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cus = Tables.customer(s, d)
+        .join(broadcast(pair.select(col("n_nationkey").as("nk2"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("nk2"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1998-12-31").cast("timestamp")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(round(sum(col("volume")), 2).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     })
   )
 
@@ -895,6 +982,49 @@ object CoreQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
         |FROM o
         |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // the oracle keeps Q13's textbook outer-join-then-count form; the
+    // Spark side pre-aggregates before the join — result-identical
+    "q41_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |      GROUP BY c_custkey) x
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // correlated original form — DuckDB decorrelates it its own way,
+    // gating that the Spark-side manual decorrelation is semantics-exact
+    "q42_tpch_q22" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        | round(sum(c_acctbal),2) AS totacctbal
+        |FROM (SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode,
+        |             c_custkey, c_acctbal
+        |      FROM customer WHERE c_nationkey % 10 IN (1,3,5,7,9)) c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0
+        |                     AND c_nationkey % 10 IN (1,3,5,7,9))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "q43_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | round(sum(volume),2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |             l_extendedprice * (1 - l_discount) AS volume
+        |      FROM supplier, lineitem, orders, customer,
+        |           nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey
+        |        AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |                           AND TIMESTAMP '1998-12-31') s
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
   )
 }

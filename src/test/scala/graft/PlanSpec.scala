@@ -215,6 +215,48 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(!p.contains("CartesianProduct"), s"cartesian in Q17 plan:\n$p")
   }
 
+  test("q41: orders pre-aggregates BELOW the outer join; status filter pushed") {
+    val p = plan("q41_tpch_q13")
+    // the per-customer count must sit under the LEFT OUTER join — the
+    // shuffle moves one row per customer, not one per order; the naive
+    // join-then-count form would shuffle the whole orders table
+    assert(p.contains("LeftOuter"), s"customer join lost outer semantics:\n$p")
+    val joinIdx = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*LeftOuter".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    val aggIdx = "HashAggregate\\(keys=\\[o_custkey".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(joinIdx >= 0 && aggIdx >= 0 && joinIdx < aggIdx,
+      s"per-customer count should aggregate below the outer join:\n$p")
+    assert(p.contains("Not(EqualTo(o_orderstatus,F))"),
+      s"status filter not pushed to the orders scan:\n$p")
+  }
+
+  test("q42: scalar avg broadcasts as a 1-row BNLJ; NOT EXISTS plans LEFT ANTI") {
+    val p = plan("q42_tpch_q22")
+    // the decorrelated average must never shuffle the customer side —
+    // a 1-row broadcast nested loop is the right physical shape for a
+    // scalar-subquery comparison
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"scalar avg did not broadcast:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as anti join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"recency filter not pushed to the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q22 plan:\n$p")
+  }
+
+  test("q43: one lineitem scan, shipdate pushed, nation pair folded via broadcast") {
+    val p = plan("q43_tpch_q7")
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE lineitem scan, found $scans:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate not pushed:\n$p")
+    // nation→supplier and supplier→lineitem both ride broadcasts, so the
+    // 2-of-25-nations selectivity prunes the fact at its FIRST join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation-pair dims not folded via broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q7 plan:\n$p")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
