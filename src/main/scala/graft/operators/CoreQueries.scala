@@ -672,6 +672,69 @@ object CoreQueries {
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
         .agg(round(sum(col("volume")), 2).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // -- TPC-H Q4 shape: order-priority histogram over EXISTS. The
+    // correlated EXISTS plans as a LEFT SEMI join — each order row
+    // passes at most once no matter how many flagged lines it has (a
+    // join+distinct rewrite would materialize every match first). The
+    // returnflag filter pushes into the lineitem scan so the semi
+    // side ships one slim column of pre-filtered keys. (No commit/
+    // receipt dates in this corpus; late-delivery = returned item.) -----
+    "q44_tpch_q4" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val flagged = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // -- TPC-H Q12 shape: two-way conditional aggregation over the fact
+    // join — both CASE branches ride ONE partial+final aggregate pass
+    // (never two scans, never a pivot); the ship-window filter pushes
+    // to the lineitem scan. l_linestatus stands in for Q12's shipmode
+    // (corpus has no l_shipmode column). -------------------------------
+    "q45_tpch_q12" -> ((s, d) => {
+      val hi = Seq("1-URGENT", "2-HIGH")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // -- TPC-H Q14 shape: conditional-percentage aggregate (promo
+    // revenue share). part is the fixed-size broadcast dim; numerator
+    // and denominator come out of the SAME single aggregate pass; the
+    // one-month window prunes the fact scan. floor-at-4-decimals keeps
+    // the cross-engine ratio IEEE-stable (same accepted-risk class as
+    // t11's LM score — see LanguageModel's Scaladoc). -------------------
+    "q46_tpch_q14" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg((floor(lit(100.0)
+            * sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0)))
+            / sum(col("rev")) * 10000 + lit(0.5)) / 10000)
+          .as("promo_pct"))
     })
   )
 
@@ -1025,6 +1088,32 @@ object CoreQueries {
         |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
         |                           AND TIMESTAMP '1998-12-31') s
         |GROUP BY supp_nation, cust_nation, l_year
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q44_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q45_tpch_q12" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q46_tpch_q14" ->
+      """SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice*(1-l_discount)) * 10000 + 0.5)/10000
+        |  AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
   )
 }

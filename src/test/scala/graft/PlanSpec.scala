@@ -257,6 +257,34 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(!p.contains("CartesianProduct"), s"cartesian in Q7 plan:\n$p")
   }
 
+  test("q44: EXISTS plans LEFT SEMI; returnflag pushed into the semi side") {
+    val p = plan("q44_tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed into the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order window not pushed:\n$p")
+  }
+
+  test("q45: both CASE branches aggregate in ONE partial+final pass") {
+    val p = plan("q45_tpch_q12")
+    // two conditional sums must share a single aggregate — two partial_sum
+    // functions inside one HashAggregate, not two scans or a pivot
+    val partial = "partial_sum\\(CASE WHEN".r.findAllIn(p).size
+    assert(partial >= 2, s"expected both CASE sums in the partial stage:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"fact scanned more than once:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship window not pushed:\n$p")
+  }
+
+  test("q46: part broadcasts; numerator and denominator share one aggregate") {
+    val p = plan("q46_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"fact scanned more than once:\n$p")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
