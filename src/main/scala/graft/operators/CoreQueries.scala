@@ -735,6 +735,34 @@ object CoreQueries {
             * sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0)))
             / sum(col("rev")) * 10000 + lit(0.5)) / 10000)
           .as("promo_pct"))
+    }),
+
+    // -- TPC-H Q19 shape: disjunction of AND-clauses spanning BOTH join
+    // sides. The full OR-of-ANDs can only evaluate inside the join, so
+    // each side also gets its coarse single-side envelope (brand set,
+    // size/quantity hull — semantically implied by the disjunction)
+    // pushed into its scan, the same CNF trick the TPC-H kits apply: at
+    // 100 TB the envelope is what keeps the fact scan from reading every
+    // row only to drop 99% of them at the join. ------------------------
+    "q47_tpch_q19" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#4", "Brand#12", "Brand#23") &&
+          col("p_size").between(1, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(1, 30))
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val cond =
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey") && cond)
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n"))
     })
   )
 
@@ -1114,6 +1142,16 @@ object CoreQueries {
         |  AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
-        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "q47_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand='Brand#4' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand='Brand#12' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin
   )
 }

@@ -285,6 +285,19 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"fact scanned more than once:\n$p")
   }
 
+  test("q47: OR-of-ANDs rides the broadcast join; coarse envelopes push to scans") {
+    val p = plan("q47_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    // each side's single-side envelope must reach its OWN scan — without
+    // it, the fact scan reads every row only to drop 99% at the join
+    assert(p.contains("In(p_brand"), s"brand set not pushed to part scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity hull not pushed to lineitem scan:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"fact scanned more than once:\n$p")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
