@@ -298,6 +298,74 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"fact scanned more than once:\n$p")
   }
 
+  test("q48: correlated min decorrelates to ONE window pass, dims broadcast") {
+    val p = plan("q48_tpch_q2")
+    // the min-per-part evaluates as a window over the dim-pruned fact:
+    // one fact scan, one hash shuffle on p_partkey — NOT a second
+    // aggregate-and-join-back scan of lineitem
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"fact scanned more than once (agg+join-back decorrelation?):\n$p")
+    assert(p.contains("Window"), s"min-per-group not a window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dim join degraded to SMJ:\n$p")
+  }
+
+  test("q49/q50: global threshold derives from the group agg — fact scanned once") {
+    // the grand total / max re-aggregates the per-supplier result, so
+    // the physical plan must REUSE the aggregate's exchange instead of
+    // scanning lineitem twice. AQE defers reuse to runtime; assert on
+    // the static plan of a non-adaptive scratch session.
+    val scratch = spark.newSession()
+    scratch.conf.set("spark.sql.adaptive.enabled", "false")
+    for (q <- Seq("q49_tpch_q11", "q50_tpch_q15")) {
+      val p = SparkEntry.queries(q)(scratch, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$q: threshold branch does not reuse the aggregate exchange:\n$p")
+      assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+        s"$q: fact scanned more than once:\n$p")
+    }
+  }
+
+  test("q51: NOT IN plans as broadcast anti join; distinct dedups map-side") {
+    val p = plan("q51_tpch_q16")
+    assert(p.contains("LeftAnti"), s"exclusion not an anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"part/exclusion join degraded to SMJ:\n$p")
+    // count(DISTINCT) must partial-deduplicate (group, suppkey) pairs
+    // before the exchange — the shuffle moves distinct pairs, not rows
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      s"no map-side distinct stage:\n$p")
+  }
+
+  test("q52: nested INs plan as a semi-join chain, fact scanned once") {
+    val p = plan("q52_tpch_q20")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"expected two semi joins (part slice + qualified suppliers):\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"fact scanned more than once:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship window not pushed to the fact scan:\n$p")
+  }
+
+  test("q53: share is one conditional-sum pass; only the two SF-scaled joins shuffle") {
+    val p = plan("q53_tpch_q8")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"fact scanned more than once (numerator rescan?):\n$p")
+    // part/supplier/nation/region must all ride broadcasts — the only
+    // sort-merge-eligible joins are lineitem⋈orders and orders⋈customer
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"a fixed-size dim lost its broadcast:\n$p")
+  }
+
+  test("q54: profit aggregates map-side; part cost rides the broadcast") {
+    val p = plan("q54_tpch_q9")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"fact scanned more than once:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
