@@ -41,6 +41,9 @@ object Bench {
     "q39_tpch_q17",          // agg-join-back, broadcast brand prune
     "q41_tpch_q13",          // outer-join count histogram, agg-below-join
     "q43_tpch_q7",           // two-nation volume: broadcast-folded dim pair
+    "q48_tpch_q2",           // correlated min -> one window pass over fact
+    "q53_tpch_q8",           // market share: two SF-scaled shuffles only
+    "q54_tpch_q9",           // profit rollup: cost on the part broadcast
     "d07_contamination",     // exact decontamination (broadcast 8-gram set)
     "d09_bloom_decontaminate", // bloom-prefiltered twin (same oracle as d07)
     "d12_dup_spans",         // ExactSubstr duplicate spans (Lee et al. 2021)
