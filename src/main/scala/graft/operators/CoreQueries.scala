@@ -956,6 +956,21 @@ object CoreQueries {
         .groupBy(col("n_name"), col("o_year"))
         .agg(round(sum(col("rev")
           - col("p_retailprice") * col("l_quantity") * 0.1), 2).as("profit"))
+    }),
+
+    // -- TPC-H Q6 shape: the forecasting-revenue-change scan. Trivial by
+    // construction — and that IS the shape: every predicate (date window,
+    // discount band, quantity cap) must reach the parquet scan as a
+    // PushedFilter and the sum partial-aggregates, so at 100 TB this is
+    // a zero-shuffle embarrassingly-parallel pass over row-group-pruned
+    // files. Completes the literal 22/22 TPC-H shape family. ------------
+    "q55_tpch_q6" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n"))
     })
   )
 
@@ -1420,6 +1435,13 @@ object CoreQueries {
         |  JOIN nation n ON s.s_nationkey=n.n_nationkey
         |  JOIN part p ON l.l_partkey=p.p_partkey
         |WHERE p_name LIKE '%gear%'
-        |GROUP BY 1,2""".stripMargin
+        |GROUP BY 1,2""".stripMargin,
+    "q55_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
   )
 }

@@ -366,6 +366,20 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
   }
 
+  test("q55: every predicate reaches the scan; zero-shuffle except the 1-row gather") {
+    // plan.toString truncates the PushedFilters list at 100 chars;
+    // formatted explain prints it in full
+    val p = SparkEntry.queries("q55_tpch_q6")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(p.contains(f), s"predicate $f not pushed to the scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"embarrassingly-parallel scan grew a hash shuffle:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
   test("p03: per-key cap pushes a partial WindowGroupLimit below the shuffle") {
     // without the partial group-limit, every row shuffles to its key's
     // partition before the rank filter — the difference between moving
