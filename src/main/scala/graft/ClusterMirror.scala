@@ -27,6 +27,8 @@ import org.apache.spark.sql.SparkSession
   *                         (the UDF captures the merge-rank Map — local mode
   *                         never serializes it)
   *  - q40_tpch_q21_agg     window stats over a rollup under remote exchange
+  *  - q49_tpch_q11         ReusedExchange: the threshold branch replays the
+  *                         aggregate's shuffle files on a remote executor
   *
   * Usage (see .claude/skills/verify — `local-cluster[...]` does NOT work
   * against the /opt/spark distribution layout; a real standalone
@@ -46,7 +48,8 @@ object ClusterMirror {
   val mirrorSet: Seq[String] = Seq(
     "q01_tpch_agg", "sk02_most_frequent_exact", "sk08_group_sub_sink",
     "d02_minhash_lsh", "q27_asof_native", "t03_lang_id",
-    "m01_multimodal_features", "t16_bpe_contract", "q40_tpch_q21_agg")
+    "m01_multimodal_features", "t16_bpe_contract", "q40_tpch_q21_agg",
+    "q49_tpch_q11")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
