@@ -226,6 +226,79 @@ object Dedup {
     (pairs, new CacheHandle(Seq(banded, cand)))
   }
 
+  /** Fuzzy decontamination: MinHash-banded near-match of a huge corpus
+    * against a SMALL benchmark set — the near-dup complement of the
+    * exact n-gram overlap checks (d07/d09). Exact-gram decontamination
+    * misses eval documents that reached the training corpus with
+    * formatting drift (re-wrapped lines, normalized punctuation, edit
+    * noise); this catches any corpus doc whose shingle-set jaccard
+    * against some benchmark doc clears `threshold`.
+    *
+    * Plan shape at 100 TB — the corpus NEVER shuffles: the benchmark
+    * side (eval suites are thousands of docs, not billions) is banded
+    * and broadcast, so candidate generation is a narrow broadcast hash
+    * join over the corpus's banded signatures; the candidate id set is
+    * sparse (near-matches of a small benchmark), so the verify prune is
+    * a broadcastable semi-join and the jaccard fetch joins move shingle
+    * sets for candidate docs only. The lone exchange is the `distinct`
+    * on the sparse (corpus id, bench id) candidate pairs.
+    *
+    * Recall is the standard LSH band bound (1−(1−j^r)^b per pair); at
+    * the thresholds decontamination runs (j ≥ 0.8) a miss needs every
+    * one of `bands` band hashes to differ — the d15 gate hash-matches
+    * an exhaustive exact-jaccard oracle on the test corpus.
+    *
+    * @param corpus    the training-data side (any size)
+    * @param bench     the benchmark/eval side (small; broadcast)
+    * @param threshold exact-jaccard acceptance threshold on verified pairs
+    * @param maxBucket optional hot-bucket cap on the BENCH side of the
+    *                  band join (0 = uncapped): a degenerate benchmark
+    *                  band bucket (e.g. many boilerplate-identical eval
+    *                  docs) multiplies every matching corpus row by the
+    *                  bucket size; capping bounds the fan-out. Verified
+    *                  output is per-PAIR, so dropped buckets can only
+    *                  lose pairs, never invent them.
+    * @return one row per contaminated (corpusId, benchId) pair with its
+    *         exact `jaccard`; column names follow the two id params
+    *         (which must differ)
+    */
+  def fuzzyDecontaminate(corpus: DataFrame, corpusId: String,
+      bench: DataFrame, benchId: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
+    require(corpusId != benchId,
+      s"corpus and bench id columns must differ (both '$corpusId')")
+    val c = corpus.select(col(corpusId).as("cid"), col(textCol).as("ctxt"))
+    val b = bench.select(col(benchId).as("bid"), col(textCol).as("btxt"))
+    def banded(src: DataFrame, id: String, txt: String) = src.select(col(id),
+      posexplode(graft.plans.MinHashBandsExpression.minhashBands(
+        wordShingles(col(txt), shingleN), k, bands)).as(Seq("band", "h")))
+    val bBands = {
+      val all = banded(b, "bid", "btxt")
+      if (maxBucket > 0) {
+        val ok = all.groupBy(col("band"), col("h"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+          .select(col("band"), col("h"))
+        all.join(ok, Seq("band", "h"))
+      } else all
+    }
+    // bench side broadcast: candidate generation never moves the corpus
+    val cand = banded(c, "cid", "ctxt")
+      .join(broadcast(bBands), Seq("band", "h"))
+      .select(col("cid"), col("bid"))
+      .distinct()
+    // verify: re-shingle ONLY candidate corpus docs (semi-join prune,
+    // same discipline as minhashLshPairs); bench re-shingles fully and
+    // rides broadcast joins — it is small by contract
+    val needed = c.join(cand.select(col("cid")), Seq("cid"), "left_semi")
+      .select(col("cid"), wordShingles(col("ctxt"), shingleN).as("csh"))
+    val bsh = b.select(col("bid"), wordShingles(col("btxt"), shingleN).as("bsh"))
+    cand.join(needed, "cid").join(broadcast(bsh), "bid")
+      .select(col("cid"), col("bid"), jaccard(col("csh"), col("bsh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("cid").as(corpusId), col("bid").as(benchId), col("jaccard"))
+  }
+
   // ---- exact duplicate-substring spans --------------------------------
 
   /** Exact duplicate-substring spans — the ExactSubstr dedup of Lee et

@@ -330,6 +330,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- fuzzy decontamination: MinHash-banded corpus×benchmark near-match
+    // (catches format-drifted eval leaks d07's exact 8-grams miss). The
+    // benchmark side is banded and BROADCAST — the corpus never shuffles;
+    // oracle replays the exhaustive exact-jaccard cross join. -----------
+    "d15_fuzzy_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.fuzzyDecontaminate(corpus, "doc_id", bench, "bench_id", "text",
+          shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+        .select(col("doc_id"), col("bench_id"),
+          round(col("jaccard"), 4).as("j"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // -- cap per key: keep best-K docs per source (C4-style domain cap) --
     // one shuffle on source; the window is the distributed form of
     // "sort within group, take K" — no driver involvement at any size
@@ -881,6 +897,18 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("lang"))),
 
+    // -- weighted exact-k sampling (Efraimidis–Spirakis race with
+    // deterministic md5 uniforms): quality/length-proportional subset
+    // selection, TakeOrderedAndProject plan (no global sort). Output is
+    // membership only — the race key itself is ln-based and engines
+    // differ in its last ulp (gate-safe: the k-th gap is ~1/n). -------
+    "p11_weighted_sample" -> ((s, d) =>
+      Splits.weightedSample(
+          Tables.documents(s, d).select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("w")),
+          "doc_id", "w", k = 50, salt = "ws4")
+        .orderBy(col("doc_id"))),
+
     // -- learned BPE subword tokenization: one distributed word-count
     // pass trains the merges driver-side (bounded word table), encode
     // runs per-row. rows-only (merge training isn't SQL-replayable);
@@ -1164,6 +1192,20 @@ object PipelineQueries {
         |CROSS JOIN vg CROSS JOIN vt
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // p07: thresholds 'e6' = round(256*0.90) = 230, 'f3' = round(256*0.95)
+    // membership-only replay of the Efraimidis–Spirakis race (the ln
+    // key's last ulp differs between engines; the k-th gap is ~1/n so
+    // membership is engine-stable — see Splits.weightedSampleKey)
+    "p11_weighted_sample" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |k AS (SELECT doc_id, w,
+        |  -ln((CAST(('0x'||substr(md5(doc_id::VARCHAR || ':ws4'),1,12)) AS BIGINT)
+        |       + 0.5) / 281474976710656.0) / w AS e
+        |  FROM w)
+        |SELECT doc_id, w FROM
+        |  (SELECT doc_id, w FROM k ORDER BY e, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
     "p07_train_split" ->
       """WITH s AS (SELECT lang,
         |  CASE WHEN substr(md5(doc_id::VARCHAR || ':r3'),1,2) < 'e6' THEN 'train'
@@ -1263,6 +1305,25 @@ object PipelineQueries {
         |       / len(list_distinct(a.tris||b.tris)), 4) AS j
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY j DESC, a, b LIMIT 10""".stripMargin,
+    // exhaustive exact-jaccard replay of the banded+verified production
+    // path: complete at these thresholds (see Dedup.fuzzyDecontaminate)
+    "d15_fuzzy_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
+        |      WHERE tri IS NOT NULL GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+        | round(len(list_intersect(a.tris,b.tris))::DOUBLE
+        |       / len(list_distinct(a.tris||b.tris)), 4) AS j
+        |FROM s a JOIN s b ON a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+        |WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
+        |      / len(list_distinct(a.tris||b.tris)) >= 0.8
+        |ORDER BY doc_id, bench_id""".stripMargin,
     "d05_embedding_top_pairs" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos

@@ -52,6 +52,48 @@ object Splits {
       trainPct: Int = 90, valPct: Int = 5): DataFrame =
     df.withColumn("split", splitLabel(col(keyCol), salt, trainPct, valPct))
 
+  /** Efraimidis–Spirakis exponential-race key for weighted sampling
+    * WITHOUT replacement: e = −ln(u)/w, where the uniform u ∈ (0,1) is
+    * derived deterministically from `md5(key || ':' || salt)` (first 12
+    * hex chars → integer m, u = (m+0.5)/16¹²; the +0.5 keeps u strictly
+    * inside (0,1), so ln never sees 0). Keeping the k SMALLEST keys
+    * draws an exact-k sample where inclusion probability is
+    * proportional-to-weight-without-replacement (Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir") — the
+    * quality-weighted subset selection step of a curation pipeline,
+    * with the same determinism guarantees as [[splitLabel]]: a re-run,
+    * a different partition layout, or a different engine draws the SAME
+    * sample, and a new salt draws an independent one.
+    *
+    * Engine-replay note (gate p11): ln differs between engines in the
+    * last ulp, so the key itself is never part of verified output —
+    * only membership is, and the k-th/(k+1)-th key gap for any real
+    * corpus is ~1/n relative, 10+ orders above ulp noise.
+    *
+    * @param weight must be strictly positive (w ≤ 0 corrupts the race:
+    *               −ln(u)/0 → ±Inf and negative w inverts the order)
+    */
+  def weightedSampleKey(key: Column, weight: Column, salt: String): Column = {
+    val m = conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
+      1, 12), 16, 10).cast("long")
+    -log((m.cast("double") + lit(0.5)) / lit(math.pow(16.0, 12))) / weight
+  }
+
+  /** Exact-k weighted sample of `df` (heavier rows proportionally more
+    * likely), deterministic in (keyCol, salt). The plan is a narrow key
+    * projection + `TakeOrderedAndProject`: each partition keeps its own
+    * top-k candidates and the driver merges k rows — no global sort, no
+    * full-corpus shuffle, O(k) driver state at any corpus size. Ties
+    * (possible only via md5 collision) break on the key column. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"sample size k=$k must be >= 1")
+    df.withColumn("__es_key", weightedSampleKey(col(keyCol), col(weightCol), salt))
+      .orderBy(col("__es_key").asc, col(keyCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Deterministic global training order: sort key = md5(key || salt).
     * A different salt per epoch gives independent reshuffles of the
     * whole corpus with zero RNG state — the reshuffle-per-epoch step

@@ -573,6 +573,59 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(all100 == Set("train"), s"100/0/0 must be all train, got $all100")
   }
 
+  test("weighted sample: exact k, partition-invariant, salt-independent, weight-proportional") {
+    import graft.operators.Splits
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("w"))
+    val s1 = Splits.weightedSample(docs, "doc_id", "w", 50, "ws-spec")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Splits.weightedSample(docs.repartition(13), "doc_id", "w", 50, "ws-spec")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.size == 50, s"exact-k violated: ${s1.size}")
+    assert(s1 == s2, "sample must not depend on partitioning")
+    val s3 = Splits.weightedSample(docs, "doc_id", "w", 50, "other-salt")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 != s1, "salt must give an independent draw")
+    // proportional-to-weight: planted 250 heavy (w=200) vs 250 light (w=1)
+    // rows; expected light-in-sample count ≈ 0.3, so ≥45 heavy is ~certain
+    // under correct ES and fails for uniform sampling (which would draw
+    // ~25 heavy) — a distribution bug, not a flake, trips this
+    val planted = spark.range(500).select(col("id").as("k"),
+      when(col("id") < 250, 200L).otherwise(1L).as("w"))
+    val heavy = Splits.weightedSample(planted, "k", "w", 50, "ws-spec")
+      .filter(col("w") === 200).count()
+    assert(heavy >= 45, s"heavy-weight rows undersampled: $heavy/50")
+  }
+
+  test("fuzzy decontamination: banded+verified == exhaustive jaccard; edit-noise leak caught") {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val got = Dedup.fuzzyDecontaminate(corpus, "doc_id", bench, "bench_id", "text")
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    val cs = corpus.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("s"))
+    val bs = bench.select(col("bench_id"), Dedup.wordShingles(col("text"), 3).as("t"))
+    val exact = cs.crossJoin(bs)
+      .filter(Dedup.jaccard(col("s"), col("t")) >= 0.8)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data lost its cross-split near-dups?")
+    assert(got == exact, s"missed ${exact -- got}, extra ${got -- exact}")
+    // a format-drifted eval leak (benchmark doc with 5% of its tail tokens
+    // dropped — the case exact-gram decontamination misses) must be caught
+    val benchText = bench.orderBy(col("bench_id")).select("text").as[String].head()
+    val toks = benchText.split(" ")
+    val drifted = toks.take(toks.length - math.max(1, toks.length / 20)).mkString(" ")
+    val corpus2 = corpus.select(col("doc_id"), col("text"))
+      .union(Seq((9001L, drifted)).toDF("doc_id", "text"))
+    val flagged = Dedup.fuzzyDecontaminate(corpus2, "doc_id", bench, "bench_id", "text")
+      .filter(col("doc_id") === 9001L)
+      .select("bench_id").as[Long].collect().toSet
+    assert(flagged.contains(
+      bench.orderBy(col("bench_id")).select("bench_id").as[Long].head()),
+      "drifted copy of a benchmark doc escaped fuzzy decontamination")
+  }
+
   test("BPE: classic hug/pug/hugs corpus learns the textbook merges") {
     import graft.functions.Bpe
     // HF tokenizers' canonical example: hug x10, pug x5, hugs x5

@@ -109,6 +109,22 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"exact-k sample degraded to a global sort:\n$p")
   }
 
+  test("p11: weighted sample races in TakeOrderedAndProject (no global sort)") {
+    // the inner ES top-k must be per-partition-bounded; the outer
+    // orderBy(doc_id) re-sorts only the k surviving rows
+    val p = plan("p11_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample degraded to a global sort:\n$p")
+  }
+
+  test("d15: fuzzy decontamination broadcasts the benchmark side") {
+    // corpus-side candidate generation must ride a broadcast of the
+    // banded benchmark — a shuffle here would move the whole corpus
+    val p = plan("d15_fuzzy_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark band join not broadcast:\n$p")
+  }
+
   test("d02: LSH verify join semi-prunes the shingle table to candidate ids") {
     // without the prune, both fetch joins shuffle every document's
     // shingle arrays; with it, only near-miss docs' shingles move
