@@ -909,6 +909,16 @@ object PipelineQueries {
           "doc_id", "w", k = 50, salt = "ws4")
         .orderBy(col("doc_id"))),
 
+    // -- temperature mix (mT5/XLM-R n^alpha upsampling): per-class keep
+    // rates from one tiny count agg, broadcast back, narrow md5-uniform
+    // keep predicate — no corpus shuffle. Deterministic in (key, salt).
+    "p12_temperature_mix" -> ((s, d) =>
+      Splits.temperatureMix(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5, budget = 250, salt = "tm4")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // -- learned BPE subword tokenization: one distributed word-count
     // pass trains the merges driver-side (bounded word table), encode
     // runs per-row. rows-only (merge training isn't SQL-replayable);
@@ -1206,6 +1216,19 @@ object PipelineQueries {
         |SELECT doc_id, w FROM
         |  (SELECT doc_id, w FROM k ORDER BY e, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
+    // full replay of the n^alpha rate computation + md5-uniform keep.
+    // pow ulp drift only matters if some doc's uniform lands inside the
+    // rate's ~2^-53 window — P ≈ n·2^-53/spacing ≈ 1e-13 here
+    "p12_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, pow(n, 0.5) AS w FROM n),
+        |r AS (SELECT lang,
+        |        least(1.0, 250.0 * w / (SELECT sum(w) FROM w) / n) AS rate
+        |      FROM w)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE (CAST(('0x'||substr(md5(d.doc_id::VARCHAR || ':tm4'),1,12)) AS BIGINT)
+        |       + 0.5) / 281474976710656.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     "p07_train_split" ->
       """WITH s AS (SELECT lang,
         |  CASE WHEN substr(md5(doc_id::VARCHAR || ':r3'),1,2) < 'e6' THEN 'train'

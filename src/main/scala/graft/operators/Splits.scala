@@ -73,11 +73,18 @@ object Splits {
     * @param weight must be strictly positive (w ≤ 0 corrupts the race:
     *               −ln(u)/0 → ±Inf and negative w inverts the order)
     */
-  def weightedSampleKey(key: Column, weight: Column, salt: String): Column = {
+  /** Deterministic uniform u ∈ (0,1), a pure function of (key, salt):
+    * first 12 hex chars of md5 → integer m, u = (m+0.5)/16¹². Strictly
+    * inside (0,1) so downstream ln/compares never see the endpoints;
+    * exact in double (m < 2⁴⁸ and the divisor is 2⁴⁸). */
+  def mdUniform(key: Column, salt: String): Column = {
     val m = conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
       1, 12), 16, 10).cast("long")
-    -log((m.cast("double") + lit(0.5)) / lit(math.pow(16.0, 12))) / weight
+    (m.cast("double") + lit(0.5)) / lit(math.pow(16.0, 12))
   }
+
+  def weightedSampleKey(key: Column, weight: Column, salt: String): Column =
+    -log(mdUniform(key, salt)) / weight
 
   /** Exact-k weighted sample of `df` (heavier rows proportionally more
     * likely), deterministic in (keyCol, salt). The plan is a narrow key
@@ -92,6 +99,45 @@ object Splits {
       .orderBy(col("__es_key").asc, col(keyCol))
       .limit(k)
       .drop("__es_key")
+  }
+
+  /** Temperature-based class rebalancing — the multilingual upsampling
+    * step of mT5/XLM-R (Xue et al. 2021 §3.1; Conneau et al. 2020 §3):
+    * sample class l with probability ∝ n_l^α, α ∈ [0,1], so low-resource
+    * classes (languages, domains, sources) are over-represented relative
+    * to their corpus share without exploding any single class. α = 1
+    * reproduces corpus proportions; α = 0 equalizes classes; the papers
+    * use α ≈ 0.3–0.7.
+    *
+    * Mechanism: one small per-class count aggregate → per-class keep
+    * rate min(1, budget·n_l^α / Σn^α / n_l), broadcast back; a row is
+    * kept iff [[mdUniform]](key, salt) < rate(class). Selection is a
+    * pure function of (key, salt, class counts): deterministic across
+    * runs, engines and partition layouts, re-drawable by salt. E[output
+    * size] = budget (exactly budget·p_l per class in expectation, capped
+    * classes excepted).
+    *
+    * Plan at 100 TB: the count aggregate is map-side combined and
+    * class-cardinality-sized; rates ride a broadcast join; the keep
+    * predicate is narrow codegen. No corpus shuffle anywhere.
+    *
+    * @param budget target TOTAL sample size in rows (expectation)
+    * @param alpha  temperature exponent in [0, 1]
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, classCol: String,
+      alpha: Double, budget: Long, salt: String): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0,1]")
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    val n = df.groupBy(col(classCol)).agg(count(lit(1)).cast("double").as("__n"))
+    val w = n.withColumn("__w", pow(col("__n"), lit(alpha)))
+    val tot = w.agg(sum(col("__w")).as("__tw"))
+    val rates = w.crossJoin(broadcast(tot))
+      .select(col(classCol),
+        least(lit(1.0), lit(budget.toDouble) * col("__w") / col("__tw") / col("__n"))
+          .as("__rate"))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(mdUniform(col(keyCol), salt) < col("__rate"))
+      .drop("__rate")
   }
 
   /** Deterministic global training order: sort key = md5(key || salt).

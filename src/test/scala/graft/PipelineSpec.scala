@@ -597,6 +597,30 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(heavy >= 45, s"heavy-weight rows undersampled: $heavy/50")
   }
 
+  test("temperature mix: deterministic, budget-calibrated, upweights rare classes, caps at 1") {
+    import graft.operators.Splits
+    // planted 4:1 class imbalance; alpha=0.5 rates: common n=400 w=20,
+    // rare n=100 w=10 -> targets 133.3/66.7 -> rates 0.333/0.667
+    val planted = spark.range(500).select(col("id").as("k"),
+      when(col("id") < 400, "common").otherwise("rare").as("c"))
+    val mixed = Splits.temperatureMix(planted, "k", "c", 0.5, 200L, "tm-spec")
+    val m1 = mixed.select("k").as[Long].collect().toSet
+    val m2 = Splits.temperatureMix(planted.repartition(13), "k", "c", 0.5, 200L, "tm-spec")
+      .select("k").as[Long].collect().toSet
+    assert(m1 == m2, "mix must not depend on partitioning")
+    // total within 5 sigma of the 200 budget (sigma = sqrt(sum n r(1-r)) ~ 10.5)
+    assert(math.abs(m1.size - 200) <= 53, s"budget missed: ${m1.size} vs 200")
+    // rare-class share must exceed its alpha=1 (proportional) share
+    val rareAt05 = mixed.filter(col("c") === "rare").count().toDouble / m1.size
+    val prop = Splits.temperatureMix(planted, "k", "c", 1.0, 200L, "tm-spec")
+    val rareAt1 = prop.filter(col("c") === "rare").count().toDouble / prop.count()
+    assert(rareAt05 > rareAt1 + 0.05,
+      s"alpha=0.5 must upweight the rare class: $rareAt05 vs $rareAt1")
+    // budget >= corpus: every rate caps at 1, nothing dropped
+    val all = Splits.temperatureMix(planted, "k", "c", 0.5, 10000L, "tm-spec")
+    assert(all.count() == 500, "capped rates must keep every row")
+  }
+
   test("fuzzy decontamination: banded+verified == exhaustive jaccard; edit-noise leak caught") {
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") % 10 === 0)

@@ -117,6 +117,14 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"weighted sample degraded to a global sort:\n$p")
   }
 
+  test("p12: temperature-mix rates broadcast; corpus side never sort-merges") {
+    // the per-class rate table is class-cardinality-sized: it must ride
+    // a broadcast join; an SMJ here would shuffle the whole corpus
+    val p = plan("p12_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the rate join:\n$p")
+  }
+
   test("d15: fuzzy decontamination broadcasts the benchmark side") {
     // corpus-side candidate generation must ride a broadcast of the
     // banded benchmark — a shuffle here would move the whole corpus
