@@ -919,6 +919,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // -- per-class weighted sampling: independent ES draw inside each
+    // lang (per-language budgets); WindowGroupLimit keeps the class
+    // exchange O(k·classes·tasks). Membership-only output (see p11). --
+    "p13_weighted_per_class" -> ((s, d) =>
+      Splits.weightedSamplePerClass(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("w")),
+          "doc_id", "lang", "w", k = 10, salt = "wc4")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // -- learned BPE subword tokenization: one distributed word-count
     // pass trains the merges driver-side (bounded word table), encode
     // runs per-row. rows-only (merge training isn't SQL-replayable);
@@ -1229,6 +1240,19 @@ object PipelineQueries {
         |WHERE (CAST(('0x'||substr(md5(d.doc_id::VARCHAR || ':tm4'),1,12)) AS BIGINT)
         |       + 0.5) / 281474976710656.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    // per-class membership replay of the stratified ES race (rank over
+    // the same ulp-safe ordering; only membership is compared)
+    "p13_weighted_per_class" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS wt
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY
+        |    -ln((CAST(('0x'||substr(md5(doc_id::VARCHAR || ':wc4'),1,12)) AS BIGINT)
+        |         + 0.5) / 281474976710656.0) / wt,
+        |    doc_id) AS rk
+        |  FROM w)
+        |SELECT doc_id, lang FROM k WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "p07_train_split" ->
       """WITH s AS (SELECT lang,
         |  CASE WHEN substr(md5(doc_id::VARCHAR || ':r3'),1,2) < 'e6' THEN 'train'

@@ -101,6 +101,27 @@ object Splits {
       .drop("__es_key")
   }
 
+  /** Per-class weighted exact-k sampling — the stratified form of
+    * [[weightedSample]]: an independent Efraimidis–Spirakis draw of k
+    * rows INSIDE each class (per-language/per-source budgets, heavier
+    * rows proportionally likelier within their class). Classes smaller
+    * than k are kept whole.
+    *
+    * Plan at 100 TB: rank-over-window with a `<= k` filter compiles to
+    * partial-below-the-shuffle `WindowGroupLimit` (like the p03 cap):
+    * each map task forwards at most k rows per class it sees, so the
+    * class exchange moves O(k · classes · tasks), never the corpus. */
+  def weightedSamplePerClass(df: DataFrame, keyCol: String, classCol: String,
+      weightCol: String, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"sample size k=$k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(weightedSampleKey(col(keyCol), col(weightCol), salt).asc,
+        col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Temperature-based class rebalancing — the multilingual upsampling
     * step of mT5/XLM-R (Xue et al. 2021 §3.1; Conneau et al. 2020 §3):
     * sample class l with probability ∝ n_l^α, α ∈ [0,1], so low-resource

@@ -597,6 +597,33 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(heavy >= 45, s"heavy-weight rows undersampled: $heavy/50")
   }
 
+  test("per-class weighted sample: exact k per class, partition-invariant, weight-biased within class") {
+    import graft.operators.Splits
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+    val s1 = Splits.weightedSamplePerClass(docs, "doc_id", "lang", "w", 10, "wc-spec")
+    val perClass = s1.groupBy("lang").count().select("count").as[Long].collect()
+    val classSizes = docs.groupBy("lang").count().select("count").as[Long].collect()
+    assert(perClass.forall(_ <= 10) && perClass.length == classSizes.length,
+      s"per-class cap violated: ${perClass.mkString(",")}")
+    assert(perClass.sum == classSizes.map(math.min(_, 10L)).sum,
+      "classes smaller than k must be kept whole, others at exactly k")
+    val m1 = s1.select("doc_id").as[Long].collect().toSet
+    val m2 = Splits.weightedSamplePerClass(docs.repartition(13),
+        "doc_id", "lang", "w", 10, "wc-spec")
+      .select("doc_id").as[Long].collect().toSet
+    assert(m1 == m2, "sample must not depend on partitioning")
+    // within-class weight bias: one class, 50 heavy (w=200) + 200 light
+    // (w=1), k=10 -> expected light draws ~0.25, so >=8 heavy is ~certain
+    // under ES and fails uniform (expected 2 heavy)
+    val planted = spark.range(250).select(col("id").as("k"), lit("c").as("c"),
+      when(col("id") < 50, 200L).otherwise(1L).as("w"))
+    val heavy = Splits.weightedSamplePerClass(planted, "k", "c", "w", 10, "wc-spec")
+      .filter(col("w") === 200).count()
+    assert(heavy >= 8, s"heavy rows undersampled within class: $heavy/10")
+  }
+
   test("temperature mix: deterministic, budget-calibrated, upweights rare classes, caps at 1") {
     import graft.operators.Splits
     // planted 4:1 class imbalance; alpha=0.5 rates: common n=400 w=20,

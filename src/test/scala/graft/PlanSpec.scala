@@ -117,6 +117,14 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"weighted sample degraded to a global sort:\n$p")
   }
 
+  test("p13: per-class weighted sample keeps a partial WindowGroupLimit below the shuffle") {
+    // map tasks must forward at most k rows per class, not the corpus
+    val p = plan("p13_weighted_per_class")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"no map-side group limit:\n$p")
+    assert("WindowGroupLimit .*Final".r.findFirstIn(p).isDefined)
+  }
+
   test("p12: temperature-mix rates broadcast; corpus side never sort-merges") {
     // the per-class rate table is class-cardinality-sized: it must ride
     // a broadcast join; an SMJ here would shuffle the whole corpus
