@@ -226,6 +226,38 @@ object Dedup {
     (pairs, new CacheHandle(Seq(banded, cand)))
   }
 
+  /** Canonical selection: near-dup dedup that keeps the BEST-scoring
+    * member of every duplicate cluster — the production semantics
+    * ("keep the longest / highest-quality copy, drop the rest") where
+    * d01/d13 keep an arbitrary min-id member. Composable over ANY pair
+    * source: feed it [[minhashLshPairs]], [[simhashPairs]] output, or
+    * semantic pairs; it clusters the pairs ([[duplicateClusters]]) and
+    * arg-maxes `scoreCol` inside each cluster (ties break on min id).
+    *
+    * Plan at 100 TB: pairs and clusters are SPARSE (near-dup docs
+    * only), so the rank window runs over the sparse clustered subset,
+    * never the corpus; untouched docs pass through one left-anti join.
+    * The corpus-sized work is exactly two hash joins on the id.
+    *
+    * @param pairs (a, b) near-dup pairs, ids drawn from `df(idCol)`
+    * @return the kept rows of `df`, schema unchanged
+    */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = duplicateClusters(pairs)
+      .select(col("doc_id").as(idCol), col("rep"))
+    val clustered = df.join(clusters, Seq(idCol))
+    val w = Window.partitionBy(col("rep"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val keptClustered = clustered
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "rep")
+    val singletons = df.join(clusters.select(col(idCol)), Seq(idCol), "left_anti")
+    keptClustered.unionByName(singletons)
+  }
+
   /** Fuzzy decontamination: MinHash-banded near-match of a huge corpus
     * against a SMALL benchmark set — the near-dup complement of the
     * exact n-gram overlap checks (d07/d09). Exact-gram decontamination

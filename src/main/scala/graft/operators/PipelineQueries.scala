@@ -330,6 +330,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- canonical selection: keep the LONGEST member of each near-dup
+    // cluster (production "keep best copy" semantics vs d01/d13's
+    // min-id); rank window runs over the sparse clustered subset only --
+    "d16_canonical_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"), col("text"))
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      Dedup.keepBestPerCluster(docs, "doc_id", "n_tok", pairs)
+        .select(col("doc_id"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- fuzzy decontamination: MinHash-banded corpus×benchmark near-match
     // (catches format-drifted eval leaks d07's exact 8-grams miss). The
     // benchmark side is banded and BROADCAST — the corpus never shuffles;
@@ -1337,6 +1351,40 @@ object PipelineQueries {
         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
         |SELECT id AS doc_id, min(r) AS rep FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // d06's recursive-CTE clusters + per-cluster argmax on token count,
+    // unioned with the untouched singletons
+    "d16_canonical_keep" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
+        |      WHERE tri IS NOT NULL GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
+        |        / len(list_distinct(a.tris||b.tris)) >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |lab AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+        |wt AS (SELECT doc_id,
+        |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |       FROM documents),
+        |best AS (SELECT doc_id FROM (
+        |    SELECT l.doc_id, row_number() OVER (PARTITION BY l.rep
+        |      ORDER BY wt.n_tok DESC, l.doc_id) AS rk
+        |    FROM lab l JOIN wt USING (doc_id)) WHERE rk = 1)
+        |SELECT doc_id, n_tok FROM wt
+        |WHERE doc_id IN (SELECT doc_id FROM best)
+        |   OR doc_id NOT IN (SELECT doc_id FROM lab)
+        |ORDER BY doc_id""".stripMargin,
     "d04_ngram_jaccard_top" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,

@@ -597,6 +597,40 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(heavy >= 45, s"heavy-weight rows undersampled: $heavy/50")
   }
 
+  test("canonical keep: longest cluster member survives, singletons pass through") {
+    // two planted clusters (by explicit pairs) + a singleton: the
+    // highest-score member of each cluster is kept, ties break min-id
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // cluster {1,2,3} -> keep 2
+      (4L, 5L), (5L, 5L),              // cluster {4,5}, tie -> keep 4
+      (9L, 1L)                         // singleton -> kept
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 9L), s"wrong canonical set: $kept")
+    // schema passes through unchanged
+    assert(Dedup.keepBestPerCluster(docs, "doc_id", "score", pairs)
+      .columns.toSeq == Seq("doc_id", "score"))
+    // corpus-level: output size = corpus - (clustered - clusters), and
+    // partition layout must not matter
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"),
+        col("text"))
+    val cPairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 64, 16, 0.8)
+    val k1 = Dedup.keepBestPerCluster(corpus, "doc_id", "n", cPairs)
+      .select("doc_id").as[Long].collect().toSet
+    val k2 = Dedup.keepBestPerCluster(corpus.repartition(13), "doc_id", "n", cPairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k1 == k2, "canonical keep must not depend on partitioning")
+    val lab = Dedup.duplicateClusters(cPairs)
+    val clustered = lab.count()
+    val nClusters = lab.select("rep").distinct().count()
+    assert(k1.size == corpus.count() - (clustered - nClusters),
+      "must drop exactly (clustered - clusters) docs")
+    spark.catalog.clearCache() // minhashLshPairs persists internally
+  }
+
   test("per-class weighted sample: exact k per class, partition-invariant, weight-biased within class") {
     import graft.operators.Splits
     val docs = Tables.documents(spark, sfDir)
