@@ -226,6 +226,48 @@ object Dedup {
     (pairs, new CacheHandle(Seq(banded, cand)))
   }
 
+  /** Paragraph-level dedup — the CCNet step (Wenzek et al. 2020 §3.1,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): boilerplate (headers, nav bars, cookie banners, license
+    * blocks) repeats across MANY documents while each document as a
+    * whole is unique, so doc-level dedup never sees it. Split every doc
+    * on `sep`, count identical paragraphs corpus-wide, drop ALL copies
+    * of any paragraph occurring ≥ `minOccurrences` times, and reassemble
+    * the survivors in original order (docs reduced to nothing come back
+    * with an empty string — downstream length/quality filters drop them).
+    *
+    * Plan at 100 TB: narrow posexplode → one paragraph-keyed count
+    * (map-side combined: boilerplate collapses before the exchange) →
+    * join back on the paragraph key → one doc-keyed reassembly
+    * aggregate. With `hashParagraphs` both wide stages key on
+    * `xxhash64(para)` 8-byte longs instead of paragraph strings — the
+    * same 100 TB shuffle-byte switch as d11/d12's `hashGrams`
+    * (collisions 2⁻⁶⁴; off in the gate so the oracle can replay content
+    * identity, spec-proved identical on the corpus).
+    *
+    * @return `idCol`, `n_kept` (surviving paragraph count), `text_out`
+    *         (reassembled doc)
+    */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minOccurrences: Int = 2,
+      hashParagraphs: Boolean = false): DataFrame = {
+    require(minOccurrences >= 2, s"minOccurrences=$minOccurrences must be >= 2")
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val keyed = paras.withColumn("__k",
+      if (hashParagraphs) xxhash64(col("para")) else col("para"))
+    val cnt = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+    val kept = keyed.join(cnt, "__k").filter(col("__n") < minOccurrences)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"),
+        col("para")))), x => x.getField("para")), sep).as("text_out"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_out"), lit("")).as("text_out"))
+  }
+
   /** Canonical selection: near-dup dedup that keeps the BEST-scoring
     * member of every duplicate cluster — the production semantics
     * ("keep the longest / highest-quality copy, drop the rest") where

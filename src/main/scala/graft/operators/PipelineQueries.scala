@@ -330,6 +330,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- CCNet paragraph-level dedup: drop paragraphs duplicated
+    // corpus-wide, reassemble docs. The corpus has no natural paragraph
+    // marks, so the gate first re-chunks each doc into deterministic
+    // 10-token pseudo-paragraphs in-plan (narrow, DuckDB-replayable),
+    // then runs the REAL operator on the "\n"-joined form. ------------
+    "d17_paragraph_dedup" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nChunks = ((size(toks) + lit(9)) / lit(10)).cast("int")
+      val chunked = Tables.documents(s, d).select(col("doc_id"),
+        array_join(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * lit(10) + lit(1), lit(10)), " ")),
+          "\n").as("text"))
+      Dedup.dropDuplicateParagraphs(chunked, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // -- canonical selection: keep the LONGEST member of each near-dup
     // cluster (production "keep best copy" semantics vs d01/d13's
     // min-id); rank window runs over the sparse clustered subset only --
@@ -1351,6 +1367,26 @@ object PipelineQueries {
         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
         |SELECT id AS doc_id, min(r) AS rep FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // replay: identical 10-token chunking, corpus-wide paragraph counts,
+    // drop n>=2, ordered string_agg reassembly (chr(10) == the "\n" join)
+    "d17_paragraph_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |chunk AS (SELECT doc_id, CAST(floor((pos-1)/10) AS BIGINT) AS cid,
+        |            string_agg(tok, ' ' ORDER BY pos) AS para
+        |          FROM tok GROUP BY doc_id, floor((pos-1)/10)),
+        |cnt AS (SELECT para, count(*) AS n FROM chunk GROUP BY para),
+        |kept AS (SELECT c.doc_id, c.cid, c.para
+        |         FROM chunk c JOIN cnt USING (para) WHERE n < 2),
+        |out AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(para, chr(10) ORDER BY cid) AS text_out
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(o.n_kept, 0) AS n_kept,
+        |       coalesce(o.text_out, '') AS text_out
+        |FROM documents d LEFT JOIN out o USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // d06's recursive-CTE clusters + per-cluster argmax on token count,
     // unioned with the untouched singletons
     "d16_canonical_keep" ->

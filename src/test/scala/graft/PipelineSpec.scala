@@ -597,6 +597,47 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(heavy >= 45, s"heavy-weight rows undersampled: $heavy/50")
   }
 
+  test("paragraph dedup: boilerplate dropped everywhere, order kept, hashed == plain") {
+    // CCNet semantics: the shared banner paragraph vanishes from every
+    // doc (including its first occurrence); unique paragraphs survive
+    // in original order; an all-boilerplate doc reduces to ""
+    val docs = Seq(
+      (1L, "cookie banner\nalpha one\nbeta two"),
+      (2L, "gamma three\ncookie banner\ndelta four"),
+      (3L, "cookie banner")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, "alpha one\nbeta two"),
+      (2L, 2L, "gamma three\ndelta four"),
+      (3L, 0L, "")), s"wrong paragraph dedup: $out")
+    // threshold: minOccurrences=3 spares a twice-occurring paragraph
+    val spared = Dedup.dropDuplicateParagraphs(
+        docs.filter(col("doc_id") =!= 3L), "doc_id", "text",
+        minOccurrences = 3)
+      .orderBy("doc_id").select("n_kept").as[Long].collect().toSeq
+    assert(spared == Seq(3L, 3L), "below-threshold paragraphs must survive")
+    // 100 TB switch: xxhash64-keyed shuffles == paragraph-string shuffles
+    // on the real corpus (10-token pseudo-paragraph form, as in the gate)
+    val toks = split(col("text"), " ")
+    val nChunks = ((size(toks) + lit(9)) / lit(10)).cast("int")
+    val chunked = Tables.documents(spark, sfDir).select(col("doc_id"),
+      array_join(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * lit(10) + lit(1), lit(10)), " ")),
+        "\n").as("text"))
+    val plain = Dedup.dropDuplicateParagraphs(chunked, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    val hashed = Dedup.dropDuplicateParagraphs(chunked, "doc_id", "text",
+        hashParagraphs = true)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(plain.nonEmpty && hashed == plain,
+      "hashed-paragraph shuffle must reproduce the string-keyed result")
+    assert(plain.exists(_._2 == 0) || plain.map(_._2).sum <
+      chunked.select(sum(size(split(col("text"), "\n")))).as[Long].head(),
+      "corpus must actually lose duplicated paragraphs (vacuous test?)")
+  }
+
   test("canonical keep: longest cluster member survives, singletons pass through") {
     // two planted clusters (by explicit pairs) + a singleton: the
     // highest-score member of each cluster is kept, ties break min-id
