@@ -47,6 +47,7 @@ object Bench {
     "d07_contamination",     // exact decontamination (broadcast 8-gram set)
     "d09_bloom_decontaminate", // bloom-prefiltered twin (same oracle as d07)
     "d15_fuzzy_decontaminate", // MinHash-banded near-match decontamination
+    "d17_paragraph_dedup",   // CCNet paragraph dedup + ordered reassembly
     "p12_temperature_mix",   // n^alpha class rebalancing, broadcast rates
     "d12_dup_spans",         // ExactSubstr duplicate spans (Lee et al. 2021)
     "t11_lm_score",          // corpus-trained bigram LM quality score
