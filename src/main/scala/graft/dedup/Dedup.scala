@@ -437,6 +437,41 @@ object Dedup {
       .select(col("id").as(idCol), col("span_start"), col("span_end"))
   }
 
+  /** The ACTION form of [[duplicateSpans]] — Lee et al. 2021 don't just
+    * find duplicated substrings, they CUT them: every token inside a
+    * duplicated span is removed and the survivors are rejoined in
+    * order, which their ablations show beats dropping whole documents.
+    * Docs reduced to nothing come back as "" for downstream filters.
+    *
+    * Plan at 100 TB: the span computation is d12's (two gram-keyed
+    * shuffles of 8-byte longs under `hashGrams`); spans are SPARSE
+    * (only duplicated regions), collected per doc by one aggregate and
+    * joined back; the cut itself is a narrow index-aware
+    * `transform`+`exists`+`filter` chain in codegen — per-token work is
+    * O(spans-in-this-doc), and no corpus-sized state is cached.
+    *
+    * @return `idCol`, `n_kept` (surviving token count), `text_out`
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minOccurrences: Long = 2,
+      hashGrams: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minOccurrences, hashGrams)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val t = split(col(textCol), " ")
+    val covered = (p: Column) => exists(col("__spans"),
+      s => p >= s.getField("span_start") && p <= s.getField("span_end"))
+    val keptArr = filter(
+      transform(t, (tok, i) => when(covered(i.cast("long")), lit(null)).otherwise(tok)),
+      x => x.isNotNull)
+    df.join(spans, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__spans").isNull, size(t)).otherwise(size(keptArr))
+          .cast("long").as("n_kept"),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(keptArr, " ")).as("text_out"))
+  }
+
   /** Per-document share of tokens inside a duplicated span (companion
     * summary to [[duplicateSpans]] — the "what fraction of this doc is
     * boilerplate someone else also has" number pipelines threshold on).

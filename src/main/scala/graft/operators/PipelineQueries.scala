@@ -741,6 +741,14 @@ object PipelineQueries {
           k = 8, minOccurrences = 2, hashGrams = true)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // -- ExactSubstr REMOVAL (the paper's action: cut duplicated spans
+    // out of the text, don't drop docs); narrow index-aware cut over
+    // the sparse span list, production hashed-gram span path ----------
+    "d18_span_removal" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 8, minOccurrences = 2, hashGrams = true)
+        .orderBy(col("doc_id"))),
+
     // -- corpus-trained bigram LM score (CCNet-style perplexity filter);
     // production hashed-token path for the same reason as d12: the
     // oracle replays scores, which depend only on counts. ----------------
@@ -1177,6 +1185,39 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "d12_dup_spans" -> dupSpansOracle,
+    // d12's island CTE + NOT EXISTS token cut + ordered reassembly
+    "d18_span_removal" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |g AS (SELECT doc_id, pos - 1 AS p,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win
+        |            || ' ' || lead(tok,3) OVER win || ' ' || lead(tok,4) OVER win
+        |            || ' ' || lead(tok,5) OVER win || ' ' || lead(tok,6) OVER win
+        |            || ' ' || lead(tok,7) OVER win AS g8
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |gg AS (SELECT doc_id, p, g8 FROM g WHERE g8 IS NOT NULL),
+        |dup AS (SELECT g8 FROM gg GROUP BY g8 HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, p FROM gg JOIN dup USING (g8)),
+        |i AS (SELECT doc_id, p,
+        |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+        |             THEN 0 ELSE 1 END AS ni
+        |      FROM d),
+        |s AS (SELECT doc_id, p,
+        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM i),
+        |spans AS (SELECT doc_id, min(p) AS a, max(p) + 7 AS b
+        |          FROM s GROUP BY doc_id, isl),
+        |keep AS (SELECT w.doc_id, w.pos - 1 AS p, w.tok FROM w
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |           WHERE sp.doc_id = w.doc_id AND w.pos - 1 BETWEEN sp.a AND sp.b)),
+        |out AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY p) AS text_out
+        |        FROM keep GROUP BY doc_id)
+        |SELECT doc.doc_id, coalesce(o.n_kept, 0) AS n_kept,
+        |       coalesce(o.text_out, '') AS text_out
+        |FROM documents doc LEFT JOIN out o USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin,
     "p08_training_mix" -> trainingMixOracle,
     "t11_lm_score" -> lmScoreOracle,
     "e03_pca_contract" ->

@@ -597,6 +597,45 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(heavy >= 45, s"heavy-weight rows undersampled: $heavy/50")
   }
 
+  test("span removal: cuts exactly the d12 spans, keeps clean docs verbatim, hashed == plain") {
+    // two docs share a 10-token run (covered by duplicated 8-grams);
+    // the run must vanish from BOTH, surrounding text stitched in order
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four"),
+      (3L, "totally unique words with no repeats at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, "alpha beta gamma delta"),
+      (2L, 4L, "one two three four"),
+      (3L, 9L, "totally unique words with no repeats at all here")),
+      s"wrong span removal: $out")
+    // law: n_kept == n_toks - dup_toks from duplicateSpanStats, corpus-wide
+    val corpus = Tables.documents(spark, sfDir)
+    val removed = Dedup.removeDuplicateSpans(corpus, "doc_id", "text",
+      k = 8, hashGrams = true)
+    val stats = Dedup.duplicateSpanStats(corpus, "doc_id", "text",
+      k = 8, hashGrams = true)
+    val viol = removed.join(stats, "doc_id")
+      .filter(col("n_kept") =!= col("n_toks") -
+        coalesce(col("dup_toks"), lit(0L)))
+      .count()
+    assert(viol == 0, s"$viol docs break n_kept == n_toks - dup_toks")
+    // 100 TB switch parity on the corpus
+    val plain = Dedup.removeDuplicateSpans(corpus, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    val hashed = removed.orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(plain.exists(r => r._2 == 0 || r._3.isEmpty) ||
+      plain.map(_._2).sum < corpus.select(
+        sum(size(split(col("text"), " ")))).as[Long].head(),
+      "corpus must actually lose duplicated spans (vacuous test?)")
+    assert(hashed == plain,
+      "hashed-gram span removal must reproduce the string-gram result")
+  }
+
   test("paragraph dedup: boilerplate dropped everywhere, order kept, hashed == plain") {
     // CCNet semantics: the shared banner paragraph vanishes from every
     // doc (including its first occurrence); unique paragraphs survive
