@@ -48,6 +48,7 @@ object Bench {
     "d09_bloom_decontaminate", // bloom-prefiltered twin (same oracle as d07)
     "d15_fuzzy_decontaminate", // MinHash-banded near-match decontamination
     "d17_paragraph_dedup",   // CCNet paragraph dedup + ordered reassembly
+    "d18_span_removal",      // ExactSubstr cut + stitch (action form of d12)
     "p12_temperature_mix",   // n^alpha class rebalancing, broadcast rates
     "d12_dup_spans",         // ExactSubstr duplicate spans (Lee et al. 2021)
     "t11_lm_score",          // corpus-trained bigram LM quality score
