@@ -466,9 +466,13 @@ object Dedup {
       x => x.isNotNull)
     df.join(spans, Seq(idCol), "left_outer")
       .select(col(idCol),
-        when(col("__spans").isNull, size(t)).otherwise(size(keptArr))
+        // null text first: size(split(NULL)) is -1, not 0 — match
+        // dropDuplicateParagraphs' coalesce-to-empty convention
+        when(col(textCol).isNull, lit(0L))
+          .when(col("__spans").isNull, size(t)).otherwise(size(keptArr))
           .cast("long").as("n_kept"),
-        when(col("__spans").isNull, col(textCol))
+        when(col(textCol).isNull, lit(""))
+          .when(col("__spans").isNull, col(textCol))
           .otherwise(array_join(keptArr, " ")).as("text_out"))
   }
 
@@ -691,7 +695,9 @@ object Dedup {
     *   largest honest cluster. The default (1000, bounding per-bucket
     *   pair generation at 10⁶) is far above any honest bucket at gate
     *   scale, so the d08 contract (pairs == brute-force hamming join on
-    *   the 500-doc corpus) stays exact. */
+    *   the 500-doc corpus) stays exact. A capped run is never silently
+    *   lossy: [[simhashPairsWithStats]] returns the dropped-bucket census
+    *   so callers can detect and handle excluded clusters. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
     simhashPairsTracked(df, idCol, textCol, maxHamming, maxBucket)._1
@@ -700,17 +706,39 @@ object Dedup {
     * same caller-invoked unpersist discipline as [[minhashLshPairsTracked]]. */
   def simhashPairsTracked(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): (DataFrame, CacheHandle) = {
+    val (pairs, _, handle) =
+      simhashPairsWithStats(df, idCol, textCol, maxHamming, maxBucket)
+    (pairs, handle)
+  }
+
+  /** [[simhashPairsTracked]] plus the DROPPED-bucket census `(band, h, n)`
+    * — the buckets the `maxBucket` cap excluded from pair generation. A
+    * capped run is lossy for >maxBucket near-identical clusters (see the
+    * [[simhashPairs]] caveat); this frame makes that loss OBSERVABLE
+    * instead of silent: empty census ⇒ the completeness guarantee held
+    * unconditionally; non-empty ⇒ each listed bucket names a cluster to
+    * dedup upstream (digest/d01) or re-run uncapped over. Costs nothing
+    * extra — the census is a filter over the same count aggregate the
+    * prune already computes (and with `maxBucket = 0` it is statically
+    * empty). */
+  def simhashPairsWithStats(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000)
+      : (DataFrame, DataFrame, CacheHandle) = {
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")).persist()
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("h"))): _*)).as("bh"))
       .select(col("id"), col("sig"), col("bh.band"), col("bh.h"))
+    val census = banded.groupBy(col("band"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val dropped =
+      if (maxBucket > 0) census.filter(col("n") > maxBucket)
+      else census.filter(lit(false))
     val pruned =
       if (maxBucket > 0) {
         // singleton buckets (n = 1) generate no pairs either; prune both
-        val ok = banded.groupBy(col("band"), col("h"))
-          .agg(count(lit(1)).as("n"))
+        val ok = census
           .filter(col("n").between(2, maxBucket))
           .select(col("band"), col("h"))
         banded.join(ok, Seq("band", "h"))
@@ -723,6 +751,6 @@ object Dedup {
         hamming64(col("l.sig"), col("r.sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    (pairs, new CacheHandle(Seq(sigs)))
+    (pairs, dropped, new CacheHandle(Seq(sigs)))
   }
 }

@@ -83,8 +83,16 @@ object Splits {
     (m.cast("double") + lit(0.5)) / lit(math.pow(16.0, 12))
   }
 
-  def weightedSampleKey(key: Column, weight: Column, salt: String): Column =
-    -log(mdUniform(key, salt)) / weight
+  def weightedSampleKey(key: Column, weight: Column, salt: String): Column = {
+    // in-plan guard (mirrors the require() checks on k/alpha/budget): w <= 0
+    // corrupts the race silently (+Inf key = never sampled; negative w
+    // inverts the order so the WORST rows always win) — fail loudly instead
+    val w = when(weight.isNull || weight <= lit(0),
+      raise_error(concat(
+        lit("weightedSampleKey: weight must be strictly positive, got "),
+        coalesce(weight.cast("string"), lit("null"))))).otherwise(weight)
+    -log(mdUniform(key, salt)) / w
+  }
 
   /** Exact-k weighted sample of `df` (heavier rows proportionally more
     * likely), deterministic in (keyCol, salt). The plan is a narrow key
@@ -156,9 +164,13 @@ object Splits {
       .select(col(classCol),
         least(lit(1.0), lit(budget.toDouble) * col("__w") / col("__tw") / col("__n"))
           .as("__rate"))
-    df.join(broadcast(rates), Seq(classCol))
+    // null-safe equality: groupBy keeps NULL as its own class, but a plain
+    // equi-join would never match it back, silently dropping every
+    // null-class row (and with it E[output] below budget)
+    val r = broadcast(rates.withColumnRenamed(classCol, "__tm_cls"))
+    df.join(r, col(classCol) <=> col("__tm_cls"))
       .filter(mdUniform(col(keyCol), salt) < col("__rate"))
-      .drop("__rate")
+      .drop("__rate", "__tm_cls")
   }
 
   /** Deterministic global training order: sort key = md5(key || salt).

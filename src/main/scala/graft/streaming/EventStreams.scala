@@ -103,12 +103,16 @@ object EventStreams {
         val part = s"$stageDir/stage_$i"
         ranked.filter(col("fidx") === i).drop("fidx").coalesce(1)
           .write.mode("overwrite").parquet(part)
-        val src = new java.io.File(part).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"$i%02d.parquet")
-        java.nio.file.Files.move(src.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1700000000000L + i * 60000L)
+        // rows < nFiles leaves trailing ntile buckets empty, and an empty
+        // single-partition write may emit no part file — tolerate the
+        // empty bucket (skip it) instead of throwing on .head
+        new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption.foreach { src =>
+            val dst = new java.io.File(inDir, f"$i%02d.parquet")
+            java.nio.file.Files.move(src.toPath, dst.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            dst.setLastModified(1700000000000L + i * 60000L)
+          }
       }
     } finally ranked.unpersist()
     inDir

@@ -94,6 +94,29 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"capped run should keep only the small-bucket pair, got ${pairs.size} pairs")
   }
 
+  test("simhashPairsWithStats: capped loss is observable, clean runs report empty census") {
+    // degenerate corpus: 2k identical docs -> every band bucket holds 2k
+    // ids, all four shed by the default cap -> census must SAY so
+    val boiler = (0 until 2000).map(i => (1000L + i, "lorem ipsum dolor sit amet"))
+    val base = (0 until 200).map(i => s"tok${i % 37}").mkString(" ")
+    val docs = (boiler :+ ((1L, base))).toDF("doc_id", "text")
+    val (_, dropped, h) = Dedup.simhashPairsWithStats(docs, "doc_id", "text")
+    val shed = dropped.as[(Int, Long, Long)].collect().toSeq
+    h.unpersist()
+    assert(shed.length == 4 && shed.forall(_._3 == 2000L),
+      s"expected 4 shed buckets of 2000 docs, got $shed")
+    // honest corpus under the same cap: nothing shed
+    val clean = Tables.documents(spark, sfDir).limit(200)
+    val (_, d2, h2) = Dedup.simhashPairsWithStats(clean, "doc_id", "text")
+    val n2 = d2.count(); h2.unpersist()
+    assert(n2 == 0, s"honest corpus must shed no buckets, got $n2")
+    // maxBucket = 0 (uncapped): census statically empty even when hot
+    val (_, d3, h3) = Dedup.simhashPairsWithStats(docs, "doc_id", "text",
+      maxBucket = 0)
+    val n3 = d3.count(); h3.unpersist()
+    assert(n3 == 0, "uncapped run must report an empty census")
+  }
+
   test("tracked dedup handles: invoking the handle empties the cache manager") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val (pairs, h1) = Dedup.minhashLshPairsTracked(docs, "doc_id", "text")
@@ -595,6 +618,47 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     val heavy = Splits.weightedSample(planted, "k", "w", 50, "ws-spec")
       .filter(col("w") === 200).count()
     assert(heavy >= 45, s"heavy-weight rows undersampled: $heavy/50")
+  }
+
+  test("weighted sample: non-positive weight fails loudly, not silently") {
+    import graft.operators.Splits
+    // w=0 used to yield +Inf (row never sampled) and w<0 inverted the
+    // race — both silent; the in-plan guard raises instead
+    val bad = spark.range(10).select(col("id").as("k"),
+      when(col("id") === 7, 0L).otherwise(5L).as("w"))
+    val e = intercept[Exception] {
+      Splits.weightedSample(bad, "k", "w", 3, "guard-spec").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("strictly positive")),
+      s"expected the weight guard to fire, got: ${messages(e)}")
+  }
+
+  test("temperature mix: null-class rows are rated and kept, not silently dropped") {
+    import graft.operators.Splits
+    // 400 'common' + 100 NULL-class rows; the null class must behave as
+    // its own stratum (not vanish in the rate join)
+    val planted = spark.range(500).select(col("id").as("k"),
+      when(col("id") < 400, "common").otherwise(lit(null: String)).as("c"))
+    val mixed = Splits.temperatureMix(planted, "k", "c", 0.5, 200L, "tm-null")
+    val nullKept = mixed.filter(col("c").isNull).count()
+    // alpha=0.5 rate for the n=100 class is ~0.667 (same arithmetic as the
+    // planted-imbalance test): expectation ~66.7, sigma ~4.7 — >= 40 is
+    // ~5-sigma-safe and zero (the old silent-drop behavior) always fails
+    assert(nullKept >= 40, s"null-class rows dropped or undersampled: $nullKept")
+    val total = mixed.count()
+    assert(math.abs(total - 200L) <= 55, s"budget missed with null class: $total")
+  }
+
+  test("span removal: null text yields (0, '') like dropDuplicateParagraphs") {
+    val docs = Seq((1L, "some unique words here"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 4L, "some unique words here"), (2L, 0L, "")),
+      s"null text must coalesce to (0, ''), got $out")
   }
 
   test("span removal: cuts exactly the d12 spans, keeps clean docs verbatim, hashed == plain") {
