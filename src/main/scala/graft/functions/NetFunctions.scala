@@ -40,4 +40,43 @@ object NetFunctions {
       p.getItem(0).cast("long") * 16777216L + p.getItem(1).cast("long") * 65536L +
         p.getItem(2).cast("long") * 256L + p.getItem(3).cast("long"))
   }
+
+  private val UrlParts = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?"
+
+  /** Canonical URL form for URL-level deduplication (the RefinedWeb /
+    * CommonCrawl "one document per URL" step — Penedo et al. 2023 §3.1
+    * dedups on normalized URLs before anything touches the text):
+    * lowercase scheme and host, strip a leading `www.`, drop the default
+    * port (`:443` https / `:80` http), drop the fragment, strip a
+    * trailing slash from the path, drop `utm_*` tracking parameters and
+    * SORT the surviving query parameters (param order never
+    * distinguishes documents). Pure regexp/array functions — narrow,
+    * codegen'd, no UDF — and deliberately RE2-safe (no lookarounds) so
+    * an external engine can replay it (gate d19).
+    *
+    * Malformed input (no `scheme://host`) canonicalizes to null. */
+  def canonicalizeUrl(c: Column): Column = {
+    val scheme = lower(regexp_extract(c, UrlParts, 1))
+    val rawHost = lower(regexp_extract(c, UrlParts, 2))
+    val noWww = regexp_replace(rawHost, "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(regexp_extract(c, UrlParts, 3), "/$", "")
+    val params = filter(
+      split(regexp_replace(regexp_extract(c, UrlParts, 4), "^\\?", ""), "&"),
+      p => p =!= "" && !p.startsWith("utm_"))
+    val q = array_join(array_sort(params), "&")
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /** Host of the canonical form (post `www.`/port normalization) — the
+    * key for host-level blocklists and per-domain caps. */
+  def canonicalHost(c: Column): Column = {
+    val h = canonicalizeUrl(c)
+    when(h.isNull, lit(null).cast("string"))
+      .otherwise(regexp_extract(h, UrlParts, 2))
+  }
 }

@@ -139,4 +139,38 @@ object LanguageModel {
           * 10000 + lit(0.5)) / 10000).as("ml_score"))
       .select(col("id").as(idCol), col("n_bigrams"), col("ml_score"))
   }
+
+  /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2020 §4.3):
+    * rank every document by LM score WITHIN its class (language) and cut
+    * the class into `nBuckets` equal tiles — head = best-scoring third
+    * (lowest perplexity), tail = worst. Downstream pipelines keep head
+    * (+middle) or weight the buckets differently in the training mix.
+    *
+    * Ordering is by the ROUNDED [[bigramLogLikelihood]] score (ties on
+    * id) — the rounded value is the cross-engine-stable one (the t11
+    * gate hash-verifies it), so bucket membership is engine-replayable
+    * where raw ln output would flip on last-ulp differences.
+    *
+    * Plan at 100 TB: scoring is [[bigramLogLikelihood]] (vocabulary-sized
+    * exchanges); the tiling is one `ntile` window per class — a range
+    * exchange on (class, score). CCNet itself computes per-class
+    * percentile CUTOFFS on a sample and assigns narrowly; at extreme
+    * scale swap the window for `percentile_approx` thresholds broadcast
+    * back (same output up to boundary docs). Docs with < 2 tokens have
+    * no bigrams and are absent, as in [[bigramLogLikelihood]].
+    *
+    * @return idCol, classCol, `ll`, `bucket` (1 = head .. nBuckets = tail)
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      classCol: String, nBuckets: Int = 3,
+      hashTokens: Boolean = false): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLogLikelihood(df, idCol, textCol, hashTokens)
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(col("ll").desc, col(idCol))
+    scored.join(df.select(col(idCol), col(classCol)), Seq(idCol))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .select(col(idCol), col(classCol), col("ll"), col("bucket"))
+  }
 }

@@ -1040,6 +1040,92 @@ object PipelineQueries {
       Ann.semDedup(e.unionByName(clones), "vec_id", "embedding",
           tau = 0.999, nLists = 8)
         .orderBy(col("vec_id"))
+    }),
+
+    // -- Gopher doc-level quality rules (Rae et al. 2021 A1.1): the
+    // published rule battery as one narrow codegen'd struct — every
+    // metric and rule boolean hash-verified per doc. Bounds sit inside
+    // the corpus distribution so both outcomes of the load-bearing
+    // rules appear. ----------------------------------------------------
+    "t17_gopher_rules" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          QualityRules.gopherRuleFlags(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+          col("g.n_stopwords"), col("g.r_word_count"), col("g.r_mean_len"),
+          col("g.r_symbol"), col("g.r_bullet"), col("g.r_ellipsis"),
+          col("g.r_alpha"), col("g.r_stop"), col("g.keep"))
+        .orderBy(col("doc_id"))),
+
+    // -- Gopher repetition battery: top-{2,3,4}-gram character
+    // fractions, one gram-keyed shuffle for all three n, production
+    // hashed-gram path (oracle replays the string form — output depends
+    // only on counts and lengths, the d12/t11 pattern). ------------------
+    "t18_gopher_repetition" -> ((s, d) =>
+      QualityRules.topNgramCharFractions(Tables.documents(s, d),
+          "doc_id", "text", ns = Seq(2, 3, 4), hashGrams = true)
+        .orderBy(col("doc_id"))),
+
+    // -- CCNet head/middle/tail partition: per-lang ntile over the
+    // ROUNDED t11 LM score (the engine-stable key; raw ln would flip
+    // buckets on last-ulp differences), ties on doc_id. ------------------
+    "t19_ccnet_buckets" -> ((s, d) =>
+      LanguageModel.perplexityBuckets(Tables.documents(s, d),
+          "doc_id", "text", "lang", nBuckets = 3, hashTokens = true)
+        .select(col("doc_id"), col("lang"), col("ll"),
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))),
+
+    // -- URL-level dedup (RefinedWeb §3.1: one doc per normalized URL,
+    // before any text processing): canonicalize scheme/host/port/params,
+    // drop blocklisted hosts via broadcast anti-join, keep min doc_id
+    // per canonical URL. The corpus has no url column, so the gate
+    // synthesizes deterministic messy variants from doc_id IN-PLAN
+    // (case noise, www., default port, utm_ params in shuffled order,
+    // fragments) — both engines build the same strings, so the oracle
+    // verifies the CANONICALIZATION, not the synthesis. ------------------
+    "d19_url_dedup" -> ((s, d) => {
+      import graft.functions.NetFunctions
+      val did = col("doc_id")
+      val url = concat(
+        when(did % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(did % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Example"), (did % 7).cast("string"), lit(".COM"),
+        when(did % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (did % 25).cast("string"),
+        when(did % 5 === 0,
+          concat(lit("?id="), (did % 25).cast("string"), lit("&utm_source=rss")))
+          .otherwise(concat(lit("?utm_source=rss&id="), (did % 25).cast("string"))),
+        when(did % 6 === 0, lit("#frag")).otherwise(lit("")))
+      val withUrl = Tables.documents(s, d)
+        .select(col("doc_id"),
+          NetFunctions.canonicalizeUrl(url).as("canonical"),
+          NetFunctions.canonicalHost(url).as("host"))
+      import s.implicits._
+      val blocklist = Seq("example3.com").toDF("host")
+      withUrl.join(broadcast(blocklist), Seq("host"), "left_anti")
+        .groupBy(col("canonical"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("canonical"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- REAL streaming exact dedup: every third event is delivered
+    // AGAIN two hours later (landing in a LATER staged file, hence a
+    // later micro-batch), dropDuplicates state must suppress it across
+    // the batch boundary. Integer-only output — stream == batch ==
+    // replay exactly. ----------------------------------------------------
+    "st05_stream_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val redelivered = e.filter(col("event_id") % 3 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 2 HOURS"))
+      graft.streaming.EventStreams.dedupCountsStreamed(s,
+          e.unionByName(redelivered),
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st05_stage")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1182,6 +1268,10 @@ object PipelineQueries {
       | CAST(sum(toks) AS BIGINT) AS n_tokens, round(avg(q), 4) AS avg_q
       |FROM fr WHERE q >= 0.5 AND dup_frac < 0.5
       |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
+  /** RE2-safe URL split pattern shared by the d19 oracle (the Spark side
+    * lives in NetFunctions.canonicalizeUrl). Single-quoted for SQL. */
+  private val UrlRx = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?"
 
   val oracles: Map[String, String] = Map(
     "d12_dup_spans" -> dupSpansOracle,
@@ -1878,6 +1968,163 @@ object PipelineQueries {
         | ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
         |   / length(text)) * 0.2
         |) * 10000 + 0.5) / 10000 AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays every Gopher metric and rule boolean; all ratios are
+    // integer/integer IEEE divisions, bit-stable across engines
+    "t17_gopher_rules" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  string_split(text, ' ') AS t,
+        |  string_split(text, chr(10)) AS lines,
+        |  len(string_split(text, ' '))::DOUBLE AS nw,
+        |  list_sum(list_transform(string_split(text, ' '),
+        |    x -> length(x)))::DOUBLE AS cs,
+        |  ((length(text) - length(replace(text, '#', ''))) +
+        |   (length(text) - length(replace(text, '...', ''))) / 3 +
+        |   (length(text) - length(replace(text, '…', ''))))::DOUBLE AS sym,
+        |  len(list_intersect(string_split(text, ' '),
+        |    ['the','be','to','of','and','that','have','with'])) AS stops
+        |  FROM documents),
+        |r AS (SELECT doc_id, nw, cs / nw AS ml, stops,
+        |  len(list_filter(lines, l -> starts_with(l, '•')
+        |      OR starts_with(l, '- ')))::DOUBLE / len(lines) AS bullet,
+        |  len(list_filter(lines, l -> l LIKE '%...'
+        |      OR l LIKE '%…'))::DOUBLE / len(lines) AS ellip,
+        |  len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |    / nw AS alpha,
+        |  sym / nw AS symr
+        |  FROM m)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  floor(ml * 10000 + 0.5) / 10000 AS mean_word_len,
+        |  CAST(stops AS BIGINT) AS n_stopwords,
+        |  (nw BETWEEN 50 AND 100000) AS r_word_count,
+        |  (ml BETWEEN 3.0 AND 10.0) AS r_mean_len,
+        |  (symr <= 0.1) AS r_symbol,
+        |  (bullet <= 0.9) AS r_bullet,
+        |  (ellip <= 0.3) AS r_ellipsis,
+        |  (alpha >= 0.8) AS r_alpha,
+        |  (stops >= 2) AS r_stop,
+        |  ((nw BETWEEN 50 AND 100000) AND (ml BETWEEN 3.0 AND 10.0)
+        |    AND (symr <= 0.1) AND (bullet <= 0.9) AND (ellip <= 0.3)
+        |    AND (alpha >= 0.8) AND (stops >= 2)) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // top-n-gram char mass via lead-concat grams per n; the fraction is
+    // (count * gram chars) / doc chars — integer-derived, engine-stable
+    "t18_gopher_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER win AS g
+        |       FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |c2 AS (SELECT doc_id, max(c * gl) AS m FROM (
+        |        SELECT doc_id, g, count(*) AS c, length(g) AS gl FROM g2
+        |        WHERE g IS NOT NULL GROUP BY doc_id, g) WHERE c >= 2
+        |       GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER win || ' ' ||
+        |         lead(tok,2) OVER win AS g
+        |       FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |c3 AS (SELECT doc_id, max(c * gl) AS m FROM (
+        |        SELECT doc_id, g, count(*) AS c, length(g) AS gl FROM g3
+        |        WHERE g IS NOT NULL GROUP BY doc_id, g) WHERE c >= 2
+        |       GROUP BY doc_id),
+        |g4 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER win || ' ' ||
+        |         lead(tok,2) OVER win || ' ' || lead(tok,3) OVER win AS g
+        |       FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |c4 AS (SELECT doc_id, max(c * gl) AS m FROM (
+        |        SELECT doc_id, g, count(*) AS c, length(g) AS gl FROM g4
+        |        WHERE g IS NOT NULL GROUP BY doc_id, g) WHERE c >= 2
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS chars,
+        |  floor(coalesce(c2.m, 0)::DOUBLE / length(d.text) * 10000 + 0.5)
+        |    / 10000 AS top2_frac,
+        |  (coalesce(c2.m, 0)::DOUBLE / length(d.text) <= 0.20) AS r_top2,
+        |  floor(coalesce(c3.m, 0)::DOUBLE / length(d.text) * 10000 + 0.5)
+        |    / 10000 AS top3_frac,
+        |  (coalesce(c3.m, 0)::DOUBLE / length(d.text) <= 0.18) AS r_top3,
+        |  floor(coalesce(c4.m, 0)::DOUBLE / length(d.text) * 10000 + 0.5)
+        |    / 10000 AS top4_frac,
+        |  (coalesce(c4.m, 0)::DOUBLE / length(d.text) <= 0.16) AS r_top4
+        |FROM documents d
+        |LEFT JOIN c2 ON d.doc_id = c2.doc_id
+        |LEFT JOIN c3 ON d.doc_id = c3.doc_id
+        |LEFT JOIN c4 ON d.doc_id = c4.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the t11 LM-score replay + per-lang ntile over the ROUNDED score
+    // (ties on doc_id) — standard ntile remainder-to-first-buckets in
+    // both engines
+    "t19_ccnet_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |bg0 AS (SELECT doc_id, tok AS w1,
+        |          lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM w),
+        |bgn AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bgn GROUP BY 1, 2),
+        |ch AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS ch FROM cb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM w),
+        |ll AS (SELECT doc_id,
+        |  floor(avg(ln((cb.cb + 1.0) / (ch.ch + v.v))) * 10000 + 0.5) / 10000 AS ll
+        |  FROM bgn JOIN cb USING (w1, w2) JOIN ch USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT l.doc_id, d.lang, l.ll,
+        |  CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY l.ll DESC, l.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM ll l JOIN documents d USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
+
+    // same deterministic messy-URL synthesis, then a stepwise replay of
+    // canonicalizeUrl (lower scheme/host, strip www./default port/
+    // fragment/trailing slash, drop utm_*, sort params), blocklist
+    // filter, min-doc_id per canonical
+    "d19_url_dedup" ->
+      ("""WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  'Example' || (doc_id % 7)::VARCHAR || '.COM' ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |  '/docs/' || (doc_id % 25)::VARCHAR ||
+        |  (CASE WHEN doc_id % 5 = 0
+        |    THEN '?id=' || (doc_id % 25)::VARCHAR || '&utm_source=rss'
+        |    ELSE '?utm_source=rss&id=' || (doc_id % 25)::VARCHAR END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '""" + UrlRx + """', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(url, '""" + UrlRx + """', 2)),
+        |    '^www\.', '') AS host0,
+        |  regexp_replace(regexp_extract(url, '""" + UrlRx + """', 3),
+        |    '/$', '') AS path,
+        |  regexp_replace(regexp_extract(url, '""" + UrlRx + """', 4),
+        |    '^\?', '') AS q0
+        |  FROM u),
+        |h AS (SELECT doc_id, scheme, path,
+        |  CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |       WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        |       ELSE host0 END AS host,
+        |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
+        |  FROM p),
+        |canon AS (SELECT doc_id, host,
+        |  scheme || '://' || host || path ||
+        |  (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical
+        |  FROM h)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canonical,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM canon WHERE host <> 'example3.com'
+        |GROUP BY canonical ORDER BY doc_id""").stripMargin,
+
+    // the redelivered copies introduce no new event_ids, so the deduped
+    // per-type profile is exactly the plain one — which is the point:
+    // a dedup miss inflates n and fails the hash
+    "st05_stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
+
 }

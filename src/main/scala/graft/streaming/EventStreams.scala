@@ -83,6 +83,41 @@ object EventStreams {
     spark.table(sinkName)
   }
 
+  /** Exact streaming deduplication + per-type profile: drop repeated
+    * `event_id`s (exactly-once semantics over an at-least-once feed —
+    * THE standard ingest-dedup step), then count the survivors per
+    * event type with integer-exact min/max id bounds. Works on a
+    * streaming or batch frame with (event_id, ts, event_type).
+    *
+    * Streaming shape: `dropDuplicates` keeps one state-store entry per
+    * key and suppresses later copies — duplicates arriving in DIFFERENT
+    * micro-batches are caught because the state persists across batch
+    * boundaries (the st05 gate stages copies of the same events into
+    * separate files precisely to force that path). State here is
+    * unbounded-by-design for the deterministic gate; production feeds
+    * bound it with `dropDuplicatesWithinWatermark` once duplicates have
+    * a known arrival horizon (spec-covered in StreamingSpec — drop
+    * TIMING under a watermark depends on micro-batch boundaries, which
+    * a deterministic gate must not).
+    *
+    * Output is integer-only (counts and id bounds, no floating sums),
+    * so stream == batch == external replay exactly. */
+  def dedupCountsByType(df: DataFrame): DataFrame =
+    df.dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+
+  /** Drive [[dedupCountsByType]] as a REAL streaming query over staged
+    * ascending files — one micro-batch per file, so the dedup state
+    * must carry across batch boundaries to suppress the later copies. */
+  def dedupCountsStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int = 3,
+      sinkName: String = "st05_sink"): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName)(
+      dedupCountsByType(_))
+
   /** Stage `events` as `nFiles` parquet files of contiguous ascending
     * time ranges under `stageDir/in`, named 01.parquet.. with strictly
     * increasing modification times (FileStreamSource orders by

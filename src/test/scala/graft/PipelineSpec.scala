@@ -620,6 +620,82 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(heavy >= 45, s"heavy-weight rows undersampled: $heavy/50")
   }
 
+  test("gopher rules: each planted violation fails exactly its rule") {
+    import graft.operators.QualityRules
+    val okWords = (1 to 60).map(i => s"word$i").mkString(" ") + " the be"
+    val docs = Seq[(Long, String)](
+      1L -> okWords,                                      // passes all
+      2L -> "too short the be",                           // r_word_count
+      3L -> ((1 to 60).map(_ => "extraordinarily").mkString(" ") + " the be"), // r_mean_len (mean > 10)
+      4L -> ((1 to 60).map(_ => "## #").mkString(" ") + " the be"),  // r_symbol (+ alpha fails too)
+      5L -> ((1 to 60).map(i => s"word$i").mkString(" ") + (" 123 456 789 " * 20) + " the be"), // r_alpha
+      6L -> (1 to 60).map(i => s"word$i").mkString(" ")   // r_stop (no stopwords)
+    ).toDF("doc_id", "text")
+    val g = docs.select(col("doc_id"),
+      QualityRules.gopherRuleFlags(col("text")).as("g")).orderBy("doc_id")
+    val rows = g.select(col("doc_id"), col("g.r_word_count"), col("g.r_mean_len"),
+      col("g.r_symbol"), col("g.r_alpha"), col("g.r_stop"), col("g.keep"))
+      .collect()
+    def row(id: Long) = rows.find(_.getLong(0) == id).get
+    assert(row(1).getBoolean(6), "clean doc must keep")
+    assert(!row(2).getBoolean(1) && !row(2).getBoolean(6), "short doc fails word count")
+    assert(!row(3).getBoolean(2), "long words fail mean length")
+    assert(!row(4).getBoolean(3), "symbol-heavy fails symbol ratio")
+    assert(!row(5).getBoolean(4), "digit-heavy fails alpha fraction")
+    assert(!row(6).getBoolean(5) && !row(6).getBoolean(6), "no stopwords fails r_stop")
+    // bullet/ellipsis line rules on a multi-line doc
+    val lines = (("• a\n" * 95) + "tail the be " + (1 to 60).map(i => s"w$i").mkString(" "))
+    val lr = Seq(7L -> lines).toDF("doc_id", "text")
+      .select(QualityRules.gopherRuleFlags(col("text")).as("g"))
+      .select(col("g.r_bullet")).head()
+    assert(!lr.getBoolean(0), ">90% bullet lines must fail r_bullet")
+    // filter form keeps exactly the keep=true docs
+    assert(QualityRules.gopherFilter(docs, "text").count() ==
+      rows.count(_.getBoolean(6)))
+  }
+
+  test("top-ngram fractions: known repetition mass, hashed == plain on the corpus") {
+    import graft.operators.QualityRules
+    // "ab ab ab cd" : bigram 'ab ab' occurs 2x (len 5) -> mass 10, chars 11
+    val one = Seq(1L -> "ab ab ab cd").toDF("doc_id", "text")
+    val r = QualityRules.topNgramCharFractions(one, "doc_id", "text", Seq(2))
+      .select(col("chars"), col("top2_frac")).head()
+    assert(r.getLong(0) == 11L)
+    assert(math.abs(r.getDouble(1) - math.floor(10.0 / 11 * 10000 + 0.5) / 10000) < 1e-12,
+      s"top2_frac = ${r.getDouble(1)}")
+    // no repeated trigram -> 0.0
+    val r3 = QualityRules.topNgramCharFractions(one, "doc_id", "text", Seq(3))
+      .select(col("top3_frac")).head().getDouble(0)
+    assert(r3 == 0.0, s"expected 0 trigram mass, got $r3")
+    // 100 TB switch parity corpus-wide
+    val corpus = Tables.documents(spark, sfDir)
+    val plain = QualityRules.topNgramCharFractions(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val hashed = QualityRules.topNgramCharFractions(corpus, "doc_id", "text",
+      hashGrams = true).orderBy("doc_id").collect().toSeq
+    assert(plain == hashed, "hashed-gram fractions must reproduce string-gram result")
+    assert(plain.exists(_.getDouble(2) > 0), "corpus should have SOME repeated bigrams")
+  }
+
+  test("perplexity buckets: per-class tiles balanced, head outranks tail") {
+    import graft.operators.LanguageModel
+    val docs = Tables.documents(spark, sfDir)
+    val b = LanguageModel.perplexityBuckets(docs, "doc_id", "text", "lang",
+      nBuckets = 3, hashTokens = true)
+    val sizes = b.groupBy("lang", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val langs = sizes.keys.map(_._1).toSet
+    langs.foreach { l =>
+      val s = (1L to 3L).map(i => sizes.getOrElse((l, i), 0L))
+      assert(s.max - s.min <= 1, s"ntile must balance within 1 for $l: $s")
+    }
+    // every head doc's ll >= every tail doc's ll, per class
+    val viol = b.filter(col("bucket") === 1).as("h")
+      .join(b.filter(col("bucket") === 3).as("t"), col("h.lang") === col("t.lang"))
+      .filter(col("h.ll") < col("t.ll")).count()
+    assert(viol == 0, s"$viol head/tail inversions")
+  }
+
   test("weighted sample: non-positive weight fails loudly, not silently") {
     import graft.operators.Splits
     // w=0 used to yield +Inf (row never sampled) and w<0 inverted the

@@ -174,4 +174,31 @@ class SourceSpec extends AnyFunSuite with CacheHygiene {
     assert(got(2).getString(0) == "files.example.org")
     assert(got(2).getBoolean(2)) // ::1 is valid ipv6
   }
+
+  test("canonicalizeUrl: case, www, default ports, utm, param order, fragment, trailing slash") {
+    val cases = Seq(
+      // scheme+host lowered, www./:443 stripped, utm dropped, params sorted, #frag dropped
+      ("HTTPS://WWW.Example.COM:443/Docs/1?utm_source=rss&b=2&a=1#frag",
+        "https://example.com/Docs/1?a=1&b=2"),
+      // http default port; trailing slash stripped
+      ("http://example.com:80/path/", "http://example.com/path"),
+      // NON-default port kept; :80 NOT stripped for https
+      ("https://example.com:80/x", "https://example.com:80/x"),
+      // no query, no path
+      ("https://Example.com", "https://example.com"),
+      // only utm params -> no query at all
+      ("https://example.com/a?utm_source=x&utm_medium=y", "https://example.com/a"),
+      // malformed -> null
+      ("not a url", null),
+      ("", null))
+    val got = cases.map(_._1).toDF("url")
+      .select(NetFunctions.canonicalizeUrl(col("url"))).collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+    // host of the canonical form feeds blocklists/per-domain caps
+    val h = Seq("HTTPS://WWW.Example.COM:443/x").toDF("url")
+      .select(NetFunctions.canonicalHost(col("url"))).head().getString(0)
+    assert(h == "example.com", s"canonicalHost = $h")
+  }
 }

@@ -317,6 +317,31 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
         s"extra=${(basePairs ++ streamedPairs) -- oneShot}")
   }
 
+  test("dropDuplicatesWithinWatermark: redelivery inside the horizon is suppressed") {
+    // the bounded-state production form of st05's dropDuplicates: state
+    // for a key may be dropped once the watermark passes ts + delay, so
+    // only redelivery INSIDE the horizon is guaranteed suppressed —
+    // which is what an at-least-once feed actually produces
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = stream.toDF().toDF("event_id", "ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("ddww_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, ts(600), "click"), (2L, ts(601), "view")))
+      q.processAllAvailable()
+      // batch 2: event 1 redelivered 10 min later + a fresh event 3
+      stream.addData(Seq((1L, ts(610), "click"), (3L, ts(611), "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("ddww_sink").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"expected each id exactly once, got $ids")
+  }
+
   test("stageAscendingFiles tolerates rows < nFiles (empty trailing buckets)") {
     // 2 rows into 5 ntile buckets leaves 3 empty; staging must skip
     // them (not throw) and the staged stream must still deliver all rows
