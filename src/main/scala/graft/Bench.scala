@@ -52,6 +52,10 @@ object Bench {
     "p12_temperature_mix",   // n^alpha class rebalancing, broadcast rates
     "d12_dup_spans",         // ExactSubstr duplicate spans (Lee et al. 2021)
     "t11_lm_score",          // corpus-trained bigram LM quality score
+    "t17_gopher_rules",      // Gopher doc-level rule battery (narrow codegen)
+    "t18_gopher_repetition", // top-n-gram char fractions (one gram shuffle)
+    "t19_ccnet_buckets",     // LM score + per-lang ntile partition
+    "d19_url_dedup",         // URL canonicalization + per-URL keep-one
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {
