@@ -70,4 +70,34 @@ object Checks {
         "__rows AS n_rows")
       .select(col("check"), col("violations"), col("n_rows"))
   }
+
+  /** Attrition funnel: for an ordered pipeline of filter stages, report
+    * how many rows survive each CUMULATIVE prefix of stages — the
+    * per-stage yield report every curation run publishes ("started 100 TB,
+    * language-ID kept 61%, quality kept 43%, dedup kept 38%…").
+    *
+    * The naive form runs the pipeline N times (once per prefix); this
+    * folds all N survival counts into ONE aggregate pass — each stage's
+    * survivors are a conditional sum over the AND of its prefix, so the
+    * whole funnel costs one scan at any corpus size, same as [[run]].
+    * Output rows are ordered by pipeline position: (stage_idx, stage,
+    * n_in, n_kept) where n_in is the previous stage's n_kept (the corpus
+    * size for stage 1).
+    */
+  def attritionFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "no stages given")
+    val cum = stages.scanLeft(lit(true)) { case (acc, (_, p)) =>
+      acc && coalesce(p, lit(false))
+    }.tail
+    val aggs = count(lit(1)).as("__n0") +:
+      cum.zipWithIndex.map { case (p, i) =>
+        sum(when(p, 1L).otherwise(0L)).as(s"__n${i + 1}")
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = stages.zipWithIndex.map { case ((name, _), i) =>
+      s"${i + 1}L, '$name', coalesce(`__n$i`, 0L), coalesce(`__n${i + 1}`, 0L)"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${stages.size}, $stacked) AS (stage_idx, stage, n_in, n_kept)")
+  }
 }

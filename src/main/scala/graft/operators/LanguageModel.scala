@@ -140,6 +140,81 @@ object LanguageModel {
       .select(col("id").as(idCol), col("n_bigrams"), col("ml_score"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by the log importance weight of a bag-of-bigrams
+    * generative model fit on the target subset vs the raw corpus,
+    *
+    *   log w(x) = Σ over bigrams b of x  [ ln p̂_target(b) − ln p̂_raw(b) ]
+    *
+    * with add-one smoothing: p̂(b) = (c(b) + 1) / (total + B), B = distinct
+    * bigrams in the raw corpus. Positive means "looks like the target";
+    * [[dsirSample]] then resamples k docs ∝ w(x) without replacement.
+    * The paper hashes n-grams into 10⁴ buckets — `hashGrams` is that
+    * switch (xxhash64 before any exchange; the un-hashed form exists so
+    * the gate oracle can replay counts relationally, as t11/t14 do).
+    *
+    * Scale shape: identical to [[mooreLewisScore]] — both count tables
+    * collapse to vocabulary² under map-side combine before their
+    * exchanges, totals cross in as one-row broadcasts, per-doc weights
+    * are one gram-keyed join + SUM. Docs with < 2 tokens have no bigrams
+    * and keep log w = 0 (weight 1, the paper's uninformative prior) via
+    * the left-join-back. `dsir_logw` is floor-rounded to 4 decimals
+    * (same FP-stability argument as [[bigramLogLikelihood]]).
+    */
+  def dsirLogWeight(df: DataFrame, idCol: String, textCol: String,
+      targetCond: Column, hashGrams: Boolean = false): DataFrame = {
+    val tgt = df.filter(targetCond)
+    require(!tgt.isEmpty,
+      "dsirLogWeight: targetCond matches no rows — no target model to fit")
+    val bg = docBigrams(df, idCol, textCol, hashGrams)
+    val bgT = docBigrams(tgt, idCol, textCol, hashGrams)
+    val cR = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cr"))
+    val cT = bgT.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
+    val rTot = cR.agg(sum(col("cr")).cast("double").as("rt"),
+      count(lit(1)).cast("double").as("b"))
+    val tTot = cT.agg(sum(col("ct")).cast("double").as("tt"))
+    val perDoc = bg.join(cR, Seq("w1", "w2"))
+      .join(cT, Seq("w1", "w2"), "left_outer")
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        (floor(sum(
+          log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + col("b")))
+            - log((col("cr") + lit(1.0)) / (col("rt") + col("b"))))
+          * 10000 + lit(0.5)) / 10000).as("dsir_logw"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
+  }
+
+  /** DSIR's resampling half: an exact-k weighted draw ∝ exp(dsir_logw)
+    * without replacement, via the Gumbel-top-k identity — adding an
+    * independent Gumbel g = −ln(−ln(u)) to each LOG-weight and keeping
+    * the k largest is exactly the Efraimidis–Spirakis race
+    * [[Splits.weightedSampleKey]] runs in linear space (smallest
+    * −ln(u)/w ⟺ largest ln w − ln(−ln u)), but never exponentiates, so
+    * long documents can't overflow the weight. u is [[Splits.mdUniform]]:
+    * deterministic in (id, salt), replayable by the oracle; the race runs
+    * on the ROUNDED dsir_logw so both engines rank identical inputs
+    * (membership-stable — the k-th gap argument of gate p11).
+    *
+    * Plan: [[dsirLogWeight]] + a narrow key projection into
+    * `TakeOrderedAndProject` — O(k) driver state at any corpus size.
+    */
+  def dsirSample(df: DataFrame, idCol: String, textCol: String,
+      targetCond: Column, k: Int, salt: String,
+      hashGrams: Boolean = false): DataFrame = {
+    require(k >= 1, s"sample size k=$k must be >= 1")
+    val lw = dsirLogWeight(df, idCol, textCol, targetCond, hashGrams)
+    val gumbel = -log(-log(graft.operators.Splits.mdUniform(col(idCol), salt)))
+    lw.withColumn("__g", col("dsir_logw") + gumbel)
+      .orderBy(col("__g").desc, col(idCol))
+      .limit(k)
+      .drop("__g")
+  }
+
   /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2020 §4.3):
     * rank every document by LM score WITHIN its class (language) and cut
     * the class into `nBuckets` equal tiles — head = best-scoring third

@@ -1126,7 +1126,75 @@ object PipelineQueries {
           e.unionByName(redelivered),
           s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st05_stage")
         .orderBy(col("event_type"))
-    })
+    }),
+
+    // -- DSIR importance resampling (Xie et al. 2023): bag-of-bigrams
+    // target-vs-raw log weights + Gumbel-top-k draw. Full relational
+    // replay (counts + ln + md5 race) like t14/p11. ----------------------
+    "t20_dsir" -> ((s, d) =>
+      LanguageModel.dsirSample(Tables.documents(s, d), "doc_id", "text",
+          targetCond = col("lang") === "en", k = 50, salt = "dsir5")
+        .orderBy(col("doc_id"))),
+
+    // -- PageRank over the session transition graph: per-user consecutive
+    // (prev_k -> k) event transitions form the edge list, 3 damped power
+    // iterations with dangling redistribution, per-iteration 1e-12
+    // rounding so the oracle replays the exact sequence. -----------------
+    "g01_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+      val edges = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), k.as("dst"))
+        .withColumn("src", lag(col("dst"), 1).over(w))
+        .filter(col("src").isNotNull && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    }),
+
+    // -- degree centrality over the same transition graph ----------------
+    "g02_degrees" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+      val edges = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), k.as("dst"))
+        .withColumn("src", lag(col("dst"), 1).over(w))
+        .filter(col("src").isNotNull && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.degrees(edges, "src", "dst").orderBy(col("node"))
+    }),
+
+    // -- product quantization CONTRACT, gate-enforced (a04's pattern):
+    // the codebooks are seed-deterministic but engine-specific, so what
+    // is hash-gateable is the approximation quality — ADC recall vs
+    // brute-force truth and mean reconstruction cosine, thresholds
+    // mirroring PqSpec. ---------------------------------------------------
+    "a08_pq_contract" -> ((s, d) => {
+      import graft.ann.Pq
+      val emb = Tables.embeddings(s, d)
+      val cb = Pq.trainCodebooks(emb, "embedding", m = 8, k = 64)
+      def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+      val bf = pairs(Ann.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10))
+      val adc = pairs(Pq.adcTopK(emb, "vec_id", "embedding", col("vec_id") < 5, cb, 10))
+      val total = bf.count().toDouble
+      val hit = bf.join(adc, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val recon = emb.agg(avg(Ann.cosine(col("embedding"),
+        Pq.decode(Pq.encode(col("embedding"), cb), cb))).as("rc"))
+        .head.getDouble(0)
+      import s.implicits._
+      Seq((hit / total >= 0.4, recon >= 0.75))
+        .toDF("adc_recall_ok", "recon_cos_ok")
+    }),
+
+    // -- attrition funnel: cumulative-stage survival counts in ONE
+    // aggregate pass ------------------------------------------------------
+    "p14_attrition_funnel" -> ((s, d) =>
+      Checks.attritionFunnel(Tables.documents(s, d), Seq(
+        "min_len" -> (size(split(col("text"), " ")) >= 20),
+        "english" -> (col("lang") === "en"),
+        "short_doc" -> (col("n_chars") <= 300))))
   )
 
   /** Shared by d02 (one-shot) and d10 (incremental index): exact-jaccard
@@ -2124,7 +2192,134 @@ object PipelineQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(min(event_id) AS BIGINT) AS min_id,
         |  CAST(max(event_id) AS BIGINT) AS max_id
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // t20: full relational replay — bigram counts (t14's construction),
+    // add-one-smoothed target/raw log-prob difference per doc, docs
+    // without bigrams join back at logw 0, then the Gumbel-top-k race on
+    // the ROUNDED weight with the md5 uniform (membership-stable: p11's
+    // k-th-gap argument applies; output sorted by doc_id, not key)
+    "t20_dsir" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |bg0 AS (SELECT doc_id, lang, tok AS w1,
+        |          lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM w),
+        |bgn AS (SELECT doc_id, lang, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+        |cr AS (SELECT w1, w2, count(*) AS cr FROM bgn GROUP BY 1, 2),
+        |ct AS (SELECT w1, w2, count(*) AS ct FROM bgn WHERE lang = 'en'
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS rt,
+        |               CAST(count(*) AS DOUBLE) AS b FROM cr),
+        |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt FROM ct),
+        |perdoc AS (SELECT doc_id, count(*) AS n_grams,
+        |   floor(sum(ln((coalesce(ct.ct, 0) + 1.0) / (tt.tt + tot.b))
+        |           - ln((cr.cr + 1.0) / (tot.rt + tot.b))) * 10000 + 0.5) / 10000
+        |     AS dsir_logw
+        |   FROM bgn JOIN cr USING (w1, w2) LEFT JOIN ct USING (w1, w2)
+        |   CROSS JOIN tot CROSS JOIN tt
+        |   GROUP BY doc_id),
+        |alldocs AS (SELECT d.doc_id,
+        |   coalesce(p.n_grams, 0) AS n_grams,
+        |   coalesce(p.dsir_logw, 0.0) AS dsir_logw
+        |   FROM documents d LEFT JOIN perdoc p USING (doc_id))
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, dsir_logw FROM (
+        |  SELECT * FROM alldocs
+        |  ORDER BY dsir_logw
+        |    - ln(-ln((CAST(('0x'||substr(md5(doc_id::VARCHAR || ':dsir5'),1,12))
+        |              AS BIGINT) + 0.5) / 281474976710656.0)) DESC, doc_id
+        |  LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
+
+    // g01: same edge construction (per-user lag over (ts, event_id)),
+    // then 3 unrolled power iterations — each rounds to 1e-12 exactly as
+    // the Spark side, so the sequences are identical double-for-double
+    "g01_pagerank" ->
+      """WITH kx AS (SELECT user_id, ts, event_id,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |seq AS (SELECT user_id, k AS dst,
+        |    lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM kx),
+        |e AS (SELECT DISTINCT src, dst FROM seq
+        |      WHERE src IS NOT NULL AND src <> dst),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+        |       FROM e JOIN deg USING (src) JOIN r0 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r0
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |r1 AS (SELECT n.node,
+        |       floor((0.15/nn.n + 0.85*(coalesce(c1.contrib,0.0) + d1.dm/nn.n))
+        |             * 1e12 + 0.5) / 1e12 AS rank
+        |       FROM nodes n LEFT JOIN c1 ON c1.node = n.node
+        |       CROSS JOIN nn CROSS JOIN d1),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+        |       FROM e JOIN deg USING (src) JOIN r1 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |d2 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r1
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |r2 AS (SELECT n.node,
+        |       floor((0.15/nn.n + 0.85*(coalesce(c2.contrib,0.0) + d2.dm/nn.n))
+        |             * 1e12 + 0.5) / 1e12 AS rank
+        |       FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+        |       CROSS JOIN nn CROSS JOIN d2),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+        |       FROM e JOIN deg USING (src) JOIN r2 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |d3 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r2
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |r3 AS (SELECT n.node,
+        |       floor((0.15/nn.n + 0.85*(coalesce(c3.contrib,0.0) + d3.dm/nn.n))
+        |             * 1e12 + 0.5) / 1e12 AS rank
+        |       FROM nodes n LEFT JOIN c3 ON c3.node = n.node
+        |       CROSS JOIN nn CROSS JOIN d3)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
+    "g02_degrees" ->
+      """WITH kx AS (SELECT user_id, ts, event_id,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |seq AS (SELECT user_id, k AS dst,
+        |    lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM kx),
+        |e AS (SELECT DISTINCT src, dst FROM seq
+        |      WHERE src IS NOT NULL AND src <> dst),
+        |o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+        |i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY dst)
+        |SELECT coalesce(o.node, i.node) AS node,
+        |  CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+        |  CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+        |FROM o FULL OUTER JOIN i ON o.node = i.node
+        |ORDER BY node""".stripMargin,
+
+    "a08_pq_contract" ->
+      "SELECT TRUE AS adc_recall_ok, TRUE AS recon_cos_ok",
+
+    "p14_attrition_funnel" ->
+      """WITH t AS (SELECT
+        |    len(string_split(text, ' ')) >= 20 AS s1,
+        |    lang = 'en' AS s2,
+        |    n_chars <= 300 AS s3
+        |  FROM documents),
+        |wide AS (SELECT count(*) AS n0,
+        |    sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS n3
+        |  FROM t)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'min_len' AS stage,
+        |         CAST(n0 AS BIGINT) AS n_in, CAST(n1 AS BIGINT) AS n_kept FROM wide
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'english', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT) FROM wide
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'short_doc', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT) FROM wide)
+        |ORDER BY stage_idx""".stripMargin
   )
 
 }

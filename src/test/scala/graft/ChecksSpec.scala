@@ -62,4 +62,34 @@ class ChecksSpec extends AnyFunSuite with CacheHygiene {
       .as[(String, Long, Long)].collect().head
     assert(got == ("k_unique", 1L, 3L))
   }
+
+  test("attrition funnel: cumulative chain on known data, one scan") {
+    val df = Seq((1, "en"), (2, "en"), (3, "de"), (4, "en"), (5, "de"))
+      .toDF("n", "lang")
+    val funnel = Checks.attritionFunnel(df, Seq(
+      "le4" -> (col("n") <= 4),
+      "english" -> (col("lang") === "en"),
+      "even" -> (col("n") % 2 === 0)))
+    val rows = funnel.as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "le4", 5L, 4L),       // n<=4 keeps 1,2,3,4
+      (2L, "english", 4L, 3L),   // of those, en keeps 1,2,4
+      (3L, "even", 3L, 2L)))     // of those, even keeps 2,4
+    // n_in chains from the previous stage's n_kept; survival is monotone
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 == a._4 && b._4 <= b._3)
+    }
+    val plan = funnel.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel must not join:\n$plan")
+  }
+
+  test("attrition funnel: null predicate values count as dropped") {
+    val df = Seq[(java.lang.Long, String)]((1L, "en"), (null, "en"), (3L, null))
+      .toDF("n", "lang")
+    val rows = Checks.attritionFunnel(df, Seq(
+      "has_n" -> (col("n") > 0),          // null n -> null predicate
+      "english" -> (col("lang") === "en")))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, "has_n", 3L, 2L), (2L, "english", 2L, 1L)))
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank + degree centrality: closed-form checks on a tiny graph,
+  * conservation + dangling-mass properties, and plan shape. */
+class GraphSpec extends AnyFunSuite with CacheHygiene {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  // a -> b, a -> c, b -> c; c dangles (no out-edges)
+  def tiny = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("s", "t")
+
+  test("one iteration matches the closed form (incl. dangling mass)") {
+    // N=3, r0 = 1/3 each; dangling = c (1/3)
+    // contrib: b <- a/2 = 1/6 ; c <- a/2 + b = 1/6 + 1/3 = 1/2
+    // r1(v) = 0.05 + 0.85*(contrib + (1/3)/3)
+    val got = GraphOps.pageRank(tiny, "s", "t", iterations = 1)
+      .as[(String, Double)].collect().toMap
+    def expect(contrib: Double) =
+      math.floor((0.05 + 0.85 * (contrib + 1.0 / 9)) * 1e12 + 0.5) / 1e12
+    assert(math.abs(got("a") - expect(0.0)) < 1e-12)
+    assert(math.abs(got("b") - expect(1.0 / 6)) < 1e-12)
+    assert(math.abs(got("c") - expect(0.5)) < 1e-12)
+  }
+
+  test("ranks are a probability distribution every run") {
+    for (iters <- Seq(1, 3, 5)) {
+      val ranks = GraphOps.pageRank(tiny, "s", "t", iterations = iters)
+        .agg(sum("rank"), min("rank")).as[(Double, Double)].head()
+      assert(math.abs(ranks._1 - 1.0) < 1e-9, s"iters=$iters sum=${ranks._1}")
+      assert(ranks._2 > 0.0)
+    }
+  }
+
+  test("sink node accumulates the most rank") {
+    val got = GraphOps.pageRank(tiny, "s", "t", iterations = 5)
+      .orderBy(col("rank").desc).as[(String, Double)].collect()
+    assert(got.head._1 == "c")
+  }
+
+  test("duplicate edges do not double-count") {
+    val dup = tiny.union(tiny)
+    val a = GraphOps.pageRank(tiny, "s", "t", 3).as[(String, Double)].collect().toMap
+    val b = GraphOps.pageRank(dup, "s", "t", 3).as[(String, Double)].collect().toMap
+    assert(a == b)
+  }
+
+  test("partition-layout independence") {
+    val a = GraphOps.pageRank(tiny.repartition(1), "s", "t", 3)
+      .as[(String, Double)].collect().toMap
+    val b = GraphOps.pageRank(tiny.repartition(16), "s", "t", 3)
+      .as[(String, Double)].collect().toMap
+    assert(a == b)
+  }
+
+  test("degrees: full outer over sources and sinks") {
+    val got = GraphOps.degrees(tiny, "s", "t")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 0L), ("b", 1L, 1L), ("c", 0L, 2L)))
+  }
+}

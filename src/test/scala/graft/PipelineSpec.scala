@@ -1152,4 +1152,46 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     // docs must have a nonzero cross-doc duplicate fraction
     assert(str.exists(_._4 > 0), "no cross-document duplicate 8-grams found")
   }
+
+  test("DSIR: target-language docs score higher; hashed grams match") {
+    import graft.operators.LanguageModel
+    val docs = Tables.documents(spark, sfDir)
+    val lw = LanguageModel.dsirLogWeight(docs, "doc_id", "text",
+      col("lang") === "en")
+    val byLang = lw.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang").agg(avg("dsir_logw").as("m"))
+      .as[(String, Double)].collect().toMap
+    // the weight estimates ln p_en(x)/p_raw(x): the target class must
+    // average strictly above every non-target class
+    for (l <- byLang.keys if l != "en")
+      assert(byLang("en") > byLang(l), s"en=${byLang("en")} <= $l=${byLang(l)}")
+    // the paper's hashed-feature form is count-identical up to collisions
+    val hashed = LanguageModel.dsirLogWeight(docs, "doc_id", "text",
+      col("lang") === "en", hashGrams = true)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val plain = lw.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(plain == hashed, "xxhash64 gram projection changed DSIR weights")
+  }
+
+  test("DSIR sample: exact k, deterministic, salt-sensitive, loud on empty target") {
+    import graft.operators.LanguageModel
+    val docs = Tables.documents(spark, sfDir)
+    def draw(salt: String) =
+      LanguageModel.dsirSample(docs, "doc_id", "text",
+        col("lang") === "en", k = 40, salt = salt)
+        .select("doc_id").as[Long].collect().toSet
+    val s1 = draw("s1"); val s1b = draw("s1"); val s2 = draw("s2")
+    assert(s1.size == 40 && s1 == s1b, "re-run must draw the same sample")
+    assert(s1 != s2, "a new salt must draw an independent sample")
+    // selection is weight-tilted: sampled docs average above the corpus
+    val lw = LanguageModel.dsirLogWeight(docs, "doc_id", "text",
+      col("lang") === "en")
+    val all = lw.agg(avg("dsir_logw")).as[Double].head()
+    val got = lw.filter(col("doc_id").isInCollection(s1))
+      .agg(avg("dsir_logw")).as[Double].head()
+    assert(got > all, s"sample mean $got not above corpus mean $all")
+    intercept[IllegalArgumentException] {
+      LanguageModel.dsirLogWeight(docs, "doc_id", "text", col("lang") === "xx")
+    }
+  }
 }
