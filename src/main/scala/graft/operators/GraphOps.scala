@@ -35,24 +35,30 @@ object GraphOps {
     * ~1e-16, four orders below the rounding quantum — the repo-wide
     * convention of t11/d12).
     *
-    * Plan at 100 TB: `edges` arrives once, is deduplicated and reused
-    * by every iteration; each iteration is one shuffle keyed by dst
-    * (map-side combined — partial sums leave the mappers, never the
-    * edge list) plus two one-row broadcasts (N, dangling mass). Ranks
-    * are node-cardinality-sized, orders below the edge corpus. For
-    * many-iteration production runs, persist+checkpoint `ranks` every
-    * few iterations to truncate lineage (`persistEvery`); at the gate's
-    * fixed 3 iterations the composed lazy plan is the cheaper form (no
-    * cache residue — see the repo cache-hygiene discipline).
+    * Plan at 100 TB: iterative lineage MUST be truncated — the rank
+    * recurrence references the previous iteration's frame three times
+    * (contribution join, dangling mass, node outer join), so a fully
+    * lazy composition re-expands ~3^i subtrees (measured: 81 scans /
+    * 206 exchanges at 3 iterations). With `materialize` (default) the
+    * deduplicated edge list and each iteration's node-sized rank table
+    * are `localCheckpoint`ed: one real scan of `edges`, then every
+    * iteration is ONE map-side-combined shuffle keyed by dst over the
+    * checkpointed edge list plus two one-row broadcasts (N, dangling
+    * mass) — exactly MLlib/GraphX's per-iteration materialization
+    * discipline, relationally. Checkpoint blocks are node-sized (not
+    * registered in the CacheManager; the ContextCleaner reclaims them
+    * once unreachable). `materialize = false` keeps the composition
+    * fully lazy for plan-inspection tests.
     *
     * @return (node, rank) for every node appearing as src or dst
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85,
-      persistEvery: Int = 0): DataFrame = {
+      materialize: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, s"damping=$damping outside (0,1)")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = if (materialize) e0.localCheckpoint() else e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nN = nodes.agg(count(lit(1)).cast("double").as("n"))
@@ -78,8 +84,7 @@ object GraphOps {
             + lit(damping) * (coalesce(col("contrib"), lit(0.0))
               + col("dm") / col("n"))).as("rank"))
       i += 1
-      if (persistEvery > 0 && i % persistEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint()
+      if (materialize) ranks = ranks.localCheckpoint()
     }
     ranks
   }
