@@ -56,6 +56,8 @@ object Bench {
     "t18_gopher_repetition", // top-n-gram char fractions (one gram shuffle)
     "t19_ccnet_buckets",     // LM score + per-lang ntile partition
     "d19_url_dedup",         // URL canonicalization + per-URL keep-one
+    "t20_dsir",              // DSIR importance weights + Gumbel-top-k draw
+    "g01_pagerank",          // 3 power iterations, checkpointed lineage
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {
