@@ -110,6 +110,55 @@ object Pq {
         element_at(codes, j + 1) + 1)
     }: _*)
 
+  /** IVF-PQ (the composed architecture of Jégou et al. 2011 §IV, minus
+    * residual re-centering — codebooks are shared across cells): coarse
+    * spherical-k-means cells bound WHICH vectors are scored (probe the
+    * nProbe nearest cells, skip the rest) and PQ codes bound WHAT is
+    * read per vector (m bytes, not 4d). This is the memory-AND-compute
+    * shape of a 100 TB vector corpus: per query batch, ~nProbe/nLists of
+    * the corpus is touched, at 32× fewer bytes per vector.
+    *
+    * Plan: cell assignment + encode→decode are one narrow codegen'd
+    * projection over the corpus; the probed (query, cell) set broadcasts;
+    * scoring is asymmetric (full-precision query vs reconstructed
+    * candidate); exact top-k per query closes. The corpus never
+    * shuffles. Pair with `Ann.buildIvfIndex`-style cell bucketing to
+    * also prune the SCAN at build time (a05's shape).
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      querySelector: Column, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 8, kCodes: Int = 64,
+      seed: Long = 42L, maxTrainRows: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cents = Ann.trainCentroids(withVec, nLists, seed, maxTrainRows)
+    val cb = trainCodebooks(emb, vecCol, m, kCodes, seed, maxTrainRows = maxTrainRows)
+    val assigned = Ann.assignCells(withVec, cents)
+      .select(col("id"), col("cell"),
+        decode(encode(col("vec"), cb), cb).as("vec"))
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+    val queries = withVec.filter(querySelector)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("centroid_cos").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("centroid_cos", Ann.cosine(col("qvec"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        Ann.cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Asymmetric-distance top-k: full-precision queries scored against the
     * PQ-reconstructed corpus — encode→decode fused in one narrow
     * projection (codes never materialize unless the caller stores them),

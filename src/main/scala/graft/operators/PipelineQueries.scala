@@ -1188,6 +1188,21 @@ object PipelineQueries {
         .toDF("adc_recall_ok", "recon_cos_ok")
     }),
 
+    // -- IVF-PQ composed index CONTRACT: coarse cells bound WHICH vectors
+    // are scored, PQ codes bound WHAT is read per vector — recall vs
+    // brute-force truth gate-enforced (threshold mirrors PqSpec) ---------
+    "a09_ivfpq_contract" -> ((s, d) => {
+      import graft.ann.Pq
+      val emb = Tables.embeddings(s, d)
+      def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+      val bf = pairs(Ann.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10))
+      val ipq = pairs(Pq.ivfPqTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10))
+      val total = bf.count().toDouble
+      val hit = bf.join(ipq, Seq("query_id", "neighbor_id"), "left_semi").count()
+      import s.implicits._
+      Seq(Tuple1(hit / total >= 0.2)).toDF("ivfpq_recall_ok")
+    }),
+
     // -- attrition funnel: cumulative-stage survival counts in ONE
     // aggregate pass ------------------------------------------------------
     "p14_attrition_funnel" -> ((s, d) =>
@@ -2300,6 +2315,9 @@ object PipelineQueries {
 
     "a08_pq_contract" ->
       "SELECT TRUE AS adc_recall_ok, TRUE AS recon_cos_ok",
+
+    "a09_ivfpq_contract" ->
+      "SELECT TRUE AS ivfpq_recall_ok",
 
     "p14_attrition_funnel" ->
       """WITH t AS (SELECT

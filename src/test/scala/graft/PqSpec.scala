@@ -58,6 +58,17 @@ class PqSpec extends AnyFunSuite with CacheHygiene {
     assert(hit / total >= 0.4, s"recall ${hit / total} below the a08 gate threshold")
   }
 
+  test("ivf-pq: recall@10 vs brute force, bounded candidate set") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"))
+    val bf = pairs(Ann.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10))
+    val ivfpq = pairs(Pq.ivfPqTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10))
+    val total = bf.count().toDouble
+    val hit = bf.join(ivfpq, Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(f"ivf-pq recall@10 (nLists=16 nProbe=4 m=$M k=$K): ${hit / total}%.3f")
+    assert(hit / total >= 0.2, s"recall ${hit / total} below the a09 gate threshold")
+  }
+
   test("config sweep (diagnostic)") {
     for ((m, k) <- Seq((8, 16), (16, 64))) {
       val c = Pq.trainCodebooks(emb, "embedding", m, k)
