@@ -29,6 +29,14 @@ import org.apache.spark.sql.SparkSession
   *  - q40_tpch_q21_agg     window stats over a rollup under remote exchange
   *  - q49_tpch_q11         ReusedExchange: the threshold branch replays the
   *                         aggregate's shuffle files on a remote executor
+  *  - g01_pagerank         per-iteration localCheckpoint: RDD blocks live ON
+  *                         the remote executors, every iteration re-reads
+  *                         them across the wire (local mode keeps them
+  *                         in-process)
+  *  - a08_pq_contract      driver-trained PQ codebooks compiled into the
+  *                         plan as literals (multi-MB task binaries
+  *                         broadcast to real executors) + argmin codegen
+  *  - t20_dsir             Gumbel race over broadcast one-row totals
   *
   * Usage (see .claude/skills/verify — `local-cluster[...]` does NOT work
   * against the /opt/spark distribution layout; a real standalone
@@ -49,7 +57,7 @@ object ClusterMirror {
     "q01_tpch_agg", "sk02_most_frequent_exact", "sk08_group_sub_sink",
     "d02_minhash_lsh", "q27_asof_native", "t03_lang_id",
     "m01_multimodal_features", "t16_bpe_contract", "q40_tpch_q21_agg",
-    "q49_tpch_q11")
+    "q49_tpch_q11", "g01_pagerank", "a08_pq_contract", "t20_dsir")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
