@@ -186,4 +186,35 @@ object TextFunctions {
     udf { (text: String) => winnowingFingerprint(text) }
 
   def fingerprint(c: Column): Column = fingerprintUdf(c)
+
+  /** Token-window document chunking — the "split long docs into
+    * embedder/context-sized pieces with overlap" step in front of every
+    * embedding or RAG-index pipeline. Chunk starts step by
+    * `size − overlap`; every start < n − overlap (plus start 0 for short
+    * docs), so every token is covered and consecutive chunks share
+    * exactly `overlap` tokens (the trailing chunk may be shorter).
+    *
+    * One narrow codegen'd projection + posexplode — no shuffle, no UDF;
+    * chunk_idx = start/step is deterministic and engine-replayable
+    * (DuckDB replays via range() over split tokens; c01 hash-verifies).
+    *
+    * @return idCol, chunk_idx, n_tokens, chunk — one row per chunk
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(size >= 1 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size; got size=$size overlap=$overlap")
+    val step = size - overlap
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(0), greatest(org.apache.spark.sql.functions.size(col("__toks"))
+            - overlap - 1, lit(0)), lit(step)),
+          s => struct((s / step).cast("long").as("chunk_idx"),
+            slice(col("__toks"), s + 1, lit(size)).as("ctoks")))).as("c"))
+      .select(col(idCol), col("c.chunk_idx"),
+        org.apache.spark.sql.functions.size(col("c.ctoks")).cast("long").as("n_tokens"),
+        array_join(col("c.ctoks"), " ").as("chunk"))
+  }
 }

@@ -189,6 +189,85 @@ object Multimodal {
       mn.toFloat, mx.toFloat, first.toFloat, last.toFloat))
   }
 
+  /** Raw PCM16 samples of a (mono, 16-bit) RIFF/WAVE payload — the same
+    * hardened header walk as [[decodeWav]], returning the sample stream
+    * instead of whole-clip statistics (the per-frame feature path needs
+    * the samples). None on anything decodeWav would reject. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    def le16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def le32(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+      ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+    def tag(p: Int, s: String): Boolean = p + 4 <= bytes.length &&
+      (0 until 4).forall(i => bytes(p + i) == s.charAt(i).toByte)
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var sampleRate = -1
+    var dataPos = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataPos < 0)) {
+      val sz = le32(pos + 4)
+      if (sz < 0 || pos.toLong + 8L + sz > bytes.length) return None
+      if (tag(pos, "fmt ")) {
+        if (sz < 16 || le16(pos + 8) != 1 || le16(pos + 8 + 2) != 1 ||
+          le16(pos + 8 + 14) != 16) return None
+        sampleRate = le32(pos + 12)
+      } else if (tag(pos, "data")) { dataPos = pos + 8; dataLen = sz }
+      pos += 8 + sz + (sz & 1)
+    }
+    if (sampleRate <= 0 || dataPos < 0 || dataLen < 2 || dataLen % 2 != 0)
+      return None
+    Some(Array.tabulate(dataLen / 2)(i => le16(dataPos + 2 * i).toShort.toInt))
+  }
+
+  /** Per-frame audio features over decoded PCM16: frame = `frameLen`
+    * consecutive samples (no overlap, trailing partial frame kept), and
+    * per frame the INTEGER-exact signal statistics a filtering pipeline
+    * thresholds on — energy (Σ s², the RMS numerator), zero-crossing
+    * count (voiced/unvoiced + noise signal) and peak |s| (clipping) —
+    * so the m04 gate replays them closed-form in SQL.
+    *
+    * Same distributed shape as [[extractFeatures]]: batched
+    * mapPartitions (a real codec initializes per batch), narrow, rows
+    * explode frame-wise on the executors. Undecodable rows are dropped
+    * (callers wanting them use decodeStub via extractFeatures).
+    */
+  def audioFrameFeatures(media: DataFrame, frameLen: Int = 16,
+      batchSize: Int = 64): DataFrame = {
+    require(frameLen >= 2, s"frameLen=$frameLen must be >= 2 (zc needs pairs)")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("n_zero_cross", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(idIdx)
+          decodeWavSamples(r.getAs[Array[Byte]](bytesIdx)).toSeq.flatMap { s =>
+            s.grouped(frameLen).zipWithIndex.map { case (f, fi) =>
+              var energy = 0L; var zc = 0L; var peak = 0L
+              var j = 0
+              while (j < f.length) {
+                val v = f(j)
+                energy += v.toLong * v
+                if (j > 0 && f(j - 1).toLong * v < 0) zc += 1
+                if (math.abs(v) > peak) peak = math.abs(v)
+                j += 1
+              }
+              Row(id, fi.toLong, f.length.toLong, energy, zc, peak)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic synthetic PCM16 WAV for doc/media id — closed-form so
     * a SQL oracle can replay the decoded statistics:
     * n = id%50+20 samples, rate = 8000+(id%4)*4000,

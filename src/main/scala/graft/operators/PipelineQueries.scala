@@ -1188,6 +1188,42 @@ object PipelineQueries {
         .toDF("adc_recall_ok", "recon_cos_ok")
     }),
 
+    // -- per-frame audio features: REAL WAV decode -> 16-sample frames ->
+    // integer-exact energy / zero-cross / peak (closed-form synthetic PCM
+    // replayed by SQL, like m01-m03) -------------------------------------
+    "m04_audio_frames" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "audio")
+      Multimodal.audioFrameFeatures(media, frameLen = 16)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // -- token-window chunking: size 12 / overlap 4 — the embed/RAG
+    // pre-chunking step, narrow posexplode, no UDF ------------------------
+    "c01_chunking" -> ((s, d) =>
+      TextFunctions.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+          size = 12, overlap = 4)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // -- edit-distance verification of near-dup candidates: levenshtein
+    // only on the sparse LSH-surfaced pair set (the text-dedup verify
+    // step — O(L^2) per pair is affordable BECAUSE the pair set is
+    // banded, never corpus x corpus) -------------------------------------
+    "d20_editdist_verify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      val ta = docs.select(col("doc_id").as("a"), col("text").as("ta"))
+      val tb = docs.select(col("doc_id").as("b"), col("text").as("tb"))
+      val lev = levenshtein(col("ta"), col("tb")).cast("long")
+      pairs.join(ta, Seq("a")).join(tb, Seq("b"))
+        .select(col("a"), col("b"), col("jaccard"), lev.as("lev"),
+          (floor(lev.cast("double")
+            / greatest(length(col("ta")), length(col("tb")))
+            * 10000 + lit(0.5)) / 10000).as("lev_ratio"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // -- IVF-PQ composed index CONTRACT: coarse cells bound WHICH vectors
     // are scored, PQ codes bound WHAT is read per vector — recall vs
     // brute-force truth gate-enforced (threshold mirrors PqSpec) ---------
@@ -2318,6 +2354,64 @@ object PipelineQueries {
 
     "a09_ivfpq_contract" ->
       "SELECT TRUE AS ivfpq_recall_ok",
+
+    // m04: closed-form PCM replay — sample i of audio doc id is
+    // ((id*37 + i*13) % 4001) - 2000, n = id%50+20 (wavFromId); frames
+    // of 16, integer-exact energy/zc/peak
+    "m04_audio_frames" ->
+      """WITH a AS (SELECT doc_id, (doc_id % 50 + 20) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |ix AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM a),
+        |s AS (SELECT doc_id, i, i // 16 AS f,
+        |        ((doc_id * 37 + i * 13) % 4001) - 2000 AS v FROM ix),
+        |l AS (SELECT doc_id, f, i, v,
+        |        lag(v) OVER (PARTITION BY doc_id, f ORDER BY i) AS pv FROM s)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_zero_cross,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM l GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // c01: range() steps by size-overlap (exclusive stop == Spark's
+    // inclusive stop-1), list_slice clamps the trailing chunk
+    "c01_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |   unnest(range(0, greatest(len(toks) - 4, 1), 8)) AS s FROM t)
+        |SELECT doc_id, CAST(s // 8 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, s + 1, s + 12)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(toks, s + 1, s + 12), ' ') AS chunk
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // d20: the exact-jaccard pair set (d02's oracle construction) +
+    // levenshtein verify, ratio floor-rounded identically
+    "d20_editdist_verify" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
+        |      WHERE tri IS NOT NULL GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |   round(len(list_intersect(a.tris,b.tris))::DOUBLE
+        |         / len(list_distinct(a.tris||b.tris)), 4) AS jaccard
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
+        |       / len(list_distinct(a.tris||b.tris)) >= 0.8)
+        |SELECT p.a, p.b, p.jaccard,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+        |  floor(levenshtein(da.text, db.text)::DOUBLE
+        |        / greatest(len(da.text), len(db.text)) * 10000 + 0.5) / 10000
+        |    AS lev_ratio
+        |FROM p JOIN documents da ON da.doc_id = p.a
+        |       JOIN documents db ON db.doc_id = p.b
+        |ORDER BY a, b""".stripMargin,
 
     "p14_attrition_funnel" ->
       """WITH t AS (SELECT

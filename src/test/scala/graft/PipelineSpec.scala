@@ -1153,6 +1153,52 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(str.exists(_._4 > 0), "no cross-document duplicate 8-grams found")
   }
 
+  test("audio frame features: hand-computed golden + whole-clip consistency") {
+    val wav = Multimodal.wavFromId(7L) // n = 27 samples, 2 frames (16 + 11)
+    val s = Multimodal.decodeWavSamples(wav).get
+    assert(s.length == 27)
+    assert(s.toSeq == (0 until 27).map(i => ((7L * 37 + i * 13) % 4001 - 2000).toInt))
+    val media = spark.createDataFrame(Seq((7L, "audio"))).toDF("media_id", "kind")
+      .withColumn("bytes", udf((id: Long) => Multimodal.wavFromId(id)).apply(col("media_id")))
+    val rows = Multimodal.audioFrameFeatures(media, 16)
+      .orderBy("frame_idx")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._3) == Seq(16L, 11L))
+    def feats(f: Seq[Int]) = (
+      f.map(v => v.toLong * v).sum,
+      f.sliding(2).count(p => p.length == 2 && p(0).toLong * p(1) < 0).toLong,
+      f.map(v => math.abs(v).toLong).max)
+    val (e0, z0, p0) = feats(s.take(16).toSeq)
+    val (e1, z1, p1) = feats(s.drop(16).toSeq)
+    assert(rows == Seq((7L, 0L, 16L, e0, z0, p0), (7L, 1L, 11L, e1, z1, p1)))
+    // frame energies sum to the whole-clip energy; junk bytes drop out
+    val junk = spark.createDataFrame(Seq((1L, "audio"))).toDF("media_id", "kind")
+      .withColumn("bytes", lit("not a wav".getBytes))
+    assert(Multimodal.audioFrameFeatures(junk, 16).count() == 0)
+  }
+
+  test("chunking: coverage + overlap laws corpus-wide") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = TextFunctions.chunkTokens(docs, "doc_id", "text", 12, 4)
+    // every token covered: sum of (n_tokens - overlap) + overlap == n
+    // per doc  <=>  sum(n_tokens) == n + (chunks-1)*overlap
+    val law = chunks.groupBy("doc_id")
+      .agg(sum("n_tokens").as("st"), count(lit(1)).as("nc"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), Seq("doc_id"))
+      .filter(col("st") =!= col("n") + (col("nc") - 1) * 4)
+    assert(law.count() == 0, "token-coverage law violated")
+    // reassembling chunk 0's prefix matches the doc prefix
+    val first = chunks.filter(col("chunk_idx") === 0)
+      .join(docs, Seq("doc_id"))
+      .filter(!col("text").startsWith(col("chunk")))
+    assert(first.count() == 0)
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkTokens(docs, "doc_id", "text", 4, 4)
+    }
+  }
+
   test("DSIR: target-language docs score higher; hashed grams match") {
     import graft.operators.LanguageModel
     val docs = Tables.documents(spark, sfDir)
