@@ -1128,6 +1128,16 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // -- REAL streaming heavy hitters: the MostFrequent sketch buffer
+    // merges across micro-batch boundaries in the state store; exact
+    // regime (capacity >= distinct event types) => hash == SQL counts ----
+    "st06_stream_topk" -> ((s, d) =>
+      graft.streaming.EventStreams.topTypesStreamed(s,
+          Tables.events(s, d)
+            .select(col("event_id"), col("ts"), col("event_type")),
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st06_stage")
+        .orderBy(col("n").desc, col("event_type"))),
+
     // -- DSIR importance resampling (Xie et al. 2023): bag-of-bigrams
     // target-vs-raw log weights + Gumbel-top-k draw. Full relational
     // replay (counts + ln + md5 race) like t14/p11. ----------------------
@@ -2244,6 +2254,11 @@ object PipelineQueries {
         |  CAST(min(event_id) AS BIGINT) AS min_id,
         |  CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "st06_stream_topk" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type LIMIT 10""".stripMargin,
 
     // t20: full relational replay — bigram counts (t14's construction),
     // add-one-smoothed target/raw log-prob difference per doc, docs

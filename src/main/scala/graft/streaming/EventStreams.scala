@@ -183,6 +183,31 @@ object EventStreams {
   /** 3σ relative-error envelope for an HLL with 2^b registers. */
   def hll3Sigma(b: Int): Double = 3 * 1.04 / math.sqrt((1 << b).toDouble)
 
+  /** Streamed heavy hitters: the Top(+CMS) `MostFrequent` sketch buffer
+    * rides the streaming state store as a GLOBAL typed aggregate and
+    * merges across micro-batch boundaries. In the exact regime (tracking
+    * capacity ≥ distinct keys — event_type here) the merged sketch IS
+    * the exact count table whatever the batch split, so stream == batch
+    * == external replay and the st06 gate hash-verifies it; st04 proved
+    * the same law for HLL state, this proves it for the Top/CMS family. */
+  def topTypesStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int = 3,
+      sinkName: String = "st06_sink"): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName)(topEventTypes(_))
+
+  /** Top event types by count via the `MostFrequent` sketch aggregator —
+    * ONE definition shared by the streamed form, the batch twin, and the
+    * gate (same discipline as [[hllUsersPerType]]). */
+  def topEventTypes(df: DataFrame, n: Int = 10): DataFrame = {
+    import df.sparkSession.implicits._
+    import graft.aggregators.SketchAggregators.MostFrequent
+    val agg = new MostFrequent[String, String](n, 0.99, 0.002, identity)
+    df.select(col("event_type")).as[String]
+      .select(agg.toColumn.name("top")).toDF("top")
+      .select(explode(col("top")).as("kv"))
+      .select(col("kv._1").as("event_type"), col("kv._2").as("n"))
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: a session
     * closes when a later event for the same user arrives more than
     * `gapMinutes` after it (event-time gap split). With

@@ -234,6 +234,23 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
       s"streamed $streamed != batch $batch")
   }
 
+  test("topTypesStreamed: Top/CMS state store merge equals batch exactly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val streamed = EventStreams.topTypesStreamed(spark, e,
+        "target/qtmp/st06_spec_stage", nFiles = 3, sinkName = "st06_spec_sink")
+      .as[(String, Long)].collect().sorted.toSeq
+    val batch = EventStreams.topEventTypes(e)
+      .as[(String, Long)].collect().sorted.toSeq
+    val exact = e.groupBy("event_type").count()
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed $streamed != batch $batch")
+    assert(streamed == exact, s"sketch regime not exact: $streamed vs $exact")
+  }
+
   test("checkpointed restart: resumes from committed offsets, no duplicate windows") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.Trigger
