@@ -91,5 +91,9 @@ object GraftExtensions {
         exprs(0), literalInt(exprs, 1, "hyperplane_sig"))),
     ("zorder2",
       "zorder2(a, b) - 64-bit Morton (Z-order) code of two bigint coordinates",
-      (exprs: Seq[Expression]) => ZOrder2Expression(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => ZOrder2Expression(exprs(0), exprs(1))),
+    ("top_gram_mass",
+      "top_gram_mass(tokens, n) - char mass of the most repeated n-gram (0 if none repeats)",
+      (exprs: Seq[Expression]) => TopGramMassExpression(
+        exprs(0), literalInt(exprs, 1, "top_gram_mass"))))
 }

@@ -1063,7 +1063,7 @@ object PipelineQueries {
     // only on counts and lengths, the d12/t11 pattern). ------------------
     "t18_gopher_repetition" -> ((s, d) =>
       QualityRules.topNgramCharFractions(Tables.documents(s, d),
-          "doc_id", "text", ns = Seq(2, 3, 4), hashGrams = true)
+          "doc_id", "text", ns = Seq(2, 3, 4))
         .orderBy(col("doc_id"))),
 
     // -- CCNet head/middle/tail partition: per-lang ntile over the

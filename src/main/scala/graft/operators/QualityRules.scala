@@ -93,19 +93,41 @@ object QualityRules {
     * 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4; [[topNgramThresholds]] holds
     * those constants and the output carries one boolean per n.
     *
-    * Plan at 100 TB: gram generation is a narrow transform(sequence);
-    * ONE gram-keyed count shuffle covers every requested n (n rides the
-    * key); per-doc maxima ride a doc-keyed map-side-combined aggregate;
-    * the join back to per-doc char totals is by id. With
-    * `hashGrams = true` the shuffled key is an 8-byte xxhash64 (gram
-    * LENGTH is computed before hashing and carried as a value), so
-    * shuffle volume is independent of gram text size — same switch,
-    * same rationale as `Dedup.duplicateSpans` (d12).
+    * Plan at 100 TB: this is a PER-DOCUMENT statistic, so it costs NO
+    * shuffle — the count-and-argmax runs per row in the native
+    * codegen'd [[graft.plans.TopGramMassExpression]] (exact UTF8 gram
+    * comparison, no hash-collision caveat): one narrow projection,
+    * shuffle volume independent of the corpus. The relational
+    * grams-exchange form this replaced ([[topNgramCharFractionsRelational]],
+    * kept as the parity witness + oracle documentation) was the worst
+    * sf1 scaler in the benchmark (3.95× at 10× data) purely from
+    * shuffling every document's gram stream.
     *
     * @return idCol, `chars`, and per n: `top{n}_frac` (floor-rounded to
     *         4 decimals) and `r_top{n}` (true = within threshold)
     */
   def topNgramCharFractions(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n list: $ns")
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(idCol), toks.as("__t"),
+      length(col(textCol)).cast("double").as("__chars"))
+    val cols = ns.flatMap { n =>
+      val frac = graft.plans.TopGramMassExpression.topGramMass(col("__t"), n)
+        .cast("double") / col("__chars")
+      Seq((floor(frac * 10000 + lit(0.5)) / 10000).as(s"top${n}_frac"),
+        (frac <= topNgramThresholds.getOrElse(n, 1.0)).as(s"r_top$n"))
+    }
+    base.select((col(idCol) +: col("__chars").cast("long").as("chars") +: cols): _*)
+  }
+
+  /** The relational (grams-exchange) form of [[topNgramCharFractions]] —
+    * gram stream exploded and counted through a (doc, n, gram)-keyed
+    * exchange, `hashGrams` projecting xxhash64 before the shuffle. Kept
+    * as the parity witness (PlanExprSpec asserts equality with the
+    * narrow native form corpus-wide) and as the shape the DuckDB oracle
+    * documents; production callers want [[topNgramCharFractions]]. */
+  def topNgramCharFractionsRelational(df: DataFrame, idCol: String, textCol: String,
       ns: Seq[Int] = Seq(2, 3, 4), hashGrams: Boolean = false): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n list: $ns")
     val toks = split(col(textCol), " ")

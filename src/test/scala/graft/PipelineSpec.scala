@@ -667,14 +667,22 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     val r3 = QualityRules.topNgramCharFractions(one, "doc_id", "text", Seq(3))
       .select(col("top3_frac")).head().getDouble(0)
     assert(r3 == 0.0, s"expected 0 trigram mass, got $r3")
-    // 100 TB switch parity corpus-wide
+    // native narrow form == relational exchange form (both gram-key
+    // variants) corpus-wide; the native plan carries no Exchange
     val corpus = Tables.documents(spark, sfDir)
-    val plain = QualityRules.topNgramCharFractions(corpus, "doc_id", "text")
+    val native = QualityRules.topNgramCharFractions(corpus, "doc_id", "text")
       .orderBy("doc_id").collect().toSeq
-    val hashed = QualityRules.topNgramCharFractions(corpus, "doc_id", "text",
+    val plain = QualityRules.topNgramCharFractionsRelational(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val hashed = QualityRules.topNgramCharFractionsRelational(corpus, "doc_id", "text",
       hashGrams = true).orderBy("doc_id").collect().toSeq
     assert(plain == hashed, "hashed-gram fractions must reproduce string-gram result")
-    assert(plain.exists(_.getDouble(2) > 0), "corpus should have SOME repeated bigrams")
+    assert(native == plain, "native per-row form must reproduce the relational result")
+    assert(native.exists(_.getDouble(2) > 0), "corpus should have SOME repeated bigrams")
+    val plan = QualityRules.topNgramCharFractions(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-doc repetition stats must not shuffle:\n$plan")
   }
 
   test("perplexity buckets: per-class tiles balanced, head outranks tail") {

@@ -215,4 +215,24 @@ class PlanExprSpec extends AnyFunSuite with CacheHygiene {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
       s"UDF found in a02 plan:\n${plan.take(500)}")
   }
+
+  test("top_gram_mass: codegen == interpreted, hand goldens, null/short input") {
+    graft.plans.TopGramMassExpression.register(spark)
+    // "ab ab ab cd": 'ab ab' x2, 5 chars -> 10; no trigram repeats -> 0
+    val r = spark.sql(
+      """SELECT top_gram_mass(split('ab ab ab cd', ' '), 2),
+        |       top_gram_mass(split('ab ab ab cd', ' '), 3),
+        |       top_gram_mass(split('ab', ' '), 2),
+        |       top_gram_mass(CAST(NULL AS ARRAY<STRING>), 2)""".stripMargin).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3))
+    // codegen vs interpreted parity on generated rows
+    val df = spark.range(0, 2000).selectExpr(
+      "top_gram_mass(split(concat('a', id % 7, ' b', id % 3, ' a', id % 7, ' b', id % 3), ' '), 2) AS m")
+    val fromCodegen = df.collect().map(_.getLong(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = df.collect().map(_.getLong(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(fromCodegen.sameElements(interpreted))
+  }
 }
