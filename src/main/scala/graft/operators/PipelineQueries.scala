@@ -1138,6 +1138,16 @@ object PipelineQueries {
           s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st06_stage")
         .orderBy(col("n").desc, col("event_type"))),
 
+    // -- weighted repeat-upsampling: materialized per-language epoch
+    // counts with deterministic fractional copies --------------------------
+    "p15_repeat_upsample" -> ((s, d) =>
+      Splits.repeatUpsample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.5, "es" -> 1.25, "zh" -> 2.0),
+          salt = "ru5")
+        .orderBy(col("doc_id"), col("copy_idx"))),
+
     // -- DSIR importance resampling (Xie et al. 2023): bag-of-bigrams
     // target-vs-raw log weights + Gumbel-top-k draw. Full relational
     // replay (counts + ln + md5 race) like t14/p11. ----------------------
@@ -2259,6 +2269,23 @@ object PipelineQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type LIMIT 10""".stripMargin,
+
+    // p15: full replay of the floor(w) + fractional md5-keep copy count
+    "p15_repeat_upsample" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+        |    WHEN 'fr' THEN 0.5 WHEN 'es' THEN 1.25 WHEN 'zh' THEN 2.0
+        |    ELSE 1.0 END AS wt
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  CAST(floor(wt) AS BIGINT) +
+        |  CASE WHEN (CAST(('0x'||substr(md5(doc_id::VARCHAR || ':ru5'),1,12))
+        |             AS BIGINT) + 0.5) / 281474976710656.0 < wt - floor(wt)
+        |       THEN 1 ELSE 0 END AS copies
+        |  FROM w)
+        |SELECT doc_id, lang,
+        |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS copy_idx
+        |FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
 
     // t20: full relational replay — bigram counts (t14's construction),
     // add-one-smoothed target/raw log-prob difference per doc, docs

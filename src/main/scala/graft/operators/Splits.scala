@@ -173,6 +173,35 @@ object Splits {
       .drop("__rate", "__tm_cls")
   }
 
+  /** Weighted repeat-upsampling — materialize a per-class epoch-count
+    * mix (the Llama/DoReMi-style "source X sees 2.5 epochs, source Y
+    * 0.5" data recipe): every row of class l is emitted floor(w_l)
+    * times, plus one extra copy iff [[mdUniform]](key, salt) < frac(w_l)
+    * — so E[copies] = w_l exactly, per row, deterministically in
+    * (key, salt). `copy_idx` (0-based) distinguishes the repeats so
+    * downstream epoch reshuffle ([[shuffleOrder]] salted by copy_idx)
+    * and packing never collapse them. Classes absent from `weights`
+    * default to 1.0 (one epoch); w_l < 1 subsamples (rows may emit 0
+    * copies and drop out).
+    *
+    * Plan at 100 TB: the weight lookup is a literal map, the copy count
+    * and the fractional keep are narrow codegen, and the repeat is one
+    * explode(sequence) — no shuffle anywhere; output size is the only
+    * cost, which is the point of the operator.
+    */
+  def repeatUpsample(df: DataFrame, keyCol: String, classCol: String,
+      weights: Map[String, Double], salt: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w > 0 && w <= 100),
+      s"weights must be in (0, 100]: $weights")
+    val w = coalesce(element_at(typedlit(weights), col(classCol)), lit(1.0))
+    val base = floor(w).cast("long")
+    val extra = (mdUniform(col(keyCol), salt) < (w - floor(w))).cast("long")
+    df.withColumn("__copies", base + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Deterministic global training order: sort key = md5(key || salt).
     * A different salt per epoch gives independent reshuffles of the
     * whole corpus with zero RNG state — the reshuffle-per-epoch step

@@ -1207,6 +1207,39 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("repeat upsample: E[copies]=w within 5 sigma, contiguous copy_idx, subsample drops") {
+    import graft.operators.Splits
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val w = Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.5, "es" -> 1.25, "zh" -> 2.0)
+    val up = Splits.repeatUpsample(docs, "doc_id", "lang", w, "s1")
+    // per-class realized copies/doc ~ w_l: fractional part is Bernoulli,
+    // 5 sigma over n_l docs
+    val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = up.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((l, wl) <- w) {
+      val frac = wl - math.floor(wl)
+      val sd = 5 * math.sqrt(n(l) * frac * (1 - frac))
+      assert(math.abs(got.getOrElse(l, 0L) - wl * n(l)) <= sd + 1e-9,
+        s"$l: got ${got.getOrElse(l, 0L)} copies, want ~${wl * n(l)} +- $sd")
+    }
+    // copy_idx contiguous from 0 per doc; deterministic re-run
+    val bad = up.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), min("copy_idx").as("mn"), max("copy_idx").as("mx"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("c") - 1)
+    assert(bad.count() == 0, "copy_idx must be 0..copies-1")
+    val again = Splits.repeatUpsample(docs, "doc_id", "lang", w, "s1")
+      .orderBy("doc_id", "copy_idx").collect().toSeq
+    assert(again == up.orderBy("doc_id", "copy_idx").collect().toSeq)
+    // w < 1 drops some docs entirely; unlisted class defaults to 1 copy
+    val frDocs = n("fr")
+    val frKept = up.filter(col("lang") === "fr")
+      .select("doc_id").distinct().count()
+    assert(frKept < frDocs, "w=0.5 must drop some fr docs")
+    val unlisted = Splits.repeatUpsample(docs, "doc_id", "lang",
+      Map("en" -> 2.0), "s1")
+    assert(unlisted.filter(col("lang") === "de").count() == n("de"))
+  }
+
   test("DSIR: target-language docs score higher; hashed grams match") {
     import graft.operators.LanguageModel
     val docs = Tables.documents(spark, sfDir)
