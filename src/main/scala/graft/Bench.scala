@@ -58,6 +58,7 @@ object Bench {
     "d19_url_dedup",         // URL canonicalization + per-URL keep-one
     "t20_dsir",              // DSIR importance weights + Gumbel-top-k draw
     "g01_pagerank",          // 3 power iterations, checkpointed lineage
+    "c01_chunking",          // token-window chunking (narrow posexplode)
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {
