@@ -59,6 +59,12 @@ object Bench {
     "t20_dsir",              // DSIR importance weights + Gumbel-top-k draw
     "g01_pagerank",          // 3 power iterations, checkpointed lineage
     "c01_chunking",          // token-window chunking (narrow posexplode)
+    "r01_bm25_topk",         // BM25: query-term-pruned corpus scan
+    "r02_rrf_hybrid",        // lexical+dense rank fusion
+    "g03_triangles",         // wedge-join triangle counting
+    "c02_cohort_retention",  // weekly cohort matrix (two user-keyed shuffles)
+    "u02_cdc_apply",         // changelog latest-wins window, no join
+    "t21_pmi_collocations",  // PMI over vocabulary-sized count tables
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {

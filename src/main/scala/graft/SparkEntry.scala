@@ -30,11 +30,13 @@ object SparkEntry {
     graft.operators.CoreQueries.queries ++
       graft.operators.SketchQueries.queries ++
       graft.operators.PipelineQueries.queries ++
-      graft.operators.SourceQueries.queries
+      graft.operators.SourceQueries.queries ++
+      graft.operators.CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.operators.CoreQueries.oracles ++
       graft.operators.SketchQueries.oracles ++
       graft.operators.PipelineQueries.oracles ++
-      graft.operators.SourceQueries.oracles
+      graft.operators.SourceQueries.oracles ++
+      graft.operators.CurationQueries.oracles
 }

@@ -13,8 +13,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Plain parquet read + timestamp normalization: generated data has
+    * carried either TIMESTAMP(NANOS) (surfacing as LongType under
+    * `nanosAsLong`, converted in [[events]]) or naive micros
+    * (isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark 4). Strict-TIMESTAMP
+    * consumers (`unix_micros`, stream watermarks) reject NTZ, so cast any
+    * NTZ column to TimestampType — the session is pinned to UTC, making
+    * the cast wall-clock-preserving and oracle-identical. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 operator pack: retrieval (BM25, hybrid RRF), graph triangle
+  * counting, cohort retention, CDC changelog apply, and PMI collocations.
+  * Every query carries a DuckDB oracle (hash-verified by the driver).
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed retrieval queries over the synthetic corpus vocabulary —
+    * literal in both engines, broadcast on the Spark side. */
+  private val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "join", "merge"),
+    1L -> Seq("scan", "filter", "table"),
+    2L -> Seq("stream", "window", "agg"))
+
+  /** Same (prev_k -> k) transition edges as g01/g02. */
+  private def transitionEdges(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), k.as("dst"))
+      .withColumn("src", lag(col("dst"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // -- BM25 lexical retrieval: 3 fixed queries, top-10 docs each -------
+    // Corpus scanned once; tokens filtered to query terms BEFORE any
+    // shuffle, so the tf/df aggregates are query-vocabulary-sized.
+    "r01_bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rk"))),
+
+    // -- Hybrid retrieval: token-set Jaccard (lexical) + embedding cosine
+    // (dense) fused by Reciprocal Rank Fusion; queries are docs 0-2.
+    // Exact pairing here (oracle-replayable); at scale each ranker's
+    // candidates come pre-pruned (LSH / IVF) and RRF sees only top lists.
+    "r02_rrf_hybrid" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      Retrieval.rrfHybridTopK(corpus, "doc_id", "text", "embedding",
+          querySelector = col("id") < 3, k = 10)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // -- Triangle participation per node on the k-transition graph ------
+    // (edge direction dropped; canonical lo<hi wedge join — each
+    // triangle enumerated exactly once)
+    "g03_triangles" -> ((s, d) =>
+      GraphOps.triangles(transitionEdges(s, d), "src", "dst")
+        .orderBy(col("triangles").desc, col("node"))
+        .limit(25)),
+
+    // -- Weekly cohort retention over the events stream ------------------
+    // cohort = week of a user's first event; one row per (cohort week,
+    // week offset) with distinct active users. Two user-keyed shuffles.
+    "c02_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      ev.join(cohort, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("bigint"))
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(count_distinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
+    // -- CDC changelog apply: latest-wins upsert + delete ---------------
+    // The orders table read as a per-customer changelog ordered by
+    // (o_orderdate, o_orderkey); every 7th orderkey is a delete. ONE
+    // key-partitioned window, no join.
+    "u02_cdc_apply" -> ((s, d) => {
+      val log = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"),
+        col("o_orderdate").as("seq_ts"), col("o_orderkey").as("seq_id"),
+        when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      Maintenance.applyChangelog(log, Seq("custkey"),
+          Seq("seq_ts", "seq_id"), "op")
+        .select(col("custkey"), col("seq_id").as("last_orderkey"),
+          col("status"), round(col("price"), 2).as("price"))
+        .orderBy(col("custkey"))
+    }),
+
+    // -- PMI collocations: top-25 adjacent-bigram associations -----------
+    // pmi = ln( (c_ab/Nb) / ((c_a/Nt)(c_b/Nt)) ), min bigram count 5.
+    // All count tables are vocabulary-sized; scalars broadcast.
+    "t21_pmi_collocations" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ")
+      val uni = docs.select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val nt = uni.agg(sum(col("cu")).cast("double").as("n_tok"))
+      val bg = docs.filter(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val nb = cb.agg(sum(col("cb")).cast("double").as("n_bg"))
+      val pmi = log((col("cb") / col("n_bg")) /
+        ((col("c1") / col("n_tok")) * (col("c2") / col("n_tok"))))
+      cb.filter(col("cb") >= 5)
+        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), "w2")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("cb").as("n"),
+          round(floor(pmi * 1e12 + lit(0.5)) / 1e12, 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(25)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "r01_bm25_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (0, 'hash'), (0, 'join'), (0, 'merge'),
+        |  (1, 'scan'), (1, 'filter'), (1, 'table'),
+        |  (2, 'stream'), (2, 'window'), (2, 'agg')),
+        |t AS (SELECT doc_id AS id, len(string_split(text,' ')) AS dl,
+        |        unnest(string_split(text,' ')) AS term FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs,
+        |         sum(len(string_split(text,' ')))::DOUBLE / count(*) AS avgdl
+        |       FROM documents),
+        |h AS (SELECT * FROM t WHERE term IN (SELECT term FROM q)),
+        |tf AS (SELECT id, term, count(*) AS tf, min(dl) AS dl
+        |       FROM h GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT id) AS df FROM h GROUP BY 1),
+        |c AS (SELECT q.query_id, tf.id AS doc_id,
+        |    floor(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))
+        |      * 1e12 + 0.5) / 1e12 AS contrib
+        |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id,
+        |         floor(sum(contrib) * 1e12 + 0.5) / 1e12 AS score
+        |       FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id) AS rk FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS INT) AS rk,
+        |  doc_id, round(score, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "r02_rrf_hybrid" ->
+      """WITH base AS (
+        |  SELECT d.doc_id AS id, list_distinct(string_split(d.text,' ')) AS toks,
+        |         e.embedding AS vec
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |qs AS (SELECT id AS query_id, toks AS q_toks, vec AS q_vec
+        |       FROM base WHERE id < 3),
+        |sc AS (SELECT qs.query_id, b.id,
+        |    len(list_intersect(b.toks, qs.q_toks))::DOUBLE /
+        |      (len(b.toks) + len(qs.q_toks)
+        |        - len(list_intersect(b.toks, qs.q_toks))) AS jacc,
+        |    CAST(list_cosine_similarity(b.vec, qs.q_vec) AS DOUBLE) AS cos
+        |  FROM base b JOIN qs ON b.id <> qs.query_id),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY jacc DESC, id) AS r_lex,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, id) AS r_dense
+        |  FROM sc),
+        |f AS (SELECT query_id, id,
+        |    floor((1.0/(60 + r_lex) + 1.0/(60 + r_dense)) * 1e12 + 0.5) / 1e12
+        |      AS rrf, r_lex, r_dense
+        |  FROM rk),
+        |t AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf DESC, id) AS rk FROM f)
+        |SELECT query_id, CAST(rk AS INT) AS rk, id AS doc_id,
+        |  round(rrf, 6) AS rrf, CAST(r_lex AS INT) AS r_lex,
+        |  CAST(r_dense AS INT) AS r_dense
+        |FROM t WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "g03_triangles" ->
+      """WITH kx AS (SELECT user_id, ts, event_id,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |seq AS (SELECT user_id, k AS dst,
+        |    lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM kx),
+        |e0 AS (SELECT DISTINCT src, dst FROM seq
+        |       WHERE src IS NOT NULL AND src <> dst),
+        |e AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        |      FROM e0 WHERE src <> dst),
+        |tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        |  FROM e ab JOIN e bc ON bc.lo = ab.hi
+        |  JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+        |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+        |SELECT node, count(*) AS triangles FROM n
+        |GROUP BY node ORDER BY triangles DESC, node LIMIT 25""".stripMargin,
+    "c02_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+        |SELECT c.cohort_wk,
+        |  CAST(datediff('day', CAST(c.cohort_wk AS DATE), CAST(ev.wk AS DATE)) // 7
+        |    AS BIGINT) AS week_offset,
+        |  count(DISTINCT ev.user_id) AS active_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
+    "u02_cdc_apply" ->
+      """WITH log AS (SELECT o_custkey AS custkey, o_orderdate AS seq_ts,
+        |    o_orderkey AS seq_id,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY custkey
+        |        ORDER BY seq_ts DESC, seq_id DESC, op DESC) AS rn FROM log)
+        |SELECT custkey, seq_id AS last_orderkey, status,
+        |  round(price, 2) AS price
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY custkey""".stripMargin,
+    "t21_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(text,' ') AS l FROM documents),
+        |u AS (SELECT unnest(l) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS cu FROM u GROUP BY 1),
+        |nt AS (SELECT sum(cu)::DOUBLE AS n_tok FROM uni),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(l)-1),
+        |        i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS p
+        |      FROM t WHERE len(l) >= 2),
+        |cb AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cb FROM b GROUP BY 1, 2),
+        |nb AS (SELECT sum(cb)::DOUBLE AS n_bg FROM cb)
+        |SELECT cb.w1 || ' ' || cb.w2 AS bigram, cb.cb AS n,
+        |  round(floor(ln((cb.cb / nb.n_bg) /
+        |    ((u1.cu / nt.n_tok) * (u2.cu / nt.n_tok))) * 1e12 + 0.5) / 1e12, 4)
+        |    AS pmi
+        |FROM cb JOIN uni u1 ON u1.w = cb.w1 JOIN uni u2 ON u2.w = cb.w2
+        |CROSS JOIN nt CROSS JOIN nb
+        |WHERE cb.cb >= 5
+        |ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin)
+}

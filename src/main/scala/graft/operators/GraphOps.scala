@@ -100,4 +100,40 @@ object GraphOps {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** Per-node triangle participation over the UNDIRECTED simple graph
+    * induced by the edge list (direction dropped, self-loops and
+    * multi-edges removed).
+    *
+    * The classic two-join relational form — the same shape Cohen's
+    * MapReduce triangle enumeration and every SQL-on-graph engine use:
+    * canonicalize each edge to (lo, hi) with lo < hi, join wedges
+    * (a<b)⋈(b<c) on the middle node, then close each wedge against the
+    * edge set on (a, c). Ordering every traversal low→high enumerates
+    * each triangle exactly once with no candidate duplication.
+    *
+    * Plan at 100 TB: both joins are plain equi-joins Catalyst shuffles
+    * on the wedge key — partial-agg'd, AQE-sized, no driver state. The
+    * worst case is a high-degree hub exploding the wedge join; the
+    * standard mitigation (orientation by degree — point every edge at
+    * the higher-degree endpoint, bounding wedge fan-out by arboricity)
+    * composes here as a pre-step by re-canonicalizing on
+    * (degree, node) instead of node id. Node ids here are small longs;
+    * per-triangle traffic is 3×8 bytes.
+    *
+    * Returns (node, triangles) for every node in ≥1 triangle.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
+    val bc = e.select(col("lo").as("b"), col("hi").as("c"))
+    val ac = e.select(col("lo").as("a"), col("hi").as("c"))
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators — the operational side of running a
@@ -108,5 +109,31 @@ object Maintenance {
     require(keyCols.nonEmpty, "mergeSnapshot needs at least one key column")
     base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(updates)
+  }
+
+  /** Apply a CDC changelog to produce the current snapshot: for each key,
+    * the row with the highest (seqCols) sequence wins; if that winner's
+    * `opCol` is `deleteOp` the key is absent from the result. This is the
+    * changelog-compaction step every lakehouse MERGE/upsert pipeline runs
+    * (Delta CDF apply, Hudi compaction, Kafka topic materialization).
+    *
+    * Plan shape: ONE shuffle keyed by `keyCols` feeding a single
+    * WindowGroupLimit-able row_number — no join, no driver state. At
+    * 100 TB the changelog shuffles once on its natural key; AQE handles
+    * skewed hot keys. Ties on the full sequence are broken deterministically
+    * by `opCol` descending ('U' > 'D': an update and delete carrying the
+    * same sequence resolves to the update — document-stable, not
+    * arrival-order-dependent).
+    */
+  def applyChangelog(log: DataFrame, keyCols: Seq[String],
+      seqCols: Seq[String], opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangelog needs at least one key column")
+    require(seqCols.nonEmpty, "applyChangelog needs at least one sequence column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(seqCols.map(c => col(c).desc) :+ col(opCol).desc: _*)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
   }
 }

@@ -413,15 +413,22 @@ object EventStreams {
         ()
     }
 
+  /** File stream over the generated events table. The on-disk `ts` shape
+    * has varied across testdata generations (TIMESTAMP(NANOS) → LongType
+    * under `nanosAsLong`; naive micros → TIMESTAMP_NTZ), so probe the
+    * batch schema once on the driver and normalize to strict
+    * TimestampType exactly like [[graft.Tables.events]] — watermarks
+    * reject anything else. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val probed = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(probed).parquet(dir)
+    probed("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }

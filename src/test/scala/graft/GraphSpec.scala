@@ -67,4 +67,41 @@ class GraphSpec extends AnyFunSuite with CacheHygiene {
       .as[(String, Long, Long)].collect().toSet
     assert(got == Set(("a", 2L, 0L), ("b", 1L, 1L), ("c", 0L, 2L)))
   }
+
+  // K4 on {1,2,3,4}: C(4,3) = 4 triangles, every node in exactly 3
+  def k4 = (for {
+    i <- 1 to 4; j <- 1 to 4 if i != j
+  } yield (i.toLong, j.toLong)).toDF("s", "t")
+
+  test("triangles: K4 closed form") {
+    val got = GraphOps.triangles(k4, "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: direction, multi-edges and self-loops are ignored") {
+    // same undirected simple graph as tiny (a-b, a-c, b-c) = 1 triangle,
+    // expressed with reversed dups and a self-loop
+    val messy = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("b", "b")).toDF("s", "t")
+    val got = GraphOps.triangles(messy, "s", "t")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangles: triangle-free graphs yield no rows") {
+    // star K1,3 and a 4-cycle both have wedges but no closure
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "t")
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "t")
+    assert(GraphOps.triangles(star, "s", "t").count() == 0)
+    assert(GraphOps.triangles(cycle, "s", "t").count() == 0)
+  }
+
+  test("triangles: partition-layout independence") {
+    val a = GraphOps.triangles(k4.repartition(1), "s", "t")
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps.triangles(k4.repartition(16), "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }

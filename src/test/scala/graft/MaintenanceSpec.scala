@@ -95,4 +95,34 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
       (3L, "c", 30.0),   // untouched base
       (4L, "d", 40.0)))  // new key inserted
   }
+
+  test("applyChangelog: latest wins, delete drops, same-seq tie resolves to U") {
+    val log = Seq(
+      (1L, 1, "U", "v1"), (1L, 3, "U", "v3"), (1L, 2, "U", "v2"), // latest v3
+      (2L, 1, "U", "x1"), (2L, 2, "D", ""),                       // deleted
+      (3L, 1, "D", ""), (3L, 2, "U", "y2"),                       // resurrected
+      (4L, 5, "D", ""), (4L, 5, "U", "z5")                        // tie: U wins
+    ).toDF("k", "seq", "op", "v")
+    val got = Maintenance.applyChangelog(log, Seq("k"), Seq("seq"), "op")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "v3", 3L -> "y2", 4L -> "z5"))
+  }
+
+  test("applyChangelog: plan is one window over the key shuffle, no join") {
+    val log = Seq((1L, 1, "U", "a")).toDF("k", "seq", "op", "v")
+    val plan = Maintenance.applyChangelog(log, Seq("k"), Seq("seq"), "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"changelog apply must not join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window:\n$plan")
+  }
+
+  test("applyChangelog: partition-layout independence") {
+    val log = (1 to 200).map(i => ((i % 17).toLong, i,
+      if (i % 5 == 0) "D" else "U", s"v$i")).toDF("k", "seq", "op", "v")
+    val a = Maintenance.applyChangelog(log.repartition(1), Seq("k"), Seq("seq"), "op")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    val b = Maintenance.applyChangelog(log.repartition(16), Seq("k"), Seq("seq"), "op")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
 }
