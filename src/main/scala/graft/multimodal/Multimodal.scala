@@ -122,6 +122,41 @@ object Multimodal {
       (sr + sg + sb).toFloat, mn.toFloat, mx.toFloat))
   }
 
+  /** Difference-hash (dHash) perceptual fingerprint of a P6 image — the
+    * standard cheap near-dup signature for image corpora: decode,
+    * nearest-neighbor-resample the integer grayscale plane to a
+    * (gw+1)×gh grid (same index arithmetic as [[resizePpm]]), emit one
+    * bit per horizontal neighbor pair `g(x+1,y) > g(x,y)` — 64 bits at
+    * the default 9×8. Every step is integer-exact ((r+g+b)/3 floor
+    * division), so a SQL oracle replays the hash bit-for-bit. Returns
+    * None for non-P6 input. */
+  def dhashPpm(bytes: Array[Byte], gw: Int = 8, gh: Int = 8): Option[Long] = {
+    require(gw >= 1 && gh >= 1 && gw * gh <= 64, s"dhash grid ${gw}x$gh > 64 bits")
+    val (w, h, _, pos) = parseP6(bytes, 0).getOrElse(return None)
+    var hash = 0L
+    var bit = 0
+    var y = 0
+    while (y < gh) {
+      val sy = (y.toLong * h / gh).toInt
+      def gray(x: Int): Int = {
+        val sx = (x.toLong * w / (gw + 1)).toInt
+        val src = pos + (sy * w + sx) * 3
+        ((bytes(src) & 0xff) + (bytes(src + 1) & 0xff) + (bytes(src + 2) & 0xff)) / 3
+      }
+      var x = 0
+      var prev = gray(0)
+      while (x < gw) {
+        val cur = gray(x + 1)
+        if (cur > prev) hash |= (1L << bit)
+        prev = cur
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some(hash)
+  }
+
   /** Deterministic synthetic P6 image for doc/media id: dims and pixel
     * values are closed-form in the id so a SQL oracle can replay the
     * decoded statistics. w=(id%5)+1, h=(id%4)+2, pixel byte i =

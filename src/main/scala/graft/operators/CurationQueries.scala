@@ -94,6 +94,77 @@ object CurationQueries {
         .orderBy(col("custkey"))
     }),
 
+    // -- Perceptual-hash image dedup: REAL P6 decode → integer grayscale
+    // NN-resample → 64-bit dHash → bucket census. The hash is split into
+    // two uint32 halves so the DuckDB replay stays in exact BIGINT math.
+    "m05_image_phash" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal
+        .mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "image")
+      val dh = udf((b: Array[Byte]) =>
+        graft.multimodal.Multimodal.dhashPpm(b).getOrElse(-1L))
+      media.select(col("media_id"), dh(col("bytes")).as("phash"))
+        .select(col("media_id"),
+          expr("shiftrightunsigned(phash, 32)").as("phash_hi"),
+          col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("phash_lo"))
+        .groupBy(col("phash_hi"), col("phash_lo"))
+        .agg(count(lit(1)).as("n"), min(col("media_id")).as("min_id"))
+        .orderBy(col("n").desc, col("phash_hi"), col("phash_lo"))
+    }),
+
+    // -- Streaming CDC apply: the u02 changelog chopped into ascending
+    // files and folded micro-batch by micro-batch into a per-key store
+    // (winners + tombstones); latest-wins is a max, so the final store
+    // must equal the one-shot batch apply — same oracle as u02.
+    "st07_stream_cdc" -> ((s, d) => {
+      val log = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("seq_id"),
+        when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      graft.streaming.EventStreams.cdcApplyStreamed(s, log,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st07_stage",
+          Seq("custkey"), Seq("ts", "seq_id"), "op")
+        .select(col("custkey"), col("seq_id").as("last_orderkey"),
+          col("status"), round(col("price"), 2).as("price"))
+        .orderBy(col("custkey"))
+    }),
+
+    // -- Retrieval evaluation: nDCG@10 of the BM25 ranking against a
+    // graded relevance (number of query terms present in the doc). The
+    // ideal ordering scans the full pool, so missed high-relevance docs
+    // are penalized — index → retrieve → EVALUATE, all replayable.
+    "r03_ndcg_eval" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", bm25Queries, 10)
+        .select(col("query_id"), col("rk"), col("doc_id"))
+      val q = bm25Queries.toDF("query_id", "terms")
+      val rels = docs
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        .crossJoin(broadcast(q))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(col("toks"), col("terms"))).as("rel"))
+      Retrieval.ndcgAtK(ranked, rels, k = 10).orderBy(col("query_id"))
+    }),
+
+    // -- Incremental aggregate maintenance: base agg (orders before the
+    // cut) merged with the delta agg (after) must equal the full-scan
+    // aggregate — the materialized-view refresh law. Integer cents keep
+    // the merge exactly associative across engines.
+    "u03_incremental_agg" -> ((s, d) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"), col("o_orderdate").as("dt"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def aggOf(df: DataFrame): DataFrame = df.groupBy(col("custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      Maintenance.mergeGroupedSums(
+          aggOf(o.filter(col("dt") < cut)), aggOf(o.filter(col("dt") >= cut)),
+          Seq("custkey"), Seq("n", "sum_cents"))
+        .orderBy(col("custkey"))
+    }),
+
     // -- PMI collocations: top-25 adjacent-bigram associations -----------
     // pmi = ln( (c_ab/Nb) / ((c_a/Nt)(c_b/Nt)) ), min bigram count 5.
     // All count tables are vocabulary-sized; scalars broadcast.
@@ -207,6 +278,101 @@ object CurationQueries {
         |FROM ev JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
     "u02_cdc_apply" ->
+      """WITH log AS (SELECT o_custkey AS custkey, o_orderdate AS seq_ts,
+        |    o_orderkey AS seq_id,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY custkey
+        |        ORDER BY seq_ts DESC, seq_id DESC, op DESC) AS rn FROM log)
+        |SELECT custkey, seq_id AS last_orderkey, status,
+        |  round(price, 2) AS price
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY custkey""".stripMargin,
+    // same BM25 pipeline as r01, then DCG/IDCG with the identical nested
+    // 1e-12 floors; relevance = |query terms ∩ doc tokens|
+    "r03_ndcg_eval" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (0, 'hash'), (0, 'join'), (0, 'merge'),
+        |  (1, 'scan'), (1, 'filter'), (1, 'table'),
+        |  (2, 'stream'), (2, 'window'), (2, 'agg')),
+        |t AS (SELECT doc_id AS id, len(string_split(text,' ')) AS dl,
+        |        unnest(string_split(text,' ')) AS term FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs,
+        |         sum(len(string_split(text,' ')))::DOUBLE / count(*) AS avgdl
+        |       FROM documents),
+        |h AS (SELECT * FROM t WHERE term IN (SELECT term FROM q)),
+        |tf AS (SELECT id, term, count(*) AS tf, min(dl) AS dl
+        |       FROM h GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(DISTINCT id) AS df FROM h GROUP BY 1),
+        |c AS (SELECT q.query_id, tf.id AS doc_id,
+        |    floor(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))
+        |      * 1e12 + 0.5) / 1e12 AS contrib
+        |  FROM tf JOIN dfr USING (term) JOIN q USING (term) CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id,
+        |         floor(sum(contrib) * 1e12 + 0.5) / 1e12 AS score
+        |       FROM c GROUP BY 1, 2),
+        |rnk AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY
+        |        query_id ORDER BY score DESC, doc_id) AS rk FROM sc),
+        |ranked AS (SELECT query_id, rk, doc_id FROM rnk WHERE rk <= 10),
+        |qa AS (SELECT query_id, list(term) AS terms FROM q GROUP BY 1),
+        |rels AS (SELECT qa.query_id, d.doc_id,
+        |    len(list_intersect(list_distinct(string_split(d.text,' ')),
+        |        qa.terms)) AS rel
+        |  FROM documents d CROSS JOIN qa),
+        |dcg AS (SELECT ranked.query_id,
+        |    floor(sum(floor(coalesce(rels.rel, 0)
+        |      / (ln(CAST(ranked.rk + 1 AS DOUBLE)) / ln(2.0))
+        |      * 1e12 + 0.5) / 1e12) * 1e12 + 0.5) / 1e12 AS dcg
+        |  FROM ranked LEFT JOIN rels ON rels.query_id = ranked.query_id
+        |    AND rels.doc_id = ranked.doc_id
+        |  GROUP BY 1),
+        |ir AS (SELECT query_id, doc_id, rel, row_number() OVER (PARTITION BY
+        |        query_id ORDER BY rel DESC, doc_id) AS irk FROM rels),
+        |idcg AS (SELECT query_id,
+        |    floor(sum(floor(rel / (ln(CAST(irk + 1 AS DOUBLE)) / ln(2.0))
+        |      * 1e12 + 0.5) / 1e12) * 1e12 + 0.5) / 1e12 AS idcg
+        |  FROM ir WHERE irk <= 10 AND rel > 0 GROUP BY 1)
+        |SELECT CAST(dcg.query_id AS BIGINT) AS query_id,
+        |  round(CASE WHEN coalesce(idcg.idcg, 0) = 0 THEN 0.0
+        |    ELSE floor(dcg.dcg / idcg.idcg * 1e12 + 0.5) / 1e12 END, 6) AS ndcg
+        |FROM dcg LEFT JOIN idcg USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    "u03_incremental_agg" ->
+      """SELECT o_custkey AS custkey, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin,
+    // dHash replay: grayscale at grid (x,y) is integer math on the
+    // closed-form pixel bytes (id*31 + byteoffset) % 256; lead() compares
+    // horizontal neighbors; the two uint32 halves are exact BIGINT sums
+    "m05_image_phash" ->
+      """WITH m AS (SELECT doc_id, (doc_id % 5) + 1 AS w, (doc_id % 4) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT m.doc_id, ys.y, xs.x,
+        |    (((m.doc_id*31 + 3*(((ys.y*m.h)//8)*m.w + (xs.x*m.w)//9)) % 256)
+        |     + ((m.doc_id*31 + 3*(((ys.y*m.h)//8)*m.w + (xs.x*m.w)//9) + 1) % 256)
+        |     + ((m.doc_id*31 + 3*(((ys.y*m.h)//8)*m.w + (xs.x*m.w)//9) + 2) % 256)
+        |    ) // 3 AS gv
+        |  FROM m
+        |  CROSS JOIN generate_series(0, 7) AS ys(y)
+        |  CROSS JOIN generate_series(0, 8) AS xs(x)),
+        |b AS (SELECT doc_id, y, x, gv,
+        |    lead(gv) OVER (PARTITION BY doc_id, y ORDER BY x) AS nxt
+        |  FROM g),
+        |bits AS (SELECT doc_id, y*8 + x AS bit FROM b
+        |         WHERE x < 8 AND nxt > gv),
+        |hash AS (SELECT m.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (CAST(1 AS BIGINT) << (bit - 32)) END), 0) AS BIGINT) AS phash_hi,
+        |    CAST(coalesce(sum(CASE WHEN bit < 32
+        |      THEN (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS phash_lo
+        |  FROM m LEFT JOIN bits ON bits.doc_id = m.doc_id
+        |  GROUP BY m.doc_id)
+        |SELECT phash_hi, phash_lo, count(*) AS n, min(doc_id) AS min_id
+        |FROM hash GROUP BY 1, 2
+        |ORDER BY n DESC, phash_hi, phash_lo""".stripMargin,
+    "st07_stream_cdc" ->
       """WITH log AS (SELECT o_custkey AS custkey, o_orderdate AS seq_ts,
         |    o_orderkey AS seq_id,
         |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,

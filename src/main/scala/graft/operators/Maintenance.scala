@@ -127,13 +127,49 @@ object Maintenance {
     */
   def applyChangelog(log: DataFrame, keyCols: Seq[String],
       seqCols: Seq[String], opCol: String,
-      deleteOp: String = "D"): DataFrame = {
-    require(keyCols.nonEmpty, "applyChangelog needs at least one key column")
-    require(seqCols.nonEmpty, "applyChangelog needs at least one sequence column")
+      deleteOp: String = "D"): DataFrame =
+    latestPerKey(log, keyCols, seqCols, opCol).filter(col(opCol) =!= deleteOp)
+
+  /** Incremental maintenance of a grouped-sum aggregate: merge a base
+    * aggregate with the aggregate of a delta without rescanning the base
+    * data — the materialized-view refresh step (sums and counts are the
+    * self-mergeable aggregates; avg/stddev derive from them). Both inputs
+    * are (keyCols, sumCols…) frames; absent keys on either side
+    * contribute zero.
+    *
+    * Plan shape: union + ONE partial/final aggregate keyed by keyCols —
+    * map-side combine collapses each side to its group count before the
+    * exchange, so the shuffle moves |base groups| + |delta groups| rows,
+    * never raw data. At 100 TB the base never gets rescanned: refresh
+    * cost is bounded by the delta and the group cardinality. Use exact
+    * types (longs / integer cents) for cross-engine replay — float sums
+    * would re-associate. */
+  def mergeGroupedSums(base: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "mergeGroupedSums needs at least one key column")
+    require(sumCols.nonEmpty, "mergeGroupedSums needs at least one sum column")
+    val cols = keyCols ++ sumCols
+    base.select(cols.map(col): _*).unionByName(delta.select(cols.map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** The winner row per key under the (seqCols, opCol-desc) order,
+    * KEEPING delete tombstones — the mergeable intermediate for
+    * incremental/streaming changelog application: because "latest" is a
+    * max under a total order, `latestPerKey(prior-winners ∪ new-rows)`
+    * equals `latestPerKey` over the full history, so a store holding one
+    * winner (or tombstone) per key can absorb batches of any size.
+    * [[applyChangelog]] is this followed by dropping tombstones. */
+  def latestPerKey(log: DataFrame, keyCols: Seq[String],
+      seqCols: Seq[String], opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "latestPerKey needs at least one key column")
+    require(seqCols.nonEmpty, "latestPerKey needs at least one sequence column")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(seqCols.map(c => col(c).desc) :+ col(opCol).desc: _*)
     log.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .filter(col("__rn") === 1)
       .drop("__rn")
   }
 }

@@ -89,6 +89,42 @@ object Retrieval {
         round(col("score"), 4).as("score"))
   }
 
+  /** nDCG@k of a ranking against a graded relevance column — the standard
+    * retrieval-quality metric, closing the loop on [[bm25TopK]] /
+    * [[rrfHybridTopK]] (index → retrieve → fuse → EVALUATE).
+    *
+    * DCG@k = Σ_{i≤k} rel_i / log2(i+1) over the ranking's order; IDCG@k
+    * is the same sum over the top-k relevances of the FULL candidate
+    * pool (`rels`), so a ranking that misses a high-relevance doc is
+    * penalized. nDCG = DCG/IDCG (0 when IDCG = 0).
+    *
+    * Inputs: `ranked` (query_id, rk, doc_id) — the per-query ranking;
+    * `rels` (query_id, doc_id, rel) — graded relevance over the pool.
+    * Shuffles are ranking-sized + one per-query window over the pool for
+    * the ideal ordering; per-position terms are floor-rounded at 1e-12
+    * (repo convention) so engine sum order cannot move the metric.
+    */
+  def ndcgAtK(ranked: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def gain(relC: Column, posC: Column): Column =
+      r12(relC.cast("double") / (log(posC.cast("double") + 1.0) / log(lit(2.0))))
+    val dcg = ranked.filter(col("rk") <= k)
+      .join(rels, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"),
+        gain(coalesce(col("rel"), lit(0)), col("rk")).as("g"))
+      .groupBy(col("query_id")).agg(r12(sum(col("g"))).as("dcg"))
+    val ideal = rels
+      .withColumn("irk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("doc_id"))))
+      .filter(col("irk") <= k && col("rel") > 0)
+      .select(col("query_id"), gain(col("rel"), col("irk")).as("g"))
+      .groupBy(col("query_id")).agg(r12(sum(col("g"))).as("idcg"))
+    dcg.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(when(coalesce(col("idcg"), lit(0.0)) === 0.0, 0.0)
+          .otherwise(r12(col("dcg") / col("idcg"))), 6).as("ndcg"))
+  }
+
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
     * a lexical ranking (token-set Jaccard to the query document) and a
     * dense ranking (embedding cosine) are fused as

@@ -413,6 +413,57 @@ object EventStreams {
         ()
     }
 
+  /** Streaming CDC materialization: a changelog stream is folded into a
+    * per-key snapshot store, one micro-batch at a time. Each batch merges
+    * into the store via [[graft.operators.Maintenance.latestPerKey]] —
+    * winners (including delete tombstones) per key — which is a max under
+    * a total order and therefore batch-size-invariant: the final store
+    * equals one-shot [[graft.operators.Maintenance.applyChangelog]] over
+    * the whole history regardless of how the stream was chopped (the st07
+    * gate stages the log as multiple files precisely to force cross-batch
+    * merges). Tombstones stay in the store so a later batch cannot
+    * resurrect a deleted key with an older sequence; the returned frame
+    * filters them.
+    *
+    * Store shape at scale: one row per live-or-tombstoned key (bounded by
+    * key cardinality, not log length); each merge shuffles store+batch
+    * once on the key. The store is swapped atomically (write to `.next`,
+    * rename) so a crashed epoch never leaves a half-written store.
+    */
+  def cdcApplyStreamed(spark: SparkSession, log: DataFrame, stageDir: String,
+      keyCols: Seq[String], seqCols: Seq[String], opCol: String,
+      deleteOp: String = "D", nFiles: Int = 3): DataFrame = {
+    import graft.operators.Maintenance
+    val inDir = stageAscendingFiles(log, stageDir, nFiles)
+    val storeDir = new java.io.File(s"$stageDir/store")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    if (storeDir.exists()) rmTree(storeDir)
+    val q = spark.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val withPrior =
+          if (storeDir.exists())
+            s.read.parquet(storeDir.getAbsolutePath).unionByName(batch.toDF())
+          else batch.toDF()
+        val next = new java.io.File(s"$stageDir/store.next")
+        Maintenance.latestPerKey(withPrior, keyCols, seqCols, opCol)
+          .write.mode("overwrite").parquet(next.getAbsolutePath)
+        if (storeDir.exists()) rmTree(storeDir)
+        if (!next.renameTo(storeDir))
+          sys.error(s"store swap failed: $next -> $storeDir")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(storeDir.getAbsolutePath).filter(col(opCol) =!= deleteOp)
+  }
+
   /** File stream over the generated events table. The on-disk `ts` shape
     * has varied across testdata generations (TIMESTAMP(NANOS) → LongType
     * under `nanosAsLong`; naive micros → TIMESTAMP_NTZ), so probe the

@@ -116,6 +116,31 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
     assert(plan.contains("Window"), s"expected a window:\n$plan")
   }
 
+  test("mergeGroupedSums: base+delta equals full-scan agg; absent keys zero-fill") {
+    val rows = (1 to 100).map(i => ((i % 7).toLong, i.toLong))
+    val all = rows.toDF("k", "v")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    // cut so some keys exist only in base, some only in delta
+    val base = aggOf(all.filter(col("v") <= 10))
+    val delta = aggOf(all.filter(col("v") > 10))
+    val merged = Maintenance.mergeGroupedSums(base, delta, Seq("k"), Seq("n", "s"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, s) => k -> (n, s) }.toMap
+    val direct = aggOf(all).as[(Long, Long, Long)].collect()
+      .map { case (k, n, s) => k -> (n, s) }.toMap
+    assert(merged == direct)
+  }
+
+  test("mergeGroupedSums: plan is union + one aggregate, no join") {
+    val a = Seq((1L, 2L)).toDF("k", "n")
+    val b = Seq((1L, 3L)).toDF("k", "n")
+    val plan = Maintenance.mergeGroupedSums(a, b, Seq("k"), Seq("n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"merge must not join:\n$plan")
+    assert(plan.contains("Union"), s"expected a union:\n$plan")
+  }
+
   test("applyChangelog: partition-layout independence") {
     val log = (1 to 200).map(i => ((i % 17).toLong, i,
       if (i % 5 == 0) "D" else "U", s"v$i")).toDF("k", "seq", "op", "v")

@@ -1185,6 +1185,40 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(Multimodal.audioFrameFeatures(junk, 16).count() == 0)
   }
 
+  test("dhash: hand-computed bits, invariances, and discrimination") {
+    // 2x2 image with an explicit pixel plane: grayscale gradient
+    // TL=10 TR=200 / BL=10 BR=200 — every horizontal comparison where
+    // the sample column crosses the left->right boundary sets its bit
+    def p6(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) = gray(x, y).toByte
+      header ++ px
+    }
+    val grad = p6(2, 2, (x, _) => if (x == 0) 10 else 200)
+    val hash = Multimodal.dhashPpm(grad).get
+    // grid x in 0..8 samples source col (x*2)/9: cols 0..4 -> 0, 5..8 -> 1;
+    // the single 0->1 rise is at grid x=5, so bit x=4 fires in every row
+    val expected = (0 until 8).map(y => 1L << (y * 8 + 4)).reduce(_ | _)
+    assert(hash == expected, s"got ${hash.toBinaryString}")
+    // flat image: no rises, hash 0
+    assert(Multimodal.dhashPpm(p6(3, 3, (_, _) => 77)).get == 0L)
+    // identical bytes -> identical hash; scaled SAME pattern -> same hash
+    // (NN resample of a 2x-upscaled step function lands on the same step)
+    val grad2x = p6(4, 4, (x, _) => if (x < 2) 10 else 200)
+    assert(Multimodal.dhashPpm(grad2x).get == hash,
+      "dHash must be scale-invariant for the same step pattern")
+    // vertical gradient produces a DIFFERENT (zero-horizontal) hash
+    assert(Multimodal.dhashPpm(p6(2, 2, (_, y) => if (y == 0) 10 else 200)).get == 0L)
+    // non-P6 input refuses
+    assert(Multimodal.dhashPpm("JFIF junk".getBytes).isEmpty)
+    // synthetic corpus images hash without error and bucket nontrivially
+    val hashes = (0L until 60L by 3).map(id =>
+      Multimodal.dhashPpm(Multimodal.ppmFromId(id)).get)
+    assert(hashes.distinct.size > 1, "all corpus images collapsed to one hash")
+  }
+
   test("chunking: coverage + overlap laws corpus-wide") {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, sfDir)

@@ -129,6 +129,39 @@ class RetrievalSpec extends AnyFunSuite with CacheHygiene {
     assert(!ids.contains(0L) && ids == Set(1L, 2L, 3L, 4L))
   }
 
+  test("ndcg: perfect ranking scores 1, reversal scores the closed form") {
+    val rels = Seq((0L, 10L, 3), (0L, 11L, 2), (0L, 12L, 1))
+      .toDF("query_id", "doc_id", "rel")
+    val perfect = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+      .toDF("query_id", "rk", "doc_id")
+    val reversed = Seq((0L, 1, 12L), (0L, 2, 11L), (0L, 3, 10L))
+      .toDF("query_id", "rk", "doc_id")
+    def ndcg(r: org.apache.spark.sql.DataFrame): Double =
+      Retrieval.ndcgAtK(r, rels, 3).select("ndcg").as[Double].head()
+    assert(ndcg(perfect) == 1.0)
+    def d(rel: Int, pos: Int): Double = {
+      val raw = rel / (math.log(pos + 1.0) / math.log(2.0))
+      math.floor(raw * 1e12 + 0.5) / 1e12
+    }
+    def r12d(x: Double): Double = math.floor(x * 1e12 + 0.5) / 1e12
+    val expect = BigDecimal(r12d(r12d(d(1, 1) + d(2, 2) + d(3, 3)) /
+        r12d(d(3, 1) + d(2, 2) + d(1, 3))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(ndcg(reversed) - expect) < 1e-12)
+  }
+
+  test("ndcg: missing a high-relevance pool doc is penalized; zero pool -> 0") {
+    val rels = Seq((0L, 10L, 3), (0L, 11L, 1), (1L, 20L, 0))
+      .toDF("query_id", "doc_id", "rel")
+    // ranking for q0 misses doc 10 entirely; q1's pool has no relevance
+    val ranked = Seq((0L, 1, 11L), (0L, 2, 99L), (1L, 1, 20L))
+      .toDF("query_id", "rk", "doc_id")
+    val got = Retrieval.ndcgAtK(ranked, rels, 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got(0L) > 0 && got(0L) < 0.5, s"missed top doc should halve nDCG, got ${got(0L)}")
+    assert(got(1L) == 0.0)
+  }
+
   test("rrf: partition-layout independence") {
     val a = Retrieval.rrfHybridTopK(hybridCorpus.repartition(1), "id", "text",
       "vec", col("id") === 0, k = 4)

@@ -377,4 +377,42 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
     assert(spark.read.parquet(in.getAbsolutePath).count() == 2,
       "staged files must hold every input row")
   }
+
+  test("cdcApplyStreamed: any micro-batch chopping equals one-shot batch apply") {
+    // latest-wins is a max, so the store fold must be invariant to how
+    // the changelog is split into files/batches — chop it 3 ways
+    val log = (1 to 120).map { i =>
+      (i.toLong % 11,
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"),
+        i.toLong, if (i % 6 == 0) "D" else "U", s"v$i")
+    }.toDF("k", "ts", "seq", "op", "v")
+    val expect = graft.operators.Maintenance
+      .applyChangelog(log, Seq("k"), Seq("ts", "seq"), "op")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    for (nFiles <- Seq(1, 3, 7)) {
+      val got = EventStreams.cdcApplyStreamed(spark, log,
+          s"target/qtmp/st_cdc_$nFiles", Seq("k"), Seq("ts", "seq"), "op",
+          nFiles = nFiles)
+        .select("k", "v").as[(Long, String)].collect().toMap
+      assert(got == expect, s"nFiles=$nFiles diverged from batch apply")
+    }
+  }
+
+  test("cdcApplyStreamed: tombstone in an earlier batch blocks an older late row") {
+    // staging order (ts) is decoupled from the CDC sequence (seq): the
+    // DELETE at seq 10 arrives in batch 1, then an out-of-order UPDATE
+    // with OLDER seq 5 arrives in a later batch. Without tombstones in
+    // the store the late row would resurrect key 1; with them it must
+    // stay deleted.
+    val log = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L, "D", ""),
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 5L, "U", "old"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1L, "U", "live"))
+      .toDF("k", "ts", "seq", "op", "v")
+    val got = EventStreams.cdcApplyStreamed(spark, log,
+        "target/qtmp/st_cdc_tomb", Seq("k"), Seq("seq"), "op",
+        nFiles = 3)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "live"))
+  }
 }
