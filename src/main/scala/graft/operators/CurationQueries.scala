@@ -165,6 +165,21 @@ object CurationQueries {
         .orderBy(col("custkey"))
     }),
 
+    // -- Streaming incremental aggregation: order rows streamed in
+    // micro-batches, each folded into a per-customer aggregate store —
+    // u03's materialized-view refresh law driven by a real stream, so
+    // the final store must equal the full-scan aggregate (same oracle).
+    "st08_stream_agg" -> ((s, d) => {
+      val rows = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+        lit(1L).as("n"),
+        round(col("o_totalprice") * 100).cast("long").as("sum_cents"))
+      graft.streaming.EventStreams.incrementalAggStreamed(s, rows,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st08_stage",
+          Seq("custkey"), Seq("n", "sum_cents"))
+        .orderBy(col("custkey"))
+    }),
+
     // -- PMI collocations: top-25 adjacent-bigram associations -----------
     // pmi = ln( (c_ab/Nb) / ((c_a/Nt)(c_b/Nt)) ), min bigram count 5.
     // All count tables are vocabulary-sized; scalars broadcast. The uni
@@ -349,6 +364,11 @@ object CurationQueries {
         |FROM dcg LEFT JOIN idcg USING (query_id)
         |ORDER BY query_id""".stripMargin,
     "u03_incremental_agg" ->
+      """SELECT o_custkey AS custkey, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin,
+    "st08_stream_agg" ->
       """SELECT o_custkey AS custkey, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents

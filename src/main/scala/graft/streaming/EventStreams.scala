@@ -434,24 +434,61 @@ object EventStreams {
       keyCols: Seq[String], seqCols: Seq[String], opCol: String,
       deleteOp: String = "D", nFiles: Int = 3): DataFrame = {
     import graft.operators.Maintenance
-    val inDir = stageAscendingFiles(log, stageDir, nFiles)
+    foldIntoStore(spark, log, stageDir, nFiles) { (prior, batch) =>
+      Maintenance.latestPerKey(prior.fold(batch)(_ unionByName batch),
+        keyCols, seqCols, opCol)
+    }.filter(col(opCol) =!= deleteOp)
+  }
+
+  /** Streaming incremental aggregation: each micro-batch's grouped sums
+    * are merged into a persistent aggregate store via
+    * [[graft.operators.Maintenance.mergeGroupedSums]] — the streaming
+    * face of the materialized-view refresh (u03's law driven by a real
+    * stream). Sums/counts are self-mergeable, so the final store equals
+    * the one-shot aggregate over the whole input regardless of batch
+    * boundaries. Store is group-cardinality-sized; use exact (long)
+    * measure columns. */
+  def incrementalAggStreamed(spark: SparkSession, rows: DataFrame,
+      stageDir: String, keyCols: Seq[String], sumCols: Seq[String],
+      nFiles: Int = 3): DataFrame =
+    foldIntoStore(spark, rows, stageDir, nFiles) { (prior, batch) =>
+      // raw batch measures and prior partial sums share the (key, sums)
+      // shape once projected, so one grouped sum over the union IS the
+      // merge (extra staging columns like ts are dropped here)
+      val cols = (keyCols ++ sumCols).map(col)
+      prior.fold(batch.select(cols: _*))(
+          _.select(cols: _*) unionByName batch.select(cols: _*))
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    }
+
+  /** Shared store-fold runner: stage `input` as ascending files, stream
+    * them with one file per micro-batch, and per epoch rebuild the store
+    * as `merge(prior-store, batch)`, swapping the store directory
+    * atomically (write `.next`, rename) so a crashed epoch never leaves
+    * a half-written store. `merge` must be associative-in-batches
+    * (a max/latest or a grouped sum) and defines the store schema. */
+  private def foldIntoStore(spark: SparkSession, input: DataFrame,
+      stageDir: String, nFiles: Int)
+      (merge: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
+    val inDir = stageAscendingFiles(input, stageDir, nFiles)
     val storeDir = new java.io.File(s"$stageDir/store")
     def rmTree(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmTree)
       f.delete(); ()
     }
     if (storeDir.exists()) rmTree(storeDir)
-    val q = spark.readStream.schema(log.schema)
+    val q = spark.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
-        val withPrior =
-          if (storeDir.exists())
-            s.read.parquet(storeDir.getAbsolutePath).unionByName(batch.toDF())
-          else batch.toDF()
+        val prior =
+          if (storeDir.exists()) Some(s.read.parquet(storeDir.getAbsolutePath))
+          else None
         val next = new java.io.File(s"$stageDir/store.next")
-        Maintenance.latestPerKey(withPrior, keyCols, seqCols, opCol)
+        merge(prior, batch.toDF())
           .write.mode("overwrite").parquet(next.getAbsolutePath)
         if (storeDir.exists()) rmTree(storeDir)
         if (!next.renameTo(storeDir))
@@ -461,7 +498,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(storeDir.getAbsolutePath).filter(col(opCol) =!= deleteOp)
+    spark.read.parquet(storeDir.getAbsolutePath)
   }
 
   /** File stream over the generated events table. The on-disk `ts` shape

@@ -398,6 +398,22 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("incrementalAggStreamed: any chopping equals the one-shot aggregate") {
+    val rows = (1 to 90).map { i =>
+      ((i % 8).toLong,
+        java.sql.Timestamp.valueOf(f"2024-02-${i % 28 + 1}%02d 00:00:00"),
+        1L, i.toLong)
+    }.toDF("k", "ts", "n", "s")
+    val expect = rows.groupBy("k").agg(sum("n").as("n"), sum("s").as("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    for (nFiles <- Seq(1, 4)) {
+      val got = EventStreams.incrementalAggStreamed(spark, rows,
+          s"target/qtmp/st_agg_$nFiles", Seq("k"), Seq("n", "s"), nFiles = nFiles)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expect, s"nFiles=$nFiles diverged from one-shot agg")
+    }
+  }
+
   test("cdcApplyStreamed: tombstone in an earlier batch blocks an older late row") {
     // staging order (ts) is decoupled from the CDC sequence (seq): the
     // DELETE at seq 10 arrives in batch 1, then an out-of-order UPDATE
