@@ -31,12 +31,14 @@ object SparkEntry {
       graft.operators.SketchQueries.queries ++
       graft.operators.PipelineQueries.queries ++
       graft.operators.SourceQueries.queries ++
-      graft.operators.CurationQueries.queries
+      graft.operators.CurationQueries.queries ++
+      graft.operators.AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.operators.CoreQueries.oracles ++
       graft.operators.SketchQueries.oracles ++
       graft.operators.PipelineQueries.oracles ++
       graft.operators.SourceQueries.oracles ++
-      graft.operators.CurationQueries.oracles
+      graft.operators.CurationQueries.oracles ++
+      graft.operators.AnalyticsQueries.oracles
 }

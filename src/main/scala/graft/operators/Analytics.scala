@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / snapshot analytics operators: windowed EWMA smoothing,
+  * calendar gap-fill with forward-fill, z-score anomaly flagging, SCD
+  * type-2 history materialization, and snapshot diffing.
+  *
+  * All are composed from narrow transforms + per-key windows (one
+  * key-partitioned exchange each; no self-joins on the corpus), so they
+  * hold at 100 TB: the only wide stage is the hash-partition by entity
+  * key, and per-key state is bounded (W trailing rows for EWMA, one
+  * running value for forward-fill).
+  *
+  * Reference analogue: the reference's stream combinators stop at
+  * fold/group_by (amadeus-core/src/pipe.rs); these are the standard
+  * event-analytics rollups a warehouse user would expect on top.
+  */
+object Analytics {
+
+  /** Round to the 1e-12 grid (house convention: makes double math
+    * engine-replayable — DuckDB and Spark may sum in different orders). */
+  private def grid(c: Column): Column = floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
+
+  /** Exponentially weighted moving average over a bounded trailing window
+    * of `win` rows per key: ewma_n = Σ_{j=0..m-1} (1-α)^j·x_{n-j} / Σ (1-α)^j
+    * with m = min(win, rows so far). The bounded window (vs the infinite
+    * recursive form) keeps the weights in well-conditioned double range for
+    * arbitrarily long series AND makes per-row cost O(win) regardless of
+    * history length — the form you can actually run on an unbounded stream.
+    *
+    * One key-partitioned exchange; the collect_list window buffer is
+    * `win` doubles per row, codegen-friendly higher-order aggregate.
+    *
+    * @param quantized snap each weighted term to the 1e-6 grid and sum as
+    *   BIGINT micro-units — integer addition is order-independent, so the
+    *   result is bit-replayable by any engine regardless of summation order
+    *   (same spirit as the `hashGrams` scale switches). Default natural
+    *   double math (differs from quantized by < 2e-6 per row).
+    */
+  def ewmaWindowed(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, alpha: Double, win: Int = 20,
+      quantized: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(win >= 1, s"win must be >= 1: $win")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*).rowsBetween(-(win - 1), 0)
+    val vals = collect_list(col(valueCol)).over(w)
+    val q = lit(1.0 - alpha)
+    // vals is ordered oldest→newest; weight (1-α)^(n-i) for element i (1-based)
+    val n = size(vals)
+    val den = (lit(1.0) - pow(q, n.cast("double"))) / lit(alpha)
+    val ewma =
+      if (quantized) {
+        val numMicro = aggregate(sequence(lit(1), n), lit(0L),
+          (acc, i) => acc + floor(element_at(vals, i) *
+            pow(q, (n - i).cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+        round(numMicro / lit(1e6) / den, 4)
+      } else {
+        val num = aggregate(sequence(lit(1), n), lit(0.0).cast("double"),
+          (acc, i) => acc + element_at(vals, i) * pow(q, (n - i).cast("double")))
+        grid(num / den)
+      }
+    df.withColumn("ewma", ewma)
+  }
+
+  /** Per-key calendar gap-fill at day granularity: build the full day grid
+    * from each key's first to last observation, left-join the observed
+    * daily aggregate, and forward-fill missing days with the last observed
+    * value. `observed` marks real vs filled rows.
+    *
+    * The grid is generated per key with `sequence` (narrow); the only
+    * exchanges are the daily pre-aggregate and the per-key order for the
+    * forward-fill window — both keyed on the entity, both
+    * group-cardinality-sized, never event-sized.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    // the sum keeps the caller's value type: pass an integer unit column
+    // (e.g. cents) when the result must be bit-replayable cross-engine
+    val daily = df
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(col(valueCol)).as("day_value"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val gridDf = span.select(col(keyCol),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    gridDf.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
+        col("day_value").isNotNull.as("observed"))
+  }
+
+  /** Per-group z-score anomaly flagging: |x - μ_g| > z·σ_g (population σ).
+    * Group stats come from ONE map-side-combined aggregate; the stats
+    * table is group-cardinality-sized and broadcast back — the corpus
+    * itself never shuffles. Degenerate groups (σ=0) flag nothing.
+    */
+  def zscoreAnomalies(df: DataFrame, groupCol: String, valueCol: String,
+      z: Double = 3.0): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      avg(col(valueCol)).as("mu"),
+      stddev_pop(col(valueCol)).as("sigma"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("zscore",
+        when(col("sigma") > 0, grid((col(valueCol) - col("mu")) / col("sigma")))
+          .otherwise(lit(0.0)))
+      .withColumn("is_anomaly", abs(col("zscore")) > lit(z))
+  }
+
+  /** SCD type-2 history: every change-log row becomes a version with
+    * [valid_from, valid_to) bounds; the latest version per key has
+    * valid_to = NULL and is_current = true. ONE key-partitioned window
+    * (lead), no join — the warehouse dimension-history materialization.
+    * Ties on the sequence columns are broken by their full ordering; pass
+    * a unique tiebreaker (e.g. the changelog offset) as the last seqCol.
+    */
+  def scd2(log: DataFrame, keyCols: Seq[String], seqCols: Seq[String]): DataFrame = {
+    require(seqCols.nonEmpty, "scd2 needs at least one sequence column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(seqCols.map(col): _*)
+    log
+      .withColumn("valid_from", col(seqCols.head))
+      .withColumn("valid_to", lead(col(seqCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Diff two snapshots of a keyed table: each key is classified as
+    * `added` (new only), `removed` (old only), `changed` (both, any
+    * compare column differs — null-safe), or `unchanged`. One full outer
+    * join on the key (shuffle or broadcast — Catalyst/AQE picks); the
+    * compare is a narrow null-safe predicate over the paired columns.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    // explicit presence markers: a legitimately-NULL compare column must
+    // not make a present row look absent
+    val o = compareCols.foldLeft(oldDf.withColumn("_in_old", lit(true)))(
+      (d, c) => d.withColumnRenamed(c, s"old_$c"))
+    val n = compareCols.foldLeft(newDf.withColumn("_in_new", lit(true)))(
+      (d, c) => d.withColumnRenamed(c, s"new_$c"))
+    val joined = o.join(n, keyCols, "full_outer")
+    val inOld = col("_in_old").isNotNull
+    val inNew = col("_in_new").isNotNull
+    val anyDiff = compareCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    joined.withColumn("diff_status",
+      when(!inOld, lit("added"))
+        .when(!inNew, lit("removed"))
+        .when(anyDiff, lit("changed"))
+        .otherwise(lit("unchanged")))
+      .drop("_in_old", "_in_new")
+  }
+}

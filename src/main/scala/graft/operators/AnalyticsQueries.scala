@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / snapshot analytics gate pack: EWMA smoothing, calendar
+  * gap-fill, z-score anomaly census, SCD type-2 history, snapshot diff.
+  * Every query carries a DuckDB oracle (hash-verified by the driver).
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // -- Windowed EWMA per user (α=0.3, 20-row window), final value -------
+    // Quantized mode: weighted terms snapped to 1e-6 and summed as BIGINT
+    // micro-units, so the sum is order-independent and engine-replayable.
+    "c03_ewma" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val smoothed = Analytics.ewmaWindowed(ev, Seq("user_id"),
+        Seq("ts", "event_id"), "value", alpha = 0.3, win = 20,
+        quantized = true)
+      val wAll = Window.partitionBy(col("user_id"))
+      val wLast = wAll.orderBy(col("ts").desc, col("event_id").desc)
+      smoothed
+        .withColumn("n_events", count(lit(1)).over(wAll))
+        .withColumn("_rk", row_number().over(wLast))
+        .filter(col("_rk") === 1)
+        .select(col("user_id"), col("n_events"), col("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
+    // -- Calendar gap-fill: per-user day grid, forward-filled daily cents --
+    // Integer cents make every aggregate exact; the grid is generated
+    // per key (narrow sequence), forward-fill is one per-key window.
+    "c04_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 40)
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      Analytics.gapFillDaily(ev, "user_id", "ts", "cents")
+        .select(col("user_id"), col("day"),
+          col("filled_value").as("filled_cents"), col("observed"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // -- z-score anomaly census per event type (|z| > 2.5, population σ) --
+    "c05_zscore" -> ((s, d) => {
+      val flagged = Analytics.zscoreAnomalies(Tables.events(s, d),
+        "event_type", "value", z = 2.5)
+      flagged.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("is_anomaly").cast("long")).as("n_anomalies"),
+          round(max(abs(col("zscore"))), 4).as("max_abs_z"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- SCD type-2 dimension history from the orders changelog -----------
+    // One key-partitioned window; versions carry [valid_from, valid_to).
+    "u04_scd2" -> ((s, d) => {
+      val log = Tables.orders(s, d).filter(col("o_custkey") < 50).select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        col("o_orderdate").as("change_ts"), col("o_orderstatus").as("status"))
+      Analytics.scd2(log, Seq("custkey"), Seq("change_ts", "orderkey"))
+        .select(col("custkey"), col("orderkey"), col("status"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("custkey"), col("valid_from"), col("orderkey"))
+    }),
+
+    // -- Snapshot diff: per-customer latest order, mid-1997 vs final ------
+    // full outer on the key; added/removed/changed/unchanged census with
+    // a key checksum per class.
+    "u05_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"), col("o_orderdate").as("dt"),
+        col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def latest(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("custkey"))
+          .orderBy(col("dt").desc, col("okey").desc)
+        df.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+          .select(col("custkey"), col("status"), col("cents"))
+      }
+      val cut = lit("1997-07-01").cast("timestamp")
+      Analytics.snapshotDiff(
+          latest(o.filter(col("dt") < cut)), latest(o),
+          Seq("custkey"), Seq("status", "cents"))
+        .groupBy(col("diff_status")).agg(
+          count(lit(1)).as("n"), sum(col("custkey")).as("key_checksum"))
+        .orderBy(col("diff_status"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "c03_ewma" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |s AS (SELECT r.user_id, r.rn, r.n,
+        |    sum(CAST(floor(s.value * pow(0.7, r.rn - s.rn) * 1e6 + 0.5)
+        |      AS BIGINT)) AS num_micro,
+        |    least(r.rn, 20) AS m
+        |  FROM e r JOIN e s ON s.user_id = r.user_id
+        |    AND s.rn BETWEEN r.rn - 19 AND r.rn
+        |  GROUP BY r.user_id, r.rn, r.n)
+        |SELECT user_id, n AS n_events,
+        |  round(num_micro / 1e6 / ((1 - pow(0.7, m)) / 0.3), 4) AS ewma
+        |FROM s WHERE rn = n ORDER BY user_id""".stripMargin,
+    "c04_gap_fill" ->
+      """WITH ev AS (SELECT user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 40),
+        |daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(sum(cents) AS BIGINT) AS day_value
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM span)
+        |SELECT g.user_id, g.day,
+        |  last_value(daily.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+        |  daily.day_value IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN daily
+        |  ON daily.user_id = g.user_id AND daily.day = g.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+    "c05_zscore" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+        |    stddev_pop(value) AS sigma, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT e.event_type, st.n,
+        |    CASE WHEN st.sigma > 0
+        |      THEN floor((e.value - st.mu) / st.sigma * 1e12 + 0.5) / 1e12
+        |      ELSE 0.0 END AS zscore
+        |  FROM events e JOIN st USING (event_type))
+        |SELECT event_type, min(n) AS n,
+        |  CAST(sum(CASE WHEN abs(zscore) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  round(max(abs(zscore)), 4) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "u04_scd2" ->
+      """WITH log AS (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |    o_orderdate AS change_ts, o_orderstatus AS status
+        |  FROM orders WHERE o_custkey < 50)
+        |SELECT custkey, orderkey, status, change_ts AS valid_from,
+        |  lead(change_ts) OVER (PARTITION BY custkey
+        |    ORDER BY change_ts, orderkey) AS valid_to,
+        |  lead(change_ts) OVER (PARTITION BY custkey
+        |    ORDER BY change_ts, orderkey) IS NULL AS is_current
+        |FROM log ORDER BY custkey, valid_from, orderkey""".stripMargin,
+    "u05_snapshot_diff" ->
+      """WITH o AS (SELECT o_custkey AS custkey, o_orderdate AS dt,
+        |    o_orderkey AS okey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |s_old AS (SELECT custkey, status, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY custkey
+        |      ORDER BY dt DESC, okey DESC) AS rk
+        |    FROM o WHERE dt < TIMESTAMP '1997-07-01') WHERE rk = 1),
+        |s_new AS (SELECT custkey, status, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY custkey
+        |      ORDER BY dt DESC, okey DESC) AS rk FROM o) WHERE rk = 1),
+        |j AS (SELECT coalesce(s_old.custkey, s_new.custkey) AS custkey,
+        |    CASE WHEN s_old.custkey IS NULL THEN 'added'
+        |      WHEN s_new.custkey IS NULL THEN 'removed'
+        |      WHEN s_old.status IS DISTINCT FROM s_new.status
+        |        OR s_old.cents IS DISTINCT FROM s_new.cents THEN 'changed'
+        |      ELSE 'unchanged' END AS diff_status
+        |  FROM s_old FULL OUTER JOIN s_new ON s_old.custkey = s_new.custkey)
+        |SELECT diff_status, count(*) AS n,
+        |  CAST(sum(custkey) AS BIGINT) AS key_checksum
+        |FROM j GROUP BY 1 ORDER BY diff_status""".stripMargin)
+}

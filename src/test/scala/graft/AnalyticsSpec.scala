@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Time-series / snapshot analytics: hand-computed EWMA values, gap-fill
+  * grid + forward-fill laws, z-score flagging, SCD2 version chaining,
+  * snapshot-diff classification (incl. null compare values). */
+class AnalyticsSpec extends AnyFunSuite with CacheHygiene {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("ewmaWindowed: hand-computed values, window truncation, both modes") {
+    val df = Seq((1L, 1, 1.0), (1L, 2, 2.0), (1L, 3, 3.0))
+      .toDF("k", "seq", "x")
+    for (quant <- Seq(false, true)) {
+      val got = Analytics.ewmaWindowed(df, Seq("k"), Seq("seq"), "x",
+          alpha = 0.5, win = 2, quantized = quant)
+        .orderBy("seq").select("ewma").as[Double].collect()
+      // m=1: 1.0 ; m=2: (1*0.5+2)/1.5 ; win truncates row 3 to vals [2,3]
+      val want = Seq(1.0, 2.5 / 1.5, 4.0 / 1.5)
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 2e-4, s"quant=$quant got=${got.toSeq}")
+      }
+    }
+  }
+
+  test("ewmaWindowed: quantized tracks natural mode within 2e-4") {
+    val df = (1 to 200).map(i => (i % 5L, i, (i * 37 % 101) / 7.0))
+      .toDF("k", "seq", "x")
+    val nat = Analytics.ewmaWindowed(df, Seq("k"), Seq("seq"), "x", 0.3)
+      .select("k", "seq", "ewma").as[(Long, Int, Double)].collect()
+      .map { case (k, s, v) => (k, s) -> v }.toMap
+    val qz = Analytics.ewmaWindowed(df, Seq("k"), Seq("seq"), "x", 0.3,
+        quantized = true)
+      .select("k", "seq", "ewma").as[(Long, Int, Double)].collect()
+    qz.foreach { case (k, s, v) =>
+      assert(math.abs(v - nat((k, s))) < 2e-4, s"key=$k seq=$s")
+    }
+  }
+
+  test("ewmaWindowed: partition-count invariant") {
+    val df = (1 to 100).map(i => (i % 3L, i, i * 1.7)).toDF("k", "seq", "x")
+    def run(parts: Int) = Analytics.ewmaWindowed(df.repartition(parts),
+        Seq("k"), Seq("seq"), "x", 0.3, quantized = true)
+      .orderBy("k", "seq").select("ewma").as[Double].collect().toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("gapFillDaily: grid completeness, forward fill, observed flags") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L),
+      (1L, ts("2024-01-01 11:00:00"), 7L),   // same day, sums to 12
+      (1L, ts("2024-01-04 09:00:00"), 3L),   // 2-day gap
+      (2L, ts("2024-01-02 00:00:00"), 1L))
+      .toDF("k", "ts", "v")
+    val got = Analytics.gapFillDaily(df, "k", "ts", "v")
+      .orderBy("k", "day")
+      .select(col("k"), date_format(col("day"), "MM-dd").as("d"),
+        col("filled_value"), col("observed"))
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "01-01", 12L, true), (1L, "01-02", 12L, false),
+      (1L, "01-03", 12L, false), (1L, "01-04", 3L, true),
+      (2L, "01-02", 1L, true)))
+  }
+
+  test("zscoreAnomalies: flags exactly the outliers; sigma=0 group flags none") {
+    val vals = Seq.fill(20)(10.0) ++ Seq(10.5, 9.5, 100.0)
+    val df = vals.map(("a", _)).toDF("g", "x")
+      .union(Seq.fill(5)(("flat", 3.0)).toDF("g", "x"))
+    val got = Analytics.zscoreAnomalies(df, "g", "x", z = 3.0)
+    assert(got.filter(col("is_anomaly")).select("x").as[Double]
+      .collect().toSeq == Seq(100.0))
+    assert(got.filter(col("g") === "flat")
+      .agg(max(abs(col("zscore")))).as[Double].head() == 0.0)
+  }
+
+  test("scd2: versions chain and exactly one current row per key") {
+    val df = Seq(
+      ("k1", ts("2024-01-01 00:00:00"), 1L, "A"),
+      ("k1", ts("2024-01-05 00:00:00"), 2L, "B"),
+      ("k1", ts("2024-01-09 00:00:00"), 3L, "C"),
+      ("k2", ts("2024-02-01 00:00:00"), 4L, "X"))
+      .toDF("k", "ct", "seq", "attr")
+    val got = Analytics.scd2(df, Seq("k"), Seq("ct", "seq"))
+    // chain: valid_to of version i == valid_from of version i+1
+    val k1 = got.filter(col("k") === "k1").orderBy("valid_from")
+      .select("attr", "valid_from", "valid_to", "is_current")
+      .as[(String, Timestamp, Option[Timestamp], Boolean)].collect()
+    assert(k1.map(_._1).toSeq == Seq("A", "B", "C"))
+    assert(k1(0)._3.contains(k1(1)._2) && k1(1)._3.contains(k1(2)._2))
+    assert(k1.map(_._4).toSeq == Seq(false, false, true))
+    val currents = got.filter(col("is_current")).groupBy("k").count()
+      .as[(String, Long)].collect().toMap
+    assert(currents == Map("k1" -> 1L, "k2" -> 1L))
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged incl. null values") {
+    val oldDf = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d"))).toDF("k", "v")
+    val newDf = Seq((1L, Some("a")), (2L, Some("B")), (3L, None),
+      (5L, Some("e"))).toDF("k", "v")
+    val got = Analytics.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v"))
+      .select("k", "diff_status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // null <=> null: present in both, equal
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("snapshotDiff: null-to-value transition is changed, not absent") {
+    val oldDf = Seq((1L, Option.empty[String])).toDF("k", "v")
+    val newDf = Seq((1L, Some("x"))).toDF("k", "v")
+    val got = Analytics.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v"))
+      .select("diff_status").as[String].head()
+    assert(got == "changed")
+  }
+}
