@@ -16,6 +16,21 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object SketchAggregators {
 
+  /** Like [[HllDistinct]] but finishes with the SKETCH, not the count —
+    * the build side of HLL set algebra: union two results with `merge`,
+    * intersect with `HyperLogLog.intersectionEstimate`. Distributed
+    * union-merge happens in the partial/final aggregate; only the final
+    * 2^b-byte sketch reaches the driver. */
+  final class HllSketchAgg[IN](b: Int, f: IN => Any)
+      extends Aggregator[IN, HyperLogLog, HyperLogLog] {
+    def zero: HyperLogLog = new HyperLogLog(b)
+    def reduce(buf: HyperLogLog, in: IN): HyperLogLog = buf.add(f(in))
+    def merge(a: HyperLogLog, c: HyperLogLog): HyperLogLog = a.merge(c)
+    def finish(r: HyperLogLog): HyperLogLog = r
+    def bufferEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
+    def outputEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
+  }
+
   /** approx COUNT(DISTINCT f(in)) — reference HyperLogLog sink. */
   final class HllDistinct[IN](b: Int, f: IN => Any)
       extends Aggregator[IN, HyperLogLog, Long] {

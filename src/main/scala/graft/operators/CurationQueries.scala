@@ -61,6 +61,34 @@ object CurationQueries {
         .orderBy(col("triangles").desc, col("node"))
         .limit(25)),
 
+    // -- Neighbor-set Jaccard link prediction on the k-transition graph --
+    // one wedge join keyed by the shared neighbor; denominators use true
+    // degrees. Top-25 most-similar node pairs.
+    "g04_jaccard_nbrs" -> ((s, d) =>
+      GraphOps.neighborJaccard(transitionEdges(s, d), "src", "dst")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(25)),
+
+    // -- Within-document term co-occurrence (market-basket shape) --------
+    // distinct terms per doc, restricted to the top-50 df vocabulary
+    // (broadcast) BEFORE the doc-keyed pair self-join — the vocab cap
+    // bounds pair fan-out at |V|²/2 per doc regardless of corpus size.
+    "c06_cooccurrence" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      val topv = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(50).select("term")
+      val f = toks.join(broadcast(topv), "term")
+      val p1 = f.select(col("doc_id"), col("term").as("t1"))
+      val p2 = f.select(col("doc_id"), col("term").as("t2"))
+      p1.join(p2, "doc_id").filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 5)
+        .orderBy(col("n_docs").desc, col("t1"), col("t2"))
+        .limit(25)
+    }),
+
     // -- Weekly cohort retention over the events stream ------------------
     // cohort = week of a user's first event; one row per (cohort week,
     // week offset) with distinct active users. Two user-keyed shuffles.
@@ -220,6 +248,40 @@ object CurationQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "g04_jaccard_nbrs" ->
+      """WITH kx AS (SELECT user_id, ts, event_id,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |seq AS (SELECT user_id, k AS dst,
+        |    lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM kx),
+        |e0 AS (SELECT DISTINCT src, dst FROM seq
+        |       WHERE src IS NOT NULL AND src <> dst),
+        |e AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        |      FROM e0 WHERE src <> dst),
+        |adj AS (SELECT lo AS node, hi AS nbr FROM e
+        |        UNION ALL SELECT hi, lo FROM e),
+        |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        |cm AS (SELECT a.node AS u, b.node AS v, count(*) AS common
+        |  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+        |  GROUP BY 1, 2)
+        |SELECT cm.u, cm.v, cm.common,
+        |  round(cm.common::DOUBLE / (du.deg + dv.deg - cm.common), 6) AS jaccard
+        |FROM cm JOIN deg du ON du.node = cm.u JOIN deg dv ON dv.node = cm.v
+        |ORDER BY jaccard DESC, u, v LIMIT 25""".stripMargin,
+    "c06_cooccurrence" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |dfx AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+        |topv AS (SELECT term FROM dfx ORDER BY df DESC, term LIMIT 50),
+        |f AS (SELECT doc_id, term FROM toks
+        |      WHERE term IN (SELECT term FROM topv)),
+        |p AS (SELECT a.term AS t1, b.term AS t2, count(*) AS n_docs
+        |  FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, n_docs FROM p WHERE n_docs >= 5
+        |ORDER BY n_docs DESC, t1, t2 LIMIT 25""".stripMargin,
     "r01_bm25_topk" ->
       """WITH q(query_id, term) AS (VALUES
         |  (0, 'hash'), (0, 'join'), (0, 'merge'),

@@ -136,4 +136,51 @@ object GraphOps {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
+
+  /** Neighbor-set Jaccard similarity per node pair — the classic
+    * link-prediction / entity-similarity feature: two nodes are similar
+    * when they share neighbors (common-neighbors / union-of-neighbors on
+    * the undirected simple graph).
+    *
+    * Shape: ONE wedge self-join keyed by the shared neighbor (each
+    * common neighbor contributes exactly one pair occurrence) followed
+    * by a pair-keyed count — both map-side combined. Pair fan-out per
+    * shared neighbor is deg², so hubs dominate cost: `maxDegree > 0`
+    * excludes nodes above the cap from WEDGE CENTERS (their own pairs),
+    * while Jaccard denominators always use true degrees. A star hub's
+    * neighbors legitimately share it, so capping only bounds the
+    * quadratic term — the standard similarity-join skew guard, same
+    * spirit as minhashLshPairs' `maxBucket`.
+    *
+    * Returns (u, v, common, jaccard) for u < v with ≥1 shared neighbor.
+    */
+  def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 0): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val adj = e.select(col("lo").as("node"), col("hi").as("nbr"))
+      .union(e.select(col("hi").as("node"), col("lo").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // wedge centers: the shared-neighbor side; capping drops hub CENTERS
+    val centers =
+      if (maxDegree > 0) {
+        val ok = deg.filter(col("deg") <= maxDegree)
+          .select(col("node").as("_center_ok"))
+        adj.join(ok, adj("nbr") === col("_center_ok"))
+          .select(adj("node"), adj("nbr"))
+      } else adj
+    val a = centers.select(col("nbr").as("w"), col("node").as("u"))
+    val b = centers.select(col("nbr").as("w"), col("node").as("v"))
+    val common = a.join(b, "w").filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), "v")
+      .select(col("u"), col("v"), col("common"),
+        (col("common").cast("double") /
+          (col("deg_u") + col("deg_v") - col("common"))).as("jaccard"))
+  }
 }

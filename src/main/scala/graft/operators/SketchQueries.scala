@@ -192,6 +192,38 @@ object SketchQueries {
           (col("r95") >= 0.93 && col("r95") <= 0.97).as("p95_rank_ok"))
     }),
 
+    // -- HLL SET ALGEBRA contract, gate-enforced: union of two customer
+    // sets via register-max merge must track the exact distinct union
+    // within 3σ, and the inclusion-exclusion intersection estimate within
+    // 3σ·(|A|+|B|+|A∪B|) absolute (errors of three estimates compound).
+    // Only two 2^14-byte sketches reach the driver ----------------------
+    "sk15_hll_setops" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val cut = lit("1997-01-01").cast("timestamp")
+      val aKeys = o.filter(col("o_orderdate") < cut)
+        .select(col("o_custkey")).as[Long]
+      val bKeys = o.filter(col("o_orderdate") >= cut)
+        .select(col("o_custkey")).as[Long]
+      val agg = new HllSketchAgg[Long](14, identity)
+      val ha = aKeys.select(agg.toColumn).head()
+      val hb = bKeys.select(agg.toColumn).head()
+      val estA = ha.estimate; val estB = hb.estimate
+      val estU = ha.merge(hb).estimate
+      val estI = graft.sketch.HyperLogLog.intersectionEstimate(ha, hb)
+      val exactA = aKeys.distinct().count().toDouble
+      val exactB = bKeys.distinct().count().toDouble
+      val exactU = aKeys.union(bKeys).distinct().count().toDouble
+      val exactI = exactA + exactB - exactU
+      val sigma = 3 * 1.04 / math.sqrt((1 << 14).toDouble)
+      Seq((
+        math.abs(estA - exactA) <= sigma * exactA,
+        math.abs(estB - exactB) <= sigma * exactB,
+        math.abs(estU - exactU) <= sigma * exactU,
+        math.abs(estI - exactI) <= sigma * (exactA + exactB + exactU)))
+        .toDF("a_ok", "b_ok", "union_ok", "inter_ok")
+    }),
+
     // -- sample_total (exact-k without replacement, sample.rs:7-33) ------
     // random-permutation-prefix form -> TakeOrderedAndProject (PlanSpec).
     // The output aggregates the sample's CONTRACT, which IS
@@ -260,6 +292,8 @@ object SketchQueries {
       "SELECT TRUE AS p50_rank_ok, TRUE AS p95_rank_ok",
     "sk14_distinct_contract" ->
       "SELECT DISTINCT o_orderpriority, TRUE AS est_ok FROM orders ORDER BY o_orderpriority",
+    "sk15_hll_setops" ->
+      "SELECT TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok",
     "sk10_reservoir_per_key" ->
       """SELECT event_type, least(5, count(*)) AS n_sampled
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -77,6 +77,21 @@ final class HyperLogLog(val b: Int) extends Serializable {
 }
 
 object HyperLogLog {
+  /** Inclusion-exclusion intersection estimate |A∩B| ≈ |A|+|B|−|A∪B|.
+    * The union sketch is exact HLL semantics (register max), so the
+    * absolute error is bounded by the three estimates' errors combined:
+    * ~σ·(|A|+|B|+|A∪B|) standard deviations — useful when the
+    * intersection is not tiny relative to the sets (the classic HLL
+    * set-algebra caveat). */
+  def intersectionEstimate(a: HyperLogLog, b: HyperLogLog): Double =
+    a.estimate + b.estimate - a.merge(b).estimate
+
+  /** Jaccard similarity estimate |A∩B|/|A∪B| via inclusion-exclusion. */
+  def jaccardEstimate(a: HyperLogLog, b: HyperLogLog): Double = {
+    val u = a.merge(b).estimate
+    if (u <= 0) 0.0 else math.max(0.0, intersectionEstimate(a, b)) / u
+  }
+
   /** Precision from a target standard error (reference constructor shape:
     * `HyperLogLog::new(error_rate)`). */
   def forError(errorRate: Double): HyperLogLog = {

@@ -104,4 +104,42 @@ class GraphSpec extends AnyFunSuite with CacheHygiene {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("neighborJaccard: 4-cycle closed form — opposite corners identical") {
+    // a-b-c-d-a: nbrs(a)={b,d}, nbrs(c)={b,d} → jaccard(a,c)=1; adjacent
+    // corners share nothing
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("s", "t")
+    val got = GraphOps.neighborJaccard(cyc, "s", "t")
+      .select("u", "v", "common", "jaccard")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(("a", "c") -> ((2L, 1.0)), ("b", "d") -> ((2L, 1.0))))
+  }
+
+  test("neighborJaccard: maxDegree excludes hub centers, keeps true degrees") {
+    // star: h—x1..x5 plus x1—x2. Uncapped: all (xi,xj) pairs share h.
+    val star = (1 to 5).map(i => ("h", s"x$i")) :+ (("x1", "x2"))
+    val df = star.toDF("s", "t")
+    val full = GraphOps.neighborJaccard(df, "s", "t")
+      .as[(String, String, Long, Double)].collect()
+    assert(full.count(r => r._1.startsWith("x") && r._2.startsWith("x")) == 10)
+    val capped = GraphOps.neighborJaccard(df, "s", "t", maxDegree = 4)
+      .as[(String, String, Long, Double)].collect()
+    // hub (deg 5) no longer generates the quadratic xi-xj pairs...
+    assert(capped.count(r => r._1.startsWith("x") && r._2.startsWith("x")) == 0)
+    // ...but pairs THROUGH low-degree centers survive, with true degrees:
+    // center x1 (nbrs h,x2) yields (h,x2): common=1, deg(h)=5, deg(x2)=2
+    val hx2 = capped.find(r => r._1 == "h" && r._2 == "x2").get
+    assert(hx2._3 == 1L && math.abs(hx2._4 - 1.0 / 6) < 1e-12)
+  }
+
+  test("neighborJaccard: direction/dup/self-loop invariance + partitioning") {
+    val messy = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("a", "a")).toDF("s", "t")
+    val clean = Seq(("a", "b"), ("b", "c")).toDF("s", "t")
+    def run(df: org.apache.spark.sql.DataFrame, p: Int) =
+      GraphOps.neighborJaccard(df.repartition(p), "s", "t")
+        .as[(String, String, Long, Double)].collect().toSet
+    assert(run(messy, 1) == run(clean, 8))
+  }
 }

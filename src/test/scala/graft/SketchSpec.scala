@@ -317,4 +317,23 @@ class SketchSpec extends AnyFunSuite {
     val outFiles = new java.io.File(s"$tmp/out").listFiles().count(_.getName.endsWith(".parquet"))
     assert(outFiles == stats.outputFiles)
   }
+
+  test("HLL set algebra: union, inclusion-exclusion intersection, jaccard") {
+    val a = new HyperLogLog(14); (1 to 10000).foreach(a.add)
+    val b = new HyperLogLog(14); (5001 to 15000).foreach(b.add)
+    val sigma = 1.04 / math.sqrt(1 << 14)
+    val u = a.merge(b).estimate
+    assert(math.abs(u - 15000) <= 3 * sigma * 15000, s"union=$u")
+    val i = HyperLogLog.intersectionEstimate(a, b)
+    assert(math.abs(i - 5000) <= 3 * sigma * (10000 + 10000 + 15000),
+      s"intersection=$i")
+    val j = HyperLogLog.jaccardEstimate(a, b)
+    assert(math.abs(j - 1.0 / 3) < 0.05, s"jaccard=$j")
+    // disjoint sets: intersection estimate collapses toward 0
+    val c = new HyperLogLog(14); (20001 to 30000).foreach(c.add)
+    assert(math.abs(HyperLogLog.intersectionEstimate(a, c))
+      <= 3 * sigma * (10000 + 10000 + 20000))
+    // merge is non-destructive: operands unchanged by the set ops
+    assert(math.abs(a.estimate - 10000) <= 3 * sigma * 10000)
+  }
 }
