@@ -551,6 +551,43 @@ object PipelineQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // -- REAL streaming sessionization via the engine's native
+    // session_window state operator: events staged as 3 ascending files,
+    // one micro-batch each, so sessions spanning a file boundary exist
+    // only if session-window state merges across batches. Census by
+    // session size; integer cents keep the sums engine-exact. The oracle
+    // replays the session semantics relationally (gaps-and-islands with
+    // >= gap split; end = last_ts + gap). ------------------------------
+    "st09_stream_session" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("ts"), col("user_id"), col("value"))
+      graft.streaming.EventStreams.sessionWindowStreamed(s, e,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st09_stage")
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("cents")).as("sum_cents"),
+          sum(unix_micros(col("end")) - unix_micros(col("start"))).as("sum_dur_us"))
+        .orderBy(col("n_events"))
+    }),
+
+    // -- REAL stream-stream interval self-join: the staged event stream
+    // is filtered into watermarked click/purchase sides and inner-joined
+    // on (user, 60-min lookback) with append output — matches emit as
+    // both sides arrive, join state is purged by the watermarks. With
+    // ascending staging nothing is late, so the streamed join must equal
+    // the stateless batch join (st02's oracle, same aggregation). -------
+    "st10_stream_join_real" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      graft.streaming.EventStreams.attributionJoinStreamed(s, e,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st10_stage")
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          max(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("max_lag_us"),
+          round(first(col("value")), 2).as("purchase_value"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // -- REAL Structured Streaming execution inside the gate: events
     // staged as 3 ascending time-range files, one micro-batch per file
     // (watermark advances across batches, windowed state merges across
@@ -2021,6 +2058,33 @@ object PipelineQueries {
 
     // self-join replay of the interval join: purchases to same-user
     // clicks within the preceding hour, microsecond-exact lag
+    "st09_stream_session" ->
+      """WITH l AS (SELECT ts, user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+        |    date_diff('microsecond', prev_ts, ts) >= 1800000000 THEN 1
+        |    ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_no FROM f),
+        |sess AS (SELECT user_id, sess_no, min(ts) AS st, max(ts) AS en,
+        |    count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM s GROUP BY user_id, sess_no)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(date_diff('microsecond', st, en + INTERVAL 30 MINUTE))
+        |    AS BIGINT) AS sum_dur_us
+        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin,
+    "st10_stream_join_real" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+        | max(date_diff('microsecond', c.ts, p.ts)) AS max_lag_us,
+        | round(any_value(p.value), 2) AS purchase_value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "st02_stream_join" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
         | max(date_diff('microsecond', c.ts, p.ts)) AS max_lag_us,

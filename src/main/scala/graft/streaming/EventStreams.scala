@@ -68,7 +68,8 @@ object EventStreams {
     * (modTime, path)). Shared by st03 (windowed agg) and st04 (sketch
     * aggregator state). */
   def runStagedStream(spark: SparkSession, events: DataFrame,
-      stageDir: String, nFiles: Int, sinkName: String)
+      stageDir: String, nFiles: Int, sinkName: String,
+      outputMode: String = "complete")
       (agg: DataFrame => DataFrame): DataFrame = {
     val inDir = stageAscendingFiles(events, stageDir, nFiles)
     spark.catalog.dropTempView(sinkName)
@@ -76,7 +77,7 @@ object EventStreams {
         spark.readStream.schema(events.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath))
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -207,6 +208,56 @@ object EventStreams {
       .select(explode(col("top")).as("kv"))
       .select(col("kv._1").as("event_type"), col("kv._2").as("n"))
   }
+
+  /** Session-window aggregation via Spark's native `session_window` —
+    * the DECLARATIVE sessionization (vs [[sessionize]]'s explicit state
+    * machine): events within `gap` of each other merge into one window
+    * per user; the engine's session-window state operator does the
+    * merging, including across micro-batch boundaries in streaming mode.
+    *
+    * Semantics note (vs [[sessionizeBatch]]): a new session starts when
+    * the inter-event gap is >= `gap` (window overlap is half-open), and
+    * the emitted `end` is last_event_ts + gap — both replayed exactly by
+    * the st09 oracle. Values are summed as integer cents so stream ==
+    * batch == external replay bit-exactly. One definition serves
+    * streaming and batch frames (Spark unifies the two). */
+  def sessionWindowAgg(df: DataFrame, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("n_events"), col("cents"))
+
+  /** Drive [[sessionWindowAgg]] as a REAL streaming query over staged
+    * ascending files: one micro-batch per file, so sessions spanning a
+    * file boundary exist only if the engine's session-window state
+    * merges across batches — the law the st09 gate hash-verifies against
+    * a relational gaps-and-islands replay. Complete-mode memory sink
+    * (append would hold back sessions until the watermark passes them;
+    * the final table must contain every session). */
+  def sessionWindowStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int = 3,
+      sinkName: String = "st09_sink"): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName)(
+      sessionWindowAgg(_))
+
+  /** Drive [[attributionJoin]] as a REAL stream-stream self-join: the
+    * staged event files are read as ONE stream, filtered into the click
+    * and purchase sides (each with its own watermark), and inner-joined
+    * on (user, time-range). Append mode — stream-stream joins emit
+    * matches eagerly and support no other mode; with ascending staging
+    * nothing arrives late, so the joined set must equal the stateless
+    * batch join exactly (st10 shares st02's oracle modulo aggregation).
+    * State is purged by the watermarks as the join condition allows —
+    * the bounded-state contract that makes this viable on an unbounded
+    * feed. */
+  def attributionJoinStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int = 3, horizonMinutes: Int = 60,
+      sinkName: String = "st10_sink"): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName,
+      outputMode = "append")(attributionJoin(_, horizonMinutes = horizonMinutes))
 
   /** Gap-based sessionization with flatMapGroupsWithState: a session
     * closes when a later event for the same user arrives more than

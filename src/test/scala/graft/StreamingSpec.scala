@@ -431,4 +431,48 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
       .select("k", "v").as[(Long, String)].collect().toMap
     assert(got == Map(2L -> "live"))
   }
+
+  test("sessionWindowStreamed: sessions spanning file boundaries merge in state") {
+    // user 1: events at minutes 0,10,20,30,40 — ONE session (gaps 10min),
+    // deliberately chopped into 5 files so every gap crosses a micro-batch
+    // boundary; user 2: minutes 0 and 120 — two sessions.
+    val ev = (Seq(0, 10, 20, 30, 40).map(m => (ts(m), 1L, 1.0)) ++
+      Seq((ts(0), 2L, 2.0), (ts(120), 2L, 2.0))).toDF("ts", "user_id", "value")
+    val got = EventStreams.sessionWindowStreamed(spark, ev,
+        "target/qtmp/st_sess_win", nFiles = 5)
+      .select("user_id", "n_events", "cents")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 5L, 500L), (2L, 1L, 200L), (2L, 1L, 200L)))
+    // the streamed result equals the batch session_window aggregation
+    val batch = EventStreams.sessionWindowAgg(ev)
+      .select("user_id", "start", "end", "n_events", "cents")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+      .collect().toSet
+    val streamed = EventStreams.sessionWindowStreamed(spark, ev,
+        "target/qtmp/st_sess_win2", nFiles = 3)
+      .select("user_id", "start", "end", "n_events", "cents")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+      .collect().toSet
+    assert(streamed == batch)
+    // end = last event + gap
+    val u1 = batch.find(_._1 == 1L).get
+    assert(u1._3.getTime - ts(40).getTime == 30 * 60000L)
+  }
+
+  test("attributionJoinStreamed: streamed self-join rows == batch join rows") {
+    val ev = (Seq(
+      (1L, ts(0), 7L, "click", 0.0), (2L, ts(30), 7L, "click", 0.0),
+      (3L, ts(50), 7L, "purchase", 9.0),   // joins clicks at 0 and 30
+      (4L, ts(200), 7L, "purchase", 5.0),  // no click in lookback
+      (5L, ts(190), 8L, "click", 0.0),
+      (6L, ts(210), 8L, "purchase", 3.0))) // cross-file pair for user 8
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = EventStreams.attributionJoin(ev)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    val streamed = EventStreams.attributionJoinStreamed(spark, ev,
+        "target/qtmp/st_attr_join", nFiles = 3)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((3L, 1L), (3L, 2L), (6L, 5L)))
+    assert(streamed == batch)
+  }
 }
