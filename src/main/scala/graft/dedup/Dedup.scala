@@ -111,6 +111,51 @@ object Dedup {
     * order-independent, and floor(x·10⁴+0.5)/10⁴ rounds identically on
     * every engine.
     */
+  /** Asymmetric n-gram CONTAINMENT pairs: containment(A,B) =
+    * |grams(A) ∩ grams(B)| / min(|grams(A)|, |grams(B)|) — the
+    * quote/subset/excerpt signal symmetric Jaccard structurally misses
+    * (a 50-gram doc fully quoted inside a 5000-gram doc has containment
+    * 1.0 but Jaccard 0.01, below every LSH threshold).
+    *
+    * Shape: an inverted gram index joined with itself — pairs are
+    * generated ONLY for docs sharing a gram (never all-pairs), grouped
+    * map-side combined. Pair fan-out per gram is df², so corpus-common
+    * grams dominate: `maxGramDf > 0` drops grams present in more docs
+    * than the cap from the index (boilerplate grams carry no containment
+    * evidence; the same census-prune discipline as minhashLshPairs'
+    * `maxBucket`). Sizes always count FULL gram sets. At 100 TB, switch
+    * the join key to `xxhash64(gram)` exactly as [[dupNgramFraction]]'s
+    * `hashGrams` does.
+    *
+    * Returns (a, b, common, containment) for a < b with
+    * containment >= `minContainment`.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minContainment: Double = 0.5,
+      maxGramDf: Int = 0): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      wordShingles(col(textCol), shingleN).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+      .filter(col("sz") > 0)
+    val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inv =
+      if (maxGramDf > 0) {
+        val hot = inv0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxGramDf).select("g")
+        inv0.join(hot, Seq("g"), "left_anti")
+      } else inv0
+    inv.select(col("g"), col("doc_id").as("a"))
+      .join(inv.select(col("g"), col("doc_id").as("b")), "g")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("n_b")), "b")
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= minContainment)
+      .select(col("a"), col("b"), col("common"), col("containment"))
+  }
+
   def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
       n: Int, hashGrams: Boolean): DataFrame = {
     val exploded = df.select(col(idCol),

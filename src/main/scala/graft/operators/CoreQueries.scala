@@ -138,6 +138,22 @@ object CoreQueries {
     }),
 
     // -- rollup (exceeds reference) --------------------------------------
+    // -- GROUPING SETS with an asymmetric set list ((rf,ls),(rf),(ls)) —
+    // not expressible as rollup or cube; one pass, engine expands the
+    // grouping combinations in the aggregate (Expand node, no rescan).
+    "q56_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))),
+
     "q12_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1088,6 +1104,13 @@ object CoreQueries {
         |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders
         |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q56_grouping_sets" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf,
+        | coalesce(l_linestatus,'ALL') AS ls,
+        | count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS
+        |  ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
     "q12_rollup" ->
       """SELECT coalesce(l_returnflag,'ALL') AS rf,
         | coalesce(l_linestatus,'ALL') AS ls,

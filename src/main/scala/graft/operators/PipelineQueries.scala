@@ -86,6 +86,15 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // -- asymmetric containment pairs: excerpt/quote detection ------------
+    // inverted gram index self-join (pairs only for docs SHARING a gram);
+    // containment over min gram-set size catches subsets Jaccard misses.
+    "d21_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, minContainment = 0.5)
+        .withColumn("containment", round(col("containment"), 4))
+        .orderBy(col("containment").desc, col("a"), col("b"))),
+
     // -- duplicate clusters: connected components over LSH pairs ---------
     "d06_dup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
@@ -1749,6 +1758,26 @@ object PipelineQueries {
         |       / len(list_distinct(a.tris||b.tris)), 4) AS j
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY j DESC, a, b LIMIT 10""".stripMargin,
+    // exhaustive containment replay: identical to the inverted-index form
+    // by construction (a pair shares >= 1 gram iff its intersect is
+    // non-empty; the threshold prunes the rest on both sides)
+    "d21_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
+        |      WHERE tri IS NOT NULL GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |        CAST(len(list_intersect(a.tris, b.tris)) AS BIGINT) AS common,
+        |        round(len(list_intersect(a.tris, b.tris))::DOUBLE
+        |          / least(len(a.tris), len(b.tris)), 4) AS containment
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a, b, common, containment FROM p WHERE containment >= 0.5
+        |ORDER BY containment DESC, a, b""".stripMargin,
     // exhaustive exact-jaccard replay of the banded+verified production
     // path: complete at these thresholds (see Dedup.fuzzyDecontaminate)
     "d15_fuzzy_decontaminate" ->

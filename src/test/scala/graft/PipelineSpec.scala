@@ -1315,4 +1315,36 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       LanguageModel.dsirLogWeight(docs, "doc_id", "text", col("lang") === "xx")
     }
   }
+
+  test("containmentPairs: full excerpt scores 1.0 where jaccard would miss it") {
+    // doc 2 is a verbatim excerpt of doc 1's middle; doc 3 is unrelated
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (20 to 27).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup
+      .containmentPairs(docs, "doc_id", "text", shingleN = 3,
+        minContainment = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 6L, 1.0)))
+    // the same pair's jaccard is far below LSH thresholds: 6/58
+    assert(6.0 / 58.0 < 0.2)
+  }
+
+  test("containmentPairs: maxGramDf prunes boilerplate grams from the index") {
+    // 30 docs all share one boilerplate sentence; caps keep the pair
+    // stage bounded while full-size denominators are preserved
+    val boiler = "all rights reserved contact us today"
+    val docs = (1 to 30)
+      .map(i => (i.toLong, s"$boiler unique$i content$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    val uncapped = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text",
+      3, minContainment = 0.0)
+    // every pair shares the 4 boilerplate tri-grams -> 435 pairs
+    assert(uncapped.count() == 435)
+    val capped = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text",
+      3, minContainment = 0.0, maxGramDf = 10)
+    // boilerplate grams (df=30 > 10) leave the index -> no pairs at all
+    assert(capped.count() == 0)
+  }
 }
