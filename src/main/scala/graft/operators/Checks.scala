@@ -100,4 +100,76 @@ object Checks {
     wide.selectExpr(
       s"stack(${stages.size}, $stacked) AS (stage_idx, stage, n_in, n_kept)")
   }
+
+  /** Poisson(1) cumulative cutoffs for the bootstrap inverse-CDF draw.
+    * Inlined literals (not computed at runtime) so any replaying engine
+    * can use the exact same doubles. */
+  private val poissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** Poisson bootstrap confidence interval for a per-group mean — the
+    * standard way to put error bars on corpus metrics WITHOUT a second
+    * pass or a fixed-n resample: each row enters replica b with weight
+    * ~ Poisson(1) (the large-n limit of sampling n-of-n with
+    * replacement), drawn deterministically from md5(id, b, salt) via the
+    * inverse CDF, so the whole computation is a pure function of the
+    * data — re-runs and external replays agree bit-for-bit.
+    *
+    * `valueCol` must be an integer column: replica sums are then exact
+    * longs and each replica mean is ONE double division — no
+    * order-dependent float accumulation anywhere.
+    *
+    * CI bounds are explicit order statistics of the `replicas` means
+    * (rank floor(B·α/2)+1 and B−floor(B·α/2), ties broken by replica
+    * id) — a deterministic empirical interval, not an interpolating
+    * percentile estimator.
+    *
+    * Scale: the explode multiplies the scan by B before the group×replica
+    * aggregate (map-side combined, `groups·B` rows after). For 100 TB
+    * metrics run B ≤ ~50, or bootstrap a stratified subsample ("bag of
+    * little bootstraps", Kleiner et al. 2014) — the operator composes
+    * with [[graft.operators.Splits]] samplers for exactly that.
+    */
+  def bootstrapMeanCI(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, replicas: Int = 40, alpha: Double = 0.05,
+      salt: String = "boot"): DataFrame = {
+    require(replicas >= 4, s"replicas=$replicas too few for a CI")
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha outside (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    // built against the post-rename columns ("id", "b") below
+    val u = Splits.mdUniform(
+      concat(col("id").cast("string"), lit("#"), col("b").cast("string")),
+      salt)
+    val w = poissonCdf1.zipWithIndex
+      .foldRight(lit(poissonCdf1.size): Column) { case ((c, k), rest) =>
+        when(col("u") < lit(c), lit(k)).otherwise(rest)
+      }
+    val rep = df
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(valueCol).cast("long").as("v"))
+      .select(col("grp"), col("id"), col("v"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w.cast("long"))
+    val means = rep.groupBy(col("grp"), col("b"))
+      .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"))
+      .withColumn("mean_b",
+        when(col("sw") > 0, col("swv").cast("double") / col("sw")))
+    val rk = Window.partitionBy(col("grp")).orderBy(col("mean_b"), col("b"))
+    val loIdx = math.floor(replicas * alpha / 2).toInt + 1
+    val hiIdx = replicas - math.floor(replicas * alpha / 2).toInt
+    val bounds = means.withColumn("rn", row_number().over(rk))
+      .groupBy(col("grp")).agg(
+        max(when(col("rn") === loIdx, col("mean_b"))).as("ci_lo"),
+        max(when(col("rn") === hiIdx, col("mean_b"))).as("ci_hi"))
+    val point = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valueCol).cast("long")).cast("double") / count(lit(1)))
+          .as("mean"))
+    point.join(bounds, "grp")
+      .select(col("grp").as(groupCol), col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -86,6 +86,18 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // -- Poisson-bootstrap CI on per-source mean doc length: error bars
+    // for corpus metrics as a pure function of the data (md5-derived
+    // Poisson(1) replica weights, exact integer replica sums, order-
+    // statistic bounds) — every replica and both bounds replayed. -------
+    "p16_bootstrap_ci" -> ((s, d) =>
+      graft.operators.Checks.bootstrapMeanCI(Tables.documents(s, d),
+          "source", "doc_id", "n_chars", replicas = 40, alpha = 0.05)
+        .withColumn("mean", round(col("mean"), 6))
+        .withColumn("ci_lo", round(col("ci_lo"), 6))
+        .withColumn("ci_hi", round(col("ci_hi"), 6))
+        .orderBy(col("source"))),
+
     // -- asymmetric containment pairs: excerpt/quote detection ------------
     // inverted gram index self-join (pairs only for docs SHARING a gram);
     // containment over min gram-set size catches subsets Jaccard misses.
@@ -1758,6 +1770,43 @@ object PipelineQueries {
         |       / len(list_distinct(a.tris||b.tris)), 4) AS j
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY j DESC, a, b LIMIT 10""".stripMargin,
+    // full bootstrap replay: same md5 uniforms, same inlined Poisson(1)
+    // CDF literals, same exact-integer replica sums and rank-2/39 bounds
+    "p16_bootstrap_ci" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    unnest(generate_series(0, 39)) AS b FROM documents),
+        |uu AS (SELECT source, n_chars, b,
+        |    (CAST(('0x'||substr(md5(doc_id::VARCHAR || '#' || b::VARCHAR
+        |      || ':boot'),1,12)) AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        |  FROM r),
+        |w AS (SELECT source, b, n_chars,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238463 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      WHEN u < 0.999916758850712 THEN 6
+        |      WHEN u < 0.9999897508033253 THEN 7
+        |      ELSE 8 END AS w
+        |  FROM uu),
+        |m AS (SELECT source, b,
+        |    CASE WHEN CAST(sum(w) AS BIGINT) > 0
+        |      THEN CAST(CAST(sum(w * n_chars) AS BIGINT) AS DOUBLE)
+        |        / CAST(sum(w) AS BIGINT) END AS mean_b
+        |  FROM w GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY mean_b, b) AS rn FROM m),
+        |bounds AS (SELECT source,
+        |    max(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+        |    max(CASE WHEN rn = 39 THEN mean_b END) AS ci_hi
+        |  FROM rk GROUP BY 1),
+        |pt AS (SELECT source, count(*) AS n,
+        |    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS mean
+        |  FROM documents GROUP BY 1)
+        |SELECT pt.source, pt.n, round(pt.mean, 6) AS mean,
+        |  round(bounds.ci_lo, 6) AS ci_lo, round(bounds.ci_hi, 6) AS ci_hi
+        |FROM pt JOIN bounds USING (source) ORDER BY source""".stripMargin,
     // exhaustive containment replay: identical to the inverted-index form
     // by construction (a pair shares >= 1 gram iff its intersect is
     // non-empty; the threshold prunes the rest on both sides)

@@ -232,6 +232,41 @@ object SourceQueries {
     //    PlanSpec: only matching directories are LISTED, non-matching
     //    partitions are never opened), and the oracle recomputes from the
     //    original table so the hash proves the layout is lossless. -------
+    // -- binaryFile source: raw media files on disk read as (path,
+    //    length, content) rows — the ingestion shape for image/audio
+    //    corpora (one file per asset, id in the filename). Staged from
+    //    the synthetic PPM generator, decoded with the REAL P6 decoder;
+    //    the oracle replays header length + pixel stats closed-form.
+    //    Driver-side staging is gate plumbing only: production points
+    //    binaryFile at an object store and never collects. --------------
+    "s13_binary_files" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "image")
+      val dir = new java.io.File(tmp(d, "s13_files"))
+      if (dir.exists()) dir.listFiles().foreach(_.delete())
+      dir.mkdirs()
+      media.select(col("media_id"), col("bytes")).collect().foreach { r =>
+        java.nio.file.Files.write(
+          new java.io.File(dir, f"img_${r.getLong(0)}%06d.ppm").toPath,
+          r.getAs[Array[Byte]](1))
+      }
+      val bf = s.read.format("binaryFile").load(dir.getAbsolutePath)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.ppm", 1).cast("long")
+            .as("media_id"),
+          lit("image").as("kind"), col("length"), col("content").as("bytes"))
+      Multimodal.extractFeatures(bf.select("media_id", "kind", "bytes"))
+        .join(bf.select("media_id", "length"), "media_id")
+        .select(col("media_id"), col("length"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          element_at(col("features"), 6).cast("long").as("sum_rgb"),
+          element_at(col("features"), 7).cast("long").as("px_min"),
+          element_at(col("features"), 8).cast("long").as("px_max"))
+        .orderBy(col("media_id"))
+    }),
+
     "s09_partitioned_write" -> ((s, d) => {
       val dir = tmp(d, "docs_by_lang")
       Tables.documents(s, d)
@@ -412,6 +447,22 @@ object SourceQueries {
         |   THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)
         |   AS dropped_good_cents
         |FROM orders""".stripMargin,
+    // header "P6\n<w> <h>\n255\n" is 11 bytes at single-digit dims;
+    // pixel byte i of image id is (id*31 + i) % 256
+    "s13_binary_files" ->
+      """WITH m AS (SELECT doc_id, (doc_id % 5) + 1 AS w, (doc_id % 4) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px0 AS (SELECT doc_id, unnest(generate_series(0, w*h*3 - 1)) AS i
+        |  FROM m),
+        |px AS (SELECT doc_id, (doc_id*31 + i) % 256 AS v FROM px0)
+        |SELECT m.doc_id AS media_id,
+        | CAST(11 + m.w*m.h*3 AS BIGINT) AS length,
+        | CAST(m.w AS BIGINT) AS w, CAST(m.h AS BIGINT) AS h,
+        | CAST(sum(px.v) AS BIGINT) AS sum_rgb,
+        | CAST(min(px.v) AS BIGINT) AS px_min,
+        | CAST(max(px.v) AS BIGINT) AS px_max
+        |FROM m JOIN px ON px.doc_id = m.doc_id
+        |GROUP BY m.doc_id, m.w, m.h ORDER BY media_id""".stripMargin,
     "s09_partitioned_write" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -92,4 +92,41 @@ class ChecksSpec extends AnyFunSuite with CacheHygiene {
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(rows == Seq((1L, "has_n", 3L, 2L), (2L, "english", 2L, 1L)))
   }
+
+  test("bootstrapMeanCI: deterministic, ordered bounds, constant collapses") {
+    val df = (1 to 400).map(i =>
+      (if (i % 2 == 0) "a" else "b", i.toLong,
+        if (i % 2 == 0) (i % 50).toLong + 10 else 7L))
+      .toDF("src", "id", "v")
+    def run(parts: Int) = Checks.bootstrapMeanCI(df.repartition(parts),
+        "src", "id", "v", replicas = 40)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    val got = run(3)
+    // determinism incl. partitioning
+    assert(got == run(11))
+    val a = got.find(_._1 == "a").get
+    assert(a._2 == 200L)
+    assert(a._4 <= a._3 + 1e-9 && a._3 <= a._5 + 1e-9,
+      s"CI [${a._4}, ${a._5}] must bracket mean ${a._3}")
+    assert(a._5 - a._4 > 0, "varying data must give a nonzero-width CI")
+    // constant column: every replica mean == the constant -> degenerate CI
+    val b = got.find(_._1 == "b").get
+    assert(b._3 == 7.0 && b._4 == 7.0 && b._5 == 7.0)
+  }
+
+  test("bootstrapMeanCI: Poisson(1) weights average to ~1 per replica slot") {
+    val df = (1 to 500).map(i => ("g", i.toLong, 1L)).toDF("src", "id", "v")
+    // with v=1, each replica mean is sum(w)/sum(w)=1; instead check the
+    // point-vs-CI relation on real weights via a skewed value column
+    val skew = (1 to 500).map(i => ("g", i.toLong, (i % 100).toLong))
+      .toDF("src", "id", "v")
+    val r = Checks.bootstrapMeanCI(skew, "src", "id", "v", replicas = 40)
+      .as[(String, Long, Double, Double, Double)].head()
+    // CLT sanity: sd of a replica mean ≈ sqrt(2)*sd(v)/sqrt(n) ≈ 1.8;
+    // the 95% CI half-width should be within a loose [1, 10] band
+    val half = (r._5 - r._4) / 2
+    assert(half > 1.0 && half < 10.0, s"unreasonable CI half-width $half")
+    assert(Checks.bootstrapMeanCI(df, "src", "id", "v").count() == 1)
+  }
 }
