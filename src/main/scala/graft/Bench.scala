@@ -68,6 +68,11 @@ object Bench {
     "r03_ndcg_eval",         // BM25 ranking + nDCG evaluation
     "u03_incremental_agg",   // base+delta agg merge, no base rescan
     "t21_pmi_collocations",  // PMI over vocabulary-sized count tables
+    "c03_ewma",              // windowed EWMA per key (one keyed exchange)
+    "c06_cooccurrence",      // vocab-capped within-doc pair join
+    "d21_containment",       // inverted gram index containment pairs
+    "g04_jaccard_nbrs",      // wedge-join neighbor similarity
+    "p16_bootstrap_ci",      // 40-replica Poisson bootstrap (explode + agg)
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {

@@ -101,9 +101,13 @@ object PipelineQueries {
     // -- asymmetric containment pairs: excerpt/quote detection ------------
     // inverted gram index self-join (pairs only for docs SHARING a gram);
     // containment over min gram-set size catches subsets Jaccard misses.
+    // maxGramDf=50 is the PRODUCTION skew guard, replayed by the oracle;
+    // it binds only beyond gate scale (sf0.01 max gram df = 7, sf0.1 = 25
+    // — the synthetic 40-word vocabulary saturates the gram space, so
+    // df grows with corpus size and the cap bounds Σdf² pair fan-out)
     "d21_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleN = 3, minContainment = 0.5)
+          shingleN = 3, minContainment = 0.5, maxGramDf = 50)
         .withColumn("containment", round(col("containment"), 4))
         .orderBy(col("containment").desc, col("a"), col("b"))),
 
@@ -1818,13 +1822,18 @@ object PipelineQueries {
         |t AS (SELECT doc_id,
         |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
         |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-        |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
-        |      WHERE tri IS NOT NULL GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
-        |        CAST(len(list_intersect(a.tris, b.tris)) AS BIGINT) AS common,
-        |        round(len(list_intersect(a.tris, b.tris))::DOUBLE
-        |          / least(len(a.tris), len(b.tris)), 4) AS containment
-        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |g AS (SELECT DISTINCT doc_id, tri FROM t WHERE tri IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |dfx AS (SELECT tri, count(*) AS df FROM g GROUP BY 1),
+        |tk AS (SELECT g.doc_id, g.tri FROM g JOIN dfx USING (tri)
+        |       WHERE dfx.df <= 50),
+        |cm AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+        |  FROM tk a JOIN tk b ON a.tri = b.tri AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT cm.a, cm.b, cm.common,
+        |        round(cm.common::DOUBLE / least(sa.n, sb.n), 4) AS containment
+        |      FROM cm JOIN sz sa ON sa.doc_id = cm.a
+        |        JOIN sz sb ON sb.doc_id = cm.b)
         |SELECT a, b, common, containment FROM p WHERE containment >= 0.5
         |ORDER BY containment DESC, a, b""".stripMargin,
     // exhaustive exact-jaccard replay of the banded+verified production
