@@ -68,6 +68,7 @@ object Bench {
     "r03_ndcg_eval",         // BM25 ranking + nDCG evaluation
     "u03_incremental_agg",   // base+delta agg merge, no base rescan
     "t21_pmi_collocations",  // PMI over vocabulary-sized count tables
+    "t22_trigram_lm",        // interpolated trigram LM (3 count tables)
     "c03_ewma",              // windowed EWMA per key (one keyed exchange)
     "c06_cooccurrence",      // vocab-capped within-doc pair join
     "d21_containment",       // inverted gram index containment pairs

@@ -110,6 +110,72 @@ object LanguageModel {
     * count 0, smoothing keeps the log finite); the two one-row vocab
     * frames broadcast. `hashTokens` as elsewhere.
     */
+  /** Per-document average log-likelihood under an INTERPOLATED trigram
+    * model (Jelinek–Mercer mixing, the KenLM-adjacent shape one order up
+    * from [[bigramLogLikelihood]]):
+    *
+    *   score(doc) = avg over trigram positions of
+    *     ln( λ3·p3(w3|w1w2) + λ2·p2(w3|w2) + λ1·p1(w3) )
+    *
+    * with each order add-one smoothed against the shared vocabulary V:
+    * p3 = (c3+1)/(ch3(w1,w2)+V), p2 = (cb+1)/(chb(w2)+V),
+    * p1 = (cu(w3)+1)/(N+V); histories derive from each order's own count
+    * table. Interpolation cures the bigram model's blindness to longer
+    * repetition and its overconfidence on unseen-but-plausible pairs —
+    * the standard reason production perplexity filters run ≥ trigram.
+    *
+    * Scale shape identical to the bigram form, one order up: trigram
+    * generation is narrow, all three count tables collapse to
+    * vocabulary-order size under map-side combine, scoring joins on gram
+    * keys (broadcast when they fit), λ and V are scalars. The mixture is
+    * written as one fixed left-to-right expression so IEEE evaluation is
+    * engine-identical; `hashTokens` is the same 100 TB shuffle-bytes
+    * switch. Documents with < 3 tokens have no trigrams and are absent.
+    */
+  def trigramInterpolatedLL(df: DataFrame, idCol: String, textCol: String,
+      hashTokens: Boolean = false,
+      lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1)): DataFrame = {
+    val (l3, l2, l1) = lambdas
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9, s"lambdas must sum to 1")
+    def key(c: Column): Column = if (hashTokens) xxhash64(c) else c
+    val tg = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .select(col("id"),
+        explode(when(size(col("t")) >= 3,
+          transform(sequence(lit(0), size(col("t")) - 3),
+            i => struct(element_at(col("t"), i + 1).as("w1"),
+              element_at(col("t"), i + 2).as("w2"),
+              element_at(col("t"), i + 3).as("w3"))))
+          .otherwise(array())).as("g"))
+      .select(col("id"), key(col("g.w1")).as("w1"), key(col("g.w2")).as("w2"),
+        key(col("g.w3")).as("w3"))
+    val bg = docBigrams(df, idCol, textCol, hashTokens)
+    val c3 = tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val ch3 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("ch3"))
+    val cb = bg.groupBy(col("w1").as("b1"), col("w2").as("b2"))
+      .agg(count(lit(1)).as("cb"))
+    val chb = cb.groupBy(col("b1")).agg(sum(col("cb")).as("chb"))
+      .withColumnRenamed("b1", "h1")
+    val toks = df.select(explode(split(col(textCol), " ")).as("tok0"))
+    val cu = toks.select(key(col("tok0")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nv = toks
+      .agg(count(lit(1)).as("n_tok"), countDistinct(key(col("tok0"))).as("v"))
+    val p3 = (col("c3") + lit(1.0)) / (col("ch3") + col("v"))
+    val p2 = (col("cb") + lit(1.0)) / (col("chb") + col("v"))
+    val p1 = (col("cu") + lit(1.0)) / (col("n_tok") + col("v"))
+    tg.join(c3, Seq("w1", "w2", "w3")).join(ch3, Seq("w1", "w2"))
+      .join(cb, col("w2") === col("b1") && col("w3") === col("b2"))
+      .join(chb, col("w2") === col("h1"))
+      .join(cu, col("w3") === cu("w"))
+      .crossJoin(broadcast(nv))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (floor(avg(log(lit(l3) * p3 + lit(l2) * p2 + lit(l1) * p1))
+          * 10000 + lit(0.5)) / 10000).as("ll"))
+      .select(col("id").as(idCol), col("n_trigrams"), col("ll"))
+  }
+
   def mooreLewisScore(df: DataFrame, idCol: String, textCol: String,
       targetCond: Column, hashTokens: Boolean = false): DataFrame = {
     val bg = docBigrams(df, idCol, textCol, hashTokens)

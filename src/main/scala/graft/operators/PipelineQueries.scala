@@ -825,6 +825,15 @@ object PipelineQueries {
           hashTokens = true)
         .orderBy(col("doc_id"))),
 
+    // -- interpolated TRIGRAM LM score (Jelinek–Mercer λ=0.6/0.3/0.1):
+    // the order-up form of t11 — three vocabulary-sized count tables,
+    // narrow trigram gen, hashed-token production path; the oracle
+    // replays all three orders and the fixed-order mixture exactly. ------
+    "t22_trigram_lm" -> ((s, d) =>
+      LanguageModel.trigramInterpolatedLL(Tables.documents(s, d), "doc_id",
+          "text", hashTokens = true)
+        .orderBy(col("doc_id"))),
+
     // -- PCA CONTRACT, gate-enforced: components orthonormal, variances
     // sorted, reconstruction residual non-negative and monotone in k
     // (Pythagoras form — no reconstruction materialized), and the
@@ -1517,6 +1526,39 @@ object PipelineQueries {
         |ORDER BY doc.doc_id""".stripMargin,
     "p08_training_mix" -> trainingMixOracle,
     "t11_lm_score" -> lmScoreOracle,
+    "t22_trigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |tg0 AS (SELECT doc_id, tok AS w1, lead(tok,1) OVER win AS w2,
+        |          lead(tok,2) OVER win AS w3
+        |        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |tgn AS (SELECT doc_id, w1, w2, w3 FROM tg0 WHERE w3 IS NOT NULL),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tgn GROUP BY 1, 2, 3),
+        |ch3 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ch3
+        |        FROM c3 GROUP BY 1, 2),
+        |bg0 AS (SELECT doc_id, tok AS w1,
+        |          lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM w),
+        |bgn AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+        |cb AS (SELECT w1 AS b1, w2 AS b2, count(*) AS cb
+        |       FROM bgn GROUP BY 1, 2),
+        |chb AS (SELECT b1 AS h1, CAST(sum(cb) AS BIGINT) AS chb
+        |        FROM cb GROUP BY 1),
+        |cu AS (SELECT tok AS u, count(*) AS cu FROM w GROUP BY 1),
+        |nv AS (SELECT count(*) AS n_tok, count(DISTINCT tok) AS v FROM w)
+        |SELECT tgn.doc_id, count(*) AS n_trigrams,
+        |  floor(avg(ln(0.6 * (c3.c3 + 1.0) / (ch3.ch3 + nv.v)
+        |    + 0.3 * (cb.cb + 1.0) / (chb.chb + nv.v)
+        |    + 0.1 * (cu.cu + 1.0) / (nv.n_tok + nv.v))) * 10000 + 0.5)
+        |    / 10000 AS ll
+        |FROM tgn JOIN c3 USING (w1, w2, w3) JOIN ch3 USING (w1, w2)
+        |JOIN cb ON cb.b1 = tgn.w2 AND cb.b2 = tgn.w3
+        |JOIN chb ON chb.h1 = tgn.w2
+        |JOIN cu ON cu.u = tgn.w3
+        |CROSS JOIN nv
+        |GROUP BY tgn.doc_id ORDER BY doc_id""".stripMargin,
     "e03_pca_contract" ->
       """SELECT TRUE AS orthonormal, TRUE AS variances_sorted,
         | TRUE AS residual_monotone_in_k, TRUE AS residual_nonneg,

@@ -224,6 +224,36 @@ object SketchQueries {
         .toDF("a_ok", "b_ok", "union_ok", "inter_ok")
     }),
 
+    // -- SLIDING-WINDOW distinct via hourly sketch MERGE, gate-enforced:
+    // the hourly HLL table is built once; every 6-hour window estimate is
+    // a merge of 6 sketches and must sit within 3σ of the exact sliding
+    // distinct count for EVERY window position. The oracle replays the
+    // position enumeration, so a dropped or invented window fails too ----
+    "sk16_hll_sliding" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val winH = 6; val b = 12
+      val est = SketchViews.slidingDistinct(ev, "ts", "user_id", winH, b)
+      val hu = ev.select(
+          unix_micros(date_trunc("hour", col("ts"))).as("h"), col("user_id"))
+        .distinct()
+      val exact = hu
+        .select(explode(sequence(lit(0), lit(winH - 1))).as("k"),
+          col("h"), col("user_id"))
+        .select((col("h") + col("k") * lit(3600000000L)).as("window_end_h"),
+          col("user_id"))
+        .groupBy(col("window_end_h"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      // 3σ relative envelope with an absolute floor of 3 counts: tiny
+      // partial windows (exact ~ 20) have a relative band narrower than
+      // ±1 count, below the estimator's integer granularity
+      val sigma3 = 3 * 1.04 / math.sqrt((1 << b).toDouble)
+      est.join(exact, "window_end_h")
+        .select((abs(col("approx_distinct") - col("exact")) <=
+          greatest(lit(sigma3) * col("exact"), lit(3.0))).as("ok"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("ok").cast("long")).as("n_ok"))
+    }),
+
     // -- sample_total (exact-k without replacement, sample.rs:7-33) ------
     // random-permutation-prefix form -> TakeOrderedAndProject (PlanSpec).
     // The output aggregates the sample's CONTRACT, which IS
@@ -294,6 +324,16 @@ object SketchQueries {
       "SELECT DISTINCT o_orderpriority, TRUE AS est_ok FROM orders ORDER BY o_orderpriority",
     "sk15_hll_setops" ->
       "SELECT TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok",
+    // window-position enumeration replayed exactly; every window must
+    // pass the 3σ contract (n_ok == n_windows)
+    "sk16_hll_sliding" ->
+      """WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+        |  FROM events),
+        |pos AS (SELECT DISTINCT h + k * INTERVAL 1 HOUR AS w
+        |  FROM hu CROSS JOIN generate_series(0, 5) AS g(k))
+        |SELECT CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(count(*) AS BIGINT) AS n_ok
+        |FROM pos""".stripMargin,
     "sk10_reservoir_per_key" ->
       """SELECT event_type, least(5, count(*)) AS n_sampled
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

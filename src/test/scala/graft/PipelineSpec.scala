@@ -1316,6 +1316,37 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("trigram interpolated LM: hand-computed micro corpus") {
+    import graft.operators.LanguageModel
+    // corpus "a b c" + "a b d" + "xy": N=7, V=5 (xy counts!);
+    // c3(a,b,c)=c3(a,b,d)=1, ch3(a,b)=2; cb(b,c)=cb(b,d)=1, chb(b)=2;
+    // cu(c)=cu(d)=1. each scored doc's single trigram:
+    // p3 = 2/7, p2 = 2/7, p1 = 2/12
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "xy")).toDF("id", "text")
+    val got = LanguageModel.trigramInterpolatedLL(docs, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    val want = math.floor(
+      math.log(0.6 * 2.0 / 7 + 0.3 * 2.0 / 7 + 0.1 * 2.0 / 12)
+        * 10000 + 0.5) / 10000
+    assert(got == Seq((1L, 1L, want), (2L, 1L, want))) // doc 3: no trigrams
+  }
+
+  test("trigram interpolated LM: hashed tokens == plain tokens") {
+    import graft.operators.LanguageModel
+    val docs = (1 to 80).map(i =>
+      (i.toLong, (0 to 12).map(j => s"w${(i * 7 + j * 3) % 15}").mkString(" ")))
+      .toDF("id", "text")
+    val plain = LanguageModel.trigramInterpolatedLL(docs, "id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val hashed = LanguageModel.trigramInterpolatedLL(docs, "id", "text",
+      hashTokens = true).as[(Long, Long, Double)].collect().toSet
+    assert(plain == hashed)
+    intercept[IllegalArgumentException] {
+      LanguageModel.trigramInterpolatedLL(docs, "id", "text",
+        lambdas = (0.5, 0.2, 0.1))
+    }
+  }
+
   test("containmentPairs: full excerpt scores 1.0 where jaccard would miss it") {
     // doc 2 is a verbatim excerpt of doc 1's middle; doc 3 is unrelated
     val big = (1 to 60).map(i => s"w$i").mkString(" ")

@@ -318,6 +318,35 @@ class SketchSpec extends AnyFunSuite {
     assert(outFiles == stats.outputFiles)
   }
 
+  test("slidingDistinct: merged hourly sketches == sketch of the window union") {
+    // the merge law is EXACT (register max), so each window's estimate
+    // must bit-equal an HLL built directly on that window's raw ids
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val ev = (0 until 600).map { i =>
+      (new java.sql.Timestamp(base + (i % 12) * 3600000L + (i % 60) * 1000L),
+        (i % 37).toLong)
+    }.toDF("ts", "user_id")
+    val got = graft.operators.SketchViews
+      .slidingDistinct(ev, "ts", "user_id", windowHours = 3, b = 12)
+      .as[(Long, Long)].collect().toMap
+    // expected positions: hours 0..11 each occupied -> ends 0..13 (+2 trailing)
+    assert(got.size == 14)
+    val hourUs = 3600000000L
+    val baseUs = base * 1000L
+    got.foreach { case (endUs, est) =>
+      val loH = (endUs - baseUs) / hourUs - 2
+      val direct = new HyperLogLog(12)
+      (0 until 600).foreach { i =>
+        val h = i % 12
+        if (h >= loH && h <= loH + 2) direct.add((i % 37).toLong)
+      }
+      assert(est == direct.cardinality,
+        s"window end ${(endUs - baseUs) / hourUs}: $est != ${direct.cardinality}")
+    }
+  }
+
   test("HLL set algebra: union, inclusion-exclusion intersection, jaccard") {
     val a = new HyperLogLog(14); (1 to 10000).foreach(a.add)
     val b = new HyperLogLog(14); (5001 to 15000).foreach(b.add)
