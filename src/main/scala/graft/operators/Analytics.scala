@@ -129,6 +129,65 @@ object Analytics {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Per-key rolling time-window aggregates: at every event, the count
+    * and sum over the trailing `windowUs` microseconds (inclusive of the
+    * current row and its timestamp peers — RANGE frame semantics, not
+    * ROWS). One key-partitioned exchange; state per key is the frame
+    * Spark slides over the sorted run. Integer value columns keep the
+    * sums engine-exact. This is the load/velocity feature ("events and
+    * spend in the last hour") RANGE frames exist for — a ROWS frame is
+    * wrong whenever event density varies.
+    */
+  def rollingWindow(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, windowUs: Long): DataFrame = {
+    require(windowUs >= 1, s"windowUs=$windowUs must be >= 1")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-(windowUs - 1), 0)
+    df.withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+  }
+
+  /** Ordered conversion funnel (ClickHouse-windowFunnel shape): per key,
+    * the stages must occur in order, all within `horizonUs` of the first
+    * stage's first occurrence. Greedy-earliest matching: t₁ = first
+    * stage-1 event; tᵢ = first stage-i event at or after tᵢ₋₁ and within
+    * the horizon. Returns (key, depth, t_1..t_n) with depth = deepest
+    * stage reached.
+    *
+    * Shape: `stages.size − 1` key-keyed joins, each against the
+    * key-cardinality-sized previous-stage frame — the corpus is scanned
+    * once per stage but only ever shuffled by the entity key, and each
+    * intermediate is one row per key. Stage predicates are arbitrary
+    * Columns, so this funnels anything expressible over a row.
+    */
+  def windowFunnel(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      stages: Seq[Column], horizonUs: Long): DataFrame = {
+    require(stages.size >= 2, "windowFunnel needs at least 2 stages")
+    require(horizonUs >= 1, s"horizonUs=$horizonUs must be >= 1")
+    val keys = keyCols.map(col)
+    val ts = unix_micros(col(tsCol))
+    val first = df.groupBy(keys: _*)
+      .agg(min(when(stages.head, ts)).as("t_1"))
+      .filter(col("t_1").isNotNull)
+    val full = stages.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (pred, i)) =>
+        val prev = s"t_$i"; val cur = s"t_${i + 1}"
+        df.join(acc, keyCols)
+          .groupBy(keys: _*)
+          .agg(
+            min(col(prev)).as(prev),
+            (0 until i - 1).map(j => min(col(s"t_${j + 1}")).as(s"t_${j + 1}")) ++
+              Seq(min(when(pred && ts >= col(prev) &&
+                ts <= col("t_1") + lit(horizonUs), ts)).as(cur)): _*)
+    }
+    // depth counts consecutively reached stages (a gap caps it there)
+    val gated = stages.indices.tail.foldLeft(lit(1): Column) { (d, i) =>
+      when(col(s"t_${i + 1}").isNotNull && d === i, lit(i + 1)).otherwise(d)
+    }
+    full.withColumn("depth", gated)
+  }
+
   /** Diff two snapshots of a keyed table: each key is classified as
     * `added` (new only), `removed` (old only), `changed` (both, any
     * compare column differs — null-safe), or `unchanged`. One full outer

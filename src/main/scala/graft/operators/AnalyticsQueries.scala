@@ -55,6 +55,29 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // -- rolling 1-hour RANGE-frame aggregates per user: census over the
+    // trailing-count distribution + exact cents checksum ------------------
+    "c07_rolling_1h" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      Analytics.rollingWindow(ev, Seq("user_id"), "ts", "cents",
+          windowUs = 3600000000L)
+        .groupBy(col("roll_n"))
+        .agg(count(lit(1)).as("n_events"), sum(col("roll_sum")).as("sum_cents"))
+        .orderBy(col("roll_n"))
+    }),
+
+    // -- ordered conversion funnel view→click→purchase within 7 days:
+    // greedy-earliest stage matching, depth histogram + t1 checksum ------
+    "c08_funnel" -> ((s, d) =>
+      Analytics.windowFunnel(Tables.events(s, d), Seq("user_id"), "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"),
+          horizonUs = 604800000000L)
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_users"), sum(col("t_1")).as("sum_t1_us"))
+        .orderBy(col("depth"))),
+
     // -- SCD type-2 dimension history from the orders changelog -----------
     // One key-partitioned window; versions carry [valid_from, valid_to).
     "u04_scd2" -> ((s, d) => {
@@ -141,6 +164,39 @@ object AnalyticsQueries {
         |    AS n_anomalies,
         |  round(max(abs(zscore)), 4) AS max_abs_z
         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c07_rolling_1h" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT user_id, count(*) OVER w AS roll_n,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS roll_sum
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW))
+        |SELECT roll_n, count(*) AS n_events,
+        |  CAST(sum(roll_sum) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY roll_n ORDER BY roll_n""".stripMargin,
+    "c08_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |s1 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS t1
+        |  FROM e GROUP BY 1),
+        |f1 AS (SELECT * FROM s1 WHERE t1 IS NOT NULL),
+        |s2 AS (SELECT e.user_id, min(f1.t1) AS t1,
+        |    min(CASE WHEN e.event_type = 'click' AND e.us >= f1.t1
+        |      AND e.us <= f1.t1 + 604800000000 THEN e.us END) AS t2
+        |  FROM e JOIN f1 USING (user_id) GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(s2.t1) AS t1, min(s2.t2) AS t2,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.us >= s2.t2
+        |      AND e.us <= s2.t1 + 604800000000 THEN e.us END) AS t3
+        |  FROM e JOIN s2 USING (user_id) GROUP BY 1),
+        |d AS (SELECT user_id, t1,
+        |    CASE WHEN t2 IS NOT NULL AND t3 IS NOT NULL THEN 3
+        |      WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+        |  FROM s3)
+        |SELECT depth, count(*) AS n_users,
+        |  CAST(sum(t1) AS BIGINT) AS sum_t1_us
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
     "u04_scd2" ->
       """WITH log AS (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
         |    o_orderdate AS change_ts, o_orderstatus AS status

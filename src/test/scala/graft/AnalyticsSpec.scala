@@ -119,6 +119,44 @@ class AnalyticsSpec extends AnyFunSuite with CacheHygiene {
       4L -> "removed", 5L -> "added"))
   }
 
+  test("rollingWindow: RANGE frame over time, not rows; ties are peers") {
+    def t(sec: Long) = new Timestamp(ts("2024-01-01 00:00:00").getTime + sec * 1000)
+    val df = Seq((1L, t(0), 1L), (1L, t(10), 2L), (1L, t(3590), 4L),
+      (1L, t(3600), 8L), (1L, t(7200), 16L),
+      (2L, t(100), 1L), (2L, t(100), 2L)) // exact-tie peers
+      .toDF("k", "ts", "v")
+    val got = Analytics.rollingWindow(df, Seq("k"), "ts", "v",
+        windowUs = 3600000000L)
+      .select("k", "v", "roll_n", "roll_sum")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1L, 1L), (1L, 2L, 2L, 3L), (1L, 4L, 3L, 7L),
+      (1L, 8L, 3L, 14L),  // t=0 fell out of the 1h window, ROWS would keep it
+      (1L, 16L, 1L, 16L),
+      (2L, 1L, 2L, 3L), (2L, 2L, 2L, 3L))) // timestamp peers see each other
+  }
+
+  test("windowFunnel: order, gaps, horizon and greedy-earliest matching") {
+    def t(day: Int, h: Int) = ts(f"2024-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      // A: full path within horizon
+      (1L, t(1, 0), "view"), (1L, t(1, 5), "click"), (1L, t(2, 0), "purchase"),
+      // B: click BEFORE the first view never counts
+      (2L, t(1, 0), "click"), (2L, t(1, 5), "view"),
+      // C: view then purchase but no click -> gap caps depth at 1
+      (3L, t(1, 0), "view"), (3L, t(1, 5), "purchase"),
+      // D: click 8 days after view -> outside the 7-day horizon
+      (4L, t(1, 0), "view"), (4L, t(9, 1), "click"),
+      // E: no view at all -> absent from the funnel
+      (5L, t(1, 0), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Analytics.windowFunnel(ev, Seq("user_id"), "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), horizonUs = 7L * 86400000000L)
+      .select("user_id", "depth").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1))
+  }
+
   test("snapshotDiff: null-to-value transition is changed, not absent") {
     val oldDf = Seq((1L, Option.empty[String])).toDF("k", "v")
     val newDf = Seq((1L, Some("x"))).toDF("k", "v")
