@@ -57,7 +57,14 @@ object ClusterMirror {
     "q01_tpch_agg", "sk02_most_frequent_exact", "sk08_group_sub_sink",
     "d02_minhash_lsh", "q27_asof_native", "t03_lang_id",
     "m01_multimodal_features", "t16_bpe_contract", "q40_tpch_q21_agg",
-    "q49_tpch_q11", "g01_pagerank", "a08_pq_contract", "t20_dsir")
+    "q49_tpch_q11", "g01_pagerank", "a08_pq_contract", "t20_dsir",
+    // round-7 risk classes:
+    //  c03: higher-order lambda (aggregate over collect_list window
+    //       buffers) compiled + executed on remote executors
+    //  sk16: Kryo HLL sketches as DATA between stages (flatMap explode
+    //        of sketch objects across a real exchange, reduceGroups merge)
+    //  c08: multi-join funnel fold under remote shuffle partitioning
+    "c03_ewma", "sk16_hll_sliding", "c08_funnel")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
