@@ -256,6 +256,52 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Large-scale kNN JOIN — the BOTH-SIDES-LARGE variant of [[ivfTopK]]:
+    * when the query set is itself a big table (joining two embedding
+    * corpora, batch-scoring a day's documents against an index), the
+    * query side cannot be broadcast. Both sides get cell keys — corpus
+    * rows their nearest centroid, query rows their top-`nProbe`
+    * centroids (a NARROW codegen'd array_sort over nLists fused cosines;
+    * no per-query window, no shuffle) — and meet in ONE shuffle join
+    * co-partitioned by cell. Per-query top-k runs as a rank window with
+    * a partial WindowGroupLimit below the exchange, so the post-join
+    * exchange moves O(k) rows per (query, probed cell).
+    *
+    * At 100 TB: corpus shuffles once keyed by cell (or never, if it is
+    * already bucketed by cell — [[buildIvfIndex]]), queries shuffle
+    * nProbe× their size, and nothing is broadcast but the centroid
+    * literals compiled into the plan.
+    */
+  def knnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      maxTrainRows: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbe >= 1 && nProbe <= nLists, s"nProbe=$nProbe out of [1,$nLists]")
+    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("vec"))
+    val cents = trainCentroids(c, nLists, seed, maxTrainRows)
+    val assigned = assignCells(c, cents)
+    val q0 = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qvec"))
+    val centCos = cents.zipWithIndex.map { case (cent, i) =>
+      struct(cosine(col("qvec"), typedlit(cent.toSeq)).as("cos"),
+        lit(i).as("cell"))
+    }
+    val probed = q0
+      .withColumn("pc",
+        explode(slice(reverse(array_sort(array(centCos: _*))), 1, nProbe)))
+      .select(col("query_id"), col("qvec"), col("pc.cell").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Persistent IVF index: train centroids, assign cells, and write the
     * corpus as a table BUCKETED BY CELL — the build-once/probe-many
     * production shape. Probing with [[ivfTopKIndexed]] then prunes at the

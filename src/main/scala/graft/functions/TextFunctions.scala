@@ -168,6 +168,26 @@ object TextFunctions {
     * Near-identical documents (small edits) keep most selected minima, and
     * the digest is a compact equality key for exact dedup after
     * normalization. */
+  /** Hashing-trick feature bucket (Weinberger et al. 2009): map an
+    * arbitrary categorical/string feature into [0, dims) — the fixed-
+    * dimensional featurizer in front of [[graft.operators.Classifier]]
+    * when the vocabulary is unbounded. md5-derived (first 12 hex → long,
+    * pmod dims), so the bucket is a pure replayable function of
+    * (feature, salt). Use [[featureHash64]] (xxhash64) when replay
+    * doesn't matter: cheaper per row, engine-specific bits. */
+  def featureHash(c: Column, dims: Int, salt: String = "fh"): Column = {
+    require(dims > 0, s"dims=$dims must be positive")
+    val m = conv(substring(md5(concat(c.cast("string"), lit(":" + salt))),
+      1, 12), 16, 10).cast("long")
+    pmod(m, lit(dims.toLong))
+  }
+
+  /** Production twin of [[featureHash]] on codegen'd xxhash64. */
+  def featureHash64(c: Column, dims: Int): Column = {
+    require(dims > 0, s"dims=$dims must be positive")
+    pmod(xxhash64(c), lit(dims.toLong))
+  }
+
   def winnowingFingerprint(text: String, k: Int = 5, w: Int = 4): Long = {
     if (text == null || text.length < k) return Hashing.hashString(if (text == null) "" else text, 7L)
     val n = text.length - k + 1

@@ -129,6 +129,26 @@ object Analytics {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Robust per-group scaling: scaled = (x − median) / IQR — the
+    * outlier-insensitive alternative to z-scoring for heavy-tailed
+    * metrics (a single 10⁶× outlier shifts mean/σ but not median/IQR).
+    * Exact interpolating percentiles in ONE group aggregate (three
+    * quantiles fused), stats broadcast back; σ-degenerate (IQR=0)
+    * groups scale to 0. The corpus itself never shuffles.
+    */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, 0.5)").as("med"),
+      (expr(s"percentile($valueCol, 0.75)") -
+        expr(s"percentile($valueCol, 0.25)")).as("iqr"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("scaled",
+        when(col("iqr") > 0,
+          floor((col(valueCol) - col("med")) / col("iqr") * lit(1e12) +
+            lit(0.5)) / lit(1e12))
+          .otherwise(lit(0.0)))
+  }
+
   /** Per-key rolling time-window aggregates: at every event, the count
     * and sum over the trailing `windowUs` microseconds (inclusive of the
     * current row and its timestamp peers — RANGE frame semantics, not

@@ -78,6 +78,18 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_users"), sum(col("t_1")).as("sum_t1_us"))
         .orderBy(col("depth"))),
 
+    // -- robust scaling census: median/IQR normalization per event type,
+    // outlier count beyond |scaled| > 2 and extremes — all replayed ------
+    "c09_robust_scale" -> ((s, d) =>
+      Analytics.robustScale(Tables.events(s, d), "event_type", "value")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("med")), 6).as("med"),
+          round(min(col("iqr")), 6).as("iqr"),
+          sum((abs(col("scaled")) > 2).cast("long")).as("n_out"),
+          round(max(abs(col("scaled"))), 6).as("max_abs_scaled"))
+        .orderBy(col("event_type"))),
+
     // -- SCD type-2 dimension history from the orders changelog -----------
     // One key-partitioned window; versions carry [valid_from, valid_to).
     "u04_scd2" -> ((s, d) => {
@@ -164,6 +176,22 @@ object AnalyticsQueries {
         |    AS n_anomalies,
         |  round(max(abs(zscore)), 4) AS max_abs_z
         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c09_robust_scale" ->
+      """WITH st AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS med,
+        |    quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        |  FROM events GROUP BY 1),
+        |sc AS (SELECT e.event_type, st.med, st.iqr,
+        |    CASE WHEN st.iqr > 0
+        |      THEN floor((e.value - st.med) / st.iqr * 1e12 + 0.5) / 1e12
+        |      ELSE 0.0 END AS scaled
+        |  FROM events e JOIN st USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  round(min(med), 6) AS med, round(min(iqr), 6) AS iqr,
+        |  CAST(sum(CASE WHEN abs(scaled) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out,
+        |  round(max(abs(scaled)), 6) AS max_abs_scaled
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
     "c07_rolling_1h" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

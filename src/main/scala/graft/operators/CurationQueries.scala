@@ -176,6 +176,23 @@ object CurationQueries {
       Retrieval.ndcgAtK(ranked, rels, k = 10).orderBy(col("query_id"))
     }),
 
+    // -- Retrieval evaluation MRR + recall@10: reciprocal rank of the
+    // first relevant hit and fraction of the relevant pool retrieved —
+    // r03's companions; eval cost scales with |queries|·k. -------------
+    "r04_mrr_recall" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", bm25Queries, 10)
+        .select(col("query_id"), col("rk"), col("doc_id"))
+      val q = bm25Queries.toDF("query_id", "terms")
+      val rels = docs
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        .crossJoin(broadcast(q))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(col("toks"), col("terms"))).as("rel"))
+      Retrieval.rrAndRecallAtK(ranked, rels, k = 10).orderBy(col("query_id"))
+    }),
+
     // -- Incremental aggregate maintenance: base agg (orders before the
     // cut) merged with the delta agg (after) must equal the full-scan
     // aggregate — the materialized-view refresh law. Integer cents keep
@@ -424,6 +441,49 @@ object CurationQueries {
         |  round(CASE WHEN coalesce(idcg.idcg, 0) = 0 THEN 0.0
         |    ELSE floor(dcg.dcg / idcg.idcg * 1e12 + 0.5) / 1e12 END, 6) AS ndcg
         |FROM dcg LEFT JOIN idcg USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    // same BM25 CTEs as r01/r03; then first-relevant rank + pool recall
+    "r04_mrr_recall" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (0, 'hash'), (0, 'join'), (0, 'merge'),
+        |  (1, 'scan'), (1, 'filter'), (1, 'table'),
+        |  (2, 'stream'), (2, 'window'), (2, 'agg')),
+        |t AS (SELECT doc_id AS id, len(string_split(text,' ')) AS dl,
+        |        unnest(string_split(text,' ')) AS term FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs,
+        |         sum(len(string_split(text,' ')))::DOUBLE / count(*) AS avgdl
+        |       FROM documents),
+        |h AS (SELECT * FROM t WHERE term IN (SELECT term FROM q)),
+        |tf AS (SELECT id, term, count(*) AS tf, min(dl) AS dl
+        |       FROM h GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(DISTINCT id) AS df FROM h GROUP BY 1),
+        |c AS (SELECT q.query_id, tf.id AS doc_id,
+        |    floor(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))
+        |      * 1e12 + 0.5) / 1e12 AS contrib
+        |  FROM tf JOIN dfr USING (term) JOIN q USING (term) CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id,
+        |         floor(sum(contrib) * 1e12 + 0.5) / 1e12 AS score
+        |       FROM c GROUP BY 1, 2),
+        |rnk AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY
+        |        query_id ORDER BY score DESC, doc_id) AS rk FROM sc),
+        |ranked AS (SELECT query_id, rk, doc_id FROM rnk WHERE rk <= 10),
+        |qa AS (SELECT query_id, list(term) AS terms FROM q GROUP BY 1),
+        |rels AS (SELECT qa.query_id, d.doc_id,
+        |    len(list_intersect(list_distinct(string_split(d.text,' ')),
+        |        qa.terms)) AS rel
+        |  FROM documents d CROSS JOIN qa),
+        |hits AS (SELECT ranked.query_id, min(ranked.rk) AS frk,
+        |    count(*) AS nret
+        |  FROM ranked JOIN rels ON rels.query_id = ranked.query_id
+        |    AND rels.doc_id = ranked.doc_id AND rels.rel > 0
+        |  GROUP BY 1),
+        |pool AS (SELECT query_id, count(*) AS nrel FROM rels
+        |  WHERE rel > 0 GROUP BY 1)
+        |SELECT CAST(pool.query_id AS BIGINT) AS query_id,
+        |  round(coalesce(1.0 / hits.frk, 0.0), 6) AS rr,
+        |  round(coalesce(hits.nret, 0)::DOUBLE / pool.nrel, 6) AS recall_at_k
+        |FROM pool LEFT JOIN hits USING (query_id)
         |ORDER BY query_id""".stripMargin,
     "u03_incremental_agg" ->
       """SELECT o_custkey AS custkey, count(*) AS n,

@@ -209,6 +209,22 @@ object PipelineQueries {
         .toDF("lsh_recall_ok", "ivf_recall_ok")
     }),
 
+    // -- kNN JOIN contract: the both-sides-large cell-co-partitioned
+    // shuffle join (no query broadcast) must reach the same recall bar
+    // as the broadcast IVF probe, against the same brute-force truth ----
+    "a10_knn_join_contract" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+      val bf = pairs(Ann.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 5 === 0, 10))
+      val kj = pairs(Ann.knnJoin(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", 10))
+      val total = bf.count().toDouble
+      val hit = bf.join(kj, Seq("query_id", "neighbor_id"), "left_semi").count()
+      import s.implicits._
+      Seq(Tuple1(hit / total >= 0.4)).toDF("knn_join_recall_ok")
+    }),
+
     // -- text analysis: token stats per language -------------------------
     "t01_token_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1681,6 +1697,8 @@ object PipelineQueries {
         |ORDER BY vec_id""".stripMargin,
     "a04_ann_contract" ->
       "SELECT TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok",
+    "a10_knn_join_contract" ->
+      "SELECT TRUE AS knn_join_recall_ok",
     "a05_ann_index_contract" ->
       "SELECT TRUE AS indexed_matches_direct",
     "p05_sample_contract" ->

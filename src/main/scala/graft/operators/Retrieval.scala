@@ -125,6 +125,28 @@ object Retrieval {
           .otherwise(r12(col("dcg") / col("idcg"))), 6).as("ndcg"))
   }
 
+  /** Mean-reciprocal-rank + recall@k evaluation per query: rr = 1/rank
+    * of the FIRST relevant (rel > 0) result in the top-k (0 when none),
+    * recall@k = relevant retrieved / total relevant in the pool. The
+    * companions to [[ndcgAtK]] — together the standard retrieval-eval
+    * triple. Shapes: one join of the (top-k) ranking to the relevance
+    * pool plus one pool-side aggregate, both keyed by query — eval cost
+    * scales with |queries|·k, never the corpus. */
+  def rrAndRecallAtK(ranked: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hits = ranked.filter(col("rk") <= k)
+      .join(rels.filter(col("rel") > 0), Seq("query_id", "doc_id"))
+    val perQ = hits.groupBy(col("query_id"))
+      .agg(min(col("rk")).as("first_rel_rk"), count(lit(1)).as("n_retrieved"))
+    val pool = rels.filter(col("rel") > 0)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_relevant"))
+    pool.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(lit(1.0) / col("first_rel_rk"), lit(0.0)), 6).as("rr"),
+        round(coalesce(col("n_retrieved"), lit(0L)).cast("double") /
+          col("n_relevant"), 6).as("recall_at_k"))
+  }
+
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
     * a lexical ranking (token-set Jaccard to the query document) and a
     * dense ranking (embedding cosine) are fused as

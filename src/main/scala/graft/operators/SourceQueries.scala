@@ -368,6 +368,23 @@ object SourceQueries {
         .orderBy(col("event_type"))),
 
     // -- time scalar functions (time.rs; truncate_minutes + parts) -------
+    // -- hashing-trick featurizer: lang/source tags bucketed into 32
+    //    dims; per-bucket load + distinct-feature (collision) census.
+    //    md5-derived buckets are a pure function of the feature, so any
+    //    engine replays them; xxhash64 twin is spec-verified. ------------
+    "f03_feature_hash" -> ((s, d) => {
+      import graft.functions.TextFunctions.featureHash
+      Tables.documents(s, d)
+        .select(explode(array(
+          concat(lit("lang="), col("lang")),
+          concat(lit("src="), col("source")))).as("feat"))
+        .select(col("feat"), featureHash(col("feat"), 32).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("feat")).as("n_features"))
+        .orderBy(col("bucket"))
+    }),
+
     "f01_time_parts" -> ((s, d) =>
       Tables.events(s, d)
         .select(TimeFunctions.truncateMinutes(col("ts"), 360).as("bucket6h"),
@@ -498,6 +515,17 @@ object SourceQueries {
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f03_feature_hash" ->
+      """WITH f AS (
+        |  SELECT unnest(['lang=' || lang, 'src=' || source]) AS feat
+        |  FROM documents),
+        |b AS (SELECT feat,
+        |    CAST(('0x' || substr(md5(feat || ':fh'), 1, 12)) AS BIGINT) % 32
+        |      AS bucket
+        |  FROM f)
+        |SELECT bucket, count(*) AS n,
+        |  count(DISTINCT feat) AS n_features
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "f01_time_parts" ->
       """SELECT to_timestamp(floor(epoch(ts)/21600)*21600)::TIMESTAMP AS bucket6h,
         | count(*) AS n, min(hour(ts)) AS min_hour, max(hour(ts)) AS max_hour

@@ -157,6 +157,25 @@ class AnalyticsSpec extends AnyFunSuite with CacheHygiene {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1))
   }
 
+  test("robustScale: outlier-insensitive; IQR=0 group scales to 0") {
+    val vals = (1 to 101).map(_.toDouble) :+ 1e9 // one enormous outlier
+    val df = vals.map(("a", _)).toDF("g", "x")
+      .union(Seq.fill(4)(("flat", 5.0)).toDF("g", "x"))
+    val got = Analytics.robustScale(df, "g", "x")
+    val a = got.filter(col("g") === "a")
+    val (med, iqr) = a.select("med", "iqr").as[(Double, Double)].head()
+    // median/IQR barely notice the 1e9 outlier (a mean/σ scaler would)
+    assert(med > 50 && med < 53 && iqr > 45 && iqr < 56, s"med=$med iqr=$iqr")
+    val outlierScaled = a.filter(col("x") === 1e9)
+      .select("scaled").as[Double].head()
+    assert(outlierScaled > 1000)
+    val bulkMax = a.filter(col("x") < 1000)
+      .agg(max(abs(col("scaled")))).as[Double].head()
+    assert(bulkMax < 1.5, s"bulk |scaled| max $bulkMax")
+    assert(got.filter(col("g") === "flat")
+      .agg(max(abs(col("scaled")))).as[Double].head() == 0.0)
+  }
+
   test("snapshotDiff: null-to-value transition is changed, not absent") {
     val oldDf = Seq((1L, Option.empty[String])).toDF("k", "v")
     val newDf = Seq((1L, Some("x"))).toDF("k", "v")

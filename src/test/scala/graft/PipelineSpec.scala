@@ -1347,6 +1347,32 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("knnJoin: shuffle path == broadcast path; planted clusters recovered") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      val c = i % 4
+      (i.toLong,
+        Array.tabulate(8)(j => (if (j == c * 2) 10f else 0f) +
+          rnd.nextFloat() * 0.1f).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+    def run() = Ann.knnJoin(emb, "vec_id", "embedding", queries, "vec_id",
+        "embedding", k = 5, nLists = 8, nProbe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val dflt = run()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val noBroadcast = try run()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert(dflt == noBroadcast,
+      "forcing the shuffle join must not change any neighbor")
+    assert(dflt.map(_._1).size == 8 * 5 || dflt.groupBy(_._1).forall(_._2.size == 5))
+    // tight planted clusters: every neighbor shares the query's cluster
+    dflt.foreach { case (q, n, _) =>
+      assert(n % 4 == q % 4, s"query $q got cross-cluster neighbor $n")
+    }
+  }
+
   test("containmentPairs: full excerpt scores 1.0 where jaccard would miss it") {
     // doc 2 is a verbatim excerpt of doc 1's middle; doc 3 is unrelated
     val big = (1 to 60).map(i => s"w$i").mkString(" ")

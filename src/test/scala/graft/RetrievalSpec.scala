@@ -162,6 +162,25 @@ class RetrievalSpec extends AnyFunSuite with CacheHygiene {
     assert(got(1L) == 0.0)
   }
 
+  test("rrAndRecallAtK: closed-form ranks, missing hits, pool recall") {
+    val ranked = Seq(
+      (0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L),  // q0: relevant at rank 1
+      (1L, 1, 20L), (1L, 2, 21L), (1L, 3, 22L),  // q1: first relevant rank 3
+      (2L, 1, 30L))                              // q2: nothing relevant
+      .toDF("query_id", "rk", "doc_id")
+    val rels = Seq(
+      (0L, 10L, 2), (0L, 12L, 1),     // pool q0: 2 relevant, both in top-3
+      (1L, 22L, 1), (1L, 99L, 3),     // pool q1: 2 relevant, 1 retrieved
+      (2L, 98L, 1),                   // pool q2: 1 relevant, 0 retrieved
+      (1L, 21L, 0))                   // rel=0 is NOT relevant
+      .toDF("query_id", "doc_id", "rel")
+    val got = graft.operators.Retrieval.rrAndRecallAtK(ranked, rels, k = 3)
+      .as[(Long, Double, Double)].collect()
+      .map { case (q, rr, rc) => q -> ((rr, rc)) }.toMap
+    assert(got == Map(
+      0L -> ((1.0, 1.0)), 1L -> ((0.333333, 0.5)), 2L -> ((0.0, 0.0))))
+  }
+
   test("rrf: partition-layout independence") {
     val a = Retrieval.rrfHybridTopK(hybridCorpus.repartition(1), "id", "text",
       "vec", col("id") === 0, k = 4)

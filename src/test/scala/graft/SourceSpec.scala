@@ -201,4 +201,20 @@ class SourceSpec extends AnyFunSuite with CacheHygiene {
       .select(NetFunctions.canonicalHost(col("url"))).head().getString(0)
     assert(h == "example.com", s"canonicalHost = $h")
   }
+
+  test("featureHash: range, determinism, spread; xxhash64 twin in range") {
+    import graft.functions.TextFunctions.{featureHash, featureHash64}
+    val df = (1 to 200).map(i => s"f$i").toDF("s")
+    val b = df.select(featureHash(col("s"), 32).as("b"),
+      featureHash64(col("s"), 32).as("b64"))
+    val (lo, hi, lo64, hi64) = b.agg(min("b"), max("b"), min("b64"), max("b64"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(lo >= 0 && hi < 32 && lo64 >= 0 && hi64 < 32)
+    // deterministic: same inputs, same buckets across runs
+    val one = df.select(featureHash(col("s"), 32)).as[Long].collect().toSeq
+    val two = df.select(featureHash(col("s"), 32)).as[Long].collect().toSeq
+    assert(one == two)
+    // 200 features over 32 buckets: expect near-full occupancy
+    assert(b.select("b").distinct().count() >= 28)
+  }
 }
