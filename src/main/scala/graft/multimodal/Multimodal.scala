@@ -266,6 +266,60 @@ object Multimodal {
     * explode frame-wise on the executors. Undecodable rows are dropped
     * (callers wanting them use decodeStub via extractFeatures).
     */
+  /** 2× audio upsampling by midpoint linear interpolation — the
+    * sample-rate-conversion step of an audio pipeline, integer-exact so
+    * any engine replays it: out[2i] = s[i], out[2i+1] = (s[i]+s[i+1])/2
+    * with TRUNCATING integer division (Java `/`; replaying engines'
+    * integer `//`/`DIV` truncate the same way). Length 2n−1; empty in,
+    * empty out. */
+  def upsample2x(s: Array[Int]): Array[Int] = {
+    if (s.isEmpty) return Array.empty
+    val out = new Array[Int](2 * s.length - 1)
+    var i = 0
+    while (i < s.length - 1) {
+      out(2 * i) = s(i)
+      out(2 * i + 1) = (s(i) + s(i + 1)) / 2
+      i += 1
+    }
+    out(2 * s.length - 2) = s(s.length - 1)
+    out
+  }
+
+  /** Per-clip stats of the 2×-upsampled stream: decode (REAL PCM16 WAV
+    * path), upsample on the executor, aggregate in one pass — batched
+    * mapPartitions exactly like [[audioFrameFeatures]]. */
+  def upsampledStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_in", LongType, nullable = false),
+      StructField("n_out", LongType, nullable = false),
+      StructField("sum_out", LongType, nullable = false),
+      StructField("min_out", LongType, nullable = false),
+      StructField("max_out", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(idIdx)
+          decodeWavSamples(r.getAs[Array[Byte]](bytesIdx)).map { s =>
+            val up = upsample2x(s)
+            var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+            var j = 0
+            while (j < up.length) {
+              val v = up(j).toLong
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              j += 1
+            }
+            Row(id, s.length.toLong, up.length.toLong, sum, mn, mx)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def audioFrameFeatures(media: DataFrame, frameLen: Int = 16,
       batchSize: Int = 64): DataFrame = {
     require(frameLen >= 2, s"frameLen=$frameLen must be >= 2 (zc needs pairs)")

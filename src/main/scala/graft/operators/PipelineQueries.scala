@@ -1311,6 +1311,15 @@ object PipelineQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // -- 2× audio upsampling: REAL WAV decode -> midpoint linear
+    // interpolation (truncating integer halves) -> per-clip stats; the
+    // sample-rate-conversion step, replayed closed-form -------------------
+    "m06_audio_upsample" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "audio")
+      Multimodal.upsampledStats(media).orderBy(col("media_id"))
+    }),
+
     // -- token-window chunking: size 12 / overlap 4 — the embed/RAG
     // pre-chunking step, narrow posexplode, no UDF ------------------------
     "c01_chunking" -> ((s, d) =>
@@ -2617,6 +2626,26 @@ object PipelineQueries {
     // m04: closed-form PCM replay — sample i of audio doc id is
     // ((id*37 + i*13) % 4001) - 2000, n = id%50+20 (wavFromId); frames
     // of 16, integer-exact energy/zc/peak
+    // m06: 2× midpoint upsample of the m04 PCM — even j copies s[j//2],
+    // odd j averages its neighbors with TRUNCATING integer division
+    "m06_audio_upsample" ->
+      """WITH a AS (SELECT doc_id, (doc_id % 50 + 20) AS ns
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |j0 AS (SELECT doc_id, ns, unnest(generate_series(0, 2*ns - 2)) AS j
+        |  FROM a),
+        |up AS (SELECT doc_id, ns, j,
+        |    CASE WHEN j % 2 = 0
+        |      THEN ((doc_id*37 + (j//2)*13) % 4001) - 2000
+        |      ELSE (((doc_id*37 + ((j-1)//2)*13) % 4001) - 2000
+        |          + ((doc_id*37 + ((j+1)//2)*13) % 4001) - 2000) // 2
+        |    END AS v
+        |  FROM j0)
+        |SELECT doc_id AS media_id, CAST(min(ns) AS BIGINT) AS n_in,
+        |  CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(v) AS BIGINT) AS sum_out,
+        |  CAST(min(v) AS BIGINT) AS min_out,
+        |  CAST(max(v) AS BIGINT) AS max_out
+        |FROM up GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "m04_audio_frames" ->
       """WITH a AS (SELECT doc_id, (doc_id % 50 + 20) AS n
         |  FROM documents WHERE doc_id % 3 = 1),

@@ -1161,6 +1161,17 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(str.exists(_._4 > 0), "no cross-document duplicate 8-grams found")
   }
 
+  test("upsample2x: hand goldens, truncation toward zero, length law") {
+    assert(Multimodal.upsample2x(Array.empty[Int]).isEmpty)
+    assert(Multimodal.upsample2x(Array(5)).toSeq == Seq(5))
+    assert(Multimodal.upsample2x(Array(1, 4)).toSeq == Seq(1, 2, 4))
+    // (-1 + -4)/2 = -2 with TRUNCATING division (floor would give -3)
+    assert(Multimodal.upsample2x(Array(-1, -4)).toSeq == Seq(-1, -2, -4))
+    assert(Multimodal.upsample2x(Array(3, -7, 10, 10)).toSeq ==
+      Seq(3, -2, -7, 1, 10, 10, 10))
+    assert(Multimodal.upsample2x(Array.fill(33)(9)).length == 65)
+  }
+
   test("audio frame features: hand-computed golden + whole-clip consistency") {
     val wav = Multimodal.wavFromId(7L) // n = 27 samples, 2 frames (16 + 11)
     val s = Multimodal.decodeWavSamples(wav).get

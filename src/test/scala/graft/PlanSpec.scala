@@ -504,4 +504,45 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"no runtime bloom filter on the fact side:\n$p")
     assert(q.head().getLong(0) > 0)
   }
+
+  test("c03: EWMA runs in ONE key-partitioned exchange (window, no join)") {
+    val p = plan("c03_ewma")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"EWMA must be a pure window plan:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n$p")
+  }
+
+  test("c05/c09: per-group stats broadcast back; corpus never sort-merges") {
+    for (q <- Seq("c05_zscore", "c09_robust_scale")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: stats not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus shuffled for a join:\n$p")
+    }
+  }
+
+  test("c07: rolling window is a RANGE frame in one keyed exchange") {
+    val p = plan("c07_rolling_1h")
+    assert(p.contains("RangeFrame"), s"frame is not RANGE:\n$p")
+    assert(!p.contains("Join"), s"rolling window must not join:\n$p")
+  }
+
+  test("d21: containment joins the inverted index; no cartesian product") {
+    val p = plan("d21_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"containment must pair only gram-sharing docs:\n$p")
+  }
+
+  test("p16: bootstrap is explode + ONE group aggregate per stage (no self-join)") {
+    val p = plan("p16_bootstrap_ci")
+    assert(p.contains("Generate explode"), s"replica explode missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bootstrap must not cross-join:\n$p")
+  }
+
+  test("q56: grouping sets compile to ONE scan + Expand (no rescan per set)") {
+    val p = plan("q56_grouping_sets")
+    assert(p.contains("Expand"), s"no Expand node:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"grouping sets rescanned the table:\n$p")
+  }
 }
