@@ -254,6 +254,43 @@ object SketchQueries {
           sum(col("ok").cast("long")).as("n_ok"))
     }),
 
+    // -- incrementally-maintained SKETCH materialized view driven by a
+    // REAL stream: per-hour HLL store folded micro-batch by micro-batch;
+    // register-max merge is associative/commutative/idempotent, so the
+    // store must be BIT-identical to the one-shot batch build (enforced
+    // per hour) and every hour's estimate within 3σ (+abs floor) of the
+    // exact distinct count. The oracle replays the hour enumeration -----
+    "st11_stream_sketch_view" -> ((s, d) => {
+      import s.implicits._
+      val b = 12
+      val ev = Tables.events(s, d)
+      val store = graft.streaming.EventStreams.hourlySketchViewStreamed(s, ev,
+        s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st11_stage", b = b)
+      val batchSk = ev
+        .select(unix_micros(date_trunc("hour", col("ts"))).as("h"),
+          col("user_id").as("id"))
+        .as[(Long, Long)].groupByKey(_._1)
+        .agg(new HllSketchAgg[(Long, Long)](b, _._2).toColumn)
+        .map { case (h, sk) => (h, SketchViews.sketchToBytes(sk)) }
+        .toDF("h", "sk_batch")
+      val est = store.as[(Long, Array[Byte])]
+        .map { case (h, bytes) =>
+          (h, SketchViews.sketchFromBytes(bytes).cardinality)
+        }.toDF("h", "approx")
+      val exact = ev
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("h"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      val sigma3 = 3 * 1.04 / math.sqrt((1 << b).toDouble)
+      store.join(batchSk, "h").join(est, "h").join(exact, "h")
+        .select(
+          (col("sk") === col("sk_batch")).as("bits_eq"),
+          (abs(col("approx") - col("exact")) <=
+            greatest(lit(sigma3) * col("exact"), lit(3.0))).as("within"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("bits_eq").cast("long")).as("n_bitmatch"),
+          sum(col("within").cast("long")).as("n_within"))
+    }),
+
     // -- sample_total (exact-k without replacement, sample.rs:7-33) ------
     // random-permutation-prefix form -> TakeOrderedAndProject (PlanSpec).
     // The output aggregates the sample's CONTRACT, which IS
@@ -324,6 +361,10 @@ object SketchQueries {
       "SELECT DISTINCT o_orderpriority, TRUE AS est_ok FROM orders ORDER BY o_orderpriority",
     "sk15_hll_setops" ->
       "SELECT TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok",
+    "st11_stream_sketch_view" ->
+      """WITH n AS (SELECT CAST(count(DISTINCT date_trunc('hour', ts))
+        |    AS BIGINT) AS n FROM events)
+        |SELECT n AS n_hours, n AS n_bitmatch, n AS n_within FROM n""".stripMargin,
     // window-position enumeration replayed exactly; every window must
     // pass the 3σ contract (n_ok == n_windows)
     "sk16_hll_sliding" ->

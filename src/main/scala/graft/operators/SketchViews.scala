@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object SketchViews {
 
+  /** Register-array round-trip for a parquet-backed sketch store: the
+    * serialized form IS the registers (b = log2(length)), engine- and
+    * version-stable — the same property the SketchSpec Kryo golden pins.
+    * Merging two byte forms is pointwise max, no deserialization needed
+    * conceptually; we go through [[HyperLogLog]] for the single
+    * implementation of the law. */
+  def sketchToBytes(h: HyperLogLog): Array[Byte] =
+    java.util.Arrays.copyOf(h.registers, h.m)
+
+  def sketchFromBytes(bytes: Array[Byte]): HyperLogLog = {
+    val b = java.lang.Integer.numberOfTrailingZeros(bytes.length)
+    require(1 << b == bytes.length, s"register length ${bytes.length} not 2^b")
+    val h = new HyperLogLog(b)
+    System.arraycopy(bytes, 0, h.registers, 0, bytes.length)
+    h
+  }
+
   /** Approximate distinct `idCol` per sliding window of `windowHours`
     * hour buckets, via hourly HLL sketches merged per window position.
     * A window is identified by its LAST hour bucket (`window_end_h`,

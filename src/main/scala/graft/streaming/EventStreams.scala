@@ -514,6 +514,49 @@ object EventStreams {
           sumCols.tail.map(c => sum(col(c)).as(c)): _*)
     }
 
+  /** Incrementally-maintained SKETCH materialized view: a per-hour HLL
+    * distinct-users table kept fresh by a real stream — each micro-batch
+    * builds its hours' sketches and register-max-merges them into the
+    * parquet-backed store ([[graft.operators.SketchViews]] byte form).
+    * HLL merge is associative/commutative/idempotent, so the final store
+    * is BIT-identical to the one-shot batch build regardless of how the
+    * stream was chopped (the st11 gate enforces byte equality), and the
+    * store answers sliding-window questions via
+    * [[graft.operators.SketchViews.slidingDistinct]]-style merges
+    * without ever rescanning history. Store size: one 2^b-byte row per
+    * hour — the aggregate-store shape of [[incrementalAggStreamed]] with
+    * sketch state instead of sums. */
+  def hourlySketchViewStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int = 3, b: Int = 12): DataFrame = {
+    import graft.aggregators.SketchAggregators.HllSketchAgg
+    import graft.operators.SketchViews
+    import graft.sketch.HyperLogLog
+    // ts is retained for the staging order (stageAscendingFiles chops by
+    // it); the merge below only reads (h, id)
+    val input = events.select(col("ts"),
+      unix_micros(date_trunc("hour", col("ts"))).as("h"),
+      col("user_id").cast("long").as("id"))
+    foldIntoStore(spark, input, stageDir, nFiles) { (prior, batch) =>
+      val s = batch.sparkSession
+      import s.implicits._
+      val batchSk = batch.select(col("h"), col("id")).as[(Long, Long)]
+        .groupByKey(_._1)
+        .agg(new HllSketchAgg[(Long, Long)](b, _._2).toColumn)
+        .map { case (h, sk) => (h, SketchViews.sketchToBytes(sk)) }
+        .toDF("h", "sk")
+      prior.fold(batchSk)(_ unionByName batchSk)
+        .as[(Long, Array[Byte])]
+        .groupByKey(_._1)
+        .reduceGroups { (a, c) =>
+          (a._1, SketchViews.sketchToBytes(
+            SketchViews.sketchFromBytes(a._2)
+              .merge(SketchViews.sketchFromBytes(c._2))))
+        }
+        .map { case (h, (_, sk)) => (h, sk) }
+        .toDF("h", "sk")
+    }
+  }
+
   /** Shared store-fold runner: stage `input` as ascending files, stream
     * them with one file per micro-batch, and per epoch rebuild the store
     * as `merge(prior-store, batch)`, swapping the store directory

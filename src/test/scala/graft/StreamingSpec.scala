@@ -432,6 +432,30 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
     assert(got == Map(2L -> "live"))
   }
 
+  test("hourlySketchViewStreamed: any chopping yields the bit-identical store") {
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    val ev = (0 until 400).map { i =>
+      (new java.sql.Timestamp(base + (i % 9) * 3600000L + i * 777L),
+        (i % 53).toLong)
+    }.toDF("ts", "user_id")
+    def run(nFiles: Int) = EventStreams.hourlySketchViewStreamed(spark, ev,
+        s"target/qtmp/st_skview_$nFiles", nFiles = nFiles)
+      .as[(Long, Array[Byte])].collect()
+      .map { case (h, sk) => h -> sk.toSeq }.toMap
+    val one = run(1)
+    val five = run(5)
+    assert(one.keySet == five.keySet && one.keySet.size == 9)
+    one.foreach { case (h, sk) =>
+      assert(five(h) == sk, s"hour $h store bytes diverged with chopping")
+    }
+    // round-trip law: bytes -> sketch -> bytes is the identity
+    import graft.operators.SketchViews
+    one.values.foreach { sk =>
+      assert(SketchViews.sketchToBytes(
+        SketchViews.sketchFromBytes(sk.toArray)).toSeq == sk)
+    }
+  }
+
   test("sessionWindowStreamed: sessions spanning file boundaries merge in state") {
     // user 1: events at minutes 0,10,20,30,40 — ONE session (gaps 10min),
     // deliberately chopped into 5 files so every gap crosses a micro-batch
