@@ -89,6 +89,35 @@ object CurationQueries {
         .limit(25)
     }),
 
+    // -- Association rules over the c06 co-occurrence pairs: confidence
+    // both directions + lift, all single divisions of exact integer
+    // counts. Top-25 by lift — the "terms that predict each other"
+    // market-basket signal. ---------------------------------------------
+    "c10_assoc_rules" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val dfc = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val topv = dfc.orderBy(col("df").desc, col("term")).limit(50)
+      val f = toks.join(broadcast(topv.select("term")), "term")
+      val p1 = f.select(col("doc_id"), col("term").as("t1"))
+      val p2 = f.select(col("doc_id"), col("term").as("t2"))
+      p1.join(p2, "doc_id").filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 5)
+        .join(broadcast(topv.select(col("term").as("t1"), col("df").as("df1"))), "t1")
+        .join(broadcast(topv.select(col("term").as("t2"), col("df").as("df2"))), "t2")
+        .crossJoin(broadcast(nd))
+        .select(col("t1"), col("t2"), col("n_pair"),
+          round(col("n_pair").cast("double") / col("df1"), 6).as("conf_12"),
+          round(col("n_pair").cast("double") / col("df2"), 6).as("conf_21"),
+          round((col("n_pair") * col("nd")).cast("double") /
+            (col("df1") * col("df2")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("t1"), col("t2"))
+        .limit(25)
+    }),
+
     // -- Weekly cohort retention over the events stream ------------------
     // cohort = week of a user's first event; one row per (cohort week,
     // week offset) with distinct active users. Two user-keyed shuffles.
@@ -286,6 +315,26 @@ object CurationQueries {
         |  round(cm.common::DOUBLE / (du.deg + dv.deg - cm.common), 6) AS jaccard
         |FROM cm JOIN deg du ON du.node = cm.u JOIN deg dv ON dv.node = cm.v
         |ORDER BY jaccard DESC, u, v LIMIT 25""".stripMargin,
+    "c10_assoc_rules" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |dfx AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+        |topv AS (SELECT term, df FROM dfx ORDER BY df DESC, term LIMIT 50),
+        |f AS (SELECT doc_id, term FROM toks
+        |      WHERE term IN (SELECT term FROM topv)),
+        |p AS (SELECT a.term AS t1, b.term AS t2, count(*) AS n_pair
+        |  FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.n_pair,
+        |  round(p.n_pair::DOUBLE / d1.df, 6) AS conf_12,
+        |  round(p.n_pair::DOUBLE / d2.df, 6) AS conf_21,
+        |  round((p.n_pair * nd.nd)::DOUBLE / (d1.df * d2.df), 6) AS lift
+        |FROM p JOIN topv d1 ON d1.term = p.t1
+        |  JOIN topv d2 ON d2.term = p.t2 CROSS JOIN nd
+        |WHERE p.n_pair >= 5
+        |ORDER BY lift DESC, t1, t2 LIMIT 25""".stripMargin,
     "c06_cooccurrence" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(list_distinct(string_split(text, ' '))) AS term

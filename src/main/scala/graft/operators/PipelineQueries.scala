@@ -86,6 +86,17 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // -- budget allocation with backfill: per-source short-doc quota —
+    // weight-proportional shares capped at supply, leftover greedily
+    // backfilled via ONE prefix-sum window; all integer math ------------
+    "p17_budget_backfill" -> ((s, d) => {
+      val cls = Tables.documents(s, d).groupBy(col("source"))
+        .agg(sum((col("n_chars") < 300).cast("long")).as("supply"),
+          count(lit(1)).as("weight"))
+      Splits.budgetBackfill(cls, "source", "supply", "weight", budget = 250)
+        .orderBy(col("source"))
+    }),
+
     // -- Poisson-bootstrap CI on per-source mean doc length: error bars
     // for corpus metrics as a pure function of the data (md5-derived
     // Poisson(1) replica weights, exact integer replica sums, order-
@@ -1843,6 +1854,33 @@ object PipelineQueries {
         |       / len(list_distinct(a.tris||b.tris)), 4) AS j
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY j DESC, a, b LIMIT 10""".stripMargin,
+    // exact-integer share/remainder + the greedy backfill prefix sum
+    "p17_budget_backfill" ->
+      """WITH c AS (SELECT source,
+        |    CAST(sum(CASE WHEN n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS supply,
+        |    count(*) AS weight
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CASE WHEN sum(weight) > 0
+        |    THEN CAST(sum(weight) AS BIGINT) ELSE 1 END AS tw FROM c),
+        |s AS (SELECT c.source, c.supply, c.weight, t.tw,
+        |    least(c.supply, CAST((250 * c.weight) // t.tw AS BIGINT))
+        |      AS base_alloc,
+        |    CAST((250 * c.weight) % t.tw AS BIGINT) AS rem
+        |  FROM c CROSS JOIN t),
+        |s2 AS (SELECT *, supply - base_alloc AS cap,
+        |    (SELECT 250 - CAST(sum(base_alloc) AS BIGINT) FROM s) AS leftover
+        |  FROM s),
+        |s3 AS (SELECT *, coalesce(sum(cap) OVER (ORDER BY rem DESC, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cap_before
+        |  FROM s2)
+        |SELECT source, supply, weight, base_alloc,
+        |  CAST(greatest(0, least(cap, leftover - cap_before)) AS BIGINT)
+        |    AS backfill,
+        |  CAST(base_alloc + greatest(0, least(cap, leftover - cap_before))
+        |    AS BIGINT) AS alloc
+        |FROM s3 ORDER BY source""".stripMargin,
     // full bootstrap replay: same md5 uniforms, same inlined Poisson(1)
     // CDF literals, same exact-integer replica sums and rank-2/39 bounds
     "p16_bootstrap_ci" ->

@@ -212,4 +212,52 @@ object Splits {
     * emit ordered shards instead of asking for a single total order. */
   def shuffleOrder(key: Column, salt: String): Column =
     md5(concat(key.cast("string"), lit(":" + salt)))
+
+  /** Budget allocation WITH BACKFILL across classes: each class gets its
+    * weight-proportional share floor(B·w/W) capped at its supply, and
+    * the leftover budget (from under-supplied classes and flooring) is
+    * backfilled GREEDILY into remaining capacity in deterministic
+    * priority order (largest proportional remainder, then class name).
+    * The greedy sequence is expressed as ONE prefix-sum window over the
+    * class-cardinality-sized summary — no iteration, all integer math,
+    * replayable verbatim.
+    *
+    * Law: Σ alloc = min(budget, Σ supply); alloc_c ≤ supply_c; a class
+    * with zero weight gets only backfill. This is the data-mixing step
+    * after [[temperatureMix]]-style rate setting: rates give TARGETS,
+    * backfill reconciles targets with what each source actually has.
+    *
+    * @param classes (class, supply, weight) one row per class; integer
+    *   supply/weight columns
+    * @return (class, supply, weight, base_alloc, backfill, alloc)
+    */
+  def budgetBackfill(classes: DataFrame, classCol: String,
+      supplyCol: String, weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = classes.select(col(classCol).as("cls"),
+      col(supplyCol).cast("long").as("supply"),
+      col(weightCol).cast("long").as("weight"))
+    val tot = w.agg(sum(col("weight")).as("tw")).select(
+      when(col("tw") > 0, col("tw")).otherwise(lit(1L)).as("tw"))
+    // exact integer share + remainder: floor(B·w/W), r = B·w mod W
+    // `div` is integral division (truncation == floor for nonnegatives),
+    // so shares/remainders are exact long arithmetic on every engine
+    val shared = w.crossJoin(broadcast(tot))
+      .withColumn("base_alloc",
+        least(col("supply"), expr(s"($budget * weight) div tw")))
+      .withColumn("rem", (lit(budget) * col("weight")) % col("tw"))
+      .withColumn("cap", col("supply") - col("base_alloc"))
+    val leftover = lit(budget) - sum(col("base_alloc")).over(Window.partitionBy())
+    val order = Window.orderBy(col("rem").desc, col("cls"))
+    shared
+      .withColumn("cap_before",
+        coalesce(sum(col("cap")).over(order.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("backfill",
+        greatest(lit(0L), least(col("cap"), leftover - col("cap_before"))))
+      .select(col("cls").as(classCol), col("supply"), col("weight"),
+        col("base_alloc"), col("backfill"),
+        (col("base_alloc") + col("backfill")).as("alloc"))
+  }
 }

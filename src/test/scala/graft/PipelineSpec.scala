@@ -1358,6 +1358,25 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("budgetBackfill: conservation, caps, priority and zero-weight laws") {
+    import graft.operators.Splits
+    val cls = Seq(("a", 10L, 60L), ("b", 3L, 30L), ("c", 50L, 10L),
+      ("z", 5L, 0L)).toDF("cls", "supply", "weight")
+    // B=40, W=100: proportional shares 24/12/4/0 → capped 10/3/4/0;
+    // leftover 23 backfills c (the only remaining capacity in order)
+    val got = Splits.budgetBackfill(cls, "cls", "supply", "weight", 40)
+      .select("cls", "base_alloc", "backfill", "alloc")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("a" -> ((10L, 0L, 10L)), "b" -> ((3L, 0L, 3L)),
+      "c" -> ((4L, 23L, 27L)), "z" -> ((0L, 0L, 0L))))
+    assert(got.values.map(_._3).sum == 40) // Σalloc = budget (supply suffices)
+    // budget above total supply: exactly everything allocated
+    val all = Splits.budgetBackfill(cls, "cls", "supply", "weight", 1000)
+      .agg(sum(col("alloc"))).as[Long].head()
+    assert(all == 68)
+  }
+
   test("knnJoin: shuffle path == broadcast path; planted clusters recovered") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 120).map { i =>
