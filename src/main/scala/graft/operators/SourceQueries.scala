@@ -232,6 +232,38 @@ object SourceQueries {
     //    PlanSpec: only matching directories are LISTED, non-matching
     //    partitions are never opened), and the oracle recomputes from the
     //    original table so the hash proves the layout is lossless. -------
+    // -- compressed-codec round-trip: gzip JSON written and read back
+    //    transparently (the Spark codec path the reference's flate2
+    //    decompression maps to); oracle recomputes from the original ----
+    "s14_gzip_roundtrip" -> ((s, d) => {
+      val dir = tmp(d, "s14_gz")
+      val cols = Seq("doc_id", "lang", "n_chars")
+      Tables.documents(s, d).select(cols.map(col): _*)
+        .coalesce(2).write.mode("overwrite")
+        .option("compression", "gzip").json(dir)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("lang"))
+    }),
+
+    // -- small-files compaction as a GATE: a 40-file fragmented table is
+    //    rewritten into byte-sized outputs; content checksums must match
+    //    the original table and the file count must actually shrink ------
+    "z03_compaction" -> ((s, d) => {
+      import graft.operators.Maintenance
+      val frag = tmp(d, "z03_frag"); val comp = tmp(d, "z03_comp")
+      Tables.documents(s, d).repartition(40)
+        .write.mode("overwrite").parquet(frag)
+      val stats = Maintenance.compactParquet(s, frag, comp)
+      s.read.parquet(comp)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("n_docs"), col("id_checksum"), col("sum_chars"),
+          lit(stats.outputFiles < stats.inputFiles).as("files_reduced"))
+    }),
+
     // -- binaryFile source: raw media files on disk read as (path,
     //    length, content) rows — the ingestion shape for image/audio
     //    corpora (one file per asset, id in the filename). Staged from
@@ -464,6 +496,17 @@ object SourceQueries {
         |   THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)
         |   AS dropped_good_cents
         |FROM orders""".stripMargin,
+    "s14_gzip_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "z03_compaction" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | TRUE AS files_reduced
+        |FROM documents""".stripMargin,
     // header "P6\n<w> <h>\n255\n" is 11 bytes at single-digit dims;
     // pixel byte i of image id is (id*31 + i) % 256
     "s13_binary_files" ->
