@@ -132,12 +132,18 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minContainment: Double = 0.5,
-      maxGramDf: Int = 0): DataFrame = {
+      maxGramDf: Int = 0, hashGrams: Boolean = false): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       wordShingles(col(textCol), shingleN).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
       .filter(col("sz") > 0)
-    val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // hashGrams: the dupNgramFraction scale switch — join keys become
+    // 8-byte xxhash64 longs; counts (and therefore containment) are
+    // unchanged up to 2⁻⁶⁴-scale collisions, so gates running this path
+    // still hash-match the string-form oracle
+    val expl = sh.select(col("doc_id"), explode(col("sh")).as("g0"))
+    val inv0 = expl.select(col("doc_id"),
+      (if (hashGrams) xxhash64(col("g0")) else col("g0")).as("g"))
     val inv =
       if (maxGramDf > 0) {
         val hot = inv0.groupBy(col("g")).agg(count(lit(1)).as("df"))

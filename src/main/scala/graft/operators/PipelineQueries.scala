@@ -118,7 +118,8 @@ object PipelineQueries {
     // df grows with corpus size and the cap bounds Σdf² pair fan-out)
     "d21_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleN = 3, minContainment = 0.5, maxGramDf = 50)
+          shingleN = 3, minContainment = 0.5, maxGramDf = 50,
+          hashGrams = true)
         .withColumn("containment", round(col("containment"), 4))
         .orderBy(col("containment").desc, col("a"), col("b"))),
 
@@ -638,6 +639,18 @@ object PipelineQueries {
             .as("max_lag_us"),
           round(first(col("value")), 2).as("purchase_value"))
         .orderBy(col("purchase_id"))
+    }),
+
+    // -- stream-STATIC enrichment join executed as a REAL stream: each
+    // micro-batch joins the customer dimension, folds per segment;
+    // stateless, so stream == batch join exactly -------------------------
+    "st12_stream_static_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"), col("user_id"), col("value"))
+      val dim = Tables.customer(s, d).select(col("c_custkey").as("user_id"),
+        (col("c_custkey") % 5).as("segment"))
+      graft.streaming.EventStreams.enrichedCountsStreamed(s, ev, dim,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st12_stage")
+        .orderBy(col("segment"))
     }),
 
     // -- REAL Structured Streaming execution inside the gate: events
@@ -2252,6 +2265,12 @@ object PipelineQueries {
 
     // self-join replay of the interval join: purchases to same-user
     // clicks within the preceding hour, microsecond-exact lag
+    "st12_stream_static_join" ->
+      """SELECT (c.c_custkey % 5) AS segment, count(*) AS n,
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     "st09_stream_session" ->
       """WITH l AS (SELECT ts, user_id,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,

@@ -514,6 +514,24 @@ object EventStreams {
           sumCols.tail.map(c => sum(col(c)).as(c)): _*)
     }
 
+  /** Stream-STATIC enrichment join — the most common production join
+    * shape: every micro-batch of the event stream joins a static
+    * dimension frame (no state, no watermark; the dimension is re-read
+    * per batch by the planner, which is how slowly-refreshed dims get
+    * picked up), then folds into a per-segment aggregate. Complete-mode
+    * memory sink; integer cents keep the result engine-exact. Stream
+    * must equal the stateless batch join exactly — the st12 gate
+    * replays it. */
+  def enrichedCountsStreamed(spark: SparkSession, events: DataFrame,
+      dim: DataFrame, stageDir: String, nFiles: Int = 3,
+      sinkName: String = "st12_sink"): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName) { st =>
+      st.join(dim, "user_id")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+    }
+
   /** Incrementally-maintained SKETCH materialized view: a per-hour HLL
     * distinct-users table kept fresh by a real stream — each micro-batch
     * builds its hours' sketches and register-max-merges them into the
