@@ -232,6 +232,45 @@ object SourceQueries {
     //    PlanSpec: only matching directories are LISTED, non-matching
     //    partitions are never opened), and the oracle recomputes from the
     //    original table so the hash proves the layout is lossless. -------
+    // -- dynamic partition overwrite: rewriting ONE partition must leave
+    //    every other partition untouched (partitionOverwriteMode=dynamic;
+    //    static semantics would wipe the table down to 'en'). The final
+    //    state — en rows shifted, others original — is fully replayed. --
+    "u06_dynamic_overwrite" -> ((s, d) => {
+      val dir = tmp(d, "u06_dyn")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+      docs.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // -- query-attached metrics (Dataset.observe): pipeline counters
+    //    collected DURING the pass, no second scan — the monitoring hook
+    //    a production curation job exports; values replayed exactly -----
+    "p18_observed_metrics" -> ((s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val kept = Tables.documents(s, d)
+        .observe(obs, count(lit(1)).as("rows_in"),
+          sum(col("n_chars")).as("chars_in"))
+        .filter(col("n_chars") >= 300)
+      val row = kept
+        .agg(count(lit(1)).as("rows_kept"), sum(col("n_chars")).as("chars_kept"))
+        .head()
+      val m = obs.get
+      Seq((m("rows_in").asInstanceOf[Long], m("chars_in").asInstanceOf[Long],
+        row.getLong(0), row.getLong(1)))
+        .toDF("rows_in", "chars_in", "rows_kept", "chars_kept")
+    }),
+
     // -- compressed-codec round-trip: gzip JSON written and read back
     //    transparently (the Spark codec path the reference's flate2
     //    decompression maps to); oracle recomputes from the original ----
@@ -496,6 +535,19 @@ object SourceQueries {
         |   THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)
         |   AS dropped_good_cents
         |FROM orders""".stripMargin,
+    "u06_dynamic_overwrite" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1000
+        |   ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "p18_observed_metrics" ->
+      """SELECT count(*) AS rows_in,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_in,
+        | CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS rows_kept,
+        | CAST(sum(CASE WHEN n_chars >= 300 THEN n_chars END) AS BIGINT)
+        |   AS chars_kept
+        |FROM documents""".stripMargin,
     "s14_gzip_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
