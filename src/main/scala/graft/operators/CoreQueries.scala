@@ -138,6 +138,19 @@ object CoreQueries {
     }),
 
     // -- rollup (exceeds reference) --------------------------------------
+    // -- plain-SQL API surface: the same engine through spark.sql over a
+    // registered view — a reference user can keep writing SQL verbatim.
+    "q57_sql_surface" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_sql")
+      s.sql("""
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+          count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+          round(avg(l_extendedprice), 4) AS avg_price
+        FROM li_sql WHERE l_shipdate <= timestamp'1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY rf, ls""")
+    }),
+
     // -- GROUPING SETS with an asymmetric set list ((rf,ls),(rf),(ls)) —
     // not expressible as rollup or cube; one pass, engine expands the
     // grouping combinations in the aggregate (Expand node, no rescan).
@@ -1104,6 +1117,13 @@ object CoreQueries {
         |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders
         |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q57_sql_surface" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY rf, ls""".stripMargin,
     "q56_grouping_sets" ->
       """SELECT coalesce(l_returnflag,'ALL') AS rf,
         | coalesce(l_linestatus,'ALL') AS ls,

@@ -254,6 +254,29 @@ object CurationQueries {
         .orderBy(col("custkey"))
     }),
 
+    // -- snapshot-log TIME TRAVEL: the CDC store archived per epoch;
+    // "VERSION AS OF k" must equal the one-shot apply of the changelog
+    // prefix that had streamed in by epoch k (replayable because the
+    // staging chop is an ntile over the UNIQUE orderkey-derived ts). ----
+    "u07_time_travel" -> ((s, d) => {
+      val stage = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/u07_stage"
+      val log = Tables.orders(s, d).select(
+        timestamp_micros(col("o_orderkey")).as("ts"),
+        col("o_custkey").as("custkey"), col("o_orderkey").as("seq_id"),
+        when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.streaming.EventStreams.cdcApplyVersioned(s, log, stage,
+        Seq("custkey"), Seq("seq_id"), "op", nFiles = 3)
+      (0 to 2).map { v =>
+        graft.streaming.EventStreams.asOfVersion(s, stage, v.toLong)
+          .filter(col("op") =!= "D")
+          .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"),
+            sum(col("custkey")).as("key_checksum"))
+          .select(lit(v.toLong).as("version"), col("n_live"),
+            col("sum_cents"), col("key_checksum"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
+    }),
+
     // -- PMI collocations: top-25 adjacent-bigram associations -----------
     // pmi = ln( (c_ab/Nb) / ((c_a/Nt)(c_b/Nt)) ), min bigram count 5.
     // All count tables are vocabulary-sized; scalars broadcast. The uni
@@ -584,6 +607,21 @@ object CurationQueries {
         |SELECT custkey, seq_id AS last_orderkey, status,
         |  round(price, 2) AS price
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY custkey""".stripMargin,
+    "u07_time_travel" ->
+      """WITH o AS (SELECT o_custkey AS custkey, o_orderkey AS seq_id,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    ntile(3) OVER (ORDER BY o_orderkey) AS f
+        |  FROM orders),
+        |v(version) AS (VALUES (0), (1), (2)),
+        |pref AS (SELECT v.version, o.* FROM o JOIN v ON o.f <= v.version + 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY version, custkey
+        |    ORDER BY seq_id DESC) AS rn FROM pref)
+        |SELECT CAST(version AS BIGINT) AS version, count(*) AS n_live,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(custkey) AS BIGINT) AS key_checksum
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |GROUP BY version ORDER BY version""".stripMargin,
     "t21_pmi_collocations" ->
       """WITH t AS (SELECT string_split(text,' ') AS l FROM documents),
         |u AS (SELECT unnest(l) AS w FROM t),

@@ -86,6 +86,34 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // -- packing-efficiency report: per-corpus utilization of the t07
+    // context bins + boundary-straddler census. The straddle window here
+    // is the gate-scale form; production derives offsets from
+    // packByOrder's own partition prefix sums. --------------------------
+    "p19_packing_efficiency" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 2048L
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+      val packed = Packing.packByOrder(docs, "doc_id", "toks", cap)
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val spans = docs
+        .withColumn("start", sum(col("toks")).over(w) - col("toks"))
+        .withColumn("straddles",
+          ((col("start") + col("toks") - 1) / lit(cap)).cast("long") >
+            (col("start") / lit(cap)).cast("long"))
+      val binStats = packed.agg((max(col("bin")) + 1).as("n_bins"))
+      docs.agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
+        .crossJoin(binStats)
+        .crossJoin(spans.agg(
+          sum(col("straddles").cast("long")).as("n_straddlers")))
+        .select(col("n_docs"), col("total_tokens"), col("n_bins"),
+          round(col("total_tokens").cast("double") /
+            (col("n_bins") * lit(cap)), 6).as("utilization"),
+          col("n_straddlers"))
+    }),
+
     // -- budget allocation with backfill: per-source short-doc quota —
     // weight-proportional shares capped at supply, leftover greedily
     // backfilled via ONE prefix-sum window; all integer math ------------
@@ -1867,6 +1895,23 @@ object PipelineQueries {
         |       / len(list_distinct(a.tris||b.tris)), 4) AS j
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY j DESC, a, b LIMIT 10""".stripMargin,
+    "p19_packing_efficiency" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - toks
+        |      AS strt
+        |  FROM d),
+        |s AS (SELECT *, strt // 2048 AS bin,
+        |    (strt + toks - 1) // 2048 AS bin_end FROM c)
+        |SELECT count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+        |  round(CAST(sum(toks) AS BIGINT)::DOUBLE / ((max(bin) + 1) * 2048), 6)
+        |    AS utilization,
+        |  CAST(sum(CASE WHEN bin_end > bin THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_straddlers
+        |FROM s""".stripMargin,
     // exact-integer share/remainder + the greedy backfill prefix sum
     "p17_budget_backfill" ->
       """WITH c AS (SELECT source,

@@ -575,14 +575,40 @@ object EventStreams {
     }
   }
 
+  /** Time-traveling CDC store: like [[cdcApplyStreamed]], but every
+    * epoch's post-merge store is ALSO archived as `store_v<epoch>` —
+    * the snapshot-log shape (Delta/Iceberg "VERSION AS OF") built from
+    * plain directories. `asOfVersion(stageDir, k)` reads the store as it
+    * stood after epoch k; the u07 gate proves each version equals the
+    * one-shot apply of the changelog PREFIX that had streamed in by
+    * then (replayable because the staging chop is an ntile over a
+    * UNIQUE ts). Version directories are immutable once written; a
+    * replayed epoch overwrites its own version only — idempotent. */
+  def cdcApplyVersioned(spark: SparkSession, log: DataFrame, stageDir: String,
+      keyCols: Seq[String], seqCols: Seq[String], opCol: String,
+      nFiles: Int = 3): DataFrame = {
+    import graft.operators.Maintenance
+    foldIntoStore(spark, log, stageDir, nFiles, archiveVersions = true) {
+      (prior, batch) =>
+        Maintenance.latestPerKey(prior.fold(batch)(_ unionByName batch),
+          keyCols, seqCols, opCol)
+    }
+  }
+
+  /** Read a [[cdcApplyVersioned]] store as of epoch `version`. */
+  def asOfVersion(spark: SparkSession, stageDir: String, version: Long): DataFrame =
+    spark.read.parquet(s"$stageDir/store_v$version")
+
   /** Shared store-fold runner: stage `input` as ascending files, stream
     * them with one file per micro-batch, and per epoch rebuild the store
     * as `merge(prior-store, batch)`, swapping the store directory
     * atomically (write `.next`, rename) so a crashed epoch never leaves
     * a half-written store. `merge` must be associative-in-batches
-    * (a max/latest or a grouped sum) and defines the store schema. */
+    * (a max/latest or a grouped sum) and defines the store schema.
+    * `archiveVersions` additionally snapshots each epoch's store as
+    * `store_v<epoch>` for time travel. */
   private def foldIntoStore(spark: SparkSession, input: DataFrame,
-      stageDir: String, nFiles: Int)
+      stageDir: String, nFiles: Int, archiveVersions: Boolean = false)
       (merge: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
     val inDir = stageAscendingFiles(input, stageDir, nFiles)
     val storeDir = new java.io.File(s"$stageDir/store")
@@ -594,7 +620,7 @@ object EventStreams {
     val q = spark.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         val s = batch.sparkSession
         val prior =
           if (storeDir.exists()) Some(s.read.parquet(storeDir.getAbsolutePath))
@@ -602,6 +628,12 @@ object EventStreams {
         val next = new java.io.File(s"$stageDir/store.next")
         merge(prior, batch.toDF())
           .write.mode("overwrite").parquet(next.getAbsolutePath)
+        if (archiveVersions)
+          // snapshot-log entry: re-written (not renamed) so the live
+          // store swap below stays atomic; a replayed epoch overwrites
+          // only its own version
+          s.read.parquet(next.getAbsolutePath).write.mode("overwrite")
+            .parquet(s"$stageDir/store_v$epochId")
         if (storeDir.exists()) rmTree(storeDir)
         if (!next.renameTo(storeDir))
           sys.error(s"store swap failed: $next -> $storeDir")

@@ -432,6 +432,27 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
     assert(got == Map(2L -> "live"))
   }
 
+  test("cdcApplyVersioned: versions archive per epoch; final == live store") {
+    val log = (1 to 60).map { i =>
+      (new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong % 7,
+        i.toLong, if (i % 5 == 0) "D" else "U", s"v$i")
+    }.toDF("ts", "k", "seq", "op", "v")
+    val stage = "target/qtmp/st_ttrav"
+    val live = EventStreams.cdcApplyVersioned(spark, log, stage,
+        Seq("k"), Seq("seq"), "op", nFiles = 4)
+    val dirs = new java.io.File(stage).listFiles()
+      .filter(_.getName.startsWith("store_v")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("store_v0", "store_v1", "store_v2", "store_v3"))
+    val finalV = EventStreams.asOfVersion(spark, stage, 3)
+      .select("k", "seq", "op").as[(Long, Long, String)].collect().toSet
+    assert(finalV == live.select("k", "seq", "op")
+      .as[(Long, Long, String)].collect().toSet)
+    // version 0 holds only the first file's winners: max seq <= 15
+    val v0max = EventStreams.asOfVersion(spark, stage, 0)
+      .agg(max(col("seq"))).as[Long].head()
+    assert(v0max <= 15, s"v0 contains future rows (max seq $v0max)")
+  }
+
   test("hourlySketchViewStreamed: any chopping yields the bit-identical store") {
     val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
     val ev = (0 until 400).map { i =>
