@@ -54,4 +54,35 @@ object Quantize {
     })
     s / size(vec)
   }
+
+  /** L2 norm of a float-array column (double accumulation). */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** L2-normalize a float-array column — the pre-index step that turns
+    * cosine into dot product (IVF/PQ codebooks then train on the unit
+    * sphere). Zero vectors pass through unchanged. Narrow, codegen'd. */
+  def l2Normalize(vec: Column): Column = {
+    val n = l2Norm(vec)
+    when(n > 0, transform(vec, x => (x.cast("double") / n).cast("float")))
+      .otherwise(vec)
+  }
+
+  /** Mean-center a float-array column against the corpus mean vector:
+    * one d-sized aggregate (posexplode → per-index avg, collected — d
+    * doubles on the driver regardless of corpus size), then a narrow
+    * subtract against the literal mean. Centering removes the "hubness"
+    * offset before PCA/whitening. Returns (centeredDf, meanVector). */
+  def meanCenter(df: org.apache.spark.sql.DataFrame, vecCol: String)
+      : (org.apache.spark.sql.DataFrame, Array[Double]) = {
+    val spark = df.sparkSession
+    val mean = df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("m"))
+      .orderBy(col("i")).collect().map(_.getDouble(1))
+    val lits = typedlit(mean.toSeq)
+    val centered = df.withColumn(vecCol,
+      zip_with(col(vecCol), lits, (x, m) => (x.cast("double") - m).cast("float")))
+    (centered, mean)
+  }
 }

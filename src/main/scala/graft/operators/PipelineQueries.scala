@@ -249,6 +249,40 @@ object PipelineQueries {
         .toDF("lsh_recall_ok", "ivf_recall_ok")
     }),
 
+    // -- embedding normalization CONTRACT, gate-enforced: L2-normalized
+    // norms are 1, double mean-centering is idempotent (second mean ~ 0
+    // while the raw mean is demonstrably nonzero), and normalization
+    // preserves cosine exactly (cos(a,b) == dot(â,b̂)) ------------------
+    "e04_normalize_contract" -> ((s, d) => {
+      import s.implicits._
+      import graft.ann.Quantize
+      val emb = Tables.embeddings(s, d)
+      val normed = emb.withColumn("nv", Quantize.l2Normalize(col("embedding")))
+      val normsOk = normed
+        .select(abs(Quantize.l2Norm(col("nv")) - lit(1.0)).as("e"))
+        .agg(max(col("e"))).as[Double].head() < 1e-6
+      val (centered, rawMean) = Quantize.meanCenter(emb, "embedding")
+      val (_, mean2) = Quantize.meanCenter(centered, "embedding")
+      val centerOk = math.sqrt(mean2.map(m => m * m).sum) < 1e-6 &&
+        math.sqrt(rawMean.map(m => m * m).sum) > 1e-3
+      val a = normed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("ia"), col("embedding").as("ea"),
+          col("nv").as("na"))
+      val b = normed.filter(col("vec_id") >= 1 && col("vec_id") <= 20)
+        .select((col("vec_id") - 1).as("ia"), col("embedding").as("eb"),
+          col("nv").as("nb"))
+      val dotNorm = aggregate(zip_with(col("na"), col("nb"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+      // normalized components are stored float32, so dot(â,b̂) carries
+      // ~d·2⁻²⁴ rounding — 1e-5 is the float32-appropriate envelope
+      val cosOk = a.join(b, "ia")
+        .select(abs(graft.ann.Ann.cosine(col("ea"), col("eb")) - dotNorm).as("e"))
+        .agg(max(col("e"))).as[Double].head() < 1e-5
+      val n = emb.count()
+      Seq((normsOk, centerOk, cosOk, n))
+        .toDF("norms_ok", "center_ok", "cosine_invariant", "n")
+    }),
+
     // -- kNN JOIN contract: the both-sides-large cell-co-partitioned
     // shuffle join (no query broadcast) must reach the same recall bar
     // as the broadcast IVF probe, against the same brute-force truth ----
@@ -1760,6 +1794,9 @@ object PipelineQueries {
       "SELECT TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok",
     "a10_knn_join_contract" ->
       "SELECT TRUE AS knn_join_recall_ok",
+    "e04_normalize_contract" ->
+      ("SELECT TRUE AS norms_ok, TRUE AS center_ok, " +
+        "TRUE AS cosine_invariant, count(*) AS n FROM embeddings"),
     "a05_ann_index_contract" ->
       "SELECT TRUE AS indexed_matches_direct",
     "p05_sample_contract" ->
