@@ -39,6 +39,10 @@ object Analytics {
     *   result is bit-replayable by any engine regardless of summation order
     *   (same spirit as the `hashGrams` scale switches). Default natural
     *   double math (differs from quantized by < 2e-6 per row).
+    *
+    * Null values: collect_list skips them, so a null shrinks the window
+    * (the average runs over the observed values) rather than nulling the
+    * row — same convention as SQL avg.
     */
   def ewmaWindowed(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       valueCol: String, alpha: Double, win: Int = 20,
@@ -79,8 +83,10 @@ object Analytics {
   def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     // the sum keeps the caller's value type: pass an integer unit column
-    // (e.g. cents) when the result must be bit-replayable cross-engine
-    val daily = df
+    // (e.g. cents) when the result must be bit-replayable cross-engine.
+    // null timestamps are dropped explicitly — a null day-group would
+    // otherwise vanish silently when the grid sequence hits null bounds
+    val daily = df.filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
       .agg(sum(col(valueCol)).as("day_value"))
     val span = daily.groupBy(col(keyCol))
@@ -105,10 +111,12 @@ object Analytics {
     val stats = df.groupBy(col(groupCol)).agg(
       avg(col(valueCol)).as("mu"),
       stddev_pop(col(valueCol)).as("sigma"))
+    // null metrics score 0 (never anomalous) rather than propagating a
+    // null flag that every downstream census would silently skip
     df.join(broadcast(stats), groupCol)
       .withColumn("zscore",
-        when(col("sigma") > 0, grid((col(valueCol) - col("mu")) / col("sigma")))
-          .otherwise(lit(0.0)))
+        coalesce(when(col("sigma") > 0,
+          grid((col(valueCol) - col("mu")) / col("sigma"))), lit(0.0)))
       .withColumn("is_anomaly", abs(col("zscore")) > lit(z))
   }
 

@@ -137,6 +137,13 @@ object Checks {
       salt: String = "boot"): DataFrame = {
     require(replicas >= 4, s"replicas=$replicas too few for a CI")
     require(alpha > 0 && alpha < 1, s"alpha=$alpha outside (0,1)")
+    // integral metric enforced at build time: a silent cast("long") on a
+    // double column would truncate values instead of failing loudly
+    val vType = df.schema(valueCol).dataType
+    require(Seq("long", "int", "integer", "short", "byte", "bigint")
+      .contains(vType.typeName) || vType.typeName.startsWith("decimal"),
+      s"bootstrapMeanCI needs an integer valueCol for exact replica sums; " +
+        s"$valueCol is ${vType.typeName} — pre-round to integer units (cents)")
     import org.apache.spark.sql.expressions.Window
     // built against the post-rename columns ("id", "b") below
     val u = Splits.mdUniform(

@@ -235,9 +235,15 @@ object Splits {
       supplyCol: String, weightCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget=$budget must be >= 0")
     import org.apache.spark.sql.expressions.Window
+    // loud in-plan guard (the weightedSampleKey discipline): a negative
+    // supply or weight would silently invert shares/capacities
+    def nonNeg(c: Column, what: String): Column =
+      when(c.isNull || c < 0, raise_error(concat(
+        lit(s"budgetBackfill: $what must be a non-negative integer, got "),
+        c.cast("string")))).otherwise(c)
     val w = classes.select(col(classCol).as("cls"),
-      col(supplyCol).cast("long").as("supply"),
-      col(weightCol).cast("long").as("weight"))
+      nonNeg(col(supplyCol).cast("long"), supplyCol).as("supply"),
+      nonNeg(col(weightCol).cast("long"), weightCol).as("weight"))
     val tot = w.agg(sum(col("weight")).as("tw")).select(
       when(col("tw") > 0, col("tw")).otherwise(lit(1L)).as("tw"))
     // exact integer share + remainder: floor(B·w/W), r = B·w mod W
