@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * Window/rollup/semi/anti/distinct exceed the reference (listed missing in
   * SURVEY §2.2) and map to Spark built-ins.
   */
+/** Typed projection for the q58 Dataset-API gate — top-level so the
+  * case-class Encoder derives cleanly (the reference's `#[derive(Data)]`
+  * struct analog). */
+final case class LineItemSlim(l_orderkey: Long, l_quantity: Double,
+    l_returnflag: String)
+
 object CoreQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -138,6 +144,26 @@ object CoreQueries {
     }),
 
     // -- rollup (exceeds reference) --------------------------------------
+    // -- typed Dataset API surface end-to-end: case-class rows, lambda
+    // filter, groupByKey + mapGroups — the reference's derive(Data)
+    // struct pipeline shape as a GATE (quantities are integral doubles,
+    // so the in-group sum is exact regardless of iterator order).
+    "q58_typed_dataset" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .as[LineItemSlim]
+        .filter(_.l_quantity > 30)
+        .groupByKey(_.l_returnflag)
+        .mapGroups { (k, it) =>
+          var n = 0L; var qty = 0.0
+          it.foreach { r => n += 1; qty += r.l_quantity }
+          (k, n, math.round(qty * 100))
+        }
+        .toDF("rf", "n", "qty_x100")
+        .orderBy(col("rf"))
+    }),
+
     // -- plain-SQL API surface: the same engine through spark.sql over a
     // registered view — a reference user can keep writing SQL verbatim.
     "q57_sql_surface" -> ((s, d) => {
@@ -1117,6 +1143,11 @@ object CoreQueries {
         |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders
         |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q58_typed_dataset" ->
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        | CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_x100
+        |FROM lineitem WHERE l_quantity > 30
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
     "q57_sql_surface" ->
       """SELECT l_returnflag AS rf, l_linestatus AS ls,
         | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
