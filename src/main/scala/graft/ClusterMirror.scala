@@ -64,7 +64,10 @@ object ClusterMirror {
     //  sk16: Kryo HLL sketches as DATA between stages (flatMap explode
     //        of sketch objects across a real exchange, reduceGroups merge)
     //  c08: multi-join funnel fold under remote shuffle partitioning
-    "c03_ewma", "sk16_hll_sliding", "c08_funnel")
+    "c03_ewma", "sk16_hll_sliding", "c08_funnel",
+    //  q58: typed mapGroups lambdas + case-class Encoder closure-shipped
+    //  p17: raise_error guard expressions + global prefix-sum window
+    "q58_typed_dataset", "p17_budget_backfill")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

@@ -703,6 +703,25 @@ object PipelineQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // -- the flatMapGroupsWithState session machine as a REAL stream:
+    // only gap-closed sessions emit (the trailing one stays in state),
+    // and closure is chop-invariant — the oracle replays "all sessions
+    // except each user's last". ms-truncated input keeps the state
+    // machine's getTime gap test µs-replayable. -------------------------
+    "st13_stream_fmgws" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"),
+        timestamp_millis(unix_millis(col("ts"))).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      graft.streaming.EventStreams.sessionizeStreamed(s, e,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st13_stage")
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("total_value")), 2).as("sum_value"),
+          sum(unix_micros(col("end")) - unix_micros(col("start")))
+            .as("sum_dur_us"))
+        .orderBy(col("n_events"))
+    }),
+
     // -- stream-STATIC enrichment join executed as a REAL stream: each
     // micro-batch joins the customer dimension, folds per segment;
     // stateless, so stream == batch join exactly -------------------------
@@ -2347,6 +2366,26 @@ object PipelineQueries {
 
     // self-join replay of the interval join: purchases to same-user
     // clicks within the preceding hour, microsecond-exact lag
+    "st13_stream_fmgws" ->
+      """WITH e AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts,
+        |    user_id, value FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_ts FROM e),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+        |    date_diff('microsecond', prev_ts, ts) > 1800000000 THEN 1
+        |    ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_no FROM f),
+        |sess AS (SELECT user_id, sess_no, min(ts) AS st, max(ts) AS en,
+        |    count(*) AS n_events, sum(value) AS tv
+        |  FROM s GROUP BY user_id, sess_no),
+        |mx AS (SELECT user_id, max(sess_no) AS m FROM sess GROUP BY 1),
+        |closed AS (SELECT sess.* FROM sess JOIN mx USING (user_id)
+        |  WHERE sess.sess_no < mx.m)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  round(sum(tv), 2) AS sum_value,
+        |  CAST(sum(date_diff('microsecond', st, en)) AS BIGINT) AS sum_dur_us
+        |FROM closed GROUP BY n_events ORDER BY n_events""".stripMargin,
     "st12_stream_static_join" ->
       """SELECT (c.c_custkey % 5) AS segment, count(*) AS n,
         |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -305,6 +305,25 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Drive [[sessionize]] — the EXPLICIT flatMapGroupsWithState machine —
+    * as a REAL streaming query over staged ascending files. Only
+    * gap-CLOSED sessions emit (each user's trailing session stays in
+    * state forever under NoTimeout), and a session closes when a later
+    * event arrives regardless of which micro-batch carries it, so the
+    * emitted set is chop-invariant and equals "every session except each
+    * user's last" — exactly what the st13 oracle replays. Feed
+    * millisecond-truncated timestamps: the state machine compares
+    * `Timestamp.getTime` (ms), so sub-ms input would make the gap test
+    * diverge from a µs-exact relational replay. */
+  def sessionizeStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int = 3,
+      sinkName: String = "st13_sink"): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName,
+      outputMode = "append") { df =>
+      import df.sparkSession.implicits._
+      sessionize(df.as[Event]).toDF()
+    }
+
   /** Batch twin of [[sessionize]]: the same gap-split semantics as a pure
     * declarative gaps-and-islands plan (lag → new-session flag → running
     * sum → per-session aggregate) — one shuffle on user_id, fully inside
