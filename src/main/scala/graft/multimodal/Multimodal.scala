@@ -474,6 +474,40 @@ object Multimodal {
       (i, f)
     }
 
+  /** Scene-cut detection over a concatenated-P6 frame stream: decode
+    * every frame, compute its mean brightness (total pixel mass / plane
+    * size — an exact rational, so any engine replays the doubles), and
+    * flag a cut wherever consecutive means jump more than `threshold`.
+    * The cheap shot-boundary heuristic a video pipeline thresholds on
+    * before expensive per-shot processing. Batched mapPartitions, one
+    * stream walk + one decode pass per video, no shuffle. */
+  def sceneCuts(media: DataFrame, threshold: Double = 8.0,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_cuts", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](bytesIdx)
+          val frames = ppmStreamFrames(bytes)
+          val means = sampleWalked(bytes, frames, stride = 1,
+            maxFrames = Int.MaxValue).map { case (_, f) =>
+            f(5).toDouble / (f(0).toDouble * f(1).toDouble * 3.0)
+          }
+          val cuts = means.zip(means.drop(1))
+            .count { case (a, b) => math.abs(b - a) > threshold }
+          Row(r.getLong(idIdx), frames.length.toLong, cuts.toLong)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Batched feature extraction over the binary column: mapPartitions with
     * an explicit batch shape (grouped iterator) — the JVM analog of
     * mapInPandas batches, so a codec that amortizes per-batch setup slots

@@ -1416,6 +1416,15 @@ object PipelineQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // -- scene-cut detection: walk the concatenated-P6 frame stream,
+    // flag mean-brightness jumps > 8 between consecutive frames; every
+    // frame mean is an exact rational the oracle replays --------------
+    "m07_scene_cuts" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "video")
+      Multimodal.sceneCuts(media).orderBy(col("media_id"))
+    }),
+
     // -- 2× audio upsampling: REAL WAV decode -> midpoint linear
     // interpolation (truncating integer halves) -> per-clip stats; the
     // sample-rate-conversion step, replayed closed-form -------------------
@@ -2804,6 +2813,28 @@ object PipelineQueries {
     // m04: closed-form PCM replay — sample i of audio doc id is
     // ((id*37 + i*13) % 4001) - 2000, n = id%50+20 (wavFromId); frames
     // of 16, integer-exact energy/zc/peak
+    // m07: frame j of video doc_id is the synthetic image of id
+    // doc_id+j; mean_j = Σ pixel bytes / (w·h·3), cut iff |Δmean| > 8
+    "m07_scene_cuts" ->
+      """WITH v AS (SELECT doc_id, (doc_id % 4) + 2 AS nf FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS j
+        |  FROM v),
+        |dims AS (SELECT doc_id, j, ((doc_id + j) % 5) + 1 AS w,
+        |    ((doc_id + j) % 4) + 2 AS h FROM fr),
+        |px AS (SELECT doc_id, j, w, h,
+        |    unnest(generate_series(0, w*h*3 - 1)) AS i FROM dims),
+        |m AS (SELECT doc_id, j,
+        |    CAST(sum(((doc_id + j)*31 + i) % 256) AS BIGINT)::DOUBLE
+        |      / (min(w) * min(h) * 3) AS mean
+        |  FROM px GROUP BY doc_id, j),
+        |dd AS (SELECT doc_id, j, mean,
+        |    lag(mean) OVER (PARTITION BY doc_id ORDER BY j) AS pm FROM m)
+        |SELECT v.doc_id AS media_id, CAST(v.nf AS BIGINT) AS n_frames,
+        |  CAST(coalesce(sum(CASE WHEN abs(dd.mean - dd.pm) > 8.0
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts
+        |FROM v LEFT JOIN dd ON dd.doc_id = v.doc_id
+        |GROUP BY v.doc_id, v.nf ORDER BY media_id""".stripMargin,
     // m06: 2× midpoint upsample of the m04 PCM — even j copies s[j//2],
     // odd j averages its neighbors with TRUNCATING integer division
     "m06_audio_upsample" ->
