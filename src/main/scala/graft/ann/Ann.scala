@@ -321,6 +321,34 @@ object Ann {
     cents
   }
 
+  /** Incremental IVF index maintenance: assign a NEW batch of vectors
+    * with the index's EXISTING centroids (no retrain — cell geometry is
+    * frozen, so old entries never move) and append it to the bucketed
+    * table. O(batch) work per ingest; probes see old and new vectors
+    * identically because assignment is a pure function of (vector,
+    * centroids) — the a11 gate enforces probe(build(A) ++ append(B)) ==
+    * probe(build-with-same-centroids(A∪B)) exactly. Retrain + full
+    * rebuild only when drift degrades recall (the d10 LSH-index
+    * discipline, applied to the vector index). */
+  def appendToIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      table: String, cents: Array[Array[Float]]): Unit = {
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val assigned = assignCells(withVec, cents)
+    graft.operators.Bucketing.appendBucketed(assigned, table, "cell",
+      cents.length)
+  }
+
+  /** (Re)build an IVF table from GIVEN frozen centroids — the full-
+    * rebuild reference the a11 append contract compares against, and the
+    * path for rebuilding an index under an unchanged cell geometry
+    * (compaction) without touching assignment. */
+  def buildIvfIndexFrom(emb: DataFrame, idCol: String, vecCol: String,
+      table: String, cents: Array[Array[Float]]): Unit = {
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    graft.operators.Bucketing.writeBucketed(assignCells(withVec, cents),
+      table, "cell", cents.length)
+  }
+
   /** Probe a [[buildIvfIndex]] table: per-query nProbe nearest cells via
     * the (tiny) centroid set, one bucket-pruned scan of the index
     * restricted to the union of probed cells, exact cosine re-rank

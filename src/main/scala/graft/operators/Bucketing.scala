@@ -35,6 +35,19 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append to an existing bucketed table with the SAME bucket spec —
+    * new files land in the right buckets, so bucket pruning and
+    * exchange-free joins keep working across appends (the incremental
+    * ingest path for [[writeBucketed]] tables). */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit = {
+    df.write.mode("append")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Join two bucketed tables on their bucket key. When both are bucketed
     * into the same bucket count on the join key, Catalyst plans a
     * sort-merge join with NO Exchange on either side. */

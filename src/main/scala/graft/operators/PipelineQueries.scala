@@ -211,6 +211,33 @@ object PipelineQueries {
         .toDF("indexed_matches_direct")
     }),
 
+    // -- incremental IVF index maintenance, gate-enforced EXACT: append
+    // a second batch under the first batch's frozen centroids; probing
+    // the appended index must equal probing a full rebuild with the same
+    // centroids (assignment is a pure function of (vector, centroids)).
+    "a11_ivf_append_contract" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val first = emb.filter(col("vec_id") % 2 === 0)
+      val second = emb.filter(col("vec_id") % 2 === 1)
+      val cents = Ann.buildIvfIndex(first, "vec_id", "embedding",
+        "graft_ivf_idx_a11", nLists = 16, seed = 42L)
+      Ann.appendToIvfIndex(second, "vec_id", "embedding",
+        "graft_ivf_idx_a11", cents)
+      Ann.buildIvfIndexFrom(emb, "vec_id", "embedding",
+        "graft_ivf_idx_a11_ref", cents)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val appended = Ann.ivfTopKIndexed(s, "graft_ivf_idx_a11", cents,
+        queries, k = 10)
+      val rebuilt = Ann.ivfTopKIndexed(s, "graft_ivf_idx_a11_ref", cents,
+        queries, k = 10)
+      import s.implicits._
+      Seq((appended.exceptAll(rebuilt).count() == 0L &&
+        rebuilt.exceptAll(appended).count() == 0L,
+        appended.count() > 0L))
+        .toDF("append_matches_rebuild", "nonempty")
+    }),
+
     // -- ANN over the QUANTIZED corpus: exact top-k on int8-reconstructed
     // vectors. SQ8's floor arithmetic is IEEE-exact, so DuckDB replays
     // quantize→dequantize bit-identically and the whole quantized search
@@ -1827,6 +1854,8 @@ object PipelineQueries {
         "TRUE AS cosine_invariant, count(*) AS n FROM embeddings"),
     "a05_ann_index_contract" ->
       "SELECT TRUE AS indexed_matches_direct",
+    "a11_ivf_append_contract" ->
+      "SELECT TRUE AS append_matches_rebuild, TRUE AS nonempty",
     "p05_sample_contract" ->
       "SELECT DISTINCT lang, TRUE AS rate_ok FROM documents ORDER BY lang",
     "d08_simhash_contract" ->
