@@ -483,6 +483,23 @@ object EventStreams {
         ()
     }
 
+  /** Continuous vector-index ingest: every micro-batch of an embedding
+    * stream is appended to a bucketed IVF table under FROZEN centroids
+    * ([[graft.ann.Ann.appendToIvfIndex]]) — the streaming face of the
+    * a11 maintenance law: assignment is a pure function of (vector,
+    * centroids), so the index after any chopping equals the one-shot
+    * build (StreamingSpec asserts probe equality). Same foreachBatch
+    * boundary as [[lshIngest]]. */
+  def ivfIngest(vectors: DataFrame, table: String,
+      cents: Array[Array[Float]], idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ann.Ann.appendToIvfIndex(batch.toDF(), idCol, vecCol, table, cents)
+        ()
+    }
+
   /** Streaming CDC materialization: a changelog stream is folded into a
     * per-key snapshot store, one micro-batch at a time. Each batch merges
     * into the store via [[graft.operators.Maintenance.latestPerKey]] —

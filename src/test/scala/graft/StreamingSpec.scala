@@ -432,6 +432,38 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
     assert(got == Map(2L -> "live"))
   }
 
+  test("ivfIngest: streamed appends probe identically to the one-shot build") {
+    import graft.ann.Ann
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == (i % 4) * 2) 5f else 0f) + rnd.nextFloat() * 0.2f).toSeq,
+        new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }.toDF("vec_id", "embedding", "ts")
+    val base = emb.filter(col("vec_id") < 100)
+    val feed = emb.filter(col("vec_id") >= 100)
+    val cents = Ann.buildIvfIndex(base, "vec_id", "embedding",
+      "graft_ivf_stream_t", nLists = 8, seed = 7L)
+    // stream the second half in 4 micro-batches
+    val inDir = EventStreams.stageAscendingFiles(feed,
+      "target/qtmp/st_ivf_ingest", 4)
+    val q = EventStreams.ivfIngest(
+        spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath),
+        "graft_ivf_stream_t", cents)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    Ann.buildIvfIndexFrom(emb, "vec_id", "embedding",
+      "graft_ivf_stream_ref", cents)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val streamed = Ann.ivfTopKIndexed(spark, "graft_ivf_stream_t", cents,
+      queries, k = 5).collect().toSet
+    val rebuilt = Ann.ivfTopKIndexed(spark, "graft_ivf_stream_ref", cents,
+      queries, k = 5).collect().toSet
+    assert(streamed == rebuilt && streamed.nonEmpty)
+  }
+
   test("cdcApplyVersioned: versions archive per epoch; final == live store") {
     val log = (1 to 60).map { i =>
       (new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong % 7,
