@@ -183,11 +183,18 @@ object Analytics {
     * the horizon. Returns (key, depth, t_1..t_n) with depth = deepest
     * stage reached.
     *
-    * Shape: `stages.size − 1` key-keyed joins, each against the
-    * key-cardinality-sized previous-stage frame — the corpus is scanned
-    * once per stage but only ever shuffled by the entity key, and each
-    * intermediate is one row per key. Stage predicates are arbitrary
-    * Columns, so this funnels anything expressible over a row.
+    * Shape: ONE key-partitioned shuffle. Stage-relevant events are
+    * filtered BEFORE the exchange, collected per key, array_sort'ed by
+    * (time, stage) and folded left-to-right with an n-slot state struct
+    * — coalesce keeps the FIRST qualifying time per stage, which is
+    * exactly the greedy chain (ClickHouse computes this with the same
+    * sorted per-key scan). Per-key memory is that key's stage-relevant
+    * events — the sessionize state-machine envelope. Same-timestamp
+    * stage_{i−1}/stage_i events resolve in stage order, matching the
+    * tᵢ ≥ tᵢ₋₁ inclusive semantics.
+    *
+    * Stage predicates must be DISJOINT per event (an event matching two
+    * stages registers only the earliest one here).
     */
   def windowFunnel(df: DataFrame, keyCols: Seq[String], tsCol: String,
       stages: Seq[Column], horizonUs: Long): DataFrame = {
@@ -195,25 +202,38 @@ object Analytics {
     require(horizonUs >= 1, s"horizonUs=$horizonUs must be >= 1")
     val keys = keyCols.map(col)
     val ts = unix_micros(col(tsCol))
-    val first = df.groupBy(keys: _*)
-      .agg(min(when(stages.head, ts)).as("t_1"))
-      .filter(col("t_1").isNotNull)
-    val full = stages.zipWithIndex.tail.foldLeft(first) {
-      case (acc, (pred, i)) =>
-        val prev = s"t_$i"; val cur = s"t_${i + 1}"
-        df.join(acc, keyCols)
-          .groupBy(keys: _*)
-          .agg(
-            min(col(prev)).as(prev),
-            (0 until i - 1).map(j => min(col(s"t_${j + 1}")).as(s"t_${j + 1}")) ++
-              Seq(min(when(pred && ts >= col(prev) &&
-                ts <= col("t_1") + lit(horizonUs), ts)).as(cur)): _*)
+    val stageIdx = stages.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((p, i), rest) => when(p, lit(i)).otherwise(rest)
     }
+    val evs = df
+      .select(keys :+ ts.as("us") :+ stageIdx.as("stg"): _*)
+      .filter(col("stg") >= 0)
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("us"), col("stg")))).as("evs"))
+    val init = struct(stages.indices.map(i =>
+      lit(null).cast("long").as(s"t_${i + 1}")): _*)
+    val folded = aggregate(col("evs"), init, (st, e) => {
+      val slots = stages.indices.map { i =>
+        val cand =
+          if (i == 0) when(e.getField("stg") === 0, e.getField("us"))
+          else when(e.getField("stg") === i &&
+            st.getField(s"t_$i").isNotNull &&
+            e.getField("us") >= st.getField(s"t_$i") &&
+            e.getField("us") <= st.getField("t_1") + lit(horizonUs),
+            e.getField("us"))
+        coalesce(st.getField(s"t_${i + 1}"), cand).as(s"t_${i + 1}")
+      }
+      struct(slots: _*)
+    })
     // depth counts consecutively reached stages (a gap caps it there)
     val gated = stages.indices.tail.foldLeft(lit(1): Column) { (d, i) =>
       when(col(s"t_${i + 1}").isNotNull && d === i, lit(i + 1)).otherwise(d)
     }
-    full.withColumn("depth", gated)
+    evs.withColumn("__f", folded)
+      .select(keys ++ stages.indices.map(i =>
+        col(s"__f.t_${i + 1}").as(s"t_${i + 1}")): _*)
+      .filter(col("t_1").isNotNull)
+      .withColumn("depth", gated)
   }
 
   /** Diff two snapshots of a keyed table: each key is classified as

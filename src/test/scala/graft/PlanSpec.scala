@@ -527,6 +527,13 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(!p.contains("Join"), s"rolling window must not join:\n$p")
   }
 
+  test("c08: funnel folds in ONE corpus scan, one keyed exchange, no joins") {
+    val p = plan("c08_funnel")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"funnel rescanned the corpus:\n$p")
+    assert(!p.contains("Join"), s"one-pass funnel must not join:\n$p")
+  }
+
   test("d21: containment joins the inverted index; no cartesian product") {
     val p = plan("d21_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
