@@ -144,6 +144,17 @@ object CoreQueries {
     }),
 
     // -- rollup (exceeds reference) --------------------------------------
+    // -- UNPIVOT (wide → long reshape, the q30 pivot inverse): per-flag
+    // quantity/price sums stacked back into (flag, measure, value) rows.
+    "q59_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"))
+      wide.selectExpr("l_returnflag",
+          "stack(2, 'qty', qty, 'price', price) AS (measure, value)")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
     // -- typed Dataset API surface end-to-end: case-class rows, lambda
     // filter, groupByKey + mapGroups — the reference's derive(Data)
     // struct pipeline shape as a GATE (quantities are integral doubles,
@@ -1143,6 +1154,14 @@ object CoreQueries {
         |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders
         |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q59_unpivot" ->
+      """WITH w AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+        |    round(sum(l_extendedprice), 2) AS price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'price' AS measure, price AS value FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q58_typed_dataset" ->
       """SELECT l_returnflag AS rf, count(*) AS n,
         | CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_x100

@@ -439,6 +439,25 @@ object SourceQueries {
         .orderBy(col("event_type"))),
 
     // -- time scalar functions (time.rs; truncate_minutes + parts) -------
+    // -- MapType surface: build a map column, explode it, read through
+    //    map_keys/element_at — the dynamic key-value shape (the
+    //    reference's Value::Map); values derive from plain columns so
+    //    the replay needs no map support on the oracle side -------------
+    "f04_map_functions" -> ((s, d) => {
+      val m = Tables.documents(s, d).select(col("doc_id"),
+        map_from_arrays(
+          array(lit("lang"), lit("src"), lit("len")),
+          array(col("lang"), col("source"), col("n_chars").cast("string")))
+          .as("meta"))
+      m.select(col("doc_id"), size(map_keys(col("meta"))).as("n_keys"),
+          explode(col("meta")).as(Seq("k", "v")))
+        .filter(col("k") =!= "len")
+        .groupBy(col("k"), col("v"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          min(col("n_keys")).as("n_keys"))
+        .orderBy(col("k"), col("v"))
+    }),
+
     // -- hashing-trick featurizer: lang/source tags bucketed into 32
     //    dims; per-bucket load + distinct-feature (collision) census.
     //    md5-derived buckets are a pure function of the feature, so any
@@ -610,6 +629,14 @@ object SourceQueries {
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f04_map_functions" ->
+      """WITH kv AS (
+        |  SELECT doc_id, 'lang' AS k, lang AS v FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'src' AS k, source AS v FROM documents)
+        |SELECT k, v, count(*) AS n, min(doc_id) AS min_id,
+        |  CAST(3 AS INT) AS n_keys
+        |FROM kv GROUP BY k, v ORDER BY k, v""".stripMargin,
     "f03_feature_hash" ->
       """WITH f AS (
         |  SELECT unnest(['lang=' || lang, 'src=' || source]) AS feat
