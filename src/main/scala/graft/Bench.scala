@@ -74,6 +74,8 @@ object Bench {
     "d21_containment",       // inverted gram index containment pairs
     "g04_jaccard_nbrs",      // wedge-join neighbor similarity
     "p16_bootstrap_ci",      // 40-replica Poisson bootstrap (explode + agg)
+    "c08_funnel",            // one-pass sorted-fold conversion funnel
+    "m07_scene_cuts",        // frame-stream walk + decode (mapPartitions)
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {
