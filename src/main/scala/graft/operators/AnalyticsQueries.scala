@@ -78,6 +78,23 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_users"), sum(col("t_1")).as("sum_t1_us"))
         .orderBy(col("depth"))),
 
+    // -- equal-width numeric histogram: 20 bins over the price range,
+    // per-bin count + bounds; one stats pass broadcast back ------------
+    "c11_numeric_histogram" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val st = o.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(st))
+        .withColumn("bin", least(lit(19L),
+          floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(20.0))).cast("long")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bin"))
+    }),
+
     // -- robust scaling census: median/IQR normalization per event type,
     // outlier count beyond |scaled| > 2 and extremes — all replayed ------
     "c09_robust_scale" -> ((s, d) =>
@@ -176,6 +193,16 @@ object AnalyticsQueries {
         |    AS n_anomalies,
         |  round(max(abs(zscore)), 4) AS max_abs_z
         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c11_numeric_histogram" ->
+      """WITH st AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders),
+        |b AS (SELECT o_totalprice,
+        |    least(19, CAST(floor((o_totalprice - st.mn)
+        |      / ((st.mx - st.mn) / 20.0)) AS BIGINT)) AS bin
+        |  FROM orders CROSS JOIN st)
+        |SELECT bin, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "c09_robust_scale" ->
       """WITH st AS (SELECT event_type,
         |    quantile_cont(value, 0.5) AS med,

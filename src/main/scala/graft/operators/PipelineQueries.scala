@@ -86,6 +86,33 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // -- LEAKAGE-FREE split PROOF: split at near-dup-CLUSTER granularity
+    // (unit = connected-component rep, singletons their own unit), then
+    // count LSH near-dup pairs crossing split boundaries — must be 0 BY
+    // CONSTRUCTION, and the oracle proves the same 0 independently by
+    // replaying pairs → clusters → md5 split → cross-count. ------------
+    "p20_split_leakage" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val clusters = Dedup.duplicateClusters(pairs)
+      val units = docs.select(col("doc_id"))
+        .join(clusters.withColumnRenamed("rep", "rep0"), Seq("doc_id"), "left")
+        .withColumn("unit", coalesce(col("rep0"), col("doc_id")))
+      val asg = Splits.assign(units, "unit", salt = "r3")
+        .select(col("doc_id"), col("split"))
+      val nCross = pairs
+        .join(asg.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+        .join(asg.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+        .filter(col("sa") =!= col("sb")).count()
+      val nDocs = docs.count()
+      val nUnits = units.select(col("unit")).distinct().count()
+      val nPairs = pairs.count()
+      Seq((nDocs, nUnits, nPairs, nCross))
+        .toDF("n_docs", "n_units", "n_pairs", "n_cross")
+    }),
+
     // -- packing-efficiency report: per-corpus utilization of the t07
     // context bins + boundary-straddler census. The straddle window here
     // is the gate-scale form; production derives offsets from
@@ -1989,6 +2016,44 @@ object PipelineQueries {
         |       / len(list_distinct(a.tris||b.tris)), 4) AS j
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY j DESC, a, b LIMIT 10""".stripMargin,
+    // pairs → recursive-CTE clusters → md5 unit split → cross-count:
+    // the oracle derives n_cross = 0 independently, so a leaky split
+    // OR a wrong cluster closure would both hash-mismatch
+    "p20_split_leakage" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
+        |      WHERE tri IS NOT NULL GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
+        |        / len(list_distinct(a.tris||b.tris)) >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |rep AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+        |units AS (SELECT d.doc_id, coalesce(rep.rep, d.doc_id) AS unit
+        |  FROM documents d LEFT JOIN rep USING (doc_id)),
+        |asg AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(unit::VARCHAR || ':r3'),1,2) < 'e6'
+        |      THEN 'train'
+        |      WHEN substr(md5(unit::VARCHAR || ':r3'),1,2) < 'f3' THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM units)
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(DISTINCT unit) FROM units) AS n_units,
+        |  (SELECT count(*) FROM pairs) AS n_pairs,
+        |  (SELECT count(*) FROM pairs p
+        |     JOIN asg x ON x.doc_id = p.a JOIN asg y ON y.doc_id = p.b
+        |     WHERE x.split <> y.split) AS n_cross""".stripMargin,
     "p19_packing_efficiency" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
