@@ -89,6 +89,62 @@ object GraphOps {
     ranks
   }
 
+  /** PERSONALIZED PageRank: the random walk teleports to the `seeds`
+    * (uniformly) instead of to every node — relevance "from the
+    * perspective of" a seed set, the standard related-entity /
+    * recommendation signal on a link graph:
+    *
+    *   r₀ = v ;  rᵢ₊₁(u) = (1−d)·v(u) + d·( Σ contrib + Dᵢ·v(u) )
+    *
+    * with v uniform over seeds, 0 elsewhere (dangling mass returns to
+    * the seeds — the walk restarts there). Same fixed-iteration,
+    * per-iteration-1e-12-rounded, checkpoint-truncated discipline as
+    * [[pageRank]]; mass stays 1 over the seeds' reachable set. Seeds
+    * must exist in the graph — missing seeds would silently leak reset
+    * mass, so they fail loudly instead.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iterations: Int = 3, damping: Double = 0.85,
+      materialize: Boolean = true): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(damping > 0.0 && damping < 1.0, s"damping=$damping outside (0,1)")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = if (materialize) e0.localCheckpoint() else e0
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val distinctSeeds = seeds.distinct
+    val present = nodes.filter(col("node").isInCollection(distinctSeeds)).count()
+    require(present == distinctSeeds.size,
+      s"personalizedPageRank: ${distinctSeeds.size - present} seed(s) not in the graph")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    def r12(c: org.apache.spark.sql.Column) =
+      floor(c * 1e12 + lit(0.5)) / 1e12
+    def v = when(col("node").isInCollection(distinctSeeds),
+      lit(1.0 / distinctSeeds.size)).otherwise(lit(0.0))
+    var ranks = nodes.select(col("node"), v.as("rank"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = e.join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      val dang = ranks
+        .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left_outer")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          r12(lit(1.0 - damping) * v
+            + lit(damping) * (coalesce(col("contrib"), lit(0.0))
+              + col("dm") * v)).as("rank"))
+      i += 1
+      if (materialize) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** In/out degree per node over the deduplicated edge set — the cheap
     * centrality (one aggregate each side, one outer merge). */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {

@@ -1425,6 +1425,23 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // -- PERSONALIZED PageRank from seeds {0,1,2}: teleport and dangling
+    // mass return to the seeds; same unrolled 3-iteration 1e-12-rounded
+    // replay discipline as g01 -------------------------------------------
+    "g05_personalized_pr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+      val edges = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), k.as("dst"))
+        .withColumn("src", lag(col("dst"), 1).over(w))
+        .filter(col("src").isNotNull && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.personalizedPageRank(edges, "src", "dst",
+          seeds = Seq(0L, 1L, 2L), iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // -- degree centrality over the same transition graph ----------------
     "g02_degrees" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -2836,6 +2853,53 @@ object PipelineQueries {
     // g01: same edge construction (per-user lag over (ts, event_id)),
     // then 3 unrolled power iterations — each rounds to 1e-12 exactly as
     // the Spark side, so the sequences are identical double-for-double
+    // g05: g01's recurrence with reset vector v = 1/3 on nodes {0,1,2},
+    // 0 elsewhere; teleport term (1-0.85)*v, dangling term dm*v
+    "g05_personalized_pr" ->
+      """WITH kx AS (SELECT user_id, ts, event_id,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |seq AS (SELECT user_id, k AS dst,
+        |    lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM kx),
+        |e AS (SELECT DISTINCT src, dst FROM seq
+        |      WHERE src IS NOT NULL AND src <> dst),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+        |v AS (SELECT node, CASE WHEN node IN (0, 1, 2) THEN 1.0 / 3
+        |      ELSE 0.0 END AS v FROM nodes),
+        |r0 AS (SELECT node, v AS rank FROM v),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+        |       FROM e JOIN deg USING (src) JOIN r0 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r0
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |r1 AS (SELECT v.node,
+        |       floor(((1.0 - 0.85) * v.v
+        |         + 0.85*(coalesce(c1.contrib, 0.0) + d1.dm * v.v))
+        |             * 1e12 + 0.5) / 1e12 AS rank
+        |       FROM v LEFT JOIN c1 ON c1.node = v.node CROSS JOIN d1),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+        |       FROM e JOIN deg USING (src) JOIN r1 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |d2 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r1
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |r2 AS (SELECT v.node,
+        |       floor(((1.0 - 0.85) * v.v
+        |         + 0.85*(coalesce(c2.contrib, 0.0) + d2.dm * v.v))
+        |             * 1e12 + 0.5) / 1e12 AS rank
+        |       FROM v LEFT JOIN c2 ON c2.node = v.node CROSS JOIN d2),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+        |       FROM e JOIN deg USING (src) JOIN r2 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |d3 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r2
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |r3 AS (SELECT v.node,
+        |       floor(((1.0 - 0.85) * v.v
+        |         + 0.85*(coalesce(c3.contrib, 0.0) + d3.dm * v.v))
+        |             * 1e12 + 0.5) / 1e12 AS rank
+        |       FROM v LEFT JOIN c3 ON c3.node = v.node CROSS JOIN d3)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
     "g01_pagerank" ->
       """WITH kx AS (SELECT user_id, ts, event_id,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

@@ -105,6 +105,21 @@ class GraphSpec extends AnyFunSuite with CacheHygiene {
     assert(a == b)
   }
 
+  test("personalizedPageRank: mass conserved, seeds dominate, loud on bad seed") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L))
+      .toDF("s", "t")
+    val r = GraphOps.personalizedPageRank(e, "s", "t", seeds = Seq(0L),
+        iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass ${r.values.sum}")
+    // teleportation concentrates rank near the seed: node 0 and its
+    // 1-step successor outrank the far side of the cycle
+    assert(r(0L) > r(4L) && r(1L) > r(4L), r.toString)
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(e, "s", "t", seeds = Seq(99L))
+    }
+  }
+
   test("neighborJaccard: 4-cycle closed form — opposite corners identical") {
     // a-b-c-d-a: nbrs(a)={b,d}, nbrs(c)={b,d} → jaccard(a,c)=1; adjacent
     // corners share nothing
