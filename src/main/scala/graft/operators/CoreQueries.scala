@@ -144,6 +144,31 @@ object CoreQueries {
     }),
 
     // -- rollup (exceeds reference) --------------------------------------
+    // -- window suite 2: dense_rank / percent_rank / cume_dist /
+    // first_value / last_value / nth_value with EXPLICIT frames (q35
+    // covers lag/lead/rank/ntile/running sums). Unique per-partition
+    // ordering keeps the rank family deterministic.
+    "q60_window_suite2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wCur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("drk", dense_rank().over(w))
+        .withColumn("prk", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("first_c", first(col("cents")).over(wCur))
+        .withColumn("last_c", last(col("cents")).over(wAll))
+        .withColumn("nth2", nth_value(col("cents"), 2).over(wCur))
+        .select(col("o_orderkey"), col("o_custkey"), col("drk"), col("prk"),
+          col("cd"), col("first_c"), col("last_c"), col("nth2"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // -- UNPIVOT (wide → long reshape, the q30 pivot inverse): per-flag
     // quantity/price sums stacked back into (flag, measure, value) rows.
     "q59_unpivot" -> ((s, d) => {
@@ -1154,6 +1179,24 @@ object CoreQueries {
         |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders
         |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q60_window_suite2" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 100 = 0)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(dense_rank() OVER w AS INT) AS drk,
+        |  round(percent_rank() OVER w, 6) AS prk,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(cents) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_c,
+        |  last_value(cents) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_c,
+        |  nth_value(cents, 2) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth2
+        |FROM o WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q59_unpivot" ->
       """WITH w AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
         |    round(sum(l_extendedprice), 2) AS price
