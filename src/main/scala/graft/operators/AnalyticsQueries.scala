@@ -78,6 +78,31 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_users"), sum(col("t_1")).as("sum_t1_us"))
         .orderBy(col("depth"))),
 
+    // -- A/B experiment analysis: per-user conversion (any purchase),
+    // arms by user parity, two-proportion z-test with pooled variance —
+    // exact integer counts, one fixed-order formula, fully replayed ----
+    "c12_ab_test" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long")).as("conv"))
+        .withColumn("is_a", (col("user_id") % 2 === 0).cast("long"))
+      val g = users.agg(
+        sum(col("is_a")).as("n_a"),
+        sum(col("is_a") * col("conv")).as("c_a"),
+        sum(lit(1L) - col("is_a")).as("n_b"),
+        sum((lit(1L) - col("is_a")) * col("conv")).as("c_b"))
+      val pA = col("c_a").cast("double") / col("n_a")
+      val pB = col("c_b").cast("double") / col("n_b")
+      val pool = (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val z = (pA - pB) / sqrt(pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      g.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        round(floor(pA * lit(1e12) + lit(0.5)) / lit(1e12), 6).as("p_a"),
+        round(floor(pB * lit(1e12) + lit(0.5)) / lit(1e12), 6).as("p_b"),
+        round(floor(z * lit(1e12) + lit(0.5)) / lit(1e12), 6).as("z"),
+        (abs(z) > lit(1.96)).as("significant_95"))
+    }),
+
     // -- equal-width numeric histogram: 20 bins over the price range,
     // per-bin count + bounds; one stats pass broadcast back ------------
     "c11_numeric_histogram" -> ((s, d) => {
@@ -193,6 +218,28 @@ object AnalyticsQueries {
         |    AS n_anomalies,
         |  round(max(abs(zscore)), 4) AS max_abs_z
         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c12_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+        |    CAST(sum(is_a * conv) AS BIGINT) AS c_a,
+        |    CAST(sum(1 - is_a) AS BIGINT) AS n_b,
+        |    CAST(sum((1 - is_a) * conv) AS BIGINT) AS c_b
+        |  FROM u),
+        |f AS (SELECT *,
+        |    CAST(c_a AS DOUBLE) / n_a AS pa, CAST(c_b AS DOUBLE) / n_b AS pb,
+        |    CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pool
+        |  FROM g)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  round(floor(pa * 1e12 + 0.5) / 1e12, 6) AS p_a,
+        |  round(floor(pb * 1e12 + 0.5) / 1e12, 6) AS p_b,
+        |  round(floor((pa - pb) / sqrt(pool * (1.0 - pool)
+        |    * (1.0 / n_a + 1.0 / n_b)) * 1e12 + 0.5) / 1e12, 6) AS z,
+        |  abs((pa - pb) / sqrt(pool * (1.0 - pool)
+        |    * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant_95
+        |FROM f""".stripMargin,
     "c11_numeric_histogram" ->
       """WITH st AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |  FROM orders),

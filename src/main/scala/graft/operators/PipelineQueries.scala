@@ -1000,6 +1000,24 @@ object PipelineQueries {
           hashTokens = true)
         .orderBy(col("doc_id"))),
 
+    // -- per-document n-gram NOVELTY: fraction of a doc's tri-grams
+    // whose corpus-wide FIRST owner (min doc_id) is the doc itself — the
+    // "how much does this doc add" curation signal (dedup-adjacent but
+    // graded). One gram-keyed shuffle; hashGrams applies at scale. -----
+    "t24_gram_novelty" -> ((s, d) => {
+      val grams = Tables.documents(s, d).select(col("doc_id"),
+        explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+      val firstOwner = grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("first_id"))
+      grams.join(firstOwner, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum((col("first_id") === col("doc_id")).cast("long")).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_grams"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- interpolated TRIGRAM LM score (Jelinek–Mercer λ=0.6/0.3/0.1):
     // the order-up form of t11 — three vocabulary-sized count tables,
     // narrow trigram gen, hashed-token production path; the oracle
@@ -1736,6 +1754,23 @@ object PipelineQueries {
         |ORDER BY doc.doc_id""".stripMargin,
     "p08_training_mix" -> trainingMixOracle,
     "t11_lm_score" -> lmScoreOracle,
+    "t24_gram_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |g AS (SELECT DISTINCT doc_id, tri FROM t WHERE tri IS NOT NULL),
+        |fo AS (SELECT tri, min(doc_id) AS first_id FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN fo.first_id = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN fo.first_id = g.doc_id THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS novelty
+        |FROM g JOIN fo USING (tri)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
     "t22_trigram_lm" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
