@@ -254,6 +254,29 @@ object CurationQueries {
         .orderBy(col("custkey"))
     }),
 
+    // -- right-to-be-forgotten sweep: delete a key list across TABLES
+    // (events + orders) via anti-joins, prove zero residue and exact
+    // survivor counts in one output row -------------------------------
+    "u08_forget_keys" -> ((s, d) => {
+      val forget = Tables.events(s, d).select(col("user_id")).distinct()
+        .filter(col("user_id") % 97 === 0)
+      val evClean = Tables.events(s, d)
+        .join(forget, Seq("user_id"), "left_anti")
+      val ordClean = Tables.orders(s, d)
+        .join(forget.withColumnRenamed("user_id", "o_custkey"),
+          Seq("o_custkey"), "left_anti")
+      val evStats = evClean.agg(count(lit(1)).as("ev_rows"),
+        countDistinct(col("user_id")).as("ev_users"))
+      val ordStats = ordClean.agg(count(lit(1)).as("ord_rows"))
+      val evResidue = evClean.join(forget, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("ev_residue"))
+      val ordResidue = ordClean
+        .join(forget.withColumnRenamed("user_id", "o_custkey"),
+          Seq("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("ord_residue"))
+      evStats.crossJoin(ordStats).crossJoin(evResidue).crossJoin(ordResidue)
+    }),
+
     // -- snapshot-log TIME TRAVEL: the CDC store archived per epoch;
     // "VERSION AS OF k" must equal the one-shot apply of the changelog
     // prefix that had streamed in by epoch k (replayable because the
@@ -607,6 +630,17 @@ object CurationQueries {
         |SELECT custkey, seq_id AS last_orderkey, status,
         |  round(price, 2) AS price
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY custkey""".stripMargin,
+    "u08_forget_keys" ->
+      """WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+        |SELECT
+        |  (SELECT count(*) FROM events e
+        |     WHERE e.user_id NOT IN (SELECT user_id FROM f)) AS ev_rows,
+        |  (SELECT count(DISTINCT e.user_id) FROM events e
+        |     WHERE e.user_id NOT IN (SELECT user_id FROM f)) AS ev_users,
+        |  (SELECT count(*) FROM orders o
+        |     WHERE o.o_custkey NOT IN (SELECT user_id FROM f)) AS ord_rows,
+        |  CAST(0 AS BIGINT) AS ev_residue,
+        |  CAST(0 AS BIGINT) AS ord_residue""".stripMargin,
     "u07_time_travel" ->
       """WITH o AS (SELECT o_custkey AS custkey, o_orderkey AS seq_id,
         |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
