@@ -78,6 +78,21 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_users"), sum(col("t_1")).as("sum_t1_us"))
         .orderBy(col("depth"))),
 
+    // -- weekday seasonality profile: per-day-of-week volume and its
+    // index vs the uniform expectation (the load-shaping signal) -------
+    "c13_seasonality" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val byDow = ev.groupBy(dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      val tot = ev.agg(count(lit(1)).as("n_tot"))
+      byDow.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n"), col("cents"),
+          round(floor(col("n") * lit(7.0) / col("n_tot") * lit(1e12) +
+            lit(0.5)) / lit(1e12), 6).as("idx"))
+        .orderBy(col("dow"))
+    }),
+
     // -- A/B experiment analysis: per-user conversion (any purchase),
     // arms by user parity, two-proportion z-test with pooled variance —
     // exact integer counts, one fixed-order formula, fully replayed ----
@@ -218,6 +233,14 @@ object AnalyticsQueries {
         |    AS n_anomalies,
         |  round(max(abs(zscore)), 4) AS max_abs_z
         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Spark dayofweek: Sunday=1..Saturday=7; DuckDB strftime %w: Sunday=0
+    "c13_seasonality" ->
+      """WITH e AS (SELECT CAST(strftime(ts, '%w') AS INT) + 1 AS dow,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT count(*) AS n_tot FROM e)
+        |SELECT dow, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  round(floor(count(*) * 7.0 / t.n_tot * 1e12 + 0.5) / 1e12, 6) AS idx
+        |FROM e CROSS JOIN t GROUP BY dow, t.n_tot ORDER BY dow""".stripMargin,
     "c12_ab_test" ->
       """WITH u AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,

@@ -232,6 +232,19 @@ object SourceQueries {
     //    PlanSpec: only matching directories are LISTED, non-matching
     //    partitions are never opened), and the oracle recomputes from the
     //    original table so the hash proves the layout is lossless. -------
+    // -- line-oriented text source: one line per document written with
+    //    the text sink, read back with spark.read.text — the raw-corpus
+    //    ingestion format (reference LocalFile line shape) --------------
+    "s15_text_roundtrip" -> ((s, d) => {
+      val dir = tmp(d, "s15_text")
+      Tables.documents(s, d).select(col("text"))
+        .coalesce(2).write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("sum_chars"),
+          sum(size(split(col("value"), " "))).as("sum_tokens"))
+    }),
+
     // -- dynamic partition overwrite: rewriting ONE partition must leave
     //    every other partition untouched (partitionOverwriteMode=dynamic;
     //    static semantics would wipe the table down to 'en'). The final
@@ -554,6 +567,11 @@ object SourceQueries {
         |   THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)
         |   AS dropped_good_cents
         |FROM orders""".stripMargin,
+    "s15_text_roundtrip" ->
+      """SELECT count(*) AS n_lines,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM documents""".stripMargin,
     "u06_dynamic_overwrite" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1000
