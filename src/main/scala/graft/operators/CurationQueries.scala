@@ -70,6 +70,30 @@ object CurationQueries {
         .orderBy(col("jaccard").desc, col("u"), col("v"))
         .limit(25)),
 
+    // -- average neighbor degree (assortativity) on the k-transition
+    // graph: two keyed aggregates + a degree join --------------------
+    "g06_avg_nbr_degree" -> ((s, d) =>
+      GraphOps.avgNeighborDegree(transitionEdges(s, d), "src", "dst")
+        .orderBy(col("node"))),
+
+    // -- per-document lexical diversity: type-token ratio + hapax (corpus
+    // frequency 1) fraction — the vocabulary-richness quality signal;
+    // one vocabulary-sized shuffle --------------------------------------
+    "t25_lexical_diversity" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val cf = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+      toks.join(cf, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("n_types"),
+          sum((col("cf") === 1).cast("long")).as("n_hapax"))
+        .withColumn("ttr",
+          round(floor(col("n_types").cast("double") / col("n_tokens") *
+            lit(1e12) + lit(0.5)) / lit(1e12), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Within-document term co-occurrence (market-basket shape) --------
     // distinct terms per doc, restricted to the top-50 df vocabulary
     // (broadcast) BEFORE the doc-keyed pair self-join — the vocab cap
@@ -340,6 +364,37 @@ object CurationQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "g06_avg_nbr_degree" ->
+      """WITH kx AS (SELECT user_id, ts, event_id,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |seq AS (SELECT user_id, k AS dst,
+        |    lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM kx),
+        |e0 AS (SELECT DISTINCT src, dst FROM seq
+        |       WHERE src IS NOT NULL AND src <> dst),
+        |e AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        |      FROM e0 WHERE src <> dst),
+        |adj AS (SELECT lo AS node, hi AS nbr FROM e
+        |        UNION ALL SELECT hi, lo FROM e),
+        |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1)
+        |SELECT adj.node, CAST(count(*) AS BIGINT) AS deg,
+        |  round(floor(CAST(sum(d2.deg) AS BIGINT)::DOUBLE / count(*) * 1e12
+        |    + 0.5) / 1e12, 6) AS avg_nbr_deg
+        |FROM adj JOIN deg d2 ON d2.node = adj.nbr
+        |GROUP BY adj.node ORDER BY adj.node""".stripMargin,
+    "t25_lexical_diversity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cf AS (SELECT w, count(*) AS cf FROM toks GROUP BY 1)
+        |SELECT toks.doc_id, count(*) AS n_tokens,
+        |  count(DISTINCT toks.w) AS n_types,
+        |  CAST(sum(CASE WHEN cf.cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  round(floor(count(DISTINCT toks.w)::DOUBLE / count(*) * 1e12 + 0.5)
+        |    / 1e12, 6) AS ttr
+        |FROM toks JOIN cf USING (w)
+        |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin,
     "g04_jaccard_nbrs" ->
       """WITH kx AS (SELECT user_id, ts, event_id,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

@@ -193,6 +193,26 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Average neighbor degree per node (undirected simple graph) — the
+    * assortativity signal: hubs connected to hubs vs hubs feeding
+    * leaves. Two keyed aggregates + one broadcastable degree join. */
+  def avgNeighborDegree(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val adj = e.select(col("lo").as("node"), col("hi").as("nbr"))
+      .union(e.select(col("hi").as("node"), col("lo").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    adj.join(deg.select(col("node").as("nbr"), col("deg").as("nbr_deg")), "nbr")
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"), sum(col("nbr_deg")).as("sum_nbr_deg"))
+      .select(col("node"), col("deg"),
+        round(floor(col("sum_nbr_deg").cast("double") / col("deg") * lit(1e12)
+          + lit(0.5)) / lit(1e12), 6).as("avg_nbr_deg"))
+  }
+
   /** Neighbor-set Jaccard similarity per node pair — the classic
     * link-prediction / entity-similarity feature: two nodes are similar
     * when they share neighbors (common-neighbors / union-of-neighbors on

@@ -1000,6 +1000,25 @@ object PipelineQueries {
           hashTokens = true)
         .orderBy(col("doc_id"))),
 
+    // -- corpus DATASHEET: the one-row "data card" profile a release
+    // ships with — volume, vocabulary, composition, duplication — all
+    // from single-pass aggregates + one digest distinct ---------------
+    "p21_datasheet" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))
+      base.select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"),
+        (col("n_docs") - col("n_unique_texts")).as("n_exact_dupes"),
+        round(floor(col("n_tokens").cast("double") / col("n_docs") * lit(1e12)
+          + lit(0.5)) / lit(1e12), 4).as("avg_tokens"))
+    }),
+
     // -- per-document n-gram NOVELTY: fraction of a doc's tri-grams
     // whose corpus-wide FIRST owner (min doc_id) is the doc itself — the
     // "how much does this doc add" curation signal (dedup-adjacent but
@@ -1754,6 +1773,17 @@ object PipelineQueries {
         |ORDER BY doc.doc_id""".stripMargin,
     "p08_training_mix" -> trainingMixOracle,
     "t11_lm_score" -> lmScoreOracle,
+    "p21_datasheet" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        | count(DISTINCT lang) AS n_langs,
+        | count(DISTINCT source) AS n_sources,
+        | CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+        |   AS n_exact_dupes,
+        | round(floor(CAST(sum(len(string_split(text, ' '))) AS BIGINT)::DOUBLE
+        |   / count(*) * 1e12 + 0.5) / 1e12, 4) AS avg_tokens
+        |FROM documents""".stripMargin,
     "t24_gram_novelty" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
