@@ -78,6 +78,18 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_users"), sum(col("t_1")).as("sum_t1_us"))
         .orderBy(col("depth"))),
 
+    // -- daily percentile bands: p50/p90/p99 of event value per day —
+    // the latency-band time series; exact interpolating percentiles ----
+    "c14_percentile_bands" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy(col("day"))
+    }),
+
     // -- weekday seasonality profile: per-day-of-week volume and its
     // index vs the uniform expectation (the load-shaping signal) -------
     "c13_seasonality" -> ((s, d) => {
@@ -233,6 +245,12 @@ object AnalyticsQueries {
         |    AS n_anomalies,
         |  round(max(abs(zscore)), 4) AS max_abs_z
         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c14_percentile_bands" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS n,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // Spark dayofweek: Sunday=1..Saturday=7; DuckDB strftime %w: Sunday=0
     "c13_seasonality" ->
       """WITH e AS (SELECT CAST(strftime(ts, '%w') AS INT) + 1 AS dow,

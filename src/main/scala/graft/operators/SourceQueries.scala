@@ -232,6 +232,23 @@ object SourceQueries {
     //    PlanSpec: only matching directories are LISTED, non-matching
     //    partitions are never opened), and the oracle recomputes from the
     //    original table so the hash proves the layout is lossless. -------
+    // -- schema-evolving UNION: a v1 frame (no `source` column) unions a
+    //    v2 frame via unionByName(allowMissingColumns) — missing columns
+    //    null-fill; the in-memory face of s12's on-disk evolution -------
+    "u09_union_evolution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v2 = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("source").isNull.cast("long")).as("n_v1_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // -- line-oriented text source: one line per document written with
     //    the text sink, read back with spark.read.text — the raw-corpus
     //    ingestion format (reference LocalFile line shape) --------------
@@ -567,6 +584,12 @@ object SourceQueries {
         |   THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)
         |   AS dropped_good_cents
         |FROM orders""".stripMargin,
+    "u09_union_evolution" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_v1_rows,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "s15_text_roundtrip" ->
       """SELECT count(*) AS n_lines,
         | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
