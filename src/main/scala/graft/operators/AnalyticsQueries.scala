@@ -78,6 +78,27 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_users"), sum(col("t_1")).as("sum_t1_us"))
         .orderBy(col("depth"))),
 
+    // -- RFM segmentation: per-customer Recency/Frequency/Monetary
+    // quartiles (ntile with unique tiebreak), segment census -----------
+    "c15_rfm_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rfm = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val seg = rfm
+        .withColumn("r", ntile(4).over(
+          Window.orderBy(col("last_order").desc, col("o_custkey"))))
+        .withColumn("f", ntile(4).over(
+          Window.orderBy(col("freq").desc, col("o_custkey"))))
+        .withColumn("m", ntile(4).over(
+          Window.orderBy(col("cents").desc, col("o_custkey"))))
+      seg.groupBy(col("r"), col("f"), col("m"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("segment_cents"))
+        .orderBy(col("r"), col("f"), col("m"))
+    }),
+
     // -- daily percentile bands: p50/p90/p99 of event value per day —
     // the latency-band time series; exact interpolating percentiles ----
     "c14_percentile_bands" -> ((s, d) => {
@@ -245,6 +266,21 @@ object AnalyticsQueries {
         |    AS n_anomalies,
         |  round(max(abs(zscore)), 4) AS max_abs_z
         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c15_rfm_segments" ->
+      """WITH rfm AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |seg AS (SELECT *,
+        |    CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INT)
+        |      AS r,
+        |    CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS INT) AS f,
+        |    CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS INT) AS m
+        |  FROM rfm)
+        |SELECT r, f, m, count(*) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS segment_cents
+        |FROM seg GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
     "c14_percentile_bands" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n,
         | round(quantile_cont(value, 0.5), 4) AS p50,

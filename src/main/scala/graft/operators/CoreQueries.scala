@@ -144,6 +144,20 @@ object CoreQueries {
     }),
 
     // -- rollup (exceeds reference) --------------------------------------
+    // -- relational DIVISION ("for all"): customers with orders in EVERY
+    // priority class — the classic ∀ query, expressed as distinct-count
+    // equality against the class-universe cardinality.
+    "q61_relational_division" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val nClasses = o.select(col("o_orderpriority")).distinct().count()
+      o.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("n_classes"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("n_classes") === nClasses)
+        .select(col("o_custkey"), col("n_orders"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // -- window suite 2: dense_rank / percent_rank / cume_dist /
     // first_value / last_value / nth_value with EXPLICIT frames (q35
     // covers lag/lead/rank/ntile/running sums). Unique per-partition
@@ -1179,6 +1193,12 @@ object CoreQueries {
         |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders
         |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q61_relational_division" ->
+      """SELECT o_custkey, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(DISTINCT o_orderpriority) =
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY o_custkey""".stripMargin,
     "q60_window_suite2" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
