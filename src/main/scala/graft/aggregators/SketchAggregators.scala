@@ -31,6 +31,22 @@ object SketchAggregators {
     def outputEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
   }
 
+  /** Theta/KMV sketch build over PRE-HASHED values in [0, 2^domainBits)
+    * — the set-algebra companion to [[HllSketchAgg]] (direct
+    * intersection/difference, see [[graft.sketch.Theta]]). Taking the
+    * hash as input (rather than hashing in `reduce`) keeps the hash in
+    * the PLAN — codegen'd `xxhash64` in production, 48-bit `md5` prefix
+    * in the sk17 gate so DuckDB can replay the sketch relationally. */
+  final class ThetaAgg[IN](k: Int, domainBits: Int, f: IN => Long)
+      extends Aggregator[IN, Theta, Theta] {
+    def zero: Theta = new Theta(k, domainBits)
+    def reduce(buf: Theta, in: IN): Theta = buf.addRaw(f(in))
+    def merge(a: Theta, c: Theta): Theta = a.merge(c)
+    def finish(r: Theta): Theta = r
+    def bufferEncoder: Encoder[Theta] = Encoders.kryo[Theta]
+    def outputEncoder: Encoder[Theta] = Encoders.kryo[Theta]
+  }
+
   /** approx COUNT(DISTINCT f(in)) — reference HyperLogLog sink. */
   final class HllDistinct[IN](b: Int, f: IN => Any)
       extends Aggregator[IN, HyperLogLog, Long] {

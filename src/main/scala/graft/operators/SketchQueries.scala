@@ -254,6 +254,39 @@ object SketchQueries {
           sum(col("ok").cast("long")).as("n_ok"))
     }),
 
+    // -- THETA/KMV sketch set algebra, HASH-verified (stronger than the
+    // sk15 boolean contract): sketch state is the k smallest distinct
+    // 48-bit md5 prefixes, so every estimate — union, DIRECT intersection
+    // and DIFFERENCE (which HLL inclusion–exclusion cannot resolve for
+    // small overlaps) — is a pure integer function of the data. DuckDB
+    // replays the whole sketch relationally (ORDER BY v LIMIT k). In
+    // production the same aggregator takes codegen'd xxhash64 input;
+    // only ≤k longs per sketch ever reach the driver ---------------------
+    "sk17_theta_setops" -> ((s, d) => {
+      import s.implicits._
+      import graft.sketch.Theta
+      val o = Tables.orders(s, d)
+      val cut = lit("1997-01-01").cast("timestamp")
+      val hv = conv(substring(
+        md5(concat(col("o_custkey").cast("string"), lit(":th5"))), 1, 12),
+        16, 10).cast("long")
+      val aH = o.filter(col("o_orderdate") < cut).select(hv.as("v")).as[Long]
+      val bH = o.filter(col("o_orderdate") >= cut).select(hv.as("v")).as[Long]
+      val k = 256
+      val agg = new ThetaAgg[Long](k, 48, identity)
+      val ta = aH.select(agg.toColumn).head()
+      val tb = bH.select(agg.toColumn).head()
+      val tu = ta.merge(tb)
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      Seq((r4(ta.estimate), r4(tb.estimate), r4(tu.estimate),
+          r4(Theta.intersectionEstimate(ta, tb)),
+          r4(Theta.aNotBEstimate(ta, tb)),
+          r4(Theta.aNotBEstimate(tb, ta)),
+          r4(Theta.jaccardEstimate(ta, tb))))
+        .toDF("est_a", "est_b", "est_union", "est_inter",
+          "est_a_not_b", "est_b_not_a", "jaccard")
+    }),
+
     // -- incrementally-maintained SKETCH materialized view driven by a
     // REAL stream: per-hour HLL store folded micro-batch by micro-batch;
     // register-max merge is associative/commutative/idempotent, so the
@@ -361,6 +394,49 @@ object SketchQueries {
       "SELECT DISTINCT o_orderpriority, TRUE AS est_ok FROM orders ORDER BY o_orderpriority",
     "sk15_hll_setops" ->
       "SELECT TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok",
+    // sk17: full relational replay of the KMV sketch — retained set =
+    // k smallest distinct 48-bit md5 prefixes; theta = max retained when
+    // full else 2^48; estimate = (k-1)·2^48/theta when full else n; set
+    // ops count exact memberships below min(thetaA, thetaB). All integer
+    // ops + ONE double division, so the doubles match Spark bit-for-bit
+    "sk17_theta_setops" ->
+      """WITH a AS (SELECT DISTINCT
+        |    ('0x'||substr(md5(o_custkey::VARCHAR || ':th5'),1,12))::BIGINT AS v
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |b AS (SELECT DISTINCT
+        |    ('0x'||substr(md5(o_custkey::VARCHAR || ':th5'),1,12))::BIGINT AS v
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        |u AS (SELECT v FROM a UNION SELECT v FROM b),
+        |ta AS (SELECT CASE WHEN count(*) < 256 THEN 281474976710656
+        |         ELSE max(v) END AS t, count(*) AS n
+        |       FROM (SELECT v FROM a ORDER BY v LIMIT 256)),
+        |tb AS (SELECT CASE WHEN count(*) < 256 THEN 281474976710656
+        |         ELSE max(v) END AS t, count(*) AS n
+        |       FROM (SELECT v FROM b ORDER BY v LIMIT 256)),
+        |tu AS (SELECT CASE WHEN count(*) < 256 THEN 281474976710656
+        |         ELSE max(v) END AS t, count(*) AS n
+        |       FROM (SELECT v FROM u ORDER BY v LIMIT 256)),
+        |ti AS (SELECT least(ta.t, tb.t) AS t FROM ta, tb),
+        |ni AS (SELECT count(*) AS n FROM a JOIN b USING (v), ti
+        |       WHERE v < ti.t),
+        |nab AS (SELECT count(*) AS n FROM a, ti WHERE v < ti.t
+        |        AND v NOT IN (SELECT v FROM b)),
+        |nba AS (SELECT count(*) AS n FROM b, ti WHERE v < ti.t
+        |        AND v NOT IN (SELECT v FROM a)),
+        |nu AS (SELECT count(*) AS n FROM u, ti WHERE v < ti.t)
+        |SELECT
+        | floor((CASE WHEN ta.n < 256 THEN ta.n::DOUBLE
+        |   ELSE 255.0::DOUBLE * 281474976710656.0::DOUBLE / ta.t END)*10000+0.5)/10000 AS est_a,
+        | floor((CASE WHEN tb.n < 256 THEN tb.n::DOUBLE
+        |   ELSE 255.0::DOUBLE * 281474976710656.0::DOUBLE / tb.t END)*10000+0.5)/10000 AS est_b,
+        | floor((CASE WHEN tu.n < 256 THEN tu.n::DOUBLE
+        |   ELSE 255.0::DOUBLE * 281474976710656.0::DOUBLE / tu.t END)*10000+0.5)/10000 AS est_union,
+        | floor((ni.n::DOUBLE * 281474976710656.0::DOUBLE / ti.t)*10000+0.5)/10000 AS est_inter,
+        | floor((nab.n::DOUBLE * 281474976710656.0::DOUBLE / ti.t)*10000+0.5)/10000 AS est_a_not_b,
+        | floor((nba.n::DOUBLE * 281474976710656.0::DOUBLE / ti.t)*10000+0.5)/10000 AS est_b_not_a,
+        | floor((CASE WHEN nu.n = 0 THEN 0.0
+        |   ELSE ni.n::DOUBLE / nu.n END)*10000+0.5)/10000 AS jaccard
+        |FROM ta, tb, tu, ti, ni, nab, nba, nu""".stripMargin,
     "st11_stream_sketch_view" ->
       """WITH n AS (SELECT CAST(count(DISTINCT date_trunc('hour', ts))
         |    AS BIGINT) AS n FROM events)

@@ -365,4 +365,87 @@ class SketchSpec extends AnyFunSuite {
     // merge is non-destructive: operands unchanged by the set ops
     assert(math.abs(a.estimate - 10000) <= 3 * sigma * 10000)
   }
+
+  // ---- Theta / KMV ----------------------------------------------------
+
+  test("Theta is exact below k and bounded at k") {
+    val t = new Theta(64)
+    (1 to 50).foreach(t.add)
+    (1 to 50).foreach(t.add) // re-adds are idempotent
+    assert(t.estimate == 50.0 && !t.isFull)
+    (51 to 5000).foreach(t.add)
+    assert(t.size == 64, "retained set must stay bounded at k")
+  }
+
+  test("Theta accuracy within 3 sigma on 100k distinct") {
+    val t = new Theta(1024)
+    (0 until 100000).foreach(i => t.add(i.toLong))
+    val err = t.errorRate
+    assert(math.abs(t.estimate - 100000) < 3 * err * 100000,
+      s"estimate ${t.estimate} too far from 100000 (err=$err)")
+  }
+
+  test("Theta merge is commutative, associative, idempotent (property)") {
+    trials(50) { rnd =>
+      def mk(l: List[Int]) = l.foldLeft(new Theta(32))((t, v) => t.add(v.toLong))
+      val a = mk(randList(rnd, 200, 0, 10000))
+      val b = mk(randList(rnd, 200, 0, 10000))
+      val c = mk(randList(rnd, 200, 0, 10000))
+      assert(a.merge(b) == b.merge(a))
+      assert(a.merge(b).merge(c) == a.merge(b.merge(c)))
+      assert(a.merge(a) == a)
+    }
+  }
+
+  test("Theta merge equals union sketch built from the union stream") {
+    val a = new Theta(128); val b = new Theta(128); val u = new Theta(128)
+    (0 until 5000).foreach { i => a.add(i.toLong); u.add(i.toLong) }
+    (2500 until 8000).foreach { i => b.add(i.toLong); u.add(i.toLong) }
+    assert(a.merge(b) == u,
+      "k smallest of merged retained sets must equal the direct union sketch")
+  }
+
+  test("Theta direct intersection and difference track planted overlap") {
+    val k = 1024
+    val a = new Theta(k); (1 to 20000).foreach(i => a.add(i.toLong))
+    val b = new Theta(k); (15001 to 35000).foreach(i => b.add(i.toLong))
+    // sampled-region estimators: error scales with the UNION at theta,
+    // 3 sigma ~ 3/sqrt(k-2) relative to the union size (35k)
+    val tol = 3.0 / math.sqrt((k - 2).toDouble) * 35000
+    val i = Theta.intersectionEstimate(a, b)
+    assert(math.abs(i - 5000) <= tol, s"intersection=$i want 5000 +- $tol")
+    val d = Theta.aNotBEstimate(a, b)
+    assert(math.abs(d - 15000) <= tol, s"aNotB=$d want 15000 +- $tol")
+    val d2 = Theta.aNotBEstimate(b, a)
+    assert(math.abs(d2 - 15000) <= tol, s"bNotA=$d2 want 15000 +- $tol")
+    val j = Theta.jaccardEstimate(a, b)
+    assert(math.abs(j - 5000.0 / 35000) < 0.05, s"jaccard=$j")
+    // the HLL-impossible case: SMALL overlap of two big sets stays
+    // resolvable (inclusion-exclusion error would swamp a 50-row overlap)
+    val c = new Theta(k); (19951 to 40000).foreach(i => c.add(i.toLong))
+    val small = Theta.intersectionEstimate(a, c)
+    assert(small >= 0 && small <= 50 + tol, s"small intersection=$small")
+    // disjoint sets: exactly zero retained in both below theta
+    val z = new Theta(k); (100001 to 120000).foreach(i => z.add(i.toLong))
+    assert(Theta.aNotBEstimate(a, a) == 0.0)
+    assert(Theta.jaccardEstimate(a, z) == 0.0)
+  }
+
+  test("Theta set ops are exact while both sketches are below k") {
+    val a = new Theta(1024); (1 to 500).foreach(i => a.add(i.toLong))
+    val b = new Theta(1024); (301 to 900).foreach(i => b.add(i.toLong))
+    assert(Theta.intersectionEstimate(a, b) == 200.0)
+    assert(Theta.aNotBEstimate(a, b) == 300.0)
+    assert(Theta.aNotBEstimate(b, a) == 400.0)
+    assert(Theta.jaccardEstimate(a, b) == 200.0 / 900.0)
+  }
+
+  test("Theta rejects out-of-domain raw values and mismatched params") {
+    val t = new Theta(64)
+    intercept[IllegalArgumentException](t.addRaw(-1L))
+    intercept[IllegalArgumentException](t.addRaw(1L << 48))
+    intercept[IllegalArgumentException](t.merge(new Theta(32)))
+    intercept[IllegalArgumentException](
+      Theta.intersectionEstimate(new Theta(64, 48), new Theta(64, 62)))
+  }
 }
