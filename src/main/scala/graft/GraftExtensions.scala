@@ -95,5 +95,8 @@ object GraftExtensions {
     ("top_gram_mass",
       "top_gram_mass(tokens, n) - char mass of the most repeated n-gram (0 if none repeats)",
       (exprs: Seq[Expression]) => TopGramMassExpression(
-        exprs(0), literalInt(exprs, 1, "top_gram_mass"))))
+        exprs(0), literalInt(exprs, 1, "top_gram_mass"))),
+    ("jaro_winkler",
+      "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings in [0,1]",
+      (exprs: Seq[Expression]) => JaroWinklerExpression(exprs(0), exprs(1))))
 }

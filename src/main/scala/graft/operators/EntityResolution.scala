@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.plans.JaroWinklerExpression
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy entity resolution — the classic record-linkage shape
+  * (Fellegi & Sunter 1969): a cheap BLOCKING key bounds which records can
+  * match, a string-similarity kernel scores only within-block pairs.
+  *
+  * 100 TB plan: one block-keyed shuffle of (id, name, block) projections
+  * (never the full rows), within-block self-join, and the codegen'd
+  * native [[graft.plans.JaroWinklerExpression]] as the scorer — no UDF in
+  * the pair loop. Without a blocking key the problem is n² by definition;
+  * with one, cost is Σ|block|², observable and cappable via `maxBlock`
+  * (same census-prune discipline as `Dedup.minhashLshPairs` /
+  * `Dedup.simhashPairs`: dropped blocks are a filter over the same count
+  * aggregate, so lossy runs are cheap to surface).
+  */
+object EntityResolution {
+
+  /** Candidate duplicate-entity pairs: within-block, scored by
+    * Jaro–Winkler, kept at `sim >= threshold`.
+    *
+    * @param maxBlock  0 = uncapped; otherwise blocks with more than
+    *                  `maxBlock` members are EXCLUDED from pair
+    *                  generation (a degenerate block — empty name,
+    *                  boilerplate key — is n² on its own). Use
+    *                  [[fuzzyPairsWithStats]] to see what a capped run
+    *                  dropped.
+    * @return (a, b, a_name, b_name, sim) with a < b on the id column
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, threshold: Double, maxBlock: Int = 0): DataFrame =
+    fuzzyPairsWithStats(df, idCol, nameCol, blockCol, threshold, maxBlock)._1
+
+  /** [[fuzzyPairs]] plus the dropped-block census `(block, n)` — empty
+    * iff the `maxBlock` cap excluded nothing (or was 0). */
+  def fuzzyPairsWithStats(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, threshold: Double, maxBlock: Int = 0)
+      : (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold outside (0,1]")
+    require(maxBlock >= 0, s"maxBlock=$maxBlock must be >= 0")
+    JaroWinklerExpression.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      col(blockCol).as("block"))
+    val census = base.groupBy(col("block")).agg(count(lit(1)).as("n"))
+    val dropped =
+      if (maxBlock > 0) census.filter(col("n") > maxBlock)
+      else census.filter(lit(false))
+    val pruned =
+      if (maxBlock > 0) {
+        // singleton blocks generate no pairs either; prune both
+        val ok = census.filter(col("n").between(2, maxBlock)).select(col("block"))
+        base.join(ok, Seq("block"))
+      } else base
+    val l = pruned.as("l"); val r = pruned.as("r")
+    val pairs = l.join(r,
+        col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.name").as("a_name"), col("r.name").as("b_name"),
+        JaroWinklerExpression.jaroWinkler(col("l.name"), col("r.name")).as("sim"))
+      .filter(col("sim") >= lit(threshold))
+    (pairs, dropped)
+  }
+}

@@ -178,6 +178,20 @@ object PipelineQueries {
         .withColumn("containment", round(col("containment"), 4))
         .orderBy(col("containment").desc, col("a"), col("b"))),
 
+    // -- blocked fuzzy ENTITY RESOLUTION: Jaro-Winkler record linkage ----
+    // p_brand is the blocking key (pairs exist only within a block); the
+    // scorer is the native codegen'd jaro_winkler expression, semantics
+    // pinned to DuckDB/RapidFuzz (PlanExprSpec parity + this oracle).
+    // Exact-duplicate names are excluded (sim < 1.0) so the gate verifies
+    // the FUZZY band, not the d01 exact-dup shape.
+    "d22_entity_resolution" -> ((s, d) =>
+      EntityResolution.fuzzyPairs(Tables.part(s, d), "p_partkey",
+          "p_name", "p_brand", threshold = 0.9)
+        .filter(col("sim") < 1.0)
+        .select(col("a"), col("b"), col("a_name"), col("b_name"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("a"), col("b"))),
+
     // -- duplicate clusters: connected components over LSH pairs ---------
     "d06_dup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
@@ -2242,6 +2256,19 @@ object PipelineQueries {
         |        JOIN sz sb ON sb.doc_id = cm.b)
         |SELECT a, b, common, containment FROM p WHERE containment >= 0.5
         |ORDER BY containment DESC, a, b""".stripMargin,
+    // d22: DuckDB's jaro_winkler_similarity is the parity reference for
+    // the native expression (same greedy matching, integer-floor
+    // transpositions, 0.7 boost threshold — verified to 1e-12 on random
+    // pairs in PlanExprSpec)
+    "d22_entity_resolution" ->
+      """SELECT a.p_partkey AS a, b.p_partkey AS b,
+        | a.p_name AS a_name, b.p_name AS b_name,
+        | round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        |  AND jaro_winkler_similarity(a.p_name, b.p_name) < 1.0
+        |ORDER BY sim DESC, a, b""".stripMargin,
     // exhaustive exact-jaccard replay of the banded+verified production
     // path: complete at these thresholds (see Dedup.fuzzyDecontaminate)
     "d15_fuzzy_decontaminate" ->

@@ -235,4 +235,59 @@ class PlanExprSpec extends AnyFunSuite with CacheHygiene {
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(fromCodegen.sameElements(interpreted))
   }
+
+  test("jaro_winkler: DuckDB-pinned goldens, null semantics, symmetry") {
+    graft.plans.JaroWinklerExpression.register(spark)
+    // goldens produced by DuckDB jaro_winkler_similarity (1.0.0) — the
+    // d22 oracle's engine; pins greedy matching, integer-floor
+    // transpositions, and the 0.7 Winkler boost threshold
+    val goldens = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("PREFIX123", "PREFIX987", 0.8666666666666666), // prefix capped at 4
+      ("ABQQQQQ", "ABZZZZZ", 0.5238095238095238), // jaro<=0.7: no boost
+      ("AACC", "CCAA", 0.5), // pure transpositions
+      ("AB", "AB", 1.0),
+      ("", "ABC", 0.0), ("", "", 0.0), ("ab", "ba", 0.0),
+      ("ABCDEF", "XYZUVW", 0.0))
+    goldens.foreach { case (a, b, want) =>
+      val r = spark.sql(s"SELECT jaro_winkler('$a', '$b')").head().getDouble(0)
+      assert(r == want, s"jaro_winkler($a,$b)=$r want $want")
+      val rev = spark.sql(s"SELECT jaro_winkler('$b', '$a')").head().getDouble(0)
+      assert(rev == want, s"not symmetric: ($b,$a)=$rev")
+    }
+    val n = spark.sql("SELECT jaro_winkler(NULL, 'x'), jaro_winkler('x', NULL)").head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("jaro_winkler: codegen == interpreted on generated pairs") {
+    graft.plans.JaroWinklerExpression.register(spark)
+    val df = spark.range(0, 2000).selectExpr(
+      "jaro_winkler(concat('name', id % 97, 'x', id % 13), " +
+        "concat('name', id % 89, 'y', id % 7)) AS s")
+    val fromCodegen = df.collect().map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = df.collect().map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(fromCodegen.sameElements(interpreted))
+  }
+
+  test("d22 entity-resolution plan: no UDF, census cap bounds pair fan-out") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("d22_entity_resolution")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"UDF found in d22 plan:\n${plan.take(500)}")
+    // degenerate corpus: one giant block — the maxBlock census prune must
+    // keep pair generation empty instead of n²
+    val dup = spark.range(0, 5000)
+      .selectExpr("id", "concat('same name ', id % 3) AS nm", "'B' AS blk")
+    val (pairs, dropped) = graft.operators.EntityResolution
+      .fuzzyPairsWithStats(dup.toDF(), "id", "nm", "blk",
+        threshold = 0.5, maxBlock = 1000)
+    assert(pairs.count() == 0L, "capped degenerate block must emit no pairs")
+    assert(dropped.count() == 1L && dropped.head().getLong(1) == 5000L,
+      "dropped-block census must surface the capped block")
+  }
 }
