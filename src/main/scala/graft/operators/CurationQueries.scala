@@ -31,7 +31,32 @@ object CurationQueries {
       .select(col("src"), col("dst"))
   }
 
+  private def tmp(sfDir: String, name: String): String =
+    s"target/qtmp/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
   val queries: Map[String, Q] = Map(
+    // -- FILE-LEVEL DATA SKIPPING: stats table + metadata-pruned scan ----
+    // lineitem is staged as 8 range-partitioned files; a per-file
+    // min/max/null stats table is built from parquet FOOTERS ONLY
+    // (distributed, ~KB of I/O per file — the Delta/Iceberg ingest-time
+    // pattern), and the query opens only files whose stats admit
+    // l_orderkey ∈ [1000, 3000]. Pruning is performance, the re-applied
+    // filter is correctness: result hash-matches the full-scan oracle;
+    // the actual file-count reduction is pinned in MaintenanceSpec.
+    "u10_data_skipping" -> ((s, d) => {
+      val dir = tmp(d, "skip_lineitem")
+      Tables.lineitem(s, d)
+        .repartitionByRange(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(dir)
+      val stats = DataSkipping.collectFileStats(s, dir,
+        Seq("l_orderkey", "l_extendedprice"))
+      DataSkipping.prunedRead(s, dir, stats, "l_orderkey", 1000, 3000)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // -- BM25 lexical retrieval: 3 fixed queries, top-10 docs each -------
     // Corpus scanned once; tokens filtered to query terms BEFORE any
     // shuffle, so the tf/df aggregates are query-vocabulary-sized.
@@ -364,6 +389,13 @@ object CurationQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // u10: pruning must be invisible to results — the oracle is the plain
+    // full-scan filter over the original table
+    "u10_data_skipping" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "g06_avg_nbr_degree" ->
       """WITH kx AS (SELECT user_id, ts, event_id,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

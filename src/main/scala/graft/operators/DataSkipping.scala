@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data-skipping statistics + metadata-pruned scans — the
+  * Delta/Iceberg "data skipping" pattern on plain parquet directories.
+  *
+  * At 100 TB a table is tens of thousands of files; a predicate that
+  * touches 1% of the key range should open ~1% of them. Spark's scan
+  * already skips ROW GROUPS via parquet footer pushdown, but it still
+  * has to LIST and OPEN every file to do so. This operator hoists the
+  * same min/max/null-count stats into a queryable FILE-level table built
+  * once at ingest (footers only — a few KB of I/O per file, never the
+  * data pages, distributed over executors), so planning can drop whole
+  * files before the scan starts. Stats rows are file-count-sized: tiny,
+  * broadcastable, cheap to keep fresh by appending rows for new files.
+  *
+  * Pruning is strictly a PERFORMANCE decision: a file is dropped only
+  * when its stats PROVE no row can match (max < lo or min > hi); files
+  * with absent stats are conservatively kept, and [[prunedRead]] always
+  * re-applies the predicate, so results are exact by construction
+  * (gate u10 hash-matches the full-scan oracle; the file-count
+  * reduction is asserted in MaintenanceSpec).
+  */
+object DataSkipping {
+
+  /** Hadoop Configuration is not Serializable; standard write/readFields
+    * envelope so executors receive the session's file-system conf. */
+  private final class SerializableConf(@transient var conf: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject(); conf = new Configuration(false); conf.readFields(in)
+    }
+  }
+
+  /** One stats row per (file, requested column):
+    * `(file, col, n_rows, null_count, min_num, max_num, min_str, max_str)`.
+    *
+    * Numeric/timestamp columns fill `min_num`/`max_num` (doubles —
+    * exact for |v| ≤ 2^53, which covers keys, dates-as-micros through
+    * year ~2255, and any stats use where 1-ulp slack is irrelevant to a
+    * CONSERVATIVE prune); UTF8 binary columns fill `min_str`/`max_str`.
+    * Columns whose chunks carry no stats yield nulls in all four —
+    * [[prunedRead]] keeps those files. Footers are read on EXECUTORS
+    * (one task per file batch); nothing data-sized moves anywhere.
+    */
+  def collectFileStats(spark: SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "collectFileStats: need at least one column")
+    import spark.implicits._
+    val sc = new SerializableConf(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(dir).getFileSystem(sc.conf)
+    val files = fs.listStatus(new Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted.toSeq
+    require(files.nonEmpty, s"collectFileStats: no parquet files under $dir")
+    val wanted = cols.toSet
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 64))
+      .mapPartitions { paths =>
+        val conf = sc.conf
+        paths.flatMap { p =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(p), conf))
+          try {
+            val blocks = reader.getFooter.getBlocks
+            val nRows = {
+              var n = 0L; val it = blocks.iterator()
+              while (it.hasNext) n += it.next().getRowCount
+              n
+            }
+            // per requested column: fold chunk stats across row groups
+            wanted.toSeq.sorted.map { c =>
+              var nulls = 0L
+              var haveAll = true
+              var minN = Double.PositiveInfinity; var maxN = Double.NegativeInfinity
+              var minS: String = null; var maxS: String = null
+              var isNum = false; var isStr = false
+              val bit = blocks.iterator()
+              while (bit.hasNext) {
+                val block = bit.next()
+                val cit = block.getColumns.iterator()
+                while (cit.hasNext) {
+                  val chunk = cit.next()
+                  if (chunk.getPath.toDotString == c) {
+                    val st = chunk.getStatistics
+                    if (st == null || st.isEmpty) haveAll = false
+                    else {
+                      nulls += st.getNumNulls
+                      if (st.hasNonNullValue) {
+                        chunk.getPrimitiveType.getPrimitiveTypeName match {
+                          case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 |
+                               PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+                            isNum = true
+                            val lo = (st.genericGetMin: Any) match {
+                              case n: Number => n.doubleValue()
+                            }
+                            val hi = (st.genericGetMax: Any) match {
+                              case n: Number => n.doubleValue()
+                            }
+                            if (lo < minN) minN = lo
+                            if (hi > maxN) maxN = hi
+                          case PrimitiveTypeName.BINARY =>
+                            isStr = true
+                            val lo = (st.genericGetMin: Any) match {
+                              case b: Binary => b.toStringUsingUTF8
+                            }
+                            val hi = (st.genericGetMax: Any) match {
+                              case b: Binary => b.toStringUsingUTF8
+                            }
+                            if (minS == null || lo < minS) minS = lo
+                            if (maxS == null || hi > maxS) maxS = hi
+                          case _ => haveAll = false // INT96 etc: no prune basis
+                        }
+                      }
+                      // all-null chunk: stats valid, no min/max contribution
+                    }
+                  }
+                }
+              }
+              (p, c, nRows, nulls,
+                if (haveAll && isNum) Some(minN) else None,
+                if (haveAll && isNum) Some(maxN) else None,
+                if (haveAll && isStr) Option(minS) else None,
+                if (haveAll && isStr) Option(maxS) else None)
+            }.iterator
+          } finally reader.close()
+        }
+      }
+      .toDF("file", "col", "n_rows", "null_count",
+        "min_num", "max_num", "min_str", "max_str")
+  }
+
+  /** Files whose stats CANNOT rule out a row with `column` in [lo, hi].
+    * Conservative: files with missing/partial stats are kept. */
+  def pruneFilesNum(stats: DataFrame, column: String,
+      lo: Double, hi: Double): Seq[String] = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    stats.filter(col("col") === column)
+      .filter(col("min_num").isNull || col("max_num").isNull ||
+        (col("min_num") <= lit(hi) && col("max_num") >= lit(lo)))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Metadata-pruned scan: open only files that may contain
+    * `column ∈ [lo, hi]`, then re-apply the exact predicate (pruning is
+    * performance; the filter is correctness). Returns an empty frame
+    * with the stats-known schema if every file was pruned. */
+  def prunedRead(spark: SparkSession, dir: String, stats: DataFrame,
+      column: String, lo: Double, hi: Double): DataFrame = {
+    val keep = pruneFilesNum(stats, column, lo, hi)
+    val all = spark.read.parquet(dir)
+    if (keep.isEmpty) all.filter(lit(false))
+    else spark.read.parquet(keep: _*)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+}

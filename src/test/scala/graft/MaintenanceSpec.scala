@@ -150,4 +150,68 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
       .select("k", "v").as[(Long, String)].collect().toMap
     assert(a == b)
   }
+
+  // ---- file-level data skipping ---------------------------------------
+
+  test("data skipping: footer stats are exact and pruning drops files") {
+    import graft.operators.DataSkipping
+    val dir = "target/qtmp/spec/skip_stats"
+    val df = spark.range(0, 10000)
+      .selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v",
+        "concat('k', lpad(CAST(id AS STRING), 5, '0')) AS name")
+    df.repartitionByRange(8, col("id")).write.mode("overwrite").parquet(dir)
+    val stats = DataSkipping.collectFileStats(spark, dir, Seq("id", "v", "name"))
+    val rows = stats.collect()
+    val files = rows.map(_.getString(0)).distinct
+    assert(files.length == 8, s"expected 8 staged files, got ${files.length}")
+    assert(rows.length == 24, "one stats row per (file, column)")
+    // per-column row counts each cover the whole table
+    assert(stats.groupBy(col("col")).agg(sum(col("n_rows")).as("n"))
+      .collect().forall(_.getLong(1) == 10000L))
+    // numeric stats are exact: global min/max across files
+    val idStats = rows.filter(_.getString(1) == "id")
+    assert(idStats.map(_.getDouble(4)).min == 0.0)
+    assert(idStats.map(_.getDouble(5)).max == 9999.0)
+    assert(idStats.forall(_.getLong(3) == 0L), "no nulls in id")
+    // string stats populated and ordered
+    val nameStats = rows.filter(_.getString(1) == "name")
+    assert(nameStats.map(_.getString(6)).min == "k00000")
+    assert(nameStats.map(_.getString(7)).max == "k09999")
+    // range-partitioned layout: a 10% id range must NOT touch all files
+    val keep = DataSkipping.pruneFilesNum(stats, "id", 2000, 2999)
+    assert(keep.nonEmpty && keep.length <= 2,
+      s"10% range kept ${keep.length}/8 files: $keep")
+    // pruned read == full-scan filter, row-for-row
+    val pruned = DataSkipping.prunedRead(spark, dir, stats, "id", 2000, 2999)
+      .select("id", "v", "name").as[(Long, Double, String)].collect().sortBy(_._1)
+    val full = spark.read.parquet(dir).filter(col("id").between(2000, 2999))
+      .select("id", "v", "name").as[(Long, Double, String)].collect().sortBy(_._1)
+    assert(pruned.sameElements(full))
+    assert(pruned.length == 1000)
+    // disjoint range: everything pruned, empty result, no crash
+    assert(DataSkipping.pruneFilesNum(stats, "id", 50000, 60000).isEmpty)
+    assert(DataSkipping.prunedRead(spark, dir, stats, "id", 50000, 60000)
+      .count() == 0L)
+  }
+
+  test("data skipping: missing stats are conservatively kept, nulls counted") {
+    import graft.operators.DataSkipping
+    import spark.implicits._
+    // hand-built stats frame: one file with absent numeric stats must
+    // survive any numeric prune (conservative keep)
+    val stats = Seq(
+      ("f1", "x", 10L, 0L, Some(0.0), Some(5.0), None: Option[String], None: Option[String]),
+      ("f2", "x", 10L, 0L, None: Option[Double], None: Option[Double], None: Option[String], None: Option[String]))
+      .toDF("file", "col", "n_rows", "null_count",
+        "min_num", "max_num", "min_str", "max_str")
+    assert(DataSkipping.pruneFilesNum(stats, "x", 100, 200) == Seq("f2"),
+      "stats-less file must be kept even when in-range files are pruned")
+    // null_count from footers: column with nulls reports them
+    val dir = "target/qtmp/spec/skip_nulls"
+    spark.range(0, 100)
+      .selectExpr("id", "CASE WHEN id % 4 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END AS v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val s2 = DataSkipping.collectFileStats(spark, dir, Seq("v")).head()
+    assert(s2.getLong(3) == 25L, s"null_count=${s2.getLong(3)} want 25")
+  }
 }
