@@ -263,4 +263,46 @@ object Analytics {
         .otherwise(lit("unchanged")))
       .drop("_in_old", "_in_new")
   }
+
+  /** Multi-touch ATTRIBUTION join: for every conversion, the touchpoints
+    * of the same user inside the lookback window, annotated with
+    * everything the standard models need — `n_touches`, `is_first`,
+    * `is_last` (ties broken by `(ts, id)`, so first-touch / last-touch /
+    * linear are all deterministic aggregations over this one frame).
+    *
+    * Conversions with NO touch in the window carry one row with a null
+    * channel and `n_touches = 0` — surfaced, not dropped, so "direct"
+    * revenue is never silently lost.
+    *
+    * 100 TB plan: both sides are column-pruned projections of the event
+    * log; the join and the per-conversion windows are all keyed (user,
+    * then conversion id) — two keyed shuffles, no global sort, fan-out
+    * bounded by touches-per-user-per-window.
+    */
+  def touchAttribution(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, touchPred: Column, convPred: Column, channel: Column,
+      valueCol: String, lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, s"lookbackUs=$lookbackUs must be positive")
+    val t = df.filter(touchPred).select(col(userCol).as("u"),
+      col(tsCol).as("t_ts"), col(idCol).as("t_id"), channel.as("channel"))
+    val c = df.filter(convPred).select(col(userCol).as("u"),
+      col(tsCol).as("c_ts"), col(idCol).as("conv_id"), col(valueCol).as("value"))
+    val j = c.join(t,
+      c("u") === t("u") &&
+        unix_micros(col("t_ts")) < unix_micros(col("c_ts")) &&
+        unix_micros(col("t_ts")) >= unix_micros(col("c_ts")) - lit(lookbackUs),
+      "left_outer")
+    val wAsc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("t_ts").asc, col("t_id").asc)
+    val wDesc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("t_ts").desc, col("t_id").desc)
+    j.select(col("conv_id"), col("c_ts"), col("value"), col("channel"),
+        col("t_ts"), col("t_id"))
+      .withColumn("n_touches",
+        count(col("t_id")).over(Window.partitionBy(col("conv_id"))))
+      .withColumn("is_first",
+        col("t_id").isNotNull && row_number().over(wAsc) === 1)
+      .withColumn("is_last",
+        col("t_id").isNotNull && row_number().over(wDesc) === 1)
+  }
 }

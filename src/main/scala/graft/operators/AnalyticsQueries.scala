@@ -44,6 +44,35 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // -- MULTI-TOUCH ATTRIBUTION: first/last/linear revenue credit ------
+    // One attribution frame (user-keyed window join) feeds all three
+    // models: first-touch and last-touch counts/cents plus exact linear
+    // shares in integer micro-cents (cents·10⁶ div n — no float drift).
+    // Conversions with no touch in the 7-day lookback surface as
+    // '(direct)' with full credit, never silently dropped.
+    "c16_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+      Analytics.touchAttribution(ev, "user_id", "ts", "event_id",
+          col("event_type").isin("view", "click"),
+          col("event_type") === "purchase",
+          concat(lit("ch"), (k % 4).cast("string")), "value",
+          lookbackUs = 604800000000L)
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .withColumn("ch", coalesce(col("channel"), lit("(direct)")))
+        .withColumn("isf", col("is_first") || col("n_touches") === 0)
+        .withColumn("isl", col("is_last") || col("n_touches") === 0)
+        .withColumn("share",
+          when(col("n_touches") === 0, col("cents") * lit(1000000L))
+            .otherwise(expr("cents * 1000000 div n_touches")))
+        .groupBy(col("ch"))
+        .agg(sum(when(col("isf"), lit(1L)).otherwise(lit(0L))).as("n_first"),
+          sum(when(col("isf"), col("cents")).otherwise(lit(0L))).as("first_cents"),
+          sum(when(col("isl"), col("cents")).otherwise(lit(0L))).as("last_cents"),
+          sum(col("share")).as("linear_micro"))
+        .orderBy(col("ch"))
+    }),
+
     // -- z-score anomaly census per event type (|z| > 2.5, population σ) --
     "c05_zscore" -> ((s, d) => {
       val flagged = Analytics.zscoreAnomalies(Tables.events(s, d),
@@ -343,6 +372,43 @@ object AnalyticsQueries {
         |    AS n_out,
         |  round(max(abs(scaled)), 6) AS max_abs_scaled
         |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // c16: full relational replay of the attribution frame — epoch_us
+    // comparisons (Spark truncates ns→us at load), window row_numbers
+    // for first/last, integer floor-division linear shares. A left-join
+    // miss is a singleton per conv_id, so its row_number is 1 regardless
+    // of engine null-ordering defaults
+    "c16_attribution" ->
+      """WITH t AS (SELECT user_id AS u, epoch_us(ts) AS t_us, event_id AS t_id,
+        |    'ch' || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 4)
+        |      AS channel
+        |  FROM events WHERE event_type IN ('view','click')),
+        |c AS (SELECT user_id AS u, epoch_us(ts) AS c_us, event_id AS conv_id,
+        |    value FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.conv_id, c.value, t.channel, t.t_us, t.t_id
+        |      FROM c LEFT JOIN t ON c.u = t.u AND t.t_us < c.c_us
+        |        AND t.t_us >= c.c_us - 604800000000),
+        |r AS (SELECT conv_id, value, channel, t_id,
+        |        count(t_id) OVER (PARTITION BY conv_id) AS n,
+        |        row_number() OVER (PARTITION BY conv_id
+        |          ORDER BY t_us, t_id) AS rf,
+        |        row_number() OVER (PARTITION BY conv_id
+        |          ORDER BY t_us DESC, t_id DESC) AS rl
+        |      FROM j),
+        |x AS (SELECT coalesce(channel, '(direct)') AS ch,
+        |        CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, n,
+        |        ((t_id IS NOT NULL AND rf = 1) OR n = 0) AS isf,
+        |        ((t_id IS NOT NULL AND rl = 1) OR n = 0) AS isl,
+        |        CASE WHEN n = 0
+        |          THEN CAST(floor(value*100+0.5) AS BIGINT) * 1000000
+        |          ELSE (CAST(floor(value*100+0.5) AS BIGINT) * 1000000) // n
+        |        END AS share
+        |      FROM r)
+        |SELECT ch,
+        | CAST(sum(CASE WHEN isf THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        | CAST(sum(CASE WHEN isf THEN cents ELSE 0 END) AS BIGINT) AS first_cents,
+        | CAST(sum(CASE WHEN isl THEN cents ELSE 0 END) AS BIGINT) AS last_cents,
+        | CAST(sum(share) AS BIGINT) AS linear_micro
+        |FROM x GROUP BY ch ORDER BY ch""".stripMargin,
     "c07_rolling_1h" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -176,6 +176,55 @@ class AnalyticsSpec extends AnyFunSuite with CacheHygiene {
       .agg(max(abs(col("scaled")))).as[Double].head() == 0.0)
   }
 
+  test("touchAttribution: window, ordering, ties, and direct conversions") {
+    // user 1: touches at t=1(a), t=2(b), t=3(b); conv at t=5 value 10.0
+    //   -> n=3, first=a, last=b(t=3)
+    // user 1: second conv at t=2.5 -> only touches t=1,t=2 qualify (n=2)
+    // user 2: conv with NO touch in window -> (direct) row, n=0
+    // user 3: touch AFTER conv -> not attributed
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:01", 101L, "touch", "a", 0.0),
+      (1L, "2024-01-01 00:00:02", 102L, "touch", "b", 0.0),
+      (1L, "2024-01-01 00:00:03", 103L, "touch", "b", 0.0),
+      (1L, "2024-01-01 00:00:05", 104L, "conv", null, 10.0),
+      (1L, "2024-01-01 00:00:02", 105L, "conv", null, 4.0), // tie: touch at same us excluded (strict <)
+      (2L, "2024-01-01 00:00:05", 201L, "conv", null, 7.0),
+      (3L, "2024-01-01 00:00:05", 301L, "conv", null, 3.0),
+      (3L, "2024-01-01 00:00:06", 302L, "touch", "c", 0.0))
+      .toDF("user_id", "tss", "event_id", "kind", "chan", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val att = Analytics.touchAttribution(rows, "user_id", "ts", "event_id",
+      col("kind") === "touch", col("kind") === "conv", col("chan"), "value",
+      lookbackUs = 10000000L)
+    val byConv = att.collect().groupBy(_.getLong(0))
+    // conv 104: 3 touches, first=a (t=1), last=b at t=3 (event 103)
+    val c104 = byConv(104L)
+    assert(c104.length == 3 && c104.forall(_.getLong(6) == 3L))
+    assert(c104.filter(_.getBoolean(7)).map(_.getString(3)).toSeq == Seq("a"))
+    val last104 = c104.filter(_.getBoolean(8))
+    assert(last104.length == 1 && last104.head.getLong(5) == 103L)
+    // conv 105 at t=2: strict < excludes the t=2 touch -> only t=1
+    val c105 = byConv(105L)
+    assert(c105.length == 1 && c105.head.getLong(6) == 1L &&
+      c105.head.getString(3) == "a" &&
+      c105.head.getBoolean(7) && c105.head.getBoolean(8))
+    // conv 201 and 301: no touches -> single null-channel row, n=0,
+    // neither first nor last (gate maps these to full '(direct)' credit)
+    Seq(201L, 301L).foreach { id =>
+      val r = byConv(id)
+      assert(r.length == 1 && r.head.getLong(6) == 0L &&
+        r.head.isNullAt(3) && !r.head.getBoolean(7) && !r.head.getBoolean(8),
+        s"conv $id: ${r.toSeq}")
+    }
+    // lookback bound: shrink window to 3.5s -> conv 104 loses the t=1 touch
+    val att2 = Analytics.touchAttribution(rows, "user_id", "ts", "event_id",
+      col("kind") === "touch", col("kind") === "conv", col("chan"), "value",
+      lookbackUs = 3500000L)
+    val c104b = att2.filter(col("conv_id") === 104L).collect()
+    assert(c104b.length == 2 && c104b.forall(_.getLong(6) == 2L) &&
+      c104b.forall(_.getString(3) == "b"))
+  }
+
   test("snapshotDiff: null-to-value transition is changed, not absent") {
     val oldDf = Seq((1L, Option.empty[String])).toDF("k", "v")
     val newDf = Seq((1L, Some("x"))).toDF("k", "v")
