@@ -1033,6 +1033,17 @@ object PipelineQueries {
           + lit(0.5)) / lit(1e12), 4).as("avg_tokens"))
     }),
 
+    // -- corpus DISTRIBUTION DRIFT: KL + Jensen-Shannon between two
+    // snapshots' unigram distributions (add-one smoothing over the joint
+    // vocab; per-term contributions quantized to integer pico-nats so
+    // the sum is order-independent and engine-replayable). Snapshots =
+    // doc_id parity halves — deterministic in both engines. ------------
+    "t26_distribution_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Drift.tokenDrift(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
     // -- per-document n-gram NOVELTY: fraction of a doc's tri-grams
     // whose corpus-wide FIRST owner (min doc_id) is the doc itself — the
     // "how much does this doc add" curation signal (dedup-adjacent but
@@ -1798,6 +1809,38 @@ object PipelineQueries {
         | round(floor(CAST(sum(len(string_split(text, ' '))) AS BIGINT)::DOUBLE
         |   / count(*) * 1e12 + 0.5) / 1e12, 4) AS avg_tokens
         |FROM documents""".stripMargin,
+    // t26: term-for-term replay — identical smoothing, identical pico-nat
+    // quantization (a last-ulp ln difference moves one pico-unit, 8
+    // orders below the 4dp output)
+    "t26_distribution_drift" ->
+      """WITH wa AS (SELECT unnest(string_split(text,' ')) AS tok
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |wb AS (SELECT unnest(string_split(text,' ')) AS tok
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |j AS (SELECT tok, coalesce(a.n, 0) AS ca, coalesce(b.n, 0) AS cb
+        |  FROM (SELECT tok, count(*) AS n FROM wa WHERE tok <> ''
+        |        GROUP BY 1) a
+        |  FULL JOIN (SELECT tok, count(*) AS n FROM wb WHERE tok <> ''
+        |        GROUP BY 1) b USING (tok)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb, count(*) AS v FROM j),
+        |t AS (SELECT (ca+1)::DOUBLE / (na+v) AS p,
+        |    (cb+1)::DOUBLE / (nb+v) AS q FROM j, tot),
+        |k AS (SELECT
+        |  CAST(floor(p*ln(p/q)*1e12 + 0.5) AS BIGINT) AS kab,
+        |  CAST(floor(q*ln(q/p)*1e12 + 0.5) AS BIGINT) AS kba,
+        |  CAST(floor(p*ln(p/((p+q)/2.0))*1e12 + 0.5) AS BIGINT) +
+        |  CAST(floor(q*ln(q/((p+q)/2.0))*1e12 + 0.5) AS BIGINT) AS kjs2
+        |  FROM t)
+        |SELECT na AS n_tokens_a, nb AS n_tokens_b,
+        |  CAST(v AS BIGINT) AS vocab,
+        |  round((SELECT CAST(sum(kab) AS BIGINT) FROM k)::DOUBLE / 1e12, 4)
+        |    AS kl_ab,
+        |  round((SELECT CAST(sum(kba) AS BIGINT) FROM k)::DOUBLE / 1e12, 4)
+        |    AS kl_ba,
+        |  round((SELECT CAST(sum(kjs2) AS BIGINT) FROM k)::DOUBLE / 2e12, 4)
+        |    AS js
+        |FROM tot""".stripMargin,
     "t24_gram_novelty" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,

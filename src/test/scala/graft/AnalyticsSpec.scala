@@ -225,6 +225,40 @@ class AnalyticsSpec extends AnyFunSuite with CacheHygiene {
       c104b.forall(_.getString(3) == "b"))
   }
 
+  test("tokenDrift: zero on identical corpora, bounded JS, asymmetric KL") {
+    import graft.operators.Drift
+    val a = Seq("x y z", "x x y", "z z z").toDF("text")
+    // identical snapshots: all divergences exactly 0 (p == q per term)
+    val same = Drift.tokenDrift(a, a, "text").head()
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0 &&
+      same.getDouble(5) == 0.0, s"identical corpora drift: $same")
+    assert(same.getLong(0) == 9L && same.getLong(1) == 9L && same.getLong(2) == 3L)
+    // disjoint vocabularies: JS clearly positive, below its ln 2 bound
+    // (add-one smoothing pulls tiny corpora well under the bound: with 9
+    // tokens over a 6-term joint vocab the smoothed mass dominates)
+    val b = Seq("p q r", "p p q", "r r r").toDF("text")
+    val dis = Drift.tokenDrift(a, b, "text").head()
+    assert(dis.getDouble(5) > 0.15 && dis.getDouble(5) <= math.log(2.0) + 1e-9,
+      s"disjoint JS=${dis.getDouble(5)}")
+    assert(dis.getLong(2) == 6L, "joint vocab is the union")
+    // skewed vs uniform: KL is direction-dependent, JS symmetric
+    val u = Seq("a b c d").toDF("text")
+    val sk = Seq("a a a a a a a a a a a a a a b c d").toDF("text")
+    val d1 = Drift.tokenDrift(u, sk, "text").head()
+    val d2 = Drift.tokenDrift(sk, u, "text").head()
+    assert(d1.getDouble(3) != d1.getDouble(4), "KL must be asymmetric")
+    assert(d1.getDouble(5) == d2.getDouble(5), "JS must be symmetric")
+    assert(d1.getDouble(3) == d2.getDouble(4) && d1.getDouble(4) == d2.getDouble(3),
+      "swapping corpora swaps KL directions")
+    // partition-layout independence: the pico-nat integer sum makes the
+    // reduction order-invariant
+    val big = spark.range(0, 2000)
+      .selectExpr("concat('tok', id % 50, ' tok', id % 7, ' tok', id % 13) AS text")
+    val r1 = Drift.tokenDrift(big.repartition(1), big.filter("id % 3 != 0").repartition(1), "text").head()
+    val r16 = Drift.tokenDrift(big.repartition(16), big.filter("id % 3 != 0").repartition(16), "text").head()
+    assert(r1 == r16, s"layout-dependent drift: $r1 vs $r16")
+  }
+
   test("snapshotDiff: null-to-value transition is changed, not absent") {
     val oldDf = Seq((1L, Option.empty[String])).toDF("k", "v")
     val newDf = Seq((1L, Some("x"))).toDF("k", "v")
