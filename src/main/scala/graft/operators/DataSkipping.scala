@@ -57,19 +57,20 @@ object DataSkipping {
   def collectFileStats(spark: SparkSession, dir: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "collectFileStats: need at least one column")
-    import spark.implicits._
-    val sc = new SerializableConf(spark.sparkContext.hadoopConfiguration)
-    val fs = new Path(dir).getFileSystem(sc.conf)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new Path(dir))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted.toSeq
     require(files.nonEmpty, s"collectFileStats: no parquet files under $dir")
-    val wanted = cols.toSet
-    spark.createDataset(files)
-      .repartition(math.min(files.size, 64))
-      .mapPartitions { paths =>
-        val conf = sc.conf
-        paths.flatMap { p =>
+    collectFileStatsForFiles(spark, files, cols)
+  }
+
+  /** Executor-side footer walk for one batch of file paths. */
+  private def statsForPaths(paths: Iterator[String], sc: SerializableConf,
+      wanted: Set[String]): Iterator[(String, String, Long, Long,
+      Option[Double], Option[Double], Option[String], Option[String])] = {
+    val conf = sc.conf
+    paths.flatMap { p =>
           val reader = ParquetFileReader.open(
             HadoopInputFile.fromPath(new Path(p), conf))
           try {
@@ -136,7 +137,47 @@ object DataSkipping {
             }.iterator
           } finally reader.close()
         }
-      }
+  }
+
+  /** Incremental stats maintenance: footer stats for files under `dir`
+    * that have no row in `existing` yet, unioned with `existing` — the
+    * O(new files) daily-ingest refresh (same shape as the LSH index
+    * append: never re-reads footers already indexed). Files deleted from
+    * disk but still present in `existing` are dropped from the result,
+    * so the stats table never claims files a scan would fail to open.
+    * `appendFileStats(dir, cols, empty)` ≡ `collectFileStats` row-for-row
+    * (MaintenanceSpec). */
+  def appendFileStats(spark: SparkSession, dir: String, cols: Seq[String],
+      existing: DataFrame): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val onDisk = fs.listStatus(new Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSet
+    val known = existing.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val fresh = (onDisk -- known).toSeq.sorted
+    val kept = existing.filter(col("file").isin(onDisk.toSeq: _*))
+    val out =
+      if (fresh.isEmpty) kept
+      else kept.unionByName(collectFileStatsForFiles(spark, fresh, cols))
+    // a stats TABLE must outlive its source files: materialize eagerly
+    // (file-count-sized, tiny) so later evaluations never re-open footers
+    // of files that have since been deleted or rewritten
+    out.localCheckpoint(true)
+  }
+
+  /** Footer-stats core over an explicit file list (shared by
+    * [[collectFileStats]] and [[appendFileStats]]). */
+  private def collectFileStatsForFiles(spark: SparkSession,
+      files: Seq[String], cols: Seq[String]): DataFrame = {
+    require(files.nonEmpty && cols.nonEmpty)
+    import spark.implicits._
+    val sc = new SerializableConf(spark.sparkContext.hadoopConfiguration)
+    val wanted = cols.toSet
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 64))
+      .mapPartitions(paths => statsForPaths(paths, sc, wanted))
       .toDF("file", "col", "n_rows", "null_count",
         "min_num", "max_num", "min_str", "max_str")
   }

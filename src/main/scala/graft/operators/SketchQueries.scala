@@ -287,6 +287,42 @@ object SketchQueries {
           "est_a_not_b", "est_b_not_a", "jaccard")
     }),
 
+    // -- PER-GROUP theta churn: the sk17 sketch as a DISTRIBUTED
+    // aggregation buffer (ObjectHashAggregate partial-merges Kryo Theta
+    // state per o_orderpriority), then lost/new/retained customer
+    // estimates per group via direct set algebra — the week-over-week
+    // churn matrix HLLs cannot produce. Executor-side map computes the
+    // estimates; only 5 (group, ≤2·k longs) rows ever exist. Same full
+    // relational replay as sk17, per group -------------------------------
+    "sk18_theta_churn" -> ((s, d) => {
+      import s.implicits._
+      import graft.sketch.Theta
+      import org.apache.spark.sql.Dataset
+      val o = Tables.orders(s, d)
+      val cut = lit("1997-01-01").cast("timestamp")
+      val hv = conv(substring(
+        md5(concat(col("o_custkey").cast("string"), lit(":th5"))), 1, 12),
+        16, 10).cast("long")
+      val k = 128
+      val agg = new ThetaAgg[(String, Long)](k, 48, _._2)
+      def grouped(f: org.apache.spark.sql.DataFrame): Dataset[(String, Theta)] =
+        f.select(col("o_orderpriority"), hv.as("v")).as[(String, Long)]
+          .groupByKey(_._1).agg(agg.toColumn.name("sk"))
+      val a = grouped(o.filter(col("o_orderdate") < cut))
+      val b = grouped(o.filter(col("o_orderdate") >= cut))
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      a.joinWith(b, a("key") === b("key"))
+        .map { case ((p, ta), (_, tb)) =>
+          (p, r4(ta.estimate), r4(tb.estimate),
+            r4(Theta.aNotBEstimate(ta, tb)),
+            r4(Theta.aNotBEstimate(tb, ta)),
+            r4(Theta.intersectionEstimate(ta, tb)))
+        }
+        .toDF("o_orderpriority", "est_before", "est_after",
+          "est_lost", "est_new", "est_retained")
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- incrementally-maintained SKETCH materialized view driven by a
     // REAL stream: per-hour HLL store folded micro-batch by micro-batch;
     // register-max merge is associative/commutative/idempotent, so the
@@ -437,6 +473,53 @@ object SketchQueries {
         | floor((CASE WHEN nu.n = 0 THEN 0.0
         |   ELSE ni.n::DOUBLE / nu.n END)*10000+0.5)/10000 AS jaccard
         |FROM ta, tb, tu, ti, ni, nab, nba, nu""".stripMargin,
+    // sk18: the sk17 replay per group — k smallest per priority via a
+    // partitioned row_number, membership census below the per-group
+    // min-theta, same integer-exact estimate arithmetic
+    "sk18_theta_churn" ->
+      """WITH a AS (SELECT DISTINCT o_orderpriority AS p,
+        |    ('0x'||substr(md5(o_custkey::VARCHAR || ':th5'),1,12))::BIGINT AS v
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |b AS (SELECT DISTINCT o_orderpriority AS p,
+        |    ('0x'||substr(md5(o_custkey::VARCHAR || ':th5'),1,12))::BIGINT AS v
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        |ra AS (SELECT p, v FROM (SELECT p, v,
+        |    row_number() OVER (PARTITION BY p ORDER BY v) AS rn FROM a)
+        |  WHERE rn <= 128),
+        |rb AS (SELECT p, v FROM (SELECT p, v,
+        |    row_number() OVER (PARTITION BY p ORDER BY v) AS rn FROM b)
+        |  WHERE rn <= 128),
+        |ta AS (SELECT p, CASE WHEN count(*) < 128 THEN 281474976710656
+        |    ELSE max(v) END AS t, count(*) AS n FROM ra GROUP BY p),
+        |tb AS (SELECT p, CASE WHEN count(*) < 128 THEN 281474976710656
+        |    ELSE max(v) END AS t, count(*) AS n FROM rb GROUP BY p),
+        |ti AS (SELECT ta.p, least(ta.t, tb.t) AS t, ta.t AS tpa, ta.n AS na,
+        |    tb.t AS tpb, tb.n AS nb FROM ta JOIN tb USING (p)),
+        |m AS (SELECT coalesce(a.p, b.p) AS p, coalesce(a.v, b.v) AS v,
+        |    a.v IS NOT NULL AS ina, b.v IS NOT NULL AS inb
+        |  FROM a FULL JOIN b ON a.p = b.p AND a.v = b.v),
+        |x AS (SELECT m.p, m.ina, m.inb FROM m JOIN ti ON m.p = ti.p
+        |  WHERE m.v < ti.t),
+        |counts AS (SELECT p,
+        |    sum(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END) AS nlost,
+        |    sum(CASE WHEN inb AND NOT ina THEN 1 ELSE 0 END) AS nnew,
+        |    sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS nret
+        |  FROM x GROUP BY p)
+        |SELECT ti.p AS o_orderpriority,
+        | floor((CASE WHEN ti.na < 128 THEN ti.na::DOUBLE
+        |   ELSE 127.0::DOUBLE * 281474976710656.0::DOUBLE / ti.tpa END)
+        |   *10000+0.5)/10000 AS est_before,
+        | floor((CASE WHEN ti.nb < 128 THEN ti.nb::DOUBLE
+        |   ELSE 127.0::DOUBLE * 281474976710656.0::DOUBLE / ti.tpb END)
+        |   *10000+0.5)/10000 AS est_after,
+        | floor((coalesce(counts.nlost,0)::DOUBLE
+        |   * 281474976710656.0::DOUBLE / ti.t)*10000+0.5)/10000 AS est_lost,
+        | floor((coalesce(counts.nnew,0)::DOUBLE
+        |   * 281474976710656.0::DOUBLE / ti.t)*10000+0.5)/10000 AS est_new,
+        | floor((coalesce(counts.nret,0)::DOUBLE
+        |   * 281474976710656.0::DOUBLE / ti.t)*10000+0.5)/10000 AS est_retained
+        |FROM ti LEFT JOIN counts ON ti.p = counts.p
+        |ORDER BY o_orderpriority""".stripMargin,
     "st11_stream_sketch_view" ->
       """WITH n AS (SELECT CAST(count(DISTINCT date_trunc('hour', ts))
         |    AS BIGINT) AS n FROM events)

@@ -194,6 +194,43 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
       .count() == 0L)
   }
 
+  test("data skipping: incremental append == rebuild; deleted files dropped") {
+    import graft.operators.DataSkipping
+    val dir = "target/qtmp/spec/skip_append"
+    new java.io.File(dir).mkdirs()
+    new java.io.File(dir).listFiles().foreach(_.delete())
+    def addFile(name: String, lo: Long, hi: Long): Unit = {
+      val part = s"target/qtmp/spec/skip_append_stage/$name"
+      spark.range(lo, hi).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(src.toPath,
+        new java.io.File(dir, s"$name.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    addFile("f1", 0, 100); addFile("f2", 100, 200)
+    val s1 = DataSkipping.collectFileStats(spark, dir, Seq("id", "v"))
+    // ingest a third file: append touches ONLY its footer
+    addFile("f3", 200, 300)
+    val appended = DataSkipping.appendFileStats(spark, dir, Seq("id", "v"), s1)
+    val rebuilt = DataSkipping.collectFileStats(spark, dir, Seq("id", "v"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1))
+    assert(appended.collect().sortBy(key).toSeq ==
+      rebuilt.collect().sortBy(key).toSeq,
+      "append must equal a full rebuild row-for-row")
+    // delete f1: its stale stats rows must disappear without a rebuild
+    assert(new java.io.File(dir, "f1.parquet").delete())
+    val afterDelete = DataSkipping.appendFileStats(spark, dir, Seq("id", "v"), appended)
+    val filesLeft = afterDelete.select("file").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(filesLeft.length == 2 && filesLeft.forall(!_.contains("f1")),
+      s"stale f1 stats survived: ${filesLeft.toSeq}")
+    // and no-op append returns the same table
+    assert(DataSkipping.appendFileStats(spark, dir, Seq("id", "v"), afterDelete)
+      .collect().sortBy(key).toSeq == afterDelete.collect().sortBy(key).toSeq)
+  }
+
   test("data skipping: missing stats are conservatively kept, nulls counted") {
     import graft.operators.DataSkipping
     import spark.implicits._
