@@ -47,6 +47,19 @@ object SketchAggregators {
     def outputEncoder: Encoder[Theta] = Encoders.kryo[Theta]
   }
 
+  /** [[ThetaAgg]] finishing to the distinct-count ESTIMATE — the form a
+    * streaming complete-mode sink can emit directly (st14 proves the
+    * merged-across-micro-batches state equals the batch build). */
+  final class ThetaDistinct[IN](k: Int, domainBits: Int, f: IN => Long)
+      extends Aggregator[IN, Theta, Double] {
+    def zero: Theta = new Theta(k, domainBits)
+    def reduce(buf: Theta, in: IN): Theta = buf.addRaw(f(in))
+    def merge(a: Theta, c: Theta): Theta = a.merge(c)
+    def finish(r: Theta): Double = r.estimate
+    def bufferEncoder: Encoder[Theta] = Encoders.kryo[Theta]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** approx COUNT(DISTINCT f(in)) — reference HyperLogLog sink. */
   final class HllDistinct[IN](b: Int, f: IN => Any)
       extends Aggregator[IN, HyperLogLog, Long] {

@@ -824,6 +824,24 @@ object PipelineQueries {
     // deterministic: the hash is fixed, so pass/fail can't flake).
     // n_exact is replayed by the oracle, making a dropped or invented
     // event_type key fail the hash too. ----------------------------------
+    // -- streamed THETA distinct, HASH-verified: the KMV state merges
+    // through the state store across micro-batch boundaries, must equal
+    // the batch build bit-for-bit AND the full relational replay of the
+    // sketch (st04 proved the merge law for HLL as a boolean contract;
+    // the integer-hash theta makes the law hash-checkable) --------------
+    "st14_stream_theta" -> ((s, d) => {
+      import graft.streaming.EventStreams
+      val e = Tables.events(s, d).select(col("ts"), col("user_id"), col("event_type"))
+      val streamed = EventStreams.thetaDistinctStreamed(s, e,
+        s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st14_stage", k = 128)
+      val batch = EventStreams.thetaUsersPerType(e, 128)
+        .withColumnRenamed("est_users", "batch_est")
+      streamed.join(batch, Seq("event_type"))
+        .select(col("event_type"), col("est_users"),
+          (col("est_users") === col("batch_est")).as("streamed_eq_batch"))
+        .orderBy(col("event_type"))
+    }),
+
     "st04_stream_hll_contract" -> ((s, d) => {
       import graft.streaming.EventStreams
       val b = 12
@@ -2614,6 +2632,23 @@ object PipelineQueries {
         | count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
+    // st14: the sk17/sk18 KMV replay keyed by event_type over user_id
+    // (salt :th14) — the streamed estimate must equal it exactly
+    "st14_stream_theta" ->
+      """WITH a AS (SELECT DISTINCT event_type AS p,
+        |    ('0x'||substr(md5(user_id::VARCHAR || ':th14'),1,12))::BIGINT AS v
+        |  FROM events),
+        |ra AS (SELECT p, v FROM (SELECT p, v,
+        |    row_number() OVER (PARTITION BY p ORDER BY v) AS rn FROM a)
+        |  WHERE rn <= 128),
+        |ta AS (SELECT p, CASE WHEN count(*) < 128 THEN 281474976710656
+        |    ELSE max(v) END AS t, count(*) AS n FROM ra GROUP BY p)
+        |SELECT p AS event_type,
+        | floor((CASE WHEN n < 128 THEN n::DOUBLE
+        |   ELSE 127.0::DOUBLE * 281474976710656.0::DOUBLE / t END)
+        |   *10000+0.5)/10000 AS est_users,
+        | TRUE AS streamed_eq_batch
+        |FROM ta ORDER BY event_type""".stripMargin,
     "st04_stream_hll_contract" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         | TRUE AS streamed_eq_batch, TRUE AS within_3sigma

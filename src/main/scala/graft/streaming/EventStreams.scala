@@ -184,6 +184,38 @@ object EventStreams {
   /** 3σ relative-error envelope for an HLL with 2^b registers. */
   def hll3Sigma(b: Int): Double = 3 * 1.04 / math.sqrt((1 << b).toDouble)
 
+  /** Streamed theta distinct: the KMV sketch buffer rides the streaming
+    * state store per event_type and merges across micro-batch
+    * boundaries. Theta merge (bounded insert of distinct values) is
+    * commutative, associative, idempotent — so the streamed sketch is
+    * BIT-identical to the batch build on any batch split; and because
+    * the estimate is a pure integer function of md5 prefixes, the st14
+    * gate is fully HASH-verified against a relational DuckDB replay
+    * (stronger than st04's boolean contract for HLL). */
+  def thetaDistinctStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int = 3, sinkName: String = "st14_sink",
+      k: Int = 128): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName)(
+      thetaUsersPerType(_, k))
+
+  /** Per-event-type theta distinct-users estimate over 48-bit md5
+    * prefixes (salt `:th14`) — ONE definition shared by the streamed
+    * form, the batch twin, and the gate (same discipline as
+    * [[hllUsersPerType]]). */
+  def thetaUsersPerType(df: DataFrame, k: Int = 128): DataFrame = {
+    import df.sparkSession.implicits._
+    import graft.aggregators.SketchAggregators.ThetaDistinct
+    val hv = conv(substring(
+      md5(concat(col("user_id").cast("string"), lit(":th14"))), 1, 12),
+      16, 10).cast("long")
+    df.select(col("event_type"), hv.as("v")).as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new ThetaDistinct[(String, Long)](k, 48, _._2).toColumn.name("est"))
+      .toDF("event_type", "est_raw")
+      .select(col("event_type"),
+        (floor(col("est_raw") * 10000 + lit(0.5)) / 10000).as("est_users"))
+  }
+
   /** Streamed heavy hitters: the Top(+CMS) `MostFrequent` sketch buffer
     * rides the streaming state store as a GLOBAL typed aggregate and
     * merges across micro-batch boundaries. In the exact regime (tracking

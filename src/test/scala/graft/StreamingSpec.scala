@@ -234,6 +234,25 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
       s"streamed $streamed != batch $batch")
   }
 
+  test("thetaDistinctStreamed: KMV state merge equals batch on any split") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val batch = EventStreams.thetaUsersPerType(e, 64)
+      .as[(String, Double)].collect().sorted.toSeq
+    // two different micro-batch splits must both equal the batch build —
+    // theta merge is order/packaging-independent
+    Seq(2, 5).foreach { n =>
+      val streamed = EventStreams.thetaDistinctStreamed(spark, e,
+          s"target/qtmp/st14_spec_stage_$n", nFiles = n,
+          sinkName = s"st14_spec_sink_$n", k = 64)
+        .as[(String, Double)].collect().sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"nFiles=$n: streamed $streamed != batch $batch")
+    }
+  }
+
   test("topTypesStreamed: Top/CMS state store merge equals batch exactly") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
