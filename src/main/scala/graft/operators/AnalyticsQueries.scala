@@ -73,6 +73,14 @@ object AnalyticsQueries {
         .orderBy(col("ch"))
     }),
 
+    // -- BENFORD first-digit profile: forensic data-quality check on the
+    // order-value feed — digit from the cents integer's decimal string
+    // (exact in any engine; log10-derived digits flip on libm ulps at
+    // power-of-ten boundaries), observed vs log10(1+1/d) expectation
+    // with per-digit chi-square contributions --------------------------
+    "c17_benford" -> ((s, d) =>
+      Checks.benfordProfile(Tables.orders(s, d), "o_totalprice")),
+
     // -- z-score anomaly census per event type (|z| > 2.5, population σ) --
     "c05_zscore" -> ((s, d) => {
       val flagged = Analytics.zscoreAnomalies(Tables.events(s, d),
@@ -372,6 +380,21 @@ object AnalyticsQueries {
         |    AS n_out,
         |  round(max(abs(scaled)), 6) AS max_abs_scaled
         |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // c17: digit from the cents string — identical extraction; the only
+    // doubles are one division and the log10 expectation, round4-stable
+    "c17_benford" ->
+      """WITH d AS (SELECT CAST(substr(
+        |    (CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))::VARCHAR, 1, 1)
+        |    AS INT) AS digit
+        |  FROM orders WHERE floor(o_totalprice*100 + 0.5) > 0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        | round(n::DOUBLE / total, 4) AS obs_p,
+        | round(log10(1.0 + 1.0 / digit), 4) AS benford_p,
+        | round(pow(n::DOUBLE - total * log10(1.0 + 1.0/digit), 2)
+        |   / (total * log10(1.0 + 1.0/digit)), 4) AS chi2_part
+        |FROM g, t ORDER BY digit""".stripMargin,
     // c16: full relational replay of the attribution frame — epoch_us
     // comparisons (Spark truncates ns→us at load), window row_numbers
     // for first/last, integer floor-division linear shares. A left-join

@@ -179,4 +179,33 @@ object Checks {
       .select(col("grp").as(groupCol), col("n"), col("mean"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Benford first-significant-digit profile — the forensic data-quality
+    * check for "naturally grown" monetary/size columns (fabricated or
+    * truncated feeds drift from log10(1+1/d); flag before training on
+    * the batch). The digit is taken from the CENTS integer's decimal
+    * string — exact, engine-identical (a log10-based digit flips at
+    * power-of-ten boundaries on libm ulps). Non-positive values are
+    * excluded (Benford is defined on positive magnitudes).
+    *
+    * One map-side-combined 9-bucket aggregate; nothing driver-sized.
+    * Returns per digit 1..9: `n`, observed frequency, Benford
+    * expectation (4dp), and the χ² contribution `(n−e)²/e` (4dp) so a
+    * caller can threshold the total. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val digits = df.select(cents.as("cents")).filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("obs_p"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("benford_p"),
+        round(pow(col("n").cast("double")
+            - col("total") * log10(lit(1.0) + lit(1.0) / col("digit")), 2)
+          / (col("total") * log10(lit(1.0) + lit(1.0) / col("digit"))), 4)
+          .as("chi2_part"))
+      .orderBy(col("digit"))
+  }
 }

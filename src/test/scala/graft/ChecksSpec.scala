@@ -129,4 +129,31 @@ class ChecksSpec extends AnyFunSuite with CacheHygiene {
     assert(half > 1.0 && half < 10.0, s"unreasonable CI half-width $half")
     assert(Checks.bootstrapMeanCI(df, "src", "id", "v").count() == 1)
   }
+
+  test("benfordProfile: digit extraction, exclusions, conformity contrast") {
+    import spark.implicits._
+    // digit comes from cents: 123.45 -> 12345 -> '1'; 0.07 -> 7 -> '7';
+    // zero and negatives are excluded
+    val hand = Seq(123.45, 0.07, 900.0, 0.0, -5.0).toDF("v")
+    val prof = Checks.benfordProfile(hand, "v").collect()
+    assert(prof.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 1L), (7, 1L), (9, 1L)))
+    assert(prof.map(_.getDouble(3)).sameElements(
+      Array(0.301, 0.058, 0.0458)), "Benford expectations at 4dp")
+    // log-uniform magnitudes conform: chi2 total small; uniform values
+    // (all same magnitude) concentrate digits and blow chi2 up
+    val n = 20000
+    val logu = spark.range(0, n)
+      .selectExpr("exp(ln(10.0) * 4.0 * (CAST(conv(substr(md5(CAST(id AS STRING)), 1, 12), 16, 10) AS DOUBLE) / 281474976710656.0)) AS v")
+    val chiConform = Checks.benfordProfile(logu, "v")
+      .agg(org.apache.spark.sql.functions.sum("chi2_part")).head().getDouble(0)
+    val uni = spark.range(0, n).selectExpr("1000.0 + CAST(id AS DOUBLE) / 100 AS v")
+    val chiUniform = Checks.benfordProfile(uni, "v")
+      .agg(org.apache.spark.sql.functions.sum("chi2_part")).head().getDouble(0)
+    // chi2 with 8 dof: conforming ~O(10); the concentrated feed is
+    // thousands of times larger
+    assert(chiConform < 40.0, s"log-uniform chi2=$chiConform should conform")
+    assert(chiUniform > 100 * chiConform,
+      s"uniform chi2=$chiUniform vs conforming $chiConform")
+  }
 }
