@@ -76,6 +76,9 @@ object Bench {
     "p16_bootstrap_ci",      // 40-replica Poisson bootstrap (explode + agg)
     "c08_funnel",            // one-pass sorted-fold conversion funnel
     "m07_scene_cuts",        // frame-stream walk + decode (mapPartitions)
+    "d22_entity_resolution", // blocked Jaro-Winkler record linkage (native expr)
+    "u10_data_skipping",     // footer stats build + metadata-pruned scan
+    "t26_distribution_drift", // KL/JS corpus drift (pico-nat exact sum)
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {

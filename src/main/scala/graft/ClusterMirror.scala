@@ -67,7 +67,14 @@ object ClusterMirror {
     "c03_ewma", "sk16_hll_sliding", "c08_funnel",
     //  q58: typed mapGroups lambdas + case-class Encoder closure-shipped
     //  p17: raise_error guard expressions + global prefix-sum window
-    "q58_typed_dataset", "p17_budget_backfill")
+    "q58_typed_dataset", "p17_budget_backfill",
+    // round-8 risk classes:
+    //  sk18: Kryo Theta (java.util.TreeSet state) partial-merged across
+    //        a REAL exchange, then joinWith + executor-side set algebra
+    //  d22: native jaro_winkler codegen + blocked self-join on remote
+    //       executors; u10: executor-side parquet FOOTER reads through
+    //       the shipped SerializableConf + driver-pruned multi-file scan
+    "sk18_theta_churn", "d22_entity_resolution", "u10_data_skipping")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
