@@ -60,6 +60,20 @@ object SketchAggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Fixed-grid histogram sketch build — mergeable quantiles with a
+    * deterministic one-bucket-width error bound and exact-integer state
+    * (see [[graft.sketch.GridHistogram]]; sk19 hash-verifies the whole
+    * sketch against a relational replay). */
+  final class GridHistogramAgg[IN](lo: Double, hi: Double, buckets: Int,
+      f: IN => Double) extends Aggregator[IN, GridHistogram, GridHistogram] {
+    def zero: GridHistogram = new GridHistogram(lo, hi, buckets)
+    def reduce(buf: GridHistogram, in: IN): GridHistogram = buf.add(f(in))
+    def merge(a: GridHistogram, c: GridHistogram): GridHistogram = a.merge(c)
+    def finish(r: GridHistogram): GridHistogram = r
+    def bufferEncoder: Encoder[GridHistogram] = Encoders.kryo[GridHistogram]
+    def outputEncoder: Encoder[GridHistogram] = Encoders.kryo[GridHistogram]
+  }
+
   /** approx COUNT(DISTINCT f(in)) — reference HyperLogLog sink. */
   final class HllDistinct[IN](b: Int, f: IN => Any)
       extends Aggregator[IN, HyperLogLog, Long] {

@@ -287,6 +287,23 @@ object SketchQueries {
           "est_a_not_b", "est_b_not_a", "jaccard")
     }),
 
+    // -- GRID-HISTOGRAM quantiles, HASH-verified: mergeable quantile
+    // sketch whose bucket counts are EXACT integers and whose bucket
+    // function + interpolation are plain IEEE arithmetic — the whole
+    // sketch replays relationally (unlike approx_percentile's
+    // engine-internal GK state, sk09/sk13). Deterministic error bound:
+    // one bucket width, emitted alongside the estimates ------------------
+    "sk19_grid_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d).select(col("l_extendedprice")).as[Double]
+      val agg = new GridHistogramAgg[Double](0.0, 110000.0, 2048, identity)
+      val h = ds.select(agg.toColumn).head()
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      Seq((h.inRange, r4(h.quantile(0.5)), r4(h.quantile(0.95)),
+          r4(h.quantile(0.99)), r4(h.width)))
+        .toDF("n", "p50", "p95", "p99", "err_bound")
+    }),
+
     // -- PER-GROUP theta churn: the sk17 sketch as a DISTRIBUTED
     // aggregation buffer (ObjectHashAggregate partial-merges Kryo Theta
     // state per o_orderpriority), then lost/new/retained customer
@@ -473,6 +490,29 @@ object SketchQueries {
         | floor((CASE WHEN nu.n = 0 THEN 0.0
         |   ELSE ni.n::DOUBLE / nu.n END)*10000+0.5)/10000 AS jaccard
         |FROM ta, tb, tu, ti, ni, nab, nba, nu""".stripMargin,
+    // sk19: exact bucket census + identical IEEE interpolation — rank
+    // r = ceil(q·n), first bucket with cum ≥ r, linear within it
+    "sk19_grid_quantiles" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+        |t AS (SELECT count(*) AS n FROM v),
+        |b AS (SELECT CAST(floor((x - 0.0) / (110000.0 - 0.0) * 2048)
+        |    AS BIGINT) AS i FROM v),
+        |g AS (SELECT i, count(*) AS c FROM b GROUP BY 1),
+        |cm AS (SELECT i, c, sum(c) OVER (ORDER BY i) - c AS cumb,
+        |    sum(c) OVER (ORDER BY i) AS cum FROM g),
+        |pick(q) AS (VALUES (0.5), (0.95), (0.99)),
+        |cand AS (SELECT p.q, cm.i, cm.c, cm.cumb,
+        |    row_number() OVER (PARTITION BY p.q ORDER BY cm.i) AS rn
+        |  FROM pick p, t, cm WHERE cm.cum >= ceil(p.q * t.n)),
+        |est AS (SELECT q, 0.0 + (110000.0 - 0.0) / 2048 * i
+        |    + (110000.0 - 0.0) / 2048 * ((SELECT ceil(q * n) FROM t) - cumb) / c
+        |    AS e
+        |  FROM cand WHERE rn = 1)
+        |SELECT (SELECT CAST(n AS BIGINT) FROM t) AS n,
+        | floor((SELECT e FROM est WHERE q = 0.5)*10000+0.5)/10000 AS p50,
+        | floor((SELECT e FROM est WHERE q = 0.95)*10000+0.5)/10000 AS p95,
+        | floor((SELECT e FROM est WHERE q = 0.99)*10000+0.5)/10000 AS p99,
+        | floor((110000.0 - 0.0) / 2048 * 10000 + 0.5)/10000 AS err_bound""".stripMargin,
     // sk18: the sk17 replay per group — k smallest per priority via a
     // partitioned row_number, membership census below the per-group
     // min-theta, same integer-exact estimate arithmetic

@@ -440,6 +440,43 @@ class SketchSpec extends AnyFunSuite {
     assert(Theta.jaccardEstimate(a, b) == 200.0 / 900.0)
   }
 
+  test("GridHistogram: exact bound, merge laws, out-of-grid accounting") {
+    val rnd = new Random(7)
+    val vals = Array.fill(50000)(rnd.nextDouble() * 1000.0)
+    val h = new GridHistogram(0.0, 1000.0, 256)
+    vals.foreach(h.add)
+    val sorted = vals.sorted
+    // deterministic error contract: every quantile within one bucket width
+    Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 1.0).foreach { q =>
+      val exact = sorted((math.ceil(q * vals.length) - 1).toInt)
+      val est = h.quantile(q)
+      assert(math.abs(est - exact) <= h.width + 1e-9,
+        s"q=$q est=$est exact=$exact width=${h.width}")
+    }
+    // merge == sketch of concatenation, exactly
+    val (l, r) = vals.splitAt(20000)
+    val hl = new GridHistogram(0.0, 1000.0, 256); l.foreach(hl.add)
+    val hr = new GridHistogram(0.0, 1000.0, 256); r.foreach(hr.add)
+    assert(hl.merge(hr) == h)
+    assert(hl.merge(hr).quantile(0.5) == h.quantile(0.5))
+    assert(hr.merge(hl) == hl.merge(hr), "merge commutes")
+    // out-of-grid values are counted, never silently dropped, and make
+    // quantile fail loudly
+    val g = new GridHistogram(0.0, 10.0, 4)
+    g.add(-1.0); g.add(5.0); g.add(10.0); g.add(99.0)
+    assert(g.under == 1L && g.over == 2L && g.total == 4L && g.inRange == 1L)
+    intercept[IllegalArgumentException](g.quantile(0.5))
+    // hi-adjacent ulp guard: a value just below hi lands in the last bucket
+    val e = new GridHistogram(0.0, 10.0, 4)
+    e.add(math.nextDown(10.0))
+    assert(e.counts(3) == 1L && e.over == 0L)
+    // param guards
+    intercept[IllegalArgumentException](new GridHistogram(1.0, 1.0, 4))
+    intercept[IllegalArgumentException](
+      h.merge(new GridHistogram(0.0, 1000.0, 128)))
+    intercept[IllegalArgumentException](h.quantile(0.0))
+  }
+
   test("Theta rejects out-of-domain raw values and mismatched params") {
     val t = new Theta(64)
     intercept[IllegalArgumentException](t.addRaw(-1L))
