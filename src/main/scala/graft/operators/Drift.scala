@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus distribution drift — KL and Jensen–Shannon divergence between
@@ -71,5 +72,43 @@ object Drift {
         round(col("sab").cast("double") / lit(1e12), 4).as("kl_ab"),
         round(col("sba").cast("double") / lit(1e12), 4).as("kl_ba"),
         round(col("sjs2").cast("double") / lit(2e12), 4).as("js"))
+  }
+
+  /** Zipf rank–frequency fit — OLS of ln(count) on ln(rank) over the
+    * top-N vocabulary: slope (≈ −1 for natural language; far shallower
+    * for templated/synthetic text — a cheap corpus-health signal next to
+    * [[tokenDrift]]), intercept, and R². One vocabulary-sized count
+    * aggregate; the rank window sorts only the vocabulary table (and
+    * only its top N rows feed the fit). Per-term OLS moments are
+    * quantized to integer pico-units and summed exactly — the t27 gate
+    * replays the fit term-for-term. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 200): DataFrame = {
+    require(topN >= 3, s"topN=$topN too small for a 2-parameter fit")
+    val counts = df.select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("r", row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      .filter(col("r") <= topN)
+    val x = log(col("r").cast("double"))
+    val y = log(col("c").cast("double"))
+    val pico = (c: Column) => floor(c * lit(1e12) + lit(0.5)).cast("long")
+    val d = (c: Column) => c.cast("double") / lit(1e12)
+    val agg = ranked
+      .select(pico(x).as("px"), pico(y).as("py"), pico(x * y).as("pxy"),
+        pico(x * x).as("pxx"), pico(y * y).as("pyy"))
+      .agg(count(lit(1)).as("n"), sum(col("px")).as("sx"),
+        sum(col("py")).as("sy"), sum(col("pxy")).as("sxy"),
+        sum(col("pxx")).as("sxx"), sum(col("pyy")).as("syy"))
+    val n = col("n").cast("double")
+    val sx = d(col("sx")); val sy = d(col("sy")); val sxy = d(col("sxy"))
+    val sxx = d(col("sxx")); val syy = d(col("syy"))
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    agg.select(col("n").as("n_terms"),
+      round(cov / varx, 4).as("slope"),
+      round((sy - cov / varx * sx) / n, 4).as("intercept"),
+      round(cov * cov / (varx * vary), 4).as("r2"))
   }
 }

@@ -1062,6 +1062,13 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 2 === 1), "text")
     }),
 
+    // -- ZIPF rank-frequency fit: OLS of ln(count) on ln(rank) over the
+    // top-200 vocabulary — slope ≈ -1 for natural text, shallower for
+    // templated corpora; pico-quantized moments make the fit
+    // order-independent and engine-replayable ---------------------------
+    "t27_zipf_fit" -> ((s, d) =>
+      Drift.zipfFit(Tables.documents(s, d), "text", topN = 200)),
+
     // -- per-document n-gram NOVELTY: fraction of a doc's tri-grams
     // whose corpus-wide FIRST owner (min doc_id) is the doc itself — the
     // "how much does this doc add" curation signal (dedup-adjacent but
@@ -1827,6 +1834,41 @@ object PipelineQueries {
         | round(floor(CAST(sum(len(string_split(text, ' '))) AS BIGINT)::DOUBLE
         |   / count(*) * 1e12 + 0.5) / 1e12, 4) AS avg_tokens
         |FROM documents""".stripMargin,
+    // t27: same ranking, same pico-quantized OLS moments, same formula
+    // text — the fit replays double-for-double
+    "t27_zipf_fit" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM w WHERE tok <> '' GROUP BY 1),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+        |  FROM c),
+        |top AS (SELECT r, c FROM rk WHERE r <= 200),
+        |p AS (SELECT
+        |  CAST(floor(ln(r::DOUBLE) * 1e12 + 0.5) AS BIGINT) AS px,
+        |  CAST(floor(ln(c::DOUBLE) * 1e12 + 0.5) AS BIGINT) AS py,
+        |  CAST(floor(ln(r::DOUBLE) * ln(c::DOUBLE) * 1e12 + 0.5) AS BIGINT)
+        |    AS pxy,
+        |  CAST(floor(ln(r::DOUBLE) * ln(r::DOUBLE) * 1e12 + 0.5) AS BIGINT)
+        |    AS pxx,
+        |  CAST(floor(ln(c::DOUBLE) * ln(c::DOUBLE) * 1e12 + 0.5) AS BIGINT)
+        |    AS pyy
+        | FROM top),
+        |a AS (SELECT count(*) AS n, CAST(sum(px) AS BIGINT) AS sx,
+        |  CAST(sum(py) AS BIGINT) AS sy, CAST(sum(pxy) AS BIGINT) AS sxy,
+        |  CAST(sum(pxx) AS BIGINT) AS sxx, CAST(sum(pyy) AS BIGINT) AS syy
+        | FROM p),
+        |m AS (SELECT CAST(n AS BIGINT) AS n, n::DOUBLE AS nd,
+        |  sx::DOUBLE/1e12 AS sxd, sy::DOUBLE/1e12 AS syd,
+        |  sxy::DOUBLE/1e12 AS sxyd, sxx::DOUBLE/1e12 AS sxxd,
+        |  syy::DOUBLE/1e12 AS syyd FROM a),
+        |f AS (SELECT n, nd, sxd, syd,
+        |  nd*sxyd - sxd*syd AS cov, nd*sxxd - sxd*sxd AS varx,
+        |  nd*syyd - syd*syd AS vary FROM m)
+        |SELECT n AS n_terms,
+        | round(cov/varx, 4) AS slope,
+        | round((syd - cov/varx*sxd)/nd, 4) AS intercept,
+        | round(cov*cov/(varx*vary), 4) AS r2
+        |FROM f""".stripMargin,
     // t26: term-for-term replay — identical smoothing, identical pico-nat
     // quantization (a last-ulp ln difference moves one pico-unit, 8
     // orders below the 4dp output)

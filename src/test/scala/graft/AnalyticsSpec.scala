@@ -259,6 +259,27 @@ class AnalyticsSpec extends AnyFunSuite with CacheHygiene {
     assert(r1 == r16, s"layout-dependent drift: $r1 vs $r16")
   }
 
+  test("zipfFit: recovers planted exponent, flat for uniform, layout-invariant") {
+    import graft.operators.Drift
+    // planted Zipf(s=1): token k appears floor(1200/k) times for k=1..40
+    // -> ln(count) ≈ ln(1200) - 1·ln(rank): slope ≈ -1, R² ≈ 1
+    val zipf = (1 to 40).flatMap(k => Seq.fill(1200 / k)(s"tok$k"))
+    val zdf = zipf.map(t => t: String).toDF("text") // one token per row
+    val zf = Drift.zipfFit(zdf, "text", topN = 40).head()
+    assert(zf.getLong(0) == 40L)
+    assert(math.abs(zf.getDouble(1) + 1.0) < 0.05, s"slope=${zf.getDouble(1)}")
+    assert(zf.getDouble(3) > 0.99, s"r2=${zf.getDouble(3)}")
+    // uniform counts: slope ~ 0 (floor rounding aside, counts identical)
+    val uni = (1 to 40).flatMap(k => Seq.fill(30)(s"tok$k"))
+    val uf = Drift.zipfFit(uni.map(t => t: String).toDF("text"), "text", 40).head()
+    assert(uf.getDouble(1) == 0.0, s"uniform slope=${uf.getDouble(1)}")
+    // pico-quantized moments: partition layout cannot move the fit
+    val big = zdf
+    val a = Drift.zipfFit(big.repartition(1), "text", 40).head()
+    val b = Drift.zipfFit(big.repartition(16), "text", 40).head()
+    assert(a == b, s"layout-dependent fit: $a vs $b")
+  }
+
   test("snapshotDiff: null-to-value transition is changed, not absent") {
     val oldDf = Seq((1L, Option.empty[String])).toDF("k", "v")
     val newDf = Seq((1L, Some("x"))).toDF("k", "v")
