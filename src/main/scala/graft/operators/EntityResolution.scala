@@ -56,8 +56,21 @@ object EntityResolution {
         base.join(ok, Seq("block"))
       } else base
     val l = pruned.as("l"); val r = pruned.as("r")
+    // sound length-ratio prune AHEAD of the kernel: with prefix boost
+    // capped at 4·0.1 and jaro ≤ (2 + min/max)/3, any pair satisfies
+    // jw ≤ 0.8 + 0.2·(min/max) — so for threshold > 0.8 a pair with
+    // min/max < 5·threshold − 4 can NEVER pass, and the length compare
+    // is ~free next to the O(len·window) kernel (LengthPruneSpec proves
+    // the bound never drops a passing pair)
+    val la = length(col("l.name")).cast("double")
+    val lb = length(col("r.name")).cast("double")
+    val ratioFloor = 5.0 * threshold - 4.0
+    val lenOk =
+      if (ratioFloor > 0.0)
+        least(la, lb) / greatest(la, lb) >= lit(ratioFloor)
+      else lit(true)
     val pairs = l.join(r,
-        col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+        col("l.block") === col("r.block") && col("l.id") < col("r.id") && lenOk)
       .select(col("l.id").as("a"), col("r.id").as("b"),
         col("l.name").as("a_name"), col("r.name").as("b_name"),
         JaroWinklerExpression.jaroWinkler(col("l.name"), col("r.name")).as("sim"))

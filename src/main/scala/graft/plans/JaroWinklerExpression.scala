@@ -29,14 +29,43 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JaroWinkler {
 
+  /** Per-thread reusable buffers: the kernel runs millions of times per
+    * task in a blocked similarity join — per-call allocation (2 Strings
+    * + 2 flag arrays) was the dominant constant. Tasks are
+    * thread-confined, so ThreadLocal scratch is safe. */
+  private final class Scratch {
+    var ca = new Array[Char](64); var cb = new Array[Char](64)
+    var ma = new Array[Boolean](64); var mb = new Array[Boolean](64)
+    def ensure(la: Int, lb: Int): Unit = {
+      if (ca.length < la) { ca = new Array[Char](la * 2); ma = new Array[Boolean](la * 2) }
+      if (cb.length < lb) { cb = new Array[Char](lb * 2); mb = new Array[Boolean](lb * 2) }
+    }
+  }
+  private val tl = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  /** Copy a UTF8String's chars into a scratch array: byte-direct for
+    * ASCII (numBytes == numChars ⇒ every char is one 0–127 byte),
+    * through String for multi-byte text. Identical chars either way. */
+  private def fill(u: UTF8String, n: Int, dst: Array[Char]): Unit =
+    if (u.numBytes == n) {
+      var i = 0
+      while (i < n) { dst(i) = (u.getByte(i) & 0xFF).toChar; i += 1 }
+    } else u.toString.getChars(0, n, dst, 0)
+
   /** Static kernel — called from both interpreted eval and codegen. */
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString; val b = ub.toString
-    val la = a.length; val lb = b.length
+    val la = ua.numChars; val lb = ub.numChars
     if (la == 0 || lb == 0) return 0.0
+    val s = tl.get()
+    s.ensure(la, lb)
+    val a = s.ca; val b = s.cb
+    fill(ua, la, a); fill(ub, lb, b)
+    val aMatch = s.ma; val bMatch = s.mb
+    java.util.Arrays.fill(aMatch, 0, la, false)
+    java.util.Arrays.fill(bMatch, 0, lb, false)
     val window = math.max((if (la > lb) la else lb) / 2 - 1, 0)
-    val aMatch = new Array[Boolean](la)
-    val bMatch = new Array[Boolean](lb)
     var m = 0
     var i = 0
     while (i < la) {
@@ -45,7 +74,7 @@ object JaroWinkler {
       var j = lo
       var matched = false
       while (j <= hi && !matched) {
-        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bMatch(j) && a(i) == b(j)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; matched = true
         }
         j += 1
@@ -58,7 +87,7 @@ object JaroWinkler {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -70,7 +99,7 @@ object JaroWinkler {
     var stop = false
     i = 0
     while (i < pMax && !stop) {
-      if (a.charAt(i) == b.charAt(i)) p += 1 else stop = true
+      if (a(i) == b(i)) p += 1 else stop = true
       i += 1
     }
     if (jaro > 0.7) jaro + p * 0.1 * (1.0 - jaro) else jaro

@@ -273,6 +273,26 @@ class PlanExprSpec extends AnyFunSuite with CacheHygiene {
     assert(fromCodegen.sameElements(interpreted))
   }
 
+  test("jaro_winkler length-ratio bound is sound (never prunes a passing pair)") {
+    // EntityResolution prunes pairs with min/max < 5t-4 BEFORE scoring,
+    // justified by jw <= 0.8 + 0.2*(min/max). Verify the bound holds on
+    // random pairs (if it ever failed, the prune could drop a true match)
+    val rnd = new scala.util.Random(99)
+    val alpha = "abcde"
+    (0 until 5000).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(5))).mkString
+      val b = Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(5))).mkString
+      if (a.nonEmpty && b.nonEmpty) {
+        val jw = graft.plans.JaroWinkler.similarity(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(b))
+        val r = math.min(a.length, b.length).toDouble / math.max(a.length, b.length)
+        assert(jw <= 0.8 + 0.2 * r + 1e-12,
+          s"bound violated: jw($a,$b)=$jw ratio=$r")
+      }
+    }
+  }
+
   test("d22 entity-resolution plan: no UDF, census cap bounds pair fan-out") {
     val sfDir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("d22_entity_resolution")(spark, sfDir)
