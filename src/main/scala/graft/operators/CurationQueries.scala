@@ -57,6 +57,25 @@ object CurationQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- k-CORE of the user↔page engagement graph: iterative peeling to
+    // the dense core (k=45 on the bipartite graph — one real peel round
+    // at sf0.01 plus the fixpoint check). Peeling is idempotent at the
+    // fixpoint, so the oracle replays 4 unrolled rounds and matches
+    // whatever depth Spark actually needed. ------------------------------
+    "g07_kcore" -> ((s, d) => {
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+      val edges = Tables.events(s, d)
+        .select(col("user_id").as("src"), (k + lit(1000000L)).as("dst"))
+      GraphOps.kCore(edges, "src", "dst", k = 45)
+        .select(
+          when(col("node") < 1000000L, lit("user")).otherwise(lit("page"))
+            .as("node_type"),
+          when(col("node") < 1000000L, col("node"))
+            .otherwise(col("node") - 1000000L).as("node_id"),
+          col("degree"))
+        .orderBy(col("node_type"), col("node_id"))
+    }),
+
     // -- BM25 lexical retrieval: 3 fixed queries, top-10 docs each -------
     // Corpus scanned once; tokens filtered to query terms BEFORE any
     // shuffle, so the tf/df aggregates are query-vocabulary-sized.
@@ -396,6 +415,41 @@ object CurationQueries {
         | round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // g07: 4 unrolled peel rounds (extra rounds are no-ops past the
+    // fixpoint); bipartite ids never collide so least/greatest
+    // canonicalization reduces to (user, page+1e6)
+    "g07_kcore" ->
+      """WITH e0 AS (SELECT DISTINCT user_id AS a,
+        |    1000000 + CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+        |      AS b
+        |  FROM events),
+        |d1 AS (SELECT n, count(*) AS d FROM
+        |  (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |x1 AS (SELECT n FROM d1 WHERE d < 45),
+        |e1 AS (SELECT a, b FROM e0 WHERE a NOT IN (SELECT n FROM x1)
+        |  AND b NOT IN (SELECT n FROM x1)),
+        |d2 AS (SELECT n, count(*) AS d FROM
+        |  (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |x2 AS (SELECT n FROM d2 WHERE d < 45),
+        |e2 AS (SELECT a, b FROM e1 WHERE a NOT IN (SELECT n FROM x2)
+        |  AND b NOT IN (SELECT n FROM x2)),
+        |d3 AS (SELECT n, count(*) AS d FROM
+        |  (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+        |x3 AS (SELECT n FROM d3 WHERE d < 45),
+        |e3 AS (SELECT a, b FROM e2 WHERE a NOT IN (SELECT n FROM x3)
+        |  AND b NOT IN (SELECT n FROM x3)),
+        |d4 AS (SELECT n, count(*) AS d FROM
+        |  (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+        |x4 AS (SELECT n FROM d4 WHERE d < 45),
+        |e4 AS (SELECT a, b FROM e3 WHERE a NOT IN (SELECT n FROM x4)
+        |  AND b NOT IN (SELECT n FROM x4))
+        |SELECT CASE WHEN node < 1000000 THEN 'user' ELSE 'page' END
+        |    AS node_type,
+        |  CASE WHEN node < 1000000 THEN node ELSE node - 1000000 END
+        |    AS node_id,
+        |  CAST(count(*) AS BIGINT) AS degree
+        |FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+        |GROUP BY 1, 2 ORDER BY node_type, node_id""".stripMargin,
     "g06_avg_nbr_degree" ->
       """WITH kx AS (SELECT user_id, ts, event_id,
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

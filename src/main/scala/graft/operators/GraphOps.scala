@@ -259,4 +259,63 @@ object GraphOps {
         (col("common").cast("double") /
           (col("deg_u") + col("deg_v") - col("common"))).as("jaccard"))
   }
+
+  /** k-core subgraph (Seidman 1983): iteratively peel nodes of degree
+    * < k until every survivor has ≥ k surviving neighbors — the dense
+    * "engagement core" a recommender or community detector keys on.
+    *
+    * Edges are canonicalized (undirected, deduped, self-loops dropped)
+    * first. Each peel round is two node-keyed aggregates + two
+    * anti-joins — everything keyed, nothing corpus-global; rounds needed
+    * = peel depth, which is small for real degree distributions (a
+    * pathological chain peels one node per round — `maxIters` throws
+    * loudly rather than returning a non-core silently, same discipline
+    * as [[graft.dedup.Dedup.duplicateClusters]]). Peeling is idempotent
+    * at the fixpoint, so an oracle may replay MORE rounds than Spark
+    * ran and still match exactly.
+    *
+    * @return surviving `(node, degree)` — degree WITHIN the core
+    */
+  def kCore(edges0: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 20): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    var edges = edges0
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val deg = edges.select(col("a").as("n"))
+        .unionAll(edges.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val bad = deg.filter(col("d") < k).select(col("n")).persist()
+      if (bad.count() == 0L) converged = true
+      else {
+        val next = edges
+          .join(bad.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
+          .join(bad.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
+          .persist()
+        next.count() // materialize before dropping the parent
+        edges.unpersist()
+        edges = next
+      }
+      bad.unpersist()
+      i += 1
+    }
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"kCore did not converge after $maxIters peel rounds; raise maxIters")
+    }
+    // truncate the peel-chain lineage (same discipline as pageRank's
+    // checkpointed iterations): without this, evaluating the result
+    // re-runs every anti-join round from scratch after the unpersist
+    val core = edges.localCheckpoint(true)
+    edges.unpersist()
+    core.select(col("a").as("node"))
+      .unionAll(core.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -157,4 +157,28 @@ class GraphSpec extends AnyFunSuite with CacheHygiene {
         .as[(String, String, Long, Double)].collect().toSet
     assert(run(messy, 1) == run(clean, 8))
   }
+
+  test("kCore: cascade peeling, chain depth, convergence guard") {
+    import spark.implicits._
+    // 5-clique (ids 0-4, every node degree 4) + pendant chain 4-10-11-12:
+    // 2-core = the clique alone after the chain cascades away (3 rounds);
+    // nodes 10..12 each peel only after their outer neighbor goes
+    val clique = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (clique ++ chain).toDF("src", "dst")
+    val core2 = GraphOps.kCore(edges, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().sorted
+    assert(core2.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(core2.forall(_._2 == 4L), s"clique degrees: ${core2.toSeq}")
+    // k=5 exceeds the clique: empty core, no crash
+    assert(GraphOps.kCore(edges, "src", "dst", k = 5).count() == 0L)
+    // k=1 keeps everything (after self-loop/dup cleanup)
+    val dirty = edges.unionAll(Seq((3L, 3L), (1L, 0L)).toDF("src", "dst"))
+    assert(GraphOps.kCore(dirty, "src", "dst", k = 1).count() == 8L)
+    // a chain longer than maxIters peels one node per round per side ->
+    // must throw loudly, not return a partial core
+    val longChain = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException](
+      GraphOps.kCore(longChain, "src", "dst", k = 2, maxIters = 3).count())
+  }
 }
