@@ -60,6 +60,48 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Matryoshka-style two-stage top-k (Kusupati et al. 2022, "Matryoshka
+    * representation learning"): score EVERY candidate on only the first
+    * `prefixDims` dimensions (MRL-trained embeddings concentrate
+    * information in the prefix), keep a `rerankDepth` shortlist per
+    * query, then rerank just the shortlist with the full vector. Reads
+    * `prefixDims/dim` of the float math per candidate; the full-width
+    * cosine runs on `rerankDepth` rows per query instead of the corpus.
+    *
+    * With `rerankDepth ≥ corpus size` the shortlist is everything and
+    * the result EQUALS [[bruteForceTopK]] exactly (a12 gate-enforces
+    * that identity plus a shallow-depth recall floor). Same plan shape
+    * as bruteForce: queries broadcast, corpus unshuffled, per-query
+    * WindowGroupLimit — narrower arithmetic, not a different topology.
+    */
+  def prefixRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      querySelector: Column, k: Int, prefixDims: Int,
+      rerankDepth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(prefixDims >= 1, s"prefixDims=$prefixDims must be >= 1")
+    require(rerankDepth >= k, s"rerankDepth=$rerankDepth below k=$k")
+    val q = emb.filter(querySelector)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        slice(col(vecCol), 1, prefixDims).as("qpre"))
+    val coarse = emb
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("nvec"), slice(col(vecCol), 1, prefixDims).as("npre"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("nvec"),
+        cosine(col("qpre"), col("npre")).as("coarse"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val shortlist = coarse.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= rerankDepth)
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("nvec")).as("cos"))
+      .withColumn("rn", row_number().over(wf)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** nBits-bit random-hyperplane signature of a float-array column.
     * Kept ONLY as the parity witness for the native codegen'd
     * [[graft.plans.HyperplaneSignatureExpression]] that replaced it in

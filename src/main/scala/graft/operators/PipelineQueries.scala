@@ -303,6 +303,33 @@ object PipelineQueries {
     // approximate answers computed in-plan, recall via semi-joins, the
     // thresholds mirroring PipelineSpec. The driver now re-proves the
     // approximation quality every round, not just ScalaTest. ------------
+    // -- MATRYOSHKA prefix-rerank CONTRACT, gate-enforced: (1) with the
+    // shortlist opened to the whole corpus the two-stage result must
+    // equal brute force EXACTLY (the rerank is the same full-width
+    // cosine); (2) a 16-of-64-dim coarse stage with a 150-deep shortlist
+    // must keep recall@10 ≥ 0.6 (measured 0.76 — these synthetic
+    // embeddings are NOT MRL-trained, so the prefix carries only its
+    // proportional signal share; true Matryoshka embeddings tolerate
+    // far shallower shortlists) -----------------------------------------
+    "a12_prefix_rerank_contract" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+      val bf = Ann.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
+      val full = Ann.prefixRerankTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 5, k = 10, prefixDims = 16, rerankDepth = 1000000)
+      val shallow = Ann.prefixRerankTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 5, k = 10, prefixDims = 16, rerankDepth = 150)
+      // full-depth identity: row-for-row equal incl. the rounded score
+      val diff = bf.unionAll(full).distinct().count()
+      val identical = diff == bf.count()
+      val total = pairs(bf).count().toDouble
+      val hit = pairs(bf).join(pairs(shallow),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      import s.implicits._
+      Seq((identical, hit / total >= 0.6))
+        .toDF("full_depth_equals_bruteforce", "shallow_recall_ok")
+    }),
+
     "a04_ann_contract" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
@@ -2073,6 +2100,8 @@ object PipelineQueries {
         |ORDER BY vec_id""".stripMargin,
     "a04_ann_contract" ->
       "SELECT TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok",
+    "a12_prefix_rerank_contract" ->
+      "SELECT TRUE AS full_depth_equals_bruteforce, TRUE AS shallow_recall_ok",
     "a10_knn_join_contract" ->
       "SELECT TRUE AS knn_join_recall_ok",
     "e04_normalize_contract" ->
