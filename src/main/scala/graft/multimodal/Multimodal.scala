@@ -157,6 +157,37 @@ object Multimodal {
     Some(hash)
   }
 
+  /** Sobel edge energy of a P6 image — the classic gradient-magnitude
+    * feature (blur/quality proxy, cheap pre-filter before an expensive
+    * vision model): integer grayscale `(r+g+b)/3` (floor), 3×3 Sobel
+    * kernels over INTERIOR pixels, Σ(|gx|+|gy|). Images with no interior
+    * (w<3 or h<3) report 0. Every step is integer-exact, so the m08
+    * oracle replays the convolution closed-form from the synthetic pixel
+    * formula. Returns None for non-P6 input. */
+  def sobelEnergyPpm(bytes: Array[Byte]): Option[Long] = {
+    val (w, h, _, pos) = parseP6(bytes, 0).getOrElse(return None)
+    def gray(x: Int, y: Int): Int = {
+      val src = pos + (y * w + x) * 3
+      ((bytes(src) & 0xff) + (bytes(src + 1) & 0xff) + (bytes(src + 2) & 0xff)) / 3
+    }
+    var e = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = -gray(x - 1, y - 1) + gray(x + 1, y - 1) +
+          -2 * gray(x - 1, y) + 2 * gray(x + 1, y) +
+          -gray(x - 1, y + 1) + gray(x + 1, y + 1)
+        val gy = -gray(x - 1, y - 1) - 2 * gray(x, y - 1) - gray(x + 1, y - 1) +
+          gray(x - 1, y + 1) + 2 * gray(x, y + 1) + gray(x + 1, y + 1)
+        e += math.abs(gx) + math.abs(gy)
+        x += 1
+      }
+      y += 1
+    }
+    Some(e)
+  }
+
   /** Deterministic synthetic P6 image for doc/media id: dims and pixel
     * values are closed-form in the id so a SQL oracle can replay the
     * decoded statistics. w=(id%5)+1, h=(id%4)+2, pixel byte i =

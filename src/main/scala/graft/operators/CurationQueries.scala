@@ -222,6 +222,22 @@ object CurationQueries {
     // -- Perceptual-hash image dedup: REAL P6 decode → integer grayscale
     // NN-resample → 64-bit dHash → bucket census. The hash is split into
     // two uint32 halves so the DuckDB replay stays in exact BIGINT math.
+    // -- SOBEL edge energy over the REAL P6 decode path: integer
+    // grayscale, 3x3 kernels on interior pixels, Σ(|gx|+|gy|) — the
+    // blur/quality proxy vision pipelines pre-filter on. Oracle replays
+    // the convolution closed-form from the synthetic pixel formula
+    // (no-interior images pin the 0 path). ------------------------------
+    "m08_sobel_energy" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal
+        .mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "image")
+      val sob = udf((b: Array[Byte]) =>
+        graft.multimodal.Multimodal.sobelEnergyPpm(b).getOrElse(-1L))
+      media.select(col("media_id"), col("meta.width").as("w"),
+          col("meta.height").as("h"), sob(col("bytes")).as("edge_energy"))
+        .orderBy(col("media_id"))
+    }),
+
     "m05_image_phash" -> ((s, d) => {
       val media = graft.multimodal.Multimodal
         .mediaFromDocuments(Tables.documents(s, d))
@@ -734,6 +750,36 @@ object CurationQueries {
     // dHash replay: grayscale at grid (x,y) is integer math on the
     // closed-form pixel bytes (id*31 + byteoffset) % 256; lead() compares
     // horizontal neighbors; the two uint32 halves are exact BIGINT sums
+    // m08: pixel byte i = (doc_id*31 + i) % 256; gray = floor((r+g+b)/3);
+    // 3x3 Sobel over interior (empty for w<3 or h<3 -> coalesce 0)
+    "m08_sobel_energy" ->
+      """WITH imgs AS (SELECT doc_id, ((doc_id % 5) + 1)::INT AS w,
+        |    ((doc_id % 4) + 2)::INT AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ptx AS (SELECT doc_id, w, h, unnest(range(1, w - 1))::INT AS x
+        |  FROM imgs),
+        |pts AS (SELECT doc_id, w, h, x, unnest(range(1, h - 1))::INT AS y
+        |  FROM ptx),
+        |nb AS (SELECT p.doc_id, p.x, p.y, o.dx, o.dy,
+        |    (((p.doc_id*31 + 3*((p.y+o.dy)*p.w + (p.x+o.dx))) % 256
+        |     + (p.doc_id*31 + 3*((p.y+o.dy)*p.w + (p.x+o.dx)) + 1) % 256
+        |     + (p.doc_id*31 + 3*((p.y+o.dy)*p.w + (p.x+o.dx)) + 2) % 256)
+        |     // 3) AS g
+        |  FROM pts p, (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),
+        |    (-1,1),(0,1),(1,1)) AS o(dx,dy)),
+        |sb AS (SELECT doc_id, x, y,
+        |    sum(g * CASE WHEN dx = -1 AND dy = 0 THEN -2
+        |      WHEN dx = 1 AND dy = 0 THEN 2
+        |      WHEN dx = -1 THEN -1 WHEN dx = 1 THEN 1 ELSE 0 END) AS gx,
+        |    sum(g * CASE WHEN dy = -1 AND dx = 0 THEN -2
+        |      WHEN dy = 1 AND dx = 0 THEN 2
+        |      WHEN dy = -1 THEN -1 WHEN dy = 1 THEN 1 ELSE 0 END) AS gy
+        |  FROM nb GROUP BY 1, 2, 3),
+        |e AS (SELECT doc_id, CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS energy
+        |  FROM sb GROUP BY 1)
+        |SELECT i.doc_id AS media_id, i.w, i.h,
+        |  coalesce(e.energy, 0) AS edge_energy
+        |FROM imgs i LEFT JOIN e USING (doc_id) ORDER BY media_id""".stripMargin,
     "m05_image_phash" ->
       """WITH m AS (SELECT doc_id, (doc_id % 5) + 1 AS w, (doc_id % 4) + 2 AS h
         |  FROM documents WHERE doc_id % 3 = 0),
