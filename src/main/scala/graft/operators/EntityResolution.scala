@@ -31,14 +31,38 @@ object EntityResolution {
     * @return (a, b, a_name, b_name, sim) with a < b on the id column
     */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
-      blockCol: String, threshold: Double, maxBlock: Int = 0): DataFrame =
-    fuzzyPairsWithStats(df, idCol, nameCol, blockCol, threshold, maxBlock)._1
+      blockCol: String, threshold: Double, maxBlock: Int = 0,
+      saltFactor: Int = 1, probeParallelism: Int = 0): DataFrame =
+    fuzzyPairsWithStats(df, idCol, nameCol, blockCol, threshold, maxBlock,
+      saltFactor, probeParallelism)._1
 
   /** [[fuzzyPairs]] plus the dropped-block census `(block, n)` — empty
-    * iff the `maxBlock` cap excluded nothing (or was 0). */
+    * iff the `maxBlock` cap excluded nothing (or was 0).
+    *
+    * The pair loop's parallelism depends on which join the planner
+    * picks, and each regime has its own lever:
+    *
+    * @param probeParallelism for the BROADCAST regime (entity table fits
+    *   in a broadcast — the common case; the pair loop then runs on the
+    *   PROBE side, whose task count is just the upstream file-split
+    *   count, e.g. ONE task for a single parquet file regardless of
+    *   cores). >0 round-robin-repartitions the probe side to that many
+    *   slices, each probing the broadcast independently. 0 = off.
+    * @param saltFactor for the SHUFFLE (sort-merge) regime (blocks too
+    *   big to broadcast): a block-keyed self-join runs at most one task
+    *   per distinct block, and one hot block serializes everything. With
+    *   `saltFactor = S` the left side is split into S deterministic
+    *   id-hash slices and the right side replicated S× — same pairs
+    *   exactly (the slice id is not part of the pair condition),
+    *   S·|blocks| tasks each doing 1/S of a block's kernel work. 1 = off
+    *   (leave 1 in the broadcast regime: a BHJ replicates the build side
+    *   anyway, so salting there only inflates the broadcast).
+    */
   def fuzzyPairsWithStats(df: DataFrame, idCol: String, nameCol: String,
-      blockCol: String, threshold: Double, maxBlock: Int = 0)
-      : (DataFrame, DataFrame) = {
+      blockCol: String, threshold: Double, maxBlock: Int = 0,
+      saltFactor: Int = 1, probeParallelism: Int = 0): (DataFrame, DataFrame) = {
+    require(saltFactor >= 1, s"saltFactor=$saltFactor must be >= 1")
+    require(probeParallelism >= 0, s"probeParallelism=$probeParallelism < 0")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold outside (0,1]")
     require(maxBlock >= 0, s"maxBlock=$maxBlock must be >= 0")
@@ -55,7 +79,20 @@ object EntityResolution {
         val ok = census.filter(col("n").between(2, maxBlock)).select(col("block"))
         base.join(ok, Seq("block"))
       } else base
-    val l = pruned.as("l"); val r = pruned.as("r")
+    // probe-side slicing (broadcast regime) / salted self-join (shuffle
+    // regime) — see the scaladoc above for which lever applies when
+    val probeSide =
+      if (probeParallelism > 0) pruned.repartition(probeParallelism)
+      else pruned
+    val (l, r) =
+      if (saltFactor > 1) {
+        (probeSide.withColumn("salt",
+          pmod(xxhash64(col("id")), lit(saltFactor)).cast("int")).as("l"),
+          pruned.withColumn("salt",
+            explode(sequence(lit(0), lit(saltFactor - 1)))).as("r"))
+      } else
+        (probeSide.withColumn("salt", lit(0)).as("l"),
+          pruned.withColumn("salt", lit(0)).as("r"))
     // sound length-ratio prune AHEAD of the kernel: with prefix boost
     // capped at 4·0.1 and jaro ≤ (2 + min/max)/3, any pair satisfies
     // jw ≤ 0.8 + 0.2·(min/max) — so for threshold > 0.8 a pair with
@@ -70,7 +107,8 @@ object EntityResolution {
         least(la, lb) / greatest(la, lb) >= lit(ratioFloor)
       else lit(true)
     val pairs = l.join(r,
-        col("l.block") === col("r.block") && col("l.id") < col("r.id") && lenOk)
+        col("l.block") === col("r.block") && col("l.salt") === col("r.salt") &&
+          col("l.id") < col("r.id") && lenOk)
       .select(col("l.id").as("a"), col("r.id").as("b"),
         col("l.name").as("a_name"), col("r.name").as("b_name"),
         JaroWinklerExpression.jaroWinkler(col("l.name"), col("r.name")).as("sim"))

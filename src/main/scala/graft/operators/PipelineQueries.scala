@@ -186,7 +186,7 @@ object PipelineQueries {
     // the FUZZY band, not the d01 exact-dup shape.
     "d22_entity_resolution" -> ((s, d) =>
       EntityResolution.fuzzyPairs(Tables.part(s, d), "p_partkey",
-          "p_name", "p_brand", threshold = 0.9)
+          "p_name", "p_brand", threshold = 0.9, probeParallelism = 64)
         .filter(col("sim") < 1.0)
         .select(col("a"), col("b"), col("a_name"), col("b_name"),
           round(col("sim"), 4).as("sim"))
