@@ -1089,6 +1089,51 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 2 === 1), "text")
     }),
 
+    // -- TF-IDF KEYWORD extraction: top-3 terms per document by
+    // tf·ln(N/df) — the classic summarize/tag step; tf table is narrow,
+    // df is vocabulary-sized, the join rides the term key, top-3 is a
+    // per-doc WindowGroupLimit --------------------------------------------
+    "t28_tfidf_keywords" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      tf.join(df0, "term")
+        .withColumn("tfidf",
+          col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3 && col("doc_id") < 100)
+        .select(col("doc_id"), col("rk"), col("term"),
+          round(col("tfidf"), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // -- KEY-SKEW diagnostic report: the pre-flight check before any big
+    // keyed shuffle — per-key share stats + the imbalance factor
+    // (max/avg) that IS the recommended salt multiplier for a salted
+    // repartition (Skew.scala's twins consume exactly this number).
+    // ONE key-sized aggregate; nothing corpus-sized leaves the map side.
+    "p23_skew_report" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+      counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_count"),
+          min(col("c")).as("min_count"))
+        .select(col("n_keys"), col("n_rows"), col("max_count"), col("min_count"),
+          round(col("n_rows").cast("double") / col("n_keys"), 4).as("avg_count"),
+          round(col("max_count") /
+            (col("n_rows").cast("double") / col("n_keys")), 4).as("imbalance"),
+          ceil(col("max_count") /
+            (col("n_rows").cast("double") / col("n_keys"))).cast("long")
+            .as("suggested_salt"))
+    }),
+
     // -- ZIPF rank-frequency fit: OLS of ln(count) on ln(rank) over the
     // top-200 vocabulary — slope ≈ -1 for natural text, shallower for
     // templated corpora; pico-quantized moments make the fit
@@ -1861,6 +1906,37 @@ object PipelineQueries {
         | round(floor(CAST(sum(len(string_split(text, ' '))) AS BIGINT)::DOUBLE
         |   / count(*) * 1e12 + 0.5) / 1e12, 4) AS avg_tokens
         |FROM documents""".stripMargin,
+    // t28: identical tf/df/ln arithmetic; rank ties break on term
+    "t28_tfidf_keywords" ->
+      """WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln(n.n / dfx.df) AS tfidf
+        |  FROM tf JOIN dfx USING (term), n),
+        |rk AS (SELECT doc_id, term, tfidf, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM sc)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+        |  round(tfidf, 4) AS tfidf
+        |FROM rk WHERE rk <= 3 AND doc_id < 100
+        |ORDER BY doc_id, rk""".stripMargin,
+    // p23: exact integer stats + two double divisions
+    "p23_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |a AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c) AS max_count, min(c) AS min_count FROM c)
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys, n_rows,
+        | CAST(max_count AS BIGINT) AS max_count,
+        | CAST(min_count AS BIGINT) AS min_count,
+        | round(n_rows::DOUBLE / n_keys, 4) AS avg_count,
+        | round(max_count / (n_rows::DOUBLE / n_keys), 4) AS imbalance,
+        | CAST(ceil(max_count / (n_rows::DOUBLE / n_keys)) AS BIGINT)
+        |   AS suggested_salt
+        |FROM a""".stripMargin,
     // t27: same ranking, same pico-quantized OLS moments, same formula
     // text — the fit replays double-for-double
     "t27_zipf_fit" ->
