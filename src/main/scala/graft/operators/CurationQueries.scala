@@ -57,6 +57,24 @@ object CurationQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- LAYOUT-INVARIANT CONTENT FINGERPRINT: "is the copy identical"
+    // answered in ONE aggregate pass per side — per-row 48-bit md5 terms
+    // summed mod 2³¹−1 (addition commutes ⇒ any partitioning/order/file
+    // layout gives the same value; plain integer arithmetic ⇒ any engine
+    // reproduces it). The gate fingerprints the same table under two
+    // different physical layouts and hash-verifies the value itself. ----
+    "u12_content_fingerprint" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_linenumber",
+        "l_quantity", "l_returnflag")
+      val li = Tables.lineitem(s, d).select(cols.map(col): _*)
+      val a = Maintenance.contentFingerprint(li, cols)
+      val b = Maintenance.contentFingerprint(
+        li.repartition(64).sortWithinPartitions(col("l_quantity")), cols)
+      a.crossJoin(b.select(col("content_fp").as("fp2")))
+        .select(col("content_fp"), col("n_rows"),
+          (col("content_fp") === col("fp2")).as("layout_invariant"))
+    }),
+
     // -- k-CORE of the user↔page engagement graph: iterative peeling to
     // the dense core (k=45 on the bipartite graph — one real peel round
     // at sf0.01 plus the fixpoint check). Peeling is idempotent at the
@@ -431,6 +449,18 @@ object CurationQueries {
         | round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // u12: same per-row term (48-bit md5 prefix of the |-joined values,
+    // \N null sentinel) and the same mod-2³¹−1 sum
+    "u12_content_fingerprint" ->
+      """WITH t AS (SELECT ('0x'||substr(md5(
+        |    coalesce(l_orderkey::VARCHAR, '\N') || '|' ||
+        |    coalesce(l_partkey::VARCHAR, '\N') || '|' ||
+        |    coalesce(l_linenumber::VARCHAR, '\N') || '|' ||
+        |    coalesce(l_quantity::VARCHAR, '\N') || '|' ||
+        |    coalesce(l_returnflag, '\N')), 1, 12))::BIGINT % 2147483647 AS v
+        |  FROM lineitem)
+        |SELECT CAST(sum(v) % 2147483647 AS BIGINT) AS content_fp,
+        |  count(*) AS n_rows, TRUE AS layout_invariant FROM t""".stripMargin,
     // g07: 4 unrolled peel rounds (extra rounds are no-ops past the
     // fixpoint); bipartite ids never collide so least/greatest
     // canonicalization reduces to (user, page+1e6)

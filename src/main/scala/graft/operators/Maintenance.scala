@@ -172,4 +172,31 @@ object Maintenance {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Layout-invariant CONTENT fingerprint of a table — the integrity
+    * primitive for replication / migration / compaction validation at
+    * scale: "does the copy hold exactly the same rows", answerable in
+    * ONE aggregate pass on each side with no sort and no row transfer.
+    *
+    * Per row: 48-bit md5 prefix of the `|`-joined column values (nulls
+    * as an explicit `\\N` sentinel so null/empty don't collide), reduced
+    * mod 2³¹−1; fingerprint = Σ mod 2³¹−1. Addition commutes, so ANY
+    * partitioning, row order, or file layout yields the same value —
+    * and the arithmetic is plain integers, so any engine with md5
+    * reproduces it exactly (u12 hash-verifies vs DuckDB). Multiset
+    * semantics: duplicate rows each count.
+    *
+    * Overflow-safe by construction: per-row terms < 2³¹, so a Long sum
+    * holds ~2³² rows per partial; Spark's partial aggregation splits
+    * sums far below that. */
+  def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "contentFingerprint needs at least one column")
+    val p = 2147483647L // 2^31 - 1
+    val joined = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*)
+    val term = pmod(conv(substring(md5(joined), 1, 12), 16, 10).cast("long"), lit(p))
+    df.select(term.as("t"))
+      .agg(pmod(sum(col("t")), lit(p)).as("content_fp"),
+        count(lit(1)).as("n_rows"))
+  }
 }
