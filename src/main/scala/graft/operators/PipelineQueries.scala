@@ -869,6 +869,23 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // -- streamed CONTENT FINGERPRINT, hash-verified: u12's mod-2³¹−1
+    // term sum folded through the state store micro-batch by micro-batch
+    // — continuous replica validation of an ingest feed; commutative
+    // addition ⇒ streamed == batch on any chopping, and the value itself
+    // replays in DuckDB ---------------------------------------------------
+    "st15_stream_fingerprint" -> ((s, d) => {
+      import graft.streaming.EventStreams
+      val cols = Seq("event_id", "user_id", "event_type")
+      val e = Tables.events(s, d).select(col("ts") +: cols.map(col): _*)
+      val streamed = EventStreams.fingerprintStreamed(s, e,
+        s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st15_stage", cols)
+      val batch = Maintenance.contentFingerprint(e, cols)
+      streamed.crossJoin(batch.select(col("content_fp").as("bfp")))
+        .select(col("content_fp"), col("n_rows"),
+          (col("content_fp") === col("bfp")).as("streamed_eq_batch"))
+    }),
+
     "st04_stream_hll_contract" -> ((s, d) => {
       import graft.streaming.EventStreams
       val b = 12
@@ -2779,6 +2796,15 @@ object PipelineQueries {
         | count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
+    // st15: the u12 fingerprint arithmetic over the event columns
+    "st15_stream_fingerprint" ->
+      """WITH t AS (SELECT ('0x'||substr(md5(
+        |    coalesce(event_id::VARCHAR, '\N') || '|' ||
+        |    coalesce(user_id::VARCHAR, '\N') || '|' ||
+        |    coalesce(event_type, '\N')), 1, 12))::BIGINT % 2147483647 AS v
+        |  FROM events)
+        |SELECT CAST(sum(v) % 2147483647 AS BIGINT) AS content_fp,
+        |  count(*) AS n_rows, TRUE AS streamed_eq_batch FROM t""".stripMargin,
     // st14: the sk17/sk18 KMV replay keyed by event_type over user_id
     // (salt :th14) — the streamed estimate must equal it exactly
     "st14_stream_theta" ->

@@ -216,6 +216,19 @@ object EventStreams {
         (floor(col("est_raw") * 10000 + lit(0.5)) / 10000).as("est_users"))
   }
 
+  /** Streamed content fingerprint: [[graft.operators.Maintenance
+    * .contentFingerprint]]'s mod-2³¹−1 term sum folded micro-batch by
+    * micro-batch through the state store — continuous replica validation
+    * of an ingest feed (compare against the source system's one-pass
+    * value). Addition is commutative/associative, so the streamed value
+    * is IDENTICAL to the batch build on any chopping, and the integer
+    * arithmetic replays in DuckDB — st15 is hash-verified end to end. */
+  def fingerprintStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, cols: Seq[String], nFiles: Int = 3,
+      sinkName: String = "st15_sink"): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName)(
+      graft.operators.Maintenance.contentFingerprint(_, cols))
+
   /** Streamed heavy hitters: the Top(+CMS) `MostFrequent` sketch buffer
     * rides the streaming state store as a GLOBAL typed aggregate and
     * merges across micro-batch boundaries. In the exact regime (tracking

@@ -293,6 +293,23 @@ class PlanExprSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("entity resolution: salt and probe-slicing change the plan, never the pairs") {
+    import graft.operators.EntityResolution
+    val df = spark.range(0, 600)
+      .selectExpr("id", "concat('name', id % 37, 'v', id % 11) AS nm",
+        "concat('b', id % 3) AS blk")
+    def run(salt: Int, probe: Int) =
+      EntityResolution.fuzzyPairs(df.toDF(), "id", "nm", "blk",
+          threshold = 0.85, saltFactor = salt, probeParallelism = probe)
+        .select("a", "b", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val plain = run(1, 0)
+    assert(plain.nonEmpty, "test corpus must produce fuzzy pairs")
+    assert(run(4, 0) == plain, "salted != plain")
+    assert(run(1, 16) == plain, "probe-sliced != plain")
+    assert(run(3, 8) == plain, "salted+sliced != plain")
+  }
+
   test("d22 entity-resolution plan: no UDF, census cap bounds pair fan-out") {
     val sfDir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("d22_entity_resolution")(spark, sfDir)
