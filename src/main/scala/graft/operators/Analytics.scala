@@ -264,6 +264,36 @@ object Analytics {
       .drop("_in_old", "_in_new")
   }
 
+  /** Seasonal-naive forecast backtest: predict each period's value as
+    * the value one season earlier (`ŷ(d) = y(d − seasonDays)`) and score
+    * the prediction over every period where both sides exist — the
+    * baseline every fancier forecaster must beat, and the cheap
+    * "is today anomalous vs last week" monitor. Integer `cents` keep
+    * the error sums exact; MAE/bias are single divisions at the end.
+    *
+    * One keyed daily aggregate + one self-join on `(key, day − season)`
+    * — group-cardinality-sized frames only. Periods with zero activity
+    * are absent rows (not zeros): the backtest scores observed-vs-
+    * observed, callers wanting dense grids compose [[gapFillDaily]]
+    * first. */
+  def seasonalNaiveBacktest(df: DataFrame, keyCol: String, tsCol: String,
+      centsCol: String, seasonDays: Int = 7): DataFrame = {
+    require(seasonDays >= 1, s"seasonDays=$seasonDays must be >= 1")
+    val daily = df.groupBy(col(keyCol).as("k"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(col(centsCol)).as("y"))
+    val lagged = daily.select(col("k"),
+      (col("day") + expr(s"INTERVAL $seasonDays DAYS")).as("day"),
+      col("y").as("yhat"))
+    daily.join(lagged, Seq("k", "day"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("y") - col("yhat"))).as("abs_err_cents"),
+        sum(col("y") - col("yhat")).as("bias_cents"),
+        round(sum(abs(col("y") - col("yhat"))).cast("double") /
+          count(lit(1)), 4).as("mae_cents"))
+  }
+
   /** Multi-touch ATTRIBUTION join: for every conversion, the touchpoints
     * of the same user inside the lookback window, annotated with
     * everything the standard models need — `n_touches`, `is_first`,

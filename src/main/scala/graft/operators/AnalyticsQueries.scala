@@ -73,6 +73,17 @@ object AnalyticsQueries {
         .orderBy(col("ch"))
     }),
 
+    // -- SEASONAL-NAIVE forecast backtest: ŷ(day) = y(day−7) per event
+    // type over daily cents; MAE + signed bias over every scored day —
+    // the baseline forecaster and week-over-week anomaly monitor --------
+    "c18_seasonal_backtest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      Analytics.seasonalNaiveBacktest(ev, "event_type", "ts", "cents",
+          seasonDays = 7)
+        .orderBy(col("event_type"))
+    }),
+
     // -- BENFORD first-digit profile: forensic data-quality check on the
     // order-value feed — digit from the cents integer's decimal string
     // (exact in any engine; log10-derived digits flip on libm ulps at
@@ -380,6 +391,19 @@ object AnalyticsQueries {
         |    AS n_out,
         |  round(max(abs(scaled)), 6) AS max_abs_scaled
         |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // c18: same daily aggregate + 7-day self-join; integer error sums
+    "c18_seasonal_backtest" ->
+      """WITH daily AS (SELECT event_type AS k, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.k, a.day, a.y, b.y AS yhat
+        |  FROM daily a JOIN daily b
+        |    ON a.k = b.k AND b.day + INTERVAL 7 DAY = a.day)
+        |SELECT k AS event_type, count(*) AS n_scored,
+        | CAST(sum(abs(y - yhat)) AS BIGINT) AS abs_err_cents,
+        | CAST(sum(y - yhat) AS BIGINT) AS bias_cents,
+        | round(sum(abs(y - yhat))::DOUBLE / count(*), 4) AS mae_cents
+        |FROM j GROUP BY k ORDER BY event_type""".stripMargin,
     // c17: digit from the cents string — identical extraction; the only
     // doubles are one division and the log10 expectation, round4-stable
     "c17_benford" ->

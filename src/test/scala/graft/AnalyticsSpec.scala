@@ -280,6 +280,26 @@ class AnalyticsSpec extends AnyFunSuite with CacheHygiene {
     assert(a == b, s"layout-dependent fit: $a vs $b")
   }
 
+  test("seasonalNaiveBacktest: perfect season, planted errors, edge scoring") {
+    import graft.operators.Analytics
+    // key A: perfectly weekly-periodic -> MAE 0, bias 0, scores only
+    // days with a 7-day-earlier observation (days 8..14 of 14)
+    val a = (1 to 14).map(d => ("A", f"2024-01-$d%02d 10:00:00", (d % 7) * 100L))
+    // key B: week 2 exactly 50 cents above week 1 every day -> MAE 50, bias +350
+    val b = (1 to 14).map(d =>
+      ("B", f"2024-01-$d%02d 10:00:00", 100L + (if (d > 7) 50L else 0L)))
+    // key C: only 3 days of history -> no scorable day, absent from output
+    val c = (1 to 3).map(d => ("C", f"2024-01-$d%02d 10:00:00", 10L))
+    val df = (a ++ b ++ c).toDF("k", "tss", "cents")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val r = Analytics.seasonalNaiveBacktest(df, "k", "ts", "cents", 7)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4))).sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq("A", "B"), s"keys: ${r.toSeq}")
+    assert(r(0) == (("A", 7L, 0L, 0L, 0.0)), s"A: ${r(0)}")
+    assert(r(1) == (("B", 7L, 350L, 350L, 50.0)), s"B: ${r(1)}")
+  }
+
   test("snapshotDiff: null-to-value transition is changed, not absent") {
     val oldDf = Seq((1L, Option.empty[String])).toDF("k", "v")
     val newDf = Seq((1L, Some("x"))).toDF("k", "v")
