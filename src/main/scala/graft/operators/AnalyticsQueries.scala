@@ -73,6 +73,27 @@ object AnalyticsQueries {
         .orderBy(col("ch"))
     }),
 
+    // -- EXACT-MOMENT Pearson correlation: r(value, hour-of-day) per
+    // event type from five INTEGER moment sums (cents × hour) — the
+    // order-independent, engine-exact form of corr(); the only doubles
+    // are the final closed-form combination -----------------------------
+    "c19_correlation" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("x", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .withColumn("y", hour(col("ts")).cast("long"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("pearson_r"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- SEASONAL-NAIVE forecast backtest: ŷ(day) = y(day−7) per event
     // type over daily cents; MAE + signed bias over every scored day —
     // the baseline forecaster and week-over-week anomaly monitor --------
@@ -391,6 +412,21 @@ object AnalyticsQueries {
         |    AS n_out,
         |  round(max(abs(scaled)), 6) AS max_abs_scaled
         |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // c19: same integer moments, same closed-form combination
+    "c19_correlation" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS x,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS y FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |  CAST(sum(y*y) AS BIGINT) AS syy
+        | FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        | round((n*sxy - sx*sy)::DOUBLE /
+        |   sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6)
+        |   AS pearson_r
+        |FROM a ORDER BY event_type""".stripMargin,
     // c18: same daily aggregate + 7-day self-join; integer error sums
     "c18_seasonal_backtest" ->
       """WITH daily AS (SELECT event_type AS k, date_trunc('day', ts) AS day,

@@ -74,6 +74,40 @@ object Drift {
         round(col("sjs2").cast("double") / lit(2e12), 4).as("js"))
   }
 
+  /** Mutual information between two categorical columns — the column-
+    * dependency profiler ("does source determine lang?") that guides
+    * stratification and leakage checks before training splits. Returns
+    * one row: `(n, n_x, n_y, h_x, h_y, mi)` in nats, with
+    * MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over observed cells and H the
+    * marginal entropies (MI ≤ min(H)). Per-cell terms are pico-quantized
+    * and summed exactly — order-independent, engine-replayable (p24).
+    *
+    * Plan: one joint count aggregate (cell-cardinality-sized), margins
+    * derived FROM the joint table, total as a broadcast scalar. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pico = (c: Column) => floor(c * lit(1e12) + lit(0.5)).cast("long")
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("cxy"))
+    val mx = joint.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val tot = joint.agg(sum(col("cxy")).as("n"))
+    val miP = joint.join(mx, "x").join(my, "y").crossJoin(broadcast(tot))
+      .select(pico(col("cxy").cast("double") / col("n") *
+        log(col("cxy").cast("double") * col("n") /
+          (col("cx").cast("double") * col("cy")))).as("t"))
+      .agg(sum(col("t")).as("smi"))
+    def entropyP(m: DataFrame, c: String) = m.crossJoin(broadcast(tot))
+      .select(pico(col(c).cast("double") / col("n") *
+        log(col("n").cast("double") / col(c))).as("t"))
+      .agg(sum(col("t")).as(s"s$c"), count(lit(1)).as(s"n$c"))
+    val hx = entropyP(mx, "cx"); val hy = entropyP(my, "cy")
+    tot.crossJoin(hx).crossJoin(hy).crossJoin(miP)
+      .select(col("n"), col("ncx").as("n_x"), col("ncy").as("n_y"),
+        round(col("scx").cast("double") / lit(1e12), 4).as("h_x"),
+        round(col("scy").cast("double") / lit(1e12), 4).as("h_y"),
+        round(col("smi").cast("double") / lit(1e12), 4).as("mi"))
+  }
+
   /** Zipf rank–frequency fit — OLS of ln(count) on ln(rank) over the
     * top-N vocabulary: slope (≈ −1 for natural language; far shallower
     * for templated/synthetic text — a cheap corpus-health signal next to

@@ -1106,6 +1106,12 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 2 === 1), "text")
     }),
 
+    // -- MUTUAL INFORMATION between lang and source: the column-
+    // dependency profile that guides stratification / leakage checks;
+    // pico-quantized cell terms ⇒ order-independent, engine-exact ------
+    "p24_mutual_information" -> ((s, d) =>
+      Drift.mutualInformation(Tables.documents(s, d), "lang", "source")),
+
     // -- TF-IDF KEYWORD extraction: top-3 terms per document by
     // tf·ln(N/df) — the classic summarize/tag step; tf table is narrow,
     // df is vocabulary-sized, the join rides the term key, top-3 is a
@@ -1923,6 +1929,29 @@ object PipelineQueries {
         | round(floor(CAST(sum(len(string_split(text, ' '))) AS BIGINT)::DOUBLE
         |   / count(*) * 1e12 + 0.5) / 1e12, 4) AS avg_tokens
         |FROM documents""".stripMargin,
+    // p24: same joint/margin counts, same pico-quantized nat terms
+    "p24_mutual_information" ->
+      """WITH j AS (SELECT lang AS x, source AS y, count(*) AS cxy
+        |  FROM documents GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM j GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM j GROUP BY 1),
+        |t AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM j),
+        |mi AS (SELECT CAST(sum(CAST(floor(cxy::DOUBLE / n *
+        |    ln(cxy::DOUBLE * n / (cx::DOUBLE * cy)) * 1e12 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS smi
+        |  FROM j JOIN mx USING (x) JOIN my USING (y), t),
+        |hx AS (SELECT CAST(sum(CAST(floor(cx::DOUBLE / n *
+        |    ln(n::DOUBLE / cx) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS scx,
+        |    count(*) AS ncx FROM mx, t),
+        |hy AS (SELECT CAST(sum(CAST(floor(cy::DOUBLE / n *
+        |    ln(n::DOUBLE / cy) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS scy,
+        |    count(*) AS ncy FROM my, t)
+        |SELECT t.n, CAST(hx.ncx AS BIGINT) AS n_x,
+        |  CAST(hy.ncy AS BIGINT) AS n_y,
+        |  round(hx.scx::DOUBLE / 1e12, 4) AS h_x,
+        |  round(hy.scy::DOUBLE / 1e12, 4) AS h_y,
+        |  round(mi.smi::DOUBLE / 1e12, 4) AS mi
+        |FROM t, hx, hy, mi""".stripMargin,
     // t28: identical tf/df/ln arithmetic; rank ties break on term
     "t28_tfidf_keywords" ->
       """WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),

@@ -280,6 +280,27 @@ class AnalyticsSpec extends AnyFunSuite with CacheHygiene {
     assert(a == b, s"layout-dependent fit: $a vs $b")
   }
 
+  test("mutualInformation: independence, determinism, bounds") {
+    import graft.operators.Drift
+    // independent uniform columns: MI exactly 0 at the pico grid
+    val ind = (for (x <- 0 until 4; y <- 0 until 4; _ <- 0 until 5)
+      yield (s"x$x", s"y$y")).toDF("a", "b")
+    val ri = Drift.mutualInformation(ind, "a", "b").head()
+    assert(ri.getDouble(5) == 0.0, s"independent MI=${ri.getDouble(5)}")
+    assert(ri.getDouble(3) == ri.getDouble(4), "uniform marginals: H_x == H_y")
+    // y fully determined by x: MI == H(y) (and ≤ H(x))
+    val det = (for (x <- 0 until 6; _ <- 0 until (x + 1))
+      yield (s"x$x", s"y${x % 3}")).toDF("a", "b")
+    val rd = Drift.mutualInformation(det, "a", "b").head()
+    assert(math.abs(rd.getDouble(5) - rd.getDouble(4)) <= 2e-4,
+      s"deterministic MI=${rd.getDouble(5)} != H_y=${rd.getDouble(4)}")
+    assert(rd.getDouble(5) <= rd.getDouble(3) + 2e-4, "MI must be <= H_x")
+    // layout invariance via the pico-quantized sums
+    val r1 = Drift.mutualInformation(det.repartition(1), "a", "b").head()
+    val r16 = Drift.mutualInformation(det.repartition(16), "a", "b").head()
+    assert(r1 == r16)
+  }
+
   test("seasonalNaiveBacktest: perfect season, planted errors, edge scoring") {
     import graft.operators.Analytics
     // key A: perfectly weekly-periodic -> MAE 0, bias 0, scores only
