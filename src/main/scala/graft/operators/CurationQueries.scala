@@ -240,6 +240,35 @@ object CurationQueries {
     // -- Perceptual-hash image dedup: REAL P6 decode → integer grayscale
     // NN-resample → 64-bit dHash → bucket census. The hash is split into
     // two uint32 halves so the DuckDB replay stays in exact BIGINT math.
+    // -- AUDIO QC census over the REAL WAV decode path: per-clip sample
+    // count, peak |amplitude|, CLIPPING count (|s| ≥ 32767 — pinned 0 by
+    // the synthetic signal, proving the zero path), and integer-exact
+    // energy (Σs²) — the ingest quality gates an audio corpus runs
+    // before feature extraction -----------------------------------------
+    "m09_audio_quality" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal
+        .mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "audio")
+      val qc = udf((b: Array[Byte]) =>
+        graft.multimodal.Multimodal.decodeWavSamples(b) match {
+          case Some(ss) =>
+            var peak = 0L; var clip = 0L; var sq = 0L
+            ss.foreach { v =>
+              val a = math.abs(v.toLong)
+              if (a > peak) peak = a
+              if (a >= 32767) clip += 1
+              sq += v.toLong * v
+            }
+            (ss.length.toLong, peak, clip, sq)
+          case None => (-1L, -1L, -1L, -1L)
+        })
+      media.select(col("media_id"), qc(col("bytes")).as("q"))
+        .select(col("media_id"), col("q._1").as("n_samples"),
+          col("q._2").as("peak_abs"), col("q._3").as("n_clipped"),
+          col("q._4").as("sum_sq"))
+        .orderBy(col("media_id"))
+    }),
+
     // -- SOBEL edge energy over the REAL P6 decode path: integer
     // grayscale, 3x3 kernels on interior pixels, Σ(|gx|+|gy|) — the
     // blur/quality proxy vision pipelines pre-filter on. Oracle replays
@@ -780,6 +809,20 @@ object CurationQueries {
     // dHash replay: grayscale at grid (x,y) is integer math on the
     // closed-form pixel bytes (id*31 + byteoffset) % 256; lead() compares
     // horizontal neighbors; the two uint32 halves are exact BIGINT sums
+    // m09: sample i = ((id*37 + i*13) % 4001) - 2000, n = id%50+20 —
+    // audio docs are doc_id % 3 = 1
+    "m09_audio_quality" ->
+      """WITH au AS (SELECT doc_id, (doc_id % 50 + 20)::INT AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sm AS (SELECT doc_id, n,
+        |    ((doc_id*37 + unnest(range(0, n))*13) % 4001) - 2000 AS s
+        |  FROM au)
+        |SELECT doc_id AS media_id, CAST(max(n) AS BIGINT) AS n_samples,
+        | CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+        | CAST(sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped,
+        | CAST(sum(s * s) AS BIGINT) AS sum_sq
+        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // m08: pixel byte i = (doc_id*31 + i) % 256; gray = floor((r+g+b)/3);
     // 3x3 Sobel over interior (empty for w<3 or h<3 -> coalesce 0)
     "m08_sobel_energy" ->
