@@ -261,6 +261,25 @@ object AnalyticsQueries {
         .orderBy(col("custkey"), col("valid_from"), col("orderkey"))
     }),
 
+    // -- POINT-IN-TIME join against the SCD2 history: each order asks
+    // "what was this customer's status the day BEFORE I was placed" —
+    // matching the version with valid_from <= t < valid_to and never a
+    // later one (the temporal-leakage bug PIT joins exist to prevent);
+    // first orders surface null, not dropped ----------------------------
+    "u13_pit_join" -> ((s, d) => {
+      val log = Tables.orders(s, d).filter(col("o_custkey") < 50).select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        col("o_orderdate").as("change_ts"), col("o_orderstatus").as("status"))
+      val dim = Analytics.scd2(log, Seq("custkey"), Seq("change_ts", "orderkey"))
+      val facts = log.select(col("custkey"), col("orderkey"),
+        (col("change_ts") - expr("INTERVAL 1 DAYS")).as("ts"))
+      Joins.pitJoin(facts, dim, "custkey", "ts", Seq("status", "orderkey"))
+        .select(col("custkey"), col("orderkey"),
+          col("pit_match.status").as("prev_status"),
+          col("pit_match.orderkey").as("prev_orderkey"))
+        .orderBy(col("custkey"), col("orderkey"))
+    }),
+
     // -- Snapshot diff: per-customer latest order, mid-1997 vs final ------
     // full outer on the key; added/removed/changed/unchanged census with
     // a key checksum per class.
@@ -525,6 +544,24 @@ object AnalyticsQueries {
         |SELECT depth, count(*) AS n_users,
         |  CAST(sum(t1) AS BIGINT) AS sum_t1_us
         |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
+    // u13: same SCD2 versioning (lead over (change_ts, orderkey)), same
+    // [valid_from, valid_to) interval predicate, left join
+    "u13_pit_join" ->
+      """WITH log AS (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |    o_orderdate AS change_ts, o_orderstatus AS status
+        |  FROM orders WHERE o_custkey < 50),
+        |v AS (SELECT custkey, orderkey, status, change_ts AS valid_from,
+        |    lead(change_ts) OVER (PARTITION BY custkey
+        |      ORDER BY change_ts, orderkey) AS valid_to
+        |  FROM log),
+        |f AS (SELECT custkey, orderkey,
+        |    change_ts - INTERVAL 1 DAY AS ts FROM log)
+        |SELECT f.custkey, f.orderkey, v.status AS prev_status,
+        |  v.orderkey AS prev_orderkey
+        |FROM f LEFT JOIN v ON f.custkey = v.custkey
+        |  AND f.ts >= v.valid_from
+        |  AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+        |ORDER BY f.custkey, f.orderkey""".stripMargin,
     "u04_scd2" ->
       """WITH log AS (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
         |    o_orderdate AS change_ts, o_orderstatus AS status

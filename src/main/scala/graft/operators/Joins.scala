@@ -133,4 +133,33 @@ object Joins {
         col("__rt") < col(leftTime) + expr(s"INTERVAL $afterSec SECOND"))
       .drop("__k", "__rt")
   }
+
+  /** POINT-IN-TIME join against an SCD2 version table — the feature-store
+    * correctness primitive: each fact at time t sees the dimension
+    * version with `valid_from <= t < valid_to` (open-ended current
+    * version matches everything from its valid_from on), and NEVER a
+    * later one — the temporal-leakage bug PIT joins exist to prevent.
+    * Facts before the key's first version keep null attributes
+    * (left_outer), surfaced rather than dropped.
+    *
+    * Versions of one key are non-overlapping by [[graft.operators
+    * .Analytics.scd2]] construction, so each fact matches AT MOST one
+    * version — the join cannot fan out. Plan: equi-join on the key
+    * (keyed shuffle or broadcast for dimension-sized tables; Catalyst
+    * picks) with the interval predicate as a residual filter.
+    *
+    * @param dim SCD2 frame with `valid_from`/`valid_to` (null = current)
+    */
+  def pitJoin(facts: DataFrame, dim: DataFrame, key: String,
+      factTs: String, dimPayload: Seq[String]): DataFrame = {
+    val d = dim.select(col(key).as("__k"), col("valid_from").as("__vf"),
+      col("valid_to").as("__vt"),
+      struct(dimPayload.map(col): _*).as("pit_match"))
+    facts.join(d,
+        facts(key) === col("__k") &&
+          col(factTs) >= col("__vf") &&
+          (col("__vt").isNull || col(factTs) < col("__vt")),
+        "left_outer")
+      .drop("__k", "__vf", "__vt")
+  }
 }
