@@ -145,4 +145,32 @@ class JoinsSpec extends AnyFunSuite with CacheHygiene {
       .select(col("range_match.ts")).as[java.sql.Timestamp].collect().toSet
     assert(got == Set(ts("2024-01-01 09:00:00"), ts("2024-01-01 09:59:59")))
   }
+
+  test("pitJoin: interval boundaries, open current version, pre-history nulls") {
+    import graft.operators.Analytics
+    // key 1 version chain: A from day 1, B from day 3, C (current) from day 5
+    val log = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", "A"),
+      (1L, 11L, "2024-01-03 00:00:00", "B"),
+      (1L, 12L, "2024-01-05 00:00:00", "C"))
+      .toDF("k", "seq", "tss", "attr")
+      .withColumn("change_ts", to_timestamp(col("tss")))
+    val dim = Analytics.scd2(log, Seq("k"), Seq("change_ts", "seq"))
+    val facts = Seq(
+      (1L, 100L, "2023-12-31 23:59:59"), // before history -> null
+      (1L, 101L, "2024-01-01 00:00:00"), // exactly valid_from -> A
+      (1L, 102L, "2024-01-02 23:59:59"), // last instant of A -> A
+      (1L, 103L, "2024-01-03 00:00:00"), // boundary: B starts -> B, NOT A
+      (1L, 104L, "2024-01-09 00:00:00"), // open current version -> C
+      (2L, 105L, "2024-01-04 00:00:00")) // unknown key -> null
+      .toDF("k", "fid", "tss").withColumn("ts", to_timestamp(col("tss")))
+    val got = Joins.pitJoin(facts, dim, "k", "ts", Seq("attr"))
+      .select(col("fid"), col("pit_match.attr"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(got == Map(100L -> null, 101L -> "A", 102L -> "A",
+      103L -> "B", 104L -> "C", 105L -> null), s"got $got")
+    // no fan-out: one output row per fact
+    assert(Joins.pitJoin(facts, dim, "k", "ts", Seq("attr")).count() == 6L)
+  }
 }
