@@ -74,7 +74,10 @@ object ClusterMirror {
     //  d22: native jaro_winkler codegen + blocked self-join on remote
     //       executors; u10: executor-side parquet FOOTER reads through
     //       the shipped SerializableConf + driver-pruned multi-file scan
-    "sk18_theta_churn", "d22_entity_resolution", "u10_data_skipping")
+    "sk18_theta_churn", "d22_entity_resolution", "u10_data_skipping",
+    //  u13: interval-predicate left join with null-filled struct payloads
+    //       (pit_match) through a remote exchange
+    "u13_pit_join")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
