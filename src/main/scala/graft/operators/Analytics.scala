@@ -275,15 +275,21 @@ object Analytics {
     * — group-cardinality-sized frames only. Periods with zero activity
     * are absent rows (not zeros): the backtest scores observed-vs-
     * observed, callers wanting dense grids compose [[gapFillDaily]]
-    * first. */
+    * first.
+    *
+    * The season shift is CALENDAR-day arithmetic on a DATE
+    * (`date_add`), not a day-time INTERVAL on the truncated timestamp:
+    * a fixed-86400s interval shifted across a DST transition lands at
+    * 01:00/23:00, the equi-join misses, and those periods would be
+    * silently unscored in any DST session timezone. */
   def seasonalNaiveBacktest(df: DataFrame, keyCol: String, tsCol: String,
       centsCol: String, seasonDays: Int = 7): DataFrame = {
     require(seasonDays >= 1, s"seasonDays=$seasonDays must be >= 1")
     val daily = df.groupBy(col(keyCol).as("k"),
-        date_trunc("day", col(tsCol)).as("day"))
+        col(tsCol).cast("date").as("day"))
       .agg(sum(col(centsCol)).as("y"))
     val lagged = daily.select(col("k"),
-      (col("day") + expr(s"INTERVAL $seasonDays DAYS")).as("day"),
+      date_add(col("day"), seasonDays).as("day"),
       col("y").as("yhat"))
     daily.join(lagged, Seq("k", "day"))
       .groupBy(col("k").as(keyCol))

@@ -446,14 +446,16 @@ object AnalyticsQueries {
         |   sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6)
         |   AS pearson_r
         |FROM a ORDER BY event_type""".stripMargin,
-    // c18: same daily aggregate + 7-day self-join; integer error sums
+    // c18: same daily aggregate + 7-day self-join; integer error sums;
+    // calendar DATE + 7 on both engines (not a day-time interval — see
+    // Analytics.seasonalNaiveBacktest's DST note)
     "c18_seasonal_backtest" ->
-      """WITH daily AS (SELECT event_type AS k, date_trunc('day', ts) AS day,
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
         |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2),
         |j AS (SELECT a.k, a.day, a.y, b.y AS yhat
         |  FROM daily a JOIN daily b
-        |    ON a.k = b.k AND b.day + INTERVAL 7 DAY = a.day)
+        |    ON a.k = b.k AND b.day + 7 = a.day)
         |SELECT k AS event_type, count(*) AS n_scored,
         | CAST(sum(abs(y - yhat)) AS BIGINT) AS abs_err_cents,
         | CAST(sum(y - yhat) AS BIGINT) AS bias_cents,

@@ -194,16 +194,40 @@ object DataSkipping {
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
-  /** Metadata-pruned scan: open only files that may contain
-    * `column ∈ [lo, hi]`, then re-apply the exact predicate (pruning is
+  /** File selection for a metadata-pruned scan of `dir`, guarded
+    * against a stats table that does not cover the directory:
+    *  - files on disk with NO stats row (written after the last
+    *    [[appendFileStats]] run) are always kept — a stale stats table
+    *    degrades to a slower scan, never a wrong one;
+    *  - if the stats table has no row at all for `column`, there is no
+    *    prune basis and EVERY file is kept (same contract).
+    * Returns (files to open, total parquet files on disk) so callers
+    * can report the skipping ratio. */
+  def prunedFileSelection(spark: SparkSession, dir: String, stats: DataFrame,
+      column: String, lo: Double, hi: Double): (Seq[String], Int) = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSet
+    val colStats = stats.filter(col("col") === column)
+    if (colStats.isEmpty) return (onDisk.toSeq.sorted, onDisk.size)
+    val covered = stats.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val keep = pruneFilesNum(stats, column, lo, hi).toSet
+    val chosen = onDisk.filter(f => !covered.contains(f) || keep.contains(f))
+    (chosen.toSeq.sorted, onDisk.size)
+  }
+
+  /** Metadata-pruned scan: open only files whose stats cannot rule out
+    * `column ∈ [lo, hi]` (per [[prunedFileSelection]] — unknown files
+    * conservatively kept), then re-apply the exact predicate (pruning is
     * performance; the filter is correctness). Returns an empty frame
-    * with the stats-known schema if every file was pruned. */
+    * with the stats-known schema if every file was provably pruned. */
   def prunedRead(spark: SparkSession, dir: String, stats: DataFrame,
       column: String, lo: Double, hi: Double): DataFrame = {
-    val keep = pruneFilesNum(stats, column, lo, hi)
-    val all = spark.read.parquet(dir)
-    if (keep.isEmpty) all.filter(lit(false))
-    else spark.read.parquet(keep: _*)
+    val (chosen, _) = prunedFileSelection(spark, dir, stats, column, lo, hi)
+    if (chosen.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.parquet(chosen: _*)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 }

@@ -186,17 +186,24 @@ object Maintenance {
     * reproduces it exactly (u12 hash-verifies vs DuckDB). Multiset
     * semantics: duplicate rows each count.
     *
-    * Overflow-safe by construction: per-row terms < 2³¹, so a Long sum
-    * holds ~2³² rows per partial; Spark's partial aggregation splits
-    * sums far below that. */
+    * Overflow-safe by accumulating in DECIMAL(38,0): terms < 2³¹ summed
+    * as raw Longs would silently wrap past ~2³²–2³³ total rows
+    * (reachable at the 100 TB target) and break the exact cross-engine
+    * replay this operator exists for; a decimal(38,0) sum is exact to
+    * ~10²⁹ rows and Spark raises on overflow rather than wrapping. One
+    * aggregate — also what keeps the streamed form
+    * ([[graft.streaming.EventStreams.fingerprintStreamed]]) a single
+    * stateful operator. The decimal cost is per-partial-merge, not
+    * per-row — md5 dominates the per-row work. */
   def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "contentFingerprint needs at least one column")
     val p = 2147483647L // 2^31 - 1
     val joined = concat_ws("|",
       cols.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*)
     val term = pmod(conv(substring(md5(joined), 1, 12), 16, 10).cast("long"), lit(p))
-    df.select(term.as("t"))
-      .agg(pmod(sum(col("t")), lit(p)).as("content_fp"),
+    df.select(term.cast("decimal(38,0)").as("t"))
+      .agg(pmod(sum(col("t")), lit(p).cast("decimal(38,0)"))
+          .cast("long").as("content_fp"),
         count(lit(1)).as("n_rows"))
   }
 }

@@ -45,23 +45,30 @@ object JaroWinkler {
     override def initialValue(): Scratch = new Scratch
   }
 
-  /** Copy a UTF8String's chars into a scratch array: byte-direct for
-    * ASCII (numBytes == numChars ⇒ every char is one 0–127 byte),
-    * through String for multi-byte text. Identical chars either way. */
-  private def fill(u: UTF8String, n: Int, dst: Array[Char]): Unit =
-    if (u.numBytes == n) {
+  /** Copy chars into a scratch array: byte-direct for ASCII (str ==
+    * null ⇔ numBytes == numChars ⇒ every char is one 0–127 byte),
+    * through the decoded String for multi-byte text. `n` is the UTF-16
+    * length — NOT numChars (code points): for supplementary-plane text
+    * numChars < String.length, and using it would silently truncate the
+    * trailing UTF-16 units (two strings differing only past a shared
+    * high surrogate would score 1.0). */
+  private def fill(str: String, u: UTF8String, n: Int, dst: Array[Char]): Unit =
+    if (str == null) {
       var i = 0
       while (i < n) { dst(i) = (u.getByte(i) & 0xFF).toChar; i += 1 }
-    } else u.toString.getChars(0, n, dst, 0)
+    } else str.getChars(0, n, dst, 0)
 
   /** Static kernel — called from both interpreted eval and codegen. */
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    val la = ua.numChars; val lb = ub.numChars
+    val sa = if (ua.numBytes == ua.numChars) null else ua.toString
+    val sb = if (ub.numBytes == ub.numChars) null else ub.toString
+    val la = if (sa == null) ua.numBytes else sa.length
+    val lb = if (sb == null) ub.numBytes else sb.length
     if (la == 0 || lb == 0) return 0.0
     val s = tl.get()
     s.ensure(la, lb)
     val a = s.ca; val b = s.cb
-    fill(ua, la, a); fill(ub, lb, b)
+    fill(sa, ua, la, a); fill(sb, ub, lb, b)
     val aMatch = s.ma; val bMatch = s.mb
     java.util.Arrays.fill(aMatch, 0, la, false)
     java.util.Arrays.fill(bMatch, 0, lb, false)

@@ -15,7 +15,8 @@ package graft.sketch
   * front, and the error is ABSOLUTE (≤ (hi−lo)/buckets) rather than
   * rank-relative. For monetary/size columns with known bounds that is
   * usually the better contract. Out-of-range values are counted in
-  * `under`/`over` (never silently dropped) and fail `quantile` loudly.
+  * `under`/`over`, NaN in `nan` (never silently dropped or bucketed) —
+  * any of them fails `quantile` loudly.
   *
   * State is `buckets` longs regardless of stream size; merge is
   * element-wise addition — exact, commutative, associative. Safe as a
@@ -29,12 +30,18 @@ final class GridHistogram(val lo: Double, val hi: Double, val buckets: Int)
   val counts = new Array[Long](buckets)
   var under: Long = 0L
   var over: Long = 0L
+  var nan: Long = 0L
 
   /** Bucket width — also the worst-case quantile error. */
   def width: Double = (hi - lo) / buckets
 
   def add(v: Double): this.type = {
-    if (v < lo) under += 1
+    // NaN fails BOTH range checks and floor(NaN).toInt == 0 — without an
+    // explicit branch it would silently land in bucket 0 and skew every
+    // quantile. Count it like the other out-of-grid cases so quantile()
+    // fails loudly instead.
+    if (java.lang.Double.isNaN(v)) nan += 1
+    else if (v < lo) under += 1
     else if (v >= hi) over += 1
     else {
       // identical IEEE expression to the oracle replay:
@@ -46,10 +53,10 @@ final class GridHistogram(val lo: Double, val hi: Double, val buckets: Int)
     this
   }
 
-  def total: Long = { var s = under + over; var i = 0
+  def total: Long = { var s = under + over + nan; var i = 0
     while (i < buckets) { s += counts(i); i += 1 }; s }
 
-  def inRange: Long = total - under - over
+  def inRange: Long = total - under - over - nan
 
   /** Element-wise merge — exact. */
   def merge(o: GridHistogram): GridHistogram = {
@@ -59,6 +66,7 @@ final class GridHistogram(val lo: Double, val hi: Double, val buckets: Int)
     var i = 0
     while (i < buckets) { out.counts(i) = counts(i) + o.counts(i); i += 1 }
     out.under = under + o.under; out.over = over + o.over
+    out.nan = nan + o.nan
     out
   }
 
@@ -68,8 +76,8 @@ final class GridHistogram(val lo: Double, val hi: Double, val buckets: Int)
     * grid — an out-of-range estimate would silently violate the bound. */
   def quantile(q: Double): Double = {
     require(q > 0.0 && q <= 1.0, s"q=$q outside (0,1]")
-    require(under == 0 && over == 0,
-      s"quantile undefined with out-of-grid values (under=$under over=$over)")
+    require(under == 0 && over == 0 && nan == 0,
+      s"quantile undefined with out-of-grid values (under=$under over=$over nan=$nan)")
     val n = inRange
     require(n > 0, "quantile of an empty sketch")
     val r = math.ceil(q * n)
@@ -87,7 +95,7 @@ final class GridHistogram(val lo: Double, val hi: Double, val buckets: Int)
 
   override def equals(other: Any): Boolean = other match {
     case o: GridHistogram => o.lo == lo && o.hi == hi && o.buckets == buckets &&
-      o.under == under && o.over == over &&
+      o.under == under && o.over == over && o.nan == nan &&
       java.util.Arrays.equals(o.counts, counts)
     case _ => false
   }

@@ -251,4 +251,70 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
     val s2 = DataSkipping.collectFileStats(spark, dir, Seq("v")).head()
     assert(s2.getLong(3) == 25L, s"null_count=${s2.getLong(3)} want 25")
   }
+
+  test("data skipping: stale stats degrade to a slower scan, never a wrong one") {
+    import graft.operators.DataSkipping
+    val dir = "target/qtmp/spec/skip_stale"
+    new java.io.File(dir).mkdirs()
+    new java.io.File(dir).listFiles().foreach(_.delete())
+    def addFile(name: String, lo: Long, hi: Long): Unit = {
+      val part = s"target/qtmp/spec/skip_stale_stage/$name"
+      spark.range(lo, hi).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(src.toPath,
+        new java.io.File(dir, s"$name.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    addFile("f1", 0, 100); addFile("f2", 100, 200)
+    val stats = DataSkipping.collectFileStats(spark, dir, Seq("id"))
+      .localCheckpoint(true)
+    // a file landing AFTER stats collection has no stats row — prunedRead
+    // must still scan it (conservative keep), not silently exclude it
+    addFile("f3", 200, 300)
+    val (chosen, total) =
+      DataSkipping.prunedFileSelection(spark, dir, stats, "id", 250, 260)
+    assert(total == 3 && chosen.exists(_.contains("f3")),
+      s"unknown file excluded: $chosen")
+    assert(!chosen.exists(_.contains("f1")), "stats-proven file not pruned")
+    val got = DataSkipping.prunedRead(spark, dir, stats, "id", 250, 260)
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(250L to 260L), s"rows from the fresh file lost")
+    // pruning on a column the stats table never collected: no prune
+    // basis — full scan with the filter, NOT an empty result
+    val byV = DataSkipping.prunedRead(spark, dir, stats, "v", 50.0, 59.0)
+    assert(byV.count() == 10L, "absent stats column must fall back to full scan")
+  }
+
+  // ---- content fingerprint -------------------------------------------
+
+  test("contentFingerprint: layout-invariant, duplicate-sensitive, overflow-safe merge shape") {
+    import graft.operators.Maintenance
+    val df = spark.range(0, 5000)
+      .selectExpr("id", "CAST(id % 97 AS STRING) AS s",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE id * 3 END AS n")
+    val cols = Seq("id", "s", "n")
+    def fp(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Maintenance.contentFingerprint(d, cols).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = fp(df)
+    assert(base._2 == 5000L)
+    // ANY partitioning/layout yields the same value — the decimal
+    // accumulation must not change the result vs a different split
+    assert(fp(df.repartition(32)) == base)
+    assert(fp(df.repartition(1)) == base)
+    assert(fp(df.orderBy(col("s"))) == base)
+    // multiset semantics: a duplicated row changes the fingerprint
+    assert(fp(df.unionAll(df.limit(1))) != base)
+    // the decimal accumulation equals the mathematically-flat formula:
+    // (Σ t) mod p computed with exact integers on the driver
+    val p = 2147483647L
+    val flat = df.selectExpr(
+      s"pmod(cast(conv(substring(md5(concat_ws('|', coalesce(cast(id as string), '\\\\N'), coalesce(cast(s as string), '\\\\N'), coalesce(cast(n as string), '\\\\N'))), 1, 12), 16, 10) AS BIGINT), $p) AS t")
+      .collect().map(_.getLong(0))
+      .foldLeft(BigInt(0))(_ + _).mod(BigInt(p)).toLong
+    assert(base._1 == flat, s"two-level=${base._1} flat=$flat")
+  }
 }

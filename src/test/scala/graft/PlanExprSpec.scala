@@ -261,6 +261,28 @@ class PlanExprSpec extends AnyFunSuite with CacheHygiene {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("jaro_winkler: supplementary-plane text compares full UTF-16 sequences") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.plans.JaroWinkler.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // Two 4-char code-point strings differing ONLY in the non-BMP tail:
+    // with the old numChars-based length the trailing UTF-16 units were
+    // truncated and these scored 1.0
+    val a = "ab😀😁" // ab😀😁
+    val b = "ab😀😂" // ab😀😂
+    assert(jw(a, a) == 1.0 && jw(b, b) == 1.0)
+    assert(jw(a, b) < 1.0, s"non-BMP tail ignored: jw=${jw(a, b)}")
+    // cross-check against the UTF-16 view computed by the same kernel
+    // semantics on an ASCII stand-in of the exact same code-unit pattern
+    // (surrogates are just 16-bit units to the kernel)
+    val a16 = "ab" + "\u0001\u0002\u0001\u0003"
+    val b16 = "ab" + "\u0001\u0002\u0001\u0004"
+    assert(math.abs(jw(a, b) - jw(a16, b16)) < 1e-15)
+    // mixed BMP multibyte text still exact (UTF-16 len == numChars here)
+    assert(jw("héllo", "héllo") == 1.0 && jw("héllo", "héllp") < 1.0)
+  }
+
   test("jaro_winkler: codegen == interpreted on generated pairs") {
     graft.plans.JaroWinklerExpression.register(spark)
     val df = spark.range(0, 2000).selectExpr(

@@ -466,6 +466,16 @@ class SketchSpec extends AnyFunSuite {
     g.add(-1.0); g.add(5.0); g.add(10.0); g.add(99.0)
     assert(g.under == 1L && g.over == 2L && g.total == 4L && g.inRange == 1L)
     intercept[IllegalArgumentException](g.quantile(0.5))
+    // NaN fails both range checks and floor(NaN).toInt == 0 — it must be
+    // surfaced like other out-of-grid values, never bucketed into bin 0
+    val nh = new GridHistogram(0.0, 10.0, 4)
+    nh.add(Double.NaN); nh.add(5.0)
+    assert(nh.nan == 1L && nh.counts(0) == 0L && nh.inRange == 1L &&
+      nh.total == 2L)
+    intercept[IllegalArgumentException](nh.quantile(0.5))
+    val nh2 = new GridHistogram(0.0, 10.0, 4)
+    nh2.add(Double.NaN)
+    assert(nh.merge(nh2).nan == 2L, "merge carries the NaN count")
     // hi-adjacent ulp guard: a value just below hi lands in the last bucket
     val e = new GridHistogram(0.0, 10.0, 4)
     e.add(math.nextDown(10.0))
