@@ -57,6 +57,67 @@ object SketchQueries {
         .orderBy(col("n").desc, col("l_partkey"))
     }),
 
+    // -- sk03b: the SKETCH REGIME itself, hash-verified. sk03 showed why
+    // near-uniform data is unrankable by ANY bounded-memory sketch; this
+    // gate builds the complementary skewed stream where the ranking IS
+    // provable (the reference pins its Top sketch the same way — a
+    // synthetic skewed stream with a known answer,
+    // /root/reference/amadeus-streaming/src/top.rs:252-291):
+    // k = lowest set bit of l_orderkey (geometric: count(rank r) ≈ N/2^r,
+    // adjacent ranks separated 2×) for the 10 hot keys, and a long tail
+    // of ~N/1024 one-off keys (59 distinct at sf0.01, 594 at sf0.1 —
+    // far beyond the tracker's 4n=40 capacity, so promotion/eviction and
+    // the CMS tail path all run). CMS tolerance 1e-4 ⇒ max count error
+    // ≈ 1e-4·N ≪ the N/2048 gap at rank 10, so the top-10 RANKING is
+    // deterministic and replays exactly in DuckDB; per-key counts carry
+    // a 0.1%-of-N accuracy contract (gate-enforced bool). ---------------
+    "sk03b_most_frequent_skewed" -> ((s, d) => {
+      import s.implicits._
+      val kExpr = "CASE WHEN (l_orderkey & 1023) <> 0" +
+        " THEN (l_orderkey & -l_orderkey) ELSE l_partkey + 1000000 END"
+      val stream = Tables.lineitem(s, d).select(expr(kExpr).as("k"))
+      val agg = new MostFrequent[Long, Long](10, 0.99, 0.0001, identity)
+      val est = stream.as[Long].select(agg.toColumn.name("top")).toDF("top")
+        .select(posexplode(col("top")).as(Seq("pos", "kv")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("kv._1").as("k"), col("kv._2").as("est"))
+      val exact = stream.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+      val tot = stream.agg(count(lit(1)).as("n_total"))
+      est.join(exact, Seq("k")).crossJoin(broadcast(tot))
+        .select(col("rank"), col("k"),
+          (abs(col("est") - col("exact")) <=
+            col("n_total").cast("double") * 0.001).as("count_ok"))
+        .orderBy(col("rank"))
+    }),
+
+    // -- sk04b: mostDistinct's sketch regime, hash-verified the same way:
+    // same skewed key stream, value = a per-row-unique composite so the
+    // per-key distinct counts inherit the 2× geometric separation —
+    // adjacent ranks differ ~100% while the b=8 HLL's 3σ is ~19.5%, so
+    // the merged-sketch ranking provably matches the exact replay; each
+    // tracked key's estimate additionally carries sk14's 3σ contract. --
+    "sk04b_most_distinct_skewed" -> ((s, d) => {
+      import s.implicits._
+      val kExpr = "CASE WHEN (l_orderkey & 1023) <> 0" +
+        " THEN (l_orderkey & -l_orderkey) ELSE l_partkey + 1000000 END"
+      val stream = Tables.lineitem(s, d).select(expr(kExpr).as("k"),
+        expr("l_orderkey * 10 + l_linenumber").as("v"))
+      val agg = new MostDistinct[(Long, Long), Long](
+        10, 0.99, 0.002, 0.0808, _._1, _._2)
+      val est = stream.as[(Long, Long)]
+        .select(agg.toColumn.name("top")).toDF("top")
+        .select(posexplode(col("top")).as(Seq("pos", "kv")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("kv._1").as("k"), col("kv._2").as("est"))
+      val exact = stream.groupBy(col("k"))
+        .agg(countDistinct(col("v")).as("exact"))
+      est.join(exact, Seq("k"))
+        .select(col("rank"), col("k"),
+          (abs(col("est") - col("exact")).cast("double") / col("exact") <=
+            3 * 1.04 / 16.0).as("est_ok"))
+        .orderBy(col("rank"))
+    }),
+
     // -- most_distinct: top keys by approx COUNT(DISTINCT custkey) -------
     "sk04_most_distinct" -> ((s, d) => {
       import s.implicits._
@@ -445,6 +506,26 @@ object SketchQueries {
       "SELECT TRUE AS p50_rank_ok, TRUE AS p95_rank_ok",
     "sk14_distinct_contract" ->
       "SELECT DISTINCT o_orderpriority, TRUE AS est_ok FROM orders ORDER BY o_orderpriority",
+    // sk03b/sk04b: the skewed stream's top-10 ranking is deterministic
+    // (gaps ≫ sketch noise by construction) — replay it exactly; the
+    // accuracy bools are contract columns like sk12-sk16
+    "sk03b_most_frequent_skewed" ->
+      """WITH s AS (SELECT CASE WHEN (l_orderkey & 1023) <> 0
+        |    THEN (l_orderkey & -l_orderkey) ELSE l_partkey + 1000000 END AS k
+        |  FROM lineitem),
+        |g AS (SELECT k, count(*) AS n FROM s GROUP BY k),
+        |r AS (SELECT k, row_number() OVER (ORDER BY n DESC, k) AS rank FROM g)
+        |SELECT CAST(rank AS BIGINT) AS rank, CAST(k AS BIGINT) AS k,
+        | TRUE AS count_ok FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "sk04b_most_distinct_skewed" ->
+      """WITH s AS (SELECT CASE WHEN (l_orderkey & 1023) <> 0
+        |    THEN (l_orderkey & -l_orderkey) ELSE l_partkey + 1000000 END AS k,
+        |    l_orderkey * 10 + l_linenumber AS v
+        |  FROM lineitem),
+        |g AS (SELECT k, count(DISTINCT v) AS n FROM s GROUP BY k),
+        |r AS (SELECT k, row_number() OVER (ORDER BY n DESC, k) AS rank FROM g)
+        |SELECT CAST(rank AS BIGINT) AS rank, CAST(k AS BIGINT) AS k,
+        | TRUE AS est_ok FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "sk15_hll_setops" ->
       "SELECT TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok",
     // sk17: full relational replay of the KMV sketch — retained set =
