@@ -31,6 +31,20 @@ object SketchAggregators {
     def outputEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
   }
 
+  /** HLL build over PRE-HASHED 64-bit values (same discipline as
+    * [[ThetaAgg]]): the hash stays in the PLAN — codegen'd `xxhash64`
+    * in production, a 48-bit md5 prefix shifted to the top bits in the
+    * sk20 gate so DuckDB can replay every register byte. */
+  final class HllRawAgg[IN](b: Int, f: IN => Long)
+      extends Aggregator[IN, HyperLogLog, HyperLogLog] {
+    def zero: HyperLogLog = new HyperLogLog(b)
+    def reduce(buf: HyperLogLog, in: IN): HyperLogLog = buf.addHash(f(in))
+    def merge(a: HyperLogLog, c: HyperLogLog): HyperLogLog = a.merge(c)
+    def finish(r: HyperLogLog): HyperLogLog = r
+    def bufferEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
+    def outputEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
+  }
+
   /** Theta/KMV sketch build over PRE-HASHED values in [0, 2^domainBits)
     * — the set-algebra companion to [[HllSketchAgg]] (direct
     * intersection/difference, see [[graft.sketch.Theta]]). Taking the

@@ -467,6 +467,36 @@ object SketchQueries {
         .orderBy(col("event_type"))
     }),
 
+    // -- sk20: BYTE-STABLE HLL EXPORT, the cross-system interop gate.
+    // Spark builds the sketch over in-plan 48-bit md5 prefixes (hash in
+    // the PLAN, like sk17's theta), exports the documented
+    // [version, b, registers] byte string, RE-IMPORTS it, and emits
+    //  (1) the md5 fingerprint of the export's hex form and
+    //  (2) the estimate recomputed from the re-imported bytes via the
+    //      integer-exact rational sum.
+    // The oracle rebuilds the same 258 bytes register-by-register in
+    // pure SQL (idx = top 8 hash bits, rank = 41 − bitlength(remaining
+    // 40 bits), max per register) and the same one-division estimate —
+    // a full-precision hash match means another engine can consume our
+    // sketch bytes and reproduce our numbers exactly, the property the
+    // reference proves against BigQuery
+    // (/root/reference/amadeus-streaming/src/distinct.rs:738-756). ------
+    "sk20_hll_export" -> ((s, d) => {
+      import s.implicits._
+      val hv = conv(substring(md5(concat(col("l_partkey").cast("string"),
+        lit(":sk20"))), 1, 12), 16, 10).cast("long")
+      val ds = Tables.lineitem(s, d).select(hv.as("v")).as[Long]
+      val agg = new HllRawAgg[Long](8, _ << 16)
+      val sketch = ds.select(agg.toColumn).head()
+      val bytes = sketch.toBytes
+      val hex = bytes.map(x => f"${x & 0xff}%02x").mkString
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+      val reimported = graft.sketch.HyperLogLog.fromBytes(bytes)
+      val est = math.floor(reimported.estimateReplayable * 10000 + 0.5) / 10000
+      Seq((fp, bytes.length.toLong, est)).toDF("export_md5", "n_bytes", "est")
+    }),
+
     // -- approximate quantiles (mergeable quantile sketch) ---------------
     // approx_percentile is Spark's Greenwald-Khanna-family sketch: the
     // scale path for percentiles (q22 is the exact twin). Rows-only:
@@ -571,6 +601,35 @@ object SketchQueries {
         | floor((CASE WHEN nu.n = 0 THEN 0.0
         |   ELSE ni.n::DOUBLE / nu.n END)*10000+0.5)/10000 AS jaccard
         |FROM ta, tb, tu, ti, ni, nab, nba, nu""".stripMargin,
+    // sk20: rebuild the exported [01, 08, registers] byte string
+    // relationally — per distinct 48-bit hash: idx = v >> 40,
+    // rank = 41 − bitlen(v & (2^40−1)) (57 when the low bits are all
+    // zero: the guard bit), register = max rank; absent registers are
+    // 0. Estimate via the exact integer sum Σ2^(57−r) (BIGINT terms,
+    // HUGEINT sum) → one cast + one division, bit-identical to Spark's
+    // estimateReplayable on the re-imported bytes
+    "sk20_hll_export" ->
+      """WITH vals AS (SELECT DISTINCT
+        |    ('0x'||substr(md5(l_partkey::VARCHAR || ':sk20'),1,12))::BIGINT AS v
+        |  FROM lineitem),
+        |per AS (SELECT v >> 40 AS idx, v & ((1::BIGINT << 40) - 1) AS rem
+        |  FROM vals),
+        |rk AS (SELECT idx, CASE WHEN rem = 0 THEN 57
+        |    ELSE 41 - length(format('{:b}', rem)) END AS r FROM per),
+        |regs AS (SELECT idx, max(r) AS r FROM rk GROUP BY idx),
+        |fullr AS (SELECT t.i AS idx, coalesce(regs.r, 0) AS r
+        |  FROM range(0,256) t(i) LEFT JOIN regs ON regs.idx = t.i),
+        |hx AS (SELECT '0108' || string_agg(printf('%02x', r), '' ORDER BY idx)
+        |    AS hex FROM fullr),
+        |s AS (SELECT CAST(sum((1::BIGINT << (57 - r))) AS DOUBLE) AS sd,
+        |    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros FROM fullr)
+        |SELECT md5(hex) AS export_md5, CAST(258 AS BIGINT) AS n_bytes,
+        | floor((CASE WHEN 0.7213/(1.0+1.079/256.0) * 256 * 256 * pow(2.0, 57)
+        |     / sd <= 2.5*256 AND zeros > 0
+        |   THEN 256 * ln(256.0 / zeros)
+        |   ELSE 0.7213/(1.0+1.079/256.0) * 256 * 256 * pow(2.0, 57) / sd
+        |   END) * 10000 + 0.5)/10000 AS est
+        |FROM hx, s""".stripMargin,
     // sk19: exact bucket census + identical IEEE interpolation — rank
     // r = ceil(q·n), first bucket with cum ≥ r, linear within it
     "sk19_grid_quantiles" ->

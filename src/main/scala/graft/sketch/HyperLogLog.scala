@@ -66,6 +66,44 @@ final class HyperLogLog(val b: Int) extends Serializable {
 
   def cardinality: Long = math.round(estimate)
 
+  /** Versioned, byte-stable dense export: `[version=1, b, registers…]`
+    * (2 + 2^b bytes). The format is engine-neutral and documented — the
+    * sk20 gate rebuilds the identical byte string relationally in
+    * DuckDB from the raw data and matches its fingerprint, the
+    * cross-system interop property the reference proves against
+    * BigQuery's HLL++ encoding
+    * (/root/reference/amadeus-streaming/src/distinct.rs:738-756). */
+  def toBytes: Array[Byte] = {
+    val out = new Array[Byte](2 + m)
+    out(0) = 1
+    out(1) = b.toByte
+    System.arraycopy(registers, 0, out, 2, m)
+    out
+  }
+
+  /** [[estimate]] in the replayable rational form used by the sk20
+    * interop gate: the register sum Σ2⁻ʳ is carried as the EXACT
+    * integer Σ2^(R−r) (R = 65−b, the max possible rank), so any engine
+    * reproduces the final double bit-for-bit from the exported
+    * registers with one int→double cast and one division. Equal to
+    * [[estimate]] up to that sum's float-summation ulps; identical
+    * branch logic (small-range linear counting included). */
+  def estimateReplayable: Double = {
+    val bigR = 65 - b
+    var zeros = 0
+    var s = BigInt(0)
+    var i = 0
+    while (i < m) {
+      val r = registers(i)
+      if (r == 0) zeros += 1
+      s += BigInt(1) << (bigR - r)
+      i += 1
+    }
+    val raw = alpha * m * m * math.pow(2.0, bigR.toDouble) / s.toDouble
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+
   /** Standard error of the estimate: 1.04 / sqrt(m). */
   def errorRate: Double = 1.04 / math.sqrt(m.toDouble)
 
@@ -90,6 +128,18 @@ object HyperLogLog {
   def jaccardEstimate(a: HyperLogLog, b: HyperLogLog): Double = {
     val u = a.merge(b).estimate
     if (u <= 0) 0.0 else math.max(0.0, intersectionEstimate(a, b)) / u
+  }
+
+  /** Parse a [[HyperLogLog.toBytes]] export — validates version and
+    * length, so a foreign byte string fails loudly, never silently. */
+  def fromBytes(bytes: Array[Byte]): HyperLogLog = {
+    require(bytes.length >= 2, "HLL export too short")
+    require(bytes(0) == 1, s"unknown HLL export version ${bytes(0)}")
+    val h = new HyperLogLog(bytes(1).toInt)
+    require(bytes.length == 2 + h.m,
+      s"HLL export length ${bytes.length} != ${2 + h.m} for b=${h.b}")
+    System.arraycopy(bytes, 2, h.registers, 0, h.m)
+    h
   }
 
   /** Precision from a target standard error (reference constructor shape:

@@ -487,6 +487,31 @@ class SketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](h.quantile(0.0))
   }
 
+  test("HLL byte export: round-trip identity, replayable estimate, loud failures") {
+    val rnd = new Random(21)
+    val h = new HyperLogLog(8)
+    (0 until 5000).foreach(_ => h.addHash(rnd.nextLong()))
+    // round trip is the identity on state
+    val back = HyperLogLog.fromBytes(h.toBytes)
+    assert(back == h && back.toBytes.sameElements(h.toBytes))
+    assert(h.toBytes.length == 2 + 256 &&
+      h.toBytes(0) == 1 && h.toBytes(1) == 8)
+    // rational-form estimate agrees with the float-sum estimate to well
+    // inside HLL noise (they differ only by summation ulps)
+    assert(math.abs(back.estimateReplayable - h.estimate) / h.estimate < 1e-12)
+    // linear-counting branch taken identically in both forms
+    val small = new HyperLogLog(8)
+    (0 until 20).foreach(_ => small.addHash(rnd.nextLong()))
+    assert(small.estimateReplayable == small.estimate,
+      "small-range branch must match exactly (same ln path)")
+    // foreign bytes fail loudly
+    intercept[IllegalArgumentException](
+      HyperLogLog.fromBytes(Array[Byte](2, 8) ++ new Array[Byte](256)))
+    intercept[IllegalArgumentException](
+      HyperLogLog.fromBytes(Array[Byte](1, 8) ++ new Array[Byte](99)))
+    intercept[IllegalArgumentException](HyperLogLog.fromBytes(Array[Byte](1)))
+  }
+
   test("Theta rejects out-of-domain raw values and mismatched params") {
     val t = new Theta(64)
     intercept[IllegalArgumentException](t.addRaw(-1L))
