@@ -21,6 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Lineage truncation for the iterative ops. Default
+    * (`checkpointDir = None`) is `localCheckpoint`: blocks live on
+    * executors only — fastest, and right for `local[n]` where executor
+    * loss means the JVM is gone anyway. On a REAL cluster an executor
+    * loss mid-iteration makes a localCheckpointed partition
+    * unrecoverable and kills the job, so long multi-hour graph jobs
+    * should pass a fault-tolerant `checkpointDir` (HDFS / object
+    * store): the iteration frames are then written there via reliable
+    * `checkpoint()` and survive any executor loss. Results are
+    * IDENTICAL in both modes (GraphSpec pins it) — this is purely a
+    * fault-tolerance/performance trade. */
+  private def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+  /** One `setCheckpointDir` per operator call (Spark appends a UUID
+    * subdirectory, so repeated calls don't collide). */
+  private def prepareCheckpointDir(df: DataFrame,
+      checkpointDir: Option[String]): Unit =
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+
   /** Standard damped PageRank with uniform dangling-mass redistribution,
     * a FIXED number of power iterations (fixed, not convergence-tested,
     * so a replaying engine computes the identical sequence):
@@ -48,17 +68,21 @@ object GraphOps {
     * discipline, relationally. Checkpoint blocks are node-sized (not
     * registered in the CacheManager; the ContextCleaner reclaims them
     * once unreachable). `materialize = false` keeps the composition
-    * fully lazy for plan-inspection tests.
+    * fully lazy for plan-inspection tests. On a real cluster pass
+    * `checkpointDir` (see [[truncate]]) to make each iteration's
+    * materialization survive executor loss.
     *
     * @return (node, rank) for every node appearing as src or dst
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, s"damping=$damping outside (0,1)")
+    prepareCheckpointDir(edges, checkpointDir)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val e = if (materialize) e0.localCheckpoint() else e0
+    val e = if (materialize) truncate(e0, checkpointDir) else e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nN = nodes.agg(count(lit(1)).cast("double").as("n"))
@@ -84,7 +108,7 @@ object GraphOps {
             + lit(damping) * (coalesce(col("contrib"), lit(0.0))
               + col("dm") / col("n"))).as("rank"))
       i += 1
-      if (materialize) ranks = ranks.localCheckpoint()
+      if (materialize) ranks = truncate(ranks, checkpointDir)
     }
     ranks
   }
@@ -105,12 +129,14 @@ object GraphOps {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Seq[Long], iterations: Int = 3, damping: Double = 0.85,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, s"damping=$damping outside (0,1)")
+    prepareCheckpointDir(edges, checkpointDir)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val e = if (materialize) e0.localCheckpoint() else e0
+    val e = if (materialize) truncate(e0, checkpointDir) else e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val distinctSeeds = seeds.distinct
@@ -140,7 +166,7 @@ object GraphOps {
             + lit(damping) * (coalesce(col("contrib"), lit(0.0))
               + col("dm") * v)).as("rank"))
       i += 1
-      if (materialize) ranks = ranks.localCheckpoint()
+      if (materialize) ranks = truncate(ranks, checkpointDir)
     }
     ranks
   }
@@ -277,8 +303,9 @@ object GraphOps {
     * @return surviving `(node, degree)` — degree WITHIN the core
     */
   def kCore(edges0: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
+    prepareCheckpointDir(edges0, checkpointDir)
     var edges = edges0
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -312,7 +339,7 @@ object GraphOps {
     // truncate the peel-chain lineage (same discipline as pageRank's
     // checkpointed iterations): without this, evaluating the result
     // re-runs every anti-join round from scratch after the unpersist
-    val core = edges.localCheckpoint(true)
+    val core = truncate(edges, checkpointDir)
     edges.unpersist()
     core.select(col("a").as("node"))
       .unionAll(core.select(col("b").as("node")))

@@ -62,6 +62,35 @@ class GraphSpec extends AnyFunSuite with CacheHygiene {
     assert(a == b)
   }
 
+  test("reliable-checkpoint mode is result-identical to localCheckpoint mode") {
+    // cluster deployments pass checkpointDir so iteration frames survive
+    // executor loss; the numbers must not depend on the mode
+    val dir = "target/qtmp/spec/graph_ckpt"
+    val a = GraphOps.pageRank(tiny, "s", "t", 3)
+      .as[(String, Double)].collect().toMap
+    val b = GraphOps.pageRank(tiny, "s", "t", 3, checkpointDir = Some(dir))
+      .as[(String, Double)].collect().toMap
+    assert(a == b)
+    val pa = GraphOps.personalizedPageRank(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "t"),
+      "s", "t", seeds = Seq(1L), iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    val pb = GraphOps.personalizedPageRank(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "t"),
+      "s", "t", seeds = Seq(1L), iterations = 3, checkpointDir = Some(dir))
+      .as[(Long, Double)].collect().toMap
+    assert(pa == pb)
+    val kEdges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("s", "t")
+    val ka = GraphOps.kCore(kEdges, "s", "t", k = 2)
+      .as[(Long, Long)].collect().toSet
+    val kb = GraphOps.kCore(kEdges, "s", "t", k = 2, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toSet
+    assert(ka == kb && ka == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    // the reliable files actually landed in the requested directory
+    assert(new java.io.File(dir).exists, "checkpoint dir never created")
+  }
+
   test("degrees: full outer over sources and sinks") {
     val got = GraphOps.degrees(tiny, "s", "t")
       .as[(String, Long, Long)].collect().toSet
