@@ -32,9 +32,10 @@ object EntityResolution {
     */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCol: String, threshold: Double, maxBlock: Int = 0,
-      saltFactor: Int = 1, probeParallelism: Int = 0): DataFrame =
+      saltFactor: Int = 1, probeParallelism: Int = 0,
+      forceShuffleJoin: Boolean = false): DataFrame =
     fuzzyPairsWithStats(df, idCol, nameCol, blockCol, threshold, maxBlock,
-      saltFactor, probeParallelism)._1
+      saltFactor, probeParallelism, forceShuffleJoin)._1
 
   /** [[fuzzyPairs]] plus the dropped-block census `(block, n)` — empty
     * iff the `maxBlock` cap excluded nothing (or was 0).
@@ -57,10 +58,18 @@ object EntityResolution {
     *   S·|blocks| tasks each doing 1/S of a block's kernel work. 1 = off
     *   (leave 1 in the broadcast regime: a BHJ replicates the build side
     *   anyway, so salting there only inflates the broadcast).
+    * @param forceShuffleJoin pins the pair join to the sort-merge
+    *   regime via a merge hint — what the planner picks ON ITS OWN once
+    *   the entity table outgrows the broadcast threshold. At gate scale
+    *   the table is broadcastable, so this is how the d23 gate (and any
+    *   pre-production rehearsal) exercises the exact plan a 100 TB run
+    *   gets; pairs are identical in both regimes by construction (d23
+    *   hash-matches d22's oracle; plan asserted SMJ in PlanExprSpec).
     */
   def fuzzyPairsWithStats(df: DataFrame, idCol: String, nameCol: String,
       blockCol: String, threshold: Double, maxBlock: Int = 0,
-      saltFactor: Int = 1, probeParallelism: Int = 0): (DataFrame, DataFrame) = {
+      saltFactor: Int = 1, probeParallelism: Int = 0,
+      forceShuffleJoin: Boolean = false): (DataFrame, DataFrame) = {
     require(saltFactor >= 1, s"saltFactor=$saltFactor must be >= 1")
     require(probeParallelism >= 0, s"probeParallelism=$probeParallelism < 0")
     require(threshold > 0.0 && threshold <= 1.0,
@@ -106,7 +115,8 @@ object EntityResolution {
       if (ratioFloor > 0.0)
         least(la, lb) / greatest(la, lb) >= lit(ratioFloor)
       else lit(true)
-    val pairs = l.join(r,
+    val lh = if (forceShuffleJoin) l.hint("merge") else l
+    val pairs = lh.join(r,
         col("l.block") === col("r.block") && col("l.salt") === col("r.salt") &&
           col("l.id") < col("r.id") && lenOk)
       .select(col("l.id").as("a"), col("r.id").as("b"),

@@ -192,6 +192,20 @@ object PipelineQueries {
           round(col("sim"), 4).as("sim"))
         .orderBy(col("sim").desc, col("a"), col("b"))),
 
+    // -- d23: d22's SORT-MERGE regime — the plan a 100 TB entity table
+    // gets once it outgrows the broadcast threshold, exercised at gate
+    // scale via the merge hint with the saltFactor lever engaged (8
+    // id-hash slices per block). Same oracle as d22: the regime must
+    // change the plan (PlanExprSpec asserts SMJ, no BHJ), never a pair.
+    "d23_entity_resolution_smj" -> ((s, d) =>
+      EntityResolution.fuzzyPairs(Tables.part(s, d), "p_partkey",
+          "p_name", "p_brand", threshold = 0.9, saltFactor = 8,
+          forceShuffleJoin = true)
+        .filter(col("sim") < 1.0)
+        .select(col("a"), col("b"), col("a_name"), col("b_name"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("a"), col("b"))),
+
     // -- duplicate clusters: connected components over LSH pairs ---------
     "d06_dup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
@@ -2515,6 +2529,16 @@ object PipelineQueries {
     // transpositions, 0.7 boost threshold — verified to 1e-12 on random
     // pairs in PlanExprSpec)
     "d22_entity_resolution" ->
+      """SELECT a.p_partkey AS a, b.p_partkey AS b,
+        | a.p_name AS a_name, b.p_name AS b_name,
+        | round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        |  AND jaro_winkler_similarity(a.p_name, b.p_name) < 1.0
+        |ORDER BY sim DESC, a, b""".stripMargin,
+    // d23: regime change must not change results — same replay as d22
+    "d23_entity_resolution_smj" ->
       """SELECT a.p_partkey AS a, b.p_partkey AS b,
         | a.p_name AS a_name, b.p_name AS b_name,
         | round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim

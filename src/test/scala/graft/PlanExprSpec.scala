@@ -332,6 +332,23 @@ class PlanExprSpec extends AnyFunSuite with CacheHygiene {
     assert(run(3, 8) == plain, "salted+sliced != plain")
   }
 
+  test("d23 runs the sort-merge regime: SMJ in the plan, no broadcast, pairs identical") {
+    val sfDir = "/root/testdata/sf0.001"
+    val smj = SparkEntry.queries("d23_entity_resolution_smj")(spark, sfDir)
+    val plan = smj.queryExecution.executedPlan.toString()
+    assert(plan.contains("SortMergeJoin"),
+      s"d23 must exercise the SMJ regime:\n${plan.take(600)}")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "d23 must not fall back to the broadcast regime")
+    val bhj = SparkEntry.queries("d22_entity_resolution")(spark, sfDir)
+    assert(bhj.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"),
+      "d22 is the broadcast-regime twin; it must still broadcast")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(4))
+    assert(smj.collect().map(key).toSeq == bhj.collect().map(key).toSeq,
+      "regime change altered the pairs")
+  }
+
   test("d22 entity-resolution plan: no UDF, census cap bounds pair fan-out") {
     val sfDir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("d22_entity_resolution")(spark, sfDir)
