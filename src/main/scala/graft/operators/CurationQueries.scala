@@ -34,6 +34,40 @@ object CurationQueries {
   private def tmp(sfDir: String, name: String): String =
     s"target/qtmp/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
 
+  /** Idempotent staging for the STEADY-STATE data-skipping path (u10b):
+    * the 8-file range layout and its footer-stats table are written once
+    * and reused — restaging is ingest-time work, and timing it inside
+    * the scan benchmark hid the actual skipping win behind a 10× write
+    * (the r5 verdict's u10 methodology note). u10 proper still restages
+    * every run: the GATE verifies the whole ingest→stats→scan path. */
+  def stageSkipTable(s: SparkSession, d: String): (String, DataFrame) = {
+    val dir = tmp(d, "skip_lineitem_staged")
+    val statsDir = tmp(d, "skip_lineitem_stats")
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val done = fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(statsDir, "_SUCCESS"))
+    if (!done) {
+      Tables.lineitem(s, d)
+        .repartitionByRange(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(dir)
+      DataSkipping.collectFileStats(s, dir,
+          Seq("l_orderkey", "l_extendedprice"))
+        .write.mode("overwrite").parquet(statsDir)
+    }
+    (dir, s.read.parquet(statsDir))
+  }
+
+  /** (files opened, files on disk) for u10b's pruned scan — the
+    * skipping ratio Bench reports alongside the time. */
+  def skipScanCensus(s: SparkSession, d: String): (Int, Int) = {
+    val (dir, stats) = stageSkipTable(s, d)
+    val (chosen, total) =
+      DataSkipping.prunedFileSelection(s, dir, stats, "l_orderkey", 1000, 3000)
+    (chosen.size, total)
+  }
+
   val queries: Map[String, Q] = Map(
     // -- FILE-LEVEL DATA SKIPPING: stats table + metadata-pruned scan ----
     // lineitem is staged as 8 range-partitioned files; a per-file
@@ -50,6 +84,19 @@ object CurationQueries {
         .write.mode("overwrite").parquet(dir)
       val stats = DataSkipping.collectFileStats(s, dir,
         Seq("l_orderkey", "l_extendedprice"))
+      DataSkipping.prunedRead(s, dir, stats, "l_orderkey", 1000, 3000)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- u10b: the STEADY-STATE skipping path — staged layout + saved
+    // stats table reused across runs (see stageSkipTable), so what this
+    // measures is what a reader actually pays: a tiny stats read + a
+    // scan that opens ~2/8 files. Same result and oracle as u10. -------
+    "u10b_pruned_scan" -> ((s, d) => {
+      val (dir, stats) = stageSkipTable(s, d)
       DataSkipping.prunedRead(s, dir, stats, "l_orderkey", 1000, 3000)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -474,6 +521,12 @@ object CurationQueries {
     // u10: pruning must be invisible to results — the oracle is the plain
     // full-scan filter over the original table
     "u10_data_skipping" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // u10b: steady-state path, same invisibility contract as u10
+    "u10b_pruned_scan" ->
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
