@@ -77,7 +77,14 @@ object ClusterMirror {
     "sk18_theta_churn", "d22_entity_resolution", "u10_data_skipping",
     //  u13: interval-predicate left join with null-filled struct payloads
     //       (pit_match) through a remote exchange
-    "u13_pit_join")
+    "u13_pit_join",
+    // round-9 risk classes:
+    //  d12: the heaviest dedup machinery across a REAL exchange — hashed
+    //       gram explosion, gram-keyed count shuffle, semi-join back, and
+    //       the gaps-and-islands span merge (window over a remote
+    //       repartition); proves the ExactSubstr shape row-identical
+    //       under multi-JVM scheduling
+    "d12_dup_spans")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
