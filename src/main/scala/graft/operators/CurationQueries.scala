@@ -104,6 +104,27 @@ object CurationQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- u14: non-aggregate FORK, single pass — the reference streams
+    // each item to a write sink and an aggregation simultaneously
+    // (amadeus-core par_sink/fork.rs:21-60); Spark-first form is
+    // observe(): CollectMetrics folds the aggregates inside the write
+    // job (ForkSpec asserts exactly ONE job). The gate proves the
+    // observed metrics equal independent aggregates of the written
+    // files — i.e. both forks saw every row of the single pass. -------
+    "u14_fork_write" -> ((s, d) => {
+      val dir = tmp(d, "fork_write")
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val m = DynStream(li).forkWrite(dir)(
+        count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n_file"), sum(col("l_quantity")).as("s_file"))
+        .select(
+          lit(m("n").asInstanceOf[Long]).as("n_obs"),
+          round(lit(m("s").asInstanceOf[Double]), 2).as("sum_obs"),
+          col("n_file"),
+          round(col("s_file"), 2).as("sum_file"))
+    }),
+
     // -- LAYOUT-INVARIANT CONTENT FINGERPRINT: "is the copy identical"
     // answered in ONE aggregate pass per side — per-row 48-bit md5 terms
     // summed mod 2³¹−1 (addition commutes ⇒ any partitioning/order/file
@@ -525,6 +546,12 @@ object CurationQueries {
         | round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // u14: both forks of the single pass saw every row — the observed
+    // metrics and the written files' aggregates are the same numbers
+    "u14_fork_write" ->
+      """SELECT count(*) AS n_obs, round(sum(l_quantity), 2) AS sum_obs,
+        | count(*) AS n_file, round(sum(l_quantity), 2) AS sum_file
+        |FROM lineitem""".stripMargin,
     // u10b: steady-state path, same invisibility contract as u10
     "u10b_pruned_scan" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -247,6 +247,29 @@ final case class GraftStream[T](ds: Dataset[T]) {
     (o1, o2, o3, o4)
   }
 
+  /** fork with a NON-aggregate sink (par_sink/fork.rs:21-60): stream the
+    * rows into a write destination AND compute aggregate sinks in the
+    * SAME single pass. Spark-first mechanism: `observe` plants a
+    * CollectMetrics node inside the write job, so the aggregates are
+    * folded per-task as the rows flow to the files — the source is
+    * read ONCE, nothing is persisted, and the returned map holds the
+    * aggregate results after the write commits (ForkSpec asserts the
+    * whole thing is exactly one Spark job).
+    *
+    * This covers the fork(sink, aggregation…) shape exactly — the
+    * overwhelmingly common fork use (write + count/sum/histogram of
+    * what was written). The one shape it cannot cover is
+    * fork(write1, write2) with two ARBITRARY writes: a Spark action
+    * drives one sink by design, so compose `persist()` + two writes —
+    * cost bound: ONE extra materialization of the projected columns
+    * (memory/disk-backed), strictly cheaper than a second source scan
+    * whenever the projection is narrower than the source, which a
+    * re-scan would pay in full. */
+  def forkWrite(path: String, format: String = "parquet",
+      mode: String = "overwrite")(
+      metrics: org.apache.spark.sql.Column*): Map[String, Any] =
+    upcast.forkWrite(path, format, mode)(metrics: _*)
+
   /** par_sink/collect.rs */
   def collect(): Seq[T] = ds.collect().toSeq
 
@@ -263,6 +286,20 @@ final case class DynStream(df: DataFrame) {
   def filter(cond: org.apache.spark.sql.Column): DynStream = DynStream(df.filter(cond))
   def select(cols: org.apache.spark.sql.Column*): DynStream = DynStream(df.select(cols: _*))
   def count(): Long = df.count()
+
+  /** fork(write, aggregations…) in ONE pass — see
+    * [[GraftStream.forkWrite]] for the full contract. CollectMetrics
+    * (`observe`) folds the aggregates per-task inside the write job;
+    * the map holds their values once the write commits. */
+  def forkWrite(path: String, format: String = "parquet",
+      mode: String = "overwrite")(
+      metrics: org.apache.spark.sql.Column*): Map[String, Any] = {
+    require(metrics.nonEmpty, "forkWrite needs at least one aggregate metric")
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.format(format).mode(mode).save(path)
+    obs.get
+  }
 
   /** `Group::get(name)` (amadeus-types group.rs:43-48): field access by
     * name, dotted for nesting ("a.b.c"); analysis error if absent —

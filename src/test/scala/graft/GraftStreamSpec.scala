@@ -142,6 +142,38 @@ class GraftStreamSpec extends AnyFunSuite with CacheHygiene {
     assert(n4 == 100L && s4 == 5050.0 && m4 == 50.5 && math.abs(sd4 - 28.86607) < 1e-4)
   }
 
+  test("forkWrite: write sink + aggregate sinks in exactly ONE Spark job") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val dir = "target/qtmp/spec/fork_write"
+    val df = spark.range(0, 10000).selectExpr("id", "id % 7 AS v")
+    // one warm write so FileFormatWriter/committer classloading jobs (if
+    // any) don't pollute the counted run
+    DynStream(df).forkWrite(dir)(count(lit(1)).as("n"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m = DynStream(df).forkWrite(dir)(
+        count(lit(1)).as("n"), sum(col("v")).as("s"))
+      // the aggregate fork saw every row of the same pass
+      assert(m("n") == 10000L)
+      assert(m("s") == (0L until 10000L).map(_ % 7).sum)
+      // listener events are delivered async; wait for the first, then a
+      // settle window so a hypothetical second job would be seen too
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(500)
+      assert(jobs.get() == 1,
+        s"forkWrite must be a single job (persist-free single pass), saw ${jobs.get()}")
+      // and the write fork wrote every row
+      assert(spark.read.parquet(dir).count() == 10000L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("gradual typing: upcast/downcast round-trip (tests/csv.rs:44-58 shape)") {
     val typed = GraftStream.fromSeq(spark, Seq((1L, "x"), (2L, "y")))
     val dyn: DynStream = typed.upcast
