@@ -82,6 +82,11 @@ object Bench {
                              // warmup; the skipping ratio is reported as
                              // u10_files in the JSON line)
     "t26_distribution_drift", // KL/JS corpus drift (pico-nat exact sum)
+    "sk03b_most_frequent_skewed", // Top+CMS sketch regime (skewed stream)
+    "sk04b_most_distinct_skewed", // Top[K,HLL] sketch regime (skewed stream)
+    "sk20_hll_export",       // HLL build + byte export + re-estimate
+    "d23_entity_resolution_smj", // d22's sort-merge regime (salt 8)
+    "u14_fork_write",        // single-pass write + observed aggregates
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {

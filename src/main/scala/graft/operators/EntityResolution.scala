@@ -115,8 +115,21 @@ object EntityResolution {
       if (ratioFloor > 0.0)
         least(la, lb) / greatest(la, lb) >= lit(ratioFloor)
       else lit(true)
-    val lh = if (forceShuffleJoin) l.hint("merge") else l
-    val pairs = lh.join(r,
+    // In the forced-SMJ regime the pair loop's parallelism is the join's
+    // shuffle partitioning — and AQE would coalesce the (tiny-by-bytes,
+    // huge-by-pair-fanout) exchange down to ~1 partition, serializing the
+    // kernel. An EXPLICIT repartition on the join keys pins the partition
+    // count (user-specified counts are exempt from AQE coalescing) and
+    // already satisfies the SMJ's required distribution, so no extra
+    // exchange is added — only the sorts.
+    val (lj, rj) =
+      if (forceShuffleJoin) {
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        (l.repartition(n, col("l.block"), col("l.salt")),
+          r.repartition(n, col("r.block"), col("r.salt")))
+      } else (l, r)
+    val lh = if (forceShuffleJoin) lj.hint("merge") else lj
+    val pairs = lh.join(rj,
         col("l.block") === col("r.block") && col("l.salt") === col("r.salt") &&
           col("l.id") < col("r.id") && lenOk)
       .select(col("l.id").as("a"), col("r.id").as("b"),
