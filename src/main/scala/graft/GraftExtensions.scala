@@ -98,5 +98,16 @@ object GraftExtensions {
         exprs(0), literalInt(exprs, 1, "top_gram_mass"))),
     ("jaro_winkler",
       "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings in [0,1]",
-      (exprs: Seq[Expression]) => JaroWinklerExpression(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => JaroWinklerExpression(exprs(0), exprs(1))),
+    ("unicode_normalize",
+      "unicode_normalize(s, 'NFC') - Unicode normalization (NFC/NFD/NFKC/NFKD)",
+      (exprs: Seq[Expression]) => {
+        val form = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v,
+              org.apache.spark.sql.types.StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        }
+        UnicodeNormalizeExpression(exprs.head, form)
+      }))
 }

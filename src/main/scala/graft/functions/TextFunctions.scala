@@ -80,16 +80,37 @@ object TextFunctions {
   def normalize(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "\\p{Punct}", ""), "\\s+", " "))
 
+  /** The standard high-precision curation PII regexes — RE2-safe (no
+    * lookaround), so the SAME pattern strings run in Spark (Java regex)
+    * and any RE2 engine (DuckDB replays them in t29). Shared by
+    * [[scrubPii]] (redaction) and [[piiCensus]] (detection counts). */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+  val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiNumRe = "\\d{9,}"
+
   /** PII scrubbing: emails, phone-shaped numbers, IPv4 literals, then
     * any remaining 9+-digit runs → typed placeholders. Order matters
-    * (phones before bare digit runs). Patterns are the standard
-    * high-precision curation regexes — RE2-safe, no lookaround. */
+    * (phones before bare digit runs). */
   def scrubPii(c: Column): Column = {
-    val email = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val phone = regexp_replace(email, "\\d{3}[-. ]\\d{3}[-. ]\\d{4}", "<PHONE>")
-    val ip = regexp_replace(phone, "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\d{9,}", "<NUM>")
+    val email = regexp_replace(c, PiiEmailRe, "<EMAIL>")
+    val phone = regexp_replace(email, PiiPhoneRe, "<PHONE>")
+    val ip = regexp_replace(phone, PiiIpRe, "<IP>")
+    regexp_replace(ip, PiiNumRe, "<NUM>")
   }
+
+  /** Per-type PII match counts `(n_email, n_phone, n_ip, n_digit9)` —
+    * the detection side of the PII pass: route documents to redaction /
+    * quarantine by count, and audit a corpus's PII density per source
+    * before training (gate t29 hash-verifies counts AND the redacted
+    * text against an independent engine's replay). Counts are over the
+    * RAW text (phone/ip/digit-run counts are not suppressed by an
+    * earlier replacement, unlike the scrub chain's sequencing). */
+  def piiCensus(c: Column): Column = struct(
+    regexp_count(c, lit(PiiEmailRe)).as("n_email"),
+    regexp_count(c, lit(PiiPhoneRe)).as("n_phone"),
+    regexp_count(c, lit(PiiIpRe)).as("n_ip"),
+    regexp_count(c, lit(PiiNumRe)).as("n_digit9"))
 
   /** Word-bigram repetition ratio in [0,1]: 1 − distinct/total bigrams
     * (Gopher/C4-style boilerplate signal; 0 for texts under 2 tokens).

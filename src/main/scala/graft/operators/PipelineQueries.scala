@@ -450,6 +450,55 @@ object PipelineQueries {
           md5(TextFunctions.scrubPii(col("text"))).as("scrub_digest"))
         .orderBy(col("doc_id"))),
 
+    // -- t29: PII DETECTION census + redaction on text that actually
+    // CONTAINS PII. The raw corpus is digit-free, so t05's scrub gate
+    // verifies the no-op path; here every doc is decorated with a
+    // deterministic doc_id-derived email / phone / IPv4 / 9-digit run,
+    // then (a) per-type match counts over the raw text and (b) the full
+    // redaction chain are both hash-verified against DuckDB running the
+    // SAME RE2-safe patterns. ------------------------------------------
+    "t29_pii_census" -> ((s, d) => {
+      val dec = concat(substring(col("text"), 1, 40),
+        lit(" user"), col("doc_id"), lit("@example.com 555-"),
+        lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 id 900"), lpad((col("doc_id") % 1000000).cast("string"), 6, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dec.as("dec"))
+        .select(col("doc_id"),
+          TextFunctions.piiCensus(col("dec")).as("pii"),
+          md5(TextFunctions.scrubPii(col("dec"))).as("scrub_digest"))
+        .select(col("doc_id"), col("pii.n_email").cast("long").as("n_email"),
+          col("pii.n_phone").cast("long").as("n_phone"),
+          col("pii.n_ip").cast("long").as("n_ip"),
+          col("pii.n_digit9").cast("long").as("n_digit9"),
+          col("scrub_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- t30: native Unicode NFC normalization (codegen'd expression with
+    // an ASCII fast path) — canonical form before dedup/fingerprinting:
+    // composed "é" and "e"+U+0301 must hash as the same document. The
+    // ASCII corpus is decorated with decomposed sequences + a
+    // compatibility ligature; DuckDB's independent nfc_normalize must
+    // reproduce our output char-for-char (md5), and the combining-mark
+    // census must drop to zero after composition. ----------------------
+    "t30_unicode_nfc" -> ((s, d) => {
+      graft.plans.UnicodeNormalizeExpression.register(s)
+      import graft.plans.UnicodeNormalizeExpression.unicodeNormalize
+      val dec = concat(substring(col("text"), 1, 40),
+        lit(" cafe\u0301 A\u030A \uFB01")) // decomposed acute+ring; FB01 ligature
+      Tables.documents(s, d)
+        .select(col("doc_id"), dec.as("dec"))
+        .select(col("doc_id"),
+          md5(unicodeNormalize(col("dec"), "NFC")).as("nfc_digest"),
+          regexp_count(col("dec"), lit("\\p{Mn}")).cast("long").as("mn_before"),
+          regexp_count(unicodeNormalize(col("dec"), "NFC"), lit("\\p{Mn}"))
+            .cast("long").as("mn_after"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- word-bigram repetition ratio (boilerplate signal) ---------------
     "t06_repetition_ratio" -> ((s, d) =>
       Tables.documents(s, d)
@@ -3006,6 +3055,41 @@ object PipelineQueries {
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\d{9,}', '<NUM>', 'g')) AS scrub_digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // t29: identical decoration arithmetic, identical RE2 patterns with
+    // the 'g' flag (DuckDB replaces first-only by default), counts via
+    // regexp_extract_all lengths
+    "t29_pii_census" ->
+      """WITH dd AS (SELECT doc_id,
+        |   substr(text, 1, 40) || ' user' || doc_id || '@example.com 555-' ||
+        |   lpad(((doc_id % 900) + 100)::VARCHAR, 3, '0') || '-' ||
+        |   lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |   ' 10.0.' || (doc_id % 256)::VARCHAR || '.7 id 900' ||
+        |   lpad((doc_id % 1000000)::VARCHAR, 6, '0') AS dec
+        | FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(dec,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        | len(regexp_extract_all(dec, '\d{3}[-. ]\d{3}[-. ]\d{4}')) AS n_phone,
+        | len(regexp_extract_all(dec,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        | len(regexp_extract_all(dec, '\d{9,}')) AS n_digit9,
+        | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(dec,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\d{9,}', '<NUM>', 'g')) AS scrub_digest
+        |FROM dd ORDER BY doc_id""".stripMargin,
+    // t30: DuckDB's nfc_normalize is a fully independent implementation
+    // (utf8proc) — char-for-char digest agreement pins our NFC output
+    "t30_unicode_nfc" ->
+      """WITH dd AS (SELECT doc_id,
+        |   substr(text, 1, 40) || ' cafe' || chr(769) || ' A' || chr(778)
+        |     || ' ' || chr(64257) AS dec
+        | FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(dec)) AS nfc_digest,
+        | len(regexp_extract_all(dec, '\p{Mn}')) AS mn_before,
+        | len(regexp_extract_all(nfc_normalize(dec), '\p{Mn}')) AS mn_after
+        |FROM dd ORDER BY doc_id""".stripMargin,
     "t06_repetition_ratio" ->
       """SELECT doc_id,
         | CASE WHEN len(string_split(text,' ')) < 2 THEN 0.0

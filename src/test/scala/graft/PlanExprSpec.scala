@@ -332,6 +332,43 @@ class PlanExprSpec extends AnyFunSuite with CacheHygiene {
     assert(run(3, 8) == plain, "salted+sliced != plain")
   }
 
+  test("unicode_normalize: goldens, forms, ASCII fast path, codegen parity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.UnicodeNormalize
+    graft.plans.UnicodeNormalizeExpression.register(spark)
+    def nfc(s: String): String =
+      UnicodeNormalize.normalize(UTF8String.fromString(s), 1).toString
+    // composition goldens: combining sequences fold to composed forms
+    assert(nfc("café") == "café")
+    assert(nfc("Å") == "Å")
+    // NFC preserves compatibility chars; NFKC folds them
+    assert(nfc("ﬁ") == "ﬁ")
+    assert(UnicodeNormalize.normalize(
+      UTF8String.fromString("ﬁ"), 3).toString == "fi")
+    // idempotence
+    assert(nfc(nfc("café Å")) == nfc("café Å"))
+    // ASCII fast path returns the INPUT buffer untouched (no allocation)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(UnicodeNormalize.normalize(ascii, 1) eq ascii)
+    // already-normalized non-ASCII also returns the input buffer
+    val composed = UTF8String.fromString("café")
+    assert(UnicodeNormalize.normalize(composed, 1) eq composed)
+    // SQL surface + null semantics + codegen == interpreted
+    val row = spark.sql(
+      "SELECT unicode_normalize('cafe' || chr(101), 'NFC'), " +
+        "unicode_normalize(CAST(NULL AS STRING), 'NFC')").head()
+    assert(row.getString(0) == "cafee" && row.isNullAt(1))
+    val df = spark.range(0, 500).selectExpr(
+      "unicode_normalize(concat('w', id % 13, 'é', id % 7), 'NFC') AS s")
+    val fromCodegen = df.collect().map(_.getString(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = df.collect().map(_.getString(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(fromCodegen.sameElements(interpreted))
+    // unknown form fails loudly at plan time
+    intercept[Exception](spark.sql("SELECT unicode_normalize('x', 'NFX')").head())
+  }
+
   test("d23 runs the sort-merge regime: SMJ in the plan, no broadcast, pairs identical") {
     val sfDir = "/root/testdata/sf0.001"
     val smj = SparkEntry.queries("d23_entity_resolution_smj")(spark, sfDir)
