@@ -45,6 +45,51 @@ object SketchAggregators {
     def outputEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
   }
 
+  /** [[HllRawAgg]] finishing to the BYTE-STABLE export
+    * ([[graft.sketch.HyperLogLog.toBytes]]) — the build side of a
+    * SKETCH TABLE: persist one binary sketch per (key, shard) in plain
+    * parquet, then answer any distinct-count rollup over shards with
+    * [[HllMergeBytesAgg]]/[[HllMergeEstimateAgg]] without touching the
+    * raw data again (the BigQuery HLL_COUNT.INIT/MERGE pattern; sk21
+    * hash-verifies the whole shard→merge→estimate path in DuckDB). */
+  final class HllBytesRawAgg[IN](b: Int, f: IN => Long)
+      extends Aggregator[IN, HyperLogLog, Array[Byte]] {
+    def zero: HyperLogLog = new HyperLogLog(b)
+    def reduce(buf: HyperLogLog, in: IN): HyperLogLog = buf.addHash(f(in))
+    def merge(a: HyperLogLog, c: HyperLogLog): HyperLogLog = a.merge(c)
+    def finish(r: HyperLogLog): Array[Byte] = r.toBytes
+    def bufferEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union-merge of exported sketch bytes → merged bytes (re-shard /
+    * compact a sketch table). Input sketches must share precision `b`
+    * ([[graft.sketch.HyperLogLog.fromBytes]] validates loudly). */
+  final class HllMergeBytesAgg(b: Int)
+      extends Aggregator[Array[Byte], HyperLogLog, Array[Byte]] {
+    def zero: HyperLogLog = new HyperLogLog(b)
+    def reduce(buf: HyperLogLog, in: Array[Byte]): HyperLogLog =
+      buf.merge(HyperLogLog.fromBytes(in))
+    def merge(a: HyperLogLog, c: HyperLogLog): HyperLogLog = a.merge(c)
+    def finish(r: HyperLogLog): Array[Byte] = r.toBytes
+    def bufferEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union-merge of exported sketch bytes → the distinct-count estimate
+    * (query side of the sketch table), in the replayable rational form
+    * so external engines reproduce it bit-for-bit. */
+  final class HllMergeEstimateAgg(b: Int)
+      extends Aggregator[Array[Byte], HyperLogLog, Double] {
+    def zero: HyperLogLog = new HyperLogLog(b)
+    def reduce(buf: HyperLogLog, in: Array[Byte]): HyperLogLog =
+      buf.merge(HyperLogLog.fromBytes(in))
+    def merge(a: HyperLogLog, c: HyperLogLog): HyperLogLog = a.merge(c)
+    def finish(r: HyperLogLog): Double = r.estimateReplayable
+    def bufferEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Theta/KMV sketch build over PRE-HASHED values in [0, 2^domainBits)
     * — the set-algebra companion to [[HllSketchAgg]] (direct
     * intersection/difference, see [[graft.sketch.Theta]]). Taking the

@@ -497,6 +497,38 @@ object SketchQueries {
       Seq((fp, bytes.length.toLong, est)).toDF("export_md5", "n_bytes", "est")
     }),
 
+    // -- sk21: HLL SKETCH TABLE end-to-end — the production pattern the
+    // sk20 byte format exists for: one 258-byte sketch per
+    // (event_type, day) shard (HllBytesRawAgg: the persisted parquet
+    // form), then a per-type rollup that union-merges SHARD BYTES only
+    // (HllMergeEstimateAgg — raw events are never re-read; this is
+    // BigQuery's HLL_COUNT.INIT → MERGE). The oracle reconstructs every
+    // per-type register relationally from the raw data — equality
+    // proves shard→merge→estimate is exactly the one-pass sketch, and
+    // the byte format round-trips through a real exchange. ------------
+    "sk21_hll_sketch_table" -> ((s, d) => {
+      import s.implicits._
+      val hv = conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":sk21"))), 1, 12), 16, 10).cast("long")
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").cast("string").as("day"),
+          hv.as("v"))
+        .as[(String, String, Long)]
+      val shards = daily.groupByKey(t => (t._1, t._2))
+        .agg(new HllBytesRawAgg[(String, String, Long)](8, _._3 << 16)
+          .toColumn.name("sk"))
+        .map { case ((typ, day), sk) => (typ, day, sk) }
+      val rolled = shards.groupByKey(_._1)
+        .agg(zip2(
+          new CountAll[(String, String, Array[Byte])](),
+          contramap((t: (String, String, Array[Byte])) => t._3,
+            new HllMergeEstimateAgg(8))).toColumn.name("r"))
+      rolled.toDF("event_type", "r")
+        .select(col("event_type"), col("r._1").as("n_days"),
+          (floor(col("r._2") * 10000 + lit(0.5)) / 10000).as("est_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- approximate quantiles (mergeable quantile sketch) ---------------
     // approx_percentile is Spark's Greenwald-Khanna-family sketch: the
     // scale path for percentiles (q22 is the exact twin). Rows-only:
@@ -630,6 +662,36 @@ object SketchQueries {
         |   ELSE 0.7213/(1.0+1.079/256.0) * 256 * 256 * pow(2.0, 57) / sd
         |   END) * 10000 + 0.5)/10000 AS est
         |FROM hx, s""".stripMargin,
+    // sk21: the sk20 register reconstruction PER GROUP + a distinct-day
+    // census; equality proves the sharded bytes merged to exactly the
+    // one-pass sketch
+    "sk21_hll_sketch_table" ->
+      """WITH vals AS (SELECT DISTINCT event_type,
+        |    ('0x'||substr(md5(user_id::VARCHAR || ':sk21'),1,12))::BIGINT AS v
+        |  FROM events),
+        |per AS (SELECT event_type, v >> 40 AS idx,
+        |    v & ((1::BIGINT << 40) - 1) AS rem FROM vals),
+        |rk AS (SELECT event_type, idx, CASE WHEN rem = 0 THEN 57
+        |    ELSE 41 - length(format('{:b}', rem)) END AS r FROM per),
+        |regs AS (SELECT event_type, idx, max(r) AS r FROM rk GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |fullr AS (SELECT t.event_type, g.i AS idx, coalesce(regs.r, 0) AS r
+        |  FROM types t CROSS JOIN range(0,256) g(i)
+        |  LEFT JOIN regs ON regs.event_type = t.event_type AND regs.idx = g.i),
+        |sums AS (SELECT event_type,
+        |    CAST(sum((1::BIGINT << (57 - r))) AS DOUBLE) AS sd,
+        |    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+        |  FROM fullr GROUP BY 1),
+        |days AS (SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |  FROM events GROUP BY 1)
+        |SELECT sums.event_type, days.n_days,
+        | floor((CASE WHEN 0.7213/(1.0+1.079/256.0) * 256 * 256 * pow(2.0, 57)
+        |     / sd <= 2.5*256 AND zeros > 0
+        |   THEN 256 * ln(256.0 / zeros)
+        |   ELSE 0.7213/(1.0+1.079/256.0) * 256 * 256 * pow(2.0, 57) / sd
+        |   END) * 10000 + 0.5)/10000 AS est_users
+        |FROM sums JOIN days USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // sk19: exact bucket census + identical IEEE interpolation — rank
     // r = ceil(q·n), first bucket with cum ≥ r, linear within it
     "sk19_grid_quantiles" ->

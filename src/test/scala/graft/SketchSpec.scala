@@ -512,6 +512,24 @@ class SketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](HyperLogLog.fromBytes(Array[Byte](1)))
   }
 
+  test("HLL sketch table laws: sharded-bytes merge == one-pass build; mismatched b fails") {
+    val rnd = new Random(33)
+    val hashes = Array.fill(30000)(rnd.nextLong())
+    val direct = new HyperLogLog(8)
+    hashes.foreach(direct.addHash)
+    // shard into 7 sketches, export each, merge the BYTES only
+    val merged = hashes.grouped(4500).map { chunk =>
+      val h = new HyperLogLog(8); chunk.foreach(h.addHash); h.toBytes
+    }.foldLeft(new HyperLogLog(8))((acc, b) =>
+      acc.merge(HyperLogLog.fromBytes(b)))
+    assert(merged == direct, "bytes merge must equal the one-pass sketch")
+    assert(merged.estimateReplayable == direct.estimateReplayable)
+    // precision mismatch is loud, never silent garbage
+    val other = new HyperLogLog(10)
+    intercept[IllegalArgumentException](
+      direct.merge(HyperLogLog.fromBytes(other.toBytes)))
+  }
+
   test("Theta rejects out-of-domain raw values and mismatched params") {
     val t = new Theta(64)
     intercept[IllegalArgumentException](t.addRaw(-1L))
