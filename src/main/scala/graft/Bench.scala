@@ -87,6 +87,9 @@ object Bench {
     "sk20_hll_export",       // HLL build + byte export + re-estimate
     "d23_entity_resolution_smj", // d22's sort-merge regime (salt 8)
     "u14_fork_write",        // single-pass write + observed aggregates
+    "t29_pii_census",        // PII detect counts + redaction chain
+    "t30_unicode_nfc",       // native NFC normalization (ASCII fast path)
+    "sk21_hll_sketch_table", // sketch-table shard -> merge-bytes rollup
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {

@@ -85,29 +85,37 @@ object TextFunctions {
     * and any RE2 engine (DuckDB replays them in t29). Shared by
     * [[scrubPii]] (redaction) and [[piiCensus]] (detection counts). */
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PiiPhoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+  val PiiSsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PiiPhoneRe = "(\\(\\d{3}\\) ?|\\d{3}[-. ])\\d{3}[-. ]\\d{4}"
   val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PiiNumRe = "\\d{9,}"
 
-  /** PII scrubbing: emails, phone-shaped numbers, IPv4 literals, then
-    * any remaining 9+-digit runs → typed placeholders. Order matters
-    * (phones before bare digit runs). */
+  /** PII scrubbing: emails, SSN-shaped ids, phone-shaped numbers
+    * (dashed/dotted/spaced and parenthesized-area-code forms), IPv4
+    * literals, then any remaining 9+-digit runs → typed placeholders.
+    * Order matters: SSN's 3-2-4 shape must go before the 3-3-4 phone
+    * (a phone's middle group is 3 digits, so the patterns cannot bite
+    * each other — PipelineSpec pins it), and both before bare digit
+    * runs. */
   def scrubPii(c: Column): Column = {
     val email = regexp_replace(c, PiiEmailRe, "<EMAIL>")
-    val phone = regexp_replace(email, PiiPhoneRe, "<PHONE>")
+    val ssn = regexp_replace(email, PiiSsnRe, "<SSN>")
+    val phone = regexp_replace(ssn, PiiPhoneRe, "<PHONE>")
     val ip = regexp_replace(phone, PiiIpRe, "<IP>")
     regexp_replace(ip, PiiNumRe, "<NUM>")
   }
 
-  /** Per-type PII match counts `(n_email, n_phone, n_ip, n_digit9)` —
-    * the detection side of the PII pass: route documents to redaction /
-    * quarantine by count, and audit a corpus's PII density per source
-    * before training (gate t29 hash-verifies counts AND the redacted
-    * text against an independent engine's replay). Counts are over the
-    * RAW text (phone/ip/digit-run counts are not suppressed by an
-    * earlier replacement, unlike the scrub chain's sequencing). */
+  /** Per-type PII match counts `(n_email, n_ssn, n_phone, n_ip,
+    * n_digit9)` — the detection side of the PII pass: route documents
+    * to redaction / quarantine by count, and audit a corpus's PII
+    * density per source before training (gate t29 hash-verifies counts
+    * AND the redacted text against an independent engine's replay).
+    * Counts are over the RAW text (phone/ip/digit-run counts are not
+    * suppressed by an earlier replacement, unlike the scrub chain's
+    * sequencing). */
   def piiCensus(c: Column): Column = struct(
     regexp_count(c, lit(PiiEmailRe)).as("n_email"),
+    regexp_count(c, lit(PiiSsnRe)).as("n_ssn"),
     regexp_count(c, lit(PiiPhoneRe)).as("n_phone"),
     regexp_count(c, lit(PiiIpRe)).as("n_ip"),
     regexp_count(c, lit(PiiNumRe)).as("n_digit9"))

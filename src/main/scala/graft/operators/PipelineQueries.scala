@@ -463,13 +463,16 @@ object PipelineQueries {
         lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
         lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" 10.0."), (col("doc_id") % 256).cast("string"),
-        lit(".7 id 900"), lpad((col("doc_id") % 1000000).cast("string"), 6, "0"))
+        lit(".7 id 900"), lpad((col("doc_id") % 1000000).cast("string"), 6, "0"),
+        lit(" (303) 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
       Tables.documents(s, d)
         .select(col("doc_id"), dec.as("dec"))
         .select(col("doc_id"),
           TextFunctions.piiCensus(col("dec")).as("pii"),
           md5(TextFunctions.scrubPii(col("dec"))).as("scrub_digest"))
         .select(col("doc_id"), col("pii.n_email").cast("long").as("n_email"),
+          col("pii.n_ssn").cast("long").as("n_ssn"),
           col("pii.n_phone").cast("long").as("n_phone"),
           col("pii.n_ip").cast("long").as("n_ip"),
           col("pii.n_digit9").cast("long").as("n_digit9"),
@@ -3064,18 +3067,24 @@ object PipelineQueries {
         |   lpad(((doc_id % 900) + 100)::VARCHAR, 3, '0') || '-' ||
         |   lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
         |   ' 10.0.' || (doc_id % 256)::VARCHAR || '.7 id 900' ||
-        |   lpad((doc_id % 1000000)::VARCHAR, 6, '0') AS dec
+        |   lpad((doc_id % 1000000)::VARCHAR, 6, '0') ||
+        |   ' (303) 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |   ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dec
         | FROM documents)
         |SELECT doc_id,
         | len(regexp_extract_all(dec,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-        | len(regexp_extract_all(dec, '\d{3}[-. ]\d{3}[-. ]\d{4}')) AS n_phone,
+        | len(regexp_extract_all(dec, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        | len(regexp_extract_all(dec,
+        |   '(\(\d{3}\) ?|\d{3}[-. ])\d{3}[-. ]\d{4}')) AS n_phone,
         | len(regexp_extract_all(dec,
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
         | len(regexp_extract_all(dec, '\d{9,}')) AS n_digit9,
-        | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(dec,
+        | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(dec,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |   '\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |   '(\(\d{3}\) ?|\d{3}[-. ])\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\d{9,}', '<NUM>', 'g')) AS scrub_digest
         |FROM dd ORDER BY doc_id""".stripMargin,

@@ -221,6 +221,18 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       .select(TextFunctions.scrubPii(col("t"))).head().getString(0)
     assert(scrubbed == "mail me at <EMAIL> or <PHONE> from <IP> ref <NUM>",
       s"got: $scrubbed")
+    // SSN's 3-2-4 goes BEFORE the 3-3-4 phone and neither bites the
+    // other; parenthesized area codes are phones too
+    val s2 = Seq("ssn 123-45-6789 tel (303) 555-0147 alt 555.123.4567")
+      .toDF("t").select(TextFunctions.scrubPii(col("t"))).head().getString(0)
+    assert(s2 == "ssn <SSN> tel <PHONE> alt <PHONE>", s"got: $s2")
+    // census counts on raw text, per type
+    val c = Seq("a@b.co 123-45-6789 555-123-4567 (303) 555-0147 1.2.3.4 987654321")
+      .toDF("t").select(TextFunctions.piiCensus(col("t")).as("p"))
+      .select("p.n_email", "p.n_ssn", "p.n_phone", "p.n_ip", "p.n_digit9")
+      .head()
+    assert((c.getInt(0), c.getInt(1), c.getInt(2), c.getInt(3), c.getInt(4))
+      == ((1, 1, 2, 1, 1)), s"census: $c")
   }
 
   test("repetition ratio: 0 for unique/short, 1 for fully repeated bigrams") {
