@@ -28,16 +28,15 @@ object SketchViews {
     * Merging two byte forms is pointwise max, no deserialization needed
     * conceptually; we go through [[HyperLogLog]] for the single
     * implementation of the law. */
-  def sketchToBytes(h: HyperLogLog): Array[Byte] =
-    java.util.Arrays.copyOf(h.registers, h.m)
+  /** ONE serialized sketch format repo-wide: the versioned byte-stable
+    * export ([[HyperLogLog.toBytes]], `[1, b, registers]`) that sk20
+    * proves an external engine can rebuild byte-for-byte — a sketch
+    * store written by the streaming view is directly consumable by the
+    * sk21 sketch-table rollup aggregators and by foreign readers. */
+  def sketchToBytes(h: HyperLogLog): Array[Byte] = h.toBytes
 
-  def sketchFromBytes(bytes: Array[Byte]): HyperLogLog = {
-    val b = java.lang.Integer.numberOfTrailingZeros(bytes.length)
-    require(1 << b == bytes.length, s"register length ${bytes.length} not 2^b")
-    val h = new HyperLogLog(b)
-    System.arraycopy(bytes, 0, h.registers, 0, bytes.length)
-    h
-  }
+  def sketchFromBytes(bytes: Array[Byte]): HyperLogLog =
+    HyperLogLog.fromBytes(bytes)
 
   /** Approximate distinct `idCol` per sliding window of `windowHours`
     * hour buckets, via hourly HLL sketches merged per window position.
