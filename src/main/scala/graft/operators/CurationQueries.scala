@@ -125,6 +125,20 @@ object CurationQueries {
           round(col("s_file"), 2).as("sum_file"))
     }),
 
+    // -- u15: one-pass TABLE PROFILE — per-column row/null/distinct
+    // counts + value range in one aggregate over one scan (multi-column
+    // distincts via Catalyst Expand, wide row unpivoted with stack; see
+    // Profile.scaladoc for the approx scale form). A derived nullable
+    // column proves the null accounting on this null-free corpus. ------
+    "u15_table_profile" -> ((s, d) => {
+      val t = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_quantity"), col("l_returnflag"),
+        expr("nullif(l_returnflag, 'A')").as("flag_n"))
+      Profile.profile(t,
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "flag_n"))
+        .orderBy(col("col_name"))
+    }),
+
     // -- LAYOUT-INVARIANT CONTENT FINGERPRINT: "is the copy identical"
     // answered in ONE aggregate pass per side — per-row 48-bit md5 terms
     // summed mod 2³¹−1 (addition commutes ⇒ any partitioning/order/file
@@ -552,6 +566,31 @@ object CurationQueries {
       """SELECT count(*) AS n_obs, round(sum(l_quantity), 2) AS sum_obs,
         | count(*) AS n_file, round(sum(l_quantity), 2) AS sum_file
         |FROM lineitem""".stripMargin,
+    // u15: per-column UNION ALL replay of the one-pass profile
+    "u15_table_profile" ->
+      """WITH t AS (SELECT l_orderkey, l_quantity, l_returnflag,
+        |    nullif(l_returnflag, 'A') AS flag_n FROM lineitem),
+        |n AS (SELECT count(*) AS n_rows FROM t)
+        |SELECT * FROM (
+        | SELECT 'flag_n' AS col_name, n.n_rows,
+        |  n.n_rows - count(flag_n) AS n_null,
+        |  count(DISTINCT flag_n) AS n_distinct,
+        |  CAST(min(flag_n) AS VARCHAR) AS min_value,
+        |  CAST(max(flag_n) AS VARCHAR) AS max_value
+        | FROM t, n GROUP BY n.n_rows
+        | UNION ALL
+        | SELECT 'l_orderkey', n.n_rows, n.n_rows - count(l_orderkey),
+        |  count(DISTINCT l_orderkey), CAST(min(l_orderkey) AS VARCHAR),
+        |  CAST(max(l_orderkey) AS VARCHAR) FROM t, n GROUP BY n.n_rows
+        | UNION ALL
+        | SELECT 'l_quantity', n.n_rows, n.n_rows - count(l_quantity),
+        |  count(DISTINCT l_quantity), CAST(min(l_quantity) AS VARCHAR),
+        |  CAST(max(l_quantity) AS VARCHAR) FROM t, n GROUP BY n.n_rows
+        | UNION ALL
+        | SELECT 'l_returnflag', n.n_rows, n.n_rows - count(l_returnflag),
+        |  count(DISTINCT l_returnflag), CAST(min(l_returnflag) AS VARCHAR),
+        |  CAST(max(l_returnflag) AS VARCHAR) FROM t, n GROUP BY n.n_rows
+        |) ORDER BY col_name""".stripMargin,
     // u10b: steady-state path, same invisibility contract as u10
     "u10b_pruned_scan" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -287,6 +287,33 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
     assert(byV.count() == 10L, "absent stats column must fall back to full scan")
   }
 
+  // ---- table profile --------------------------------------------------
+
+  test("profile: exact counts/ranges, null accounting, ONE scan; approx within 3 sigma") {
+    import graft.operators.Profile
+    val df = spark.range(0, 1000).selectExpr("id",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('v', id % 37) END AS s",
+      "CAST(id % 11 AS DOUBLE) AS v")
+    val got = Profile.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("id") == ((1000L, 0L, 1000L, "0", "999")))
+    assert(got("s") == ((1000L, 200L, 37L, "v0", "v9")))
+    assert(got("v") == ((1000L, 0L, 11L, "0.0", "10.0")))
+    // single-scan shape: one aggregate pipeline, exactly one Expand for
+    // the multi-distinct, no join/union of per-column scans
+    val plan = Profile.profile(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString()
+    assert("(?s)Expand".r.findAllIn(plan).size >= 1 && !plan.contains("Union"),
+      s"profile must be one scan + Expand, not per-column scans:\n${plan.take(400)}")
+    // approx twin: same frame shape, distinct estimates within 3 sigma
+    val ap = Profile.profileApprox(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(ap("id") - 1000L) <= 3 * 0.008 * 1000 + 1)
+    assert(math.abs(ap("s") - 37L) <= 3 + 1)
+  }
+
   // ---- content fingerprint -------------------------------------------
 
   test("contentFingerprint: layout-invariant, duplicate-sensitive, overflow-safe merge shape") {
