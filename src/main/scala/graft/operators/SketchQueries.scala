@@ -529,6 +529,45 @@ object SketchQueries {
         .orderBy(col("event_type"))
     }),
 
+    // -- sk22: theta sketch byte export — same interop discipline as
+    // sk20 for the SECOND sketch family: canonical ascending-value
+    // encoding [1, k, domainBits, n, values…], DuckDB rebuilds the
+    // identical bytes from ORDER BY v LIMIT k and matches the md5 AND
+    // the re-imported estimate. -----------------------------------------
+    "sk22_theta_export" -> ((s, d) => {
+      import s.implicits._
+      val hv = conv(substring(md5(concat(col("o_custkey").cast("string"),
+        lit(":sk22"))), 1, 12), 16, 10).cast("long")
+      val ds = Tables.orders(s, d).select(hv.as("v")).as[Long]
+      val sketch = ds.select(new ThetaAgg[Long](256, 48, identity).toColumn).head()
+      val bytes = sketch.toBytes
+      val hex = bytes.map(x => f"${x & 0xff}%02x").mkString
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+      val re = graft.sketch.Theta.fromBytes(bytes)
+      val est = math.floor(re.estimate * 10000 + 0.5) / 10000
+      Seq((fp, bytes.length.toLong, est)).toDF("export_md5", "n_bytes", "est")
+    }),
+
+    // -- sk23: grid-histogram byte export — the THIRD family: header
+    // [1, lo-bits, hi-bits, buckets, under, over, nan] + exact integer
+    // bucket counts, rebuilt relationally from the bucket census and
+    // matched byte-for-byte (md5) plus the re-imported p50. -------------
+    "sk23_grid_export" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d).select(col("l_extendedprice")).as[Double]
+      val agg = new GridHistogramAgg[Double](0.0, 110000.0, 2048, identity)
+      val sketch = ds.select(agg.toColumn).head()
+      val bytes = sketch.toBytes
+      val hex = bytes.map(x => f"${x & 0xff}%02x").mkString
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+      val re = graft.sketch.GridHistogram.fromBytes(bytes)
+      val p50 = math.floor(re.quantile(0.5) * 10000 + 0.5) / 10000
+      Seq((fp, bytes.length.toLong, re.inRange, p50))
+        .toDF("export_md5", "n_bytes", "n_in_range", "p50")
+    }),
+
     // -- approximate quantiles (mergeable quantile sketch) ---------------
     // approx_percentile is Spark's Greenwald-Khanna-family sketch: the
     // scale path for percentiles (q22 is the exact twin). Rows-only:
@@ -692,6 +731,59 @@ object SketchQueries {
         |   END) * 10000 + 0.5)/10000 AS est_users
         |FROM sums JOIN days USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // sk22: canonical theta encoding rebuilt from ORDER BY v LIMIT k —
+    // header literals are the gate's own fixed params (k=256→00000100,
+    // domainBits=48→30); body is the data-dependent part
+    "sk22_theta_export" ->
+      """WITH vals AS (SELECT DISTINCT
+        |    ('0x'||substr(md5(o_custkey::VARCHAR || ':sk22'),1,12))::BIGINT AS v
+        |  FROM orders),
+        |kn AS (SELECT v FROM vals ORDER BY v LIMIT 256),
+        |agg AS (SELECT count(*) AS n, max(v) AS mx,
+        |    string_agg(printf('%016x', v), '' ORDER BY v) AS body FROM kn)
+        |SELECT md5('01' || '00000100' || '30' || printf('%08x', agg.n)
+        |    || agg.body) AS export_md5,
+        | CAST(10 + 8*agg.n AS BIGINT) AS n_bytes,
+        | floor((CASE WHEN agg.n < 256 THEN agg.n::DOUBLE
+        |   ELSE 255.0::DOUBLE * 281474976710656.0::DOUBLE / agg.mx
+        |   END)*10000+0.5)/10000 AS est
+        |FROM agg""".stripMargin,
+    // sk23: header literals are the gate's fixed grid params (lo/hi IEEE
+    // bits, buckets=2048); under/over/nan and the 2048 counts are the
+    // data-dependent region, rebuilt from the exact bucket census (same
+    // clamp-at-hi-ulp as GridHistogram.add)
+    "sk23_grid_export" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+        |b AS (SELECT least(CAST(floor((x - 0.0) / (110000.0 - 0.0) * 2048)
+        |    AS BIGINT), 2047) AS i
+        |  FROM v WHERE x >= 0.0 AND x < 110000.0 AND NOT isnan(x)),
+        |g AS (SELECT i, count(*) AS c FROM b GROUP BY 1),
+        |fullc AS (SELECT t.i, coalesce(g.c, 0) AS c
+        |  FROM range(0,2048) t(i) LEFT JOIN g ON g.i = t.i),
+        |body AS (SELECT string_agg(printf('%016x', c), '' ORDER BY i) AS hexc
+        |  FROM fullc),
+        |edges AS (SELECT
+        |    count(*) FILTER (WHERE x < 0.0 AND NOT isnan(x)) AS und,
+        |    count(*) FILTER (WHERE x >= 110000.0 AND NOT isnan(x)) AS ovr,
+        |    count(*) FILTER (WHERE isnan(x)) AS nn FROM v),
+        |n AS (SELECT count(*) AS n_in FROM b),
+        |cm AS (SELECT i, c, sum(c) OVER (ORDER BY i) - c AS cumb,
+        |    sum(c) OVER (ORDER BY i) AS cum FROM g),
+        |cand AS (SELECT cm.i, cm.c, cm.cumb,
+        |    row_number() OVER (ORDER BY cm.i) AS rn
+        |  FROM cm, n WHERE cm.cum >= ceil(0.5 * n.n_in) AND cm.c > 0),
+        |est AS (SELECT 0.0 + (110000.0 - 0.0) / 2048 * i
+        |    + (110000.0 - 0.0) / 2048
+        |      * ((SELECT ceil(0.5 * n_in) FROM n) - cumb) / c AS e
+        |  FROM cand WHERE rn = 1)
+        |SELECT md5('01' || '0000000000000000' || '40fadb0000000000'
+        |    || '00000800' || printf('%016x', edges.und)
+        |    || printf('%016x', edges.ovr) || printf('%016x', edges.nn)
+        |    || body.hexc) AS export_md5,
+        | CAST(45 + 8*2048 AS BIGINT) AS n_bytes,
+        | n.n_in AS n_in_range,
+        | floor((SELECT e FROM est)*10000+0.5)/10000 AS p50
+        |FROM edges, body, n""".stripMargin,
     // sk19: exact bucket census + identical IEEE interpolation — rank
     // r = ceil(q·n), first bucket with cum ≥ r, linear within it
     "sk19_grid_quantiles" ->

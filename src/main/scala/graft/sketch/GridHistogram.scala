@@ -93,6 +93,23 @@ final class GridHistogram(val lo: Double, val hi: Double, val buckets: Int)
     hi // unreachable for valid q; keeps the compiler total
   }
 
+  /** Versioned, byte-stable export: `[version=1, lo (8B BE IEEE bits),
+    * hi (8B), buckets (4B BE), under (8B), over (8B), nan (8B),
+    * buckets counts (8B BE each)]` — engine-neutral like
+    * [[HyperLogLog.toBytes]]; the sk23 gate rebuilds the identical byte
+    * string from an exact relational bucket census and matches its
+    * fingerprint. */
+  def toBytes: Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(1 + 8 + 8 + 4 + 8 * 3 + 8 * buckets)
+    buf.put(1.toByte)
+      .putLong(java.lang.Double.doubleToLongBits(lo))
+      .putLong(java.lang.Double.doubleToLongBits(hi))
+      .putInt(buckets).putLong(under).putLong(over).putLong(nan)
+    var i = 0
+    while (i < buckets) { buf.putLong(counts(i)); i += 1 }
+    buf.array()
+  }
+
   override def equals(other: Any): Boolean = other match {
     case o: GridHistogram => o.lo == lo && o.hi == hi && o.buckets == buckets &&
       o.under == under && o.over == over && o.nan == nan &&
@@ -100,4 +117,25 @@ final class GridHistogram(val lo: Double, val hi: Double, val buckets: Int)
     case _ => false
   }
   override def hashCode: Int = java.util.Arrays.hashCode(counts)
+}
+
+object GridHistogram {
+
+  /** Parse a [[GridHistogram.toBytes]] export — loud validation. */
+  def fromBytes(bytes: Array[Byte]): GridHistogram = {
+    require(bytes.length >= 45, "grid-histogram export too short")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val version = buf.get()
+    require(version == 1, s"unknown grid-histogram export version $version")
+    val lo = java.lang.Double.longBitsToDouble(buf.getLong())
+    val hi = java.lang.Double.longBitsToDouble(buf.getLong())
+    val buckets = buf.getInt()
+    require(bytes.length == 45 + 8L * buckets,
+      s"grid-histogram export length ${bytes.length} != ${45 + 8L * buckets}")
+    val h = new GridHistogram(lo, hi, buckets)
+    h.under = buf.getLong(); h.over = buf.getLong(); h.nan = buf.getLong()
+    var i = 0
+    while (i < buckets) { h.counts(i) = buf.getLong(); i += 1 }
+    h
+  }
 }

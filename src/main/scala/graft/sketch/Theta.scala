@@ -90,6 +90,20 @@ final class Theta(val k: Int, val domainBits: Int = 48) extends Serializable {
   /** Relative standard error when full: ~1/sqrt(k−2). */
   def errorRate: Double = 1.0 / math.sqrt((k - 2).toDouble)
 
+  /** Versioned, byte-stable export:
+    * `[version=1, k (4B BE), domainBits (1B), n (4B BE), n values
+    * (8B BE each, ASCENDING)]` — engine-neutral like
+    * [[HyperLogLog.toBytes]] (the sk22 gate rebuilds the identical byte
+    * string in pure SQL and matches its fingerprint). Ascending order
+    * makes the encoding canonical: equal sketches ⇒ equal bytes. */
+  def toBytes: Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(1 + 4 + 1 + 4 + 8 * values.size)
+    buf.put(1.toByte).putInt(k).put(domainBits.toByte).putInt(values.size)
+    val it = values.iterator()
+    while (it.hasNext) buf.putLong(it.next())
+    buf.array()
+  }
+
   override def equals(other: Any): Boolean = other match {
     case o: Theta => o.k == k && o.domainBits == domainBits && o.values == values
     case _ => false
@@ -98,6 +112,26 @@ final class Theta(val k: Int, val domainBits: Int = 48) extends Serializable {
 }
 
 object Theta {
+
+  /** Parse a [[Theta.toBytes]] export — loud validation, never silent
+    * garbage from foreign bytes. */
+  def fromBytes(bytes: Array[Byte]): Theta = {
+    require(bytes.length >= 10, "theta export too short")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val version = buf.get()
+    require(version == 1, s"unknown theta export version $version")
+    val k = buf.getInt()
+    val domainBits = buf.get().toInt
+    val n = buf.getInt()
+    require(bytes.length == 10 + 8L * n,
+      s"theta export length ${bytes.length} != ${10 + 8L * n} for n=$n")
+    require(n <= k, s"theta export carries $n values > k=$k")
+    val t = new Theta(k, domainBits)
+    var i = 0
+    while (i < n) { t.addRaw(buf.getLong()); i += 1 }
+    require(t.size == n, "theta export contained duplicate values")
+    t
+  }
 
   /** Count of a's retained values strictly below `theta` that satisfy
     * `p` — the shared core of the direct set-op estimators. */

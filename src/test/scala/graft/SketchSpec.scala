@@ -530,6 +530,29 @@ class SketchSpec extends AnyFunSuite {
       direct.merge(HyperLogLog.fromBytes(other.toBytes)))
   }
 
+  test("Theta/GridHistogram byte exports: round-trip identity, loud failures") {
+    val rnd = new Random(55)
+    val t = new Theta(64, 48)
+    (0 until 5000).foreach(_ => t.addRaw(rnd.nextLong() & ((1L << 48) - 1)))
+    val tb = Theta.fromBytes(t.toBytes)
+    assert(tb == t && tb.toBytes.sameElements(t.toBytes))
+    assert(tb.estimate == t.estimate)
+    // partial (below-k) sketch round-trips too
+    val small = new Theta(64, 48); small.addRaw(5L); small.addRaw(9L)
+    assert(Theta.fromBytes(small.toBytes) == small)
+    intercept[IllegalArgumentException](Theta.fromBytes(Array[Byte](2)))
+    intercept[IllegalArgumentException](
+      Theta.fromBytes(t.toBytes.dropRight(1)))
+    val g = new GridHistogram(0.0, 100.0, 32)
+    (0 until 2000).foreach(_ => g.add(rnd.nextDouble() * 120.0 - 10.0))
+    g.add(Double.NaN)
+    val gb = GridHistogram.fromBytes(g.toBytes)
+    assert(gb == g && gb.toBytes.sameElements(g.toBytes))
+    assert(gb.under == g.under && gb.over == g.over && gb.nan == g.nan)
+    intercept[IllegalArgumentException](
+      GridHistogram.fromBytes(g.toBytes.dropRight(3)))
+  }
+
   test("Theta rejects out-of-domain raw values and mismatched params") {
     val t = new Theta(64)
     intercept[IllegalArgumentException](t.addRaw(-1L))
