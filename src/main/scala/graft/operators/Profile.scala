@@ -20,10 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  private def esc(s: String) = "`" + s + "`"
+  private def esc(s: String) = "`" + s.replace("`", "``") + "`"
+
+  /** Column names flow into a `stack(...)` selectExpr as string
+    * literals; quotes would silently corrupt the generated SQL, so
+    * refuse them up front (backticks are escaped, quotes are not
+    * representable in a Spark SQL single-quoted literal portably). */
+  private def checkNames(cols: Seq[String]): Unit =
+    cols.foreach(c => require(!c.contains("'") && !c.contains("\\"),
+      s"profile: column name '$c' contains a quote/backslash"))
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    checkNames(cols)
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),
         countDistinct(col(c)).as(s"${c}__nd"),
@@ -46,6 +55,7 @@ object Profile {
     * no Expand fan-out, constant memory per column; the scale form. */
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileApprox needs at least one column")
+    checkNames(cols)
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),
         approx_count_distinct(col(c), 0.008).as(s"${c}__nd"),
