@@ -90,6 +90,12 @@ object Bench {
     "t29_pii_census",        // PII detect counts + redaction chain
     "t30_unicode_nfc",       // native NFC normalization (ASCII fast path)
     "sk21_hll_sketch_table", // sketch-table shard -> merge-bytes rollup
+    "sk22_theta_export",     // theta build + canonical byte export
+    "sk23_grid_export",      // grid-histogram build + byte export
+    "u15b_profile_approx",   // one-pass profile, HLL distincts (the
+                             // scale form; exact u15 is gate-only — its
+                             // Expand+sort is what exact multi-distinct
+                             // costs in any engine)
     "p01_curation_pipeline") // quality -> dedup -> stats composition
 
   def main(args: Array[String]): Unit = {

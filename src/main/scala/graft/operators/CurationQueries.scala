@@ -139,6 +139,22 @@ object CurationQueries {
         .orderBy(col("col_name"))
     }),
 
+    // -- u15b: the profile's SCALE form — HLL distinct estimates instead
+    // of exact multi-distinct, which turns the Expand + 3M-row
+    // SortAggregate into one HashAggregate pass (the exact form's sort
+    // is what exact multi-column distinct costs in ANY engine; this is
+    // what you run at 100 TB). rows-only: the HLL estimates are
+    // engine-specific; u15 hash-verifies the exact twin and
+    // MaintenanceSpec bounds approx-vs-exact at 3σ. --------------------
+    "u15b_profile_approx" -> ((s, d) => {
+      val t = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_quantity"), col("l_returnflag"),
+        expr("nullif(l_returnflag, 'A')").as("flag_n"))
+      Profile.profileApprox(t,
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "flag_n"))
+        .orderBy(col("col_name"))
+    }),
+
     // -- LAYOUT-INVARIANT CONTENT FINGERPRINT: "is the copy identical"
     // answered in ONE aggregate pass per side — per-row 48-bit md5 terms
     // summed mod 2³¹−1 (addition commutes ⇒ any partitioning/order/file

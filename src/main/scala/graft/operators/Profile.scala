@@ -51,14 +51,16 @@ object Profile {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
-  /** [[profile]] with HLL distinct estimates (±1.04/√2¹⁴ ≈ 0.8% σ) —
-    * no Expand fan-out, constant memory per column; the scale form. */
+  /** [[profile]] with HLL++ distinct estimates (5% rsd — the standard
+    * profiling accuracy; a tighter rsd inflates the per-column register
+    * buffer quadratically and with it the partial-agg row) — no Expand
+    * fan-out, constant memory per column; the scale form. */
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileApprox needs at least one column")
     checkNames(cols)
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),
-        approx_count_distinct(col(c), 0.008).as(s"${c}__nd"),
+        approx_count_distinct(col(c), 0.05).as(s"${c}__nd"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
