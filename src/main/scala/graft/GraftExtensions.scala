@@ -101,13 +101,5 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => JaroWinklerExpression(exprs(0), exprs(1))),
     ("unicode_normalize",
       "unicode_normalize(s, 'NFC') - Unicode normalization (NFC/NFD/NFKC/NFKD)",
-      (exprs: Seq[Expression]) => {
-        val form = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v,
-              org.apache.spark.sql.types.StringType) => v.toString
-          case other => throw new IllegalArgumentException(
-            s"unicode_normalize form must be a string literal, got $other")
-        }
-        UnicodeNormalizeExpression(exprs.head, form)
-      }))
+      (exprs: Seq[Expression]) => UnicodeNormalizeExpression.build(exprs)))
 }

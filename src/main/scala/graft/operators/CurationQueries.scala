@@ -40,20 +40,31 @@ object CurationQueries {
     * the scan benchmark hid the actual skipping win behind a 10× write
     * (the r5 verdict's u10 methodology note). u10 proper still restages
     * every run: the GATE verifies the whole ingest→stats→scan path. */
+  /** u10b's pruned-scan predicate — ONE definition shared by the gate
+    * query and [[skipScanCensus]], so the reported opened/total ratio
+    * is always the ratio of the scan actually timed. */
+  val SkipScanColumn = "l_orderkey"
+  val SkipScanLo = 1000.0
+  val SkipScanHi = 3000.0
+
   def stageSkipTable(s: SparkSession, d: String): (String, DataFrame) = {
     val dir = tmp(d, "skip_lineitem_staged")
     val statsDir = tmp(d, "skip_lineitem_stats")
     val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
+    // staleness guard: regenerated testdata at the same sfDir must
+    // re-stage, or the bench would silently time an old copy — the row
+    // count is a metadata-only read on parquet, so the check is cheap
     val done = fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) &&
-      fs.exists(new org.apache.hadoop.fs.Path(statsDir, "_SUCCESS"))
+      fs.exists(new org.apache.hadoop.fs.Path(statsDir, "_SUCCESS")) &&
+      s.read.parquet(dir).count() == Tables.lineitem(s, d).count()
     if (!done) {
       Tables.lineitem(s, d)
-        .repartitionByRange(8, col("l_orderkey"))
+        .repartitionByRange(8, col(SkipScanColumn))
         .write.mode("overwrite").parquet(dir)
       DataSkipping.collectFileStats(s, dir,
-          Seq("l_orderkey", "l_extendedprice"))
+          Seq(SkipScanColumn, "l_extendedprice"))
         .write.mode("overwrite").parquet(statsDir)
     }
     (dir, s.read.parquet(statsDir))
@@ -63,8 +74,8 @@ object CurationQueries {
     * skipping ratio Bench reports alongside the time. */
   def skipScanCensus(s: SparkSession, d: String): (Int, Int) = {
     val (dir, stats) = stageSkipTable(s, d)
-    val (chosen, total) =
-      DataSkipping.prunedFileSelection(s, dir, stats, "l_orderkey", 1000, 3000)
+    val (chosen, total) = DataSkipping.prunedFileSelection(
+      s, dir, stats, SkipScanColumn, SkipScanLo, SkipScanHi)
     (chosen.size, total)
   }
 
@@ -97,7 +108,8 @@ object CurationQueries {
     // scan that opens ~2/8 files. Same result and oracle as u10. -------
     "u10b_pruned_scan" -> ((s, d) => {
       val (dir, stats) = stageSkipTable(s, d)
-      DataSkipping.prunedRead(s, dir, stats, "l_orderkey", 1000, 3000)
+      DataSkipping.prunedRead(s, dir, stats,
+          SkipScanColumn, SkipScanLo, SkipScanHi)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice")), 2).as("revenue"))

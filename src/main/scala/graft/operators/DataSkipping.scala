@@ -209,9 +209,13 @@ object DataSkipping {
     val onDisk = fs.listStatus(new Path(dir))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).toSet
-    val colStats = stats.filter(col("col") === column)
-    if (colStats.isEmpty) return (onDisk.toSeq.sorted, onDisk.size)
-    val covered = stats.select(col("file")).distinct()
+    // coverage must be judged per COLUMN: a file whose stats rows cover
+    // only OTHER columns has no prune basis for this one and must be
+    // kept (a mixed-column stats table would otherwise silently drop
+    // it). An empty covered set then also handles the
+    // column-never-collected case: everything is kept.
+    val covered = stats.filter(col("col") === column)
+      .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
     val keep = pruneFilesNum(stats, column, lo, hi).toSet
     val chosen = onDisk.filter(f => !covered.contains(f) || keep.contains(f))

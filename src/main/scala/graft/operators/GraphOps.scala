@@ -33,7 +33,15 @@ object GraphOps {
     * IDENTICAL in both modes (GraphSpec pins it) — this is purely a
     * fault-tolerance/performance trade. */
   private def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
-    if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    if (checkpointDir.isDefined) {
+      // persist before a reliable checkpoint: eager checkpoint() runs a
+      // count job AND a separate write job — unpersisted, the frame
+      // would be computed twice per iteration
+      val cached = df.persist()
+      val out = cached.checkpoint()
+      cached.unpersist()
+      out
+    } else df.localCheckpoint()
 
   /** One `setCheckpointDir` per operator call (Spark appends a UUID
     * subdirectory, so repeated calls don't collide). */

@@ -190,7 +190,9 @@ object Maintenance {
     * as raw Longs would silently wrap past ~2³²–2³³ total rows
     * (reachable at the 100 TB target) and break the exact cross-engine
     * replay this operator exists for; a decimal(38,0) sum is exact to
-    * ~10²⁹ rows and Spark raises on overflow rather than wrapping. One
+    * ~10²⁹ rows, and past that it fails VISIBLY (null under the
+    * session's ANSI-off config, an error under ANSI) instead of
+    * silently wrapping to a plausible-looking wrong fingerprint. One
     * aggregate — also what keeps the streamed form
     * ([[graft.streaming.EventStreams.fingerprintStreamed]]) a single
     * stateful operator. The decimal cost is per-partial-merge, not

@@ -30,12 +30,15 @@ object Profile {
     cols.foreach(c => require(!c.contains("'") && !c.contains("\\"),
       s"profile: column name '$c' contains a quote/backslash"))
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Shared body — [[profile]] and [[profileApprox]] differ ONLY in the
+    * distinct aggregate, so they stay schema-identical twins. */
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     checkNames(cols)
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
+        distinctAgg(c).as(s"${c}__nd"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
@@ -51,28 +54,13 @@ object Profile {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
   /** [[profile]] with HLL++ distinct estimates (5% rsd — the standard
     * profiling accuracy; a tighter rsd inflates the per-column register
     * buffer quadratically and with it the partial-agg row) — no Expand
     * fan-out, constant memory per column; the scale form. */
-  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profileApprox needs at least one column")
-    checkNames(cols)
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__nn"),
-        approx_count_distinct(col(c), 0.05).as(s"${c}__nd"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', ${esc(s"${c}__nn")}, ${esc(s"${c}__nd")}, " +
-        s"${esc(s"${c}__min")}, ${esc(s"${c}__max")}"
-    }.mkString(", ")
-    wide.selectExpr("__n",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, __nn, n_distinct, min_value, max_value)")
-      .select(col("col_name"), col("__n").as("n_rows"),
-        (col("__n") - col("__nn")).as("n_null"),
-        col("n_distinct"), col("min_value"), col("max_value"))
-  }
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), 0.05))
 }

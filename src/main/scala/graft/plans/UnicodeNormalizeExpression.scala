@@ -87,24 +87,27 @@ case class UnicodeNormalizeExpression(child: Expression, form: String)
 
 object UnicodeNormalizeExpression {
 
-  /** SQL registration: SELECT unicode_normalize(s, 'NFC'). The form
-    * argument must be a literal (it selects the kernel at plan time). */
+  /** ONE builder for every registration surface (temp function here,
+    * GraftExtensions injection): checks arity and extracts the literal
+    * form — the form selects the kernel at plan time, so it cannot be a
+    * column. */
+  def build(exprs: Seq[Expression]): UnicodeNormalizeExpression = {
+    require(exprs.length == 2, "unicode_normalize(str, form) takes 2 arguments")
+    val form = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType) =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"unicode_normalize form must be a string literal, got $other")
+    }
+    UnicodeNormalizeExpression(exprs.head, form)
+  }
+
+  /** SQL registration: SELECT unicode_normalize(s, 'NFC'). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     if (!spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_normalize")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "unicode_normalize",
-        exprs => {
-          require(exprs.length == 2, "unicode_normalize(str, form)")
-          val form = exprs(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType) =>
-              v.toString
-            case other => throw new IllegalArgumentException(
-              s"unicode_normalize form must be a string literal, got $other")
-          }
-          UnicodeNormalizeExpression(exprs.head, form)
-        },
-        "built-in")
+        "unicode_normalize", build, "built-in")
 
   /** Column API (requires register(spark) once per session). */
   def unicodeNormalize(c: Column, form: String): Column = {

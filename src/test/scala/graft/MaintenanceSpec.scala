@@ -285,6 +285,19 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
     // basis — full scan with the filter, NOT an empty result
     val byV = DataSkipping.prunedRead(spark, dir, stats, "v", 50.0, 59.0)
     assert(byV.count() == 10L, "absent stats column must fall back to full scan")
+    // MIXED-column stats: f1/f2 have rows only for "id", f3 only for
+    // "v" — a prune on "v" has no basis for f1/f2, which must be KEPT
+    // (coverage is per column, not per file)
+    val mixed = stats.filter(col("col") === "id")
+      .unionByName(DataSkipping.collectFileStats(spark, dir, Seq("v"))
+        .filter(col("file").contains("f3")))
+    val (chosenV, totalV) =
+      DataSkipping.prunedFileSelection(spark, dir, mixed, "v", 250.0, 260.0)
+    assert(totalV == 3 && chosenV.exists(_.contains("f1")) &&
+      chosenV.exists(_.contains("f2")),
+      s"files with stats for OTHER columns only were dropped: $chosenV")
+    assert(DataSkipping.prunedRead(spark, dir, mixed, "v", 250.0, 260.0)
+      .count() == 11L, "mixed-column stats lost rows")
   }
 
   // ---- table profile --------------------------------------------------
