@@ -84,7 +84,12 @@ object ClusterMirror {
     //       the gaps-and-islands span merge (window over a remote
     //       repartition); proves the ExactSubstr shape row-identical
     //       under multi-JVM scheduling
-    "d12_dup_spans")
+    "d12_dup_spans",
+    //  sk21: BINARY sketch shards as exchanged DATA — HllBytesRawAgg's
+    //        Kryo HLL buffers partial-merge across one real exchange,
+    //        the 258-byte exports then travel a SECOND exchange as
+    //        Array[Byte] rows into the merge-estimate rollup
+    "sk21_hll_sketch_table")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

@@ -526,6 +526,18 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
       assert(SketchViews.sketchToBytes(
         SketchViews.sketchFromBytes(sk.toArray)).toSeq == sk)
     }
+    // cross-component composability: the STREAMED store's shard bytes
+    // feed the sk21 sketch-table rollup aggregators directly (one
+    // serialized format repo-wide) — merged estimate equals the sketch
+    // built over all events in one pass
+    import graft.aggregators.SketchAggregators.HllMergeEstimateAgg
+    val b = SketchViews.sketchFromBytes(one.values.head.toArray).b
+    val rolled = one.values.map(_.toArray).toSeq.toDS()
+      .select(new HllMergeEstimateAgg(b).toColumn).head()
+    val direct = new graft.sketch.HyperLogLog(b)
+    ev.select("user_id").as[Long].collect().foreach(direct.add)
+    assert(rolled == direct.estimateReplayable,
+      "streamed shard bytes must merge to the one-pass sketch estimate")
   }
 
   test("sessionWindowStreamed: sessions spanning file boundaries merge in state") {
