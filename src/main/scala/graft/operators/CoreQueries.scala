@@ -365,6 +365,44 @@ object CoreQueries {
             .as("avg_gap_s"))
     }),
 
+    // -- q62: as-of with a TOLERANCE bound (pandas merge_asof parity) —
+    // the feature-store staleness guard: last click before each
+    // purchase, but never one older than 10 minutes; stale matches
+    // degrade to the null struct and fall out of n_matched. µs-domain
+    // arithmetic on both engines. ---------------------------------------
+    "q62_asof_tolerance" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Joins.asofJoinNative(p, c, "user_id", "ts", "ts", Seq("event_id"),
+          tolerance = Some(600L * 1000000L))
+        .agg(
+          count(lit(1)).as("n_purch"),
+          count(col("asof")).as("n_matched"),
+          round(avg((unix_micros(col("ts")) - unix_micros(col("asof.ts"))) / 1e6), 2)
+            .as("avg_gap_s"))
+    }),
+
+    // -- q63: FORWARD as-of — earliest click at or after each purchase
+    // (the "next event" join: next heartbeat, next fill, next page view);
+    // same one-candidate merge pass, peeked not consumed. ---------------
+    "q63_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Joins.asofJoinNative(p, c, "user_id", "ts", "ts", Seq("event_id"),
+          direction = "forward")
+        .agg(
+          count(lit(1)).as("n_purch"),
+          count(col("asof")).as("n_matched"),
+          round(avg((unix_micros(col("asof.ts")) - unix_micros(col("ts"))) / 1e6), 2)
+            .as("avg_gap_s"))
+    }),
+
     // -- range join (bucketed; clicks within 1h before each purchase) ----
     "q24_range_join" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -1306,6 +1344,32 @@ object CoreQueries {
         |SELECT count(*) AS n_purch, count(c.event_id) AS n_matched,
         | round(avg(epoch(p.ts) - epoch(c.ts)), 2) AS avg_gap_s
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    // q62/q63: correlated-subquery replays in the µs domain (Spark
+    // truncates the nanos timestamps to µs at load, so the match
+    // predicate AND the tolerance bound must both be evaluated at µs)
+    "q62_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
+        |m AS (SELECT p.event_id, epoch_us(p.ts) AS pt,
+        |   (SELECT max(epoch_us(c.ts)) FROM c
+        |    WHERE c.user_id = p.user_id AND epoch_us(c.ts) <= epoch_us(p.ts)) AS mt
+        | FROM p)
+        |SELECT count(*) AS n_purch,
+        | count(CASE WHEN mt IS NOT NULL AND pt - mt <= 600000000 THEN 1 END)
+        |   AS n_matched,
+        | round(avg(CASE WHEN mt IS NOT NULL AND pt - mt <= 600000000
+        |   THEN (pt - mt) / 1e6 END), 2) AS avg_gap_s
+        |FROM m""".stripMargin,
+    "q63_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
+        |m AS (SELECT p.event_id, epoch_us(p.ts) AS pt,
+        |   (SELECT min(epoch_us(c.ts)) FROM c
+        |    WHERE c.user_id = p.user_id AND epoch_us(c.ts) >= epoch_us(p.ts)) AS mt
+        | FROM p)
+        |SELECT count(*) AS n_purch, count(mt) AS n_matched,
+        | round(avg((mt - pt) / 1e6), 2) AS avg_gap_s
+        |FROM m""".stripMargin,
     "q24_range_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
         |     c AS (SELECT user_id, ts FROM events WHERE event_type='click')

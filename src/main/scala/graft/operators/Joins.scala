@@ -63,9 +63,21 @@ object Joins {
     * Tie/null semantics match asofJoinBackward (see [[graft.plans.AsofJoin]]
     * scaladoc); select the needed columns upstream — the optimizer does
     * not prune through a custom node.
+    *
+    * pandas `merge_asof` parity knobs (q62/q63 gates):
+    * @param direction "backward" (latest right ≤ left time — default) or
+    *   "forward" (earliest right ≥ left time); same one-candidate merge
+    *   pass either way.
+    * @param tolerance maximum |left − right| time gap for a match, in
+    *   the RAW units of the time column (µs for timestamps). A match
+    *   outside the bound degrades to the null struct — the feature-store
+    *   staleness guard ("use the last price, but never one older than
+    *   10 minutes").
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, rightPayload: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, rightPayload: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     import org.apache.spark.sql.types.{StructField, StructType}
@@ -90,7 +102,8 @@ object Joins {
     val asofAttr = AttributeReference("asof", structT)()
     org.apache.spark.sql.graft.SqlBridge.ofRows(spark,
       AsofJoin(lPlan, rPlan, Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
-        attr(lPlan, leftTime), attr(rPlan, rightTime), payloadAttrs, asofAttr))
+        attr(lPlan, leftTime), attr(rPlan, rightTime), payloadAttrs, asofAttr,
+        direction, tolerance))
   }
 
   /** Range join: pairs (l, r) with equal key and

@@ -49,8 +49,14 @@ case class AsofJoin(
     leftTime: Expression,
     rightTime: Expression,
     rightPayload: Seq[Attribute],
-    asofAttr: AttributeReference)
+    asofAttr: AttributeReference,
+    direction: String = "backward",
+    tolerance: Option[Long] = None)
   extends BinaryNode {
+
+  require(direction == "backward" || direction == "forward",
+    s"asof direction '$direction' (want backward|forward)")
+  require(tolerance.forall(_ > 0), s"asof tolerance must be positive")
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
 
@@ -66,8 +72,9 @@ case class AsofJoin(
   * as the no-extensions fallback in `Joins.asofJoinNative`). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, payload, attr) =>
-      AsofJoinExec(lk, rk, lt, rt, payload, attr, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, payload, attr, dir, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, payload, attr,
+        planLater(l), planLater(r), dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -88,8 +95,22 @@ case class AsofJoinExec(
     rightPayload: Seq[Attribute],
     asofAttr: AttributeReference,
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    direction: String = "backward",
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
+
+  // tolerance arithmetic needs a long-backed time axis (timestamps are
+  // epoch micros internally; longs/ints raw) — fail at plan time, not
+  // mid-task
+  if (tolerance.isDefined) {
+    import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType, DateType}
+    val ok = Set[org.apache.spark.sql.types.DataType](
+      IntegerType, LongType, TimestampType, DateType)
+    require(ok.contains(leftTime.dataType) && ok.contains(rightTime.dataType),
+      s"asof tolerance requires an integer/timestamp time axis, got " +
+        s"${leftTime.dataType.simpleString}/${rightTime.dataType.simpleString}")
+  }
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
 
@@ -122,6 +143,12 @@ case class AsofJoinExec(
     val rTime = rightTime
     val payload = rightPayload
     val out = output
+    val dir = direction
+    val tol = tolerance
+    val lIsInt = lTime.dataType == org.apache.spark.sql.types.IntegerType ||
+      lTime.dataType == org.apache.spark.sql.types.DateType
+    val rIsInt = rTime.dataType == org.apache.spark.sql.types.IntegerType ||
+      rTime.dataType == org.apache.spark.sql.types.DateType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -134,28 +161,69 @@ case class AsofJoinExec(
       val joined = new JoinedRow
       val nullStruct = new GenericInternalRow(1)
       val rBuf = rIter.buffered
-      var candKey: UnsafeRow = null
-      var candStruct: UnsafeRow = null
-      lIter.map { lRow =>
-        val lKey = lKeyProj(lRow)
-        val lTs = lTimeProj(lRow)
-        var frontier = true
-        while (frontier && rBuf.hasNext) {
-          val rRow = rBuf.head
-          val kc = keyOrd.compare(rKeyProj(rRow), lKey)
-          if (kc < 0) {
-            rBuf.next() // key already passed by the left stream: discard
-          } else if (kc == 0 && timeOrd.compare(rTimeProj(rRow), lTs) <= 0) {
-            // newest right row so far for this key at or before lTs
-            candKey = rKeyProj(rRow).copy()
-            candStruct = structProj(rRow).copy()
-            rBuf.next()
-          } else frontier = false
+      // tolerance arithmetic: raw units of the time column (µs for
+      // timestamps); a NULL time on either side can't satisfy a bound
+      def lTs(row: InternalRow): Long = if (lIsInt) row.getInt(0) else row.getLong(0)
+      def rTs(row: InternalRow): Long = if (rIsInt) row.getInt(0) else row.getLong(0)
+      if (dir == "backward") {
+        var candKey: UnsafeRow = null
+        var candStruct: UnsafeRow = null
+        var candTsVal = 0L
+        var candTsNull = true
+        lIter.map { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lT = lTimeProj(lRow)
+          var frontier = true
+          while (frontier && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val kc = keyOrd.compare(rKeyProj(rRow), lKey)
+            if (kc < 0) {
+              rBuf.next() // key already passed by the left stream: discard
+            } else if (kc == 0 && timeOrd.compare(rTimeProj(rRow), lT) <= 0) {
+              // newest right row so far for this key at or before lT
+              candKey = rKeyProj(rRow).copy()
+              candStruct = structProj(rRow).copy()
+              val rT = rTimeProj(rRow)
+              candTsNull = rT.isNullAt(0)
+              if (!candTsNull) candTsVal = rTs(rT)
+              rBuf.next()
+            } else frontier = false
+          }
+          val matched = candKey != null && keyOrd.compare(candKey, lKey) == 0 &&
+            tol.forall(t => !candTsNull && !lT.isNullAt(0) &&
+              lTs(lT) - candTsVal <= t)
+          if (matched) numMatched += 1
+          numOutputRows += 1
+          resultProj(joined(lRow, if (matched) candStruct else nullStruct))
         }
-        val matched = candKey != null && keyOrd.compare(candKey, lKey) == 0
-        if (matched) numMatched += 1
-        numOutputRows += 1
-        resultProj(joined(lRow, if (matched) candStruct else nullStruct))
+      } else { // forward: earliest right row with rT >= lT (within tol)
+        lIter.map { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lT = lTimeProj(lRow)
+          var scan = true
+          while (scan && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val kc = keyOrd.compare(rKeyProj(rRow), lKey)
+            // rows of earlier keys, or same key strictly before lT, can
+            // never match this or any later left row — discard; the
+            // candidate itself is only PEEKED (it may serve later lefts)
+            if (kc < 0 || (kc == 0 && timeOrd.compare(rTimeProj(rRow), lT) < 0))
+              rBuf.next()
+            else scan = false
+          }
+          val matched = rBuf.hasNext && {
+            val rRow = rBuf.head
+            keyOrd.compare(rKeyProj(rRow), lKey) == 0 && {
+              val rT = rTimeProj(rRow)
+              tol.forall(t => !rT.isNullAt(0) && !lT.isNullAt(0) &&
+                rTs(rT) - lTs(lT) <= t)
+            }
+          }
+          if (matched) numMatched += 1
+          numOutputRows += 1
+          resultProj(joined(lRow,
+            if (matched) structProj(rBuf.head) else nullStruct))
+        }
       }
     }
   }

@@ -133,6 +133,84 @@ class JoinsSpec extends AnyFunSuite with CacheHygiene {
     assert(nat == win, "self-join-source events mismatch")
   }
 
+  test("asofJoinNative tolerance: boundary inclusive, stale matches degrade to null") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),  // gap 300s -> within
+      (2L, "u1", ts("2024-01-01 12:00:00")),  // gap 600s -> exactly at bound
+      (3L, "u1", ts("2024-01-01 15:00:00"))   // gap 601s -> stale, null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, "u1", ts("2024-01-01 09:55:00")),
+      (102L, "u1", ts("2024-01-01 11:50:00")),
+      (103L, "u1", ts("2024-01-01 14:49:59"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Joins.asofJoinNative(left, right, "user_id", "ts", "ts",
+        Seq("event_id"), tolerance = Some(600L * 1000000L))
+      .select(col("event_id"), col("asof.event_id").as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 101L, 2L -> 102L, 3L -> -1L),
+      s"tolerance boundary wrong: $got")
+  }
+
+  test("asofJoinNative forward: earliest right >= left, candidate serves many lefts") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:30:00")),  // same forward candidate as #1
+      (3L, "u1", ts("2024-01-01 11:00:00")),  // equal instant matches
+      (4L, "u1", ts("2024-01-01 23:00:00")),  // after the last right -> null
+      (5L, "u2", ts("2024-01-01 09:00:00"))   // key with no right rows -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, "u1", ts("2024-01-01 09:00:00")), // before everything: never forward-matched
+      (101L, "u1", ts("2024-01-01 11:00:00")),
+      (102L, "u1", ts("2024-01-01 12:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Joins.asofJoinNative(left, right, "user_id", "ts", "ts",
+        Seq("event_id"), direction = "forward")
+      .select(col("event_id"), col("asof.event_id").as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 101L, 2L -> 101L, 3L -> 101L, 4L -> -1L, 5L -> -1L),
+      s"forward semantics wrong: $got")
+    // forward + tolerance: 30min bound keeps only the equal-instant match
+    val tight = Joins.asofJoinNative(left, right, "user_id", "ts", "ts",
+        Seq("event_id"), direction = "forward", tolerance = Some(1800L * 1000000L))
+      .select(col("event_id"), col("asof.event_id").as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(tight == Map(1L -> -1L, 2L -> 101L, 3L -> 101L, 4L -> -1L, 5L -> -1L),
+      s"forward tolerance wrong: $tight")
+  }
+
+  test("asofJoinNative forward equals brute-force reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val lrows = (1 to 400).map(i =>
+      (i.toLong, s"u${rnd.nextInt(8)}", rnd.nextInt(10000).toLong))
+    val rrows = (1 to 300).map(i =>
+      (1000L + i, s"u${rnd.nextInt(8)}", rnd.nextInt(10000).toLong))
+    val l = lrows.toDF("id", "k", "t")
+    val r = rrows.toDF("id", "k", "t")
+    val got = Joins.asofJoinNative(l, r, "k", "t", "t", Seq("id"),
+        direction = "forward", tolerance = Some(2000L))
+      .select(col("id"), col("asof.id").as("m"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    val byKey = rrows.groupBy(_._2)
+    val want = lrows.map { case (id, k, t) =>
+      val cands = byKey.getOrElse(k, Nil).filter(c => c._3 >= t && c._3 - t <= 2000L)
+      // earliest forward candidate; sort-order tie among equal times is
+      // whichever the merge peeks first — avoid ties in this data? ties
+      // possible: accept any candidate with the MINIMUM time
+      id -> (if (cands.isEmpty) Set(-1L)
+             else { val mt = cands.map(_._3).min
+               cands.filter(_._3 == mt).map(_._1).toSet })
+    }.toMap
+    got.foreach { case (id, m) =>
+      assert(want(id).contains(m), s"left $id matched $m want one of ${want(id)}")
+    }
+  }
+
   test("range join boundary: inclusive lower, exclusive upper") {
     val p = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val c = Seq(
