@@ -31,6 +31,8 @@ object Bench {
     "m01_multimodal_features", // binary decode pipeline
     "q23_asof_join",         // one-shuffle as-of join (window form)
     "q27_asof_native",       // custom AsofJoinExec (vs q23's window form)
+    "q62_asof_tolerance",    // as-of + staleness bound (same merge pass)
+    "q63_asof_forward",      // forward as-of (peeked candidate)
     "q24_range_join",        // bucketed range join
     "q33_tpch_q3",           // 3-way fact join, pushed filters, bounded top-n
     "q34_tpch_q5",           // 6-table join: broadcast dim chain + fact shuffles
