@@ -403,6 +403,23 @@ object CoreQueries {
             .as("avg_gap_s"))
     }),
 
+    // -- q64: NEAREST as-of — closest click on either side of each
+    // purchase, ties to backward; completes merge_asof parity. ----------
+    "q64_asof_nearest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Joins.asofJoinNative(p, c, "user_id", "ts", "ts", Seq("event_id"),
+          direction = "nearest")
+        .agg(
+          count(lit(1)).as("n_purch"),
+          count(col("asof")).as("n_matched"),
+          round(avg(abs(unix_micros(col("asof.ts")) - unix_micros(col("ts"))) / 1e6), 2)
+            .as("avg_gap_s"))
+    }),
+
     // -- range join (bucketed; clicks within 1h before each purchase) ----
     "q24_range_join" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -1370,6 +1387,21 @@ object CoreQueries {
         |SELECT count(*) AS n_purch, count(mt) AS n_matched,
         | round(avg((mt - pt) / 1e6), 2) AS avg_gap_s
         |FROM m""".stripMargin,
+    "q64_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
+        |m AS (SELECT epoch_us(p.ts) AS pt,
+        |   (SELECT max(epoch_us(c.ts)) FROM c
+        |    WHERE c.user_id = p.user_id AND epoch_us(c.ts) <= epoch_us(p.ts)) AS bt,
+        |   (SELECT min(epoch_us(c.ts)) FROM c
+        |    WHERE c.user_id = p.user_id AND epoch_us(c.ts) >= epoch_us(p.ts)) AS ft
+        | FROM p),
+        |g AS (SELECT pt, CASE
+        |   WHEN bt IS NOT NULL AND (ft IS NULL OR pt - bt <= ft - pt)
+        |     THEN pt - bt
+        |   WHEN ft IS NOT NULL THEN ft - pt END AS gap FROM m)
+        |SELECT count(*) AS n_purch, count(gap) AS n_matched,
+        | round(avg(gap / 1e6), 2) AS avg_gap_s FROM g""".stripMargin,
     "q24_range_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
         |     c AS (SELECT user_id, ts FROM events WHERE event_type='click')

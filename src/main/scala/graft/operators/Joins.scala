@@ -64,10 +64,12 @@ object Joins {
     * scaladoc); select the needed columns upstream — the optimizer does
     * not prune through a custom node.
     *
-    * pandas `merge_asof` parity knobs (q62/q63 gates):
-    * @param direction "backward" (latest right ≤ left time — default) or
-    *   "forward" (earliest right ≥ left time); same one-candidate merge
-    *   pass either way.
+    * pandas `merge_asof` parity knobs (q62/q63/q64 gates):
+    * @param direction "backward" (latest right ≤ left time — default),
+    *   "forward" (earliest right ≥ left time), or "nearest" (whichever
+    *   is closer; ties to backward, null times never win) — all the
+    *   same one-pass merge, nearest simply reads both the consumed
+    *   backward candidate and the unconsumed forward head.
     * @param tolerance maximum |left − right| time gap for a match, in
     *   the RAW units of the time column (µs for timestamps). A match
     *   outside the bound degrades to the null struct — the feature-store

@@ -54,8 +54,9 @@ case class AsofJoin(
     tolerance: Option[Long] = None)
   extends BinaryNode {
 
-  require(direction == "backward" || direction == "forward",
-    s"asof direction '$direction' (want backward|forward)")
+  require(direction == "backward" || direction == "forward" ||
+    direction == "nearest",
+    s"asof direction '$direction' (want backward|forward|nearest)")
   require(tolerance.forall(_ > 0), s"asof tolerance must be positive")
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
@@ -100,10 +101,10 @@ case class AsofJoinExec(
     tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
-  // tolerance arithmetic needs a long-backed time axis (timestamps are
-  // epoch micros internally; longs/ints raw) — fail at plan time, not
-  // mid-task
-  if (tolerance.isDefined) {
+  // tolerance/nearest arithmetic needs a long-backed time axis
+  // (timestamps are epoch micros internally; longs/ints raw) — fail at
+  // plan time, not mid-task
+  if (tolerance.isDefined || direction == "nearest") {
     import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType, DateType}
     val ok = Set[org.apache.spark.sql.types.DataType](
       IntegerType, LongType, TimestampType, DateType)
@@ -165,7 +166,11 @@ case class AsofJoinExec(
       // timestamps); a NULL time on either side can't satisfy a bound
       def lTs(row: InternalRow): Long = if (lIsInt) row.getInt(0) else row.getLong(0)
       def rTs(row: InternalRow): Long = if (rIsInt) row.getInt(0) else row.getLong(0)
-      if (dir == "backward") {
+      if (dir == "backward" || dir == "nearest") {
+        // "nearest" rides the SAME consume-up-to-lT loop: the backward
+        // candidate is whatever was consumed, the forward candidate is
+        // the unconsumed head — both sides of the left row in one pass
+        val nearest = dir == "nearest"
         var candKey: UnsafeRow = null
         var candStruct: UnsafeRow = null
         var candTsVal = 0L
@@ -189,12 +194,34 @@ case class AsofJoinExec(
               rBuf.next()
             } else frontier = false
           }
-          val matched = candKey != null && keyOrd.compare(candKey, lKey) == 0 &&
-            tol.forall(t => !candTsNull && !lT.isNullAt(0) &&
-              lTs(lT) - candTsVal <= t)
-          if (matched) numMatched += 1
+          val lNull = lT.isNullAt(0)
+          val backOk = candKey != null && keyOrd.compare(candKey, lKey) == 0 &&
+            (!nearest || (!candTsNull && !lNull)) &&
+            tol.forall(t => !candTsNull && !lNull && lTs(lT) - candTsVal <= t)
+          val result =
+            if (!nearest) {
+              if (backOk) numMatched += 1
+              joined(lRow, if (backOk) candStruct else nullStruct)
+            } else {
+              val fwdOk = rBuf.hasNext && !lNull && {
+                val rRow = rBuf.head
+                keyOrd.compare(rKeyProj(rRow), lKey) == 0 && {
+                  val rT = rTimeProj(rRow)
+                  !rT.isNullAt(0) && tol.forall(t => rTs(rT) - lTs(lT) <= t)
+                }
+              }
+              val backGap = if (backOk) lTs(lT) - candTsVal else Long.MaxValue
+              val fwdGap =
+                if (fwdOk) rTs(rTimeProj(rBuf.head)) - lTs(lT) else Long.MaxValue
+              val useBack = backOk && backGap <= fwdGap // tie -> backward
+              if (backOk || fwdOk) numMatched += 1
+              joined(lRow,
+                if (useBack) candStruct
+                else if (fwdOk) structProj(rBuf.head)
+                else nullStruct)
+            }
           numOutputRows += 1
-          resultProj(joined(lRow, if (matched) candStruct else nullStruct))
+          resultProj(result)
         }
       } else { // forward: earliest right row with rT >= lT (within tol)
         lIter.map { lRow =>

@@ -211,6 +211,62 @@ class JoinsSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("asofJoinNative nearest: closer side wins, ties to backward, tolerance composes") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),  // back 5min vs fwd 50min -> back
+      (2L, "u1", ts("2024-01-01 10:40:00")),  // back 45min vs fwd 10min -> fwd
+      (3L, "u1", ts("2024-01-01 10:22:30")),  // 27.5min either way -> tie -> back
+      (4L, "u2", ts("2024-01-01 09:00:00"))   // only a forward exists -> fwd
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, "u1", ts("2024-01-01 09:55:00")),
+      (102L, "u1", ts("2024-01-01 10:50:00")),
+      (201L, "u2", ts("2024-01-01 09:30:00"))
+    ).toDF("event_id", "user_id", "ts")
+    def run(tol: Option[Long]) = Joins.asofJoinNative(left, right,
+        "user_id", "ts", "ts", Seq("event_id"),
+        direction = "nearest", tolerance = tol)
+      .select(col("event_id"), col("asof.event_id").as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(run(None) == Map(1L -> 101L, 2L -> 102L, 3L -> 101L, 4L -> 201L))
+    // 20-minute tolerance: the tie row (27.5min both ways) drops out;
+    // u2's 30min forward drops out
+    assert(run(Some(20L * 60 * 1000000L)) ==
+      Map(1L -> 101L, 2L -> 102L, 3L -> -1L, 4L -> -1L))
+  }
+
+  test("asofJoinNative nearest equals brute-force reference on random data") {
+    val rnd = new scala.util.Random(13)
+    val lrows = (1 to 400).map(i =>
+      (i.toLong, s"u${rnd.nextInt(8)}", rnd.nextInt(10000).toLong))
+    val rrows = (1 to 300).map(i =>
+      (1000L + i, s"u${rnd.nextInt(8)}", rnd.nextInt(10000).toLong))
+    val got = Joins.asofJoinNative(lrows.toDF("id", "k", "t"),
+        rrows.toDF("id", "k", "t"), "k", "t", "t", Seq("id", "t"),
+        direction = "nearest")
+      .select(col("id"), col("asof.t").as("mt"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) Long.MinValue else x.getLong(1))).toMap
+    val byKey = rrows.groupBy(_._2)
+    lrows.foreach { case (id, k, t) =>
+      val cands = byKey.getOrElse(k, Nil)
+      if (cands.isEmpty) assert(got(id) == Long.MinValue)
+      else {
+        val back = cands.map(_._3).filter(_ <= t).maxOption
+        val fwd = cands.map(_._3).filter(_ >= t).minOption
+        val want = (back, fwd) match {
+          case (Some(b), Some(f)) => if (t - b <= f - t) b else f
+          case (Some(b), None) => b
+          case (None, Some(f)) => f
+          case _ => Long.MinValue
+        }
+        // compare by matched TIME (ties among equal times share it)
+        assert(got(id) == want, s"left $id at $t: got ${got(id)} want $want")
+      }
+    }
+  }
+
   test("range join boundary: inclusive lower, exclusive upper") {
     val p = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val c = Seq(
