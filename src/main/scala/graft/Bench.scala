@@ -33,6 +33,7 @@ object Bench {
     "q27_asof_native",       // custom AsofJoinExec (vs q23's window form)
     "q62_asof_tolerance",    // as-of + staleness bound (same merge pass)
     "q63_asof_forward",      // forward as-of (peeked candidate)
+    "q64_asof_nearest",      // nearest as-of (both candidates, one pass)
     "q24_range_join",        // bucketed range join
     "q33_tpch_q3",           // 3-way fact join, pushed filters, bounded top-n
     "q34_tpch_q5",           // 6-table join: broadcast dim chain + fact shuffles

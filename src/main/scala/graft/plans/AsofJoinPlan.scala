@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
-/** Backward as-of join as a first-class operator — tier (c) of the
+/** As-of join (backward / forward / nearest, optional tolerance) as a
+  * first-class operator — tier (c) of the
   * custom-operator preference order: logical node + planner strategy +
   * physical `SparkPlan`, registered through `SparkSessionExtensions`
   * ([[graft.GraftExtensions]]).
@@ -80,7 +81,8 @@ object AsofJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Sort-merge backward as-of join. Children are required hash-clustered
+/** Sort-merge as-of join (all three directions share the single
+  * forward merge pass — see doExecute). Children are required hash-clustered
   * on the join keys and sorted by (keys, time); `EnsureRequirements`
   * inserts the exchanges/sorts (and AQE may satisfy them from reused
   * stages). The merge is a single forward pass over both sorted streams:
