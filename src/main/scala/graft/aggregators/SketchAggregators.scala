@@ -106,6 +106,33 @@ object SketchAggregators {
     def outputEncoder: Encoder[Theta] = Encoders.kryo[Theta]
   }
 
+  /** [[ThetaAgg]] finishing to the byte-stable export
+    * ([[graft.sketch.Theta.toBytes]]) — the theta side of the sketch
+    * TABLE pattern (see [[HllBytesRawAgg]]); theta shards additionally
+    * support direct set algebra after re-import. */
+  final class ThetaBytesRawAgg[IN](k: Int, domainBits: Int, f: IN => Long)
+      extends Aggregator[IN, Theta, Array[Byte]] {
+    def zero: Theta = new Theta(k, domainBits)
+    def reduce(buf: Theta, in: IN): Theta = buf.addRaw(f(in))
+    def merge(a: Theta, c: Theta): Theta = a.merge(c)
+    def finish(r: Theta): Array[Byte] = r.toBytes
+    def bufferEncoder: Encoder[Theta] = Encoders.kryo[Theta]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union-merge of exported theta bytes → the distinct-count estimate
+    * (query side of a theta sketch table). */
+  final class ThetaMergeEstimateAgg(k: Int, domainBits: Int)
+      extends Aggregator[Array[Byte], Theta, Double] {
+    def zero: Theta = new Theta(k, domainBits)
+    def reduce(buf: Theta, in: Array[Byte]): Theta =
+      buf.merge(Theta.fromBytes(in))
+    def merge(a: Theta, c: Theta): Theta = a.merge(c)
+    def finish(r: Theta): Double = r.estimate
+    def bufferEncoder: Encoder[Theta] = Encoders.kryo[Theta]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** [[ThetaAgg]] finishing to the distinct-count ESTIMATE — the form a
     * streaming complete-mode sink can emit directly (st14 proves the
     * merged-across-micro-batches state equals the batch build). */

@@ -568,6 +568,33 @@ object SketchQueries {
         .toDF("export_md5", "n_bytes", "n_in_range", "p50")
     }),
 
+    // -- sk24: THETA sketch table — sk21's pattern for the second
+    // family: one theta shard per (event_type, day), per-type rollup
+    // merging SHARD BYTES only. Union-merge of KMV sketches = k
+    // smallest over the union of retained sets, so the oracle replays
+    // the rollup directly as ORDER BY v LIMIT k per type over ALL
+    // distinct hashes — equality proves shards lost nothing. -----------
+    "sk24_theta_sketch_table" -> ((s, d) => {
+      import s.implicits._
+      val hv = conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":sk24"))), 1, 12), 16, 10).cast("long")
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").cast("string").as("day"),
+          hv.as("v"))
+        .as[(String, String, Long)]
+      val shards = daily.groupByKey(t => (t._1, t._2))
+        .agg(new ThetaBytesRawAgg[(String, String, Long)](256, 48, _._3)
+          .toColumn.name("sk"))
+        .map { case ((typ, day), sk) => (typ, day, sk) }
+      val rolled = shards.groupByKey(_._1)
+        .agg(contramap((t: (String, String, Array[Byte])) => t._3,
+          new ThetaMergeEstimateAgg(256, 48)).toColumn.name("est"))
+      rolled.toDF("event_type", "est")
+        .select(col("event_type"),
+          (floor(col("est") * 10000 + lit(0.5)) / 10000).as("est_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- approximate quantiles (mergeable quantile sketch) ---------------
     // approx_percentile is Spark's Greenwald-Khanna-family sketch: the
     // scale path for percentiles (q22 is the exact twin). Rows-only:
@@ -784,6 +811,23 @@ object SketchQueries {
         | n.n_in AS n_in_range,
         | floor((SELECT e FROM est)*10000+0.5)/10000 AS p50
         |FROM edges, body, n""".stripMargin,
+    // sk24: per-type k-smallest replay over all distinct hashes — the
+    // shard rollup must equal the one-pass sketch (sk17/sk18 estimate
+    // arithmetic)
+    "sk24_theta_sketch_table" ->
+      """WITH vals AS (SELECT DISTINCT event_type,
+        |    ('0x'||substr(md5(user_id::VARCHAR || ':sk24'),1,12))::BIGINT AS v
+        |  FROM events),
+        |rk AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+        |  FROM vals),
+        |agg AS (SELECT event_type, count(*) AS n, max(v) AS mx
+        |  FROM rk WHERE rn <= 256 GROUP BY 1)
+        |SELECT event_type,
+        | floor((CASE WHEN n < 256 THEN n::DOUBLE
+        |   ELSE 255.0::DOUBLE * 281474976710656.0::DOUBLE / mx
+        |   END)*10000+0.5)/10000 AS est_users
+        |FROM agg ORDER BY event_type""".stripMargin,
     // sk19: exact bucket census + identical IEEE interpolation — rank
     // r = ceil(q·n), first bucket with cum ≥ r, linear within it
     "sk19_grid_quantiles" ->

@@ -543,6 +543,15 @@ class SketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Theta.fromBytes(Array[Byte](2)))
     intercept[IllegalArgumentException](
       Theta.fromBytes(t.toBytes.dropRight(1)))
+    // theta sketch-table law: sharded-bytes merge == one-pass build
+    val direct = new Theta(64, 48)
+    val hashes48 = Array.fill(5000)(rnd.nextLong() & ((1L << 48) - 1))
+    hashes48.foreach(direct.addRaw)
+    val merged = hashes48.grouped(800).map { chunk =>
+      val s = new Theta(64, 48); chunk.foreach(s.addRaw); s.toBytes
+    }.foldLeft(new Theta(64, 48))((acc, b) => acc.merge(Theta.fromBytes(b)))
+    assert(merged == direct && merged.estimate == direct.estimate,
+      "theta bytes merge must equal the one-pass sketch")
     val g = new GridHistogram(0.0, 100.0, 32)
     (0 until 2000).foreach(_ => g.add(rnd.nextDouble() * 120.0 - 10.0))
     g.add(Double.NaN)
