@@ -95,6 +95,7 @@ object Bench {
     "sk21_hll_sketch_table", // sketch-table shard -> merge-bytes rollup
     "sk22_theta_export",     // theta build + canonical byte export
     "sk23_grid_export",      // grid-histogram build + byte export
+    "sk24_theta_sketch_table", // theta shard -> merge-bytes rollup
     "u15b_profile_approx",   // one-pass profile, HLL distincts (the
                              // scale form; exact u15 is gate-only — its
                              // Expand+sort is what exact multi-distinct
