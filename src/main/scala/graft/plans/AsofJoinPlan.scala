@@ -103,16 +103,22 @@ case class AsofJoinExec(
     tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
-  // tolerance/nearest arithmetic needs a long-backed time axis
-  // (timestamps are epoch micros internally; longs/ints raw) — fail at
-  // plan time, not mid-task
+  // the merge compares left and right times with ONE ordering (and the
+  // tolerance/nearest arithmetic with one unit), so the axes must be the
+  // SAME type — a DateType-vs-TimestampType pair would compare days
+  // against micros. Fail at plan time, not mid-task.
+  require(leftTime.dataType == rightTime.dataType,
+    s"asof time columns must share a type, got " +
+      s"${leftTime.dataType.simpleString}/${rightTime.dataType.simpleString}")
+  // tolerance/nearest arithmetic additionally needs a long-backed axis
+  // (timestamps are epoch micros internally; longs/ints raw)
   if (tolerance.isDefined || direction == "nearest") {
     import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType, DateType}
     val ok = Set[org.apache.spark.sql.types.DataType](
       IntegerType, LongType, TimestampType, DateType)
-    require(ok.contains(leftTime.dataType) && ok.contains(rightTime.dataType),
+    require(ok.contains(leftTime.dataType),
       s"asof tolerance requires an integer/timestamp time axis, got " +
-        s"${leftTime.dataType.simpleString}/${rightTime.dataType.simpleString}")
+        s"${leftTime.dataType.simpleString}")
   }
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
@@ -165,9 +171,13 @@ case class AsofJoinExec(
       val nullStruct = new GenericInternalRow(1)
       val rBuf = rIter.buffered
       // tolerance arithmetic: raw units of the time column (µs for
-      // timestamps); a NULL time on either side can't satisfy a bound
+      // timestamps); a NULL time on either side can't satisfy a bound.
+      // subtractExact: a raw-long axis whose span exceeds 2⁶³ (sentinel
+      // values like Long.MinValue) fails LOUDLY instead of wrapping into
+      // a spurious within-tolerance match
       def lTs(row: InternalRow): Long = if (lIsInt) row.getInt(0) else row.getLong(0)
       def rTs(row: InternalRow): Long = if (rIsInt) row.getInt(0) else row.getLong(0)
+      def gap(a: Long, b: Long): Long = java.lang.Math.subtractExact(a, b)
       if (dir == "backward" || dir == "nearest") {
         // "nearest" rides the SAME consume-up-to-lT loop: the backward
         // candidate is whatever was consumed, the forward candidate is
@@ -199,7 +209,8 @@ case class AsofJoinExec(
           val lNull = lT.isNullAt(0)
           val backOk = candKey != null && keyOrd.compare(candKey, lKey) == 0 &&
             (!nearest || (!candTsNull && !lNull)) &&
-            tol.forall(t => !candTsNull && !lNull && lTs(lT) - candTsVal <= t)
+            tol.forall(t => !candTsNull && !lNull &&
+              gap(lTs(lT), candTsVal) <= t)
           val result =
             if (!nearest) {
               if (backOk) numMatched += 1
@@ -209,12 +220,13 @@ case class AsofJoinExec(
                 val rRow = rBuf.head
                 keyOrd.compare(rKeyProj(rRow), lKey) == 0 && {
                   val rT = rTimeProj(rRow)
-                  !rT.isNullAt(0) && tol.forall(t => rTs(rT) - lTs(lT) <= t)
+                  !rT.isNullAt(0) && tol.forall(t => gap(rTs(rT), lTs(lT)) <= t)
                 }
               }
-              val backGap = if (backOk) lTs(lT) - candTsVal else Long.MaxValue
+              val backGap = if (backOk) gap(lTs(lT), candTsVal) else Long.MaxValue
               val fwdGap =
-                if (fwdOk) rTs(rTimeProj(rBuf.head)) - lTs(lT) else Long.MaxValue
+                if (fwdOk) gap(rTs(rTimeProj(rBuf.head)), lTs(lT))
+                else Long.MaxValue
               val useBack = backOk && backGap <= fwdGap // tie -> backward
               if (backOk || fwdOk) numMatched += 1
               joined(lRow,
@@ -240,12 +252,15 @@ case class AsofJoinExec(
               rBuf.next()
             else scan = false
           }
-          val matched = rBuf.hasNext && {
+          // a NULL left time never matches forward ("no instant to be
+          // at-or-after" — q63's `c.ts >= p.ts` oracle semantics); null
+          // right times sorted first and were discarded by the scan
+          val matched = rBuf.hasNext && !lT.isNullAt(0) && {
             val rRow = rBuf.head
             keyOrd.compare(rKeyProj(rRow), lKey) == 0 && {
               val rT = rTimeProj(rRow)
-              tol.forall(t => !rT.isNullAt(0) && !lT.isNullAt(0) &&
-                rTs(rT) - lTs(lT) <= t)
+              !rT.isNullAt(0) &&
+                tol.forall(t => gap(rTs(rT), lTs(lT)) <= t)
             }
           }
           if (matched) numMatched += 1

@@ -267,6 +267,29 @@ class JoinsSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("asofJoinNative guards: null left time never matches forward; mixed axis types refused") {
+    // null left time: forward must yield null, not the earliest right row
+    val left = Seq((1L, "u1", Option.empty[java.sql.Timestamp]),
+      (2L, "u1", Some(ts("2024-01-01 10:00:00"))))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((101L, "u1", ts("2024-01-01 11:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val got = Joins.asofJoinNative(left, right, "user_id", "ts", "ts",
+        Seq("event_id"), direction = "forward")
+      .select(col("event_id"), col("asof.event_id").as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> -1L, 2L -> 101L),
+      s"null left time must not forward-match: $got")
+    // mixed time-axis types fail at plan time, not with garbage matches
+    val dates = Seq((1L, "u1", java.sql.Date.valueOf("2024-01-01")))
+      .toDF("event_id", "user_id", "d")
+    intercept[IllegalArgumentException] {
+      Joins.asofJoinNative(dates, right, "user_id", "d", "ts",
+        Seq("event_id")).collect()
+    }
+  }
+
   test("range join boundary: inclusive lower, exclusive upper") {
     val p = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val c = Seq(
