@@ -154,9 +154,25 @@ object Bench {
           val (opened, onDisk) =
             graft.operators.CurationQueries.skipScanCensus(spark, sfDir)
           s""","u10_files":{"opened":$opened,"total":$onDisk}"""
-        } catch { case _: Throwable => "" }
+        } catch { case e: Throwable =>
+          // a broken census (the thing this field exists to prove) must be
+          // VISIBLE, not indistinguishable from a deliberately absent one
+          System.err.println(s"[bench] u10b skipping census failed: $e")
+          ""","u10_files":null"""
+        }
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"passes":$passes$skipMeta,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"passes":$passes$skipMeta,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full per-query JSON to a repo file: the driver's
+    // stdout `tail` capture truncated the r6 artifact's first ~15 query
+    // rows, destroying the round's per-query perf signal. A committed
+    // BENCH_LOCAL.json survives any stdout clipping.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+    }
     spark.stop()
   }
 }

@@ -68,8 +68,10 @@ object SketchAggregators {
   final class HllMergeBytesAgg(b: Int)
       extends Aggregator[Array[Byte], HyperLogLog, Array[Byte]] {
     def zero: HyperLogLog = new HyperLogLog(b)
-    def reduce(buf: HyperLogLog, in: Array[Byte]): HyperLogLog =
+    def reduce(buf: HyperLogLog, in: Array[Byte]): HyperLogLog = {
+      require(in != null, "null sketch bytes (outer-join-produced shard?)")
       buf.merge(HyperLogLog.fromBytes(in))
+    }
     def merge(a: HyperLogLog, c: HyperLogLog): HyperLogLog = a.merge(c)
     def finish(r: HyperLogLog): Array[Byte] = r.toBytes
     def bufferEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
@@ -82,8 +84,10 @@ object SketchAggregators {
   final class HllMergeEstimateAgg(b: Int)
       extends Aggregator[Array[Byte], HyperLogLog, Double] {
     def zero: HyperLogLog = new HyperLogLog(b)
-    def reduce(buf: HyperLogLog, in: Array[Byte]): HyperLogLog =
+    def reduce(buf: HyperLogLog, in: Array[Byte]): HyperLogLog = {
+      require(in != null, "null sketch bytes (outer-join-produced shard?)")
       buf.merge(HyperLogLog.fromBytes(in))
+    }
     def merge(a: HyperLogLog, c: HyperLogLog): HyperLogLog = a.merge(c)
     def finish(r: HyperLogLog): Double = r.estimateReplayable
     def bufferEncoder: Encoder[HyperLogLog] = Encoders.kryo[HyperLogLog]
@@ -125,8 +129,10 @@ object SketchAggregators {
   final class ThetaMergeEstimateAgg(k: Int, domainBits: Int)
       extends Aggregator[Array[Byte], Theta, Double] {
     def zero: Theta = new Theta(k, domainBits)
-    def reduce(buf: Theta, in: Array[Byte]): Theta =
+    def reduce(buf: Theta, in: Array[Byte]): Theta = {
+      require(in != null, "null sketch bytes (outer-join-produced shard?)")
       buf.merge(Theta.fromBytes(in))
+    }
     def merge(a: Theta, c: Theta): Theta = a.merge(c)
     def finish(r: Theta): Double = r.estimate
     def bufferEncoder: Encoder[Theta] = Encoders.kryo[Theta]

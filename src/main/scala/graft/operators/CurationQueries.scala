@@ -54,10 +54,26 @@ object CurationQueries {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
     // staleness guard: regenerated testdata at the same sfDir must
-    // re-stage, or the bench would silently time an old copy — the row
-    // count is a metadata-only read on parquet, so the check is cheap
-    val done = fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) &&
+    // re-stage, or the bench would silently time an old copy. Row count
+    // alone is not enough — regenerated data at the same scale factor
+    // typically has an IDENTICAL count — so additionally require the
+    // staging to be newer than the source parquet's latest modification
+    // time (metadata-only reads; both checks are cheap)
+    def maxMtime(path: String): Long = {
+      val pp = new org.apache.hadoop.fs.Path(path)
+      val pfs = pp.getFileSystem(conf)
+      if (!pfs.exists(pp)) 0L
+      else {
+        val st = pfs.getFileStatus(pp)
+        if (st.isFile) st.getModificationTime
+        else pfs.listStatus(pp).map(_.getModificationTime).foldLeft(0L)(math.max)
+      }
+    }
+    val stagedSuccess = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val done = fs.exists(stagedSuccess) &&
       fs.exists(new org.apache.hadoop.fs.Path(statsDir, "_SUCCESS")) &&
+      fs.getFileStatus(stagedSuccess).getModificationTime >
+        maxMtime(s"$d/lineitem.parquet") &&
       s.read.parquet(dir).count() == Tables.lineitem(s, d).count()
     if (!done) {
       Tables.lineitem(s, d)

@@ -214,10 +214,19 @@ object DataSkipping {
     // kept (a mixed-column stats table would otherwise silently drop
     // it). An empty covered set then also handles the
     // column-never-collected case: everything is kept.
-    val covered = stats.filter(col("col") === column)
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val keep = pruneFilesNum(stats, column, lo, hi).toSet
+    // ONE collect of this column's (file, min, max) rows serves both the
+    // covered set and the keep decision — evaluating the stats plan
+    // twice doubled the planning cost of every pruned scan (two Spark
+    // jobs per read when stats come from appendFileStats unions).
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val rows = stats.filter(col("col") === column)
+      .select(col("file"), col("min_num"), col("max_num"))
+      .collect()
+    val covered = rows.map(_.getString(0)).toSet
+    val keep = rows.filter { r =>
+      r.isNullAt(1) || r.isNullAt(2) ||
+        (r.getDouble(1) <= hi && r.getDouble(2) >= lo)
+    }.map(_.getString(0)).toSet
     val chosen = onDisk.filter(f => !covered.contains(f) || keep.contains(f))
     (chosen.toSeq.sorted, onDisk.size)
   }

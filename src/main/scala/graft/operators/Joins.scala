@@ -23,7 +23,9 @@ object Joins {
 
   /** Backward as-of join: for each left row, the latest right row of the
     * same key with `rightTime <= leftTime`. Right rows at the exact left
-    * timestamp match (DuckDB `ASOF JOIN ... ON r.t <= l.t` semantics).
+    * timestamp match (DuckDB `ASOF JOIN ... ON r.t <= l.t` semantics);
+    * a NULL time on either side never matches (SQL NULL-comparison
+    * semantics, identical to the native operator's).
     *
     * @return left columns + `asof` struct column (null when no match)
     *         containing `rightPayload` fields of the matched right row
@@ -45,8 +47,14 @@ object Joins {
     // exactly-simultaneous right row is visible to the left row
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // SQL `r.t <= l.t` NULL semantics, matching the native AsofJoinExec:
+    // a NULL time on either side never matches — the window's null-first
+    // ordering would otherwise pair null-time rows with each other
+    val rawAsof = last(col("__rpay"), ignoreNulls = true).over(w)
+    val asofCol = when(col("__t").isNotNull &&
+      rawAsof(rightTime).isNotNull, rawAsof)
     unioned
-      .withColumn("asof", last(col("__rpay"), ignoreNulls = true).over(w))
+      .withColumn("asof", asofCol)
       .filter(col("__side") === 1)
       .select(col("__lpay.*"), col("asof"))
   }

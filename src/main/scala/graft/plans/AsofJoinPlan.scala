@@ -40,7 +40,10 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * left-outer; equal instants match; among equal right times the
   * sort-order-last wins (unspecified tie, same as the window twin); null
   * keys group together (window-partitionBy semantics, NOT SQL equality);
-  * null right times sort first and thus never beat a real match.
+  * a NULL TIME on either side never matches, in every direction — SQL
+  * comparison semantics, where `r.t <= l.t` over a NULL yields NULL
+  * (null-time right rows are still consumed by the merge in time-sort
+  * order, they just cannot become the reported match).
   */
 case class AsofJoin(
     left: LogicalPlan,
@@ -207,10 +210,15 @@ case class AsofJoinExec(
             } else frontier = false
           }
           val lNull = lT.isNullAt(0)
+          // SQL `r.t <= l.t` NULL semantics (DuckDB ASOF agrees): a NULL
+          // time on EITHER side never matches. Without the two null
+          // gates a NULL-time left row would consume and match a
+          // NULL-time right candidate through the sort ordering's
+          // natural null-first EQUALITY — an undocumented divergence
+          // from every SQL replay of this operator (r6 verdict item 2).
           val backOk = candKey != null && keyOrd.compare(candKey, lKey) == 0 &&
-            (!nearest || (!candTsNull && !lNull)) &&
-            tol.forall(t => !candTsNull && !lNull &&
-              gap(lTs(lT), candTsVal) <= t)
+            !candTsNull && !lNull &&
+            tol.forall(t => gap(lTs(lT), candTsVal) <= t)
           val result =
             if (!nearest) {
               if (backOk) numMatched += 1

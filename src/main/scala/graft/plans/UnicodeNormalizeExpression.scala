@@ -63,9 +63,13 @@ case class UnicodeNormalizeExpression(child: Expression, form: String)
   private val id = UnicodeNormalize.formId(form) // validates eagerly
 
   override def dataType: DataType = StringType
+  // NullType is rejected (build() rewrites a bare NULL argument to
+  // Literal(null, StringType) first): accepting it here would let
+  // doGenCode emit `normalize(<NullType javaType>, id)` in the dead
+  // non-null branch, failing Janino compilation and silently dropping
+  // the plan out of whole-stage codegen.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType ||
-        child.dataType == org.apache.spark.sql.types.NullType)
+    if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -99,7 +103,14 @@ object UnicodeNormalizeExpression {
       case other => throw new IllegalArgumentException(
         s"unicode_normalize form must be a string literal, got $other")
     }
-    UnicodeNormalizeExpression(exprs.head, form)
+    // a bare NULL argument arrives as NullType; normalize it to a typed
+    // string null so the expression stays inside whole-stage codegen
+    val child = exprs.head match {
+      case c if c.resolved && c.dataType == org.apache.spark.sql.types.NullType =>
+        org.apache.spark.sql.catalyst.expressions.Literal(null, StringType)
+      case c => c
+    }
+    UnicodeNormalizeExpression(child, form)
   }
 
   /** SQL registration: SELECT unicode_normalize(s, 'NFC'). */

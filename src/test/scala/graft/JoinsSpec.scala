@@ -290,6 +290,43 @@ class JoinsSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("asof null-time boundary: NULL time on either side never matches (all directions + window twin)") {
+    // u1: both a null-time and a real-time row on each side; u2: the
+    // right side holds ONLY a null-time row. SQL `r.t <= l.t` (or >=)
+    // over a NULL yields NULL -> no match; before the r6-verdict fix the
+    // merge's null-first natural ordering paired u1's null-time rows.
+    val left = Seq(
+      (1L, "u1", Option.empty[java.sql.Timestamp]),         // null left time
+      (2L, "u1", Some(ts("2024-01-01 10:00:00"))),          // real left time
+      (3L, "u2", Some(ts("2024-01-01 10:00:00")))           // only null-time right
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, "u1", Option.empty[java.sql.Timestamp]),       // null right time
+      (101L, "u1", Some(ts("2024-01-01 09:00:00"))),
+      (200L, "u2", Option.empty[java.sql.Timestamp])
+    ).toDF("event_id", "user_id", "ts")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("asof.event_id").as("m"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val want = dir match {
+        case "forward" => Map(1L -> -1L, 2L -> -1L, 3L -> -1L) // 09:00 is behind 10:00
+        case _         => Map(1L -> -1L, 2L -> 101L, 3L -> -1L)
+      }
+      val got = res(Joins.asofJoinNative(left, right, "user_id", "ts", "ts",
+        Seq("event_id"), direction = dir))
+      assert(got == want, s"direction=$dir: $got != $want")
+    }
+    // tolerance path must not trip on the null candidates either
+    val tol = res(Joins.asofJoinNative(left, right, "user_id", "ts", "ts",
+      Seq("event_id"), tolerance = Some(2L * 3600 * 1000000L)))
+    assert(tol == Map(1L -> -1L, 2L -> 101L, 3L -> -1L), s"tolerance: $tol")
+    // window twin agrees with the native operator
+    val win = res(Joins.asofJoinBackward(left, right, "user_id", "ts", "ts", Seq("event_id")))
+    assert(win == Map(1L -> -1L, 2L -> 101L, 3L -> -1L), s"window twin: $win")
+  }
+
   test("range join boundary: inclusive lower, exclusive upper") {
     val p = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val c = Seq(
