@@ -96,6 +96,8 @@ object Bench {
     "sk22_theta_export",     // theta build + canonical byte export
     "sk23_grid_export",      // grid-histogram build + byte export
     "sk24_theta_sketch_table", // theta shard -> merge-bytes rollup
+    "sk25_topk_export",      // Top+CMS build + canonical byte export
+    "sk26_topk_sketch_table", // heavy-hitter shard -> merge-bytes rollup
     "u15b_profile_approx",   // one-pass profile, HLL distincts (the
                              // scale form; exact u15 is gate-only — its
                              // Expand+sort is what exact multi-distinct

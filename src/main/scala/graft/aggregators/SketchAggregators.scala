@@ -189,6 +189,59 @@ object SketchAggregators {
     def outputEncoder: Encoder[Seq[(K, Long)]] = outEnc
   }
 
+  /** [[MostFrequent]]'s explicit-shape build finishing to the
+    * BYTE-STABLE export ([[graft.sketch.TopFreq.toBytes]]) — the build
+    * side of a heavy-hitter SKETCH TABLE: persist one binary
+    * Top+Count-Min state per (key, shard) in plain parquet, roll up
+    * with [[TopFreqMergeTopNAgg]]/[[TopFreqMergeBytesAgg]] without
+    * re-reading raw data (the pattern sk21/sk24 prove for HLL/theta;
+    * sk25/sk26 prove it for this family). Shape is explicit
+    * (depth/width, not probability/tolerance) because every shard and
+    * the rollup must agree on it. */
+  final class TopFreqBytesAgg[IN, K](n: Int, depth: Int, width: Int,
+      key: IN => K, cnt: IN => Long = (_: IN) => 1L)(implicit kc: KeyCodec[K])
+      extends Aggregator[IN, TopFreq[K], Array[Byte]] {
+    def zero: TopFreq[K] = new TopFreq[K](n, depth, width)
+    def reduce(buf: TopFreq[K], in: IN): TopFreq[K] = buf.push(key(in), cnt(in))
+    def merge(a: TopFreq[K], b: TopFreq[K]): TopFreq[K] = a.merge(b)
+    def finish(r: TopFreq[K]): Array[Byte] = r.toBytes
+    def bufferEncoder: Encoder[TopFreq[K]] = Encoders.kryo[TopFreq[K]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union-merge of exported heavy-hitter shards → merged bytes
+    * (re-shard / compact a heavy-hitter sketch table). */
+  final class TopFreqMergeBytesAgg[K](n: Int, depth: Int, width: Int)
+      (implicit kc: KeyCodec[K])
+      extends Aggregator[Array[Byte], TopFreq[K], Array[Byte]] {
+    def zero: TopFreq[K] = new TopFreq[K](n, depth, width)
+    def reduce(buf: TopFreq[K], in: Array[Byte]): TopFreq[K] = {
+      require(in != null, "null sketch bytes (outer-join-produced shard?)")
+      buf.merge(TopFreq.fromBytes[K](in))
+    }
+    def merge(a: TopFreq[K], b: TopFreq[K]): TopFreq[K] = a.merge(b)
+    def finish(r: TopFreq[K]): Array[Byte] = r.toBytes
+    def bufferEncoder: Encoder[TopFreq[K]] = Encoders.kryo[TopFreq[K]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union-merge of exported heavy-hitter shards → the ranked top-n
+    * (query side of the heavy-hitter sketch table; raw data never
+    * re-read). */
+  final class TopFreqMergeTopNAgg[K](n: Int, depth: Int, width: Int)
+      (implicit kc: KeyCodec[K], outEnc: Encoder[Seq[(K, Long)]])
+      extends Aggregator[Array[Byte], TopFreq[K], Seq[(K, Long)]] {
+    def zero: TopFreq[K] = new TopFreq[K](n, depth, width)
+    def reduce(buf: TopFreq[K], in: Array[Byte]): TopFreq[K] = {
+      require(in != null, "null sketch bytes (outer-join-produced shard?)")
+      buf.merge(TopFreq.fromBytes[K](in))
+    }
+    def merge(a: TopFreq[K], b: TopFreq[K]): TopFreq[K] = a.merge(b)
+    def finish(r: TopFreq[K]): Seq[(K, Long)] = r.topN
+    def bufferEncoder: Encoder[TopFreq[K]] = Encoders.kryo[TopFreq[K]]
+    def outputEncoder: Encoder[Seq[(K, Long)]] = outEnc
+  }
+
   /** most_distinct(n, p, tol, err): top-n keys by approx COUNT(DISTINCT v). */
   final class MostDistinct[IN, K](n: Int, probability: Double, tolerance: Double,
       errorRate: Double, key: IN => K, value: IN => Any)

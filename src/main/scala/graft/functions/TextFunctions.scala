@@ -240,6 +240,29 @@ object TextFunctions {
 
   def fingerprint(c: Column): Column = fingerprintUdf(c)
 
+  /** Relational (in-plan, UDF-free) winnowing twin of [[fingerprint]]:
+    * the same structure — k=5 char grams, window-min over tumbling w=4
+    * windows, minima combined into one digest — but built entirely from
+    * Catalyst higher-order functions with md5-derived gram hashes, so
+    * the digest is replayable VERBATIM by any engine with md5 (t04's
+    * hash gate runs it char-for-char against DuckDB). Production dedup
+    * paths keep the UDF twin (murmur gram hashes, no per-gram md5);
+    * texts too short for a window (< k+w−1 = 8 chars, or null) fall
+    * back to a salted whole-text digest. */
+  def fingerprintRelational(c: Column): Column = {
+    val n = length(c) - lit(4) // 1-based gram starts run 1..n (k=5)
+    // guards keep sequence() bounds legal on short rows; their garbage
+    // output is discarded by the length>=8 branch selection
+    val hashes = transform(sequence(lit(1), greatest(n, lit(1))), i =>
+      conv(substring(md5(concat(c.substr(i, lit(5)), lit(":t04"))), 1, 12), 16, 10)
+        .cast("long"))
+    val mins = transform(sequence(lit(1), greatest(n - lit(3), lit(1)), lit(4)), s =>
+      array_min(slice(hashes, s, lit(4))))
+    val digest = md5(array_join(transform(mins, _.cast("string")), ","))
+    when(length(c) >= 8, digest)
+      .otherwise(md5(concat(lit(":t04:"), coalesce(c, lit("")))))
+  }
+
   /** Token-window document chunking — the "split long docs into
     * embedder/context-sized pieces with overlap" step in front of every
     * embedding or RAG-index pipeline. Chunk starts step by

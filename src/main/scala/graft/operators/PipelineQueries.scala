@@ -435,9 +435,14 @@ object PipelineQueries {
         .orderBy(col("lang"), col("predicted"))),
 
     // -- winnowing fingerprints ------------------------------------------
+    // hash-verified via the relational twin (same k=5/w=4 window-min
+    // structure, md5 gram hashes in-plan) — DuckDB replays the digest
+    // char-for-char; the UDF production twin stays covered by t15's
+    // structural contract
     "t04_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          TextFunctions.fingerprintRelational(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
     // -- normalization + PII scrub (C4-style pre-dedup cleanup) ----------
@@ -510,16 +515,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
 
     // -- per-language stratified sample (Bernoulli per stratum) ----------
-    // the distinct-lang collect is dimension metadata (a handful of
-    // codes), not data; sampling itself is a narrow scan. Seeded, so
-    // deterministic per execution plan — but not replicable in another
-    // engine, hence rows-only + PipelineSpec bounds.
+    // hash-verified: per-stratum rates derive from the stratum's rank
+    // (exact binary fractions 0.25 + i/16, so double vs decimal
+    // arithmetic cannot diverge) and the keep decision is the
+    // md5-uniform deterministic form the split/sample family already
+    // uses (p07/p11 pattern) — DuckDB replays membership exactly. The
+    // seeded `stat.sampleBy` engine path stays covered by p05's
+    // 5σ-contract gate.
     "p02_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val langs = docs.select(col("lang")).distinct()
-        .collect().map(_.getString(0))
-      val sampled = docs.stat.sampleBy("lang",
-        langs.map(_ -> 0.5).toMap, 42L)
+      val rates = docs.select(col("lang")).distinct()
+        .withColumn("rate", lit(0.25) +
+          (row_number().over(Window.orderBy(col("lang"))) - 1) * lit(0.0625))
+      val sampled = docs.join(broadcast(rates), Seq("lang"))
+        .filter(Splits.mdUniform(col("doc_id"), "p02") < col("rate"))
       sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("lang"))
     }),
@@ -2270,6 +2280,33 @@ object PipelineQueries {
         |    doc_id) AS rk
         |  FROM w)
         |SELECT doc_id, lang FROM k WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+    // t04: full winnowing replay — 5-char gram md5 hashes, tumbling
+    // 4-gram window minima (Spark sequence() is stop-INCLUSIVE, DuckDB
+    // range() stop-EXCLUSIVE, hence len-6), digest over the joined
+    // minima; short/null texts fall back to the salted whole-text digest
+    "t04_fingerprint" ->
+      """WITH g AS (SELECT doc_id, text,
+        |    [('0x'||substr(md5(substr(text, i, 5) || ':t04'),1,12))::BIGINT
+        |     FOR i IN range(1, len(text)-3)] AS hs
+        |  FROM documents),
+        |m AS (SELECT doc_id, text,
+        |    [list_min(hs[s:s+3]) FOR s IN range(1, len(text)-6, 4)] AS mins
+        |  FROM g)
+        |SELECT doc_id,
+        |  CASE WHEN len(text) >= 8
+        |    THEN md5(array_to_string(list_transform(mins, x -> x::VARCHAR), ','))
+        |    ELSE md5(':t04:' || coalesce(text, '')) END AS fp
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // p02: rank-derived per-stratum rate (exact binary fractions) +
+    // md5-uniform keep, replayed verbatim
+    "p02_stratified_sample" ->
+      """WITH r AS (SELECT lang,
+        |    0.25 + 0.0625*(row_number() OVER (ORDER BY lang) - 1) AS rate
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |s AS (SELECT d.lang FROM documents d JOIN r USING (lang)
+        |  WHERE (CAST(('0x'||substr(md5(d.doc_id::VARCHAR || ':p02'),1,12)) AS BIGINT)
+        |         + 0.5) / 281474976710656.0 < r.rate)
+        |SELECT lang, count(*) AS n_sampled FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "p07_train_split" ->
       """WITH s AS (SELECT lang,
         |  CASE WHEN substr(md5(doc_id::VARCHAR || ':r3'),1,2) < 'e6' THEN 'train'

@@ -595,6 +595,68 @@ object SketchQueries {
         .orderBy(col("event_type"))
     }),
 
+    // -- sk25: heavy-hitter (Top + Count-Min) byte export — the
+    // reference's MARQUEE sketch family (top.rs:39-44 + count_min.rs:
+    // 42-116) gets the sk20 interop treatment: Spark builds the full
+    // mergeable state over in-plan 48-bit md5 key hashes, exports the
+    // documented [header | ranked (key,count) entries | CMS cells]
+    // byte string, re-imports it, and emits the export's md5 + the
+    // re-imported top-1. The oracle rebuilds the IDENTICAL bytes in
+    // pure SQL: entries from exact GROUP BY counts, CMS cells by
+    // replaying the documented splitmix64 double-hash slot function
+    // (h1 + row·h2 mod width) over UHUGEINT arithmetic. Regime: keys
+    // pre-aggregated (one push per key with its total) and the salt
+    // chosen per-cell collision-free for this key domain, so every
+    // cell is a pure per-slot sum — order- and partition-independent.
+    "sk25_topk_export" -> ((s, d) => {
+      import s.implicits._
+      import graft.sketch.TopFreq
+      val hv = conv(substring(md5(concat(col("s_nationkey").cast("string"),
+        lit(":sk25a"))), 1, 12), 16, 10).cast("long")
+      val counts = Tables.supplier(s, d)
+        .select(hv.as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .as[(Long, Long)]
+      val agg = new TopFreqBytesAgg[(Long, Long), Long](10, 4, 1024, _._1, _._2)
+      val bytes = counts.select(agg.toColumn).head()
+      val hex = bytes.map(x => f"${x & 0xff}%02x").mkString
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+      val re = TopFreq.fromBytes[Long](bytes)
+      // numeric tie-break here (the sketch's own topN tie-breaks on the
+      // key's STRING form, which no SQL replay should have to imitate)
+      val (k1, c1) = re.heavy.toSeq.sortBy { case (k, v) => (-v, k) }.head
+      Seq((fp, bytes.length.toLong, k1, c1))
+        .toDF("export_md5", "n_bytes", "top1_key", "top1_cnt")
+    }),
+
+    // -- sk26: heavy-hitter SKETCH TABLE — sk21/sk24's pattern for the
+    // Top+CMS family: one TopFreq state per (event_type, day) shard
+    // (binary, parquet-persistable), then a per-type rollup that merges
+    // SHARD BYTES only and reports the ranked top-n. Exact regime at
+    // gate scale (per-shard and per-type key sets fit the tracked cap;
+    // no full-depth CMS collision among the key domain — verified), so
+    // the oracle is the exact per-type top-n by count. At bench scale
+    // the same query exercises eviction honestly (no oracle there). ---
+    "sk26_topk_sketch_table" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").cast("string").as("day"),
+          col("user_id"))
+        .as[(String, String, Long)]
+      val shards = daily.groupByKey(t => (t._1, t._2))
+        .agg(new TopFreqBytesAgg[(String, String, Long), Long](50, 4, 2048, _._3)
+          .toColumn.name("sk"))
+        .map { case ((typ, day), sk) => (typ, day, sk) }
+      val rolled = shards.groupByKey(_._1)
+        .agg(contramap((t: (String, String, Array[Byte])) => t._3,
+          new TopFreqMergeTopNAgg[Long](50, 4, 2048)).toColumn.name("top"))
+      rolled.flatMap { case (typ, top) =>
+        top.zipWithIndex.map { case ((u, c), i) => (typ, (i + 1).toLong, u, c) } }
+        .toDF("event_type", "rank", "user_id", "cnt")
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // -- approximate quantiles (mergeable quantile sketch) ---------------
     // approx_percentile is Spark's Greenwald-Khanna-family sketch: the
     // scale path for percentiles (q22 is the exact twin). Rows-only:
@@ -914,6 +976,69 @@ object SketchQueries {
         |FROM pos""".stripMargin,
     "sk10_reservoir_per_key" ->
       """SELECT event_type, least(5, count(*)) AS n_sampled
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // sk25: rebuild the exported heavy-hitter bytes in pure SQL —
+    // header + exact (key,count) entries ranked (cnt DESC, key), then
+    // the 4×1024 CMS cells by replaying the sketch's documented
+    // splitmix64 double hash (h1 + row·h2, floorMod width; width is a
+    // power of two so the floorMod is a mask). Constants
+    // 8061940054357698418 / 10479983315199559128 are the pre-mixed row
+    // seeds mix64(0x5bd1e995) / mix64(0x27d4eb2f); the three UHUGEINT
+    // stages are splitmix64's add/mul-xor-shift pipeline mod 2^64.
+    "sk25_topk_export" ->
+      """WITH counts AS (
+        |  SELECT ('0x'||substr(md5(s_nationkey::VARCHAR || ':sk25a'),1,12))::BIGINT::UBIGINT AS k,
+        |         count(*)::BIGINT AS c
+        |  FROM supplier GROUP BY 1),
+        |m1 AS (SELECT k, c,
+        |   ((xor(k, 8061940054357698418::UBIGINT)::UHUGEINT + 11400714819323198485::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT AS x1,
+        |   ((xor(k, 10479983315199559128::UBIGINT)::UHUGEINT + 11400714819323198485::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT AS y1
+        | FROM counts),
+        |m2 AS (SELECT k, c,
+        |   ((xor(x1, x1>>30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT AS x2,
+        |   ((xor(y1, y1>>30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT AS y2 FROM m1),
+        |m3 AS (SELECT k, c,
+        |   ((xor(x2, x2>>27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT AS x3,
+        |   ((xor(y2, y2>>27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT AS y3 FROM m2),
+        |h AS (SELECT k, c, xor(x3, x3>>31) AS h1,
+        |   xor(y3, y3>>31) | 1::UBIGINT AS h2 FROM m3),
+        |slots AS (SELECT r.r, h.k, h.c,
+        |    (r.r*1024 + (((h.h1::UHUGEINT + r.r::UHUGEINT*h.h2::UHUGEINT)
+        |      % 18446744073709551616::UHUGEINT)::UBIGINT & 1023::UBIGINT)::BIGINT)::BIGINT AS slot
+        |  FROM h, range(4) r(r)),
+        |cells AS (SELECT g.range AS slot, coalesce(sum(s.c), 0)::BIGINT AS v
+        |  FROM range(4096) g LEFT JOIN slots s ON s.slot = g.range GROUP BY 1),
+        |hdr AS (SELECT '010004' || printf('%08x', 1024) || printf('%08x', 10)
+        |  || printf('%08x', 40)
+        |  || printf('%08x', (SELECT count(*) FROM counts)::BIGINT) AS hx),
+        |entries AS (SELECT string_agg(printf('%08x', 8) || printf('%016x', k::BIGINT)
+        |  || printf('%016x', c), '' ORDER BY c DESC, k) AS hx FROM counts),
+        |cellhex AS (SELECT string_agg(printf('%016x', v), '' ORDER BY slot) AS hx
+        |  FROM cells),
+        |fullhex AS (SELECT hdr.hx || entries.hx || cellhex.hx AS hx
+        |  FROM hdr, entries, cellhex),
+        |top1 AS (SELECT k, c FROM counts ORDER BY c DESC, k LIMIT 1)
+        |SELECT md5(fullhex.hx) AS export_md5,
+        | (19 + 20*(SELECT count(*) FROM counts) + 8*4096)::BIGINT AS n_bytes,
+        | top1.k::BIGINT AS top1_key, top1.c AS top1_cnt
+        |FROM fullhex, top1""".stripMargin,
+    // sk26: the shard→merge-bytes rollup must equal the exact per-type
+    // top-n (rank ties broken on the key's string form, the sketch's
+    // own deterministic tie-break)
+    "sk26_topk_sketch_table" ->
+      """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY cnt DESC, user_id::VARCHAR) AS rank
+        | FROM c)
+        |SELECT event_type, rank::BIGINT AS rank, user_id, cnt
+        |FROM r WHERE rank <= 50 ORDER BY 1, 2""".stripMargin
   )
 }

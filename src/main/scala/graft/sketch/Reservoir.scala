@@ -41,6 +41,23 @@ final class Reservoir[T](val k: Int, val seed: Long) extends Serializable {
     this
   }
 
+  /** Versioned, byte-stable export of the FULL resumable state —
+    * including the RNG draw counter, so a re-imported reservoir
+    * continues the exact deterministic (seed, arrival order) stream the
+    * original would have (reference `SampleUnstable`,
+    * /root/reference/amadeus-streaming/src/sample.rs:125-220). Layout
+    * (big-endian): `[version=1][elemType][k 4B][seed 8B][seen 8B]
+    * [draws 8B][m 4B]`, then `m` slot-order entries `[len 4B][bytes]`
+    * (slot order IS state: eviction replaces by index). */
+  def toBytes(implicit kc: KeyCodec[T]): Array[Byte] = {
+    val enc = items.map(kc.write)
+    val buf = java.nio.ByteBuffer.allocate(34 + enc.map(4 + _.length).sum)
+    buf.put(1.toByte).put(kc.typeId).putInt(k)
+      .putLong(seed).putLong(seen).putLong(draws).putInt(enc.length)
+    enc.foreach(b => buf.putInt(b.length).put(b))
+    buf.array()
+  }
+
   /** Size-weighted union: uniform over the concatenation of both streams. */
   def merge(o: Reservoir[T]): Reservoir[T] = {
     require(o.k == k, "Reservoir capacity mismatch")
@@ -64,6 +81,43 @@ final class Reservoir[T](val k: Int, val seed: Long) extends Serializable {
       }
     }
     out
+  }
+}
+
+object Reservoir {
+  /** Parse a [[Reservoir.toBytes]] export — loud validation; restores
+    * the full resumable state (items, seen, RNG draw counter). */
+  def fromBytes[T](bytes: Array[Byte])(implicit kc: KeyCodec[T]): Reservoir[T] = {
+    require(bytes.length >= 34, "Reservoir export too short")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val version = buf.get()
+    require(version == 1, s"unknown Reservoir export version $version")
+    val elemType = buf.get()
+    require(elemType == kc.typeId,
+      s"Reservoir export element type $elemType != codec ${kc.typeId}")
+    val k = buf.getInt()
+    val seed = buf.getLong()
+    val seen = buf.getLong()
+    val draws = buf.getLong()
+    val m = buf.getInt()
+    require(k > 0 && m >= 0 && m <= k && seen >= m,
+      s"Reservoir export header invalid (k=$k m=$m seen=$seen)")
+    val r = new Reservoir[T](k, seed)
+    r.seen = seen
+    r.draws = draws
+    var i = 0
+    while (i < m) {
+      val len = buf.getInt()
+      require(len >= 0 && len <= buf.remaining,
+        s"Reservoir export entry $i length $len overruns buffer")
+      val eb = new Array[Byte](len)
+      buf.get(eb)
+      r.items += kc.read(eb)
+      i += 1
+    }
+    require(buf.remaining == 0,
+      s"Reservoir export has ${buf.remaining} trailing bytes")
+    r
   }
 }
 
@@ -95,5 +149,61 @@ final class BoundedSort[T](val n: Int, val ord: Ordering[T]) extends Serializabl
     val buf = ArrayBuffer.empty[T]
     heap.forEach(t => buf += t)
     buf.sorted(ord).toSeq
+  }
+
+  /** Versioned, byte-stable export: `[version=1][elemType][n 4B][m 4B]`,
+    * then `m` entries `[len 4B][bytes]` ascending by `ord` (equal-ord
+    * ties broken lexicographically on the encoded bytes so equal
+    * retained sets always serialize identically). `ord` itself is code,
+    * not data — [[BoundedSort.fromBytes]] takes it as an argument. */
+  def toBytes(implicit kc: KeyCodec[T]): Array[Byte] = {
+    val enc = sorted.map(t => (t, kc.write(t))).sortWith { case ((a, ab), (b, bb)) =>
+      if (ord.lt(a, b)) true
+      else if (ord.lt(b, a)) false
+      else {
+        // tie: unsigned lexicographic byte order
+        val n = math.min(ab.length, bb.length)
+        var i = 0
+        while (i < n && ab(i) == bb(i)) i += 1
+        if (i < n) (ab(i) & 0xff) < (bb(i) & 0xff) else ab.length < bb.length
+      }
+    }.map(_._2)
+    val buf = java.nio.ByteBuffer.allocate(10 + enc.map(4 + _.length).sum)
+    buf.put(1.toByte).put(kc.typeId).putInt(n).putInt(enc.length)
+    enc.foreach(b => buf.putInt(b.length).put(b))
+    buf.array()
+  }
+}
+
+object BoundedSort {
+  /** Parse a [[BoundedSort.toBytes]] export; `ord` must be the ordering
+    * the sketch was built with (orderings are code, not data). */
+  def fromBytes[T](bytes: Array[Byte], ord: Ordering[T])
+      (implicit kc: KeyCodec[T]): BoundedSort[T] = {
+    require(bytes.length >= 10, "BoundedSort export too short")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val version = buf.get()
+    require(version == 1, s"unknown BoundedSort export version $version")
+    val elemType = buf.get()
+    require(elemType == kc.typeId,
+      s"BoundedSort export element type $elemType != codec ${kc.typeId}")
+    val n = buf.getInt()
+    val m = buf.getInt()
+    require(n > 0 && m >= 0 && m <= n,
+      s"BoundedSort export header invalid (n=$n m=$m)")
+    val out = new BoundedSort[T](n, ord)
+    var i = 0
+    while (i < m) {
+      val len = buf.getInt()
+      require(len >= 0 && len <= buf.remaining,
+        s"BoundedSort export entry $i length $len overruns buffer")
+      val eb = new Array[Byte](len)
+      buf.get(eb)
+      out.add(kc.read(eb))
+      i += 1
+    }
+    require(buf.remaining == 0,
+      s"BoundedSort export has ${buf.remaining} trailing bytes")
+    out
   }
 }

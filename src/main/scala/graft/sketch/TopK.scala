@@ -95,6 +95,40 @@ final class TopFreq[K](val n: Int, val depth: Int, val width: Int,
   /** Descending by count; ties broken by key string for determinism. */
   def topN: Seq[(K, Long)] =
     heavy.toSeq.sortBy { case (k, v) => (-v, String.valueOf(k)) }.take(n)
+
+  /** Versioned, byte-stable export of the FULL mergeable state — the
+    * tracked (key, count) map plus the Count-Min tail counters (the
+    * reference's marquee sketch,
+    * /root/reference/amadeus-streaming/src/top.rs:39-44 +
+    * count_min.rs:42-116, previously reachable only through Kryo
+    * buffers). Layout, all big-endian:
+    *
+    * `[version=1][keyType][depth][width 4B][n 4B][cap 4B][m 4B]`,
+    * then `m` tracked entries sorted by (count DESC, key ASC — the
+    * canonical heavy-hitter ranking, SQL-replayable as
+    * `ORDER BY cnt DESC, key`): `[keyLen 4B][key][count 8B]`,
+    * then `depth*width` CMS cells (`8B` each, row-major).
+    *
+    * The sk25 gate rebuilds this byte string relationally in DuckDB —
+    * entries from exact GROUP BY counts, cells by replaying the
+    * documented splitmix64 double-hash slot function — and matches the
+    * md5, the same cross-engine property sk20 proves for HLL. */
+  def toBytes(implicit kc: KeyCodec[K]): Array[Byte] = {
+    val entries = heavy.toSeq
+      .map { case (k, v) => (kc.write(k), k, v) }
+      .sortWith { case ((_, k1, v1), (_, k2, v2)) =>
+        v1 > v2 || (v1 == v2 && kc.lt(k1, k2)) }
+    val entryLen = entries.map(e => 4 + e._1.length + 8).sum
+    val buf = java.nio.ByteBuffer.allocate(19 + entryLen + 8 * cms.cells.length)
+    buf.put(1.toByte).put(kc.typeId).put(depth.toByte)
+      .putInt(width).putInt(n).putInt(cap).putInt(entries.size)
+    entries.foreach { case (kb, _, v) =>
+      buf.putInt(kb.length).put(kb).putLong(v)
+    }
+    var i = 0
+    while (i < cms.cells.length) { buf.putLong(cms.cells(i)); i += 1 }
+    buf.array()
+  }
 }
 
 object TopFreq {
@@ -102,6 +136,42 @@ object TopFreq {
   def apply[K](n: Int, probability: Double, tolerance: Double): TopFreq[K] = {
     val (d, w) = CountMin.shape(probability, tolerance)
     new TopFreq[K](n, d, w)
+  }
+
+  /** Parse a [[TopFreq.toBytes]] export — loud validation (version, key
+    * type, structural lengths), never silent garbage from foreign
+    * bytes. The result merges/pushes like the original. */
+  def fromBytes[K](bytes: Array[Byte])(implicit kc: KeyCodec[K]): TopFreq[K] = {
+    require(bytes.length >= 19, "TopFreq export too short")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val version = buf.get()
+    require(version == 1, s"unknown TopFreq export version $version")
+    val keyType = buf.get()
+    require(keyType == kc.typeId,
+      s"TopFreq export key type $keyType != codec ${kc.typeId}")
+    val depth = buf.get().toInt
+    val width = buf.getInt()
+    val n = buf.getInt()
+    val cap = buf.getInt()
+    val m = buf.getInt()
+    require(depth > 0 && width > 0 && n > 0 && cap >= n && m >= 0 && m <= cap,
+      s"TopFreq export header invalid (d=$depth w=$width n=$n cap=$cap m=$m)")
+    val t = new TopFreq[K](n, depth, width, cap)
+    var i = 0
+    while (i < m) {
+      val kl = buf.getInt()
+      require(kl >= 0 && kl <= buf.remaining - 8,
+        s"TopFreq export entry $i key length $kl overruns buffer")
+      val kb = new Array[Byte](kl)
+      buf.get(kb)
+      t.heavy.update(kc.read(kb), buf.getLong())
+      i += 1
+    }
+    require(buf.remaining == 8 * depth * width,
+      s"TopFreq export cells ${buf.remaining} bytes != ${8 * depth * width}")
+    i = 0
+    while (i < t.cms.cells.length) { t.cms.cells(i) = buf.getLong(); i += 1 }
+    t
   }
 }
 
@@ -156,6 +226,39 @@ final class TopDistinct[K](val n: Int, val depth: Int, val width: Int, val hllB:
   def topN: Seq[(K, Long)] =
     heavy.toSeq.map { case (k, h) => k -> h.cardinality }
       .sortBy { case (k, v) => (-v, String.valueOf(k)) }.take(n)
+
+  /** Versioned, byte-stable export of the FULL state: tracked keys each
+    * carrying an [[HyperLogLog.toBytes]] register block, then the CMS
+    * tail of HLL cells (reference `Top<A, HyperLogLogMagnitude<B>>`,
+    * /root/reference/amadeus-streaming/src/lib.rs:18). Layout (BE):
+    *
+    * `[version=1][keyType][depth][width 4B][n 4B][cap 4B][hllB 1B]
+    * [m 4B]`, then `m` entries sorted by key ASC (canonical — HLL
+    * estimate ordering is a derived double, unfit for a byte layout):
+    * `[keyLen 4B][key][(2+2^hllB) HLL bytes]`, then `depth*width` cells
+    * of `(2+2^hllB)` HLL bytes each, row-major.
+    *
+    * Size is O((cap + depth·width)·2^hllB): a persisted-state format,
+    * not a wire ping — size the CMS shape accordingly before sharding
+    * this one to a sketch table. */
+  def toBytes(implicit kc: KeyCodec[K]): Array[Byte] = {
+    val hllLen = 2 + (1 << hllB)
+    val sorted = heavy.toSeq.sortWith { case ((k1, _), (k2, _)) => kc.lt(k1, k2) }
+      .map { case (k, h) => (kc.write(k), h) }
+    val entryLen = sorted.map(e => 4 + e._1.length + hllLen).sum
+    val buf = java.nio.ByteBuffer.allocate(20 + entryLen + hllLen * cms.cells.length)
+    buf.put(1.toByte).put(kc.typeId).put(depth.toByte)
+      .putInt(width).putInt(n).putInt(cap).put(hllB.toByte).putInt(sorted.size)
+    sorted.foreach { case (kb, h) =>
+      buf.putInt(kb.length).put(kb).put(h.toBytes)
+    }
+    var i = 0
+    while (i < cms.cells.length) {
+      buf.put(cms.cells(i).asInstanceOf[HyperLogLog].toBytes)
+      i += 1
+    }
+    buf.array()
+  }
 }
 
 object TopDistinct {
@@ -166,5 +269,52 @@ object TopDistinct {
     val (d, w) = CountMin.shape(probability, tolerance)
     val b = HyperLogLog.forError(errorRate).b
     new TopDistinct[K](n, d, w, b)
+  }
+
+  /** Parse a [[TopDistinct.toBytes]] export — loud validation, full
+    * mergeable state restored. */
+  def fromBytes[K](bytes: Array[Byte])(implicit kc: KeyCodec[K]): TopDistinct[K] = {
+    require(bytes.length >= 20, "TopDistinct export too short")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val version = buf.get()
+    require(version == 1, s"unknown TopDistinct export version $version")
+    val keyType = buf.get()
+    require(keyType == kc.typeId,
+      s"TopDistinct export key type $keyType != codec ${kc.typeId}")
+    val depth = buf.get().toInt
+    val width = buf.getInt()
+    val n = buf.getInt()
+    val cap = buf.getInt()
+    val hllB = buf.get().toInt
+    val m = buf.getInt()
+    require(depth > 0 && width > 0 && n > 0 && cap >= n && m >= 0 && m <= cap,
+      s"TopDistinct export header invalid (d=$depth w=$width n=$n cap=$cap m=$m)")
+    val hllLen = 2 + (1 << hllB)
+    def readHll(): HyperLogLog = {
+      val hb = new Array[Byte](hllLen)
+      buf.get(hb)
+      val h = HyperLogLog.fromBytes(hb)
+      require(h.b == hllB, s"TopDistinct cell precision ${h.b} != header $hllB")
+      h
+    }
+    val t = new TopDistinct[K](n, depth, width, hllB, cap)
+    var i = 0
+    while (i < m) {
+      val kl = buf.getInt()
+      require(kl >= 0 && kl <= buf.remaining - hllLen,
+        s"TopDistinct export entry $i key length $kl overruns buffer")
+      val kb = new Array[Byte](kl)
+      buf.get(kb)
+      t.heavy.update(kc.read(kb), readHll())
+      i += 1
+    }
+    require(buf.remaining == hllLen * depth * width,
+      s"TopDistinct export cells ${buf.remaining} bytes != ${hllLen * depth * width}")
+    i = 0
+    while (i < t.cms.cells.length) {
+      t.cms.cells(i) = readHll().asInstanceOf[AnyRef]
+      i += 1
+    }
+    t
   }
 }

@@ -208,6 +208,28 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(a == b && a != c)
   }
 
+  test("fingerprintRelational: winnowing structure in-plan, edge fallbacks, no UDF") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "a completely different text with other content"),
+      ("d", "short"),       // 5..7 chars: grams exist, no full window
+      ("e", "abc"),         // < k chars
+      ("f", null: String))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        TextFunctions.fingerprintRelational(col("t")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == got("b"), "identical texts must share the digest")
+    assert(got("a") != got("c"), "different texts must differ")
+    assert(Seq("d", "e", "f").map(got).distinct.size == 3,
+      "fallback digests must still separate distinct short texts")
+    // stays a pure expression plan — no BatchEvalPython/ScalaUDF node
+    val plan = df.select(TextFunctions.fingerprintRelational(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"relational twin must not plan a UDF:\n$plan")
+  }
+
   test("normalize/scrub: punctuation-case-space variants collapse; PII masked") {
     val df = Seq(
       ("Hello,   World!", "hello world"),

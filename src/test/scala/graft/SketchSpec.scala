@@ -570,4 +570,108 @@ class SketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Theta.intersectionEstimate(new Theta(64, 48), new Theta(64, 62)))
   }
+
+  // ---- heavy-hitter / reservoir / bounded-sort byte exports -----------
+
+  test("TopFreq byte export: round-trip identity, merge law, loud failures") {
+    trials(20) { rnd =>
+      val a = new TopFreq[Long](5, 4, 64)
+      val b = new TopFreq[Long](5, 4, 64)
+      (0 until 500).foreach(_ => a.push(rnd.nextInt(40).toLong))
+      (0 until 500).foreach(_ => b.push(rnd.nextInt(40).toLong))
+      // round-trip: full state (tracked map AND CMS cells) survives
+      val a2 = TopFreq.fromBytes[Long](a.toBytes)
+      assert(a2.heavy == a.heavy, "tracked map must round-trip")
+      assert(a2.cms.cells.sameElements(a.cms.cells), "CMS cells must round-trip")
+      assert(a2.topN == a.topN)
+      assert(a2.toBytes.sameElements(a.toBytes), "re-export must be byte-identical")
+      // merge law: merging re-imported state == merging originals
+      val viaBytes = TopFreq.fromBytes[Long](a.toBytes)
+        .merge(TopFreq.fromBytes[Long](b.toBytes))
+      val direct = a.merge(b)
+      assert(viaBytes.topN == direct.topN, "bytes merge must equal direct merge")
+      assert(viaBytes.cms.cells.sameElements(direct.cms.cells))
+      // a re-imported sketch keeps ACCEPTING pushes like the original
+      val c1 = TopFreq.fromBytes[Long](a.toBytes).push(7L).push(7L)
+      val c2 = new TopFreq[Long](5, 4, 64)
+      a.heavy.foreach { case (k, v) => c2.heavy.update(k, v) }
+      System.arraycopy(a.cms.cells, 0, c2.cms.cells, 0, a.cms.cells.length)
+      c2.push(7L).push(7L)
+      assert(c1.heavy == c2.heavy)
+    }
+    // string keys round-trip through the utf8 codec
+    val s = new TopFreq[String](3, 2, 32)
+    Seq("alpha", "beta", "beta", "γ-unicode", "γ-unicode", "γ-unicode")
+      .foreach(s.push(_))
+    val s2 = TopFreq.fromBytes[String](s.toBytes)
+    assert(s2.topN == s.topN && s2.heavy == s.heavy)
+    // loud failures: version, key-type mismatch, truncation
+    val ok = s.toBytes
+    intercept[IllegalArgumentException](TopFreq.fromBytes[Long](ok))
+    intercept[IllegalArgumentException](TopFreq.fromBytes[String](ok.dropRight(5)))
+    val badVer = ok.clone(); badVer(0) = 9
+    intercept[IllegalArgumentException](TopFreq.fromBytes[String](badVer))
+  }
+
+  test("TopFreq export is canonical: one push per key is layout-order-independent") {
+    // pre-aggregated regime (the sk25 gate's): each key pushed once with
+    // its total; absent full-depth collisions the cells are max-combined
+    // per slot, so ANY single-buffer push order yields identical bytes
+    val keys = (0 until 30).map(k => k.toLong * 7919 -> (10L + k))
+    val fwd = new TopFreq[Long](10, 4, 256)
+    val rev = new TopFreq[Long](10, 4, 256)
+    keys.foreach { case (k, c) => fwd.push(k, c) }
+    keys.reverse.foreach { case (k, c) => rev.push(k, c) }
+    assert(fwd.toBytes.sameElements(rev.toBytes),
+      "single-buffer pre-aggregated build must be order-independent")
+  }
+
+  test("TopDistinct byte export: round-trip identity and merge law") {
+    trials(10) { rnd =>
+      val a = new TopDistinct[Long](4, 2, 16, 6)
+      val b = new TopDistinct[Long](4, 2, 16, 6)
+      (0 until 300).foreach(_ => a.push(rnd.nextInt(20).toLong, rnd.nextInt(500)))
+      (0 until 300).foreach(_ => b.push(rnd.nextInt(20).toLong, rnd.nextInt(500)))
+      val a2 = TopDistinct.fromBytes[Long](a.toBytes)
+      assert(a2.heavy == a.heavy, "tracked HLLs must round-trip")
+      assert(a2.topN == a.topN)
+      assert(a2.toBytes.sameElements(a.toBytes))
+      val viaBytes = TopDistinct.fromBytes[Long](a.toBytes)
+        .merge(TopDistinct.fromBytes[Long](b.toBytes))
+      assert(viaBytes.topN == a.merge(b).topN)
+    }
+    intercept[IllegalArgumentException](
+      TopDistinct.fromBytes[Long](new TopDistinct[Long](4, 2, 16, 6).toBytes.drop(1)))
+  }
+
+  test("Reservoir byte export: full resumable state, continued stream is identical") {
+    val r = new Reservoir[Long](10, 42L)
+    (1L to 100L).foreach(r.add)
+    val r2 = Reservoir.fromBytes[Long](r.toBytes)
+    assert(r2.items == r.items && r2.seen == r.seen)
+    assert(r2.toBytes.sameElements(r.toBytes))
+    // the draw counter round-trips: continuing the stream on the import
+    // takes the SAME eviction decisions as continuing on the original
+    (101L to 200L).foreach { v => r.add(v); r2.add(v) }
+    assert(r2.items == r.items, "resumed reservoir must replay identically")
+    // string elements + loud failures
+    val rs = new Reservoir[String](3, 7L)
+    Seq("a", "bb", "ccc", "dddd", "éé").foreach(rs.add)
+    val rs2 = Reservoir.fromBytes[String](rs.toBytes)
+    assert(rs2.items == rs.items && rs2.seen == rs.seen)
+    intercept[IllegalArgumentException](Reservoir.fromBytes[Long](rs.toBytes))
+    intercept[IllegalArgumentException](
+      Reservoir.fromBytes[String](rs.toBytes.dropRight(1)))
+  }
+
+  test("BoundedSort byte export: round-trip under the caller's ordering") {
+    val ord = Ordering.Long.reverse // keep the n LARGEST
+    val bs = new BoundedSort[Long](5, ord)
+    Seq(3L, 9L, 1L, 14L, 7L, 2L, 11L, 5L).foreach(bs.add)
+    val bs2 = BoundedSort.fromBytes[Long](bs.toBytes, ord)
+    assert(bs2.sorted == bs.sorted)
+    assert(bs2.toBytes.sameElements(bs.toBytes))
+    intercept[IllegalArgumentException](
+      BoundedSort.fromBytes[String](bs.toBytes, Ordering.String))
+  }
 }
