@@ -89,7 +89,14 @@ object ClusterMirror {
     //        Kryo HLL buffers partial-merge across one real exchange,
     //        the 258-byte exports then travel a SECOND exchange as
     //        Array[Byte] rows into the merge-estimate rollup
-    "sk21_hll_sketch_table")
+    "sk21_hll_sketch_table",
+    // round-10 risk classes:
+    //  q64: AsofJoinExec's NEAREST mode — the one direction that reads
+    //       BOTH candidates (consumed backward + peeked forward head)
+    //       from a single merge pass; q27 mirrors only backward, so the
+    //       direction logic was previously unproven across real
+    //       executor JVMs and remote sort/exchange satisfaction
+    "q64_asof_nearest")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
