@@ -661,33 +661,40 @@ object CoreQueries {
     // by construction): the EXISTS/NOT EXISTS correlation collapses into
     // per-order supplier statistics — group lineitem ONCE by
     // (orderkey, suppkey) with a map-side-combined fault count, then
-    // derive per-order (n suppliers, n fault suppliers) as WINDOW sums
-    // over that already-small frame; a qualifying l1 group is exactly one
-    // with n_supp > 1, n_fault_supp == 1, and its own fault count > 0.
-    // The fact is scanned once and shuffled once (pre-aggregated) —
-    // q38's form scans it three times and shuffles all three — and the
-    // window's orderkey exchange moves one row per (order, supplier),
-    // orders of magnitude smaller than raw lineitem. Plan-guarded:
-    // exactly one lineitem scan. ------------------------------------------
+    // roll THAT up per order with a second hash aggregate. A qualifying
+    // order has n_supp > 1 and exactly ONE fault supplier — and because
+    // that supplier is unique, conditional max() aggregates recover its
+    // suppkey and fault-row count in the same pass, so no window (and
+    // no window SORT) is needed at all. This all-hash form replaced an
+    // earlier window-sum version and beats it at every measured scale
+    // (sf0.1: 1.12 s vs 1.56; sf1: 2.47 vs 3.34; sf10: ~11.8 vs 11.0 —
+    // run-variance tie). The fact is scanned once and shuffled once
+    // (pre-aggregated); the second aggregate's exchange moves one row
+    // per (order, supplier), orders of magnitude below raw lineitem.
+    // Size-dependent crossover, documented in BASELINE.md: this form
+    // wins over q38's three-shuffle semi/anti twin through sf1 and
+    // trails it at sf10 (~11.8 vs ~8.5 s), where AQE drives the
+    // semi/anti joins through smaller partial stages than the 15M-group
+    // rollup hash — both scale sub-linearly and share one oracle.
+    // Plan-guarded: exactly one lineitem scan, no Window node. ----------
     "q40_tpch_q21_agg" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_orderkey"))
-      val perOrdSupp = Tables.lineitem(s, d)
+      val perOrd = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(count(when(col("l_returnflag") === "R", 1)).as("n_fault_rows"))
-        .withColumn("n_supp", count(lit(1)).over(w))
-        .withColumn("n_fault_supp",
-          sum((col("n_fault_rows") > 0).cast("long")).over(w))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum((col("n_fault_rows") > 0).cast("long")).as("n_fault_supp"),
+          max(when(col("n_fault_rows") > 0, col("l_suppkey"))).as("fault_suppkey"),
+          max(when(col("n_fault_rows") > 0, col("n_fault_rows"))).as("fault_rows"))
       val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"))
       val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
-      perOrdSupp
-        .filter(col("n_fault_rows") > 0 && col("n_supp") > 1 &&
-          col("n_fault_supp") === 1)
+      perOrd
+        .filter(col("n_supp") > 1 && col("n_fault_supp") === 1)
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sup), col("fault_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(sum(col("n_fault_rows")).as("numwait"))
+        .agg(sum(col("fault_rows")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     }),

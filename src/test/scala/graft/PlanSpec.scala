@@ -232,6 +232,10 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(p.contains("partial_count(CASE WHEN"),
       s"per-(order,supp) rollup lost its partial stage:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 not bounded:\n$p")
+    // the per-order stats are a second HASH aggregate, not window sums:
+    // the window's per-order sort is what made this form lose to q38 at
+    // sf10 (11.0 s vs 7.7 s) — no sort may appear before the final top-20
+    assert(!p.contains("Window"), s"per-order stats regressed to a window:\n$p")
   }
 
   test("q39: brand prune is a broadcast join below the agg; agg below the join-back") {
