@@ -168,12 +168,16 @@ object Bench {
     // ALSO persist the full per-query JSON to a repo file: the driver's
     // stdout `tail` capture truncated the r6 artifact's first ~15 query
     // rows, destroying the round's per-query perf signal. A committed
-    // BENCH_LOCAL.json survives any stdout clipping.
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+    // BENCH_LOCAL.json survives any stdout clipping. SUBSET runs
+    // (SPARK_GRAFT_BENCH_ONLY spot-checks) must NOT clobber the full
+    // round artifact this file exists to preserve.
+    if (only.isEmpty) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+      }
     }
     spark.stop()
   }

@@ -182,16 +182,33 @@ object DataSkipping {
         "min_num", "max_num", "min_str", "max_str")
   }
 
+  /** ONE collect of `column`'s (file, min, max) stats rows — shared by
+    * [[pruneFilesNum]] and [[prunedFileSelection]] so the prune rule
+    * exists exactly once and the stats plan is evaluated exactly once
+    * per read. */
+  private def columnStats(stats: DataFrame, column: String)
+      : Array[(String, Option[Double], Option[Double])] =
+    stats.filter(col("col") === column)
+      .select(col("file"), col("min_num"), col("max_num"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+
+  /** THE prune rule: can this stats row's file contain a value in
+    * [lo, hi]? Conservative — missing/partial stats admit the file. */
+  private def admitsRange(minNum: Option[Double], maxNum: Option[Double],
+      lo: Double, hi: Double): Boolean =
+    minNum.isEmpty || maxNum.isEmpty || (minNum.get <= hi && maxNum.get >= lo)
+
   /** Files whose stats CANNOT rule out a row with `column` in [lo, hi].
     * Conservative: files with missing/partial stats are kept. */
   def pruneFilesNum(stats: DataFrame, column: String,
       lo: Double, hi: Double): Seq[String] = {
     require(lo <= hi, s"empty range [$lo, $hi]")
-    stats.filter(col("col") === column)
-      .filter(col("min_num").isNull || col("max_num").isNull ||
-        (col("min_num") <= lit(hi) && col("max_num") >= lit(lo)))
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    columnStats(stats, column)
+      .filter { case (_, mn, mx) => admitsRange(mn, mx, lo, hi) }
+      .map(_._1).distinct.sorted.toSeq
   }
 
   /** File selection for a metadata-pruned scan of `dir`, guarded
@@ -217,16 +234,13 @@ object DataSkipping {
     // ONE collect of this column's (file, min, max) rows serves both the
     // covered set and the keep decision — evaluating the stats plan
     // twice doubled the planning cost of every pruned scan (two Spark
-    // jobs per read when stats come from appendFileStats unions).
+    // jobs per read when stats come from appendFileStats unions). The
+    // keep decision is the SAME admitsRange rule pruneFilesNum applies.
     require(lo <= hi, s"empty range [$lo, $hi]")
-    val rows = stats.filter(col("col") === column)
-      .select(col("file"), col("min_num"), col("max_num"))
-      .collect()
-    val covered = rows.map(_.getString(0)).toSet
-    val keep = rows.filter { r =>
-      r.isNullAt(1) || r.isNullAt(2) ||
-        (r.getDouble(1) <= hi && r.getDouble(2) >= lo)
-    }.map(_.getString(0)).toSet
+    val rows = columnStats(stats, column)
+    val covered = rows.map(_._1).toSet
+    val keep = rows.filter { case (_, mn, mx) => admitsRange(mn, mx, lo, hi) }
+      .map(_._1).toSet
     val chosen = onDisk.filter(f => !covered.contains(f) || keep.contains(f))
     (chosen.toSeq.sorted, onDisk.size)
   }

@@ -63,13 +63,15 @@ case class UnicodeNormalizeExpression(child: Expression, form: String)
   private val id = UnicodeNormalize.formId(form) // validates eagerly
 
   override def dataType: DataType = StringType
-  // NullType is rejected (build() rewrites a bare NULL argument to
-  // Literal(null, StringType) first): accepting it here would let
-  // doGenCode emit `normalize(<NullType javaType>, id)` in the dead
-  // non-null branch, failing Janino compilation and silently dropping
-  // the plan out of whole-stage codegen.
+  // NullType stays ACCEPTED: an argument can resolve to NullType only
+  // AFTER build() ran (multi-iteration analysis through nested
+  // subqueries), when the Literal rewrite had no type to look at —
+  // rejecting it here would fail analysis where the result is plainly
+  // null. doGenCode handles the NullType child with a constant-null
+  // emission instead of the (un-compilable) kernel call.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
+    if (child.dataType == StringType ||
+        child.dataType == org.apache.spark.sql.types.NullType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -79,9 +81,22 @@ case class UnicodeNormalizeExpression(child: Expression, form: String)
     UnicodeNormalize.normalize(v.asInstanceOf[UTF8String], id)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = UnicodeNormalize.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $kernel.normalize($c, $id);")
+    if (child.dataType == org.apache.spark.sql.types.NullType) {
+      // constant null: a NullType child's javaType would not compile
+      // inside the (dead) non-null kernel call — emit the answer directly
+      // and keep the plan in whole-stage codegen
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      ev.copy(code =
+        code"""
+          boolean ${ev.isNull} = true;
+          ${CodeGenerator.javaType(dataType)} ${ev.value} =
+            ${CodeGenerator.defaultValue(dataType)};""")
+    } else {
+      val kernel = UnicodeNormalize.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $kernel.normalize($c, $id);")
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalizeExpression =

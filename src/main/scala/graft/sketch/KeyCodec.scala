@@ -44,6 +44,18 @@ object KeyCodec {
       k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def read(b: Array[Byte]): String =
       new String(b, java.nio.charset.StandardCharsets.UTF_8)
-    def lt(a: String, b: String): Boolean = a < b
+    /** UNSIGNED UTF-8 byte order (== Unicode codepoint order, and the
+      * binary collation a SQL ORDER BY applies) — NOT Java
+      * String.compareTo, whose UTF-16 code-unit order disagrees for
+      * supplementary-plane keys (U+FFFF sorts AFTER U+1F600 in UTF-16
+      * but BEFORE it in UTF-8), which would make string-keyed exports
+      * non-rebuildable relationally. */
+    def lt(a: String, b: String): Boolean = {
+      val ab = write(a); val bb = write(b)
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n && ab(i) == bb(i)) i += 1
+      if (i < n) (ab(i) & 0xff) < (bb(i) & 0xff) else ab.length < bb.length
+    }
   }
 }

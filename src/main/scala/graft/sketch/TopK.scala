@@ -287,8 +287,13 @@ object TopDistinct {
     val cap = buf.getInt()
     val hllB = buf.get().toInt
     val m = buf.getInt()
-    require(depth > 0 && width > 0 && n > 0 && cap >= n && m >= 0 && m <= cap,
-      s"TopDistinct export header invalid (d=$depth w=$width n=$n cap=$cap m=$m)")
+    // hllB bounds BEFORE 1 << hllB: a corrupt byte would otherwise wrap
+    // the shift into a garbage/negative cell length and surface as a
+    // NegativeArraySizeException instead of this loud message
+    require(depth > 0 && width > 0 && n > 0 && cap >= n && m >= 0 && m <= cap &&
+      hllB >= 4 && hllB <= 18,
+      s"TopDistinct export header invalid (d=$depth w=$width n=$n cap=$cap " +
+        s"m=$m hllB=$hllB)")
     val hllLen = 2 + (1 << hllB)
     def readHll(): HyperLogLog = {
       val hb = new Array[Byte](hllLen)

@@ -367,6 +367,16 @@ class PlanExprSpec extends AnyFunSuite with CacheHygiene {
     assert(fromCodegen.sameElements(interpreted))
     // unknown form fails loudly at plan time
     intercept[Exception](spark.sql("SELECT unicode_normalize('x', 'NFX')").head())
+    // NullType children in every arrival order: a bare NULL literal
+    // (build() rewrites to a typed null) AND one that resolves to
+    // NullType only after build() ran (nested subquery) — both must
+    // yield null, not an analysis error or a codegen fallback
+    val bare = spark.sql("SELECT unicode_normalize(NULL, 'NFC')").head()
+    assert(bare.isNullAt(0))
+    val late = spark.sql(
+      "SELECT unicode_normalize(c, 'NFC') FROM " +
+        "(SELECT v AS c FROM (SELECT null AS v))").head()
+    assert(late.isNullAt(0))
   }
 
   test("d23 runs the sort-merge regime: SMJ in the plan, no broadcast, pairs identical") {
