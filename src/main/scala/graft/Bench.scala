@@ -98,6 +98,7 @@ object Bench {
     "sk24_theta_sketch_table", // theta shard -> merge-bytes rollup
     "sk25_topk_export",      // Top+CMS build + canonical byte export
     "sk26_topk_sketch_table", // heavy-hitter shard -> merge-bytes rollup
+    "sk27_topdistinct_export", // Top<K,HLL> build + tracked-state export
     "u15b_profile_approx",   // one-pass profile, HLL distincts (the
                              // scale form; exact u15 is gate-only — its
                              // Expand+sort is what exact multi-distinct

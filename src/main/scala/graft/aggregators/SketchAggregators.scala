@@ -255,6 +255,23 @@ object SketchAggregators {
     def outputEncoder: Encoder[Seq[(K, Long)]] = outEnc
   }
 
+  /** [[MostDistinct]]'s explicit-shape build finishing to the
+    * byte-stable export ([[graft.sketch.TopDistinct.toBytes]]) — the
+    * top-keys-by-distinct-count state as a persistable artifact (sk27
+    * has DuckDB rebuild the whole thing: every tracked key's HLL
+    * registers AND every HLL-valued CMS cell). */
+  final class TopDistinctBytesAgg[IN, K](n: Int, depth: Int, width: Int,
+      hllB: Int, key: IN => K, value: IN => Any)(implicit kc: KeyCodec[K])
+      extends Aggregator[IN, TopDistinct[K], Array[Byte]] {
+    def zero: TopDistinct[K] = new TopDistinct[K](n, depth, width, hllB)
+    def reduce(buf: TopDistinct[K], in: IN): TopDistinct[K] =
+      buf.push(key(in), value(in))
+    def merge(a: TopDistinct[K], b: TopDistinct[K]): TopDistinct[K] = a.merge(b)
+    def finish(r: TopDistinct[K]): Array[Byte] = r.toBytes
+    def bufferEncoder: Encoder[TopDistinct[K]] = Encoders.kryo[TopDistinct[K]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** sample_unstable(k): exact-k mergeable uniform reservoir. */
   final class SampleUnstable[T](k: Int, seed: Long)(implicit outEnc: Encoder[Seq[T]])
       extends Aggregator[T, Reservoir[T], Seq[T]] {

@@ -657,6 +657,46 @@ object SketchQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // -- sk27: most_distinct (Top⟨K,HLL⟩) byte export — the last
+    // md5-gatable sketch family: DuckDB rebuilds the header + every
+    // TRACKED key's HLL registers relationally (sk20's idx/rank
+    // derivation, but through the sketch's own splitmix64 value hash,
+    // replayed in UHUGEINT SQL — keys/values are raw BIGINTs, no
+    // plan-side md5). The gate md5 covers the header+entries PREFIX of
+    // the export: the HLL-CMS tail is fed only by each key's FIRST
+    // arrival per partial buffer (Space-Saving semantics, same as the
+    // reference's Top — the tail exists to rank UNTRACKED keys), so
+    // its cells are partition-dependent by design and no relational
+    // rebuild is claimed for them — the full-length field and the
+    // re-imported top-1 estimate still pin the whole layout and the
+    // round-trip. Tracked-entry exactness needs only no full-depth key
+    // collision (verified: 0 for this domain at depth 4 × width 512).
+    "sk27_topdistinct_export" -> ((s, d) => {
+      import s.implicits._
+      import graft.sketch.TopDistinct
+      val ds = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("long"), col("s_suppkey").cast("long"))
+        .as[(Long, Long)]
+      val agg = new TopDistinctBytesAgg[(Long, Long), Long](10, 4, 512, 4,
+        _._1, _._2)
+      val bytes = ds.select(agg.toColumn).head()
+      val re = TopDistinct.fromBytes[Long](bytes)
+      // header (20B) + m entries of (4B len + 8B key + 18B HLL block)
+      val prefix = bytes.take(20 + 30 * re.heavy.size)
+      val hex = prefix.map(x => f"${x & 0xff}%02x").mkString
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+      // rounded-then-ranked with a numeric key tie-break (the 4-bit HLL
+      // ties whole groups of keys; both engines must cut identically)
+      val ranked = re.heavy.toSeq
+        .map { case (k, h) =>
+          (k, math.floor(h.estimateReplayable * 10000 + 0.5) / 10000) }
+        .sortBy { case (k, e) => (-e, k) }
+      val (k1, e1) = ranked.head
+      Seq((fp, bytes.length.toLong, re.heavy.size.toLong, k1, e1))
+        .toDF("export_md5", "n_bytes", "n_tracked", "top1_key", "top1_est")
+    }),
+
     // -- approximate quantiles (mergeable quantile sketch) ---------------
     // approx_percentile is Spark's Greenwald-Khanna-family sketch: the
     // scale path for percentiles (q22 is the exact twin). Rows-only:
@@ -1039,6 +1079,63 @@ object SketchQueries {
         |     ORDER BY cnt DESC, user_id::VARCHAR) AS rank
         | FROM c)
         |SELECT event_type, rank::BIGINT AS rank, user_id, cnt
-        |FROM r WHERE rank <= 50 ORDER BY 1, 2""".stripMargin
+        |FROM r WHERE rank <= 50 ORDER BY 1, 2""".stripMargin,
+    // sk27: relational rebuild of the Top⟨K,HLL⟩ TRACKED state —
+    // per-key HLL registers (idx = top 4 bits of the splitmix64 value
+    // hash, rank = 65 − bitlength((h·16 mod 2⁶⁴)|8)), the documented
+    // header/entry layout, md5 of the header+entries hex, the full
+    // export length, and the integer-exact rational estimate of the
+    // top key. The HLL-CMS tail is first-arrival-fed (partition-
+    // dependent by design) and excluded from the md5 — see the query
+    // comment. Constant 481577407632010445 is the pre-mixed HLL value
+    // seed mix64(0x9c3779b9).
+    "sk27_topdistinct_export" ->
+      """WITH pairs AS (SELECT DISTINCT s_nationkey::UBIGINT AS k,
+        |    s_suppkey::UBIGINT AS v FROM supplier),
+        |keys AS (SELECT DISTINCT k FROM pairs),
+        |va AS (SELECT k, v,
+        |   ((xor(v, 481577407632010445::UBIGINT)::UHUGEINT + 11400714819323198485::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM pairs),
+        |vb AS (SELECT k, ((xor(x, x>>30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM va),
+        |vc AS (SELECT k, ((xor(x, x>>27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM vb),
+        |vh AS (SELECT k, xor(x, x>>31) AS h FROM vc),
+        |regc AS (SELECT k, (h >> 60)::BIGINT AS idx,
+        |   ((h::UHUGEINT * 16) % 18446744073709551616::UHUGEINT)::UBIGINT
+        |     | 8::UBIGINT AS y
+        | FROM vh),
+        |regr AS (SELECT k, idx,
+        |   CASE WHEN y >= 9223372036854775808::UBIGINT THEN 1
+        |        ELSE 65 - len(format('{:b}', y::BIGINT)) END AS rank
+        | FROM regc),
+        |kreg AS (SELECT k, idx, max(rank) AS r FROM regr GROUP BY 1, 2),
+        |kgrid AS (SELECT keys.k, g.range AS idx FROM keys, range(16) g),
+        |kfull AS (SELECT kg.k, kg.idx, coalesce(kr.r, 0) AS r
+        |  FROM kgrid kg LEFT JOIN kreg kr ON kr.k = kg.k AND kr.idx = kg.idx),
+        |kblock AS (SELECT k, string_agg(printf('%02x', r), '' ORDER BY idx) AS regs
+        |  FROM kfull GROUP BY k),
+        |entries AS (SELECT string_agg(
+        |    '00000008' || printf('%016x', k::BIGINT) || '0104' || regs, '' ORDER BY k) AS hx
+        |  FROM kblock),
+        |hdr AS (SELECT '010004' || printf('%08x', 512) || printf('%08x', 10)
+        |  || printf('%08x', 40) || '04'
+        |  || printf('%08x', (SELECT count(*) FROM keys)::BIGINT) AS hx),
+        |fullhex AS (SELECT hdr.hx || entries.hx AS hx FROM hdr, entries),
+        |kstat AS (SELECT k,
+        |    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros,
+        |    (sum((1::HUGEINT) << (61 - r)))::DOUBLE AS s
+        |  FROM kfull GROUP BY k),
+        |kest AS (SELECT k, CASE WHEN raw <= 40.0 AND zeros > 0
+        |    THEN 16.0 * ln(16.0 / zeros) ELSE raw END AS e
+        |  FROM (SELECT k, zeros,
+        |      0.673::DOUBLE * 16 * 16 * pow(2.0, 61.0) / s AS raw FROM kstat)),
+        |top1 AS (SELECT k, floor(e*10000+0.5)/10000 AS e4 FROM kest
+        |  ORDER BY e4 DESC, k LIMIT 1)
+        |SELECT md5(fullhex.hx) AS export_md5,
+        | (20 + 30*(SELECT count(*) FROM keys) + 18*2048)::BIGINT AS n_bytes,
+        | (SELECT count(*) FROM keys)::BIGINT AS n_tracked,
+        | top1.k::BIGINT AS top1_key, top1.e4 AS top1_est
+        |FROM fullhex, top1""".stripMargin
   )
 }
