@@ -1648,6 +1648,29 @@ object PipelineQueries {
           s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st06_stage")
         .orderBy(col("n").desc, col("event_type"))),
 
+    // -- st16: streamed heavy-hitter SKETCH-TABLE write — per-(type,day)
+    // TopFreq buffers merge across micro-batch boundaries in the state
+    // store and finish as the byte-stable export format; the STREAMED
+    // shards then feed the batch merge-bytes rollup, and the ranked
+    // top-n must equal exact SQL (same oracle as sk26 — proving a
+    // streaming ingest and a batch backfill can share one shard table)
+    "st16_stream_topk_shards" -> ((s, d) => {
+      import s.implicits._
+      import graft.aggregators.SketchAggregators.{contramap, TopFreqMergeTopNAgg}
+      val shards = graft.streaming.EventStreams.topFreqShardsStreamed(s,
+          Tables.events(s, d)
+            .select(col("event_type"), col("ts"), col("user_id")),
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st16_stage")
+        .as[(String, String, Array[Byte])]
+      val rolled = shards.groupByKey(_._1)
+        .agg(contramap((t: (String, String, Array[Byte])) => t._3,
+          new TopFreqMergeTopNAgg[Long](50, 4, 2048)).toColumn.name("top"))
+      rolled.flatMap { case (typ, top) =>
+        top.zipWithIndex.map { case ((u, c), i) => (typ, (i + 1).toLong, u, c) } }
+        .toDF("event_type", "rank", "user_id", "cnt")
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // -- weighted repeat-upsampling: materialized per-language epoch
     // counts with deterministic fractional copies --------------------------
     "p15_repeat_upsample" -> ((s, d) =>
@@ -3305,6 +3328,19 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_dups
         |FROM canon WHERE host <> 'example3.com'
         |GROUP BY canonical ORDER BY doc_id""").stripMargin,
+
+    // st16: the streamed shard table must answer exactly like sk26's
+    // batch one — exact per-type top-50 (rank ties on the key's string
+    // form, the sketch's own deterministic tie-break)
+    "st16_stream_topk_shards" ->
+      """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY cnt DESC, user_id::VARCHAR) AS rank
+        | FROM c)
+        |SELECT event_type, rank::BIGINT AS rank, user_id, cnt
+        |FROM r WHERE rank <= 50 ORDER BY 1, 2""".stripMargin,
 
     // the redelivered copies introduce no new event_ids, so the deduped
     // per-type profile is exactly the plain one — which is the point:

@@ -640,14 +640,10 @@ object SketchQueries {
     // the same query exercises eviction honestly (no oracle there). ---
     "sk26_topk_sketch_table" -> ((s, d) => {
       import s.implicits._
-      val daily = Tables.events(s, d)
-        .select(col("event_type"), col("ts").cast("date").cast("string").as("day"),
-          col("user_id"))
-        .as[(String, String, Long)]
-      val shards = daily.groupByKey(t => (t._1, t._2))
-        .agg(new TopFreqBytesAgg[(String, String, Long), Long](50, 4, 2048, _._3)
-          .toColumn.name("sk"))
-        .map { case ((typ, day), sk) => (typ, day, sk) }
+      // shard builder shared with the streamed st16 twin (one definition)
+      val shards = graft.streaming.EventStreams
+        .topFreqUserShards(Tables.events(s, d))
+        .as[(String, String, Array[Byte])]
       val rolled = shards.groupByKey(_._1)
         .agg(contramap((t: (String, String, Array[Byte])) => t._3,
           new TopFreqMergeTopNAgg[Long](50, 4, 2048)).toColumn.name("top"))

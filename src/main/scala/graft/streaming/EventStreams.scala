@@ -254,6 +254,42 @@ object EventStreams {
       .select(col("kv._1").as("event_type"), col("kv._2").as("n"))
   }
 
+  /** Per-(event_type, day) heavy-hitter SHARDS in the byte-stable
+    * TopFreq export format ([[graft.sketch.TopFreq.toBytes]]) — ONE
+    * definition shared by the sk26 batch sketch-table gate and the
+    * streamed st16 form, so shard shape cannot silently diverge between
+    * the sides being compared (same discipline as [[hllUsersPerType]]).
+    * Works on a streaming or batch frame with (event_type, ts, user_id). */
+  def topFreqUserShards(df: DataFrame, n: Int = 50, depth: Int = 4,
+      width: Int = 2048): DataFrame = {
+    import df.sparkSession.implicits._
+    import graft.aggregators.SketchAggregators.TopFreqBytesAgg
+    df.select(col("event_type"), col("ts").cast("date").cast("string").as("day"),
+        col("user_id"))
+      .as[(String, String, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .agg(new TopFreqBytesAgg[(String, String, Long), Long](n, depth, width, _._3)
+        .toColumn.name("sk"))
+      .map { case ((typ, day), sk) => (typ, day, sk) }
+      .toDF("event_type", "day", "sk")
+  }
+
+  /** Streamed heavy-hitter sketch-TABLE write: the per-(type, day)
+    * TopFreq buffers ride the streaming state store, merge across
+    * micro-batch boundaries, and finish as the SAME byte-stable export
+    * format the batch sketch table writes — so a streaming ingest and a
+    * batch backfill can feed ONE table of shards. The st16 gate rolls
+    * the STREAMED shards up with the batch merge-bytes aggregator and
+    * hash-verifies the ranked top-n against exact SQL: the whole
+    * stream → sketch-table → answer path on one format (st04/st14
+    * proved the state-store merge law for HLL/theta; this proves the
+    * PERSISTED-FORMAT contract for the heavy-hitter family). */
+  def topFreqShardsStreamed(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int = 3,
+      sinkName: String = "st16_sink"): DataFrame =
+    runStagedStream(spark, events, stageDir, nFiles, sinkName)(
+      topFreqUserShards(_))
+
   /** Session-window aggregation via Spark's native `session_window` —
     * the DECLARATIVE sessionization (vs [[sessionize]]'s explicit state
     * machine): events within `gap` of each other merge into one window

@@ -270,6 +270,38 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
     assert(streamed == exact, s"sketch regime not exact: $streamed vs $exact")
   }
 
+  test("topFreqShardsStreamed: streamed shards share the batch tracked prefix and rollup answer") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.aggregators.SketchAggregators.{contramap, TopFreqMergeTopNAgg}
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("ts"), col("user_id"))
+    def rollup(shards: org.apache.spark.sql.DataFrame) =
+      shards.as[(String, String, Array[Byte])].groupByKey(_._1)
+        .agg(contramap((t: (String, String, Array[Byte])) => t._3,
+          new TopFreqMergeTopNAgg[Long](50, 4, 2048)).toColumn.name("top"))
+        .collect().toMap
+    val batchShards = EventStreams.topFreqUserShards(e)
+    val streamedShards = EventStreams.topFreqShardsStreamed(spark, e,
+      "target/qtmp/st16_spec_stage", nFiles = 3, sinkName = "st16_spec_sink")
+    // the CMS tail is fed per partial buffer (first arrivals), so full
+    // shard BYTES may differ between chopping layouts — but the TRACKED
+    // section (header + ranked exact entries) must be byte-identical,
+    // and the rollup answer must match exactly in the exact regime
+    def prefixes(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Array[Byte])].collect()
+        .map { case (t, day, sk) =>
+          val m = java.nio.ByteBuffer.wrap(sk, 15, 4).getInt
+          (t, day) -> (sk.take(19 + 20 * m).toSeq) }
+        .toMap
+    val bp = prefixes(batchShards); val sp = prefixes(streamedShards)
+    assert(bp.keySet == sp.keySet && bp.keySet.nonEmpty)
+    bp.foreach { case (k, pre) =>
+      assert(sp(k) == pre, s"tracked prefix differs for shard $k") }
+    assert(rollup(batchShards) == rollup(streamedShards),
+      "streamed shard table must answer identically to the batch one")
+  }
+
   test("checkpointed restart: resumes from committed offsets, no duplicate windows") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.Trigger
