@@ -96,7 +96,13 @@ object ClusterMirror {
     //       from a single merge pass; q27 mirrors only backward, so the
     //       direction logic was previously unproven across real
     //       executor JVMs and remote sort/exchange satisfaction
-    "q64_asof_nearest")
+    "q64_asof_nearest",
+    //  sk26: TopFreq (heavy-hitter) Kryo buffers partial-merged across
+    //        a REAL exchange, then the byte-stable shard exports travel
+    //        a SECOND exchange as Array[Byte] rows into the
+    //        merge-bytes rollup — sk21's risk class for the newest
+    //        sketch family and its new codec
+    "sk26_topk_sketch_table")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
