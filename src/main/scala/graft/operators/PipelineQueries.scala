@@ -1073,9 +1073,15 @@ object PipelineQueries {
     // inside whole-stage codegen. ---------------------------------------
     "d09_bloom_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // persisted: the benchmark shingle set feeds BOTH the bloom build
+      // and the confirm-join broadcast — without it the benchmark docs
+      // were exploded + distinct'd twice, a second benchmark-sized
+      // shuffle that made d09 LOSE to its exact twin at sf10 (15.4 s vs
+      // d07's 11.7; the sweep that caught it is in BASELINE.md)
       val bench = docs.filter(col("doc_id") % 10 === 0)
         .select(explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
         .distinct()
+        .persist()
       val bloom = graft.functions.BloomFunctions.build(
         bench, "g8", expectedItems = 100000L, numBits = 1L << 19)
       docs.filter(col("doc_id") % 10 =!= 0)
