@@ -605,14 +605,25 @@ object PipelineQueries {
     // broadcast semi-join — the corpus never shuffles.
     "d07_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // PRODUCTION hashed-gram path (d12's discipline): the benchmark
+      // set broadcasts and probes as 8-byte xxhash64 longs instead of
+      // ~50-char shingle strings — the string form's broadcast was the
+      // whole-headline sf10 sweep's steepest row (2.9 s of its 15 s was
+      // building/shipping a ~200 MB string set; hashed: 6× smaller
+      // build, long-equality probe). The oracle still replays STRING
+      // counts — equality needs no xxhash64 collision among a doc's
+      // overlapping grams (PipelineSpec pins hashed == string on this
+      // corpus; a divergence needs a real 64-bit collision).
       val bench = docs.filter(col("doc_id") % 10 === 0)
         .select(explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
+        .select(xxhash64(col("g8")).as("h8"))
         .distinct()
       docs.filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
-        .join(broadcast(bench), "g8")
+        .select(col("doc_id"), xxhash64(col("g8")).as("h8"))
+        .join(broadcast(bench), "h8")
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g8")).as("n_overlap"))
+        .agg(countDistinct(col("h8")).as("n_overlap"))
         .orderBy(col("doc_id"))
     }),
 

@@ -549,6 +549,28 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(selfSpans == Set((9L, 0L, 15L)), s"self-repeat span wrong: $selfSpans")
   }
 
+  test("decontamination: hashed-gram broadcast (d07's 100 TB shape) == string grams") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    def overlaps(hash: Boolean): Map[Long, Long] = {
+      val g = explode(Dedup.wordShingles(col("text"), 8)).as("g8")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        if (hash) df.select(col("doc_id"), xxhash64(col("g8")).as("k"))
+        else df.select(col("doc_id"), col("g8").as("k"))
+      val bench = key(docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"), g))
+        .select(col("k")).distinct()
+      key(docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), g))
+        .join(broadcast(bench), "k")
+        .groupBy(col("doc_id")).agg(countDistinct(col("k")).as("n"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val plain = overlaps(hash = false)
+    val hashed = overlaps(hash = true)
+    assert(plain.nonEmpty, "benchmark overlap should exist on this corpus")
+    assert(hashed == plain,
+      "xxhash64 gram projection must not change per-doc overlap counts")
+  }
+
   test("duplicateSpans/Stats: hashed-gram shuffle (100 TB shape) == string grams") {
     val docs = Tables.documents(spark, sfDir)
     val plain = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8,
