@@ -1089,18 +1089,23 @@ object PipelineQueries {
       // were exploded + distinct'd twice, a second benchmark-sized
       // shuffle that made d09 LOSE to its exact twin at sf10 (15.4 s vs
       // d07's 11.7; the sweep that caught it is in BASELINE.md)
+      // hashed-gram projection on BOTH sides, like d07: the bloom
+      // hashes its input through XxHash64 anyway, and the confirm
+      // join's broadcast + probe move 8-byte longs instead of strings
       val bench = docs.filter(col("doc_id") % 10 === 0)
         .select(explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
+        .select(xxhash64(col("g8")).as("h8"))
         .distinct()
         .persist()
       val bloom = graft.functions.BloomFunctions.build(
-        bench, "g8", expectedItems = 100000L, numBits = 1L << 19)
+        bench, "h8", expectedItems = 100000L, numBits = 1L << 19)
       docs.filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
-        .filter(graft.functions.BloomFunctions.mightContain(bloom, col("g8")))
-        .join(broadcast(bench), "g8")
+        .select(col("doc_id"), xxhash64(col("g8")).as("h8"))
+        .filter(graft.functions.BloomFunctions.mightContain(bloom, col("h8")))
+        .join(broadcast(bench), "h8")
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g8")).as("n_overlap"))
+        .agg(countDistinct(col("h8")).as("n_overlap"))
         .orderBy(col("doc_id"))
     }),
 
