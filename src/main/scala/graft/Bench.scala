@@ -58,6 +58,7 @@ object Bench {
     "t17_gopher_rules",      // Gopher doc-level rule battery (narrow codegen)
     "t18_gopher_repetition", // top-n-gram char fractions (one gram shuffle)
     "t19_ccnet_buckets",     // LM score + per-lang ntile partition
+    "t19b_ccnet_buckets_scalable", // t19 minus the 5-way window ceiling
     "d19_url_dedup",         // URL canonicalization + per-URL keep-one
     "t20_dsir",              // DSIR importance weights + Gumbel-top-k draw
     "g01_pagerank",          // 3 power iterations, checkpointed lineage

@@ -314,4 +314,78 @@ object LanguageModel {
       .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
       .select(col(idCol), col(classCol), col("ll"), col("bucket"))
   }
+
+  /** SQL `ntile(n)` bucket from a 1-based rank and a group size —
+    * the exact semantics: the first `cnt mod n` buckets hold
+    * `ceil(cnt/n)` rows, the rest `floor(cnt/n)`. */
+  private def ntileBucket(rank: Long, cnt: Long, n: Int): Long = {
+    val q = cnt / n
+    val rem = cnt % n
+    val thr = rem * (q + 1)
+    if (rank <= thr) (rank - 1) / (q + 1) + 1
+    else rem + (rank - 1 - thr) / q + 1
+  }
+
+  /** [[perplexityBuckets]]'s SCALE twin — byte-identical output, no
+    * window. The window form partitions by language: a 5-language
+    * corpus gets 5-way parallelism FOREVER, each language's whole
+    * score column sorted and ntile'd by one task — the one
+    * low-cardinality window left in the tree, and a genuine 100 TB
+    * ceiling (t19's sf10 row is bounded by it). This form computes the
+    * same exact per-class rank with the [[Packing.packByOrder]]
+    * two-pass prefix-sum shape instead:
+    *   1. range-repartition + sort by (class, ll desc, id) — a total
+    *      order across ALL partitions, cluster-wide parallel sort;
+    *   2. one tiny job collects per-(partition, class) row counts
+    *      (driver state O(partitions + classes), never O(rows));
+    *   3. a narrow pass assigns each row its global within-class rank
+    *      from the broadcast offsets, and the ntile bucket from the
+    *      closed-form `ntile(rank, count, n)` arithmetic.
+    * Rank depends only on the total order, so results are identical at
+    * any partition count (spec'd), and equal to the window form
+    * row-for-row (t19b shares t19's oracle). */
+  def perplexityBucketsScalable(df: DataFrame, idCol: String, textCol: String,
+      classCol: String, nBuckets: Int = 3,
+      hashTokens: Boolean = false): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scored = bigramLogLikelihood(df, idCol, textCol, hashTokens)
+      .join(df.select(col(idCol), col(classCol)), Seq(idCol))
+      .select(col(idCol).cast("long"), col(classCol).cast("string"),
+        col("ll").cast("double"))
+      .as[(Long, String, Double)]
+    // the window's ORDER BY (ll DESC, id ASC) as a range partitioning:
+    // negate ll so ascending range order == the window order
+    val sorted = scored.toDF("__id", "__c", "__ll")
+      .repartitionByRange(col("__c"), col("__ll").desc, col("__id"))
+      .sortWithinPartitions(col("__c"), col("__ll").desc, col("__id"))
+      .as[(Long, String, Double)]
+      .persist()
+    // pass 1: per-(partition, class) counts — classes are contiguous in
+    // the total order, so this is O(partitions + classes) rows
+    val census = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach(t => m.update(t._2, m.getOrElse(t._2, 0L) + 1))
+      m.iterator.map { case (c, n) => (pid, c, n) }
+    }.collect()
+    val totals: Map[String, Long] =
+      census.groupBy(_._2).map { case (c, rows) => c -> rows.map(_._3).sum }
+    val startOffsets: Map[(Int, String), Long] = census.map { case (pid, c, _) =>
+      (pid, c) -> census.filter(r => r._2 == c && r._1 < pid).map(_._3).sum
+    }.toMap
+    val bTotals = spark.sparkContext.broadcast(totals)
+    val bOffsets = spark.sparkContext.broadcast(startOffsets)
+    val n = nBuckets
+    // pass 2: narrow — running within-class rank from the offsets
+    sorted.mapPartitions { it =>
+      var pid = org.apache.spark.TaskContext.getPartitionId()
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (id, c, ll) =>
+        val r = running.getOrElse(c, bOffsets.value.getOrElse((pid, c), 0L)) + 1
+        running.update(c, r)
+        (id, c, ll, ntileBucket(r, bTotals.value(c), n))
+      }
+    }.toDF(idCol, classCol, "ll", "bucket")
+  }
 }

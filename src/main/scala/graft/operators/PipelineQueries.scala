@@ -1610,6 +1610,20 @@ object PipelineQueries {
             .otherwise("tail").as("bucket"))
         .orderBy(col("doc_id"))),
 
+    // -- t19b: t19's SCALE twin, same oracle — per-class ntile WITHOUT
+    // the per-language window (5 languages = 5-way parallelism forever,
+    // the one low-cardinality window left): a cluster-wide range sort +
+    // O(partitions+classes) rank offsets + closed-form ntile arithmetic
+    // reproduce the bucket assignment row-for-row ----------------------
+    "t19b_ccnet_buckets_scalable" -> ((s, d) =>
+      LanguageModel.perplexityBucketsScalable(Tables.documents(s, d),
+          "doc_id", "text", "lang", nBuckets = 3, hashTokens = true)
+        .select(col("doc_id"), col("lang"), col("ll"),
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))),
+
     // -- URL-level dedup (RefinedWeb §3.1: one doc per normalized URL,
     // before any text processing): canonicalize scheme/host/port/params,
     // drop blocklisted hosts via broadcast anti-join, keep min doc_id
@@ -3289,6 +3303,29 @@ object PipelineQueries {
     // (ties on doc_id) — standard ntile remainder-to-first-buckets in
     // both engines
     "t19_ccnet_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |bg0 AS (SELECT doc_id, tok AS w1,
+        |          lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM w),
+        |bgn AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bgn GROUP BY 1, 2),
+        |ch AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS ch FROM cb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM w),
+        |ll AS (SELECT doc_id,
+        |  floor(avg(ln((cb.cb + 1.0) / (ch.ch + v.v))) * 10000 + 0.5) / 10000 AS ll
+        |  FROM bgn JOIN cb USING (w1, w2) JOIN ch USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT l.doc_id, d.lang, l.ll,
+        |  CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY l.ll DESC, l.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM ll l JOIN documents d USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
+    // t19b shares t19's ntile replay verbatim (the twins are
+    // row-identical by construction)
+    "t19b_ccnet_buckets_scalable" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
         |         generate_subscripts(string_split(text,' '),1) AS pos

@@ -549,6 +549,34 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(selfSpans == Set((9L, 0L, 15L)), s"self-repeat span wrong: $selfSpans")
   }
 
+  test("perplexityBucketsScalable == window ntile, at any partition count") {
+    import graft.operators.LanguageModel
+    val docs = Tables.documents(spark, sfDir)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("lang"), col("ll"), col("bucket").cast("long"))
+        .as[(Long, String, Double, Long)].collect().sortBy(_._1).toSeq
+    val window = norm(LanguageModel.perplexityBuckets(
+      docs, "doc_id", "text", "lang", nBuckets = 3, hashTokens = true))
+    val scalable = norm(LanguageModel.perplexityBucketsScalable(
+      docs, "doc_id", "text", "lang", nBuckets = 3, hashTokens = true))
+    assert(window.nonEmpty && scalable == window,
+      "prefix-sum ntile must equal the window form row-for-row")
+    // rank depends only on the total order: identical under a different
+    // input partitioning
+    val repart = norm(LanguageModel.perplexityBucketsScalable(
+      docs.repartition(7), "doc_id", "text", "lang", nBuckets = 3,
+      hashTokens = true))
+    assert(repart == window, "partition layout must not change buckets")
+    // closed-form ntile arithmetic: small-group edge (cnt < n -> one row
+    // per bucket) via a 2-doc class against the window form
+    val tiny = docs.filter(col("doc_id") < 2)
+    val w2 = norm(LanguageModel.perplexityBuckets(
+      tiny, "doc_id", "text", "lang", nBuckets = 3, hashTokens = true))
+    val s2 = norm(LanguageModel.perplexityBucketsScalable(
+      tiny, "doc_id", "text", "lang", nBuckets = 3, hashTokens = true))
+    assert(s2 == w2, "cnt < nBuckets edge must match SQL ntile")
+  }
+
   test("decontamination: hashed-gram broadcast (d07's 100 TB shape) == string grams") {
     import graft.dedup.Dedup
     val docs = Tables.documents(spark, sfDir)
