@@ -664,6 +664,37 @@ class SketchSpec extends AnyFunSuite {
       Reservoir.fromBytes[String](rs.toBytes.dropRight(1)))
   }
 
+  test("heavy-hitter shard table survives parquet: write, read back, roll up") {
+    // the sketch-TABLE claim is that shards are PERSISTED state: binary
+    // TopFreq exports written to plain parquet and rolled up later by a
+    // different job must answer exactly like the in-memory pipeline
+    val spark = graft.GraftSession.builder("local[4]", 4).getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.aggregators.SketchAggregators.{contramap, TopFreqMergeTopNAgg}
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("ts"), col("user_id"))
+    val shards = graft.streaming.EventStreams.topFreqUserShards(events)
+    val dir = "target/qtmp/sk26_spec_shards"
+    shards.write.mode("overwrite").parquet(dir)
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Array[Byte])].groupByKey(_._1)
+        .agg(contramap((t: (String, String, Array[Byte])) => t._3,
+          new TopFreqMergeTopNAgg[Long](50, 4, 2048)).toColumn.name("top"))
+        .collect().toMap
+    val direct = rollup(shards)
+    val reread = rollup(spark.read.parquet(dir))
+    assert(direct.nonEmpty && reread == direct,
+      "parquet-persisted shards must roll up identically")
+    val exact = events.groupBy(col("event_type"), col("user_id")).count()
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.map(r => (r._2, r._3)).sortBy { case (u, c) =>
+          (-c, String.valueOf(u)) }.take(50).toSeq }
+    assert(reread.view.mapValues(_.toSeq).toMap == exact,
+      "persisted-shard rollup must equal exact per-type top-50")
+  }
+
   test("BoundedSort byte export: round-trip under the caller's ordering") {
     val ord = Ordering.Long.reverse // keep the n LARGEST
     val bs = new BoundedSort[Long](5, ord)
