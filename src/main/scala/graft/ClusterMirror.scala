@@ -102,7 +102,12 @@ object ClusterMirror {
     //        a SECOND exchange as Array[Byte] rows into the
     //        merge-bytes rollup — sk21's risk class for the newest
     //        sketch family and its new codec
-    "sk26_topk_sketch_table")
+    "sk26_topk_sketch_table",
+    //  t19b: the prefix-sum ntile — per-(partition, class) offset maps
+    //        BROADCAST into mapPartitions closures + TaskContext
+    //        partition ids on remote executors (local mode never ships
+    //        the broadcast or the closure state)
+    "t19b_ccnet_buckets_scalable")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
