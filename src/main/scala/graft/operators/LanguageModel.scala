@@ -348,6 +348,15 @@ object LanguageModel {
       classCol: String, nBuckets: Int = 3,
       hashTokens: Boolean = false): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
+    // the typed (Long, String, Double) pipeline narrows the id contract
+    // to integral columns — fail loudly instead of silently casting a
+    // string id to all-nulls (which would also destroy the
+    // deterministic (ll DESC, id) tie-break); the window twin stays the
+    // fully-generic form
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(df.schema(idCol).dataType.toString),
+      s"perplexityBucketsScalable needs an integral id column, got " +
+        s"${df.schema(idCol).dataType.simpleString} — use perplexityBuckets")
     val spark = df.sparkSession
     import spark.implicits._
     val scored = bigramLogLikelihood(df, idCol, textCol, hashTokens)
@@ -356,7 +365,8 @@ object LanguageModel {
         col("ll").cast("double"))
       .as[(Long, String, Double)]
     // the window's ORDER BY (ll DESC, id ASC) as a range partitioning:
-    // negate ll so ascending range order == the window order
+    // the .desc sort key on the range partitioner (and the matching
+    // sortWithinPartitions) reproduces the window order directly
     val sorted = scored.toDF("__id", "__c", "__ll")
       .repartitionByRange(col("__c"), col("__ll").desc, col("__id"))
       .sortWithinPartitions(col("__c"), col("__ll").desc, col("__id"))
@@ -371,9 +381,21 @@ object LanguageModel {
     }.collect()
     val totals: Map[String, Long] =
       census.groupBy(_._2).map { case (c, rows) => c -> rows.map(_._3).sum }
-    val startOffsets: Map[(Int, String), Long] = census.map { case (pid, c, _) =>
-      (pid, c) -> census.filter(r => r._2 == c && r._1 < pid).map(_._3).sum
-    }.toMap
+    // offsets by ONE (class, pid)-sorted pass with a running per-class
+    // sum (Packing.packByOrder's scanLeft shape) — a nested filter here
+    // would be O((partitions+classes)²) driver work, minutes of stall
+    // at exactly the partition counts this operator exists for
+    val startOffsets: Map[(Int, String), Long] = {
+      val m = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+      var runningClass: String = null
+      var running = 0L
+      census.sortBy { case (pid, c, _) => (c, pid) }.foreach { case (pid, c, n) =>
+        if (c != runningClass) { runningClass = c; running = 0L }
+        m.update((pid, c), running)
+        running += n
+      }
+      m.toMap
+    }
     val bTotals = spark.sparkContext.broadcast(totals)
     val bOffsets = spark.sparkContext.broadcast(startOffsets)
     val n = nBuckets
