@@ -147,7 +147,13 @@ object Bench {
       val good = times.filter(_ >= 0)
       q -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 0.1 ms precision: full-precision doubles tripled the line length,
+    // and the driver's bounded stdout-tail capture clipped the head of
+    // the (single-line) JSON two rounds running — parsed:null artifacts.
+    // Shorter line first; see the double-print below for the same reason.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // skipping ratio for the u10b row: time alone can't show that the
@@ -165,22 +171,34 @@ object Bench {
           ""","u10_files":null"""
         }
       else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"passes":$passes$skipMeta,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"passes":$passes$skipMeta,"sf":"$sfDir"}"""
+    // printed TWICE — immediately here and again as the very last stdout
+    // after spark.stop(): the driver captures a bounded TAIL of stdout,
+    // and in r6/r7 the capture window started mid-line, clipping the
+    // first ~20 query rows (parsed:null). With the line both shortened
+    // (fmt above) and repeated last-thing, the final occurrence sits at
+    // the very end of stdout where a tail capture cannot miss its head
+    // unless the window is smaller than one line.
     println(line)
-    // ALSO persist the full per-query JSON to a repo file: the driver's
-    // stdout `tail` capture truncated the r6 artifact's first ~15 query
-    // rows, destroying the round's per-query perf signal. A committed
+    // ALSO persist the full per-query JSON to a repo file: a committed
     // BENCH_LOCAL.json survives any stdout clipping. SUBSET runs
     // (SPARK_GRAFT_BENCH_ONLY spot-checks) must NOT clobber the full
-    // round artifact this file exists to preserve.
+    // round artifact this file exists to preserve. The path is anchored
+    // (env override, else the repo root), NOT cwd-relative: a run
+    // launched from another directory would otherwise silently strand
+    // the artifact, defeating the safeguard.
     if (only.isEmpty) {
+      val outPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+        .toAbsolutePath
       try {
-        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-          (line + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] wrote $outPath")
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+        System.err.println(s"[bench] could not write $outPath: $e")
       }
     }
     spark.stop()
+    println(line)
   }
 }

@@ -343,7 +343,19 @@ object LanguageModel {
     *      closed-form `ntile(rank, count, n)` arithmetic.
     * Rank depends only on the total order, so results are identical at
     * any partition count (spec'd), and equal to the window form
-    * row-for-row (t19b shares t19's oracle). */
+    * row-for-row (t19b shares t19's oracle).
+    *
+    * Caching contract: the range-sorted corpus is persisted (it feeds
+    * both the census job and the rank pass, and pass 2's offsets are
+    * only valid against the EXACT partitioning pass 1 counted — an
+    * unpersisted recompute could re-range-partition differently). The
+    * returned DataFrame still reads from that cache, so it cannot be
+    * unpersisted here; callers must drop it once the result is
+    * materialized — `spark.catalog.clearCache()` or
+    * `df.unpersist()` on the returned frame's cached child (Bench and
+    * Verify clearCache() between queries for exactly this reason).
+    * Library callers that skip this leak one cached copy of the
+    * (id, class, ll) projection per invocation. */
   def perplexityBucketsScalable(df: DataFrame, idCol: String, textCol: String,
       classCol: String, nBuckets: Int = 3,
       hashTokens: Boolean = false): DataFrame = {

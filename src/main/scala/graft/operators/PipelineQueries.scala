@@ -1088,7 +1088,10 @@ object PipelineQueries {
       // and the confirm-join broadcast — without it the benchmark docs
       // were exploded + distinct'd twice, a second benchmark-sized
       // shuffle that made d09 LOSE to its exact twin at sf10 (15.4 s vs
-      // d07's 11.7; the sweep that caught it is in BASELINE.md)
+      // d07's 11.7; the sweep that caught it is in BASELINE.md).
+      // Caching contract: the result frame reads from this cache, so it
+      // cannot be unpersisted here — the harness clearCache()s between
+      // queries (same discipline as perplexityBucketsScalable's note)
       // hashed-gram projection on BOTH sides, like d07: the bloom
       // hashes its input through XxHash64 anyway, and the confirm
       // join's broadcast + probe move 8-byte longs instead of strings

@@ -102,6 +102,13 @@ object Reservoir {
     val m = buf.getInt()
     require(k > 0 && m >= 0 && m <= k && seen >= m,
       s"Reservoir export header invalid (k=$k m=$m seen=$seen)")
+    // class invariant, not just bounds: the reservoir holds EVERY element
+    // until it is full, so m must equal min(seen, k) exactly. A truncated
+    // or corrupt export with seen=100, m=3, k=10 passes the bounds check
+    // but a resumed add() would APPEND instead of evicting — silently a
+    // non-uniform sample. Fail loudly like the other fromBytes parsers.
+    require(m == math.min(seen, k.toLong).toInt,
+      s"Reservoir export violates m == min(seen, k) (k=$k m=$m seen=$seen)")
     val r = new Reservoir[T](k, seed)
     r.seen = seen
     r.draws = draws

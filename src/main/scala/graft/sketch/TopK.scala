@@ -88,7 +88,13 @@ final class TopFreq[K](val n: Int, val depth: Int, val width: Int,
       t.heavy.getOrElse(k, if (t.cms.estimate(k) > 0) t.cms.estimate(k) else 0L)
     val keys = heavy.keySet ++ o.heavy.keySet
     val totals = keys.toSeq.map(k => k -> (side(this, k) + side(o, k)))
-    totals.sortBy(-_._2).take(cap).foreach { case (k, v) => out.heavy.update(k, v) }
+    // deterministic tie-break at the cap boundary (count DESC, key ASC —
+    // the same ranking topN and toBytes use): a bare sortBy(-count) is
+    // stable over HashMap keySet iteration order, so WHICH tied keys
+    // survive take(cap) would depend on partition merge order and the
+    // merged shard export would not be run-to-run byte-identical
+    totals.sortBy { case (k, v) => (-v, String.valueOf(k)) }
+      .take(cap).foreach { case (k, v) => out.heavy.update(k, v) }
     out
   }
 

@@ -664,6 +664,38 @@ class SketchSpec extends AnyFunSuite {
       Reservoir.fromBytes[String](rs.toBytes.dropRight(1)))
   }
 
+  test("Reservoir import rejects exports violating m == min(seen, k)") {
+    // a truncated-entry export with a patched entry count passes the
+    // bounds checks (m <= k, seen >= m, no trailing bytes) but resuming
+    // it would APPEND until the buffer refills — a silently non-uniform
+    // sample. The invariant check must fail loudly instead.
+    val r = new Reservoir[Long](10, 42L)
+    (1L to 100L).foreach(r.add)          // full: k=10, seen=100, m=10
+    val full = r.toBytes                 // header 34B + 10 * (4B len + 8B) entries
+    val forged = full.take(34 + 3 * 12)  // keep only 3 entries...
+    forged(33) = 3.toByte                // ...and patch m (big-endian int at 30) to 3
+    val e = intercept[IllegalArgumentException](Reservoir.fromBytes[Long](forged))
+    assert(e.getMessage.contains("min(seen, k)"))
+    // the untampered export still parses
+    assert(Reservoir.fromBytes[Long](full).items == r.items)
+  }
+
+  test("TopFreq merge breaks cap-boundary count ties deterministically") {
+    // 12 tied keys, cap 8: which 8 survive must depend on the ranking
+    // (count DESC, key ASC), not on HashMap iteration or operand order —
+    // otherwise merged shard EXPORTS differ run to run even though
+    // toBytes itself is canonical.
+    val a = new TopFreq[String](2, 4, 64); val b = new TopFreq[String](2, 4, 64)
+    assert(a.cap == 8)
+    (1 to 6).foreach(i => a.push(f"k$i%02d"))
+    (7 to 12).foreach(i => b.push(f"k$i%02d"))
+    val ab = a.merge(b); val ba = b.merge(a)
+    val want = (1 to 8).map(i => f"k$i%02d").toSet
+    assert(ab.heavy.keySet == want, s"tie-break not canonical: ${ab.heavy.keySet}")
+    assert(ab.toBytes.sameElements(ba.toBytes),
+      "merge must be byte-deterministic across operand order under ties")
+  }
+
   test("heavy-hitter shard table survives parquet: write, read back, roll up") {
     // the sketch-TABLE claim is that shards are PERSISTED state: binary
     // TopFreq exports written to plain parquet and rolled up later by a
