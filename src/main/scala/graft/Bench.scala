@@ -93,6 +93,7 @@ object Bench {
     "u14_fork_write",        // single-pass write + observed aggregates
     "t29_pii_census",        // PII detect counts + redaction chain
     "t30_unicode_nfc",       // native NFC normalization (ASCII fast path)
+    "t31_html_extract",      // HTML main-content extraction (jusText core)
     "sk21_hll_sketch_table", // sketch-table shard -> merge-bytes rollup
     "sk22_theta_export",     // theta build + canonical byte export
     "sk23_grid_export",      // grid-histogram build + byte export

@@ -293,4 +293,73 @@ object TextFunctions {
         org.apache.spark.sql.functions.size(col("c.ctoks")).cast("long").as("n_tokens"),
         array_join(col("c.ctoks"), " ").as("chunk"))
   }
+
+  // ---- HTML main-content extraction (boilerplate removal) -------------
+  // The operator downstream of a WARC crawl: the reference stops at raw
+  // `Webpage { url, content }` records
+  // (/root/reference/amadeus-commoncrawl/src/lib.rs:50-131,
+  // /root/reference/amadeus-types/src/http.rs:25-40); every training-data
+  // pipeline's next step is jusText/trafilatura-style main-content
+  // selection. All regexes are RE2-safe (no backrefs/lookaround) and run
+  // verbatim in both Java regex and DuckDB RE2 — gate t31 hash-verifies
+  // the extraction against a full DuckDB replay.
+
+  /** script/style payloads and comments: dotall + case-insensitive, lazy */
+  val HtmlScriptRe = "(?is)<script[^>]*>.*?</script>"
+  val HtmlStyleRe = "(?is)<style[^>]*>.*?</style>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  /** block-level boundaries (opening OR closing tags). Alternation is
+    * ordered longest-prefix-first — both Java regex and RE2 are
+    * leftmost-FIRST, so `pre` must precede `p` or `<pre>` would try the
+    * `p` branch and only match via backtracking. */
+  val HtmlBlockRe = "(?i)</?(?:blockquote|section|article|header|footer|" +
+    "aside|table|form|nav|pre|div|ul|ol|li|tr|td|th|h[1-6]|p)(?:\\s[^>]*)?>"
+  val HtmlTagRe = "<[^>]*>"
+  /** anchor INNER text (tag-free span only, so nested markup never spans
+    * a match); `(?:\s...)` after `a` so `<article>` is not an anchor */
+  val HtmlAnchorRe = "(?i)<a(?:\\s[^>]*)?>([^<]*)</a>"
+
+  /** Minimal named-entity decode (the five entities that survive into
+    * block text plus nbsp). `&amp;` decodes LAST so a double-escaped
+    * `&amp;gt;` yields the literal `&gt;` a browser would render. */
+  def htmlEntityDecode(c: Column): Column = {
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ").foldLeft(c) {
+      case (acc, (e, r)) => replace(acc, lit(e), lit(r))
+    }
+    replace(named, lit("&amp;"), lit("&"))
+  }
+
+  /** Main-content extraction from raw HTML — the jusText heuristic core:
+    *
+    *  1. strip `<script>`/`<style>` payloads and comments;
+    *  2. split into blocks at block-level tag boundaries (div/p/li/...);
+    *  3. per block, tag-strip + whitespace-normalize + entity-decode the
+    *     text and measure the raw anchor-text length;
+    *  4. keep blocks with >= `minChars` of text whose LINK DENSITY
+    *     (anchor chars / text chars) is <= 1/3 — nav bars, breadcrumbs,
+    *     share strips, and link-heavy footers are mostly anchor text and
+    *     drop; body paragraphs keep;
+    *  5. join kept blocks with `\n`.
+    *
+    * Pure codegen'd column composition (regex + higher-order array
+    * functions — no UDF, no shuffle): a narrow projection that runs at
+    * scan parallelism on any corpus size. Deterministic; the integer
+    * form `3 * linkChars <= textChars` avoids float ratios so the DuckDB
+    * replay is bit-exact. */
+  def htmlExtract(c: Column, minChars: Int = 25): Column = {
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(c,
+      HtmlScriptRe, " "), HtmlStyleRe, " "), HtmlCommentRe, " ")
+    val scored = transform(split(cleaned, HtmlBlockRe), b => {
+      val txt = htmlEntityDecode(trim(regexp_replace(
+        regexp_replace(b, HtmlTagRe, " "), "\\s+", " ")))
+      val lnk = length(array_join(
+        regexp_extract_all(b, lit(HtmlAnchorRe), lit(1)), ""))
+      struct(txt.as("txt"), lnk.as("lnk"))
+    })
+    val kept = filter(scored, s =>
+      length(s.getField("txt")) >= minChars &&
+        s.getField("lnk") * 3 <= length(s.getField("txt")))
+    array_join(transform(kept, s => s.getField("txt")), "\n")
+  }
 }

@@ -507,6 +507,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- t31: HTML main-content extraction (boilerplate removal) --------
+    // the operator downstream of Warc.webpages raw HTML: each document
+    // is staged into a full deterministic page (styled head, script,
+    // nav/breadcrumb/share link clusters, three content paragraphs — the
+    // third carrying an inline anchor — link-dense footer, comment),
+    // then TextFunctions.htmlExtract must recover exactly the content
+    // paragraphs: boilerplate drops by link density, chrome by length,
+    // script/style/comments by stripping. DuckDB replays the staging AND
+    // the full extraction (same RE2 regexes, same integer link-density
+    // rule) and the digests must agree char-for-char. n_kept varies by
+    // document length (short docs lose their third paragraph to the
+    // anchor's link density), so the rule's boundary is exercised
+    // differentially across the corpus. ---------------------------------
+    "t31_html_extract" -> ((s, d) => {
+      val content = TextFunctions.htmlExtract(col("html"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), stagedHtml.as("html"))
+        .select(col("doc_id"), content.as("content"))
+        .select(col("doc_id"),
+          when(col("content") === "", lit(0L))
+            .otherwise(size(split(col("content"), "\n")).cast("long"))
+            .as("n_kept"),
+          length(col("content")).cast("long").as("content_len"),
+          md5(col("content")).as("content_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- word-bigram repetition ratio (boilerplate signal) ---------------
     "t06_repetition_ratio" -> ((s, d) =>
       Tables.documents(s, d)
@@ -572,20 +599,30 @@ object PipelineQueries {
         .toDF("no_false_pairs", "no_missed_pairs")
     }),
 
-    // -- end-to-end curation: quality filter -> exact dedup -> stats -----
-    // the composition story: a training-data pipeline as ONE declarative
-    // plan (filter/pushdown -> window dedup -> aggregate), no staging
+    // -- end-to-end curation: html extract -> quality filter -> exact
+    // dedup -> stats. The composition story: a training-data pipeline as
+    // ONE declarative plan (the corpus arrives as raw HTML pages — t31's
+    // staging — and main-content extraction, scoring, window dedup and
+    // the aggregate all fuse into a single narrow-then-shuffle tree).
     "p01_curation_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      // project the digest and DROP text before the dedup window: the
+      // extraction first (narrow, codegen'd, scan-parallel); empty
+      // extractions drop before scoring — qualityScore's ratios divide
+      // by text length
+      val extracted = docs
+        .select(col("doc_id"), col("lang"), stagedHtml.as("html"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.htmlExtract(col("html")).as("content"))
+        .filter(length(col("content")) > 0)
+      // project the digest and DROP the text before the dedup window: the
       // window's exchange then moves a 32-char digest per row instead of
       // the document body — the difference between shuffling hashes and
       // shuffling the corpus
-      val scored = docs.select(col("doc_id"), col("lang"),
-        TextFunctions.qualityScore(col("text")).as("q"),
-        TextFunctions.tokenCount(col("text")).as("toks"),
-        md5(col("text")).as("digest"))
+      val scored = extracted.select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("content")).as("q"),
+        TextFunctions.tokenCount(col("content")).as("toks"),
+        md5(col("content")).as("digest"))
         .filter(col("q") >= 0.5)
       val deduped = scored
         .withColumn("rk", row_number().over(
@@ -1877,6 +1914,74 @@ object PipelineQueries {
 
   /** Shared by d02 (one-shot) and d10 (incremental index): exact-jaccard
     * pairs at threshold 0.8 over the full corpus. */
+  /** Deterministic HTML page staged from a document row — the t31/p01
+    * corpus. Boilerplate by construction: a styled head with script, a
+    * nav bar, breadcrumbs, a share strip and a link-dense footer (all
+    * anchor-dominated), a comment, and a `content` div holding three
+    * paragraphs sliced from the document text, the third with one inline
+    * anchor. The DuckDB oracles rebuild the identical string with `||`
+    * concatenation, so extraction digests compare char-for-char. */
+  private def stagedHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style type=\"text/css\">body { margin: 0; } a { color: #04f; }</style>" +
+      "<script type=\"text/javascript\">var page = "), col("doc_id").cast("string"),
+    lit("; track(page);</script></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/docs\">Docs</a> <a href=\"/contact\">Contact us</a></nav>" +
+      "<div class=\"crumbs\"><a href=\"/c\">section</a> &gt; <a href=\"/d\">page "),
+    col("doc_id").cast("string"),
+    lit("</a></div><h1>Doc "), col("doc_id").cast("string"),
+    lit("</h1><div class=\"content\"><p>"), substring(col("text"), 1, 120),
+    lit("</p><p>"), substring(col("text"), 121, 120),
+    lit("</p><p>"), substring(col("text"), 241, 80),
+    lit(" See <a href=\"/more/"), col("doc_id").cast("string"),
+    lit("\">related article "), col("doc_id").cast("string"),
+    lit("</a> for details.</p></div>" +
+      "<div class=\"share\"><a href=\"#t\">Tweet</a> <a href=\"#s\">Share</a> <a href=\"#p\">Pin</a></div>" +
+      "<footer>Copyright 2026 <a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a></footer>" +
+      "<!-- rendered "), col("doc_id").cast("string"), lit(" --></body></html>"))
+
+  /** the staging half of the t31/p01 oracles — identical string concat
+    * in DuckDB `||` form, producing (doc_id, lang, html) */
+  private val stagedHtmlSqlCte: String =
+    """staged AS (SELECT doc_id, lang,
+      |   '<html><head><title>Doc ' || doc_id ||
+      |   '</title><style type="text/css">body { margin: 0; } a { color: #04f; }</style><script type="text/javascript">var page = '
+      |   || doc_id ||
+      |   '; track(page);</script></head><body><nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/contact">Contact us</a></nav><div class="crumbs"><a href="/c">section</a> &gt; <a href="/d">page '
+      |   || doc_id ||
+      |   '</a></div><h1>Doc ' || doc_id || '</h1><div class="content"><p>' ||
+      |   substr(text, 1, 120) || '</p><p>' || substr(text, 121, 120) ||
+      |   '</p><p>' || substr(text, 241, 80) || ' See <a href="/more/' ||
+      |   doc_id || '">related article ' || doc_id ||
+      |   '</a> for details.</p></div><div class="share"><a href="#t">Tweet</a> <a href="#s">Share</a> <a href="#p">Pin</a></div><footer>Copyright 2026 <a href="/p">Privacy</a> <a href="/t">Terms</a></footer><!-- rendered '
+      |   || doc_id || ' --></body></html>' AS html
+      | FROM documents)""".stripMargin
+
+  /** the extraction half: cleaned/blocks/ex CTEs replaying
+    * TextFunctions.htmlExtract verbatim (same regexes, same integer
+    * link-density rule, same entity-decode order), producing
+    * (doc_id, lang, content). Expects `staged` in scope. */
+  private val htmlExtractSqlCtes: String =
+    """cleaned AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(html,
+      |   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |   '(?s)<!--.*?-->', ' ', 'g') AS ch FROM staged),
+      |blocks AS (SELECT doc_id, lang, list_filter(list_transform(
+      |   regexp_split_to_array(ch,
+      |     '(?i)</?(?:blockquote|section|article|header|footer|aside|table|form|nav|pre|div|ul|ol|li|tr|td|th|h[1-6]|p)(?:\s[^>]*)?>'),
+      |   b -> struct_pack(
+      |     txt := replace(replace(replace(replace(replace(replace(
+      |       trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+      |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |       '&nbsp;', ' '), '&amp;', '&'),
+      |     lnk := coalesce(length(array_to_string(regexp_extract_all(b,
+      |       '(?i)<a(?:\s[^>]*)?>([^<]*)</a>', 1), '')), 0))),
+      |   s2 -> length(s2.txt) >= 25 AND s2.lnk * 3 <= length(s2.txt)) AS ks
+      | FROM cleaned),
+      |ex AS (SELECT doc_id, lang,
+      |   coalesce(array_to_string(list_transform(ks, s2 -> s2.txt), chr(10)), '') AS content,
+      |   len(ks) AS n_kept FROM blocks)""".stripMargin
+
   private val lshPairsOracle: String =
     """WITH w AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
@@ -2409,29 +2514,34 @@ object PipelineQueries {
       ("SELECT count(*) AS n_docs, TRUE AS roundtrip_ok, " +
         "TRUE AS count_parity, TRUE AS bounds_ok, TRUE AS compresses " +
         "FROM documents"),
+    // p01: the staging + extraction CTEs are t31's, then the original
+    // quality -> dedup -> stats body runs over the EXTRACTED content
     "p01_curation_pipeline" ->
-      """WITH scored AS (
-        |  SELECT doc_id, lang, text,
-        |   least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.4 +
-        |   least((len(list_filter(string_split(text,' '),
+      ("WITH " + stagedHtmlSqlCte + ",\n" + htmlExtractSqlCtes + ",\n" +
+        """extracted AS (SELECT doc_id, lang, content FROM ex
+        |  WHERE length(content) > 0),
+        |scored AS (
+        |  SELECT doc_id, lang, content,
+        |   least(len(string_split(content,' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        |   least((len(list_filter(string_split(content,' '),
         |     x -> x IN ('the','a','an','and','or','of','to','in','is','it',
         |                'that','for','on','with','as')))::DOUBLE
-        |     / len(string_split(text,' '))) * 5.0, 1.0) * 0.3 +
-        |   least(((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
-        |     / len(string_split(text,' '))) / 8.0, 1.0) * 0.3 -
-        |   ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-        |     / length(text)) * 0.2 AS q_raw,
-        |   len(string_split(text,' ')) AS toks
-        |  FROM documents),
-        |rounded AS (SELECT doc_id, lang, text, toks, floor(q_raw * 10000 + 0.5) / 10000 AS q FROM scored),
+        |     / len(string_split(content,' '))) * 5.0, 1.0) * 0.3 +
+        |   least(((length(content) - len(string_split(content,' ')) + 1)::DOUBLE
+        |     / len(string_split(content,' '))) / 8.0, 1.0) * 0.3 -
+        |   ((length(content) - length(regexp_replace(content, '[[:punct:]]', '', 'g')))::DOUBLE
+        |     / length(content)) * 0.2 AS q_raw,
+        |   len(string_split(content,' ')) AS toks
+        |  FROM extracted),
+        |rounded AS (SELECT doc_id, lang, content, toks, floor(q_raw * 10000 + 0.5) / 10000 AS q FROM scored),
         |filtered AS (SELECT * FROM rounded WHERE q >= 0.5),
         |deduped AS (
         |  SELECT * FROM (SELECT *, row_number() OVER (
-        |    PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM filtered)
+        |    PARTITION BY md5(content) ORDER BY doc_id) AS rk FROM filtered)
         |  WHERE rk = 1)
         |SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
         | round(avg(q), 4) AS avg_quality
-        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin),
     "d01_exact_dedup" ->
       """SELECT doc_id,
         | (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
@@ -3198,6 +3308,14 @@ object PipelineQueries {
         | len(regexp_extract_all(dec, '\p{Mn}')) AS mn_before,
         | len(regexp_extract_all(nfc_normalize(dec), '\p{Mn}')) AS mn_after
         |FROM dd ORDER BY doc_id""".stripMargin,
+    // t31: stage the same HTML with || concat, replay the extraction with
+    // the same RE2 patterns and integer link-density rule, digest-compare
+    "t31_html_extract" ->
+      ("WITH " + stagedHtmlSqlCte + ",\n" + htmlExtractSqlCtes + "\n" +
+        """SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
+          | CAST(length(content) AS BIGINT) AS content_len,
+          | md5(content) AS content_digest
+          |FROM ex ORDER BY doc_id""".stripMargin),
     "t06_repetition_ratio" ->
       """SELECT doc_id,
         | CASE WHEN len(string_split(text,' ')) < 2 THEN 0.0

@@ -257,6 +257,52 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       == ((1, 1, 2, 1, 1)), s"census: $c")
   }
 
+  test("htmlExtract: chrome drops, body paragraphs survive, entities decode") {
+    val page = "<html><head><title>T</title>" +
+      "<style>p { color: red; }</style><script>var a = '<p>not a block</p>';" +
+      "</script></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/x\">Products and services</a></nav>" +
+      "<h1>Short</h1>" +
+      "<p>The quick brown fox jumps over the lazy dog near the river bank.</p>" +
+      "<p>Tom &amp; Jerry said &quot;hello&quot; &lt;twice&gt; before lunch today.</p>" +
+      "<!-- <p>commented out paragraph that would otherwise be kept here</p> -->" +
+      "<div class=\"share\"><a>Tweet</a> <a>Share this page with everyone</a></div>" +
+      "<footer>Copyright <a href=\"/p\">Privacy policy</a> <a href=\"/t\">Terms</a></footer>" +
+      "</body></html>"
+    val got = Seq(page).toDF("h")
+      .select(TextFunctions.htmlExtract(col("h")).as("c")).head().getString(0)
+    assert(got ==
+      "The quick brown fox jumps over the lazy dog near the river bank." +
+        "\nTom & Jerry said \"hello\" <twice> before lunch today.",
+      s"got: $got")
+    // no-anchor short block drops by length; link-dense long block drops
+    // by the 1/3 anchor-density rule even though it clears minChars
+    val dense = "<div>read <a href=\"/l\">this very long related article link" +
+      " text here</a> now</div>"
+    val d2 = Seq(dense).toDF("h")
+      .select(TextFunctions.htmlExtract(col("h")).as("c")).head().getString(0)
+    assert(d2 == "", s"link-dense block must drop, got: $d2")
+    // boundary: exactly minChars of text with zero links is kept
+    val edge25 = "a".repeat(25)
+    val e = Seq(s"<p>$edge25</p>").toDF("h")
+      .select(TextFunctions.htmlExtract(col("h")).as("c")).head().getString(0)
+    assert(e == edge25)
+    val e24 = Seq("<p>" + "a".repeat(24) + "</p>").toDF("h")
+      .select(TextFunctions.htmlExtract(col("h")).as("c")).head().getString(0)
+    assert(e24 == "")
+    // attribute-bearing block tags split too; <pre> is not mistaken for <p>
+    val attrs = "<div id=\"m\" data-x=\"1\">This paragraph carries enough " +
+      "characters to be retained easily.</div><pre>short pre block</pre>"
+    val a2 = Seq(attrs).toDF("h")
+      .select(TextFunctions.htmlExtract(col("h")).as("c")).head().getString(0)
+    assert(a2 == "This paragraph carries enough characters to be retained easily.")
+    // whole-stage-codegen'd column composition: no UDF in the plan
+    val plan = Seq(page).toDF("h")
+      .select(TextFunctions.htmlExtract(col("h")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"htmlExtract must stay native:\n$plan")
+  }
+
   test("repetition ratio: 0 for unique/short, 1 for fully repeated bigrams") {
     val got = Seq("a b c d e", "x", "", "a a a a a a", "a b a b a b")
       .toDF("t").select(TextFunctions.repetitionRatio(col("t")).as("r"))
