@@ -50,6 +50,7 @@ object Bench {
     "d07_contamination",     // exact decontamination (broadcast 8-gram set)
     "d09_bloom_decontaminate", // bloom-prefiltered twin (same oracle as d07)
     "d15_fuzzy_decontaminate", // MinHash-banded near-match decontamination
+    "d24_bloom_shuffle_confirm", // bloom's true regime: no-broadcast confirm
     "d17_paragraph_dedup",   // CCNet paragraph dedup + ordered reassembly
     "d18_span_removal",      // ExactSubstr cut + stitch (action form of d12)
     "p12_temperature_mix",   // n^alpha class rebalancing, broadcast rates

@@ -424,6 +424,80 @@ object Dedup {
       .select(col("cid").as(corpusId), col("bid").as(benchId), col("jaccard"))
   }
 
+  /** Exact n-gram decontamination behind a bloom pre-probe, with the
+    * confirm-join regime as an explicit, auto-dispatchable choice — the
+    * d09/d24 operator (gates share d07's zero-false-negative oracle
+    * family: bloom never false-negatives, the exact confirm join kills
+    * the false positives, so equality to the exact result is
+    * structural).
+    *
+    * Both sides project to `xxhash64(gram)` longs before anything wide
+    * (d07's hashed-gram discipline). The benchmark gram set is persisted
+    * — it feeds the bloom build, the (auto-regime) count, and the
+    * confirm join; the returned [[CacheHandle]] releases it once the
+    * caller has materialized the result.
+    *
+    * Confirm-join regimes:
+    *  - `"broadcast"` — benchmark grams broadcast; right while the set
+    *    fits executor memory (most real benchmarks). The bloom then
+    *    buys little: the probe and the broadcast-hash lookup are the
+    *    same O(1) work (BASELINE.md documents the measured parity).
+    *  - `"shuffle"` — the bloom's TRUE regime: the benchmark set is too
+    *    large to broadcast (a mega-benchmark, or decontaminating
+    *    against another corpus shard). The fixed-size bitset still
+    *    rides the task binary and prunes ~all corpus grams inside the
+    *    scan's whole-stage codegen; only might-contain survivors — a
+    *    benchmark-overlap-sized trickle, not the corpus — reach the
+    *    shuffled confirm join (shuffle_hash: both sides exchange on
+    *    h8, no sort, no broadcast of the exact set). PlanSpec asserts
+    *    the no-broadcast shape.
+    *  - `"auto"` — dispatch off the MEASURED benchmark gram count
+    *    (cheap: the set is persisted): broadcast while the hashed set's
+    *    in-memory footprint sits under the session's
+    *    autoBroadcastJoinThreshold, shuffle beyond — the engine picks
+    *    the regime, the caller doesn't (VERDICT r7 #4).
+    *
+    * @return ((corpusId, n_overlap) — docs sharing ≥1 n-gram with the
+    *         benchmark, with their distinct-gram overlap count — and the
+    *         benchmark-set cache handle)
+    */
+  def bloomDecontaminate(corpus: DataFrame, corpusId: String,
+      bench: DataFrame, textCol: String, n: Int = 8,
+      numBits: Long = 1L << 19, confirm: String = "auto")
+      : (DataFrame, CacheHandle) = {
+    require(Seq("auto", "broadcast", "shuffle").contains(confirm),
+      s"confirm must be auto|broadcast|shuffle, got '$confirm'")
+    val grams = bench
+      .select(explode(wordShingles(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("h8"))
+      .distinct()
+      .persist()
+    val nGrams = math.max(grams.count(), 1L)
+    val bloom = graft.functions.BloomFunctions.build(
+      grams, "h8", expectedItems = nGrams, numBits = numBits)
+    val pruned = corpus
+      .select(col(corpusId), explode(wordShingles(col(textCol), n)).as("g"))
+      .select(col(corpusId), xxhash64(col("g")).as("h8"))
+      .filter(graft.functions.BloomFunctions.mightContain(bloom, col("h8")))
+    val useBroadcast = confirm match {
+      case "broadcast" => true
+      case "shuffle"   => false
+      case _ =>
+        // ~32 B/entry: 8 B key + LongToUnsafeRowMap overhead. The same
+        // arithmetic Spark's own stats-based planner would apply if the
+        // persisted set had exact relation stats.
+        val thresholdBytes = org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold
+        thresholdBytes > 0 && nGrams * 32L <= thresholdBytes
+    }
+    val confirmed =
+      if (useBroadcast) pruned.join(broadcast(grams), "h8")
+      else pruned.join(grams.hint("shuffle_hash"), "h8")
+    val out = confirmed.groupBy(col(corpusId))
+      .agg(countDistinct(col("h8")).as("n_overlap"))
+    (out, new CacheHandle(Seq(grams)))
+  }
+
   // ---- exact duplicate-substring spans --------------------------------
 
   /** Exact duplicate-substring spans — the ExactSubstr dedup of Lee et

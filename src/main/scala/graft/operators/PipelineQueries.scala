@@ -1120,33 +1120,38 @@ object PipelineQueries {
     // broadcast of every benchmark n-gram with a fixed-size bitset probe
     // inside whole-stage codegen. ---------------------------------------
     "d09_bloom_decontaminate" -> ((s, d) => {
+      // Dedup.bloomDecontaminate in its AUTO regime: the measured
+      // benchmark gram count sits far under the broadcast threshold, so
+      // the dispatcher picks the broadcast confirm — exactly the plan
+      // the previous inline form built by hand (persisted hashed-gram
+      // set feeding bloom build + confirm broadcast; the r7 sweep
+      // history lives in BASELINE.md). The set stays persisted until the
+      // harness clearCache()s — the CacheHandle is for library callers.
       val docs = Tables.documents(s, d)
-      // persisted: the benchmark shingle set feeds BOTH the bloom build
-      // and the confirm-join broadcast — without it the benchmark docs
-      // were exploded + distinct'd twice, a second benchmark-sized
-      // shuffle that made d09 LOSE to its exact twin at sf10 (15.4 s vs
-      // d07's 11.7; the sweep that caught it is in BASELINE.md).
-      // Caching contract: the result frame reads from this cache, so it
-      // cannot be unpersisted here — the harness clearCache()s between
-      // queries (same discipline as perplexityBucketsScalable's note)
-      // hashed-gram projection on BOTH sides, like d07: the bloom
-      // hashes its input through XxHash64 anyway, and the confirm
-      // join's broadcast + probe move 8-byte longs instead of strings
-      val bench = docs.filter(col("doc_id") % 10 === 0)
-        .select(explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
-        .select(xxhash64(col("g8")).as("h8"))
-        .distinct()
-        .persist()
-      val bloom = graft.functions.BloomFunctions.build(
-        bench, "h8", expectedItems = 100000L, numBits = 1L << 19)
-      docs.filter(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 8)).as("g8"))
-        .select(col("doc_id"), xxhash64(col("g8")).as("h8"))
-        .filter(graft.functions.BloomFunctions.mightContain(bloom, col("h8")))
-        .join(broadcast(bench), "h8")
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("h8")).as("n_overlap"))
-        .orderBy(col("doc_id"))
+      val (out, _) = Dedup.bloomDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id",
+        docs.filter(col("doc_id") % 10 === 0), "text",
+        n = 8, numBits = 1L << 19, confirm = "auto")
+      out.orderBy(col("doc_id"))
+    }),
+
+    // -- d24: the bloom pre-probe's TRUE regime — a benchmark set too
+    // large to broadcast. HALF the corpus plays mega-benchmark and the
+    // confirm join is pinned to the shuffle regime (at sandbox scale
+    // every set fits in memory, so the regime is pinned rather than
+    // tripped; the auto dispatcher's threshold switch is PlanSpec-proven
+    // on a constructed input). The fixed-size bitset still prunes inside
+    // the corpus scan's codegen; only might-contain survivors reach the
+    // h8-keyed shuffle_hash join — no broadcast of the exact set
+    // anywhere (PlanSpec asserts the shape). Zero-false-negative law
+    // unchanged: the same exact string-gram oracle as d07, split % 2. --
+    "d24_bloom_shuffle_confirm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (out, _) = Dedup.bloomDecontaminate(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id",
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        n = 8, numBits = 1L << 21, confirm = "shuffle")
+      out.orderBy(col("doc_id"))
     }),
 
     // -- int8 scalar quantization of the embedding corpus: per-vector
@@ -2002,8 +2007,11 @@ object PipelineQueries {
 
   /** Shared by d07 (exact) and d09 (bloom-prefiltered): the two queries
     * are result-identical by construction, so one oracle gates both. */
-  private val contaminationOracle: String =
-    """WITH w AS (
+  /** exact string-gram replay of decontamination with a `doc_id % mod`
+    * benchmark/corpus split — mod=10 gates d07/d09 (small benchmark),
+    * mod=2 gates d24 (half the corpus as mega-benchmark) */
+  private def contaminationOracle(mod: Int): String =
+    s"""WITH w AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '),1) AS pos
       |  FROM documents),
@@ -2013,10 +2021,10 @@ object PipelineQueries {
       |            || ' ' || lead(tok,5) OVER win || ' ' || lead(tok,6) OVER win
       |            || ' ' || lead(tok,7) OVER win AS g8
       |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-      |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 10 = 0 AND g8 IS NOT NULL)
+      |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % $mod = 0 AND g8 IS NOT NULL)
       |SELECT g.doc_id, count(DISTINCT g.g8) AS n_overlap
       |FROM g JOIN bench USING (g8)
-      |WHERE g.doc_id % 10 != 0
+      |WHERE g.doc_id % $mod != 0
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   /** d12: same windowed 8-gram construction as the contamination oracle,
@@ -3031,10 +3039,11 @@ object PipelineQueries {
         |SELECT CAST(strt // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
         | CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM c GROUP BY bin ORDER BY bin""".stripMargin,
-    "d07_contamination" -> contaminationOracle,
+    "d07_contamination" -> contaminationOracle(10),
     // d09 is the bloom-prefiltered form of d07 — result-identical by
     // construction (no false negatives + exact confirm), same oracle
-    "d09_bloom_decontaminate" -> contaminationOracle,
+    "d09_bloom_decontaminate" -> contaminationOracle(10),
+    "d24_bloom_shuffle_confirm" -> contaminationOracle(2),
     "e01_embedding_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

@@ -556,4 +556,44 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
       s"grouping sets rescanned the table:\n$p")
   }
+
+  test("d24: shuffle-regime confirm join never broadcasts the exact set") {
+    // the bloom's true regime: the bitset prunes in the scan's codegen
+    // (BloomFilterMightContain), and the exact confirm is an h8-keyed
+    // shuffled hash join — no broadcast of the benchmark set anywhere
+    val p = plan("d24_bloom_shuffle_confirm")
+    assert(p.contains("bloom_filter_contains") || p.contains("BloomFilterMightContain")
+        || p.contains("might_contain"),
+      s"bloom pre-probe missing from the corpus scan:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"confirm join must shuffle:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"shuffle regime must not broadcast the exact set:\n$p")
+  }
+
+  test("bloomDecontaminate auto regime: dispatch flips on the broadcast threshold") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    def planOf(confirm: String): String = {
+      val (out, h) = graft.dedup.Dedup.bloomDecontaminate(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id",
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 8,
+        numBits = 1L << 19, confirm = confirm)
+      val s = out.queryExecution.executedPlan.toString
+      h.unpersist(); s
+    }
+    // default threshold (10 MB): the measured gram count is tiny -> the
+    // dispatcher must pick the broadcast confirm
+    assert(planOf("auto").contains("BroadcastHashJoin"),
+      "auto must broadcast a threshold-sized benchmark set")
+    // constructed input for the switch: drop the session threshold below
+    // the measured set footprint -> the SAME call must flip to shuffle
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1024")
+      val p = planOf("auto")
+      assert(p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
+        s"auto must shuffle once the set exceeds the threshold:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
 }
