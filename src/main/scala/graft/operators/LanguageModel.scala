@@ -356,6 +356,34 @@ object LanguageModel {
     * Verify clearCache() between queries for exactly this reason).
     * Library callers that skip this leak one cached copy of the
     * (id, class, ll) projection per invocation. */
+  /** Auto-regime CCNet bucketing (VERDICT r7 #4): the engine picks the
+    * t19-vs-t19b form instead of the caller. One bounded aggregate
+    * measures the LARGEST class; below `windowCeiling` rows the window
+    * form wins (no persist, no extra passes — the measured regime at
+    * every sandbox scale), above it a single class would exceed one
+    * task's sort, so the prefix-sum form takes over — per-class work
+    * then parallelizes with the cluster instead of the class count.
+    * Both forms are row-identical (t19b shares t19's oracle; the switch
+    * is PlanSpec-proven on a constructed ceiling).
+    *
+    * The default ceiling is deliberately large: ~50M (score, id) rows
+    * sort comfortably in one task's memory; the scalable form's persist
+    * + two extra narrow passes only pay for themselves past that
+    * (BASELINE.md's t19b row: 2.09 s vs 1.28 s at sf0.1, parity at
+    * sf10). */
+  def perplexityBucketsAuto(df: DataFrame, idCol: String, textCol: String,
+      classCol: String, nBuckets: Int = 3, hashTokens: Boolean = false,
+      windowCeiling: Long = 50000000L): DataFrame = {
+    val maxRow = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    val maxClass = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxClass <= windowCeiling)
+      perplexityBuckets(df, idCol, textCol, classCol, nBuckets, hashTokens)
+    else
+      perplexityBucketsScalable(df, idCol, textCol, classCol, nBuckets,
+        hashTokens)
+  }
+
   def perplexityBucketsScalable(df: DataFrame, idCol: String, textCol: String,
       classCol: String, nBuckets: Int = 3,
       hashTokens: Boolean = false): DataFrame = {

@@ -570,6 +570,56 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"shuffle regime must not broadcast the exact set:\n$p")
   }
 
+  test("EntityResolution.resolve: regime + salt dispatch off the block census") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.EntityResolution
+    val spark2 = spark; import spark2.implicits._
+    // 400 entities over 40 blocks, one name column — broadcast-sized
+    val even = (0 until 400).map(i => (i.toLong, s"name $i x", s"b${i % 40}"))
+      .toDF("id", "nm", "blk")
+    val (p1, d1) = EntityResolution.resolveWithDecision(even, "id", "nm", "blk", 0.9)
+    assert(!d1.useShuffleJoin && d1.saltFactor == 1 && d1.probeParallelism > 0,
+      s"broadcast-sized table must take the broadcast regime: $d1")
+    assert(p1.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // constructed switch: drop the threshold under the measured footprint
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1024")
+      val (p2, d2) = EntityResolution.resolveWithDecision(even, "id", "nm", "blk", 0.9)
+      assert(d2.useShuffleJoin && d2.saltFactor == 1,
+        s"even blocks over-threshold must take UNSALTED sort-merge: $d2")
+      val pl2 = p2.queryExecution.executedPlan.toString
+      assert(pl2.contains("SortMergeJoin") && !pl2.contains("BroadcastHashJoin"),
+        s"expected SMJ regime:\n$pl2")
+      // hot block: 300 of 400 rows in ONE block -> its n^2 dominates and
+      // the dispatcher must salt the self-join
+      val skewed = (0 until 400).map(i =>
+        (i.toLong, s"name $i x", if (i < 300) "hot" else s"b${i % 40}"))
+        .toDF("id", "nm", "blk")
+      val (p3, d3) = EntityResolution.resolveWithDecision(skewed, "id", "nm", "blk", 0.9)
+      assert(d3.useShuffleJoin && d3.saltFactor > 1,
+        s"hot block must trigger salting: $d3")
+      p3.queryExecution.executedPlan // planable
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("perplexityBucketsAuto: window below the ceiling, prefix-sum above") {
+    import graft.operators.LanguageModel
+    val docs = Tables.documents(spark, sf)
+    // default ceiling: every sandbox class is tiny -> the window form
+    val pw = LanguageModel.perplexityBucketsAuto(docs, "doc_id", "text", "lang")
+      .queryExecution.executedPlan.toString
+    assert(pw.contains("Window"), s"below-ceiling must take the window form:\n$pw")
+    // constructed ceiling of 1 row/class -> the prefix-sum form (no
+    // Window node anywhere; rank comes from the offset broadcast)
+    val ps = LanguageModel.perplexityBucketsAuto(docs, "doc_id", "text", "lang",
+        windowCeiling = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("Window"), s"above-ceiling must drop the window:\n$ps")
+    spark.catalog.clearCache() // the scalable form's range-sort persist
+  }
+
   test("bloomDecontaminate auto regime: dispatch flips on the broadcast threshold") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
