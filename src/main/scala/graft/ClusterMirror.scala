@@ -107,7 +107,22 @@ object ClusterMirror {
     //        BROADCAST into mapPartitions closures + TaskContext
     //        partition ids on remote executors (local mode never ships
     //        the broadcast or the closure state)
-    "t19b_ccnet_buckets_scalable")
+    "t19b_ccnet_buckets_scalable",
+    // round-11 risk classes — the STREAMING family on real executors
+    // (every st* gate had only ever run local[n]; the state store's
+    // delta files, Kryo sketch buffers, and session-window state now
+    // cross real JVM boundaries through the shared checkpoint location
+    // EventStreams.runStagedStream pins on the job filesystem):
+    //  st04: HLL Kryo buffers in the streaming state store, merged
+    //        across micro-batch boundaries by remote executors
+    "st04_stream_hll_contract",
+    //  st09: session-window state (merging windows) carried across
+    //        batches in executor-side state stores
+    "st09_stream_session",
+    //  st16: TopFreq (heavy-hitter) buffers in the state store + the
+    //        byte-stable shard exports leaving the streaming query as
+    //        Array[Byte] rows into the merge-bytes rollup
+    "st16_stream_topk_shards")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

@@ -73,14 +73,32 @@ object EventStreams {
       (agg: DataFrame => DataFrame): DataFrame = {
     val inDir = stageAscendingFiles(events, stageDir, nFiles)
     spark.catalog.dropTempView(sinkName)
+    // EXPLICIT checkpoint location on the job filesystem (not the
+    // driver-private /tmp default): the state store's delta/snapshot
+    // files are written by EXECUTORS and read back on later
+    // micro-batches, so the path must be shared between the driver and
+    // every executor JVM — the property the ClusterMirror streaming rows
+    // prove against a real standalone worker (separate executor
+    // processes, same store). A fresh suffix per run keeps AvailableNow
+    // from short-circuiting on a previous run's source log; the dir is
+    // deleted after termination (the memory sink already holds the
+    // materialized result, so the state is disposable).
+    val ckpt = new java.io.File(
+      s"$stageDir/ckpt/${sinkName}_${System.nanoTime()}")
     val q = agg(
         spark.readStream.schema(events.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath))
       .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(ckpt)
     spark.table(sinkName)
   }
 
