@@ -142,6 +142,34 @@ object SketchQueries {
         .select(col("t._1").as("l_orderkey"), col("t._2").as("l_linenumber"))
     }),
 
+    // -- sk05b: the reservoir made hash-verifiable (the sk25 discipline:
+    // constrain the regime until the state is order-independent — here
+    // ONE partition, one push per row, in a DEFINED total order). The
+    // Vitter eviction is then CLOSED-FORM per row: item i > k draws
+    // j = floorMod(mix64(seed ^ mix64(i-k)), i) (the draw counter is
+    // exactly i-k), so each slot's final occupant is just the max-i
+    // write — no sequential fold. The typed agg's final pass merges the
+    // one partial into the zero buffer, which deals the slots into a
+    // new order with the counter-keyed stream seeded mix64(seed^seed) =
+    // mix64(0); that too is closed-form draws + a 50-step removal.
+    // DuckDB replays both halves (UHUGEINT splitmix64 per sk25 + a
+    // recursive-CTE deal) and must reproduce every slot EXACTLY —
+    // upgrading sample_unstable from rows-only (sk05) to hash-verified.
+    "sk05b_reservoir_replay" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber")).as[(Long, Int)]
+        .repartition(1)
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      val agg = new SampleUnstable[(Long, Int)](50, 42L)
+      ds.select(agg.toColumn.name("sample")).toDF("sample")
+        .select(posexplode(col("sample")).as(Seq("slot", "t")))
+        .select(col("slot").cast("long").as("slot"),
+          col("t._1").as("l_orderkey"),
+          col("t._2").cast("long").as("l_linenumber"))
+        .orderBy(col("slot"))
+    }),
+
     // -- sort_n_by inside group_by: per-status top-3 orders by price -----
     "sk06_sort_n_by_group" -> ((s, d) => {
       import s.implicits._
@@ -710,6 +738,80 @@ object SketchQueries {
     "sk02_most_frequent_exact" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority LIMIT 10""".stripMargin,
+    // sk05b: full relational replay of the constrained-regime reservoir —
+    // Vitter pass (closed-form splitmix64 draws, max-i write wins each
+    // slot) + the final zero-merge deal (50 recursive removal steps with
+    // precomputed draw indices; 16294208416658607535 = mix64(0), the
+    // deal's seed since zero and partial share seed 42). The UHUGEINT
+    // three-stage pipelines are splitmix64's add/mul-xor-shift mod 2^64
+    // (the sk25 pattern); floorMod is the signed-reinterpret + double-mod.
+    "sk05b_reservoir_replay" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |va AS (SELECT rn, (((rn-50)::UBIGINT::UHUGEINT + 11400714819323198485::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM ordered WHERE rn > 50),
+        |vb AS (SELECT rn, ((xor(a, a>>30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM va),
+        |vc AS (SELECT rn, ((xor(a, a>>27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM vb),
+        |vd AS (SELECT rn, xor(xor(a, a>>31), 42::UBIGINT) AS a FROM vc),
+        |ve AS (SELECT rn, ((a::UHUGEINT + 11400714819323198485::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM vd),
+        |vf AS (SELECT rn, ((xor(a, a>>30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM ve),
+        |vg AS (SELECT rn, ((xor(a, a>>27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM vf),
+        |vh AS (SELECT rn, xor(a, a>>31) AS h FROM vg),
+        |vj AS (SELECT rn,
+        |   ((((CASE WHEN h >= 9223372036854775808::UBIGINT
+        |       THEN h::HUGEINT - 18446744073709551616::HUGEINT
+        |       ELSE h::HUGEINT END) % rn::HUGEINT) + rn::HUGEINT) % rn::HUGEINT)::BIGINT AS j
+        |  FROM vh),
+        |writes AS (
+        |  SELECT rn, rn - 1 AS slot FROM ordered WHERE rn <= 50
+        |  UNION ALL
+        |  SELECT rn, j AS slot FROM vj WHERE j < 50),
+        |win AS (SELECT slot, max(rn) AS rn FROM writes GROUP BY slot),
+        |partial AS (SELECT list(struct_pack(ok := o.l_orderkey, ln := o.l_linenumber)
+        |    ORDER BY w.slot) AS l
+        |  FROM win w JOIN ordered o USING (rn)),
+        |pt AS (SELECT (r.range + 1)::BIGINT AS t FROM range(50) r),
+        |pa AS (SELECT t, ((t::UBIGINT::UHUGEINT + 11400714819323198485::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM pt),
+        |pb AS (SELECT t, ((xor(a, a>>30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM pa),
+        |pc AS (SELECT t, ((xor(a, a>>27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM pb),
+        |pd AS (SELECT t, xor(xor(a, a>>31), 16294208416658607535::UBIGINT) AS a FROM pc),
+        |pe AS (SELECT t, ((a::UHUGEINT + 11400714819323198485::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM pd),
+        |pf AS (SELECT t, ((xor(a, a>>30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM pe),
+        |pg AS (SELECT t, ((xor(a, a>>27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+        |   % 18446744073709551616::UHUGEINT)::UBIGINT AS a FROM pf),
+        |ph AS (SELECT t, xor(a, a>>31) AS h FROM pg),
+        |pj AS (SELECT t,
+        |   ((((CASE WHEN h >= 9223372036854775808::UBIGINT
+        |       THEN h::HUGEINT - 18446744073709551616::HUGEINT
+        |       ELSE h::HUGEINT END) % (51-t)::HUGEINT) + (51-t)::HUGEINT)
+        |     % (51-t)::HUGEINT)::BIGINT AS idx
+        |  FROM ph),
+        |perm AS (
+        |  SELECT 0::BIGINT AS t, (SELECT l FROM partial) AS remaining,
+        |    []::STRUCT(ok BIGINT, ln INTEGER)[] AS picked
+        |  UNION ALL
+        |  SELECT s.t + 1, s.remaining[:d.idx] || s.remaining[d.idx+2:],
+        |    s.picked || [s.remaining[d.idx+1]]
+        |  FROM perm s JOIN pj d ON d.t = s.t + 1
+        |  WHERE s.t < 50),
+        |fin AS (SELECT picked FROM perm WHERE t = 50),
+        |ex AS (SELECT generate_subscripts(picked, 1) - 1 AS slot,
+        |  unnest(picked) AS e FROM fin)
+        |SELECT slot::BIGINT AS slot, e.ok AS l_orderkey,
+        |  e.ln::BIGINT AS l_linenumber
+        |FROM ex ORDER BY slot""".stripMargin,
     "sk06_sort_n_by_group" ->
       """SELECT o_orderstatus, o_orderkey, round(o_totalprice,2) AS price FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
