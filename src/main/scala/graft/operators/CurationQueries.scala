@@ -132,6 +132,55 @@ object CurationQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- u16: stats maintenance under DELETES — the direction u10/u10b
+    // never exercise. lineitem is staged as 8 EXPLICIT-width-range files
+    // (bucket i holds l_orderkey ∈ (i·w, (i+1)·w], w = ceil(max/8) —
+    // width-based so the oracle can replay the surviving row set in
+    // SQL), a stats table is built, then two files are REMOVED from
+    // disk out from under it. appendFileStats must drop the stale rows
+    // (a stats table that still claims deleted files sends the scan
+    // into FileNotFound), and the refreshed pruned read over a range
+    // spanning kept AND deleted buckets must equal the full scan of
+    // what remains. MaintenanceSpec pins the mechanics (6 stats rows,
+    // exactly 2 files opened); this gate hash-verifies the VALUES. ----
+    "u16_stats_after_delete" -> ((s, d) => {
+      val dir = tmp(d, "skip_delete")
+      val li = Tables.lineitem(s, d)
+      val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val w = (maxKey + 7) / 8
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      (0 until 8).foreach { i =>
+        val stage = tmp(d, s"skip_delete_stage_$i")
+        li.filter(col("l_orderkey") > i * w && col("l_orderkey") <= (i + 1) * w)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .filter(_.getPath.getName.endsWith(".parquet")).headOption
+          .foreach(st => fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(dir, f"bucket_$i%02d.parquet")))
+      }
+      val cols = Seq("l_orderkey", "l_extendedprice")
+      // MATERIALIZE before the delete: collectFileStats is lazy, and an
+      // unmaterialized stats frame would re-open footers of files that
+      // no longer exist when appendFileStats first evaluates it — the
+      // ingest-time model is a stats table persisted at write time
+      val stats0 = DataSkipping.collectFileStats(s, dir, cols)
+        .localCheckpoint(true)
+      // the delete: buckets 6 and 7 vanish from disk
+      Seq(6, 7).foreach(i => fs.delete(
+        new org.apache.hadoop.fs.Path(dir, f"bucket_$i%02d.parquet"), false))
+      val stats = DataSkipping.appendFileStats(s, dir, cols, stats0)
+      // query range spans kept buckets 4-5 AND the deleted 6-7
+      DataSkipping.prunedRead(s, dir, stats, "l_orderkey",
+          (4 * w + 1).toDouble, maxKey.toDouble)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // -- u14: non-aggregate FORK, single pass — the reference streams
     // each item to a write sink and an aggregation simultaneously
     // (amadeus-core par_sink/fork.rs:21-60); Spark-first form is
@@ -603,6 +652,17 @@ object CurationQueries {
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // u16: the surviving row set is SQL-derivable because the staging is
+    // width-based — buckets 6-7 (deleted) hold l_orderkey > 6·w, the
+    // query range starts at 4·w+1, so what remains in range is
+    // (4w, 6w]; w = ceil(max/8) in exact integer arithmetic
+    "u16_stats_after_delete" ->
+      """WITH par AS (SELECT (max(l_orderkey) + 7) // 8 AS w FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem, par
+        |WHERE l_orderkey > 4 * w AND l_orderkey <= 6 * w
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // u14: both forks of the single pass saw every row — the observed
     // metrics and the written files' aggregates are the same numbers

@@ -231,6 +231,45 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
       .collect().sortBy(key).toSeq == afterDelete.collect().sortBy(key).toSeq)
   }
 
+  test("data skipping: pruned scan stays correct after files are deleted (u16 mechanics)") {
+    import graft.operators.DataSkipping
+    val dir = "target/qtmp/spec/skip_u16"
+    new java.io.File(dir).mkdirs()
+    new java.io.File(dir).listFiles().foreach(_.delete())
+    def addFile(name: String, lo: Long, hi: Long): Unit = {
+      val part = s"target/qtmp/spec/skip_u16_stage/$name"
+      spark.range(lo, hi).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(src.toPath,
+        new java.io.File(dir, s"$name.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    (0 until 8).foreach(i => addFile(f"b$i%02d", i * 100L, (i + 1) * 100L))
+    val s0 = DataSkipping.collectFileStats(spark, dir, Seq("id", "v"))
+      .localCheckpoint(true)
+    // delete the top two buckets out from under the stats table
+    assert(new java.io.File(dir, "b06.parquet").delete())
+    assert(new java.io.File(dir, "b07.parquet").delete())
+    val refreshed = DataSkipping.appendFileStats(spark, dir, Seq("id", "v"), s0)
+    assert(refreshed.select("file").distinct().count() == 6,
+      "refresh must drop exactly the two deleted files' stats rows")
+    // query range [450, 800) spans kept b04-b05 AND deleted b06-b07:
+    // the pruned selection must open exactly the two surviving files
+    val (chosen, _) = DataSkipping.prunedFileSelection(spark, dir, refreshed,
+      "id", 450, 799)
+    assert(chosen.length == 2 && chosen.forall(f =>
+        f.contains("b04") || f.contains("b05")),
+      s"expected exactly b04+b05, got ${chosen.toSeq}")
+    // and the pruned read equals the full scan of what remains on disk
+    val pruned = DataSkipping.prunedRead(spark, dir, refreshed, "id", 450, 799)
+      .agg(count(lit(1)), sum(col("id"))).head()
+    val full = spark.read.parquet(dir).filter(col("id").between(450, 799))
+      .agg(count(lit(1)), sum(col("id"))).head()
+    assert(pruned == full, s"pruned $pruned != full-of-remaining $full")
+  }
+
   test("data skipping: missing stats are conservatively kept, nulls counted") {
     import graft.operators.DataSkipping
     import spark.implicits._
