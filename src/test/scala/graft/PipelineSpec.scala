@@ -1564,4 +1564,53 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     // boilerplate grams (df=30 > 10) leave the index -> no pairs at all
     assert(capped.count() == 0)
   }
+
+  test("d12 spill path: forced buffer spills leave the result byte-identical") {
+    // the gram family's second decade rides "genuinely spilled merges" —
+    // prove the spill path itself, not just infer it: run d12 with the
+    // window/SMJ buffer thresholds floored so every multi-row buffer
+    // goes through UnsafeExternalSorter spill files, assert REAL disk
+    // spill metrics, and hash-match the unconstrained result. (The
+    // measured volume is recorded in BASELINE.md; thresholds are runtime
+    // SQL confs, so this exercises production binaries, not a test jig.)
+    val q = SparkEntry.queries("d12_dup_spans")
+    val baseline = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    spark.catalog.clearCache()
+    val spilledDisk = new java.util.concurrent.atomic.AtomicLong
+    val spilledMem = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) {
+          spilledDisk.addAndGet(e.taskMetrics.diskBytesSpilled)
+          spilledMem.addAndGet(e.taskMetrics.memoryBytesSpilled)
+        }
+    }
+    val keys = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold",
+      "spark.sql.windowExec.buffer.spill.threshold",
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      keys.foreach(k => spark.conf.set(k, "16"))
+      val constrained = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      assert(constrained == baseline,
+        "spilled run must be row-identical to the in-memory run")
+      // listener events drain asynchronously after collect() returns
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (spilledDisk.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(spilledDisk.get() > 0,
+        s"constrained d12 must actually spill to disk (mem spill: ${spilledMem.get()})")
+      info(s"d12 spill volume at $sfDir: disk=${spilledDisk.get()} B, " +
+        s"mem=${spilledMem.get()} B")
+    } finally {
+      prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+    }
+  }
 }
