@@ -463,7 +463,8 @@ object Dedup {
     */
   def bloomDecontaminate(corpus: DataFrame, corpusId: String,
       bench: DataFrame, textCol: String, n: Int = 8,
-      numBits: Long = 1L << 19, confirm: String = "auto")
+      numBits: Long = 1L << 19, expectedItems: Long = 0L,
+      confirm: String = "auto")
       : (DataFrame, CacheHandle) = {
     require(Seq("auto", "broadcast", "shuffle").contains(confirm),
       s"confirm must be auto|broadcast|shuffle, got '$confirm'")
@@ -472,9 +473,18 @@ object Dedup {
       .select(xxhash64(col("g")).as("h8"))
       .distinct()
       .persist()
-    val nGrams = math.max(grams.count(), 1L)
-    val bloom = graft.functions.BloomFunctions.build(
-      grams, "h8", expectedItems = nGrams, numBits = numBits)
+    // ONE job measures the set AND builds the bloom (the count feeds the
+    // auto-regime dispatch; a separate count() pass measurably regressed
+    // the sf0.1 bench by ~50%). expectedItems only tunes the hash-probe
+    // count — correctness never depends on it — so a static hint is fine
+    // when the caller has none.
+    val itemsHint =
+      if (expectedItems > 0) expectedItems else math.max(numBits / 16L, 1L)
+    val measured = grams.agg(count(lit(1)),
+      graft.functions.BloomFunctions.bloomAgg(col("h8"), itemsHint, numBits)
+        .as("bf")).head()
+    val nGrams = math.max(measured.getLong(0), 1L)
+    val bloom = measured.getAs[Array[Byte]](1)
     val pruned = corpus
       .select(col(corpusId), explode(wordShingles(col(textCol), n)).as("g"))
       .select(col(corpusId), xxhash64(col("g")).as("h8"))

@@ -362,4 +362,17 @@ object TextFunctions {
         s.getField("lnk") * 3 <= length(s.getField("txt")))
     array_join(transform(kept, s => s.getField("txt")), "\n")
   }
+
+  /** double-quoted href attribute values of anchor tags (RE2-safe) */
+  val HtmlHrefRe = "(?i)<a\\s[^>]*href=\"([^\"]*)\""
+
+  /** All anchor href targets of an HTML page, in document order — the
+    * web-graph side of the extraction pipeline: crawl → pages →
+    * outlinks → edge list → the graph family (g01 PageRank ingests
+    * exactly this shape). Raw attribute values; compose with
+    * [[graft.functions.NetFunctions]] canonicalization when absolute
+    * URLs are present. Gate t33 replays the extraction + the link
+    * census in DuckDB. */
+  def htmlLinks(c: Column): Column =
+    regexp_extract_all(c, lit(HtmlHrefRe), lit(1))
 }

@@ -107,4 +107,59 @@ object Classifier {
       TextFunctions.punctRatio(text),
       least((length(text).cast("double") - toks + 1.0) / toks / 10.0, lit(2.0)))
   }
+
+  /** Multinomial Naive Bayes text classifier, train + apply as ONE
+    * declarative plan — the EXACT-arithmetic sibling of the logistic
+    * [[fit]]/[[score]] pair (GD's float trajectory is contract-gated,
+    * t13; NB's count tables make the whole model hash-verifiable,
+    * t32). Laplace add-one smoothing over the joint vocabulary.
+    *
+    * Per-token log-likelihood ratios are quantized to integer PICO-NATS
+    * before summation (the t21/t26 discipline: each `ln` term is
+    * floor(ln(x)·1e12 + 0.5) — bit-agreed between engines — so the
+    * per-document sum is integer arithmetic, order-independent, and any
+    * SQL engine replays it exactly).
+    *
+    * Scale shape: the (token, class) count table and the ratio table
+    * are VOCABULARY-sized (map-side combined aggregate); the class
+    * totals are three broadcast scalars; apply is one explode + a
+    * vocab-keyed join (broadcast at any corpus size) + one doc-keyed
+    * integer-sum shuffle. The corpus text never shuffles.
+    *
+    * @param posLabel boolean column: the positive class (e.g. a
+    *   wiki-vs-crawl weak label, `lang === "en"`, ...)
+    * @return (idCol, score_pn BIGINT pico-nats of
+    *   ln P(pos|doc) − ln P(neg|doc) up to the shared evidence term,
+    *   pred = score_pn > 0)
+    */
+  def naiveBayesScores(df: DataFrame, idCol: String, textCol: String,
+      posLabel: Column): DataFrame = {
+    val pico = (x: Column) => floor(log(x) * lit(1e12) + lit(0.5)).cast("long")
+    val toks = df.select(col(idCol), posLabel.as("pos"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val byClass = toks.groupBy(col("tok")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+    // three scalars: class token totals + joint vocabulary size
+    val t = byClass.agg(sum(col("cp")), sum(col("cn")), count(lit(1))).head()
+    val (tp, tn, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val ratios = byClass.select(col("tok"),
+      (pico((col("cp") + lit(1L)).cast("double") / lit((tp + v).toDouble)) -
+        pico((col("cn") + lit(1L)).cast("double") / lit((tn + v).toDouble)))
+        .as("r"))
+    // class prior from DOC counts, same pico quantization (driver-side
+    // Math.log is the identical IEEE double the in-plan log produces)
+    val nd = df.select(posLabel.cast("int").as("p"))
+      .agg(sum(col("p")), count(lit(1))).head()
+    val (np, n) = (nd.getLong(0), nd.getLong(1))
+    require(np > 0 && np < n, s"need both classes non-empty (pos=$np of $n)")
+    val prior = math.floor(math.log(np.toDouble / n) * 1e12 + 0.5).toLong -
+      math.floor(math.log((n - np).toDouble / n) * 1e12 + 0.5).toLong
+    toks.join(ratios, "tok")
+      .groupBy(col(idCol))
+      .agg((sum(col("r")) + lit(prior)).as("score_pn"))
+      .select(col(idCol), col("score_pn"),
+        (col("score_pn") > 0).as("pred"))
+  }
 }

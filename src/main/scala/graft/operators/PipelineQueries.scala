@@ -534,6 +534,41 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- t33: OUTLINK extraction — the web-graph half of the HTML
+    // pipeline: anchor hrefs from the staged pages, aggregated to a
+    // per-target reference census (the edge-list ingest shape the graph
+    // family consumes; g01's PageRank runs on exactly such edges).
+    // Narrow regex extraction at scan parallelism + one href-keyed
+    // count — hash-verified against DuckDB's independent RE2 replay. ----
+    "t33_html_links" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), stagedHtml.as("html"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.htmlLinks(col("html")))
+            .as("href"))
+        .groupBy(col("href"))
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("href"))
+    }),
+
+    // -- t32: the trained classifier the pipeline can PROVE — multinomial
+    // Naive Bayes train+apply in one declarative plan. t13's logistic
+    // twin gates the GD machinery as a contract (float trajectories
+    // aren't replayable); NB's model IS count tables, so the per-document
+    // log-odds are hash-verified against a DuckDB replay of the training
+    // AND the scoring (pico-nat quantized ln terms, integer sums). Weak
+    // label: lang='en' — the wiki-vs-crawl quality-filter shape. --------
+    "t32_nb_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Classifier.naiveBayesScores(
+          docs, "doc_id", "text", col("lang") === "en")
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- word-bigram repetition ratio (boilerplate signal) ---------------
     "t06_repetition_ratio" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1131,7 +1166,7 @@ object PipelineQueries {
       val (out, _) = Dedup.bloomDecontaminate(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id",
         docs.filter(col("doc_id") % 10 === 0), "text",
-        n = 8, numBits = 1L << 19, confirm = "auto")
+        n = 8, numBits = 1L << 19, expectedItems = 100000L, confirm = "auto")
       out.orderBy(col("doc_id"))
     }),
 
@@ -1750,6 +1785,30 @@ object PipelineQueries {
         top.zipWithIndex.map { case ((u, c), i) => (typ, (i + 1).toLong, u, c) } }
         .toDF("event_type", "rank", "user_id", "cnt")
         .orderBy(col("event_type"), col("rank"))
+    }),
+
+    // -- st17: the round's HTML curation pipeline as a REAL stream —
+    // staged raw pages flow through extract → quality filter → per-lang
+    // census inside a streaming query (narrow codegen'd transforms per
+    // micro-batch, one stateful aggregate merging across batches). The
+    // per-row work is batch-identical by construction, and the complete-
+    // mode aggregate is chop-invariant, so the DuckDB batch replay of
+    // staging + extraction + scoring gates the streamed result. ---------
+    "st17_stream_html_pipeline" -> ((s, d) => {
+      val pages = Tables.documents(s, d).select(
+        col("doc_id").cast("timestamp").as("ts"),
+        col("doc_id"), col("lang"), stagedHtml.as("html"))
+      graft.streaming.EventStreams.runStagedStream(s, pages,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st17_stage",
+          nFiles = 3, sinkName = "st17_sink") { df =>
+        df.select(col("lang"),
+            graft.functions.TextFunctions.htmlExtract(col("html")).as("content"))
+          .filter(length(col("content")) > 0)
+          .filter(graft.functions.TextFunctions.qualityScore(col("content")) >= 0.5)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("content"))).as("n_chars"))
+      }.orderBy(col("lang"))
     }),
 
     // -- weighted repeat-upsampling: materialized per-language epoch
@@ -3317,6 +3376,66 @@ object PipelineQueries {
         | len(regexp_extract_all(dec, '\p{Mn}')) AS mn_before,
         | len(regexp_extract_all(nfc_normalize(dec), '\p{Mn}')) AS mn_after
         |FROM dd ORDER BY doc_id""".stripMargin,
+    // st17: batch replay of the streamed html pipeline — staging +
+    // extraction CTEs (t31's), the p01 quality formula over the
+    // extracted content, then the per-lang census
+    "st17_stream_html_pipeline" ->
+      ("WITH " + stagedHtmlSqlCte + ",\n" + htmlExtractSqlCtes + ",\n" +
+        """extracted AS (SELECT doc_id, lang, content FROM ex
+        |  WHERE length(content) > 0),
+        |scored AS (SELECT lang, content, floor((
+        |   least(len(string_split(content,' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        |   least((len(list_filter(string_split(content,' '),
+        |     x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |                'that','for','on','with','as')))::DOUBLE
+        |     / len(string_split(content,' '))) * 5.0, 1.0) * 0.3 +
+        |   least(((length(content) - len(string_split(content,' ')) + 1)::DOUBLE
+        |     / len(string_split(content,' '))) / 8.0, 1.0) * 0.3 -
+        |   ((length(content) - length(regexp_replace(content, '[[:punct:]]', '', 'g')))::DOUBLE
+        |     / length(content)) * 0.2) * 10000 + 0.5) / 10000 AS q
+        |  FROM extracted)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(length(content)) AS BIGINT) AS n_chars
+        |FROM scored WHERE q >= 0.5
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+    // t33: same staging, same RE2 href pattern, same census
+    "t33_html_links" ->
+      ("WITH " + stagedHtmlSqlCte + ",\n" +
+        """links AS (SELECT doc_id,
+          |   unnest(regexp_extract_all(html, '(?i)<a\s[^>]*href="([^"]*)"', 1)) AS href
+          | FROM staged)
+          |SELECT href, count(*) AS n_refs,
+          | count(DISTINCT doc_id) AS n_docs,
+          | min(doc_id) AS first_doc
+          |FROM links GROUP BY href ORDER BY href""".stripMargin),
+    // t32: full relational replay of NB training (per-(token,class)
+    // counts, Laplace over the joint vocab, pico-nat quantized ln terms)
+    // and scoring (integer sum per doc + the doc-count prior)
+    "t32_nb_classifier" ->
+      """WITH lab AS (SELECT doc_id, (lang = 'en') AS pos, text FROM documents),
+        |w AS (SELECT doc_id, pos, unnest(string_split(text,' ')) AS tok FROM lab),
+        |wf AS (SELECT * FROM w WHERE tok != ''),
+        |bc AS (SELECT tok, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+        |              sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS cn
+        |       FROM wf GROUP BY tok),
+        |tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn,
+        |               count(*)::BIGINT AS v FROM bc),
+        |r AS (SELECT tok,
+        |   CAST(floor(ln((cp+1)::DOUBLE / (tp+v)) * 1e12 + 0.5) AS BIGINT)
+        | - CAST(floor(ln((cn+1)::DOUBLE / (tn+v)) * 1e12 + 0.5) AS BIGINT) AS r
+        | FROM bc, tot),
+        |pr AS (SELECT
+        |   CAST(floor(ln(sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE
+        |     / count(*)) * 1e12 + 0.5) AS BIGINT)
+        | - CAST(floor(ln(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::DOUBLE
+        |     / count(*)) * 1e12 + 0.5) AS BIGINT) AS p
+        |  FROM lab)
+        |SELECT wf.doc_id,
+        |  sum(r.r)::BIGINT + (SELECT p FROM pr) AS score_pn,
+        |  (sum(r.r)::BIGINT + (SELECT p FROM pr)) > 0 AS pred,
+        |  bool_or(wf.pos) AS is_en
+        |FROM wf JOIN r USING (tok)
+        |GROUP BY wf.doc_id ORDER BY wf.doc_id""".stripMargin,
     // t31: stage the same HTML with || concat, replay the extraction with
     // the same RE2 patterns and integer link-density rule, digest-compare
     "t31_html_extract" ->

@@ -1565,6 +1565,30 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(capped.count() == 0)
   }
 
+  test("naive bayes: planted vocab separation classifies perfectly; ratios symmetric") {
+    import graft.operators.Classifier
+    val docs = (0 until 40).map { i =>
+      val t = if (i % 2 == 0) "alpha beta gamma shared shared"
+              else "delta epsilon zeta shared shared"
+      (i.toLong, t, i % 2 == 0)
+    }.toDF("id", "text", "pos")
+    val scored = Classifier.naiveBayesScores(docs, "id", "text", col("pos"))
+    val joined = scored.join(docs.select(col("id"), col("pos")), "id")
+    assert(joined.filter(col("pred") =!= col("pos")).count() == 0,
+      "planted disjoint vocab must classify perfectly")
+    // balanced classes + mirrored vocab -> scores are symmetric around 0
+    val byClass = joined.groupBy(col("pos"))
+      .agg(sum(col("score_pn")).as("s")).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byClass(true) == -byClass(false),
+      s"mirrored corpus must score symmetrically: $byClass")
+    // degenerate single-class input fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Classifier.naiveBayesScores(
+        docs.filter(col("pos")), "id", "text", col("pos"))
+    }
+  }
+
   test("d12 spill path: forced buffer spills leave the result byte-identical") {
     // the gram family's second decade rides "genuinely spilled merges" —
     // prove the spill path itself, not just infer it: run d12 with the
