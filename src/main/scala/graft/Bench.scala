@@ -97,7 +97,8 @@ object Bench {
     "t31_html_extract",      // HTML main-content extraction (jusText core)
     "t32_nb_classifier",     // trained NB quality classifier, train+apply
     "t33_html_links",        // outlink extraction -> edge-list census
-    "st17_stream_html_pipeline", // extract->quality->census as a stream
+    // st17 (streamed html pipeline) is gate-only like every st* row:
+    // the staged-stream harness's ingest staging dominates its clock
     "sk21_hll_sketch_table", // sketch-table shard -> merge-bytes rollup
     "sk22_theta_export",     // theta build + canonical byte export
     "sk23_grid_export",      // grid-histogram build + byte export

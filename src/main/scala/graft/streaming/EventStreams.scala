@@ -143,15 +143,18 @@ object EventStreams {
     * (modTime, path)); returns the staging directory. */
   def stageAscendingFiles(events: DataFrame, stageDir: String,
       nFiles: Int): java.io.File = {
-    import org.apache.spark.sql.expressions.Window
     val inDir = new java.io.File(s"$stageDir/in")
     if (inDir.exists()) inDir.listFiles().foreach(_.delete())
     inDir.mkdirs()
-    // persist: the loop below filters `ranked` once per file — without
-    // the persist each write re-runs the full scan + the single-partition
-    // ntile sort nFiles times
-    val ranked = events.withColumn("fidx",
-      ntile(nFiles).over(Window.orderBy(col("ts")))).persist()
+    // persist: the loop below filters `ranked` once per file. File
+    // assignment is a RANGE partitioning on ts (parallel exchange),
+    // not a global ntile window — the ntile form sorted the whole
+    // corpus in ONE task and dominated st17's staged-pages cost a
+    // decade up (range boundaries differ from ntile's equal counts,
+    // but every st* pipeline is chop-invariant by design, so WHERE the
+    // ascending stream is cut cannot change any gate's result).
+    val ranked = events.repartitionByRange(nFiles, col("ts"))
+      .withColumn("fidx", spark_partition_id() + 1).persist()
     try {
       (1 to nFiles).foreach { i =>
         val part = s"$stageDir/stage_$i"
