@@ -301,6 +301,13 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       .select(TextFunctions.htmlExtract(col("h")))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), s"htmlExtract must stay native:\n$plan")
+    // outlinks: hrefs in document order; <article> is not an anchor and
+    // href-less anchors contribute nothing
+    val links = Seq("<article><a href=\"/a\">x</a><a>no href</a>" +
+        "<A HREF=\"/B\">caps</A><a rel=\"x\" href=\"/c\">y</a></article>")
+      .toDF("h").select(TextFunctions.htmlLinks(col("h")).as("l"))
+      .head().getSeq[String](0)
+    assert(links == Seq("/a", "/B", "/c"), s"got: $links")
   }
 
   test("repetition ratio: 0 for unique/short, 1 for fully repeated bigrams") {
