@@ -142,23 +142,32 @@ object EventStreams {
     * increasing modification times (FileStreamSource orders by
     * (modTime, path)); returns the staging directory. */
   def stageAscendingFiles(events: DataFrame, stageDir: String,
-      nFiles: Int): java.io.File = {
+      nFiles: Int, exactChop: Boolean = false): java.io.File = {
     val inDir = new java.io.File(s"$stageDir/in")
     if (inDir.exists()) inDir.listFiles().foreach(_.delete())
     inDir.mkdirs()
-    // persist: the loop below filters `ranked` once per file. File
-    // assignment is a RANGE partitioning on ts (parallel exchange),
-    // not a global ntile window — the ntile form sorted the whole
-    // corpus in ONE task and dominated st17's staged-pages cost a
-    // decade up (range boundaries differ from ntile's equal counts,
-    // but every st* pipeline is chop-invariant by design, so WHERE the
-    // ascending stream is cut cannot change any gate's result).
-    val ranked = events.repartitionByRange(nFiles, col("ts"))
-      .withColumn("fidx", spark_partition_id() + 1).persist()
+    // persist: the loop below filters `ranked` once per file. Default
+    // file assignment is a RANGE partitioning on ts (parallel exchange):
+    // the ntile form sorted the whole corpus in ONE task and dominated
+    // st17's staged-pages cost a decade up. Range boundaries come from
+    // the partitioner's SAMPLING (equal ranges, not equal counts) —
+    // fine for every chop-INVARIANT stream pipeline (all st* gates by
+    // design), but callers whose chop IS semantics (cdcApplyVersioned:
+    // a version snapshot per file, replayed by u07's ntile oracle) pass
+    // `exactChop = true` for the deterministic equal-count split.
+    val ranked =
+      if (exactChop) {
+        import org.apache.spark.sql.expressions.Window
+        events.withColumn("fidx",
+          ntile(nFiles).over(Window.orderBy(col("ts"))))
+      } else
+        events.repartitionByRange(nFiles, col("ts"))
+          .withColumn("fidx", spark_partition_id() + 1)
+    val persisted = ranked.persist()
     try {
       (1 to nFiles).foreach { i =>
         val part = s"$stageDir/stage_$i"
-        ranked.filter(col("fidx") === i).drop("fidx").coalesce(1)
+        persisted.filter(col("fidx") === i).drop("fidx").coalesce(1)
           .write.mode("overwrite").parquet(part)
         // rows < nFiles leaves trailing ntile buckets empty, and an empty
         // single-partition write may emit no part file — tolerate the
@@ -171,7 +180,7 @@ object EventStreams {
             dst.setLastModified(1700000000000L + i * 60000L)
           }
       }
-    } finally ranked.unpersist()
+    } finally persisted.unpersist()
     inDir
   }
 
@@ -726,8 +735,8 @@ object EventStreams {
       keyCols: Seq[String], seqCols: Seq[String], opCol: String,
       nFiles: Int = 3): DataFrame = {
     import graft.operators.Maintenance
-    foldIntoStore(spark, log, stageDir, nFiles, archiveVersions = true) {
-      (prior, batch) =>
+    foldIntoStore(spark, log, stageDir, nFiles, archiveVersions = true,
+      exactChop = true) { (prior, batch) =>
         Maintenance.latestPerKey(prior.fold(batch)(_ unionByName batch),
           keyCols, seqCols, opCol)
     }
@@ -746,9 +755,10 @@ object EventStreams {
     * `archiveVersions` additionally snapshots each epoch's store as
     * `store_v<epoch>` for time travel. */
   private def foldIntoStore(spark: SparkSession, input: DataFrame,
-      stageDir: String, nFiles: Int, archiveVersions: Boolean = false)
+      stageDir: String, nFiles: Int, archiveVersions: Boolean = false,
+      exactChop: Boolean = false)
       (merge: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
-    val inDir = stageAscendingFiles(input, stageDir, nFiles)
+    val inDir = stageAscendingFiles(input, stageDir, nFiles, exactChop)
     val storeDir = new java.io.File(s"$stageDir/store")
     def rmTree(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmTree)
