@@ -1985,7 +1985,7 @@ object PipelineQueries {
     * paragraphs sliced from the document text, the third with one inline
     * anchor. The DuckDB oracles rebuild the identical string with `||`
     * concatenation, so extraction digests compare char-for-char. */
-  private def stagedHtml: org.apache.spark.sql.Column = concat(
+  private[operators] def stagedHtml: org.apache.spark.sql.Column = concat(
     lit("<html><head><title>Doc "), col("doc_id").cast("string"),
     lit("</title><style type=\"text/css\">body { margin: 0; } a { color: #04f; }</style>" +
       "<script type=\"text/javascript\">var page = "), col("doc_id").cast("string"),
@@ -2006,8 +2006,8 @@ object PipelineQueries {
 
   /** the staging half of the t31/p01 oracles — identical string concat
     * in DuckDB `||` form, producing (doc_id, lang, html) */
-  private val stagedHtmlSqlCte: String =
-    """staged AS (SELECT doc_id, lang,
+  private[operators] def stagedHtmlSqlCte(from: String = "documents"): String =
+    s"""staged AS (SELECT doc_id, lang,
       |   '<html><head><title>Doc ' || doc_id ||
       |   '</title><style type="text/css">body { margin: 0; } a { color: #04f; }</style><script type="text/javascript">var page = '
       |   || doc_id ||
@@ -2019,13 +2019,13 @@ object PipelineQueries {
       |   doc_id || '">related article ' || doc_id ||
       |   '</a> for details.</p></div><div class="share"><a href="#t">Tweet</a> <a href="#s">Share</a> <a href="#p">Pin</a></div><footer>Copyright 2026 <a href="/p">Privacy</a> <a href="/t">Terms</a></footer><!-- rendered '
       |   || doc_id || ' --></body></html>' AS html
-      | FROM documents)""".stripMargin
+      | FROM $from)""".stripMargin
 
   /** the extraction half: cleaned/blocks/ex CTEs replaying
     * TextFunctions.htmlExtract verbatim (same regexes, same integer
     * link-density rule, same entity-decode order), producing
     * (doc_id, lang, content). Expects `staged` in scope. */
-  private val htmlExtractSqlCtes: String =
+  private[operators] val htmlExtractSqlCtes: String =
     """cleaned AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(html,
       |   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
       |   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
@@ -2584,7 +2584,7 @@ object PipelineQueries {
     // p01: the staging + extraction CTEs are t31's, then the original
     // quality -> dedup -> stats body runs over the EXTRACTED content
     "p01_curation_pipeline" ->
-      ("WITH " + stagedHtmlSqlCte + ",\n" + htmlExtractSqlCtes + ",\n" +
+      ("WITH " + stagedHtmlSqlCte() + ",\n" + htmlExtractSqlCtes + ",\n" +
         """extracted AS (SELECT doc_id, lang, content FROM ex
         |  WHERE length(content) > 0),
         |scored AS (
@@ -3380,7 +3380,7 @@ object PipelineQueries {
     // extraction CTEs (t31's), the p01 quality formula over the
     // extracted content, then the per-lang census
     "st17_stream_html_pipeline" ->
-      ("WITH " + stagedHtmlSqlCte + ",\n" + htmlExtractSqlCtes + ",\n" +
+      ("WITH " + stagedHtmlSqlCte() + ",\n" + htmlExtractSqlCtes + ",\n" +
         """extracted AS (SELECT doc_id, lang, content FROM ex
         |  WHERE length(content) > 0),
         |scored AS (SELECT lang, content, floor((
@@ -3400,7 +3400,7 @@ object PipelineQueries {
         |GROUP BY lang ORDER BY lang""".stripMargin),
     // t33: same staging, same RE2 href pattern, same census
     "t33_html_links" ->
-      ("WITH " + stagedHtmlSqlCte + ",\n" +
+      ("WITH " + stagedHtmlSqlCte() + ",\n" +
         """links AS (SELECT doc_id,
           |   unnest(regexp_extract_all(html, '(?i)<a\s[^>]*href="([^"]*)"', 1)) AS href
           | FROM staged)
@@ -3439,7 +3439,7 @@ object PipelineQueries {
     // t31: stage the same HTML with || concat, replay the extraction with
     // the same RE2 patterns and integer link-density rule, digest-compare
     "t31_html_extract" ->
-      ("WITH " + stagedHtmlSqlCte + ",\n" + htmlExtractSqlCtes + "\n" +
+      ("WITH " + stagedHtmlSqlCte() + ",\n" + htmlExtractSqlCtes + "\n" +
         """SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
           | CAST(length(content) AS BIGINT) AS content_len,
           | md5(content) AS content_digest

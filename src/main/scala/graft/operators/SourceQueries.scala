@@ -104,6 +104,32 @@ object SourceQueries {
         .orderBy(col("host"))
     }),
 
+    // -- s15: the reference user's END-TO-END crawl pipeline — WARC bytes
+    // → Warc.webpages (the reference's CommonCrawl → Webpage records) →
+    // htmlExtract main content. s05 proves the WARC parse round-trips;
+    // this gate proves the EXTRACTION composes on top of it: the staged
+    // pages carry t31's full HTML (nav/script/footer boilerplate), the
+    // content must survive the WARC record framing byte-for-byte, and
+    // the extracted text digests must match DuckDB replaying staging +
+    // extraction straight from the documents table. ---------------------
+    "s15_warc_html_pipeline" -> ((s, d) => {
+      val dir = tmp(d, "warc_html")
+      val docs = Tables.documents(s, d).orderBy("doc_id").limit(200)
+        .select(col("doc_id"), PipelineQueries.stagedHtml.as("html")).collect()
+      val warc = Warc.toWarcString(docs.map(r =>
+        (s"https://example.com/doc/${r.getLong(0)}", r.getString(1))).toSeq)
+      import s.implicits._
+      s.createDataset(Seq(warc)).coalesce(1).write.mode("overwrite").text(dir)
+      Warc.webpages(s, dir)
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          graft.functions.TextFunctions.htmlExtract(col("content")).as("content"))
+        .select(col("doc_id"),
+          length(col("content")).cast("long").as("content_len"),
+          md5(col("content")).as("content_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- LIVE JDBC round-trip (Postgres-connector parity, exercised
     //    against a real database): Derby embedded ships in
     //    /opt/spark/jars, so this runs Jdbc.write -> CREATE TABLE +
@@ -545,6 +571,15 @@ object SourceQueries {
         |SELECT 'example.com' AS host, count(*) AS n_pages,
         | CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s15: t31's staging + extraction replay over the ordered 200-doc
+    // subset the WARC was rendered from
+    "s15_warc_html_pipeline" ->
+      ("WITH base AS (SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200),\n" +
+        PipelineQueries.stagedHtmlSqlCte("base") + ",\n" +
+        PipelineQueries.htmlExtractSqlCtes + "\n" +
+        """SELECT doc_id, CAST(length(content) AS BIGINT) AS content_len,
+          | md5(content) AS content_digest
+          |FROM ex ORDER BY doc_id""".stripMargin),
     // re-derives the log fixture's field formulas straight from orders —
     // verifying the whole parse path (fixture render -> TSV split ->
     // sentinel/cast -> aggregate) against an independent computation
