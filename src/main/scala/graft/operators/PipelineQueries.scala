@@ -206,6 +206,19 @@ object PipelineQueries {
           round(col("sim"), 4).as("sim"))
         .orderBy(col("sim").desc, col("a"), col("b"))),
 
+    // -- d25: the AUTO-dispatched regime (VERDICT r7 #4, oracle-gated):
+    // EntityResolution.resolve measures the block census and picks the
+    // join regime itself — at gate scale that is the broadcast plan, the
+    // flip is PlanSpec-proven on constructed inputs — and must produce
+    // the EXACT pair set d22/d23 gate (same oracle, third regime path).
+    "d25_entity_resolution_auto" -> ((s, d) =>
+      EntityResolution.resolve(Tables.part(s, d), "p_partkey",
+          "p_name", "p_brand", threshold = 0.9)
+        .filter(col("sim") < 1.0)
+        .select(col("a"), col("b"), col("a_name"), col("b_name"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("a"), col("b"))),
+
     // -- duplicate clusters: connected components over LSH pairs ---------
     "d06_dup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
@@ -2066,6 +2079,20 @@ object PipelineQueries {
 
   /** Shared by d07 (exact) and d09 (bloom-prefiltered): the two queries
     * are result-identical by construction, so one oracle gates both. */
+  /** DuckDB's jaro_winkler_similarity replays the blocked pair set —
+    * ONE oracle gating all three join regimes (d22 broadcast, d23
+    * forced-SMJ+salt, d25 auto-dispatched): the regime must change the
+    * plan, never a pair. */
+  private val entityPairsOracle: String =
+    """SELECT a.p_partkey AS a, b.p_partkey AS b,
+      | a.p_name AS a_name, b.p_name AS b_name,
+      | round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+      |  AND jaro_winkler_similarity(a.p_name, b.p_name) < 1.0
+      |ORDER BY sim DESC, a, b""".stripMargin
+
   /** exact string-gram replay of decontamination with a `doc_id % mod`
     * benchmark/corpus split — mod=10 gates d07/d09 (small benchmark),
     * mod=2 gates d24 (half the corpus as mega-benchmark) */
@@ -2856,25 +2883,10 @@ object PipelineQueries {
     // the native expression (same greedy matching, integer-floor
     // transpositions, 0.7 boost threshold — verified to 1e-12 on random
     // pairs in PlanExprSpec)
-    "d22_entity_resolution" ->
-      """SELECT a.p_partkey AS a, b.p_partkey AS b,
-        | a.p_name AS a_name, b.p_name AS b_name,
-        | round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim
-        |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
-        |  AND jaro_winkler_similarity(a.p_name, b.p_name) < 1.0
-        |ORDER BY sim DESC, a, b""".stripMargin,
+    "d25_entity_resolution_auto" -> entityPairsOracle,
+    "d22_entity_resolution" -> entityPairsOracle,
     // d23: regime change must not change results — same replay as d22
-    "d23_entity_resolution_smj" ->
-      """SELECT a.p_partkey AS a, b.p_partkey AS b,
-        | a.p_name AS a_name, b.p_name AS b_name,
-        | round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim
-        |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
-        |  AND jaro_winkler_similarity(a.p_name, b.p_name) < 1.0
-        |ORDER BY sim DESC, a, b""".stripMargin,
+    "d23_entity_resolution_smj" -> entityPairsOracle,
     // exhaustive exact-jaccard replay of the banded+verified production
     // path: complete at these thresholds (see Dedup.fuzzyDecontaminate)
     "d15_fuzzy_decontaminate" ->
