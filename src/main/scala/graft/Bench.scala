@@ -194,8 +194,14 @@ object Bench {
     // launched from another directory would otherwise silently strand
     // the artifact, defeating the safeguard.
     if (only.isEmpty) {
+      // anchor: env override, else the repo root when the cwd IS one
+      // (build.sbt present — keeps the artifact with the checkout being
+      // benched), else this repo's canonical path as a last resort
       val outPath = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
+            "BENCH_LOCAL.json"
+          else "/root/repo/BENCH_LOCAL.json"))
         .toAbsolutePath
       try {
         java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))

@@ -203,7 +203,9 @@ object SketchAggregators {
       extends Aggregator[IN, TopFreq[K], Array[Byte]] {
     def zero: TopFreq[K] = new TopFreq[K](n, depth, width)
     def reduce(buf: TopFreq[K], in: IN): TopFreq[K] = buf.push(key(in), cnt(in))
-    def merge(a: TopFreq[K], b: TopFreq[K]): TopFreq[K] = a.merge(b)
+    // canonical-ranking merge: a byte-exporting agg must evict tied keys
+    // in toBytes order or the SQL rebuild diverges at the cap boundary
+    def merge(a: TopFreq[K], b: TopFreq[K]): TopFreq[K] = a.mergeCanonical(b)
     def finish(r: TopFreq[K]): Array[Byte] = r.toBytes
     def bufferEncoder: Encoder[TopFreq[K]] = Encoders.kryo[TopFreq[K]]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
@@ -217,9 +219,9 @@ object SketchAggregators {
     def zero: TopFreq[K] = new TopFreq[K](n, depth, width)
     def reduce(buf: TopFreq[K], in: Array[Byte]): TopFreq[K] = {
       require(in != null, "null sketch bytes (outer-join-produced shard?)")
-      buf.merge(TopFreq.fromBytes[K](in))
+      buf.mergeCanonical(TopFreq.fromBytes[K](in))
     }
-    def merge(a: TopFreq[K], b: TopFreq[K]): TopFreq[K] = a.merge(b)
+    def merge(a: TopFreq[K], b: TopFreq[K]): TopFreq[K] = a.mergeCanonical(b)
     def finish(r: TopFreq[K]): Array[Byte] = r.toBytes
     def bufferEncoder: Encoder[TopFreq[K]] = Encoders.kryo[TopFreq[K]]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
@@ -234,9 +236,9 @@ object SketchAggregators {
     def zero: TopFreq[K] = new TopFreq[K](n, depth, width)
     def reduce(buf: TopFreq[K], in: Array[Byte]): TopFreq[K] = {
       require(in != null, "null sketch bytes (outer-join-produced shard?)")
-      buf.merge(TopFreq.fromBytes[K](in))
+      buf.mergeCanonical(TopFreq.fromBytes[K](in))
     }
-    def merge(a: TopFreq[K], b: TopFreq[K]): TopFreq[K] = a.merge(b)
+    def merge(a: TopFreq[K], b: TopFreq[K]): TopFreq[K] = a.mergeCanonical(b)
     def finish(r: TopFreq[K]): Seq[(K, Long)] = r.topN
     def bufferEncoder: Encoder[TopFreq[K]] = Encoders.kryo[TopFreq[K]]
     def outputEncoder: Encoder[Seq[(K, Long)]] = outEnc

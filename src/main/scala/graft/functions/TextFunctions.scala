@@ -351,8 +351,11 @@ object TextFunctions {
     val cleaned = regexp_replace(regexp_replace(regexp_replace(c,
       HtmlScriptRe, " "), HtmlStyleRe, " "), HtmlCommentRe, " ")
     val scored = transform(split(cleaned, HtmlBlockRe), b => {
-      val txt = htmlEntityDecode(trim(regexp_replace(
-        regexp_replace(b, HtmlTagRe, " "), "\\s+", " ")))
+      // decode BEFORE the whitespace collapse: an `&nbsp;` decodes to a
+      // space that must collapse/trim like any other, not survive as
+      // padding that inflates the minChars/link-density lengths
+      val txt = trim(regexp_replace(htmlEntityDecode(
+        regexp_replace(b, HtmlTagRe, " ")), "\\s+", " "))
       val lnk = length(array_join(
         regexp_extract_all(b, lit(HtmlAnchorRe), lit(1)), ""))
       struct(txt.as("txt"), lnk.as("lnk"))

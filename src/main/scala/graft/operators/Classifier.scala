@@ -138,12 +138,20 @@ object Classifier {
     val toks = df.select(col(idCol), posLabel.as("pos"),
         explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
+    // persisted: the vocabulary table feeds the scalar rollup AND the
+    // ratio projection — without it the corpus is exploded twice more.
+    // Vocabulary-sized; the harness clearCache()s between queries
+    // (same caller-unpersist contract as d09's benchmark set).
     val byClass = toks.groupBy(col("tok")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
       sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+      .persist()
     // three scalars: class token totals + joint vocabulary size
+    // (null-safe: an all-empty corpus sums to NULL, not 0)
     val t = byClass.agg(sum(col("cp")), sum(col("cn")), count(lit(1))).head()
-    val (tp, tn, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val (tp, tn, v) =
+      (if (t.isNullAt(0)) 0L else t.getLong(0),
+        if (t.isNullAt(1)) 0L else t.getLong(1), t.getLong(2))
     val ratios = byClass.select(col("tok"),
       (pico((col("cp") + lit(1L)).cast("double") / lit((tp + v).toDouble)) -
         pico((col("cn") + lit(1L)).cast("double") / lit((tn + v).toDouble)))
@@ -152,14 +160,21 @@ object Classifier {
     // Math.log is the identical IEEE double the in-plan log produces)
     val nd = df.select(posLabel.cast("int").as("p"))
       .agg(sum(col("p")), count(lit(1))).head()
-    val (np, n) = (nd.getLong(0), nd.getLong(1))
+    val (np, n) = (if (nd.isNullAt(0)) 0L else nd.getLong(0), nd.getLong(1))
     require(np > 0 && np < n, s"need both classes non-empty (pos=$np of $n)")
     val prior = math.floor(math.log(np.toDouble / n) * 1e12 + 0.5).toLong -
       math.floor(math.log((n - np).toDouble / n) * 1e12 + 0.5).toLong
-    toks.join(ratios, "tok")
-      .groupBy(col(idCol))
-      .agg((sum(col("r")) + lit(prior)).as("score_pn"))
-      .select(col(idCol), col("score_pn"),
-        (col("score_pn") > 0).as("pred"))
+    // vocabulary-sized ratio table rides a broadcast (without the hint,
+    // Catalyst's estimate for an aggregate over the corpus can exceed
+    // the threshold and shuffle the ENTIRE token stream on tok); the
+    // per-doc rollup LEFT-joins back to the doc list so a zero-token
+    // document still scores — the class prior — instead of silently
+    // vanishing from the output
+    val sums = toks.join(broadcast(ratios), "tok")
+      .groupBy(col(idCol)).agg(sum(col("r")).as("rsum"))
+    df.select(col(idCol)).join(sums, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        (coalesce(col("rsum"), lit(0L)) + lit(prior)).as("score_pn"))
+      .select(col(idCol), col("score_pn"), (col("score_pn") > 0).as("pred"))
   }
 }

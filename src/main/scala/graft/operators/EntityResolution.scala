@@ -112,6 +112,13 @@ object EntityResolution {
       .agg(sum(col("n")).as("rows"), max(col("n")).as("maxn"),
         sum(col("n") * col("n")).as("sumn2"), sum(col("bytes")).as("bytes"))
       .head()
+    if (s.isNullAt(0)) {
+      // empty entity table: the global rollup of zero blocks is a single
+      // all-NULL row — no pairs by definition, keep the (vacuous)
+      // broadcast plan instead of NPEing on the null census
+      val pairs = fuzzyPairs(df, idCol, nameCol, blockCol, threshold, maxBlock)
+      return (pairs, ResolveDecision(useShuffleJoin = false, 1, 0, 0L, 0L, 0L))
+    }
     val (rows, maxn, sumn2, bytes) =
       (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
     val threshBytes = conf.autoBroadcastJoinThreshold

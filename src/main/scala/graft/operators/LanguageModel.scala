@@ -92,24 +92,6 @@ object LanguageModel {
       .agg(countDistinct(key(col("tok0"))).as("v"))
   }
 
-  /** Moore–Lewis cross-entropy data selection (Moore & Lewis 2010,
-    * "Intelligent Selection of Language Model Training Data"): score
-    * every document by
-    *
-    *   avg over bigrams of [ ln P_target(w2|w1) − ln P_general(w2|w1) ]
-    *
-    * where the TARGET model trains on the in-domain subset
-    * (`targetCond`) and the GENERAL model on the whole corpus, both
-    * add-one smoothed. Positive scores mean "looks like the target
-    * domain"; pipelines keep the top slice — THE classic method for
-    * selecting in-domain training data from a large crawl.
-    *
-    * Scale shape: identical to [[bigramLogLikelihood]] ×2 — both count
-    * tables collapse to vocabulary size under map-side combine before
-    * their exchanges; target-side counts join LEFT (unseen bigrams get
-    * count 0, smoothing keeps the log finite); the two one-row vocab
-    * frames broadcast. `hashTokens` as elsewhere.
-    */
   /** Per-document average log-likelihood under an INTERPOLATED trigram
     * model (Jelinek–Mercer mixing, the KenLM-adjacent shape one order up
     * from [[bigramLogLikelihood]]):
@@ -176,6 +158,24 @@ object LanguageModel {
       .select(col("id").as(idCol), col("n_trigrams"), col("ll"))
   }
 
+  /** Moore–Lewis cross-entropy data selection (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data"): score
+    * every document by
+    *
+    *   avg over bigrams of [ ln P_target(w2|w1) − ln P_general(w2|w1) ]
+    *
+    * where the TARGET model trains on the in-domain subset
+    * (`targetCond`) and the GENERAL model on the whole corpus, both
+    * add-one smoothed. Positive scores mean "looks like the target
+    * domain"; pipelines keep the top slice — THE classic method for
+    * selecting in-domain training data from a large crawl.
+    *
+    * Scale shape: identical to [[bigramLogLikelihood]] ×2 — both count
+    * tables collapse to vocabulary size under map-side combine before
+    * their exchanges; target-side counts join LEFT (unseen bigrams get
+    * count 0, smoothing keeps the log finite); the two one-row vocab
+    * frames broadcast. `hashTokens` as elsewhere.
+    */
   def mooreLewisScore(df: DataFrame, idCol: String, textCol: String,
       targetCond: Column, hashTokens: Boolean = false): DataFrame = {
     val bg = docBigrams(df, idCol, textCol, hashTokens)
@@ -326,6 +326,34 @@ object LanguageModel {
     else rem + (rank - 1 - thr) / q + 1
   }
 
+  /** Auto-regime CCNet bucketing (VERDICT r7 #4): the engine picks the
+    * t19-vs-t19b form instead of the caller. One bounded aggregate
+    * measures the LARGEST class; below `windowCeiling` rows the window
+    * form wins (no persist, no extra passes — the measured regime at
+    * every sandbox scale), above it a single class would exceed one
+    * task's sort, so the prefix-sum form takes over — per-class work
+    * then parallelizes with the cluster instead of the class count.
+    * Both forms are row-identical (t19b shares t19's oracle; the switch
+    * is PlanSpec-proven on a constructed ceiling).
+    *
+    * The default ceiling is deliberately large: ~50M (score, id) rows
+    * sort comfortably in one task's memory; the scalable form's persist
+    * + two extra narrow passes only pay for themselves past that
+    * (BASELINE.md's t19b row: 2.09 s vs 1.28 s at sf0.1, parity at
+    * sf10). */
+  def perplexityBucketsAuto(df: DataFrame, idCol: String, textCol: String,
+      classCol: String, nBuckets: Int = 3, hashTokens: Boolean = false,
+      windowCeiling: Long = 50000000L): DataFrame = {
+    val maxRow = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    val maxClass = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxClass <= windowCeiling)
+      perplexityBuckets(df, idCol, textCol, classCol, nBuckets, hashTokens)
+    else
+      perplexityBucketsScalable(df, idCol, textCol, classCol, nBuckets,
+        hashTokens)
+  }
+
   /** [[perplexityBuckets]]'s SCALE twin — byte-identical output, no
     * window. The window form partitions by language: a 5-language
     * corpus gets 5-way parallelism FOREVER, each language's whole
@@ -356,34 +384,6 @@ object LanguageModel {
     * Verify clearCache() between queries for exactly this reason).
     * Library callers that skip this leak one cached copy of the
     * (id, class, ll) projection per invocation. */
-  /** Auto-regime CCNet bucketing (VERDICT r7 #4): the engine picks the
-    * t19-vs-t19b form instead of the caller. One bounded aggregate
-    * measures the LARGEST class; below `windowCeiling` rows the window
-    * form wins (no persist, no extra passes — the measured regime at
-    * every sandbox scale), above it a single class would exceed one
-    * task's sort, so the prefix-sum form takes over — per-class work
-    * then parallelizes with the cluster instead of the class count.
-    * Both forms are row-identical (t19b shares t19's oracle; the switch
-    * is PlanSpec-proven on a constructed ceiling).
-    *
-    * The default ceiling is deliberately large: ~50M (score, id) rows
-    * sort comfortably in one task's memory; the scalable form's persist
-    * + two extra narrow passes only pay for themselves past that
-    * (BASELINE.md's t19b row: 2.09 s vs 1.28 s at sf0.1, parity at
-    * sf10). */
-  def perplexityBucketsAuto(df: DataFrame, idCol: String, textCol: String,
-      classCol: String, nBuckets: Int = 3, hashTokens: Boolean = false,
-      windowCeiling: Long = 50000000L): DataFrame = {
-    val maxRow = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head()
-    val maxClass = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxClass <= windowCeiling)
-      perplexityBuckets(df, idCol, textCol, classCol, nBuckets, hashTokens)
-    else
-      perplexityBucketsScalable(df, idCol, textCol, classCol, nBuckets,
-        hashTokens)
-  }
-
   def perplexityBucketsScalable(df: DataFrame, idCol: String, textCol: String,
       classCol: String, nBuckets: Int = 3,
       hashTokens: Boolean = false): DataFrame = {

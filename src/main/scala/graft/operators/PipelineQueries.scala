@@ -2047,10 +2047,10 @@ object PipelineQueries {
       |   regexp_split_to_array(ch,
       |     '(?i)</?(?:blockquote|section|article|header|footer|aside|table|form|nav|pre|div|ul|ol|li|tr|td|th|h[1-6]|p)(?:\s[^>]*)?>'),
       |   b -> struct_pack(
-      |     txt := replace(replace(replace(replace(replace(replace(
-      |       trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+      |     txt := trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      |       regexp_replace(b, '<[^>]*>', ' ', 'g'),
       |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-      |       '&nbsp;', ' '), '&amp;', '&'),
+      |       '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')),
       |     lnk := coalesce(length(array_to_string(regexp_extract_all(b,
       |       '(?i)<a(?:\s[^>]*)?>([^<]*)</a>', 1), '')), 0))),
       |   s2 -> length(s2.txt) >= 25 AND s2.lnk * 3 <= length(s2.txt)) AS ks
@@ -3441,13 +3441,15 @@ object PipelineQueries {
         |     / count(*)) * 1e12 + 0.5) AS BIGINT)
         | - CAST(floor(ln(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::DOUBLE
         |     / count(*)) * 1e12 + 0.5) AS BIGINT) AS p
-        |  FROM lab)
-        |SELECT wf.doc_id,
-        |  sum(r.r)::BIGINT + (SELECT p FROM pr) AS score_pn,
-        |  (sum(r.r)::BIGINT + (SELECT p FROM pr)) > 0 AS pred,
-        |  bool_or(wf.pos) AS is_en
-        |FROM wf JOIN r USING (tok)
-        |GROUP BY wf.doc_id ORDER BY wf.doc_id""".stripMargin,
+        |  FROM lab),
+        |sums AS (SELECT wf.doc_id, sum(r.r)::BIGINT AS rsum
+        |  FROM wf JOIN r USING (tok) GROUP BY wf.doc_id)
+        |SELECT lab.doc_id,
+        |  coalesce(s.rsum, 0) + (SELECT p FROM pr) AS score_pn,
+        |  (coalesce(s.rsum, 0) + (SELECT p FROM pr)) > 0 AS pred,
+        |  lab.pos AS is_en
+        |FROM lab LEFT JOIN sums s ON s.doc_id = lab.doc_id
+        |ORDER BY lab.doc_id""".stripMargin,
     // t31: stage the same HTML with || concat, replay the extraction with
     // the same RE2 patterns and integer link-density rule, digest-compare
     "t31_html_extract" ->

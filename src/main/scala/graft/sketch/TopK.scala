@@ -77,8 +77,24 @@ final class TopFreq[K](val n: Int, val depth: Int, val width: Int,
   /** Merge: union CMS, combine per-key totals (tracked count, else that
     * side's CMS estimate), keep the top `cap` tracked (slack preserved
     * through partial-agg merges so the final topN still has margin).
-    * Commutative. */
-  def merge(o: TopFreq[K]): TopFreq[K] = {
+    * Commutative. Cap-boundary count ties break on (count DESC,
+    * String.valueOf key ASC) — deterministic across HashMap iteration
+    * and operand order (the same ordering [[topN]] reports). */
+  def merge(o: TopFreq[K]): TopFreq[K] =
+    mergeWith(o, (a: K, b: K) => String.valueOf(a) < String.valueOf(b))
+
+  /** [[merge]] with the CANONICAL byte-export tie-break (count DESC,
+    * `kc.lt` key ASC — the exact order [[toBytes]] writes and the
+    * sk25/sk26 SQL rebuilds compute with `ORDER BY cnt DESC, key`).
+    * The byte-table aggregators merge with THIS form so a merged
+    * shard's tracked SET cannot differ from the relational rebuild at
+    * a tied cap boundary: String.valueOf ordering disagrees with the
+    * codec order for numeric keys ("10" < "9" lexicographically) and
+    * for supplementary-plane strings (UTF-16 vs UTF-8 byte order). */
+  def mergeCanonical(o: TopFreq[K])(implicit kc: KeyCodec[K]): TopFreq[K] =
+    mergeWith(o, (a: K, b: K) => kc.lt(a, b))
+
+  private def mergeWith(o: TopFreq[K], lt: (K, K) => Boolean): TopFreq[K] = {
     require(o.n == n && o.depth == depth && o.width == width && o.cap == cap,
       "TopFreq shape mismatch")
     val out = new TopFreq[K](n, depth, width, cap)
@@ -88,12 +104,12 @@ final class TopFreq[K](val n: Int, val depth: Int, val width: Int,
       t.heavy.getOrElse(k, if (t.cms.estimate(k) > 0) t.cms.estimate(k) else 0L)
     val keys = heavy.keySet ++ o.heavy.keySet
     val totals = keys.toSeq.map(k => k -> (side(this, k) + side(o, k)))
-    // deterministic tie-break at the cap boundary (count DESC, key ASC —
-    // the same ranking topN and toBytes use): a bare sortBy(-count) is
-    // stable over HashMap keySet iteration order, so WHICH tied keys
+    // deterministic tie-break at the cap boundary: a bare sortBy(-count)
+    // is stable over HashMap keySet iteration order, so WHICH tied keys
     // survive take(cap) would depend on partition merge order and the
     // merged shard export would not be run-to-run byte-identical
-    totals.sortBy { case (k, v) => (-v, String.valueOf(k)) }
+    totals.sortWith { case ((k1, v1), (k2, v2)) =>
+        v1 > v2 || (v1 == v2 && lt(k1, k2)) }
       .take(cap).foreach { case (k, v) => out.heavy.update(k, v) }
     out
   }

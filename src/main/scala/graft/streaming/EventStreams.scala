@@ -93,12 +93,14 @@ object EventStreams {
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    rm(ckpt)
+    // finally: a failing query must not leak its checkpoint tree — the
+    // nanoTime suffix means no later run would ever reclaim it
+    try q.awaitTermination()
+    finally rm(ckpt)
     spark.table(sinkName)
   }
 

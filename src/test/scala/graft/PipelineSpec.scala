@@ -1594,6 +1594,17 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       Classifier.naiveBayesScores(
         docs.filter(col("pos")), "id", "text", col("pos"))
     }
+    // a zero-token document still scores (the class prior) instead of
+    // silently vanishing from the output
+    val withEmpty = docs.unionByName(Seq((99L, "", true)).toDF("id", "text", "pos"))
+    val se = Classifier.naiveBayesScores(withEmpty, "id", "text", col("pos"))
+    assert(se.count() == 41, "every input doc must get a score row")
+    val balanced = se.filter(col("id") === 99L).head()
+    // 21 pos docs vs 20 neg after the append: prior = pico(ln(21/41)) - pico(ln(20/41))
+    val want = math.floor(math.log(21.0 / 41) * 1e12 + 0.5).toLong -
+      math.floor(math.log(20.0 / 41) * 1e12 + 0.5).toLong
+    assert(balanced.getLong(1) == want,
+      s"empty doc must score exactly the prior: ${balanced.getLong(1)} vs $want")
   }
 
   test("d12 spill path: forced buffer spills leave the result byte-identical") {

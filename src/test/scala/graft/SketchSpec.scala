@@ -680,6 +680,24 @@ class SketchSpec extends AnyFunSuite {
     assert(Reservoir.fromBytes[Long](full).items == r.items)
   }
 
+  test("TopFreq mergeCanonical evicts in codec order, matching the SQL rebuild") {
+    // Long keys 1..12 tied at count 1, cap 8: String.valueOf order keeps
+    // {1,10,11,12,2,3,4,5} ("10" < "9" lexicographically) while the
+    // byte-export contract (ORDER BY cnt DESC, key — what toBytes writes
+    // and the sk25/sk26 SQL replays compute) keeps {1..8}. The byte-
+    // table aggregators merge with the canonical form so a merged
+    // shard's tracked SET can never diverge from the relational rebuild.
+    import graft.sketch.KeyCodec
+    val a = new TopFreq[Long](2, 4, 64); val b = new TopFreq[Long](2, 4, 64)
+    (1L to 6L).foreach(a.push(_)); (7L to 12L).foreach(b.push(_))
+    val canon = a.mergeCanonical(b)(KeyCodec.LongKey)
+    assert(canon.heavy.keySet == (1L to 8L).toSet,
+      s"canonical merge must keep codec-order keys: ${canon.heavy.keySet}")
+    val lex = a.merge(b)
+    assert(lex.heavy.keySet == Set(1L, 10L, 11L, 12L, 2L, 3L, 4L, 5L),
+      s"String.valueOf order differs by construction: ${lex.heavy.keySet}")
+  }
+
   test("TopFreq merge breaks cap-boundary count ties deterministically") {
     // 12 tied keys, cap 8: which 8 survive must depend on the ranking
     // (count DESC, key ASC), not on HashMap iteration or operand order —
