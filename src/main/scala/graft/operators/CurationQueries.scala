@@ -181,6 +181,28 @@ object CurationQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- u18: SNAPSHOT DIFF — the regression-diff primitive: today's
+    // pipeline output vs yesterday's, classified per key as
+    // added/removed/changed. The mutation staging (deletes %13, price
+    // bumps %5, inserts %17 with offset keys) is pure arithmetic both
+    // engines replay; the oracle classifies by full-outer VALUE
+    // comparison while the operator compares 8-byte row digests — a
+    // hash match proves the digest plan classifies identically. --------
+    "u18_snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mutated = base.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val inserted = base.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+      Maintenance.diffSnapshots(base, mutated.unionByName(inserted),
+          Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // -- u14: non-aggregate FORK, single pass — the reference streams
     // each item to a write sink and an aggregation simultaneously
     // (amadeus-core par_sink/fork.rs:21-60); Spark-first form is
@@ -664,6 +686,29 @@ object CurationQueries {
         |FROM lineitem, par
         |WHERE l_orderkey > 4 * w AND l_orderkey <= 6 * w
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // u18: same mutation arithmetic, change classification by explicit
+    // full-outer value comparison (vs the operator's digest plan)
+    "u18_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders),
+        |nxt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 13 != 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        |  FROM base WHERE o_orderkey % 17 = 0),
+        |d AS (SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'A'
+        |       WHEN n.o_orderkey IS NULL THEN 'R'
+        |       WHEN b.o_custkey IS DISTINCT FROM n.o_custkey
+        |         OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |         OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |       THEN 'C' END AS change
+        | FROM base b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change FROM d WHERE change IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
     // u14: both forks of the single pass saw every row — the observed
     // metrics and the written files' aggregates are the same numbers
     "u14_fork_write" ->

@@ -111,6 +111,40 @@ object Maintenance {
       .unionByName(updates)
   }
 
+  /** Semantic diff of two table snapshots by key: one row per
+    * differing key with `change` ∈ `A` (added in `next`), `R`
+    * (removed), `C` (compared values changed) — the regression-diff
+    * primitive for pipeline outputs: run yesterday's and today's
+    * curation, diff, review the DELTA instead of re-eyeballing the
+    * table (gate u18 hash-verifies the change classification against a
+    * full-outer value replay).
+    *
+    * 100 TB shape: both sides project to (key, xxhash64 of the
+    * compared columns) BEFORE the full-outer join, so the exchange
+    * moves 8-byte digests instead of rows, and unchanged keys drop
+    * right after the join. The digest hashes `to_json(struct(...))`,
+    * not the bare columns — `xxhash64(a, b)` SKIPS nulls, so
+    * (null, "x") and ("x", null) would collide as "same"; the JSON
+    * form keeps the null PATTERN in the hashed bytes
+    * (MaintenanceSpec pins that trap). Requires key uniqueness per
+    * side — enforce upstream with [[latestPerKey]]. A digest collision
+    * needs a real 2⁻⁶⁴ xxhash64 collision on the same key (the d07
+    * hashed-gram argument). */
+  def diffSnapshots(base: DataFrame, next: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diffSnapshots needs at least one key column")
+    require(compareCols.nonEmpty, "diffSnapshots needs compare columns")
+    def proj(df: DataFrame, d: String) = df.select(keyCols.map(col) :+
+      xxhash64(to_json(struct(compareCols.map(col): _*))).as(d): _*)
+    proj(base, "__bd").join(proj(next, "__nd"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__bd").isNull, lit("A"))
+          .when(col("__nd").isNull, lit("R"))
+          .when(col("__bd") =!= col("__nd"), lit("C")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** Apply a CDC changelog to produce the current snapshot: for each key,
     * the row with the highest (seqCols) sequence wins; if that winner's
     * `opCol` is `deleteOp` the key is absent from the result. This is the

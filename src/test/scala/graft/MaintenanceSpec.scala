@@ -270,6 +270,24 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
     assert(pruned == full, s"pruned $pruned != full-of-remaining $full")
   }
 
+  test("diffSnapshots: A/R/C classification, null-pattern changes detected") {
+    import graft.operators.Maintenance
+    val base = Seq((1L, Option("x"), Option("y")), (2L, Option("a"), Option("b")),
+      (3L, Option("k"), Option("v")), (4L, None: Option[String], Option("x")))
+      .toDF("id", "c1", "c2")
+    val next = Seq((1L, Option("x"), Option("y")),        // unchanged
+      (2L, Option("a"), Option("B")),                     // changed value
+      (4L, Option("x"), None: Option[String]),            // null PATTERN swap
+      (5L, Option("new"), Option("row")))                 // added; 3 removed
+      .toDF("id", "c1", "c2")
+    val got = Maintenance.diffSnapshots(base, next, Seq("id"), Seq("c1", "c2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "C", 3L -> "R", 4L -> "C", 5L -> "A"), s"got $got")
+    // the trap the JSON digest exists for: xxhash64(c1, c2) SKIPS nulls,
+    // so (null,"x") vs ("x",null) would hash equal and key 4 would
+    // silently classify as unchanged
+  }
+
   test("data skipping: missing stats are conservatively kept, nulls counted") {
     import graft.operators.DataSkipping
     import spark.implicits._
