@@ -170,6 +170,42 @@ object SketchQueries {
         .orderBy(col("slot"))
     }),
 
+    // -- sk28: GK quantile sketch CONTRACT, gate-enforced: the
+    // deterministic Greenwald-Khanna summary (the classic mergeable
+    // quantile sketch; the reference's streaming crate has none) must
+    // answer seven quantiles of l_extendedprice within the documented
+    // rank bound under Spark's REAL partial-merge tree. The gate
+    // computes each estimate's EXACT rank interval in one aggregate
+    // pass and asserts |rank − ⌈q·N⌉| ≤ 2εN + 1 (the additive merge
+    // bound; GkSpec pins εN on single streams). Estimates themselves
+    // are arrival-order-dependent — like sk05's reservoir — so the
+    // asserted booleans are the oracle surface (t15/t16 discipline). --
+    "sk28_gk_quantiles_contract" -> ((s, d) => {
+      import s.implicits._
+      import graft.aggregators.SketchAggregators.ApproxQuantiles
+      val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val eps = 0.01
+      val ds = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+        .as[Double]
+      val agg = new ApproxQuantiles[Double](eps, qs, identity)
+      val ests = ds.select(agg.toColumn.name("qv")).head()
+      val exprs = qs.indices.flatMap { i =>
+        Seq(sum(when(col("v") < ests(i), 1L).otherwise(0L)).as(s"lt_$i"),
+          sum(when(col("v") <= ests(i), 1L).otherwise(0L)).as(s"le_$i"))
+      } :+ count(lit(1)).as("n")
+      val r = ds.toDF("v").agg(exprs.head, exprs.tail: _*).head()
+      val n = r.getLong(2 * qs.size)
+      qs.zipWithIndex.map { case (q, i) =>
+        val lt = r.getLong(2 * i); val le = r.getLong(2 * i + 1)
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val tol = (2 * eps * n).toLong + 1
+        val err =
+          if (target < lt + 1) lt + 1 - target
+          else if (target > le) target - le else 0L
+        (q, err <= tol)
+      }.toDF("q", "rank_ok").orderBy(col("q"))
+    }),
+
     // -- sort_n_by inside group_by: per-status top-3 orders by price -----
     "sk06_sort_n_by_group" -> ((s, d) => {
       import s.implicits._
@@ -812,6 +848,14 @@ object SketchQueries {
         |SELECT slot::BIGINT AS slot, e.ok AS l_orderkey,
         |  e.ln::BIGINT AS l_linenumber
         |FROM ex ORDER BY slot""".stripMargin,
+    // sk28: contract booleans (the estimates are arrival-order state,
+    // the BOUND is the verifiable claim — asserted in-gate vs exact
+    // ranks, here pinned TRUE per quantile)
+    "sk28_gk_quantiles_contract" ->
+      """SELECT CAST(q AS DOUBLE) AS q, rank_ok FROM (VALUES
+        | (0.01, TRUE), (0.1, TRUE), (0.25, TRUE), (0.5, TRUE),
+        | (0.75, TRUE), (0.9, TRUE), (0.99, TRUE)) t(q, rank_ok)
+        |ORDER BY q""".stripMargin,
     "sk06_sort_n_by_group" ->
       """SELECT o_orderstatus, o_orderkey, round(o_totalprice,2) AS price FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,

@@ -680,6 +680,50 @@ class SketchSpec extends AnyFunSuite {
     assert(Reservoir.fromBytes[Long](full).items == r.items)
   }
 
+  test("GkQuantile: rank error within eps*N on adversarial streams; merge bound; space") {
+    import graft.sketch.GkQuantile
+    def rankErr(data: Seq[Double], gk: GkQuantile, q: Double): Long = {
+      val v = gk.query(q)
+      val sorted = data.sorted
+      val target = math.max(1L, math.ceil(q * data.size).toLong)
+      val first = sorted.indexOf(v) + 1
+      assert(first > 0, s"query returned a value not in the stream: $v")
+      val last = sorted.lastIndexOf(v) + 1
+      if (target < first) first - target
+      else if (target > last) target - last else 0L
+    }
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val streams: Seq[(String, Seq[Double])] = Seq(
+      "ascending" -> (1 to 20000).map(_.toDouble),
+      "descending" -> (1 to 20000).map(i => (20001 - i).toDouble),
+      "pseudo-random" -> (1 to 20000).map(i => ((i * 2654435761L) % 100003).toDouble),
+      "heavy-ties" -> (1 to 20000).map(i => (i % 17).toDouble))
+    for ((name, s) <- streams) {
+      val gk = s.foldLeft(new GkQuantile(0.01))(_.add(_))
+      assert(gk.count == s.size)
+      assert(gk.size < 1200, s"$name: space blew up: ${gk.size} tuples")
+      for (q <- qs) {
+        val err = rankErr(s, gk, q)
+        assert(err <= math.ceil(0.01 * s.size).toLong + 1,
+          s"$name q=$q rank error $err > ${0.01 * s.size}")
+      }
+    }
+    // 8-way shard merge: additive bound 2*eps*N
+    val data = (1 to 40000).map(i => ((i * 48271L) % 65537).toDouble)
+    val merged = data.grouped(5000)
+      .map(_.foldLeft(new GkQuantile(0.01))(_.add(_))).reduce(_ merge _)
+    assert(merged.count == data.size)
+    for (q <- qs) {
+      val err = rankErr(data, merged, q)
+      assert(err <= math.ceil(2 * 0.01 * data.size).toLong + 1,
+        s"merged q=$q rank error $err")
+    }
+    // exact regime: small streams answer exactly
+    val tiny = Seq(5.0, 1.0, 3.0, 2.0, 4.0)
+    val g2 = tiny.foldLeft(new GkQuantile(0.05))(_.add(_))
+    assert(g2.query(0.5) == 3.0 && g2.query(0.0) == 1.0 && g2.query(1.0) == 5.0)
+  }
+
   test("TopFreq mergeCanonical evicts in codec order, matching the SQL rebuild") {
     // Long keys 1..12 tied at count 1, cap 8: String.valueOf order keeps
     // {1,10,11,12,2,3,4,5} ("10" < "9" lexicographically) while the
