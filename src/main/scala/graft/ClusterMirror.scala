@@ -122,7 +122,12 @@ object ClusterMirror {
     //  st16: TopFreq (heavy-hitter) buffers in the state store + the
     //        byte-stable shard exports leaving the streaming query as
     //        Array[Byte] rows into the merge-bytes rollup
-    "st16_stream_topk_shards")
+    "st16_stream_topk_shards",
+    //  sk28: Kryo GkQuantile buffers (ArrayBuffer tuple state + a
+    //        non-flushed insert buffer) partial-merged across a REAL
+    //        exchange — the quantile family's serialization round-trip
+    //        local[n] never exercises
+    "sk28_gk_quantiles_contract")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
