@@ -274,23 +274,26 @@ object SketchAggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** sample_unstable(k): exact-k mergeable uniform reservoir. */
   /** approx_quantiles(eps, qs): deterministic GK quantile summary —
     * every returned value within ±εN rank of its target at ANY
     * partition count (merge is uncertainty-additive over the combined
     * count; the sk28 gate asserts the bound under Spark's real
-    * partial-merge tree, GkSpec under adversarial orders). */
+    * partial-merge tree, SketchSpec under adversarial orders). */
   final class ApproxQuantiles[IN](eps: Double, qs: Seq[Double],
       value: IN => Double)(implicit outEnc: Encoder[Seq[Double]])
       extends Aggregator[IN, GkQuantile, Seq[Double]] {
     def zero: GkQuantile = new GkQuantile(eps)
     def reduce(b: GkQuantile, in: IN): GkQuantile = b.add(value(in))
     def merge(a: GkQuantile, b: GkQuantile): GkQuantile = a.merge(b)
-    def finish(r: GkQuantile): Seq[Double] = qs.map(r.query)
+    // empty input: an empty Seq, not a crash (approx_percentile returns
+    // null here; SampleUnstable returns Seq.empty — same discipline)
+    def finish(r: GkQuantile): Seq[Double] =
+      if (r.count == 0) Seq.empty else qs.map(r.query)
     def bufferEncoder: Encoder[GkQuantile] = Encoders.kryo[GkQuantile]
     def outputEncoder: Encoder[Seq[Double]] = outEnc
   }
 
+  /** sample_unstable(k): exact-k mergeable uniform reservoir. */
   final class SampleUnstable[T](k: Int, seed: Long)(implicit outEnc: Encoder[Seq[T]])
       extends Aggregator[T, Reservoir[T], Seq[T]] {
     def zero: Reservoir[T] = new Reservoir[T](k, seed)

@@ -184,7 +184,7 @@ object CurationQueries {
     // -- u18: SNAPSHOT DIFF — the regression-diff primitive: today's
     // pipeline output vs yesterday's, classified per key as
     // added/removed/changed. The mutation staging (deletes %13, price
-    // bumps %5, inserts %17 with offset keys) is pure arithmetic both
+    // bumps %5, inserts %17 with 1e9-offset keys (above sf10's 100-copy key space — diffSnapshots requires per-side key uniqueness)) is pure arithmetic both
     // engines replay; the oracle classifies by full-outer VALUE
     // comparison while the operator compares 8-byte row digests — a
     // hash match proves the digest plan classifies identically. --------
@@ -196,7 +196,7 @@ object CurationQueries {
           when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
             .otherwise(col("o_totalprice")))
       val inserted = base.filter(col("o_orderkey") % 17 === 0)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
           col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
       Maintenance.diffSnapshots(base, mutated.unionByName(inserted),
           Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus", "o_totalprice"))
@@ -697,7 +697,7 @@ object CurationQueries {
         |         ELSE o_totalprice END AS o_totalprice
         |  FROM base WHERE o_orderkey % 13 != 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice
         |  FROM base WHERE o_orderkey % 17 = 0),
         |d AS (SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
         |  CASE WHEN b.o_orderkey IS NULL THEN 'A'

@@ -26,7 +26,7 @@ import scala.collection.mutable.ArrayBuffer
   * ε(N₁+N₂) of rank when both sides share ε, the standard additive
   * bound; a final compress restores the space bound. Partial aggregation
   * trees therefore keep the ±εN guarantee at any partition count
-  * (GkSpec asserts the bound under random multi-way merges; the sk28
+  * (SketchSpec asserts the bound under random multi-way merges; the sk28
   * gate asserts it under Spark's real 32-partition partial-merge tree).
   *
   * NOT byte-exported: unlike HLL/theta/TopFreq registers, a GK summary
@@ -124,21 +124,43 @@ final class GkQuantile(val eps: Double) extends Serializable {
     samples.last._1
   }
 
-  /** size-summed union: value-ordered concat of both tuple lists + a
-    * compress against the combined count; uncertainty adds (±ε per
-    * side, the standard GK merge bound) */
+  /** size-summed union: value-ordered interleave of both tuple lists
+    * with per-tuple DELTA ADJUSTMENT, then a compress against the
+    * combined count.
+    *
+    * A tuple carried over unchanged would under-state its uncertainty:
+    * up to g+Δ of the OTHER side's next tuple's elements hide between
+    * it and its merged neighbor. The GK merge derivation (the
+    * SPARK-21184 fix in Spark's own QuantileSummaries exists for
+    * exactly this): a tuple from side A emitted with B's next tuple
+    * (g_b, Δ_b) still ahead takes Δ' = Δ_a + g_b + Δ_b − 1 (0 extra at
+    * the tail). The invariant is preserved — g_a + Δ' ≤ 2εN_a + 2εN_b
+    * ≤ ⌊2εN⌋ up to floor slack — so queries stay within the ±εN walk
+    * tolerance at any merge-tree shape (SketchSpec asserts the bound
+    * under multi-way merges; the sk28 gate under Spark's real one). */
   def merge(o: GkQuantile): GkQuantile = {
     require(o.eps == eps, "GkQuantile eps mismatch")
     flush(); o.flush()
+    if (o.count == 0) return this
+    if (count == 0) return o
     val out = new GkQuantile(eps)
     out.count = count + o.count
     val merged = ArrayBuffer.empty[(Double, Long, Long)]
     var i = 0; var j = 0
     while (i < samples.length || j < o.samples.length) {
-      if (j >= o.samples.length ||
-          (i < samples.length && samples(i)._1 <= o.samples(j)._1)) {
-        merged += samples(i); i += 1
-      } else { merged += o.samples(j); j += 1 }
+      val fromA = j >= o.samples.length ||
+        (i < samples.length && samples(i)._1 <= o.samples(j)._1)
+      if (fromA) {
+        val (v, g, d) = samples(i); i += 1
+        val extra =
+          if (j < o.samples.length) o.samples(j)._2 + o.samples(j)._3 - 1 else 0L
+        merged += ((v, g, d + math.max(0L, extra)))
+      } else {
+        val (v, g, d) = o.samples(j); j += 1
+        val extra =
+          if (i < samples.length) samples(i)._2 + samples(i)._3 - 1 else 0L
+        merged += ((v, g, d + math.max(0L, extra)))
+      }
     }
     out.samples = merged
     out.compress()
