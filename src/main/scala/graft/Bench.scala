@@ -196,15 +196,27 @@ object Bench {
     // launched from another directory would otherwise silently strand
     // the artifact, defeating the safeguard.
     if (only.isEmpty) {
-      // anchor: env override, else the repo root when the cwd IS one
-      // (build.sbt present — keeps the artifact with the checkout being
-      // benched), else this repo's canonical path as a last resort
+      // anchor: env override, else the nearest enclosing sbt root (walk up
+      // from cwd looking for build.sbt — keeps the artifact with the
+      // checkout being benched), else cwd with a LOUD warning rather than
+      // a baked-in absolute path that silently strands the file on any
+      // other machine
       val outPath = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
-            "BENCH_LOCAL.json"
-          else "/root/repo/BENCH_LOCAL.json"))
-        .toAbsolutePath
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+          var d = java.nio.file.Paths.get("").toAbsolutePath
+          var root: java.nio.file.Path = null
+          while (root == null && d != null) {
+            if (java.nio.file.Files.exists(d.resolve("build.sbt"))) root = d
+            else d = d.getParent
+          }
+          if (root == null) {
+            System.err.println(
+              "[bench] WARNING: no build.sbt found above cwd; writing " +
+                "BENCH_LOCAL.json into the cwd")
+            root = java.nio.file.Paths.get("").toAbsolutePath
+          }
+          root.resolve("BENCH_LOCAL.json").toString
+        })).toAbsolutePath
       try {
         java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
         System.err.println(s"[bench] wrote $outPath")
@@ -213,6 +225,15 @@ object Bench {
       }
     }
     spark.stop()
-    println(line)
+    // The driver captures only a bounded TAIL of stdout (~2 KB observed in
+    // BENCH_r08.json): the full 88-query line is ~3.4 KB, so no amount of
+    // positioning makes it parseable — three rounds of parsed:null. The
+    // VERY LAST stdout line is therefore a COMPACT (<300 byte) summary in
+    // the contract shape ({"metric","value","unit","queries",...}) whose
+    // "queries" map carries only the q01 host anchor; the full per-query
+    // breakdown lives in the committed BENCH_LOCAL.json and in the full
+    // line printed above.
+    val anchor = results.toMap.getOrElse("q01_tpch_agg", -1.0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"q01_tpch_agg":${fmt(anchor)}},"n":${results.size},"passes":$passes,"anchor_q01":${fmt(anchor)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
   }
 }

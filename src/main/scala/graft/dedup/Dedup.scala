@@ -21,10 +21,20 @@ object Dedup {
     * plan-internal frames: the frames feed multiple downstream branches,
     * so the operator cannot unpersist them before the caller materializes
     * the (lazy) result. Invoke AFTER the returned frame's terminal action;
-    * idempotent, and blocking so executor storage is actually freed. */
-  final class CacheHandle private[dedup] (frames: Seq[DataFrame]) {
+    * idempotent, and blocking so executor storage is actually freed.
+    *
+    * `private[graft]`: every graft operator that persists (Dedup,
+    * LanguageModel.perplexityBucketsScalable, Classifier.naiveBayesScores)
+    * returns THIS handle type — one uniform release discipline instead of
+    * per-operator documentation. */
+  final class CacheHandle private[graft] (
+      frames: Seq[org.apache.spark.sql.Dataset[_]]) {
     def unpersist(): Unit = frames.foreach(_.unpersist(true))
   }
+
+  /** A handle over nothing — returned by auto-dispatch surfaces whose
+    * chosen regime persisted nothing, so callers can release uniformly. */
+  private[graft] def emptyCacheHandle: CacheHandle = new CacheHandle(Seq.empty)
 
   // ---- shingling ------------------------------------------------------
 
@@ -485,6 +495,17 @@ object Dedup {
         .as("bf")).head()
     val nGrams = math.max(measured.getLong(0), 1L)
     val bloom = measured.getAs[Array[Byte]](1)
+    // degenerate-FPR guard: with k≈ln2·bits/n hash probes the FPR is
+    // ≈(1−e^(−kn/bits))^k — past n/bits ≈ 0.5 the bitset saturates and the
+    // pre-probe prunes nothing while correctness silently still holds (the
+    // confirm join does all the work). The count is already measured, so
+    // warn loudly instead of leaving a performance cliff invisible.
+    if (nGrams.toDouble / numBits > 0.5)
+      System.err.println(
+        s"[graft] bloomDecontaminate: benchmark has $nGrams distinct grams " +
+          f"against a $numBits-bit bloom (ratio ${nGrams.toDouble / numBits}%.2f" +
+          " > 0.5) — the false-positive rate is degenerate and the bloom " +
+          "prunes ~nothing; raise numBits to ≥10×nGrams for a useful filter")
     val pruned = corpus
       .select(col(corpusId), explode(wordShingles(col(textCol), n)).as("g"))
       .select(col(corpusId), xxhash64(col("g")).as("h8"))

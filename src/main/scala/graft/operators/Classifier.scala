@@ -133,15 +133,22 @@ object Classifier {
     *   pred = score_pn > 0)
     */
   def naiveBayesScores(df: DataFrame, idCol: String, textCol: String,
-      posLabel: Column): DataFrame = {
+      posLabel: Column): DataFrame =
+    naiveBayesScoresTracked(df, idCol, textCol, posLabel)._1
+
+  /** [[naiveBayesScores]] plus the [[graft.dedup.Dedup.CacheHandle]]
+    * releasing the persisted vocabulary table — invoke after the returned
+    * frame's terminal action (the d09 discipline; the untracked overload
+    * remains for harness callers that clearCache() between queries). */
+  def naiveBayesScoresTracked(df: DataFrame, idCol: String, textCol: String,
+      posLabel: Column): (DataFrame, graft.dedup.Dedup.CacheHandle) = {
     val pico = (x: Column) => floor(log(x) * lit(1e12) + lit(0.5)).cast("long")
     val toks = df.select(col(idCol), posLabel.as("pos"),
         explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
     // persisted: the vocabulary table feeds the scalar rollup AND the
     // ratio projection — without it the corpus is exploded twice more.
-    // Vocabulary-sized; the harness clearCache()s between queries
-    // (same caller-unpersist contract as d09's benchmark set).
+    // Vocabulary-sized; released via the returned CacheHandle.
     val byClass = toks.groupBy(col("tok")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
       sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
@@ -172,9 +179,10 @@ object Classifier {
     // vanishing from the output
     val sums = toks.join(broadcast(ratios), "tok")
       .groupBy(col(idCol)).agg(sum(col("r")).as("rsum"))
-    df.select(col(idCol)).join(sums, Seq(idCol), "left_outer")
+    val out = df.select(col(idCol)).join(sums, Seq(idCol), "left_outer")
       .select(col(idCol),
         (coalesce(col("rsum"), lit(0L)) + lit(prior)).as("score_pn"))
       .select(col(idCol), col("score_pn"), (col("score_pn") > 0).as("pred"))
+    (out, new graft.dedup.Dedup.CacheHandle(Seq(byClass)))
   }
 }

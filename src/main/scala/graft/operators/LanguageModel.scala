@@ -343,14 +343,26 @@ object LanguageModel {
     * sf10). */
   def perplexityBucketsAuto(df: DataFrame, idCol: String, textCol: String,
       classCol: String, nBuckets: Int = 3, hashTokens: Boolean = false,
-      windowCeiling: Long = 50000000L): DataFrame = {
+      windowCeiling: Long = 50000000L): DataFrame =
+    perplexityBucketsAutoTracked(df, idCol, textCol, classCol, nBuckets,
+      hashTokens, windowCeiling)._1
+
+  /** [[perplexityBucketsAuto]] returning the cache handle of whichever
+    * regime it picked (the window form persists nothing — its handle is
+    * empty; the scalable form's handle releases the range-sorted persist).
+    * Callers release uniformly without knowing which regime ran. */
+  def perplexityBucketsAutoTracked(df: DataFrame, idCol: String,
+      textCol: String, classCol: String, nBuckets: Int = 3,
+      hashTokens: Boolean = false, windowCeiling: Long = 50000000L)
+      : (DataFrame, graft.dedup.Dedup.CacheHandle) = {
     val maxRow = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head()
     val maxClass = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     if (maxClass <= windowCeiling)
-      perplexityBuckets(df, idCol, textCol, classCol, nBuckets, hashTokens)
+      (perplexityBuckets(df, idCol, textCol, classCol, nBuckets, hashTokens),
+        graft.dedup.Dedup.emptyCacheHandle)
     else
-      perplexityBucketsScalable(df, idCol, textCol, classCol, nBuckets,
+      perplexityBucketsScalableTracked(df, idCol, textCol, classCol, nBuckets,
         hashTokens)
   }
 
@@ -378,15 +390,23 @@ object LanguageModel {
     * only valid against the EXACT partitioning pass 1 counted — an
     * unpersisted recompute could re-range-partition differently). The
     * returned DataFrame still reads from that cache, so it cannot be
-    * unpersisted here; callers must drop it once the result is
-    * materialized — `spark.catalog.clearCache()` or
-    * `df.unpersist()` on the returned frame's cached child (Bench and
-    * Verify clearCache() between queries for exactly this reason).
-    * Library callers that skip this leak one cached copy of the
-    * (id, class, ll) projection per invocation. */
+    * unpersisted here; use [[perplexityBucketsScalableTracked]] for the
+    * handle-returning form (the d09 CacheHandle discipline) and release
+    * it after the result's terminal action. This overload is kept for
+    * harness callers that clearCache() between queries. */
   def perplexityBucketsScalable(df: DataFrame, idCol: String, textCol: String,
       classCol: String, nBuckets: Int = 3,
-      hashTokens: Boolean = false): DataFrame = {
+      hashTokens: Boolean = false): DataFrame =
+    perplexityBucketsScalableTracked(df, idCol, textCol, classCol, nBuckets,
+      hashTokens)._1
+
+  /** [[perplexityBucketsScalable]] plus the [[graft.dedup.Dedup.CacheHandle]]
+    * releasing its range-sorted persist — invoke after the returned
+    * frame's terminal action (same contract as Dedup's tracked forms). */
+  def perplexityBucketsScalableTracked(df: DataFrame, idCol: String,
+      textCol: String, classCol: String, nBuckets: Int = 3,
+      hashTokens: Boolean = false)
+      : (DataFrame, graft.dedup.Dedup.CacheHandle) = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
     // the typed (Long, String, Double) pipeline narrows the id contract
     // to integral columns — fail loudly instead of silently casting a
@@ -440,7 +460,7 @@ object LanguageModel {
     val bOffsets = spark.sparkContext.broadcast(startOffsets)
     val n = nBuckets
     // pass 2: narrow — running within-class rank from the offsets
-    sorted.mapPartitions { it =>
+    val out = sorted.mapPartitions { it =>
       var pid = org.apache.spark.TaskContext.getPartitionId()
       val running = scala.collection.mutable.HashMap.empty[String, Long]
       it.map { case (id, c, ll) =>
@@ -449,5 +469,6 @@ object LanguageModel {
         (id, c, ll, ntileBucket(r, bTotals.value(c), n))
       }
     }.toDF(idCol, classCol, "ll", "bucket")
+    (out, new graft.dedup.Dedup.CacheHandle(Seq(sorted)))
   }
 }

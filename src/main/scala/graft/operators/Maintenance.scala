@@ -129,20 +129,31 @@ object Maintenance {
     * (MaintenanceSpec pins that trap). Requires key uniqueness per
     * side — enforce upstream with [[latestPerKey]]. A digest collision
     * needs a real 2⁻⁶⁴ xxhash64 collision on the same key (the d07
-    * hashed-gram argument). */
+    * hashed-gram argument).
+    *
+    * Keys join NULL-SAFELY (`<=>`): a row whose key column is null
+    * matches its counterpart and is COMPARED, instead of surfacing as a
+    * spurious A+R pair (plain `=` never matches null). Null-safe
+    * equality is still an equi-join key for Catalyst — same
+    * shuffle-or-broadcast plan. */
   def diffSnapshots(base: DataFrame, next: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "diffSnapshots needs at least one key column")
     require(compareCols.nonEmpty, "diffSnapshots needs compare columns")
-    def proj(df: DataFrame, d: String) = df.select(keyCols.map(col) :+
+    def proj(df: DataFrame, pre: String, d: String) = df.select(
+      keyCols.map(k => col(k).as(pre + k)) :+
       xxhash64(to_json(struct(compareCols.map(col): _*))).as(d): _*)
-    proj(base, "__bd").join(proj(next, "__nd"), keyCols, "full_outer")
+    val l = proj(base, "__l_", "__bd")
+    val r = proj(next, "__r_", "__nd")
+    val cond = keyCols.map(k => l(s"__l_$k") <=> r(s"__r_$k")).reduce(_ && _)
+    l.join(r, cond, "full_outer")
       .withColumn("change",
         when(col("__bd").isNull, lit("A"))
           .when(col("__nd").isNull, lit("R"))
           .when(col("__bd") =!= col("__nd"), lit("C")))
       .filter(col("change").isNotNull)
-      .select(keyCols.map(col) :+ col("change"): _*)
+      .select(keyCols.map(k =>
+        coalesce(col(s"__l_$k"), col(s"__r_$k")).as(k)) :+ col("change"): _*)
   }
 
   /** Apply a CDC changelog to produce the current snapshot: for each key,

@@ -141,8 +141,12 @@ final class GkQuantile(val eps: Double) extends Serializable {
   def merge(o: GkQuantile): GkQuantile = {
     require(o.eps == eps, "GkQuantile eps mismatch")
     flush(); o.flush()
-    if (o.count == 0) return this
-    if (count == 0) return o
+    // uniform no-alias semantics: the empty-side cases return a COPY, not
+    // an operand — otherwise `a.merge(b)` aliases `a` or `b` exactly when
+    // one side is empty, and a caller mutating the result silently mutates
+    // the operand (fine inside the Aggregator, a footgun as a public API)
+    if (o.count == 0) return copySketch()
+    if (count == 0) return o.copySketch()
     val out = new GkQuantile(eps)
     out.count = count + o.count
     val merged = ArrayBuffer.empty[(Double, Long, Long)]
@@ -164,6 +168,15 @@ final class GkQuantile(val eps: Double) extends Serializable {
     }
     out.samples = merged
     out.compress()
+    out
+  }
+
+  /** independent copy of this summary (post-flush tuple state) */
+  def copySketch(): GkQuantile = {
+    flush()
+    val out = new GkQuantile(eps)
+    out.count = count
+    out.samples = samples.clone()
     out
   }
 

@@ -288,6 +288,22 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
     // silently classify as unchanged
   }
 
+  test("diffSnapshots: null keys match null-safely (compared, not A+R)") {
+    import graft.operators.Maintenance
+    val base = Seq((Option(1L), Option("x")), (None: Option[Long], Option("y")))
+      .toDF("id", "c1")
+    val next = Seq((Option(1L), Option("x")), (None: Option[Long], Option("Y")))
+      .toDF("id", "c1")
+    // plain `=` key joins would report the null key as both A and R; the
+    // null-safe join compares it like any other key — here a C
+    val got = Maintenance.diffSnapshots(base, next, Seq("id"), Seq("c1"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(got == Map(-1L -> "C"), s"got $got")
+    // and an unchanged null-keyed row stays out of the diff entirely
+    val same = Maintenance.diffSnapshots(base, base, Seq("id"), Seq("c1")).count()
+    assert(same == 0L, s"self-diff must be empty, got $same rows")
+  }
+
   test("data skipping: missing stats are conservatively kept, nulls counted") {
     import graft.operators.DataSkipping
     import spark.implicits._

@@ -132,6 +132,32 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     h2.unpersist()
     assert(spark.sharedState.cacheManager.isEmpty,
       "simhash handle must drop the signature persist")
+    // CacheHandle uniformity (r8 verdict #6): the other persisting
+    // operators return the same handle type with the same contract
+    import graft.operators.LanguageModel
+    val (buckets, h3) = LanguageModel.perplexityBucketsScalableTracked(
+      docs, "doc_id", "text", "lang")
+    buckets.write.format("noop").mode("overwrite").save()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "scalable bucketing should persist its range-sorted projection")
+    h3.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "perplexityBucketsScalableTracked handle must drop its persist")
+    val (nb, h4) = graft.operators.Classifier.naiveBayesScoresTracked(
+      docs, "doc_id", "text", col("lang") === "en")
+    nb.write.format("noop").mode("overwrite").save()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "NB scoring should persist its vocabulary table")
+    h4.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "naiveBayesScoresTracked handle must drop the vocabulary persist")
+    // the auto form's handle releases uniformly whichever regime ran
+    val (auto, h5) = LanguageModel.perplexityBucketsAutoTracked(
+      docs, "doc_id", "text", "lang")
+    auto.write.format("noop").mode("overwrite").save()
+    h5.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "auto handle must leave no cached frames behind")
   }
 
   test("ANN LSH recall vs brute force is usable (>= 40% of true top-10)") {

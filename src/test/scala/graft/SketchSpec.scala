@@ -724,6 +724,24 @@ class SketchSpec extends AnyFunSuite {
     assert(g2.query(0.5) == 3.0 && g2.query(0.0) == 1.0 && g2.query(1.0) == 5.0)
   }
 
+  test("GkQuantile.merge: uniform no-alias semantics on empty-side merges") {
+    import graft.sketch.GkQuantile
+    val a = (1 to 100).map(_.toDouble).foldLeft(new GkQuantile(0.05))(_.add(_))
+    val empty = new GkQuantile(0.05)
+    val m1 = a.merge(empty)
+    assert(!(m1 eq a) && !(m1 eq empty), "merge(empty) must return a copy")
+    m1.add(1e9) // mutating the result must NOT mutate the operand
+    assert(a.count == 100 && a.query(1.0) == 100.0,
+      "operand mutated through an aliased empty-side merge result")
+    val m2 = empty.merge(a)
+    assert(!(m2 eq a) && !(m2 eq empty), "empty.merge(a) must return a copy")
+    m2.add(-1e9)
+    assert(a.count == 100 && a.query(1.0) == 100.0)
+    // copies still answer like the original (size flushes the add buffer)
+    assert(m1.size >= 1 && m2.size >= 1)
+    assert(m1.count == 101 && m2.count == 101)
+  }
+
   test("TopFreq mergeCanonical evicts in codec order, matching the SQL rebuild") {
     // Long keys 1..12 tied at count 1, cap 8: String.valueOf order keeps
     // {1,10,11,12,2,3,4,5} ("10" < "9" lexicographically) while the
