@@ -107,6 +107,7 @@ object Bench {
     "sk26_topk_sketch_table", // heavy-hitter shard -> merge-bytes rollup
     "sk27_topdistinct_export", // Top<K,HLL> build + tracked-state export
     "sk28_gk_quantiles_contract", // GK quantile summary, merged bound
+    "sk29_gk_quantiles_by_key", // per-key GK quantiles (t09's scale twin)
     "u18_snapshot_diff",     // keyed A/R/C diff via digest full-outer join
     "u15b_profile_approx",   // one-pass profile, HLL distincts (the
                              // scale form; exact u15 is gate-only — its

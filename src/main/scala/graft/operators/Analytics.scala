@@ -24,6 +24,71 @@ object Analytics {
     * engine-replayable — DuckDB and Spark may sum in different orders). */
   private def grid(c: Column): Column = floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
 
+  /** Per-key Greenwald–Khanna quantiles — the SCALE twin of the exact
+    * per-group `percentile(...)` shapes (t09/c14): exact group
+    * percentiles buffer every group's value column inside one aggregation
+    * buffer (at 100 TB a hot group is a per-group SORT that cannot
+    * spill); this form keeps O((1/ε)·log(εN)) tuples per group and
+    * answers every quantile within ±εN RANK error at any partition count
+    * (the sk28-proven merge bound, now keyed — gate sk29 asserts the
+    * bound PER GROUP against exact ranks).
+    *
+    * Plan shape: one hash-partitioned ObjectHashAggregate keyed on
+    * `keyCols` with map-side partial GK summaries — group count never
+    * limits parallelism, group SIZE never limits memory. Returned values
+    * are members of each group's stream (GK answers, not interpolations).
+    *
+    * @return keyCols ++ `quantiles` array<double> (qs order; empty for
+    *         all-null groups)
+    */
+  def gkQuantilesByKey(df: DataFrame, keyCols: Seq[String], valCol: String,
+      qs: Seq[Double], eps: Double = 0.01): DataFrame = {
+    require(keyCols.nonEmpty, "gkQuantilesByKey needs at least one key column")
+    require(qs.nonEmpty, "gkQuantilesByKey needs at least one quantile")
+    import df.sparkSession.implicits._
+    val agg = new graft.aggregators.SketchAggregators.ApproxQuantiles[Double](
+      eps, qs, identity)
+    val fn = udaf(agg)
+    // null/NaN values are dropped BEFORE aggregation (a primitive-Double
+    // UDAF would otherwise see null as 0.0 — a silent wrong answer);
+    // groups whose values are ALL null/NaN are absent from the result,
+    // like a groupBy over an empty frame
+    df.filter(col(valCol).isNotNull && !isnan(col(valCol).cast("double")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(fn(col(valCol).cast("double")).as("quantiles"))
+  }
+
+  /** Auto-regime per-group quantiles (the d25/t19 dispatcher discipline:
+    * the engine picks, the caller doesn't). One bounded aggregate
+    * measures the LARGEST group; at or below `exactCeiling` rows the
+    * exact interpolating `percentile` wins (its per-group buffer fits a
+    * task comfortably — the measured regime at every sandbox scale),
+    * above it a single group's buffer would dominate task memory, so the
+    * GK sketch takes over with the ±εN rank guarantee.
+    *
+    * Note the regimes' answers differ by DESIGN: exact percentiles
+    * interpolate between neighbors, GK returns an actual stream member
+    * within ±εN rank. Callers needing bit-stable output across scales
+    * should call one of the regimes directly.
+    *
+    * The default ceiling mirrors [[graft.operators.LanguageModel.perplexityBucketsAuto]]:
+    * ~50M doubles (400 MB of raw values, less after agg-buffer boxing)
+    * is where one group's exact buffer stops being comfortable. */
+  def groupQuantilesAuto(df: DataFrame, keyCols: Seq[String], valCol: String,
+      qs: Seq[Double], eps: Double = 0.01,
+      exactCeiling: Long = 50000000L): DataFrame = {
+    require(keyCols.nonEmpty && qs.nonEmpty, "need keys and quantiles")
+    val maxRow = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    val maxGroup = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxGroup <= exactCeiling)
+      df.groupBy(keyCols.map(col): _*)
+        .agg(expr(s"percentile(CAST($valCol AS DOUBLE), array(${qs.mkString(",")}))")
+          .as("quantiles"))
+    else
+      gkQuantilesByKey(df, keyCols, valCol, qs, eps)
+  }
+
   /** Exponentially weighted moving average over a bounded trailing window
     * of `win` rows per key: ewma_n = Σ_{j=0..m-1} (1-α)^j·x_{n-j} / Σ (1-α)^j
     * with m = min(win, rows so far). The bounded window (vs the infinite

@@ -206,6 +206,39 @@ object SketchQueries {
       }.toDF("q", "rank_ok").orderBy(col("q"))
     }),
 
+    // -- sk29: PER-KEY GK quantiles (t09/c14's scale twin, r8 verdict #4):
+    // exact group percentiles are a per-group sort at 100 TB; the keyed
+    // GK aggregate keeps O((1/ε)log(εN)) tuples per group. The gate
+    // computes each (group, q) estimate's EXACT rank interval in one
+    // joined aggregate pass and asserts |rank − ⌈q·N_g⌉| ≤ 2εN_g + 1
+    // PER GROUP (sk28's bound, keyed). Estimates are arrival-order state;
+    // the booleans are the oracle surface. ------------------------------
+    "sk29_gk_quantiles_by_key" -> ((s, d) => {
+      val qs = Seq(0.1, 0.5, 0.9, 0.99)
+      val eps = 0.01
+      val vals = Tables.lineitem(s, d).select(col("l_returnflag").as("k"),
+        col("l_extendedprice").cast("double").as("v"))
+      val ests = Analytics.gkQuantilesByKey(vals, Seq("k"), "v", qs, eps)
+        .select(col("k"), posexplode(col("quantiles")))
+        .withColumnRenamed("pos", "qi").withColumnRenamed("col", "est")
+      val checked = vals.join(broadcast(ests), Seq("k"))
+        .groupBy(col("k"), col("qi"), col("est"))
+        .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("n"))
+      checked
+        .withColumn("q", element_at(lit(qs.toArray), col("qi").cast("int") + 1))
+        .withColumn("target",
+          greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+        .withColumn("tol", floor(lit(2 * eps) * col("n")).cast("long") + 1)
+        .withColumn("err",
+          when(col("target") < col("lt") + 1, col("lt") + 1 - col("target"))
+            .when(col("target") > col("le"), col("target") - col("le"))
+            .otherwise(lit(0L)))
+        .select(col("k"), col("q"), (col("err") <= col("tol")).as("rank_ok"))
+        .orderBy(col("k"), col("q"))
+    }),
+
     // -- sort_n_by inside group_by: per-status top-3 orders by price -----
     "sk06_sort_n_by_group" -> ((s, d) => {
       import s.implicits._
@@ -856,6 +889,13 @@ object SketchQueries {
         | (0.01, TRUE), (0.1, TRUE), (0.25, TRUE), (0.5, TRUE),
         | (0.75, TRUE), (0.9, TRUE), (0.99, TRUE)) t(q, rank_ok)
         |ORDER BY q""".stripMargin,
+    // sk29: the keyed bound, pinned TRUE per (group, quantile) — the
+    // group enumeration is relational, the booleans are the contract
+    "sk29_gk_quantiles_by_key" ->
+      """SELECT k, CAST(q AS DOUBLE) AS q, TRUE AS rank_ok
+        |FROM (SELECT DISTINCT l_returnflag AS k FROM lineitem) g,
+        |     (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)
+        |ORDER BY k, q""".stripMargin,
     "sk06_sort_n_by_group" ->
       """SELECT o_orderstatus, o_orderkey, round(o_totalprice,2) AS price FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,

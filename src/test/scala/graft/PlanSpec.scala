@@ -620,6 +620,26 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     spark.catalog.clearCache() // the scalable form's range-sort persist
   }
 
+  test("groupQuantilesAuto: exact percentile below the ceiling, GK sketch above") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.functions.{col, length}
+    val vals = Tables.documents(spark, sf)
+      .select(col("lang"), length(col("text")).as("v"))
+    // default ceiling: sandbox groups are tiny -> exact interpolating form
+    val exact = Analytics.groupQuantilesAuto(vals, Seq("lang"), "v", Seq(0.5, 0.9))
+    val pe = exact.queryExecution.analyzed.toString
+    assert(pe.contains("percentile"),
+      s"below-ceiling must take the exact percentile form:\n$pe")
+    // constructed 1-row ceiling -> the SAME call flips to the GK aggregate
+    val gk = Analytics.groupQuantilesAuto(vals, Seq("lang"), "v", Seq(0.5, 0.9),
+      exactCeiling = 1L)
+    val pg = gk.queryExecution.analyzed.toString.toLowerCase
+    assert(!pg.contains("percentile(") && pg.contains("approxquantiles"),
+      s"above-ceiling must take the GK aggregator:\n$pg")
+    // both regimes answer: per-lang arrays of the two quantiles
+    assert(exact.count() == gk.count() && gk.count() == 5)
+  }
+
   test("bloomDecontaminate auto regime: dispatch flips on the broadcast threshold") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
