@@ -2601,6 +2601,77 @@ object PipelineQueries {
       "SELECT DISTINCT lang, TRUE AS rate_ok FROM documents ORDER BY lang",
     "d08_simhash_contract" ->
       "SELECT TRUE AS no_false_pairs, TRUE AS no_missed_pairs",
+    // d03: FULL signature replay (r8 verdict #2 — no_oracle 10 -> 9).
+    // The 64-bit SimHash is deterministic end-to-end: tokenize on ' ',
+    // MurmurHash64A (seed 0x51AA17 = 5351959) over each token's UTF-8
+    // bytes, per-bit majority votes. DuckDB recomputes the hash exactly:
+    // 8-byte little-endian chunks from the hex dump, the two-multiply
+    // chunk mix, the sequential fold (list_reduce — order matters), the
+    // little-endian tail fold-in, and the final avalanche — all 64-bit
+    // modular arithmetic staged through UHUGEINT (the sk25 idiom).
+    // Hashing cost is per DISTINCT token; votes then join counts back.
+    "d03_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |uniq AS (SELECT DISTINCT tok FROM toks),
+        |uh AS (SELECT tok, lower(hex(encode(tok))) AS hx,
+        |  octet_length(encode(tok))::BIGINT AS len FROM uniq),
+        |s1 AS (SELECT tok, hx, len, len//8 AS nc, len%8 AS nr,
+        |  xor(5351959::UBIGINT,
+        |      ((len::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |        % 18446744073709551616::UHUGEINT)::UBIGINT) AS h0
+        |  FROM uh),
+        |s2 AS (SELECT tok, hx, len, nc, nr, h0,
+        |  list_transform(range(nc), ci ->
+        |    list_reduce(list_prepend(0::UBIGINT,
+        |      list_transform(range(8), j ->
+        |        ('0x'||substr(hx, (2*(8*ci+j)+1)::INT, 2))::UBIGINT << (8*j)::INT)),
+        |      (a,b) -> xor(a,b))) AS ks
+        |  FROM s1),
+        |s3 AS (SELECT tok, hx, len, nc, nr, h0,
+        |  list_transform(ks, k ->
+        |    ((xor(((k::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |            % 18446744073709551616::UHUGEINT)::UBIGINT,
+        |          ((k::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |            % 18446744073709551616::UHUGEINT)::UBIGINT >> 47
+        |      )::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |      % 18446744073709551616::UHUGEINT)::UBIGINT) AS mks
+        |  FROM s2),
+        |s4 AS (SELECT tok, hx, len, nc, nr,
+        |  list_reduce(list_prepend(h0, mks),
+        |    (a,x) -> ((xor(a,x)::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |               % 18446744073709551616::UHUGEINT)::UBIGINT) AS hb
+        |  FROM s3),
+        |s5 AS (SELECT tok, nr,
+        |  CASE WHEN nr = 0 THEN hb ELSE
+        |    ((xor(hb,
+        |       list_reduce(list_prepend(0::UBIGINT,
+        |         list_transform(range(nr), j ->
+        |           ('0x'||substr(hx, (2*(8*nc+j)+1)::INT, 2))::UBIGINT << (8*j)::INT)),
+        |         (a,b) -> xor(a,b))
+        |     )::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT
+        |  END AS ht
+        |  FROM s4),
+        |s6 AS (SELECT tok,
+        |  ((xor(ht, ht >> 47)::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |    % 18446744073709551616::UHUGEINT)::UBIGINT AS hf
+        |  FROM s5),
+        |th AS (SELECT tok, xor(hf, hf >> 47) AS h FROM s6),
+        |votes AS (SELECT t.doc_id, b.range AS bit,
+        |    sum(CASE WHEN (th.h >> b.range::INT) & 1::UBIGINT = 1::UBIGINT
+        |        THEN 1 ELSE -1 END) AS acc
+        |  FROM toks t JOIN th USING (tok) CROSS JOIN range(64) b
+        |  GROUP BY 1, 2),
+        |usig AS (SELECT doc_id,
+        |    coalesce(bit_or(CASE WHEN acc > 0
+        |      THEN 1::UBIGINT << bit::INT ELSE 0::UBIGINT END), 0::UBIGINT) AS u
+        |  FROM votes GROUP BY 1)
+        |SELECT doc_id,
+        |  CASE WHEN u >= 9223372036854775808::UBIGINT
+        |    THEN (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+        |    ELSE u::BIGINT END AS simhash
+        |FROM usig ORDER BY doc_id""".stripMargin,
     "t15_fingerprint_contract" ->
       ("SELECT TRUE AS planted_dups_exist, TRUE AS dup_groups_share_fp, " +
         "TRUE AS fp_injective_on_corpus"),
