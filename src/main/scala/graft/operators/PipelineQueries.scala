@@ -256,6 +256,18 @@ object PipelineQueries {
           col("vec_id") < 5, k = 10)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
 
+    // -- a02's REPLAY twin (r8 verdict #3): same signature -> band ->
+    // candidate -> exact-rerank chain at top-50 depth, hash-verified —
+    // the hyperplane signatures are deterministic splitmix64 derivations
+    // and the dot-sign fold is IEEE-exact, so DuckDB recomputes the
+    // whole LSH structure (planes, signatures, buckets) and the rerank
+    // relationally. a02 stays the production shape (now sharing the
+    // same replay oracle at k=10). -------------------------------------
+    "a02b_ann_lsh_replay" -> ((s, d) =>
+      Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 5, k = 50)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
+
     // -- ANN: IVF (k-means cells, probe nearest) -------------------------
     "a03_ann_ivf" -> ((s, d) =>
       Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -2059,6 +2071,60 @@ object PipelineQueries {
       |   coalesce(array_to_string(list_transform(ks, s2 -> s2.txt), chr(10)), '') AS content,
       |   len(ks) AS n_kept FROM blocks)""".stripMargin
 
+  /** Full relational replay of [[graft.ann.Ann.lshTopK]] (r8 verdict #3):
+    * hyperplane components are mix64 derivations — constant
+    * 332733501013554071 is the pre-mixed seed mix64(0xABCDEF), the three
+    * UHUGEINT stages are splitmix64's add/mul-xor-shift pipeline mod 2⁶⁴
+    * (the sk25 idiom), and (h>>11)·2⁻⁵³·2−1 reproduces
+    * HyperplaneSignatureExpression.planeComponent bit-for-bit (exact
+    * float→double products, power-of-two scaling). The per-plane dot is
+    * the expression's sequential j-order fold — list_reduce over the
+    * ORDER BY j product list — so the sign test is IEEE-identical;
+    * banding, the candidate distinct, and the exact cosine rerank are
+    * plain SQL (DuckDB's float32 list_cosine_similarity matches Spark's
+    * double cosine at 4 decimals — the a01-proven idiom). */
+  private def lshReplayOracle(k: Int): String =
+    s"""WITH pj AS (SELECT p.range AS p, j.j AS j FROM range(16) p,
+      |  (SELECT unnest(range((SELECT len(embedding) FROM embeddings
+      |    LIMIT 1))) AS j) j),
+      |m0 AS (SELECT p, j,
+      |  xor((p*131071 + j)::UBIGINT, 332733501013554071::UBIGINT) AS x0 FROM pj),
+      |m1 AS (SELECT p, j, ((x0::UHUGEINT + 11400714819323198485::UHUGEINT)
+      |  % 18446744073709551616::UHUGEINT)::UBIGINT AS x1 FROM m0),
+      |m2 AS (SELECT p, j,
+      |  ((xor(x1, x1>>30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+      |  % 18446744073709551616::UHUGEINT)::UBIGINT AS x2 FROM m1),
+      |m3 AS (SELECT p, j,
+      |  ((xor(x2, x2>>27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+      |  % 18446744073709551616::UHUGEINT)::UBIGINT AS x3 FROM m2),
+      |planes AS (SELECT p, j, (xor(x3, x3>>31) >> 11)::DOUBLE
+      |  * 1.1102230246251565e-16 * 2.0 - 1.0 AS c FROM m3),
+      |ev AS (SELECT vec_id, generate_subscripts(embedding,1)-1 AS j,
+      |  unnest(embedding) AS v FROM embeddings),
+      |dots AS (SELECT e.vec_id, pl.p,
+      |   list_reduce(list_prepend(0.0::DOUBLE,
+      |     list(e.v::DOUBLE * pl.c ORDER BY e.j)), (a,b) -> a+b) AS dot
+      | FROM ev e JOIN planes pl ON pl.j = e.j GROUP BY 1, 2),
+      |sigs AS (SELECT vec_id, bit_or(CASE WHEN dot > 0
+      |  THEN 1::UBIGINT << p::INT ELSE 0::UBIGINT END) AS sig
+      |  FROM dots GROUP BY 1),
+      |bands AS (SELECT vec_id, b.range AS band,
+      |  (sig >> (4*b.range)::INT) & 15::UBIGINT AS bh
+      |  FROM sigs CROSS JOIN range(4) b),
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM bands q JOIN bands c ON q.band = c.band AND q.bh = c.bh
+      |    AND c.vec_id != q.vec_id
+      |  WHERE q.vec_id < 5),
+      |scored AS (SELECT query_id, neighbor_id,
+      |   list_cosine_similarity(qe.embedding, ne.embedding) AS cos
+      |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+      |            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, round(CAST(cos AS DOUBLE),4) AS rcos,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC,
+      |     neighbor_id) AS rn FROM scored)
+      |SELECT query_id, neighbor_id, rcos AS cos FROM r WHERE rn <= $k
+      |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+
   private val lshPairsOracle: String =
     """WITH w AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
@@ -2595,6 +2661,9 @@ object PipelineQueries {
         "TRUE AS cosine_invariant, count(*) AS n FROM embeddings"),
     "a05_ann_index_contract" ->
       "SELECT TRUE AS indexed_matches_direct",
+    // a02/a02b: the LSH structure replays relationally (no_oracle -> 8)
+    "a02_ann_lsh" -> lshReplayOracle(10),
+    "a02b_ann_lsh_replay" -> lshReplayOracle(50),
     "a11_ivf_append_contract" ->
       "SELECT TRUE AS append_matches_rebuild, TRUE AS nonempty",
     "p05_sample_contract" ->
