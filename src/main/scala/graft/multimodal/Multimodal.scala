@@ -188,6 +188,101 @@ object Multimodal {
     Some(e)
   }
 
+  // ---- PNG (REAL codec via the JDK's ImageIO — no new deps) -----------
+
+  /** True when the buffer starts with the 8-byte PNG signature. */
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G' && bytes(4) == 0x0d && bytes(5) == 0x0a &&
+      bytes(6) == 0x1a && bytes(7) == 0x0a
+
+  /** Encode a P6 image's pixels as PNG (JDK ImageIO writer) — the
+    * staging/interchange direction: real corpora arrive AS PNG; the m10
+    * gate uses this to stage bit-identical pixels in both formats.
+    * Returns None for non-P6 input. */
+  def ppmToPng(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val (w, h, _, pos) = parseP6(bytes, 0).getOrElse(return None)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val src = pos + (y * w + x) * 3
+        img.setRGB(x, y, ((bytes(src) & 0xff) << 16) |
+          ((bytes(src + 1) & 0xff) << 8) | (bytes(src + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", bos)) None
+    else Some(bos.toByteArray)
+  }
+
+  /** Decode a PNG (JDK ImageIO reader — 8-bit RGB PNG decode is
+    * bit-deterministic) and re-emit canonical P6 bytes. Every downstream
+    * feature (decodePpm / dhashPpm / sobelEnergyPpm / resizePpm) is
+    * PIXEL-defined, so one exact transcode makes the whole feature
+    * battery format-independent instead of teaching each kernel a second
+    * container. Returns None for non-PNG or undecodable input. */
+  def pngToPpm(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (!isPng(bytes)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue - 64) return None
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val dst = header.length + (y * w + x) * 3
+        out(dst) = ((rgb >> 16) & 0xff).toByte
+        out(dst + 1) = ((rgb >> 8) & 0xff).toByte
+        out(dst + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Batched image-format normalization over a (media_id, bytes) frame:
+    * PNG rows are transcoded to canonical P6 on the executors
+    * (mapPartitions — ImageIO plugin lookup initializes once per batch,
+    * the real-codec discipline of [[upsampledStats]]); P6 rows pass
+    * through untouched; undecodable rows are dropped. This is the ingest
+    * front door for real image corpora: everything downstream sees one
+    * pixel format. Narrow (no shuffle), scan-parallel. */
+  def normalizeImages(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = true)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(idIdx)
+          val b = r.getAs[Array[Byte]](bytesIdx)
+          if (isPng(b)) pngToPpm(b).map(Row(id, _))
+          else if (parseP6(b, 0).isDefined) Some(Row(id, b))
+          else None
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic synthetic P6 image for doc/media id: dims and pixel
     * values are closed-form in the id so a SQL oracle can replay the
     * decoded statistics. w=(id%5)+1, h=(id%4)+2, pixel byte i =

@@ -482,6 +482,32 @@ object CurationQueries {
         .orderBy(col("media_id"))
     }),
 
+    // -- m10: REAL PNG codec ingestion (r8 verdict #5): the same pixels
+    // staged as PNG (JDK ImageIO encode on the executors) ride the
+    // production ingest path — normalizeImages' batched PNG->P6
+    // transcode — then the SAME dHash + Sobel kernels. 8-bit RGB PNG
+    // decode is bit-deterministic, so the gate hash-verifies the whole
+    // real-codec path against the synthetic pixel formula (the PPM
+    // oracle m05/m08 already replay). -----------------------------------
+    "m10_png_ingest" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "image")
+        .select(col("media_id"), col("bytes"))
+      val toPng = udf((b: Array[Byte]) => Multimodal.ppmToPng(b).orNull)
+      val staged = media.select(col("media_id"), toPng(col("bytes")).as("bytes"))
+      val normalized = Multimodal.normalizeImages(staged)
+      val dh = udf((b: Array[Byte]) => Multimodal.dhashPpm(b).getOrElse(-1L))
+      val so = udf((b: Array[Byte]) => Multimodal.sobelEnergyPpm(b).getOrElse(-1L))
+      normalized.select(col("media_id"),
+          dh(col("bytes")).as("phash"), so(col("bytes")).as("edge_energy"))
+        .select(col("media_id"),
+          expr("shiftrightunsigned(phash, 32)").as("phash_hi"),
+          col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("phash_lo"),
+          col("edge_energy"))
+        .orderBy(col("media_id"))
+    }),
+
     "m05_image_phash" -> ((s, d) => {
       val media = graft.multimodal.Multimodal
         .mediaFromDocuments(Tables.documents(s, d))
@@ -1121,6 +1147,59 @@ object CurationQueries {
         |SELECT i.doc_id AS media_id, i.w, i.h,
         |  coalesce(e.energy, 0) AS edge_energy
         |FROM imgs i LEFT JOIN e USING (doc_id) ORDER BY media_id""".stripMargin,
+    // m10: per-image dHash + Sobel replayed from the synthetic pixel
+    // formula (m05's hash CTEs + m08's convolution CTEs, joined per doc)
+    // — the gate's bytes took the PNG encode->decode roundtrip, so a
+    // hash match proves the JDK codec path is pixel-exact
+    "m10_png_ingest" ->
+      """WITH m AS (SELECT doc_id, (doc_id % 5) + 1 AS w, (doc_id % 4) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT m.doc_id, ys.y, xs.x,
+        |    (((m.doc_id*31 + 3*(((ys.y*m.h)//8)*m.w + (xs.x*m.w)//9)) % 256)
+        |     + ((m.doc_id*31 + 3*(((ys.y*m.h)//8)*m.w + (xs.x*m.w)//9) + 1) % 256)
+        |     + ((m.doc_id*31 + 3*(((ys.y*m.h)//8)*m.w + (xs.x*m.w)//9) + 2) % 256)
+        |    ) // 3 AS gv
+        |  FROM m
+        |  CROSS JOIN generate_series(0, 7) AS ys(y)
+        |  CROSS JOIN generate_series(0, 8) AS xs(x)),
+        |b AS (SELECT doc_id, y, x, gv,
+        |    lead(gv) OVER (PARTITION BY doc_id, y ORDER BY x) AS nxt
+        |  FROM g),
+        |bits AS (SELECT doc_id, y*8 + x AS bit FROM b
+        |         WHERE x < 8 AND nxt > gv),
+        |hash AS (SELECT m.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (CAST(1 AS BIGINT) << (bit - 32)) END), 0) AS BIGINT) AS phash_hi,
+        |    CAST(coalesce(sum(CASE WHEN bit < 32
+        |      THEN (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS phash_lo
+        |  FROM m LEFT JOIN bits ON bits.doc_id = m.doc_id
+        |  GROUP BY m.doc_id),
+        |ptx AS (SELECT doc_id, w, h, unnest(range(1, w - 1))::INT AS x
+        |  FROM m),
+        |pts AS (SELECT doc_id, w, h, x, unnest(range(1, h - 1))::INT AS y
+        |  FROM ptx),
+        |nb AS (SELECT p.doc_id, p.x, p.y, o.dx, o.dy,
+        |    (((p.doc_id*31 + 3*((p.y+o.dy)*p.w + (p.x+o.dx))) % 256
+        |     + (p.doc_id*31 + 3*((p.y+o.dy)*p.w + (p.x+o.dx)) + 1) % 256
+        |     + (p.doc_id*31 + 3*((p.y+o.dy)*p.w + (p.x+o.dx)) + 2) % 256)
+        |     // 3) AS g
+        |  FROM pts p, (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),
+        |    (-1,1),(0,1),(1,1)) AS o(dx,dy)),
+        |sb AS (SELECT doc_id, x, y,
+        |    sum(g * CASE WHEN dx = -1 AND dy = 0 THEN -2
+        |      WHEN dx = 1 AND dy = 0 THEN 2
+        |      WHEN dx = -1 THEN -1 WHEN dx = 1 THEN 1 ELSE 0 END) AS gx,
+        |    sum(g * CASE WHEN dy = -1 AND dx = 0 THEN -2
+        |      WHEN dy = 1 AND dx = 0 THEN 2
+        |      WHEN dy = -1 THEN -1 WHEN dy = 1 THEN 1 ELSE 0 END) AS gy
+        |  FROM nb GROUP BY 1, 2, 3),
+        |e AS (SELECT doc_id, CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS energy
+        |  FROM sb GROUP BY 1)
+        |SELECT m.doc_id AS media_id, hash.phash_hi, hash.phash_lo,
+        |  coalesce(e.energy, 0) AS edge_energy
+        |FROM m JOIN hash ON hash.doc_id = m.doc_id
+        |LEFT JOIN e ON e.doc_id = m.doc_id
+        |ORDER BY media_id""".stripMargin,
     "m05_image_phash" ->
       """WITH m AS (SELECT doc_id, (doc_id % 5) + 1 AS w, (doc_id % 4) + 2 AS h
         |  FROM documents WHERE doc_id % 3 = 0),

@@ -160,6 +160,32 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       "auto handle must leave no cached frames behind")
   }
 
+  test("PNG codec: P6->PNG->P6 roundtrip is byte-identical; normalizeImages dispatches") {
+    import graft.multimodal.Multimodal
+    // a real-sized image exercising every byte value (not just the tiny
+    // synthetic 5x5s): 64x48 RGB with pixel byte i = (i*7+3) % 256
+    val w = 64; val h = 48
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate(w * h * 3)(i => ((i * 7 + 3) % 256).toByte)
+    val ppm = header ++ px
+    val png = Multimodal.ppmToPng(ppm).get
+    assert(Multimodal.isPng(png), "encoder must emit a signed PNG")
+    val back = Multimodal.pngToPpm(png).get
+    assert(java.util.Arrays.equals(back, ppm),
+      "PNG roundtrip must be byte-identical (8-bit RGB decode is exact)")
+    // features through the PNG path == features from the original
+    assert(Multimodal.dhashPpm(back) == Multimodal.dhashPpm(ppm))
+    assert(Multimodal.sobelEnergyPpm(back) == Multimodal.sobelEnergyPpm(ppm))
+    // normalizeImages: PNG transcoded, P6 passed through, junk dropped
+    val media = Seq((1L, png), (2L, ppm), (3L, "not an image".getBytes))
+      .toDF("media_id", "bytes")
+    val normed = Multimodal.normalizeImages(media)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(normed.keySet == Set(1L, 2L), s"junk row must drop: ${normed.keySet}")
+    assert(java.util.Arrays.equals(normed(1L), ppm) &&
+      java.util.Arrays.equals(normed(2L), ppm))
+  }
+
   test("ANN LSH recall vs brute force is usable (>= 40% of true top-10)") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
