@@ -41,6 +41,7 @@ object Bench {
     "q37_tpch_q10",          // 4-table join, pushed flags/dates, top-20
     "q38_tpch_q21",          // fact self-semi/anti joins on shared partitioning
     "q40_tpch_q21_agg",      // Q21 aggregate rewrite: one fact shuffle (vs q38)
+    "q65_tpch_q21_auto",     // Q21 auto dispatch: fact census picks the twin
     "q39_tpch_q17",          // agg-join-back, broadcast brand prune
     "q41_tpch_q13",          // outer-join count histogram, agg-below-join
     "q43_tpch_q7",           // two-nation volume: broadcast-folded dim pair

@@ -633,29 +633,7 @@ object CoreQueries {
     // fault) as LEFT ANTI — both streamed, never materializing the
     // per-order pair blowup a naive self-join would. Supplier is the
     // fixed-size broadcast dim; bounded top-20 via TakeOrdered. ----------
-    "q38_tpch_q21" -> ((s, d) => {
-      val l1 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val l2 = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("l2_orderkey"),
-          col("l_suppkey").as("l2_suppkey"))
-      val l3 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("l3_orderkey"),
-          col("l_suppkey").as("l3_suppkey"))
-      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-        .select(col("o_orderkey"))
-      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
-      l1.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(l2, col("l2_orderkey") === col("l_orderkey") &&
-          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
-        .join(l3, col("l3_orderkey") === col("l_orderkey") &&
-          col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-        .limit(20)
-    }),
+    "q38_tpch_q21" -> ((s, d) => q21SemiAnti(s, d)),
 
     // -- Q21 AGGREGATE-REWRITE TWIN (same oracle as q38, result-identical
     // by construction): the EXISTS/NOT EXISTS correlation collapses into
@@ -677,27 +655,15 @@ object CoreQueries {
     // semi/anti joins through smaller partial stages than the 15M-group
     // rollup hash — both scale sub-linearly and share one oracle.
     // Plan-guarded: exactly one lineitem scan, no Window node. ----------
-    "q40_tpch_q21_agg" -> ((s, d) => {
-      val perOrd = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(count(when(col("l_returnflag") === "R", 1)).as("n_fault_rows"))
-        .groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_supp"),
-          sum((col("n_fault_rows") > 0).cast("long")).as("n_fault_supp"),
-          max(when(col("n_fault_rows") > 0, col("l_suppkey"))).as("fault_suppkey"),
-          max(when(col("n_fault_rows") > 0, col("n_fault_rows"))).as("fault_rows"))
-      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-        .select(col("o_orderkey"))
-      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
-      perOrd
-        .filter(col("n_supp") > 1 && col("n_fault_supp") === 1)
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("fault_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_name"))
-        .agg(sum(col("fault_rows")).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-        .limit(20)
-    }),
+    "q40_tpch_q21_agg" -> ((s, d) => q21AggRewrite(s, d)),
+
+    // -- Q21 AUTO DISPATCH (r8 verdict #7 — "the engine picks the
+    // regime", completing the d25/t19/d09 dispatcher family): one cheap
+    // metadata-backed fact count picks between the twins at the
+    // BASELINE.md-measured crossover. Both regimes are result-identical
+    // and share q38's oracle; PlanSpec proves the flip on a constructed
+    // ceiling. -----------------------------------------------------------
+    "q65_tpch_q21_auto" -> ((s, d) => q21Auto(s, d)),
 
     // -- TPC-H Q17 shape: small-quantity lineitems for one brand vs the
     // per-part average — the aggregate-join-back (decorrelated scalar
@@ -1181,6 +1147,79 @@ object CoreQueries {
 
   /** TPC-H Q21 shape: shared by q38 (semi/anti form) and q40 (aggregate
     * rewrite) — the two must produce identical rows. */
+  /** TPC-H Q21, semi/anti-join form (gate q38; the large-scale regime):
+    * suppliers solely at fault on finished multi-supplier orders. All
+    * three lineitem subsets and orders hash-partition on l_orderkey, so
+    * the join chain shuffles once per input; EXISTS plans LEFT SEMI and
+    * NOT EXISTS LEFT ANTI — both streamed, never the per-order pair
+    * blowup. At sf10 AQE drives these through smaller partial stages
+    * than the rollup hash of [[q21AggRewrite]] (~8.5 vs ~11.8 s,
+    * BASELINE.md). */
+  def q21SemiAnti(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val l1 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+    val l3 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    l1.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+        col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q21, aggregate-rewrite form (gate q40; the small/mid-scale
+    * regime): one (orderkey, suppkey) rollup with map-side combine, then
+    * a per-order hash aggregate whose conditional max() recovers the
+    * unique fault supplier — one fact scan, one pre-aggregated fact
+    * shuffle, no window. Result-identical to [[q21SemiAnti]] (shared
+    * oracle); wins through sf1 and trails at sf10 (BASELINE.md). */
+  def q21AggRewrite(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val perOrd = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(count(when(col("l_returnflag") === "R", 1)).as("n_fault_rows"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum((col("n_fault_rows") > 0).cast("long")).as("n_fault_supp"),
+        max(when(col("n_fault_rows") > 0, col("l_suppkey"))).as("fault_suppkey"),
+        max(when(col("n_fault_rows") > 0, col("n_fault_rows"))).as("fault_rows"))
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    perOrd
+      .filter(col("n_supp") > 1 && col("n_fault_supp") === 1)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("fault_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("fault_rows")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** Q21 auto dispatcher: picks [[q21AggRewrite]] while the fact row
+    * count sits at or below `aggCeiling`, [[q21SemiAnti]] beyond — the
+    * engine-picks-the-regime discipline (d25 / perplexityBucketsAuto /
+    * d09 confirm=auto). The census is one count() over the parquet scan
+    * (footer row-counts, no column IO). The default ceiling splits the
+    * measured inversion: the rewrite wins at sf1 (6M rows: 2.47 vs
+    * 3.71 s) and loses at sf10 (60M: ~11.8 vs ~8.5 s) — 30M is the
+    * midpoint decade boundary. */
+  def q21Auto(s: org.apache.spark.sql.SparkSession, d: String,
+      aggCeiling: Long = 30000000L): DataFrame =
+    if (Tables.lineitem(s, d).count() <= aggCeiling) q21AggRewrite(s, d)
+    else q21SemiAnti(s, d)
+
   private val q21Oracle: String =
     """SELECT s_name, count(*) AS numwait
       |FROM lineitem l1
@@ -1513,8 +1552,10 @@ object CoreQueries {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q38_tpch_q21" -> q21Oracle,
     // q40 is the aggregate rewrite of the same query — one oracle gates
-    // both, the same pattern as d07/d09 and d02/d10
+    // both, the same pattern as d07/d09 and d02/d10; q65 is the auto
+    // dispatcher over the two (regime choice never changes the result)
     "q40_tpch_q21_agg" -> q21Oracle,
+    "q65_tpch_q21_auto" -> q21Oracle,
     "q39_tpch_q17" ->
       """WITH l AS (
         |  SELECT l_partkey, l_quantity, l_extendedprice

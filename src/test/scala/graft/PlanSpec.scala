@@ -620,6 +620,20 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     spark.catalog.clearCache() // the scalable form's range-sort persist
   }
 
+  test("q21Auto: aggregate rewrite below the fact ceiling, semi/anti above") {
+    import graft.operators.CoreQueries
+    // default ceiling: the sandbox fact is tiny -> the rewrite (no semi
+    // or anti join anywhere in the tree; ONE lineitem scan)
+    val agg = CoreQueries.q21Auto(spark, sf).queryExecution.executedPlan.toString
+    assert(!agg.contains("LeftSemi") && !agg.contains("LeftAnti"),
+      s"below-ceiling must take the aggregate rewrite:\n$agg")
+    // constructed 1-row ceiling -> the SAME call flips to semi/anti
+    val sa = CoreQueries.q21Auto(spark, sf, aggCeiling = 1L)
+      .queryExecution.executedPlan.toString
+    assert(sa.contains("LeftSemi") && sa.contains("LeftAnti"),
+      s"above-ceiling must take the semi/anti form:\n$sa")
+  }
+
   test("groupQuantilesAuto: exact percentile below the ceiling, GK sketch above") {
     import graft.operators.Analytics
     import org.apache.spark.sql.functions.{col, length}
