@@ -90,6 +90,41 @@ object SketchQueries {
         .orderBy(col("rank"))
     }),
 
+    // -- sk03c: the EVICTION path itself replayed EXACTLY (r8 verdict
+    // #8, the sk05b constrained-regime discipline). In one partition
+    // with a defined order, keys arriving as CONSECUTIVE runs, and
+    // pairwise-DISTINCT per-key totals, every Filtered-Space-Saving
+    // decision is forced: the conservative CMS estimate of a run-local
+    // key is its exact cumulative count (no full-row collisions at this
+    // width — deterministic hashes, checked by the hash match itself),
+    // promotion fires iff the run total exceeds the unique tracked
+    // minimum, and the evicted key is that unique minimum — HashMap
+    // iteration order never gets a choice. The final tracked state is
+    // therefore a pure fold over (arrival order, totals), which DuckDB
+    // replays with a recursive CTE and hash-matches rank, key AND count.
+    // The general regime's residual nondeterminism (eviction among TIED
+    // minima follows the cache's scan order) is documented in
+    // COVERAGE.md; sk03 stays the production rows-only shape. -----------
+    "sk03c_most_frequent_replay" -> ((s, d) => {
+      import s.implicits._
+      // 60 keys, arrival order r = 1..60, totals (r*37 mod 97)+2 — all
+      // distinct (37 is invertible mod 97), range 2..98; tracker cap
+      // 4n = 20 fills at r=20, so 40 forced promotion decisions run
+      val stream = s.range(1, 61)
+        .select(col("id").as("r"), (lit(1000) + col("id")).as("k"),
+          ((col("id") * 37) % 97 + 2).as("c"))
+        .select(col("r"), col("k"),
+          explode(sequence(lit(1), col("c"))).as("copy"))
+        .repartition(1).sortWithinPartitions(col("r"), col("copy"))
+      val agg = new MostFrequent[Long, Long](5, 0.99, 0.002, identity)
+      stream.select(col("k")).as[Long]
+        .select(agg.toColumn.name("top")).toDF("top")
+        .select(posexplode(col("top")).as(Seq("pos", "kv")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("kv._1").as("k"), col("kv._2").as("n"))
+        .orderBy(col("rank"))
+    }),
+
     // -- sk04b: mostDistinct's sketch regime, hash-verified the same way:
     // same skewed key stream, value = a per-row-unique composite so the
     // per-key distinct counts inherit the 2× geometric separation —
@@ -115,6 +150,34 @@ object SketchQueries {
         .select(col("rank"), col("k"),
           (abs(col("est") - col("exact")).cast("double") / col("exact") <=
             3 * 1.04 / 16.0).as("est_ok"))
+        .orderBy(col("rank"))
+    }),
+
+    // -- sk04c: TopDistinct's eviction path replayed EXACTLY (sk03c's
+    // discipline lifted to HLL scores): one partition, defined order,
+    // consecutive runs, and per-key value sets whose b=4 HLL estimates
+    // are pairwise distinct doubles — promotion fires iff the run's HLL
+    // estimate beats the unique tracked minimum, so the fold is forced
+    // and the oracle replays it: sk27's register rebuild (splitmix64
+    // value hash, idx = h>>60, rank = 65−bitlen((h·16)|8)) feeds the
+    // EXACT double estimator (ordered 2^-r fold, alpha·m² left-assoc,
+    // linear-counting branch) into a recursive-CTE fold. --------------
+    "sk04c_most_distinct_replay" -> ((s, d) => {
+      import s.implicits._
+      val stream = s.range(1, 61)
+        .select(col("id").as("r"), (lit(1000) + col("id")).as("k"),
+          (lit(150) + ((col("id") * 37) % 97) * 3).as("c"))
+        .select(col("r"), col("k"),
+          explode(sequence(lit(0), col("c") - 1)).as("i"))
+        .select(col("r"), col("k"), (col("k") * 100000 + col("i")).as("v"))
+        .repartition(1).sortWithinPartitions(col("r"), col("v"))
+      val agg = new MostDistinct[(Long, Long), Long](
+        5, 0.99, 0.002, 0.26, _._1, _._2)
+      stream.select(col("k"), col("v")).as[(Long, Long)]
+        .select(agg.toColumn.name("top")).toDF("top")
+        .select(posexplode(col("top")).as(Seq("pos", "kv")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("kv._1").as("k"), col("kv._2").as("n_distinct"))
         .orderBy(col("rank"))
     }),
 
@@ -889,6 +952,97 @@ object SketchQueries {
         | (0.01, TRUE), (0.1, TRUE), (0.25, TRUE), (0.5, TRUE),
         | (0.75, TRUE), (0.9, TRUE), (0.99, TRUE)) t(q, rank_ok)
         |ORDER BY q""".stripMargin,
+    // sk03c: the forced-decision FSS fold replayed with a recursive CTE
+    // carrying the tracked set as a struct list — insert below cap,
+    // evict-the-unique-minimum above it; counts are exact in this regime
+    "sk03c_most_frequent_replay" ->
+      """WITH RECURSIVE seq AS (SELECT r, 1000 + r AS k, (r*37) % 97 + 2 AS c
+        |  FROM (SELECT unnest(range(1, 61)) AS r)),
+        |sim AS (
+        |  SELECT 0::BIGINT AS r, []::STRUCT(k BIGINT, c BIGINT)[] AS S
+        |  UNION ALL
+        |  SELECT cur.r,
+        |    CASE
+        |      WHEN len(prev.S) < 20
+        |        THEN list_append(prev.S, {'k': cur.k, 'c': cur.c})
+        |      WHEN cur.c > list_reduce(list_transform(prev.S, x -> x.c),
+        |          (a,b) -> least(a,b))
+        |        THEN list_append(list_filter(prev.S, x ->
+        |          x.c != list_reduce(list_transform(prev.S, y -> y.c),
+        |            (a,b) -> least(a,b))),
+        |          {'k': cur.k, 'c': cur.c})
+        |      ELSE prev.S END
+        |  FROM sim prev JOIN seq cur ON cur.r = prev.r + 1
+        |),
+        |fin AS (SELECT S FROM sim WHERE r = 60),
+        |ex AS (SELECT unnest(S) AS e FROM fin)
+        |SELECT row_number() OVER (ORDER BY e.c DESC, e.k) AS rank,
+        |  e.k, e.c AS n
+        |FROM ex ORDER BY e.c DESC, e.k LIMIT 5""".stripMargin,
+    // sk04c: per-key HLL registers rebuilt relationally (sk27's idiom),
+    // the EXACT double estimator (ordered 2^-r fold, 0.673·16·16
+    // left-assoc, linear-counting branch), then the same forced
+    // promotion/eviction fold as sk03c over estimate scores
+    "sk04c_most_distinct_replay" ->
+      """WITH RECURSIVE seq AS (SELECT r, 1000 + r AS k,
+        |    150 + ((r*37) % 97) * 3 AS c
+        |  FROM (SELECT unnest(range(1, 61)) AS r)),
+        |vals AS (SELECT r, k, (k * 100000 + unnest(range(c)))::UBIGINT AS v
+        |  FROM seq),
+        |va AS (SELECT r, k, ((xor(v, 481577407632010445::UBIGINT)::UHUGEINT
+        |    + 11400714819323198485::UHUGEINT)
+        |    % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM vals),
+        |vb AS (SELECT r, k, ((xor(x, x>>30)::UHUGEINT
+        |    * 13787848793156543929::UHUGEINT)
+        |    % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM va),
+        |vc AS (SELECT r, k, ((xor(x, x>>27)::UHUGEINT
+        |    * 10723151780598845931::UHUGEINT)
+        |    % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM vb),
+        |vh AS (SELECT r, k, xor(x, x>>31) AS h FROM vc),
+        |regc AS (SELECT r, k, (h >> 60)::BIGINT AS idx,
+        |   ((h::UHUGEINT * 16) % 18446744073709551616::UHUGEINT)::UBIGINT
+        |     | 8::UBIGINT AS y FROM vh),
+        |regr AS (SELECT r, k, idx,
+        |   CASE WHEN y >= 9223372036854775808::UBIGINT THEN 1
+        |        ELSE 65 - len(format('{:b}', y::BIGINT)) END AS rnk
+        | FROM regc),
+        |kreg AS (SELECT r, k, idx, max(rnk) AS rnk FROM regr GROUP BY 1,2,3),
+        |kgrid AS (SELECT seq.r, seq.k, g.range AS idx FROM seq, range(16) g),
+        |kfull AS (SELECT kg.r, kg.k, kg.idx, coalesce(kr.rnk, 0) AS rnk
+        |  FROM kgrid kg LEFT JOIN kreg kr ON kr.k = kg.k AND kr.idx = kg.idx),
+        |hsum AS (SELECT r, k,
+        |   list_reduce(list_prepend(0.0::DOUBLE,
+        |     list(1.0::DOUBLE / (1::UBIGINT << rnk::INT)::DOUBLE ORDER BY idx)),
+        |     (a,b) -> a+b) AS s,
+        |   sum(CASE WHEN rnk = 0 THEN 1 ELSE 0 END) AS zeros
+        |  FROM kfull GROUP BY 1, 2),
+        |est AS (SELECT r, k,
+        |   CASE WHEN (0.673 * 16 * 16 / s) <= 2.5 * 16 AND zeros > 0
+        |     THEN 16.0 * ln(16.0 / zeros) ELSE 0.673 * 16 * 16 / s END AS e
+        |  FROM hsum),
+        |sim AS (
+        |  SELECT 0::BIGINT AS r, []::STRUCT(k BIGINT, e DOUBLE)[] AS S
+        |  UNION ALL
+        |  SELECT cur.r,
+        |    CASE
+        |      WHEN len(prev.S) < 20
+        |        THEN list_append(prev.S, {'k': cur.k, 'e': cur.e})
+        |      WHEN cur.e > list_reduce(list_transform(prev.S, x -> x.e),
+        |          (a,b) -> least(a,b))
+        |        THEN list_append(list_filter(prev.S, x ->
+        |          x.e != list_reduce(list_transform(prev.S, y -> y.e),
+        |            (a,b) -> least(a,b))),
+        |          {'k': cur.k, 'e': cur.e})
+        |      ELSE prev.S END
+        |  FROM sim prev JOIN est cur ON cur.r = prev.r + 1
+        |),
+        |fin AS (SELECT S FROM sim WHERE r = 60),
+        |ex AS (SELECT unnest(S) AS t FROM fin)
+        |SELECT row_number() OVER (ORDER BY floor(t.e + 0.5)::BIGINT DESC,
+        |    t.k::VARCHAR) AS rank,
+        |  t.k, floor(t.e + 0.5)::BIGINT AS n_distinct
+        |FROM ex ORDER BY floor(t.e + 0.5)::BIGINT DESC, t.k::VARCHAR
+        |LIMIT 5""".stripMargin,
     // sk29: the keyed bound, pinned TRUE per (group, quantile) — the
     // group enumeration is relational, the booleans are the contract
     "sk29_gk_quantiles_by_key" ->
