@@ -127,7 +127,18 @@ object ClusterMirror {
     //        non-flushed insert buffer) partial-merged across a REAL
     //        exchange — the quantile family's serialization round-trip
     //        local[n] never exercises
-    "sk28_gk_quantiles_contract")
+    "sk28_gk_quantiles_contract",
+    // round-12 risk classes:
+    //  sk29: the udaf() path (UserDefinedAggregator, not toColumn) —
+    //        ScalaAggregator closure + Kryo GK buffers KEYED by group
+    //        across a real exchange, then the estimates broadcast back
+    //        into the rank-interval join on remote executors
+    "sk29_gk_quantiles_by_key",
+    //  m10: the JDK ImageIO codec INSIDE worker JVMs — PNG plugin
+    //       discovery + headless AWT raster code runs on the daemons
+    //       (local mode inherits the driver's initialized JVM; a real
+    //       executor initializes its own), batched in mapPartitions
+    "m10_png_ingest")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
