@@ -205,17 +205,17 @@ object Multimodal {
     val (w, h, _, pos) = parseP6(bytes, 0).getOrElse(return None)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val src = pos + (y * w + x) * 3
-        img.setRGB(x, y, ((bytes(src) & 0xff) << 16) |
-          ((bytes(src + 1) & 0xff) << 8) | (bytes(src + 2) & 0xff))
-        x += 1
-      }
-      y += 1
+    // bulk setRGB: one color-model dispatch for the whole plane, not one
+    // per pixel (the per-pixel form dominated the m10 decade row)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      val src = pos + i * 3
+      px(i) = ((bytes(src) & 0xff) << 16) |
+        ((bytes(src + 1) & 0xff) << 8) | (bytes(src + 2) & 0xff)
+      i += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     if (!javax.imageio.ImageIO.write(img, "png", bos)) None
     else Some(bos.toByteArray)
@@ -239,18 +239,17 @@ object Multimodal {
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new Array[Byte](header.length + w * h * 3)
     System.arraycopy(header, 0, out, 0, header.length)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val dst = header.length + (y * w + x) * 3
-        out(dst) = ((rgb >> 16) & 0xff).toByte
-        out(dst + 1) = ((rgb >> 8) & 0xff).toByte
-        out(dst + 2) = (rgb & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    // bulk getRGB (one dispatch per plane; sRGB int pixels are exact for
+    // 8-bit RGB PNG — no gamma/color transform applied by the JDK reader)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val dst = header.length + i * 3
+      out(dst) = ((rgb >> 16) & 0xff).toByte
+      out(dst + 1) = ((rgb >> 8) & 0xff).toByte
+      out(dst + 2) = (rgb & 0xff).toByte
+      i += 1
     }
     Some(out)
   }
