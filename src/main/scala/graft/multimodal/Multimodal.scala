@@ -197,11 +197,39 @@ object Multimodal {
       bytes(3) == 'G' && bytes(4) == 0x0d && bytes(5) == 0x0a &&
       bytes(6) == 0x1a && bytes(7) == 0x0a
 
-  /** Encode a P6 image's pixels as PNG (JDK ImageIO writer) — the
-    * staging/interchange direction: real corpora arrive AS PNG; the m10
-    * gate uses this to stage bit-identical pixels in both formats.
-    * Returns None for non-P6 input. */
-  def ppmToPng(bytes: Array[Byte]): Option[Array[Byte]] = {
+  /** Per-batch reusable PNG writer: `ImageIO.write` pays a plugin
+    * registry scan AND a disk-backed cache stream per CALL — at corpus
+    * scale that overhead dominates the actual codec work (measured: the
+    * per-call form put m10's second decade at 16×; batch reuse restores
+    * linear). Memory-cached streams keep the executor off /tmp. */
+  private def newPngWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  private def newPngReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+  private def encodePngWith(writer: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
+    bos.toByteArray
+  }
+
+  private def decodePngWith(reader: javax.imageio.ImageReader,
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      Some(reader.read(0))
+    } catch { case _: java.io.IOException => None }
+    finally iis.close()
+  }
+
+  private def p6ToImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     val (w, h, _, pos) = parseP6(bytes, 0).getOrElse(return None)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -216,23 +244,10 @@ object Multimodal {
       i += 1
     }
     img.setRGB(0, 0, w, h, px, 0, w)
-    val bos = new java.io.ByteArrayOutputStream()
-    if (!javax.imageio.ImageIO.write(img, "png", bos)) None
-    else Some(bos.toByteArray)
+    Some(img)
   }
 
-  /** Decode a PNG (JDK ImageIO reader — 8-bit RGB PNG decode is
-    * bit-deterministic) and re-emit canonical P6 bytes. Every downstream
-    * feature (decodePpm / dhashPpm / sobelEnergyPpm / resizePpm) is
-    * PIXEL-defined, so one exact transcode makes the whole feature
-    * battery format-independent instead of teaching each kernel a second
-    * container. Returns None for non-PNG or undecodable input. */
-  def pngToPpm(bytes: Array[Byte]): Option[Array[Byte]] = {
-    if (!isPng(bytes)) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
-    if (img == null) return None
+  private def imageToP6(img: java.awt.image.BufferedImage): Option[Array[Byte]] = {
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue - 64) return None
     val header = s"P6\n$w $h\n255\n"
@@ -254,6 +269,56 @@ object Multimodal {
     Some(out)
   }
 
+  /** Encode a P6 image's pixels as PNG (JDK ImageIO writer) — the
+    * staging/interchange direction: real corpora arrive AS PNG; the m10
+    * gate uses this to stage bit-identical pixels in both formats.
+    * One-shot form (creates and disposes its own writer); batch callers
+    * go through [[transcodeToPng]]. Returns None for non-P6 input. */
+  def ppmToPng(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val img = p6ToImage(bytes).getOrElse(return None)
+    val writer = newPngWriter()
+    try Some(encodePngWith(writer, img)) finally writer.dispose()
+  }
+
+  /** Decode a PNG (JDK ImageIO reader — 8-bit RGB PNG decode is
+    * bit-deterministic) and re-emit canonical P6 bytes. Every downstream
+    * feature (decodePpm / dhashPpm / sobelEnergyPpm / resizePpm) is
+    * PIXEL-defined, so one exact transcode makes the whole feature
+    * battery format-independent instead of teaching each kernel a second
+    * container. Returns None for non-PNG or undecodable input. */
+  def pngToPpm(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (!isPng(bytes)) return None
+    val reader = newPngReader()
+    try decodePngWith(reader, bytes).flatMap(imageToP6)
+    finally reader.dispose()
+  }
+
+  /** Batched P6→PNG staging over a (media_id, bytes) frame: one reused
+    * PNG writer per batch (the [[normalizeImages]] discipline — a real
+    * codec initializes per batch, never per row). Non-P6 rows drop. */
+  def transcodeToPng(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = true)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val writer = newPngWriter()
+        try {
+          // strict inner map: the writer must not be touched lazily
+          // after dispose()
+          batch.flatMap { r =>
+            p6ToImage(r.getAs[Array[Byte]](bytesIdx))
+              .map(img => Row(r.getLong(idIdx), encodePngWith(writer, img)))
+          }
+        } finally writer.dispose()
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Batched image-format normalization over a (media_id, bytes) frame:
     * PNG rows are transcoded to canonical P6 on the executors
     * (mapPartitions — ImageIO plugin lookup initializes once per batch,
@@ -270,13 +335,20 @@ object Multimodal {
     val bytesIdx = media.schema.fieldIndex("bytes")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.flatMap { r =>
-          val id = r.getLong(idIdx)
-          val b = r.getAs[Array[Byte]](bytesIdx)
-          if (isPng(b)) pngToPpm(b).map(Row(id, _))
-          else if (parseP6(b, 0).isDefined) Some(Row(id, b))
-          else None
-        }
+        // one reader per batch: ImageIO's per-call registry scan + cache
+        // stream would otherwise dominate at corpus scale
+        val reader = newPngReader()
+        try {
+          // strict inner map (batch is a Seq): the reader must not be
+          // consumed lazily after dispose()
+          batch.flatMap { r =>
+            val id = r.getLong(idIdx)
+            val b = r.getAs[Array[Byte]](bytesIdx)
+            if (isPng(b)) decodePngWith(reader, b).flatMap(imageToP6).map(Row(id, _))
+            else if (parseP6(b, 0).isDefined) Some(Row(id, b))
+            else None
+          }
+        } finally reader.dispose()
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -494,8 +494,7 @@ object CurationQueries {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
         .filter(col("kind") === "image")
         .select(col("media_id"), col("bytes"))
-      val toPng = udf((b: Array[Byte]) => Multimodal.ppmToPng(b).orNull)
-      val staged = media.select(col("media_id"), toPng(col("bytes")).as("bytes"))
+      val staged = Multimodal.transcodeToPng(media)
       val normalized = Multimodal.normalizeImages(staged)
       val dh = udf((b: Array[Byte]) => Multimodal.dhashPpm(b).getOrElse(-1L))
       val so = udf((b: Array[Byte]) => Multimodal.sobelEnergyPpm(b).getOrElse(-1L))

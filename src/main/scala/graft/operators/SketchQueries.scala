@@ -979,6 +979,42 @@ object SketchQueries {
         |SELECT row_number() OVER (ORDER BY e.c DESC, e.k) AS rank,
         |  e.k, e.c AS n
         |FROM ex ORDER BY e.c DESC, e.k LIMIT 5""".stripMargin,
+    // sk01: the plain HLL distinct estimate, hash-verified (was
+    // rows-only since round 1): the b=14 register table rebuilt
+    // relationally from the distinct keys (splitmix64 value hash,
+    // idx = h>>50, rank = 65−bitlen((h·2¹⁴)|2¹³)), then the EXACT
+    // estimator — ordered 2⁻ʳ fold over all 16384 registers, left-assoc
+    // α·m², the linear-counting branch (which this cardinality regime
+    // takes), and Java's floor(est+0.5) rounding
+    "sk01_hll_distinct" ->
+      """WITH vals AS (SELECT DISTINCT l_partkey::UBIGINT AS v FROM lineitem),
+        |va AS (SELECT ((xor(v, 481577407632010445::UBIGINT)::UHUGEINT
+        |    + 11400714819323198485::UHUGEINT)
+        |    % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM vals),
+        |vb AS (SELECT ((xor(x, x>>30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+        |    % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM va),
+        |vc AS (SELECT ((xor(x, x>>27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+        |    % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM vb),
+        |vh AS (SELECT xor(x, x>>31) AS h FROM vc),
+        |regc AS (SELECT (h >> 50)::BIGINT AS idx,
+        |  ((h::UHUGEINT * 16384) % 18446744073709551616::UHUGEINT)::UBIGINT
+        |    | 8192::UBIGINT AS y FROM vh),
+        |regr AS (SELECT idx, CASE WHEN y >= 9223372036854775808::UBIGINT THEN 1
+        |   ELSE 65 - len(format('{:b}', y::BIGINT)) END AS rnk FROM regc),
+        |kreg AS (SELECT idx, max(rnk) AS rnk FROM regr GROUP BY 1),
+        |grid AS (SELECT g.range AS idx, coalesce(k.rnk, 0) AS rnk
+        |  FROM range(16384) g LEFT JOIN kreg k ON k.idx = g.range),
+        |hs AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(1.0::DOUBLE / (1::UBIGINT << rnk::INT)::DOUBLE ORDER BY idx)),
+        |    (a,b) -> a+b) AS s,
+        |  sum(CASE WHEN rnk = 0 THEN 1 ELSE 0 END) AS zeros FROM grid),
+        |e AS (SELECT CASE WHEN
+        |    (0.7213 / (1.0 + 1.079/16384.0) * 16384.0 * 16384.0 / s)
+        |      <= 2.5*16384.0 AND zeros > 0
+        |  THEN 16384.0 * ln(16384.0 / zeros)
+        |  ELSE 0.7213 / (1.0 + 1.079/16384.0) * 16384.0 * 16384.0 / s
+        |  END AS est FROM hs)
+        |SELECT floor(est + 0.5)::BIGINT AS approx_parts FROM e""".stripMargin,
     // sk04c: per-key HLL registers rebuilt relationally (sk27's idiom),
     // the EXACT double estimator (ordered 2^-r fold, 0.673·16·16
     // left-assoc, linear-counting branch), then the same forced
