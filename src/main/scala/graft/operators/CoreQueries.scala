@@ -1210,15 +1210,22 @@ object CoreQueries {
   /** Q21 auto dispatcher: picks [[q21AggRewrite]] while the fact row
     * count sits at or below `aggCeiling`, [[q21SemiAnti]] beyond — the
     * engine-picks-the-regime discipline (d25 / perplexityBucketsAuto /
-    * d09 confirm=auto). The census is one count() over the parquet scan
-    * (footer row-counts, no column IO). The default ceiling splits the
-    * measured inversion: the rewrite wins at sf1 (6M rows: 2.47 vs
-    * 3.71 s) and loses at sf10 (60M: ~11.8 vs ~8.5 s) — 30M is the
-    * midpoint decade boundary. */
+    * d09 confirm=auto). The census reads parquet FOOTERS only
+    * ([[graft.operators.DataSkipping.footerRowCount]] — milliseconds,
+    * no job, no data IO; a `count()` would re-scan the fact per
+    * invocation and at sf10 that scan was visible in the dispatcher's
+    * bench row), falling back to a count() for non-parquet inputs. The
+    * default ceiling splits the measured inversion: the rewrite wins at
+    * sf1 (6M rows: 2.47 vs 3.71 s) and loses at sf10 (60M: ~11.8 vs
+    * ~8.5 s) — 30M is the midpoint decade boundary. */
   def q21Auto(s: org.apache.spark.sql.SparkSession, d: String,
-      aggCeiling: Long = 30000000L): DataFrame =
-    if (Tables.lineitem(s, d).count() <= aggCeiling) q21AggRewrite(s, d)
-    else q21SemiAnti(s, d)
+      aggCeiling: Long = 30000000L): DataFrame = {
+    val factRows =
+      try graft.operators.DataSkipping.footerRowCount(s, s"$d/lineitem.parquet")
+      catch { case scala.util.control.NonFatal(_) =>
+        Tables.lineitem(s, d).count() }
+    if (factRows <= aggCeiling) q21AggRewrite(s, d) else q21SemiAnti(s, d)
+  }
 
   private val q21Oracle: String =
     """SELECT s_name, count(*) AS numwait

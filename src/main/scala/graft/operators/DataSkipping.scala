@@ -54,6 +54,29 @@ object DataSkipping {
     * [[prunedRead]] keeps those files. Footers are read on EXECUTORS
     * (one task per file batch); nothing data-sized moves anywhere.
     */
+  /** Total row count from parquet FOOTERS alone — no data IO, no Spark
+    * job: the O(files) census an auto dispatcher wants. Footers are read
+    * on the driver (a directory is tens of files; each footer is a few
+    * KB of metadata), so a regime pick costs milliseconds where a
+    * `count()` would re-scan the fact per invocation. */
+  def footerRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val files = fs.listStatus(new Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"footerRowCount: no parquet files under $dir")
+    files.map { st =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        var n = 0L
+        val it = reader.getFooter.getBlocks.iterator()
+        while (it.hasNext) n += it.next().getRowCount
+        n
+      } finally reader.close()
+    }.sum
+  }
+
   def collectFileStats(spark: SparkSession, dir: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "collectFileStats: need at least one column")

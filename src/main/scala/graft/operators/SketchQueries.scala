@@ -302,6 +302,23 @@ object SketchQueries {
         .orderBy(col("k"), col("q"))
     }),
 
+    // -- sk30: the auto quantile dispatcher's OUTPUT, oracle-gated (the
+    // d25 discipline — not just the PlanSpec regime flip: the result of
+    // whichever regime the census picks must hash-match). At sandbox
+    // scale the largest group sits under the ceiling, so the exact
+    // interpolating form runs and DuckDB replays it as quantile_cont;
+    // the GK regime's bound is sk29's gate. ------------------------------
+    "sk30_group_quantiles_auto" -> ((s, d) => {
+      val vals = Tables.lineitem(s, d).select(col("l_returnflag").as("k"),
+        col("l_extendedprice").cast("double").as("v"))
+      Analytics.groupQuantilesAuto(vals, Seq("k"), "v", Seq(0.25, 0.5, 0.9))
+        .select(col("k"), posexplode(col("quantiles")))
+        .withColumnRenamed("pos", "qi")
+        .select(col("k"), col("qi").cast("long").as("qi"),
+          round(col("col"), 4).as("qv"))
+        .orderBy(col("k"), col("qi"))
+    }),
+
     // -- sort_n_by inside group_by: per-status top-3 orders by price -----
     "sk06_sort_n_by_group" -> ((s, d) => {
       import s.implicits._
@@ -1079,6 +1096,20 @@ object SketchQueries {
         |  t.k, floor(t.e + 0.5)::BIGINT AS n_distinct
         |FROM ex ORDER BY floor(t.e + 0.5)::BIGINT DESC, t.k::VARCHAR
         |LIMIT 5""".stripMargin,
+    // sk30: the exact regime's interpolating percentiles (Spark
+    // `percentile` == DuckDB quantile_cont, the t09-proven identity)
+    "sk30_group_quantiles_auto" ->
+      """SELECT k, qi, qv FROM (
+        |  SELECT l_returnflag AS k, 0::BIGINT AS qi,
+        |    round(quantile_cont(l_extendedprice, 0.25), 4) AS qv
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, 1, round(quantile_cont(l_extendedprice, 0.5), 4)
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, 2, round(quantile_cont(l_extendedprice, 0.9), 4)
+        |  FROM lineitem GROUP BY 1
+        |) ORDER BY k, qi""".stripMargin,
     // sk29: the keyed bound, pinned TRUE per (group, quantile) — the
     // group enumeration is relational, the booleans are the contract
     "sk29_gk_quantiles_by_key" ->
