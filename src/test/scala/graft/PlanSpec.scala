@@ -634,6 +634,23 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"above-ceiling must take the semi/anti form:\n$sa")
   }
 
+  test("gkQuantilesByKey: two-phase object hash aggregate, no per-group sort") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.functions.{col, length}
+    val vals = Tables.documents(spark, sf)
+      .select(col("lang"), length(col("text")).as("v"))
+    val plan = Analytics.gkQuantilesByKey(vals, Seq("lang"), "v", Seq(0.5, 0.9))
+      .queryExecution.executedPlan.toString
+    // the 100 TB claim: partial GK summaries merge map-side through an
+    // ObjectHashAggregate pair — group SIZE never becomes a task's sort
+    assert(plan.contains("ObjectHashAggregate"),
+      s"keyed GK must plan as an object hash aggregate:\n$plan")
+    assert(!plan.contains("Sort "),
+      s"keyed GK must not sort any group's values:\n$plan")
+    val phases = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(phases >= 2, s"expected partial+final aggregate phases, got $phases")
+  }
+
   test("groupQuantilesAuto: exact percentile below the ceiling, GK sketch above") {
     import graft.operators.Analytics
     import org.apache.spark.sql.functions.{col, length}
