@@ -225,7 +225,13 @@ object Multimodal {
     try {
       reader.setInput(iis, true, true)
       Some(reader.read(0))
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: a crafted PNG that passes the
+      // signature check can make the JDK reader throw runtime exceptions
+      // (forged IHDR dims, inconsistent palette). The ingest contract is
+      // "undecodable rows DROP" — one bad image must not abort the job.
+      case scala.util.control.NonFatal(_) => None
+    }
     finally iis.close()
   }
 
@@ -293,10 +299,15 @@ object Multimodal {
     finally reader.dispose()
   }
 
-  /** Batched P6→PNG staging over a (media_id, bytes) frame: one reused
-    * PNG writer per batch (the [[normalizeImages]] discipline — a real
-    * codec initializes per batch, never per row). Non-P6 rows drop. */
-  def transcodeToPng(media: DataFrame, batchSize: Int = 64): DataFrame = {
+  /** Shared batched-codec scaffold for the (media_id, bytes) →
+    * (media_id, bytes) image passes: one codec instance per `batchSize`
+    * rows (ImageIO's per-call plugin scan + cache stream would dominate
+    * at corpus scale), strict inner map (the codec must not be touched
+    * lazily after dispose), undecodable rows drop. */
+  private def batchedBytesPass[C](media: DataFrame, batchSize: Int,
+      mkCodec: () => C, disposeCodec: C => Unit,
+      perRow: (C, Array[Byte]) => Option[Array[Byte]]): DataFrame = {
+    require(batchSize > 0, s"batchSize=$batchSize must be positive")
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -305,19 +316,25 @@ object Multimodal {
     val bytesIdx = media.schema.fieldIndex("bytes")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        val writer = newPngWriter()
+        val codec = mkCodec()
         try {
-          // strict inner map: the writer must not be touched lazily
-          // after dispose()
           batch.flatMap { r =>
-            p6ToImage(r.getAs[Array[Byte]](bytesIdx))
-              .map(img => Row(r.getLong(idIdx), encodePngWith(writer, img)))
+            perRow(codec, r.getAs[Array[Byte]](bytesIdx))
+              .map(Row(r.getLong(idIdx), _))
           }
-        } finally writer.dispose()
+        } finally disposeCodec(codec)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Batched P6→PNG staging over a (media_id, bytes) frame: one reused
+    * PNG writer per batch (the [[normalizeImages]] discipline — a real
+    * codec initializes per batch, never per row). Non-P6 rows drop. */
+  def transcodeToPng(media: DataFrame, batchSize: Int = 64): DataFrame =
+    batchedBytesPass[javax.imageio.ImageWriter](media, batchSize,
+      () => newPngWriter(), _.dispose(),
+      (writer, b) => p6ToImage(b).map(encodePngWith(writer, _)))
 
   /** Batched image-format normalization over a (media_id, bytes) frame:
     * PNG rows are transcoded to canonical P6 on the executors
@@ -326,33 +343,13 @@ object Multimodal {
     * through untouched; undecodable rows are dropped. This is the ingest
     * front door for real image corpora: everything downstream sees one
     * pixel format. Narrow (no shuffle), scan-parallel. */
-  def normalizeImages(media: DataFrame, batchSize: Int = 64): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("bytes", BinaryType, nullable = true)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val bytesIdx = media.schema.fieldIndex("bytes")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // one reader per batch: ImageIO's per-call registry scan + cache
-        // stream would otherwise dominate at corpus scale
-        val reader = newPngReader()
-        try {
-          // strict inner map (batch is a Seq): the reader must not be
-          // consumed lazily after dispose()
-          batch.flatMap { r =>
-            val id = r.getLong(idIdx)
-            val b = r.getAs[Array[Byte]](bytesIdx)
-            if (isPng(b)) decodePngWith(reader, b).flatMap(imageToP6).map(Row(id, _))
-            else if (parseP6(b, 0).isDefined) Some(Row(id, b))
-            else None
-          }
-        } finally reader.dispose()
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def normalizeImages(media: DataFrame, batchSize: Int = 64): DataFrame =
+    batchedBytesPass[javax.imageio.ImageReader](media, batchSize,
+      () => newPngReader(), _.dispose(),
+      (reader, b) =>
+        if (isPng(b)) decodePngWith(reader, b).flatMap(imageToP6)
+        else if (parseP6(b, 0).isDefined) Some(b)
+        else None)
 
   /** Deterministic synthetic P6 image for doc/media id: dims and pixel
     * values are closed-form in the id so a SQL oracle can replay the

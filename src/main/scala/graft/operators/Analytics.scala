@@ -38,8 +38,8 @@ object Analytics {
     * limits parallelism, group SIZE never limits memory. Returned values
     * are members of each group's stream (GK answers, not interpolations).
     *
-    * @return keyCols ++ `quantiles` array<double> (qs order; empty for
-    *         all-null groups)
+    * @return keyCols ++ `quantiles` array<double> (qs order; groups
+    *         whose values are ALL null/NaN are absent from the result)
     */
   def gkQuantilesByKey(df: DataFrame, keyCols: Seq[String], valCol: String,
       qs: Seq[Double], eps: Double = 0.01): DataFrame = {
@@ -78,15 +78,29 @@ object Analytics {
       qs: Seq[Double], eps: Double = 0.01,
       exactCeiling: Long = 50000000L): DataFrame = {
     require(keyCols.nonEmpty && qs.nonEmpty, "need keys and quantiles")
-    val maxRow = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head()
-    val maxGroup = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxGroup <= exactCeiling)
-      df.groupBy(keyCols.map(col): _*)
-        .agg(expr(s"percentile(CAST($valCol AS DOUBLE), array(${qs.mkString(",")}))")
-          .as("quantiles"))
+    if (maxGroupSize(df, keyCols) <= exactCeiling)
+      // the SAME null/NaN pre-filter as the GK regime: both regimes see
+      // one row set, so the ceiling flip never adds/drops groups or
+      // lets a NaN (which Spark sorts greatest) poison a percentile;
+      // Column API (not a SQL splice) so backtick-needing column names
+      // behave identically in both regimes
+      df.filter(col(valCol).isNotNull && !isnan(col(valCol).cast("double")))
+        .groupBy(keyCols.map(col): _*)
+        .agg(percentile(col(valCol).cast("double"),
+          lit(qs.toArray)).as("quantiles"))
     else
       gkQuantilesByKey(df, keyCols, valCol, qs, eps)
+  }
+
+  /** Size of the LARGEST group — the one-aggregate census every
+    * auto-dispatcher in the family keys off (d25 block census, t19's
+    * class ceiling, the quantile regimes). O(groups) result rows after
+    * map-side combine; null-safe on an empty frame. */
+  private[operators] def maxGroupSize(df: DataFrame,
+      keyCols: Seq[String]): Long = {
+    val row = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
   /** Exponentially weighted moving average over a bounded trailing window

@@ -62,12 +62,18 @@ object DataSkipping {
   def footerRowCount(spark: SparkSession, dir: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
-    val files = fs.listStatus(new Path(dir))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // RECURSIVE listing: partitioned layouts (dir/part=x/part-*.parquet)
+    // keep every data file one level down — a top-level-only walk would
+    // return a silently wrong count for them
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+      else Seq.empty
+    }
+    val files = walk(new Path(dir))
     require(files.nonEmpty, s"footerRowCount: no parquet files under $dir")
-    files.map { st =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(st.getPath, conf))
+    files.map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         var n = 0L
         val it = reader.getFooter.getBlocks.iterator()

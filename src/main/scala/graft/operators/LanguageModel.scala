@@ -355,9 +355,7 @@ object LanguageModel {
       textCol: String, classCol: String, nBuckets: Int = 3,
       hashTokens: Boolean = false, windowCeiling: Long = 50000000L)
       : (DataFrame, graft.dedup.Dedup.CacheHandle) = {
-    val maxRow = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head()
-    val maxClass = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val maxClass = Analytics.maxGroupSize(df, Seq(classCol))
     if (maxClass <= windowCeiling)
       (perplexityBuckets(df, idCol, textCol, classCol, nBuckets, hashTokens),
         graft.dedup.Dedup.emptyCacheHandle)

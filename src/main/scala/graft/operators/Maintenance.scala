@@ -135,7 +135,11 @@ object Maintenance {
     * matches its counterpart and is COMPARED, instead of surfacing as a
     * spurious A+R pair (plain `=` never matches null). Null-safe
     * equality is still an equi-join key for Catalyst — same
-    * shuffle-or-broadcast plan. */
+    * shuffle-or-broadcast plan. The key-uniqueness precondition now
+    * covers null keys too: a side with SEVERAL null-keyed rows violates
+    * it, and (unlike under plain `=`, where duplicate nulls were inert)
+    * the null-safe join would cross-multiply them — enforce uniqueness
+    * upstream with [[latestPerKey]], which treats null as one key. */
   def diffSnapshots(base: DataFrame, next: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "diffSnapshots needs at least one key column")
