@@ -304,6 +304,20 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
     assert(same == 0L, s"self-diff must be empty, got $same rows")
   }
 
+  test("footerRowCount: exact, metadata-only, and recursive into partitioned layouts") {
+    import graft.operators.DataSkipping
+    val flat = "target/qtmp/spec/frc_flat"
+    spark.range(0, 1234).repartition(3).write.mode("overwrite").parquet(flat)
+    assert(DataSkipping.footerRowCount(spark, flat) == 1234L)
+    // partitioned layout: every data file sits one directory down — a
+    // top-level-only walk would return a silently wrong count
+    val part = "target/qtmp/spec/frc_part"
+    spark.range(0, 1000).selectExpr("id", "id % 4 AS p")
+      .write.mode("overwrite").partitionBy("p").parquet(part)
+    assert(DataSkipping.footerRowCount(spark, part) == 1000L,
+      "partitioned layout must count recursively")
+  }
+
   test("data skipping: missing stats are conservatively kept, nulls counted") {
     import graft.operators.DataSkipping
     import spark.implicits._

@@ -634,6 +634,29 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"above-ceiling must take the semi/anti form:\n$sa")
   }
 
+  test("groupQuantilesAuto: regimes agree on null/NaN rows and all-null groups") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("b", Some(Double.NaN)), ("b", None))
+      .toDF("k", "v").select(col("k"), col("v").cast("double").as("v"))
+    // both regimes drop null/NaN values and omit the all-null/NaN group
+    // entirely — the ceiling flip must never change the ROW SET or
+    // surface a NaN (Spark sorts NaN greatest, poisoning percentiles)
+    def rows(exactCeiling: Long) =
+      Analytics.groupQuantilesAuto(df, Seq("k"), "v", Seq(0.5, 1.0),
+          exactCeiling = exactCeiling)
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = rows(1000000L)
+    val gk = rows(1L)
+    assert(exact.keySet == Set("a") && gk.keySet == Set("a"),
+      s"all-null/NaN group must be absent in BOTH regimes: $exact / $gk")
+    assert(!exact("a").exists(_.isNaN) && !gk("a").exists(_.isNaN))
+    assert(exact("a")(1) == 3.0 && gk("a")(1) == 3.0,
+      "q=1.0 must be the max of the non-null values in both regimes")
+  }
+
   test("gkQuantilesByKey: two-phase object hash aggregate, no per-group sort") {
     import graft.operators.Analytics
     import org.apache.spark.sql.functions.{col, length}
