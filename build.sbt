@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program output must pass through RAW: the bench driver parses
+// the LAST stdout line as bare JSON, and sbt's default LoggedOutput
+// strategy prefixes every line with "[info] " while the trailing
+// "[success] Total time: ..." line lands after the program exits.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
