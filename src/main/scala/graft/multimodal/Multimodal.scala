@@ -319,8 +319,12 @@ object Multimodal {
         val codec = mkCodec()
         try {
           batch.flatMap { r =>
-            perRow(codec, r.getAs[Array[Byte]](bytesIdx))
-              .map(Row(r.getLong(idIdx), _))
+            // null bytes cells are undecodable rows: they DROP (the ingest
+            // contract) rather than reaching a per-format parser that
+            // would dereference bytes.length
+            val b = r.getAs[Array[Byte]](bytesIdx)
+            if (b == null) None
+            else perRow(codec, b).map(Row(r.getLong(idIdx), _))
           }
         } finally disposeCodec(codec)
       }

@@ -78,18 +78,24 @@ object Analytics {
       qs: Seq[Double], eps: Double = 0.01,
       exactCeiling: Long = 50000000L): DataFrame = {
     require(keyCols.nonEmpty && qs.nonEmpty, "need keys and quantiles")
-    if (maxGroupSize(df, keyCols) <= exactCeiling)
-      // the SAME null/NaN pre-filter as the GK regime: both regimes see
-      // one row set, so the ceiling flip never adds/drops groups or
-      // lets a NaN (which Spark sorts greatest) poison a percentile;
-      // Column API (not a SQL splice) so backtick-needing column names
-      // behave identically in both regimes
+    // the SAME null/NaN pre-filter for the CENSUS and BOTH regimes: the
+    // ceiling decision keys off exactly the row set a regime will
+    // process (an unfiltered census could only err conservatively toward
+    // GK, but it also measured rows neither regime sees), the flip never
+    // adds/drops groups, and a NaN (which Spark sorts greatest) can't
+    // poison a percentile. Column API (not a SQL splice) so
+    // backtick-needing column names behave identically in both regimes.
+    // Census cost: like q21Auto's, the dispatch pays one extra bounded
+    // aggregation scan (O(groups) result rows) before the real one —
+    // the price of the engine picking the regime.
+    val filtered =
       df.filter(col(valCol).isNotNull && !isnan(col(valCol).cast("double")))
-        .groupBy(keyCols.map(col): _*)
+    if (maxGroupSize(filtered, keyCols) <= exactCeiling)
+      filtered.groupBy(keyCols.map(col): _*)
         .agg(percentile(col(valCol).cast("double"),
           lit(qs.toArray)).as("quantiles"))
     else
-      gkQuantilesByKey(df, keyCols, valCol, qs, eps)
+      gkQuantilesByKey(filtered, keyCols, valCol, qs, eps)
   }
 
   /** Size of the LARGEST group — the one-aggregate census every

@@ -64,9 +64,15 @@ object DataSkipping {
     val fs = new Path(dir).getFileSystem(conf)
     // RECURSIVE listing: partitioned layouts (dir/part=x/part-*.parquet)
     // keep every data file one level down — a top-level-only walk would
-    // return a silently wrong count for them
+    // return a silently wrong count for them. Hidden paths ('_'/'.'
+    // prefixed: _temporary, _SUCCESS, .crc) are skipped to match Spark's
+    // hiddenFileFilter — a leftover failed-write directory must not
+    // inflate the census relative to what spark.read.parquet(dir) sees.
+    def hidden(name: String): Boolean =
+      name.startsWith("_") || name.startsWith(".")
     def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
-      if (st.isDirectory) walk(st.getPath)
+      if (hidden(st.getPath.getName)) Seq.empty
+      else if (st.isDirectory) walk(st.getPath)
       else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
       else Seq.empty
     }

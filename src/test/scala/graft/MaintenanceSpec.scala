@@ -316,6 +316,29 @@ class MaintenanceSpec extends AnyFunSuite with CacheHygiene {
       .write.mode("overwrite").partitionBy("p").parquet(part)
     assert(DataSkipping.footerRowCount(spark, part) == 1000L,
       "partitioned layout must count recursively")
+    // hidden paths: a leftover _temporary dir from a failed write (and
+    // any '.'-prefixed file) is invisible to spark.read.parquet — the
+    // census must match the reader, not inflate past it
+    val tmp = new java.io.File(s"$flat/_temporary/0")
+    spark.range(0, 99).coalesce(1).write.mode("overwrite")
+      .parquet(tmp.getPath)
+    val dot = "target/qtmp/spec/frc_dot"
+    spark.range(0, 7).coalesce(1).write.mode("overwrite").parquet(dot)
+    val dotFile = new java.io.File(dot).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val hiddenDst = new java.io.File(s"$flat/.hidden.parquet")
+    java.nio.file.Files.copy(dotFile.toPath, hiddenDst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try
+      assert(DataSkipping.footerRowCount(spark, flat) == 1234L,
+        "hidden (_/. prefixed) paths must not inflate the census")
+    finally {
+      hiddenDst.delete()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(s"$flat/_temporary"))
+    }
   }
 
   test("data skipping: missing stats are conservatively kept, nulls counted") {

@@ -176,12 +176,14 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     // features through the PNG path == features from the original
     assert(Multimodal.dhashPpm(back) == Multimodal.dhashPpm(ppm))
     assert(Multimodal.sobelEnergyPpm(back) == Multimodal.sobelEnergyPpm(ppm))
-    // normalizeImages: PNG transcoded, P6 passed through, junk dropped
-    val media = Seq((1L, png), (2L, ppm), (3L, "not an image".getBytes))
-      .toDF("media_id", "bytes")
+    // normalizeImages: PNG transcoded, P6 passed through, junk AND null
+    // bytes dropped (a null cell is an undecodable row, not an NPE)
+    val media = Seq((1L, png), (2L, ppm), (3L, "not an image".getBytes),
+      (4L, null: Array[Byte])).toDF("media_id", "bytes")
     val normed = Multimodal.normalizeImages(media)
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-    assert(normed.keySet == Set(1L, 2L), s"junk row must drop: ${normed.keySet}")
+    assert(normed.keySet == Set(1L, 2L),
+      s"junk and null rows must drop: ${normed.keySet}")
     assert(java.util.Arrays.equals(normed(1L), ppm) &&
       java.util.Arrays.equals(normed(2L), ppm))
   }

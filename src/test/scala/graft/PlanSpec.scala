@@ -657,6 +657,26 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       "q=1.0 must be the max of the non-null values in both regimes")
   }
 
+  test("groupQuantilesAuto: ceiling census runs over the filtered row set") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // group "a": 2 real values + 4 NaN rows. The regimes only ever see
+    // the 2 real rows, so a ceiling of 3 must pick the EXACT regime —
+    // a census over the unfiltered frame would count 6 and flip to GK
+    val df = (Seq(("a", 1.0), ("a", 4.0)) ++ Seq.fill(4)(("a", Double.NaN)))
+      .toDF("k", "v").select(col("k"), col("v").cast("double").as("v"))
+    val auto = Analytics.groupQuantilesAuto(df, Seq("k"), "v", Seq(0.75),
+      exactCeiling = 3L)
+    val plan = auto.queryExecution.analyzed.toString
+    assert(plan.contains("percentile"),
+      s"census must count the filtered rows (2 <= 3 -> exact):\n$plan")
+    // and the exact regime interpolates: p75 of [1,4] = 3.25 (a GK
+    // sketch could only return an actual stream member, 1 or 4)
+    val got = auto.collect().head.getSeq[Double](1).head
+    assert(got == 3.25, s"exact percentile must interpolate: $got")
+  }
+
   test("gkQuantilesByKey: two-phase object hash aggregate, no per-group sort") {
     import graft.operators.Analytics
     import org.apache.spark.sql.functions.{col, length}
