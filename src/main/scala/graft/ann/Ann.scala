@@ -132,9 +132,16 @@ object Ann {
     * metric) over a bounded sample — the IVF trainer. k·dim·iters flops
     * on ≤ maxTrainRows rows: microseconds of driver CPU, ZERO Spark jobs
     * (the MLlib form this replaced launched several jobs per iteration
-    * and dominated a03's runtime). Deterministic under `seed`. */
+    * and dominated a03's runtime). Deterministic under `seed`.
+    *
+    * `initIdx` (the forced-replay regime, gate a03b) picks the initial
+    * centroids by EXPLICIT sample index instead of the seeded shuffle:
+    * init is a pluggable strategy in any k-means, and an explicit list
+    * lets a SQL oracle replay the whole training without simulating
+    * java.util.Random. Production callers leave it None. */
   private[ann] def sphericalKMeans(sample: Array[Array[Float]], k: Int,
-      iters: Int, seed: Long): Array[Array[Float]] = {
+      iters: Int, seed: Long,
+      initIdx: Option[Seq[Int]] = None): Array[Array[Float]] = {
     require(sample.nonEmpty, "ivf training sample is empty")
     val dim = sample(0).length
     def normalized(v: Array[Float]): Array[Float] = {
@@ -145,7 +152,12 @@ object Ann {
     }
     val unit = sample.map(normalized)
     val rnd = new scala.util.Random(seed)
-    var cents = rnd.shuffle(unit.indices.toVector).take(k).map(unit).toArray
+    var cents = initIdx match {
+      case Some(idx) =>
+        require(idx.length == k, s"initIdx needs $k indices, got ${idx.length}")
+        idx.map(unit).toArray
+      case None => rnd.shuffle(unit.indices.toVector).take(k).map(unit).toArray
+    }
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
@@ -178,13 +190,15 @@ object Ann {
     * corpus with no prior count() job. Shared by the IVF paths and
     * [[semDedup]]. Expects the vector column to be named `vec`. */
   private[ann] def trainCentroids(withVec: DataFrame, nLists: Int,
-      seed: Long, maxTrainRows: Long): Array[Array[Float]] = {
+      seed: Long, maxTrainRows: Long, iters: Int = 10,
+      initIdx: Option[Seq[Int]] = None): Array[Array[Float]] = {
     val vecOnly = withVec.select("vec")
     val nParts = math.max(1, vecOnly.rdd.getNumPartitions)
-    val perPart = math.max(1, (maxTrainRows / nParts).toInt)
+    val perPart = math.max(1, math.min(Int.MaxValue.toLong,
+      maxTrainRows / nParts).toInt)
     val sample = vecOnly.rdd.mapPartitions(_.take(perPart))
       .map(_.getSeq[Float](0).toArray).collect()
-    sphericalKMeans(sample, nLists, iters = 10, seed)
+    sphericalKMeans(sample, nLists, iters, seed, initIdx)
   }
 
   /** Nearest-centroid cell assignment: argmax over nLists fused cosine
@@ -268,13 +282,40 @@ object Ann {
       querySelector: Column, k: Int,
       nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       maxTrainRows: Long = 20000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
     val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cents = trainCentroids(withVec, nLists, seed, maxTrainRows)
-    val assigned = assignCells(withVec, cents)
+    ivfProbeRerank(assignCells(withVec, cents), cents, querySelector, k, nProbe)
+  }
 
-    val spark = emb.sparkSession
+  /** Forced-replay regime of [[ivfTopK]] (the sk03c/sk05b discipline):
+    * the training corpus is staged as ONE partition in id order and the
+    * k-means init is an EXPLICIT list of sample indices, so the bounded
+    * sample, every Lloyd's iteration (argmax is first-max-wins, sums
+    * accumulate in sample order, re-normalization round-trips through
+    * float32 — all IEEE-pinned), the cell assignment, the probe set and
+    * the rerank are fully deterministic: a SQL oracle replays the whole
+    * IVF structure value-for-value (gate a03b). Production [[ivfTopK]]
+    * keeps the partition-planned sample + seeded-shuffle init; its
+    * recall is gated by a04/a05. NOT a scale shape — the one-partition
+    * stage exists to pin arrival order, exactly like sk03c's. */
+  def ivfTopKReplay(emb: DataFrame, idCol: String, vecCol: String,
+      querySelector: Column, k: Int, nLists: Int, nProbe: Int,
+      iters: Int, initIdx: Seq[Int]): DataFrame = {
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(1).sortWithinPartitions(col("id"))
+    val cents = trainCentroids(withVec, nLists, seed = 0L,
+      maxTrainRows = Int.MaxValue.toLong, iters, Some(initIdx))
+    ivfProbeRerank(assignCells(withVec, cents), cents, querySelector, k, nProbe)
+  }
+
+  /** Shared probe+rerank tail of the in-plan IVF regimes: nProbe nearest
+    * cells per query (broadcast centroid table), candidates only from
+    * probed cells, exact cosine re-rank. */
+  private def ivfProbeRerank(assigned: DataFrame, cents: Array[Array[Float]],
+      querySelector: Column, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val spark = assigned.sparkSession
     import spark.implicits._
     val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cell", "centroid")

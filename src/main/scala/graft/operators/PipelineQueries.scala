@@ -274,6 +274,21 @@ object PipelineQueries {
           col("vec_id") < 5, k = 10)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
 
+    // -- a03b: IVF forced-regime REPLAY twin (sk03c/sk05b discipline):
+    // ONE training partition in vec_id order + explicit init indices
+    // force every trainer decision, so the DuckDB oracle replays the
+    // ENTIRE structure — unit-normalization through float32, all three
+    // Lloyd's iterations (ordered double folds, first-max-wins argmax,
+    // sample-order sums, float32 re-normalization), corpus cell
+    // assignment, the per-query probe set, and the cosine rerank —
+    // value-for-value. a03 stays the production shape (partition-planned
+    // sample; recall gated by a04/a05). ---------------------------------
+    "a03b_ann_ivf_replay" -> ((s, d) =>
+      Ann.ivfTopKReplay(Tables.embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 3, k = 10, nLists = 4, nProbe = 2,
+          iters = 3, initIdx = Seq(0, 125, 250, 375))
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
+
     // -- persistent IVF index CONTRACT, gate-enforced: the bucket-pruned
     // probe of the build-once index must return EXACTLY what the in-plan
     // IVF returns (same seed -> same centroids -> same assignment) ------
@@ -2125,6 +2140,101 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, rcos AS cos FROM r WHERE rn <= $k
       |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
 
+  /** a03b: full value replay of the forced-regime IVF (one training
+    * partition in vec_id order, explicit init indices 0/125/250/375,
+    * 3 Lloyd's iterations, nLists=4, nProbe=2, queries vec_id<3, k=10).
+    * Every float is IEEE-pinned: unit vectors are (v/‖v‖)→float32, dots
+    * are left-assoc ordered double folds (list_reduce over ORDER-BY-j
+    * products — the a02 idiom), the argmax is first-max-wins
+    * (list_position on the exact double), per-cell sums accumulate in
+    * sample order, and re-normalization round-trips through float32
+    * exactly like the Scala trainer. cosine() replays as three
+    * independent ordered folds — the fused loop's accumulators are
+    * independent, so the split is bit-identical. */
+  private val ivfReplayOracle: String =
+    """WITH RECURSIVE
+      |ev0 AS (SELECT vec_id, generate_subscripts(embedding,1) AS j,
+      |          unnest(embedding) AS v FROM embeddings),
+      |nn2 AS (SELECT vec_id, list_reduce(list_prepend(0.0::DOUBLE,
+      |          list(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) ORDER BY j)),
+      |          (a,b) -> a+b) AS n2 FROM ev0 GROUP BY vec_id),
+      |unitv AS (SELECT e.vec_id,
+      |    list(CAST(CAST(CAST(e.v AS DOUBLE)/sqrt(n.n2) AS FLOAT) AS DOUBLE)
+      |         ORDER BY e.j) AS u
+      |  FROM ev0 e JOIN nn2 n USING (vec_id) GROUP BY e.vec_id),
+      |samples AS (SELECT list(u ORDER BY vec_id) AS S,
+      |    count(*)::INT AS n,
+      |    (SELECT len(embedding) FROM embeddings LIMIT 1)::INT AS d
+      |  FROM unitv),
+      |km AS (
+      |  SELECT 0 AS it, [S[1], S[126], S[251], S[376]] AS C FROM samples
+      |  UNION ALL
+      |  SELECT t.it + 1,
+      |    list_transform(t.FS, f -> list_transform(f, x ->
+      |      CAST(CAST(x / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(f, y -> y*y)), (a,b) -> a+b)) AS FLOAT) AS DOUBLE)))
+      |  FROM (
+      |    SELECT a.it, list_transform(range(1, 5), c ->
+      |        list_transform(range(1, a.d + 1), j ->
+      |          CAST(CAST(list_reduce(list_prepend(0.0::DOUBLE,
+      |            list_transform(list_filter(range(1, a.n + 1), si -> a.A[si] = c),
+      |              si -> a.S[si][j])), (x,y) -> x+y) AS FLOAT) AS DOUBLE))) AS FS
+      |    FROM (
+      |      SELECT km.it, s.S, s.n, s.d,
+      |        list_transform(s.S, u -> list_transform(
+      |          [list_transform(km.C, cv -> list_reduce(list_prepend(0.0::DOUBLE,
+      |             list_transform(range(1, s.d + 1), j -> u[j] * cv[j])),
+      |             (x,y) -> x+y))],
+      |          ds -> list_position(ds, list_max(ds)))[1]) AS A
+      |      FROM km, samples s WHERE km.it < 3
+      |    ) a
+      |  ) t
+      |),
+      |fin AS (SELECT C FROM km WHERE it = 3),
+      |scored_cells AS (SELECT e.vec_id, e.embedding,
+      |    list_transform([ (SELECT C FROM fin) ], CC -> list_transform(CC, cv ->
+      |      list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+      |        range(1, len(e.embedding) + 1),
+      |        j -> CAST(e.embedding[j] AS DOUBLE) * cv[j])), (x,y) -> x+y)
+      |      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+      |           range(1, len(e.embedding) + 1), j ->
+      |             CAST(e.embedding[j] AS DOUBLE)*CAST(e.embedding[j] AS DOUBLE))),
+      |           (x,y) -> x+y))
+      |         * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |             list_transform(cv, y -> y*y)), (x,y) -> x+y)))))[1] AS coss
+      |  FROM embeddings e),
+      |assigned AS (SELECT vec_id, embedding, coss,
+      |    (list_position(coss, list_max(coss)) - 1)::INT AS cell
+      |  FROM scored_cells),
+      |probed AS (SELECT c.vec_id AS query_id, c.cell
+      |  FROM (SELECT vec_id, generate_subscripts(coss,1) - 1 AS cell,
+      |          unnest(coss) AS ccos FROM scored_cells WHERE vec_id < 3) c
+      |  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+      |    ORDER BY c.ccos DESC, c.cell) <= 2),
+      |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+      |      range(1, len(q.embedding) + 1),
+      |      j -> CAST(q.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))),
+      |      (x,y) -> x+y)
+      |    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+      |         range(1, len(q.embedding) + 1), j ->
+      |           CAST(q.embedding[j] AS DOUBLE)*CAST(q.embedding[j] AS DOUBLE))),
+      |         (x,y) -> x+y))
+      |       * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+      |           range(1, len(a.embedding) + 1), j ->
+      |             CAST(a.embedding[j] AS DOUBLE)*CAST(a.embedding[j] AS DOUBLE))),
+      |           (x,y) -> x+y))) AS cos
+      |  FROM probed p
+      |  JOIN assigned a ON a.cell = p.cell
+      |  JOIN embeddings q ON q.vec_id = p.query_id
+      |  WHERE a.vec_id != p.query_id),
+      |ranked AS (SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rn FROM cand)
+      |SELECT query_id, neighbor_id, round(cos, 4) AS cos
+      |FROM ranked WHERE rn <= 10
+      |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+
   private val lshPairsOracle: String =
     """WITH w AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
@@ -2664,6 +2774,9 @@ object PipelineQueries {
     // a02/a02b: the LSH structure replays relationally (no_oracle -> 8)
     "a02_ann_lsh" -> lshReplayOracle(10),
     "a02b_ann_lsh_replay" -> lshReplayOracle(50),
+    // a03b: the forced-regime IVF replays relationally too — recursive-CTE
+    // Lloyd's training + assignment + probe + rerank, all IEEE-pinned
+    "a03b_ann_ivf_replay" -> ivfReplayOracle,
     "a11_ivf_append_contract" ->
       "SELECT TRUE AS append_matches_rebuild, TRUE AS nonempty",
     "p05_sample_contract" ->

@@ -188,6 +188,27 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       java.util.Arrays.equals(normed(2L), ppm))
   }
 
+  test("ivfTopKReplay: forced regime is run-to-run identical and recall-usable") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def run() = Ann.ivfTopKReplay(emb, "vec_id", "embedding",
+        col("vec_id") < 3, k = 10, nLists = 4, nProbe = 2,
+        iters = 3, initIdx = Seq(0, 125, 250, 375))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val first = run()
+    assert(first == run(), "forced regime must be bit-stable across runs")
+    // and it still finds real neighbors: >= 40% of brute-force top-10
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 3, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = first.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.map { q =>
+      got.getOrElse(q, Set.empty).count(exact(q)).toDouble / exact(q).size
+    }.sum / exact.size
+    assert(recall >= 0.4, s"replay-regime recall too low: $recall")
+  }
+
   test("ANN LSH recall vs brute force is usable (>= 40% of true top-10)") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
