@@ -767,8 +767,17 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
+    // localCheckpoint per round (g01's discipline): persist alone keeps
+    // the LOGICAL plan growing one join+agg deeper per round — analysis
+    // cost compounds with iteration count even when every round's data
+    // is cached. Checkpoint blocks are label-table-sized; the
+    // ContextCleaner reclaims them once unreachable. On a real cluster
+    // an executor loss makes a localCheckpointed partition
+    // unrecoverable — acceptable here because near-dup diameters keep
+    // the loop to a handful of rounds (cf. GraphOps.truncate for the
+    // reliable-checkpoint alternative on multi-hour graph jobs).
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("rep", col("id")).persist()
+      .withColumn("rep", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -776,10 +785,9 @@ object Dedup {
         .groupBy(col("b").as("id2")).agg(min(col("rep")).as("nrep"))
       val updated = labels.join(neighborMin, labels("id") === col("id2"), "left_outer")
         .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .persist()
+        .localCheckpoint()
       val changes = updated.join(labels.withColumnRenamed("rep", "old"), "id")
         .filter(col("rep") =!= col("old")).count()
-      labels.unpersist()
       labels = updated
       converged = changes == 0
       i += 1
@@ -793,6 +801,74 @@ object Dedup {
           "raise maxIters (component diameter exceeds it)")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
+  /** Diameter-robust twin of [[duplicateClusters]]: alternating
+    * large-star / small-star rounds (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond"). Min-label propagation needs
+    * O(diameter) rounds — fine for near-dup blobs (dozens), hostile to
+    * CHAIN-shaped dup graphs (transcript/boilerplate chains), where the
+    * diameter IS the corpus. Star contraction halves path lengths each
+    * alternation, converging in O(log d) rounds regardless of shape.
+    *
+    *   large-star(u): every neighbor v > u re-attaches to
+    *                  m = min(Γ(u) ∪ {u})   — emitted from each edge's
+    *                  SMALLER endpoint, so no edge is dropped
+    *   small-star(u): every neighbor v < u (edges stay big→small
+    *                  between rounds) plus u itself re-attaches to
+    *                  m = min(Γ⁻(u) ∪ {u})
+    *
+    * At convergence the edge set is a star forest rooted at each
+    * component's minimum id. Same output contract as
+    * [[duplicateClusters]] and gated against the SAME d06 oracle
+    * (gate d06b); each round localCheckpoints (lineage would otherwise
+    * double per round). Per-round cost: two hash shuffles keyed by
+    * node id over an edge set that only ever SHRINKS toward one edge
+    * per non-root node — the 100 TB shape for adversarial diameters.
+    *
+    * @param pairs (a, b) near-dup pairs (e.g. from minhashLshPairs)
+    * @return (doc_id, rep) for every doc appearing in a pair
+    */
+  def duplicateClustersLogD(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct().localCheckpoint()
+    // canonical big→small orientation; self-loops can't arise from a!=b
+    // pairs but drop them defensively (an (x,x) input would never leave)
+    var e = pairs.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: symmetrize so each undirected edge is seen from its
+      // smaller endpoint u; attach every larger neighbor to u's minimum
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mn = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = nbrs.join(mn, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: all edges now point big→small; re-attach the small
+      // neighbors AND u itself to the minimum neighbor
+      val mn2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(mn2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mn2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      val stable = small.count() == e.count() &&
+        small.except(e).count() == 0
+      e = small
+      converged = stable
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClustersLogD did not converge after $maxIters rounds " +
+          "(O(log d) expected; raise maxIters)")
+    // star forest: non-roots point at their component minimum; roots
+    // (never on the big side) map to themselves
+    nodes.join(e.withColumnRenamed("u", "id"), Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("rep"))
   }
 
   // ---- SimHash --------------------------------------------------------

@@ -226,6 +226,16 @@ object PipelineQueries {
       Dedup.duplicateClusters(pairs).orderBy(col("doc_id"))
     }),
 
+    // -- d06b: the O(log d) star-contraction twin (Kiveris et al.) over
+    // the SAME pair graph — min-label (d06) pays O(diameter) rounds,
+    // hostile to chain-shaped dup graphs; both must produce identical
+    // components, so one oracle gates both. -----------------------------
+    "d06b_dup_clusters_logd" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      Dedup.duplicateClustersLogD(pairs).orderBy(col("doc_id"))
+    }),
+
     // -- embedding near-dup: top-10 pairs by cosine ----------------------
     // exact n^2 by design (oracle twin). NON-PRODUCTION gate shape: use
     // Ann.bruteForceTopK with a query filter (a01) or the LSH/IVF paths
@@ -2235,6 +2245,32 @@ object PipelineQueries {
       |FROM ranked WHERE rn <= 10
       |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
 
+  /** d06/d06b: exact reachability closure over the replayed LSH pair
+    * graph — min-label propagation and star contraction must land on
+    * identical components, so one oracle gates both CC regimes. */
+  private val dupClustersOracle: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
+      |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
+      |      WHERE tri IS NOT NULL GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
+      |        / len(list_distinct(a.tris||b.tris)) >= 0.8),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      |SELECT id AS doc_id, min(r) AS rep FROM reach
+      |GROUP BY id ORDER BY doc_id""".stripMargin
+
   private val lshPairsOracle: String =
     """WITH w AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
@@ -2945,28 +2981,10 @@ object PipelineQueries {
     // d10 is the incremental-index formulation of d02 — deterministic
     // signatures make batch order irrelevant, so one oracle gates both
     "d10_incremental_lsh" -> lshPairsOracle,
-    "d06_dup_clusters" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-        |         generate_subscripts(string_split(text,' '),1) AS pos
-        |  FROM documents),
-        |t AS (SELECT doc_id,
-        |        tok || ' ' || lead(tok,1) OVER win || ' ' || lead(tok,2) OVER win AS tri
-        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-        |s AS (SELECT doc_id, list(DISTINCT tri) AS tris FROM t
-        |      WHERE tri IS NOT NULL GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.tris,b.tris))::DOUBLE
-        |        / len(list_distinct(a.tris||b.tris)) >= 0.8),
-        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-        |SELECT id AS doc_id, min(r) AS rep FROM reach
-        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // d06b: star contraction must land on the identical components —
+    // the exact reachability oracle gates both CC regimes
+    "d06b_dup_clusters_logd" -> dupClustersOracle,
+    "d06_dup_clusters" -> dupClustersOracle,
     // replay: identical 10-token chunking, corpus-wide paragraph counts,
     // drop n>=2, ordered string_agg reassembly (chr(10) == the "\n" join)
     "d17_paragraph_dedup" ->

@@ -65,6 +65,25 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClustersLogD: identical components, O(log d) on a long chain") {
+    // 24-hop chain: min-label needs 24+ rounds (maxIters=20 throws);
+    // star contraction must close it comfortably within 8 alternations
+    val chain = (1L until 25L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIters = 20).collect()
+    }
+    val logd = Dedup.duplicateClustersLogD(chain, maxIters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(logd == (1L to 25L).map(_ -> 1L).toMap,
+      s"chain must collapse to rep=1: $logd")
+    // and on a mixed shape both regimes answer identically
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (7L, 5L), (5L, 9L)).toDF("a", "b")
+    val a = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    val b = Dedup.duplicateClustersLogD(pairs).as[(Long, Long)].collect().toMap
+    assert(a == b, s"regimes disagree: $a vs $b")
+  }
+
   test("SimHash flags synthetic near-identical docs, not unrelated ones") {
     val base = (0 until 200).map(i => s"tok${i % 37}").mkString(" ")
     val nearDup = base.replace("tok1 ", "tok999 ") // few-token edit
