@@ -55,6 +55,22 @@ object Bpe {
     (out += EndOfWord).result()
   }
 
+  /** One left-to-right greedy application of merge (a,b) to a symbol
+    * sequence — after a merge the scan resumes AT the merged symbol (no
+    * overlap: "aaaa" + (a,a) -> ["aa","aa"]). Shared by the serial and
+    * distributed trainers so their merge semantics cannot drift. */
+  private[graft] def mergePair(syms0: Vector[String], a: String,
+      b: String): Vector[String] = {
+    var out = syms0
+    var i = 0
+    while (i < out.length - 1) {
+      if (out(i) == a && out(i + 1) == b)
+        out = (out.take(i) :+ (a + b)) ++ out.drop(i + 2)
+      else i += 1
+    }
+    out
+  }
+
   /** Apply ranked merges to one word's symbol sequence until no adjacent
     * pair has a rank (the standard greedy lowest-rank-first loop). */
   private[graft] def applyMerges(syms0: Vector[String],
@@ -125,15 +141,58 @@ object Bpe {
           .minBy { case ((a, b), c) => (-c, a, b) }._1
         merges += best
         current = current.map { case (syms, c) =>
-          var out = syms
-          var i = 0
-          while (i < out.length - 1) {
-            if (out(i) == best._1 && out(i + 1) == best._2) {
-              out = (out.take(i) :+ (best._1 + best._2)) ++ out.drop(i + 2)
-            } else i += 1
-          }
-          (out, c)
+          (mergePair(syms, best._1, best._2), c)
         }
+        m += 1
+      }
+    }
+    Model(merges.result())
+  }
+
+  /** Distributed BPE trainer — [[train]]'s 100 TB regime. The serial
+    * trainer bounds driver state with the `maxWordRows` cap: a lever,
+    * not a distributed algorithm — at web scale the word-frequency head
+    * IS the training set. Here the word table stays DISTRIBUTED: each
+    * of the `nMerges` rounds is one vocabulary-sized pair-count
+    * aggregate (map-side combined; argmax via the same
+    * (count DESC, pair ASC) total order), only the winning pair returns
+    * to the driver, and the merge applies as a narrow map over the
+    * symbolizations. localCheckpoint per round — 64 rounds would
+    * otherwise nest 64 map stages of lineage (the duplicateClusters
+    * lesson). Driver state is the merge list, O(nMerges); per-round
+    * cost scales with the VOCABULARY, never the corpus (the corpus is
+    * read once, by the word-count aggregate).
+    *
+    * Identical to [[train]] whenever the vocabulary fits the serial cap
+    * (spec-pinned); gate t12c replays the whole training against the
+    * same recursive-CTE oracle as t12. */
+  def trainDistributed(df: DataFrame, textCol: String,
+      nMerges: Int): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var current = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .map { case (w, c) => (baseSymbols(w), c) }
+      .localCheckpoint()
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      val top = current.flatMap { case (syms, c) =>
+          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
+        }.toDF("a", "b", "c")
+        .groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        current = current.map { case (syms, c) => (mergePair(syms, a, b), c) }
+          .localCheckpoint()
         m += 1
       }
     }

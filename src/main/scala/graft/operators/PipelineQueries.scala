@@ -1650,6 +1650,28 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // -- t12c: the DISTRIBUTED BPE trainer (t12's 100 TB regime) — the
+    // word table never leaves the executors; each of the 64 rounds is a
+    // vocabulary-sized pair-count aggregate whose argmax alone returns
+    // to the driver. Same (count DESC, pair ASC) total order, so the
+    // learned model matches the serial trainer whenever the vocabulary
+    // fits the serial cap — one recursive-CTE oracle replays both. -----
+    "t12c_bpe_tokens_distributed" -> ((s, d) => {
+      import graft.functions.Bpe
+      val docs = Tables.documents(s, d)
+      val model = Bpe.trainDistributed(docs, "text", nMerges = 64)
+      docs.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          Bpe.tokenCount(model)(col("text")).cast("long").as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_bpe")).as("bpe_tokens"),
+          round(avg(col("n_bpe").cast("double") / col("n_words")), 4)
+            .as("avg_tokens_per_word"))
+        .orderBy(col("lang"))
+    }),
+
     // -- BPE tokenizer CONTRACT, gate-enforced (upgrades t12 from
     // rows-only — merge TRAINING isn't SQL-replayable, but the learned
     // tokenizer's algebra is): (1) round-trip — decode(encode(text))
@@ -2244,6 +2266,56 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, round(cos, 4) AS cos
       |FROM ranked WHERE rn <= 10
       |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+
+  /** t12/t12c: BPE TRAINING replayed in SQL. The merge loop is fully
+    * deterministic (argmax with (count DESC, pair ASC) tie-break; a
+    * merge at rank r can only create pairs learned later, so
+    * one-at-a-time lowest-rank and exhaustive-in-rank-order coincide),
+    * so a recursive CTE runs all 64 training iterations: per level,
+    * pair counts weighted by word frequency -> the argmax pair -> a
+    * left-fold merge application per word (list_reduce over singleton
+    * lists — DuckDB's accumulator must share the element type). Word
+    * tokenization then reads straight off the final training reprs
+    * (every corpus word is inside the 100k training cap at gate scale,
+    * which also makes the serial and distributed trainers learn the
+    * identical model — one replay gates both). */
+  private val bpeTrainingOracle: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT w, count(*)::BIGINT AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+      |  WHERE len(w) > 0 GROUP BY w ORDER BY c DESC, w LIMIT 100000),
+      |init AS (SELECT w, c,
+      |  list_append(string_split(w, ''), '</w>') AS syms FROM words),
+      |sim AS (
+      |  SELECT 0 AS it, w, c, syms FROM init
+      |  UNION ALL
+      |  SELECT s.it + 1, s.w, s.c,
+      |    list_reduce(
+      |      list_prepend([]::VARCHAR[], list_transform(s.syms, x -> [x])),
+      |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = bp.a
+      |                        AND x[1] = bp.b
+      |        THEN list_append(acc[1:len(acc)-1], bp.a || bp.b)
+      |        ELSE list_append(acc, x[1]) END)
+      |  FROM sim s, (
+      |    SELECT pr[1] AS a, pr[2] AS b FROM (
+      |      SELECT unnest(list_transform(range(len(syms)-1),
+      |               i -> [syms[i+1], syms[i+2]])) AS pr, c
+      |      FROM sim) q
+      |    GROUP BY pr ORDER BY sum(c) DESC, pr[1], pr[2] LIMIT 1) bp
+      |  WHERE s.it < 64
+      |),
+      |toklen AS (SELECT w, len(syms)::BIGINT AS n FROM sim WHERE it = 64),
+      |docw AS (SELECT doc_id AS did, lang,
+      |    len(string_split(text,' '))::BIGINT AS nw,
+      |    unnest(string_split(text,' ')) AS w
+      |  FROM documents),
+      |docb AS (SELECT did, any_value(lang) AS lang, any_value(nw) AS nw,
+      |    sum(t.n)::BIGINT AS nb
+      |  FROM docw JOIN toklen t USING (w) GROUP BY did)
+      |SELECT lang, count(*) AS n_docs, sum(nw)::BIGINT AS words,
+      |  sum(nb)::BIGINT AS bpe_tokens,
+      |  round(avg(nb::DOUBLE / nw), 4) AS avg_tokens_per_word
+      |FROM docb GROUP BY lang ORDER BY lang""".stripMargin
 
   /** d06/d06b: exact reachability closure over the replayed LSH pair
     * graph — min-label propagation and star contraction must land on
@@ -2908,43 +2980,11 @@ object PipelineQueries {
     // share the element type). Word tokenization then reads straight off
     // the final training reprs (every corpus word is inside the 100k
     // training cap at gate scale).
-    "t12_bpe_tokens" ->
-      """WITH RECURSIVE words AS (
-        |  SELECT w, count(*)::BIGINT AS c FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
-        |  WHERE len(w) > 0 GROUP BY w ORDER BY c DESC, w LIMIT 100000),
-        |init AS (SELECT w, c,
-        |  list_append(string_split(w, ''), '</w>') AS syms FROM words),
-        |sim AS (
-        |  SELECT 0 AS it, w, c, syms FROM init
-        |  UNION ALL
-        |  SELECT s.it + 1, s.w, s.c,
-        |    list_reduce(
-        |      list_prepend([]::VARCHAR[], list_transform(s.syms, x -> [x])),
-        |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = bp.a
-        |                        AND x[1] = bp.b
-        |        THEN list_append(acc[1:len(acc)-1], bp.a || bp.b)
-        |        ELSE list_append(acc, x[1]) END)
-        |  FROM sim s, (
-        |    SELECT pr[1] AS a, pr[2] AS b FROM (
-        |      SELECT unnest(list_transform(range(len(syms)-1),
-        |               i -> [syms[i+1], syms[i+2]])) AS pr, c
-        |      FROM sim) q
-        |    GROUP BY pr ORDER BY sum(c) DESC, pr[1], pr[2] LIMIT 1) bp
-        |  WHERE s.it < 64
-        |),
-        |toklen AS (SELECT w, len(syms)::BIGINT AS n FROM sim WHERE it = 64),
-        |docw AS (SELECT doc_id AS did, lang,
-        |    len(string_split(text,' '))::BIGINT AS nw,
-        |    unnest(string_split(text,' ')) AS w
-        |  FROM documents),
-        |docb AS (SELECT did, any_value(lang) AS lang, any_value(nw) AS nw,
-        |    sum(t.n)::BIGINT AS nb
-        |  FROM docw JOIN toklen t USING (w) GROUP BY did)
-        |SELECT lang, count(*) AS n_docs, sum(nw)::BIGINT AS words,
-        |  sum(nb)::BIGINT AS bpe_tokens,
-        |  round(avg(nb::DOUBLE / nw), 4) AS avg_tokens_per_word
-        |FROM docb GROUP BY lang ORDER BY lang""".stripMargin,
+    // t12c: the distributed trainer learns the identical model (same
+    // argmax total order over the same word counts), so the same
+    // training replay gates it
+    "t12c_bpe_tokens_distributed" -> bpeTrainingOracle,
+    "t12_bpe_tokens" -> bpeTrainingOracle,
     // p01: the staging + extraction CTEs are t31's, then the original
     // quality -> dedup -> stats body runs over the EXTRACTED content
     "p01_curation_pipeline" ->

@@ -1185,6 +1185,10 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       .map(Tuple1(_)).toDF("text")
     assert(Bpe.train(corpus, "text", nMerges = 3).merges == model.merges,
       "distributed word-count train must equal serial train")
+    // the FULLY distributed trainer (per-round pair-count aggregates)
+    // learns the identical model under the same argmax total order
+    assert(Bpe.trainDistributed(corpus, "text", nMerges = 3).merges == model.merges,
+      "trainDistributed must equal the serial trainer")
 
     // encode applies merges greedily lowest-rank-first
     val enc = corpus.limit(1).select(Bpe.encode(model)(lit("hug pug hugs")))
@@ -1215,6 +1219,11 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     val m2 = Bpe.train(docs, "text", nMerges = 32)
     assert(m1.merges == m2.merges, "training must be deterministic")
     assert(m1.merges.size == 32, "corpus is rich enough for 32 merges")
+    // the corpus vocabulary fits the serial cap, so the distributed
+    // trainer must learn the exact same merge list on real text too
+    val md = Bpe.trainDistributed(docs, "text", nMerges = 32)
+    assert(md.merges == m1.merges,
+      s"distributed trainer drifted: ${md.merges} vs ${m1.merges}")
     val stats = docs.select(
         size(split(col("text"), " ")).cast("double").as("w"),
         Bpe.tokenCount(m1)(col("text")).cast("double").as("b"))
