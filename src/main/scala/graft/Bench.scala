@@ -72,6 +72,7 @@ object Bench {
     "u02_cdc_apply",         // changelog latest-wins window, no join
     "m05_image_phash",       // real decode -> dHash -> bucket census
     "m10_png_ingest",        // real PNG codec (JDK) -> normalize -> features
+    "m11_jpeg_ingest",       // real JPEG codec -> normalize -> tolerance gate
     "r03_ndcg_eval",         // BM25 ranking + nDCG evaluation
     "u03_incremental_agg",   // base+delta agg merge, no base rescan
     "t21_pmi_collocations",  // PMI over vocabulary-sized count tables

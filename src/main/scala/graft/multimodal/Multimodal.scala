@@ -218,7 +218,37 @@ object Multimodal {
     bos.toByteArray
   }
 
-  private def decodePngWith(reader: javax.imageio.ImageReader,
+  // ---- JPEG (REAL codec via the JDK's ImageIO — the format every web
+  // corpus actually ships; decode is NOT bit-portable across decoders
+  // (IDCT variants), so JPEG paths are gated by feature-tolerance
+  // contracts (m11), never byte equality like PNG's m10) ----------------
+
+  /** True when the buffer starts with the JPEG SOI marker. */
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 3 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff
+
+  private def newJpegWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+
+  private def newJpegReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+
+  private def encodeJpegWith(writer: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    bos.toByteArray
+  }
+
+  private def decodeImageWith(reader: javax.imageio.ImageReader,
       bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -295,7 +325,7 @@ object Multimodal {
   def pngToPpm(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (!isPng(bytes)) return None
     val reader = newPngReader()
-    try decodePngWith(reader, bytes).flatMap(imageToP6)
+    try decodeImageWith(reader, bytes).flatMap(imageToP6)
     finally reader.dispose()
   }
 
@@ -340,20 +370,66 @@ object Multimodal {
       () => newPngWriter(), _.dispose(),
       (writer, b) => p6ToImage(b).map(encodePngWith(writer, _)))
 
+  /** Batched P6→JPEG staging (the m11 gate's interchange direction):
+    * one reused JPEG writer per batch, explicit quality (0.95 default —
+    * the high-quality web-corpus shape). Non-P6 rows drop. */
+  def transcodeToJpeg(media: DataFrame, batchSize: Int = 64,
+      quality: Float = 0.95f): DataFrame =
+    batchedBytesPass[javax.imageio.ImageWriter](media, batchSize,
+      () => newJpegWriter(), _.dispose(),
+      (writer, b) => p6ToImage(b).map(encodeJpegWith(writer, _, quality)))
+
+  /** One-shot JPEG→canonical-P6 decode (batch callers ride
+    * [[normalizeImages]]). Pixels are NOT bit-identical to the encoder's
+    * input — JPEG is lossy and IDCTs differ across decoders — so
+    * downstream comparisons must be tolerance contracts (m11), never
+    * byte equality. Returns None for non-JPEG or undecodable input. */
+  def jpegToPpm(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (!isJpeg(bytes)) return None
+    val reader = newJpegReader()
+    try decodeImageWith(reader, bytes).flatMap(imageToP6)
+    finally reader.dispose()
+  }
+
   /** Batched image-format normalization over a (media_id, bytes) frame:
-    * PNG rows are transcoded to canonical P6 on the executors
+    * PNG and JPEG rows are transcoded to canonical P6 on the executors
     * (mapPartitions — ImageIO plugin lookup initializes once per batch,
     * the real-codec discipline of [[upsampledStats]]); P6 rows pass
     * through untouched; undecodable rows are dropped. This is the ingest
     * front door for real image corpora: everything downstream sees one
     * pixel format. Narrow (no shuffle), scan-parallel. */
   def normalizeImages(media: DataFrame, batchSize: Int = 64): DataFrame =
-    batchedBytesPass[javax.imageio.ImageReader](media, batchSize,
-      () => newPngReader(), _.dispose(),
-      (reader, b) =>
-        if (isPng(b)) decodePngWith(reader, b).flatMap(imageToP6)
+    batchedBytesPass[(javax.imageio.ImageReader, javax.imageio.ImageReader)](
+      media, batchSize,
+      () => (newPngReader(), newJpegReader()),
+      c => { c._1.dispose(); c._2.dispose() },
+      (c, b) =>
+        if (isPng(b)) decodeImageWith(c._1, b).flatMap(imageToP6)
+        else if (isJpeg(b)) decodeImageWith(c._2, b).flatMap(imageToP6)
         else if (parseP6(b, 0).isDefined) Some(b)
         else None)
+
+  /** (width, height) straight off a P6 header — the metadata columns of
+    * the codec gates (dims survive any lossy roundtrip exactly). */
+  def ppmDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    parseP6(bytes, 0).map { case (w, h, _, _) => (w, h) }
+
+  /** Per-channel pixel means of a P6 image (doubles; exact — integer
+    * sums divided once). The tolerance metric of the JPEG contract:
+    * quantization moves individual pixels, means move far less. */
+  def meanRgbPpm(bytes: Array[Byte]): Option[(Double, Double, Double)] = {
+    val (w, h, _, pos) = parseP6(bytes, 0).getOrElse(return None)
+    val n = w * h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < n) {
+      val src = pos + i * 3
+      sr += bytes(src) & 0xff; sg += bytes(src + 1) & 0xff
+      sb += bytes(src + 2) & 0xff
+      i += 1
+    }
+    Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
 
   /** Deterministic synthetic P6 image for doc/media id: dims and pixel
     * values are closed-form in the id so a SQL oracle can replay the

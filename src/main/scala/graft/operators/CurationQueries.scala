@@ -507,6 +507,46 @@ object CurationQueries {
         .orderBy(col("media_id"))
     }),
 
+    // -- m11: REAL JPEG codec ingestion (r9 verdict #5) — the format
+    // every web corpus actually ships. JPEG decode is NOT bit-portable
+    // (lossy + IDCT variants), so unlike m10 the gate is a per-image
+    // TOLERANCE contract, not byte equality: the same pixels staged as
+    // JPEG (batched executor-side encode, quality 0.95) ride
+    // normalizeImages' front door back to P6, and per image the gate
+    // pins (a) dims EXACT, (b) dHash Hamming <= 16, (c) per-channel
+    // mean-RGB delta <= 24. The loose bounds are the MEASURED worst
+    // case of the adversarial <=5x5 synthetic images (Hamming 12 /
+    // delta 22.0 at sf0.01 — 4:2:0 chroma subsampling dominates when
+    // the whole image is a fraction of one MCU block); PipelineSpec
+    // pins real-sized images at Hamming <= 2 / delta <= 2. ---------------
+    "m11_jpeg_ingest" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "image")
+        .select(col("media_id"), col("bytes"))
+      val staged = Multimodal.transcodeToJpeg(media)
+      val normalized = Multimodal.normalizeImages(staged)
+        .withColumnRenamed("bytes", "jbytes")
+      val dh = udf((b: Array[Byte]) =>
+        graft.multimodal.Multimodal.dhashPpm(b).getOrElse(-1L))
+      val wOf = udf((b: Array[Byte]) =>
+        graft.multimodal.Multimodal.ppmDims(b).map(_._1).getOrElse(-1))
+      val hOf = udf((b: Array[Byte]) =>
+        graft.multimodal.Multimodal.ppmDims(b).map(_._2).getOrElse(-1))
+      val mr = udf((b: Array[Byte]) =>
+        graft.multimodal.Multimodal.meanRgbPpm(b)
+          .map(t => Seq(t._1, t._2, t._3)).getOrElse(Seq(-1.0, -1.0, -1.0)))
+      media.join(normalized, Seq("media_id"))
+        .select(col("media_id"),
+          wOf(col("jbytes")).as("w"), hOf(col("jbytes")).as("h"),
+          (bit_count(dh(col("bytes")).bitwiseXOR(dh(col("jbytes")))) <= 16)
+            .as("dhash_ok"),
+          aggregate(zip_with(mr(col("bytes")), mr(col("jbytes")),
+              (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => greatest(acc, x)).leq(24.0).as("mean_ok"))
+        .orderBy(col("media_id"))
+    }),
+
     "m05_image_phash" -> ((s, d) => {
       val media = graft.multimodal.Multimodal
         .mediaFromDocuments(Tables.documents(s, d))
@@ -1146,6 +1186,13 @@ object CurationQueries {
         |SELECT i.doc_id AS media_id, i.w, i.h,
         |  coalesce(e.energy, 0) AS edge_energy
         |FROM imgs i LEFT JOIN e USING (doc_id) ORDER BY media_id""".stripMargin,
+    // m11: dims replay closed-form from the synthetic meta formula; the
+    // tolerance booleans are pinned TRUE per image (the gate computed
+    // the actual Hamming/mean deltas in-plan — t15/t16 discipline)
+    "m11_jpeg_ingest" ->
+      """SELECT doc_id AS media_id, ((doc_id % 5) + 1)::INT AS w,
+        | ((doc_id % 4) + 2)::INT AS h, TRUE AS dhash_ok, TRUE AS mean_ok
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
     // m10: per-image dHash + Sobel replayed from the synthetic pixel
     // formula (m05's hash CTEs + m08's convolution CTEs, joined per doc)
     // — the gate's bytes took the PNG encode->decode roundtrip, so a

@@ -207,6 +207,47 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       java.util.Arrays.equals(normed(2L), ppm))
   }
 
+  test("JPEG codec: real-size tolerance <= 2, dims exact, front door dispatches") {
+    import graft.multimodal.Multimodal
+    // real-sized images (64x48): one smooth gradient, one blocky texture
+    val w = 64; val h = 48
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    def img(tex: Boolean) = header ++ Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      (if (tex) ((x / 4 + y / 4) * 37 + i % 3 * 11) % 256
+       else (x * 2 + y + i % 3) % 256).toByte
+    }
+    for (ppm <- Seq(img(false), img(true))) {
+      val jpg = Multimodal.transcodeToJpeg(
+          Seq((1L, ppm)).toDF("media_id", "bytes"), quality = 0.95f)
+        .collect()(0).getAs[Array[Byte]](1)
+      assert(Multimodal.isJpeg(jpg), "encoder must emit SOI-signed JPEG")
+      val back = Multimodal.jpegToPpm(jpg).get
+      // dims survive the lossy roundtrip exactly
+      assert(Multimodal.ppmDims(back).get == ((w, h)))
+      // at real sizes the m11 tolerances tighten to <= 2 (the gate's
+      // 16/24 bounds are the measured worst case of <=5x5 images where
+      // 4:2:0 subsampling dominates)
+      val hd = java.lang.Long.bitCount(
+        Multimodal.dhashPpm(ppm).get ^ Multimodal.dhashPpm(back).get)
+      assert(hd <= 2, s"real-size dHash drift $hd > 2")
+      val (r1, g1, b1) = Multimodal.meanRgbPpm(ppm).get
+      val (r2, g2, b2) = Multimodal.meanRgbPpm(back).get
+      val md = Seq(math.abs(r1 - r2), math.abs(g1 - g2), math.abs(b1 - b2)).max
+      assert(md <= 2.0, s"real-size mean-RGB drift $md > 2")
+      // the ingest front door dispatches JPEG alongside PNG and P6
+      val png = Multimodal.ppmToPng(ppm).get
+      val normed = Multimodal.normalizeImages(
+          Seq((1L, jpg), (2L, png), (3L, ppm)).toDF("media_id", "bytes"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(normed.keySet == Set(1L, 2L, 3L))
+      assert(java.util.Arrays.equals(normed(2L), ppm) &&
+        java.util.Arrays.equals(normed(3L), ppm),
+        "PNG/P6 paths must stay pixel-exact next to the JPEG branch")
+      assert(Multimodal.ppmDims(normed(1L)).get == ((w, h)))
+    }
+  }
+
   test("ivfTopKReplay: forced regime is run-to-run identical and recall-usable") {
     val emb = Tables.embeddings(spark, sfDir)
     def run() = Ann.ivfTopKReplay(emb, "vec_id", "embedding",
