@@ -130,11 +130,18 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q04,q05 times a subset with the
-    // same warmup+noop methodology (driver runs without it → full headline)
+    // same warmup+noop methodology (driver runs without it → full
+    // headline). Subset runs may name ANY gate, not just headline
+    // members — that's how decade rows get measured for operators too
+    // slow or too niche for the committed headline artifact.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val qs = headline.filter(SparkEntry.queries.contains)
-      .filter(q => only.forall(_.contains(q)))
+    val qs = only match {
+      case None => headline.filter(SparkEntry.queries.contains)
+      case Some(set) =>
+        (headline ++ set.toSeq.sorted.filterNot(headline.contains))
+          .filter(SparkEntry.queries.contains).filter(set.contains)
+    }
     qs.foreach { q =>
       try run(q) catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $q failed: ${e.getMessage}") }

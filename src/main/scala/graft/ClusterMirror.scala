@@ -138,7 +138,13 @@ object ClusterMirror {
     //       discovery + headless AWT raster code runs on the daemons
     //       (local mode inherits the driver's initialized JVM; a real
     //       executor initializes its own), batched in mapPartitions
-    "m10_png_ingest")
+    "m10_png_ingest",
+    // round-13 risk classes:
+    //  m11: the JPEG plugin registry + compression-param write path on
+    //       real executor JVMs (a LOSSY codec: the gate's tolerance
+    //       booleans must come out identical bits on a worker daemon's
+    //       own ImageIO/AWT initialization, not just the driver's)
+    "m11_jpeg_ingest")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
