@@ -165,9 +165,18 @@ object Bpe {
     *
     * Identical to [[train]] whenever the vocabulary fits the serial cap
     * (spec-pinned); gate t12c replays the whole training against the
-    * same recursive-CTE oracle as t12. */
+    * same recursive-CTE oracle as t12.
+    *
+    * @param checkpointEvery truncate lineage every N rounds instead of
+    *   every round: between checkpoints the pending merges stay LAZY
+    *   narrow maps over the last checkpoint (≤ N chained per-word
+    *   passes over a vocabulary-sized table — cheap), and each
+    *   checkpoint is a scheduled job. At sandbox scale the 64-round
+    *   loop is job-scheduling-bound, so batching the truncation
+    *   roughly halves wall-clock; lineage depth stays bounded at N. */
   def trainDistributed(df: DataFrame, textCol: String,
-      nMerges: Int): Model = {
+      nMerges: Int, checkpointEvery: Int = 8): Model = {
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery < 1")
     val spark = df.sparkSession
     import spark.implicits._
     var current = df
@@ -177,6 +186,18 @@ object Bpe {
       .as[(String, Long)]
       .map { case (w, c) => (baseSymbols(w), c) }
       .localCheckpoint()
+    // census-driven parallelism for the 64-round loop (the d25/q65
+    // discipline): the word table is orders smaller than the corpus, so
+    // inheriting the corpus aggregate's 32 partitions makes every round
+    // pay 32 tasks of scheduling for kilobytes of work. One O(1) count
+    // over the checkpointed table sizes the loop's partitioning —
+    // ~200k words per task, never more partitions than cores.
+    val vocabRows = current.count()
+    val parts = math.max(1, math.min(
+      df.sparkSession.sparkContext.defaultParallelism.toLong,
+      (vocabRows + 199999L) / 200000L)).toInt
+    if (parts < current.rdd.getNumPartitions)
+      current = current.coalesce(parts)
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var done = false
@@ -191,9 +212,10 @@ object Bpe {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        current = current.map { case (syms, c) => (mergePair(syms, a, b), c) }
-          .localCheckpoint()
+        val mapped = current.map { case (syms, c) => (mergePair(syms, a, b), c) }
         m += 1
+        current = if (m % checkpointEvery == 0) mapped.localCheckpoint()
+                  else mapped
       }
     }
     Model(merges.result())
