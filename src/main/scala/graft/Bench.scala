@@ -99,6 +99,7 @@ object Bench {
     "t30_unicode_nfc",       // native NFC normalization (ASCII fast path)
     "t31_html_extract",      // HTML main-content extraction (jusText core)
     "t32_nb_classifier",     // trained NB quality classifier, train+apply
+    "t34_unigram_tokens",    // unigram-LM tokenizer: seed+EM train+encode
     "t33_html_links",        // outlink extraction -> edge-list census
     // st17 (streamed html pipeline) is gate-only like every st* row:
     // the staged-stream harness's ingest staging dominates its clock

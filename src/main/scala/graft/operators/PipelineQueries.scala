@@ -1672,6 +1672,63 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // -- t34: unigram-LM subword tokenization (Kudo 2018 — the
+    // SentencePiece-default family next to BPE's t12): substring-seed →
+    // hard-EM on QUANTIZED micro-nat scores (every Viterbi decision is
+    // integer-exact) → pruned vocab → per-lang token census. ------------
+    "t34_unigram_tokens" -> ((s, d) => {
+      import graft.functions.Unigram
+      val docs = Tables.documents(s, d)
+      val model = Unigram.train(docs, "text", vocabSize = 512,
+        emIters = 2, seedSize = 4096)
+      docs.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          Unigram.tokenCount(model)(col("text")).cast("long").as("n_uni"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_uni")).as("uni_tokens"),
+          round(avg(col("n_uni").cast("double") / col("n_words")), 4)
+            .as("avg_pieces_per_word"))
+        .orderBy(col("lang"))
+    }),
+
+    // -- t35: unigram tokenizer CONTRACT, gate-enforced (the t16
+    // discipline): (1) decode∘encode reproduces every document's
+    // single-spaced word sequence (the ▁-boundary convention is
+    // lossless); (2) the allocation-free tokenCount path agrees with
+    // size(encode) corpus-wide; (3) per-doc bounds
+    // n_words ≤ n_pieces ≤ n_chars + n_words; (4) hard-EM did not make
+    // the model worse on its own training words than the pruned seed it
+    // started from (quantized corpus scores, integer comparison). -------
+    "t35_unigram_contract" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.Unigram
+      val docs = Tables.documents(s, d)
+      val model = Unigram.train(docs, "text", vocabSize = 512,
+        emIters = 2, seedSize = 4096)
+      val seed = Unigram.train(docs, "text", vocabSize = 512,
+        emIters = 0, seedSize = 4096)
+      val emOk = Unigram.corpusScore(docs, "text", model) >=
+        Unigram.corpusScore(docs, "text", seed)
+      val per = docs.select(
+        (Unigram.decode(Unigram.encode(model)(col("text"))) ===
+          regexp_replace(col("text"), " +", " ")).as("rt"),
+        (Unigram.tokenCount(model)(col("text")) ===
+          size(Unigram.encode(model)(col("text")))).as("par"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        Unigram.tokenCount(model)(col("text")).cast("long").as("np"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+      per.agg(
+          min(col("rt")).as("round_trip_ok"),
+          min(col("par")).as("count_parity_ok"),
+          min(col("np") >= col("nw") && col("np") <= col("nc") + col("nw"))
+            .as("bounds_ok"),
+          count(lit(1)).as("n_docs"))
+        .select(col("round_trip_ok"), col("count_parity_ok"),
+          col("bounds_ok"), lit(emOk).as("em_improves_ok"), col("n_docs"))
+    }),
+
     // -- BPE tokenizer CONTRACT, gate-enforced (upgrades t12 from
     // rows-only — merge TRAINING isn't SQL-replayable, but the learned
     // tokenizer's algebra is): (1) round-trip — decode(encode(text))
@@ -2985,6 +3042,167 @@ object PipelineQueries {
     // training replay gates it
     "t12c_bpe_tokens_distributed" -> bpeTrainingOracle,
     "t12_bpe_tokens" -> bpeTrainingOracle,
+    // t34: the ENTIRE unigram training replayed in SQL — substring seed
+    // (top-4096 by (count DESC, piece ASC) + single-cp coverage),
+    // micro-nat quantization (floor(ln(c/T)*1e6) — the one float touch,
+    // frozen to BIGINT so every DP decision is integer-exact), TWO
+    // hard-EM rounds and the final segmentation each as a Viterbi DP:
+    // a recursive CTE carries a 4-slot sliding window of
+    // (score, path) structs per word (transitions reach back at most
+    // maxPieceLen positions), picking per step by (score DESC, piece
+    // length ASC) — the trainer's exact strict-> ascending-l scan.
+    // CTEs are MATERIALIZED: each model level re-reads the previous
+    // level several times, and DuckDB would otherwise re-run the whole
+    // upstream recursion per reference (measured 12x per level).
+    "t34_unigram_tokens" ->
+    """WITH RECURSIVE
+      |words AS MATERIALIZED (
+      |  SELECT '▁' || w AS w, count(*)::BIGINT AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+      |  WHERE len(w) > 0 GROUP BY 1),
+      |-- (word, position, piece-length) lattice, shared by every model
+      |wpl AS MATERIALIZED (SELECT w, i.i::INT AS i, l.l::INT AS l,
+      |    substr(w, i.i::INT - l.l::INT + 1, l.l::INT) AS piece
+      |  FROM words, unnest(range(1, length(w) + 1)) i(i),
+      |       unnest(range(1, 5)) l(l)
+      |  WHERE l.l <= i.i),
+      |-- seed: every 1..4-cp substring weighted by word count
+      |sub AS MATERIALIZED (SELECT piece AS p, sum(c)::BIGINT AS n
+      |  FROM wpl JOIN words USING (w) GROUP BY piece),
+      |singles AS MATERIALIZED (SELECT p, n FROM sub WHERE length(p) = 1),
+      |seedtop AS (SELECT p, n FROM sub ORDER BY n DESC, p LIMIT 4096),
+      |cnt0 AS MATERIALIZED (SELECT p, any_value(n) AS n FROM
+      |  (SELECT * FROM seedtop UNION ALL SELECT * FROM singles) GROUP BY p),
+      |vocab1 AS MATERIALIZED (SELECT p,
+      |    floor(ln(n / (SELECT sum(n)::DOUBLE FROM cnt0)) * 1e6)::BIGINT AS q
+      |  FROM cnt0),
+      |
+      |trans1 AS MATERIALIZED (SELECT wpl.w, wpl.i, wpl.l, wpl.piece,
+      |    CASE WHEN v.q IS NOT NULL THEN v.q
+      |         WHEN wpl.l = 1 THEN -20000000 END AS score
+      |  FROM wpl LEFT JOIN vocab1 v ON v.p = wpl.piece
+      |  WHERE v.q IS NOT NULL OR wpl.l = 1),
+      |dp1 AS (
+      |  SELECT w, c, 0 AS i,
+      |    [{'s': NULL::BIGINT, 'path': NULL::VARCHAR[]},
+      |     {'s': NULL::BIGINT, 'path': NULL::VARCHAR[]},
+      |     {'s': NULL::BIGINT, 'path': NULL::VARCHAR[]},
+      |     {'s': 0::BIGINT, 'path': []::VARCHAR[]}] AS win
+      |  FROM words
+      |  UNION ALL
+      |  SELECT q.w, q.c, q.i + 1, [q.win[2], q.win[3], q.win[4], q.best]
+      |  FROM (
+      |    SELECT d.w, any_value(d.c) AS c, d.i, any_value(d.win) AS win,
+      |      list({'s': d.win[5-t.l].s + t.score,
+      |             'path': list_append(d.win[5-t.l].path, t.piece)}
+      |           ORDER BY d.win[5-t.l].s + t.score DESC, t.l ASC)[1] AS best
+      |    FROM dp1 d JOIN trans1 t ON t.w = d.w AND t.i = d.i + 1
+      |    WHERE d.i < length(d.w) AND t.l <= d.i + 1
+      |      AND d.win[5-t.l].s IS NOT NULL
+      |    GROUP BY d.w, d.i
+      |  ) q
+      |),
+      |seg1 AS MATERIALIZED (SELECT w, c, win[4].path AS path FROM dp1 WHERE i = length(w)),
+      |used1 AS (SELECT unnest(path) AS p, c FROM seg1),
+      |cnt1 AS MATERIALIZED (SELECT p, sum(c)::BIGINT AS n FROM used1 GROUP BY p),
+      |-- EM round 1 -> counts with single-cp coverage floor
+      |em1 AS MATERIALIZED (SELECT p, n FROM cnt1
+      |  UNION ALL
+      |  SELECT s.p, 1::BIGINT FROM singles s
+      |  WHERE s.p NOT IN (SELECT p FROM cnt1)),
+      |vocab2 AS MATERIALIZED (SELECT p,
+      |    floor(ln(n / (SELECT sum(n)::DOUBLE FROM em1)) * 1e6)::BIGINT AS q
+      |  FROM em1),
+      |
+      |trans2 AS MATERIALIZED (SELECT wpl.w, wpl.i, wpl.l, wpl.piece,
+      |    CASE WHEN v.q IS NOT NULL THEN v.q
+      |         WHEN wpl.l = 1 THEN -20000000 END AS score
+      |  FROM wpl LEFT JOIN vocab2 v ON v.p = wpl.piece
+      |  WHERE v.q IS NOT NULL OR wpl.l = 1),
+      |dp2 AS (
+      |  SELECT w, c, 0 AS i,
+      |    [{'s': NULL::BIGINT, 'path': NULL::VARCHAR[]},
+      |     {'s': NULL::BIGINT, 'path': NULL::VARCHAR[]},
+      |     {'s': NULL::BIGINT, 'path': NULL::VARCHAR[]},
+      |     {'s': 0::BIGINT, 'path': []::VARCHAR[]}] AS win
+      |  FROM words
+      |  UNION ALL
+      |  SELECT q.w, q.c, q.i + 1, [q.win[2], q.win[3], q.win[4], q.best]
+      |  FROM (
+      |    SELECT d.w, any_value(d.c) AS c, d.i, any_value(d.win) AS win,
+      |      list({'s': d.win[5-t.l].s + t.score,
+      |             'path': list_append(d.win[5-t.l].path, t.piece)}
+      |           ORDER BY d.win[5-t.l].s + t.score DESC, t.l ASC)[1] AS best
+      |    FROM dp2 d JOIN trans2 t ON t.w = d.w AND t.i = d.i + 1
+      |    WHERE d.i < length(d.w) AND t.l <= d.i + 1
+      |      AND d.win[5-t.l].s IS NOT NULL
+      |    GROUP BY d.w, d.i
+      |  ) q
+      |),
+      |seg2 AS MATERIALIZED (SELECT w, c, win[4].path AS path FROM dp2 WHERE i = length(w)),
+      |used2 AS (SELECT unnest(path) AS p, c FROM seg2),
+      |cnt2 AS MATERIALIZED (SELECT p, sum(c)::BIGINT AS n FROM used2 GROUP BY p),
+      |em2 AS MATERIALIZED (SELECT p, n FROM cnt2
+      |  UNION ALL
+      |  SELECT s.p, 1::BIGINT FROM singles s
+      |  WHERE s.p NOT IN (SELECT p FROM cnt2)),
+      |-- prune to 512 by (count DESC, piece ASC), single-cp coverage kept
+      |kept AS MATERIALIZED (SELECT p, n FROM em2 ORDER BY n DESC, p LIMIT 512),
+      |fin AS MATERIALIZED (SELECT p, any_value(n) AS n FROM
+      |  (SELECT * FROM kept
+      |   UNION ALL
+      |   SELECT e.p, e.n FROM em2 e JOIN singles s USING (p)
+      |   WHERE e.p NOT IN (SELECT p FROM kept)) GROUP BY p),
+      |vocab3 AS MATERIALIZED (SELECT p,
+      |    floor(ln(n / (SELECT sum(n)::DOUBLE FROM fin)) * 1e6)::BIGINT AS q
+      |  FROM fin),
+      |
+      |trans3 AS MATERIALIZED (SELECT wpl.w, wpl.i, wpl.l, wpl.piece,
+      |    CASE WHEN v.q IS NOT NULL THEN v.q
+      |         WHEN wpl.l = 1 THEN -20000000 END AS score
+      |  FROM wpl LEFT JOIN vocab3 v ON v.p = wpl.piece
+      |  WHERE v.q IS NOT NULL OR wpl.l = 1),
+      |dp3 AS (
+      |  SELECT w, c, 0 AS i,
+      |    [{'s': NULL::BIGINT, 'path': NULL::VARCHAR[]},
+      |     {'s': NULL::BIGINT, 'path': NULL::VARCHAR[]},
+      |     {'s': NULL::BIGINT, 'path': NULL::VARCHAR[]},
+      |     {'s': 0::BIGINT, 'path': []::VARCHAR[]}] AS win
+      |  FROM words
+      |  UNION ALL
+      |  SELECT q.w, q.c, q.i + 1, [q.win[2], q.win[3], q.win[4], q.best]
+      |  FROM (
+      |    SELECT d.w, any_value(d.c) AS c, d.i, any_value(d.win) AS win,
+      |      list({'s': d.win[5-t.l].s + t.score,
+      |             'path': list_append(d.win[5-t.l].path, t.piece)}
+      |           ORDER BY d.win[5-t.l].s + t.score DESC, t.l ASC)[1] AS best
+      |    FROM dp3 d JOIN trans3 t ON t.w = d.w AND t.i = d.i + 1
+      |    WHERE d.i < length(d.w) AND t.l <= d.i + 1
+      |      AND d.win[5-t.l].s IS NOT NULL
+      |    GROUP BY d.w, d.i
+      |  ) q
+      |),
+      |seg3 AS MATERIALIZED (SELECT w, c, win[4].path AS path FROM dp3 WHERE i = length(w)),
+      |used3 AS (SELECT unnest(path) AS p, c FROM seg3),
+      |cnt3 AS MATERIALIZED (SELECT p, sum(c)::BIGINT AS n FROM used3 GROUP BY p),
+      |toklen AS MATERIALIZED (SELECT w, len(path)::BIGINT AS n FROM seg3),
+      |docw AS (SELECT doc_id AS did, lang,
+      |    len(string_split(text,' '))::BIGINT AS nw,
+      |    '▁' || unnest(string_split(text,' ')) AS w
+      |  FROM documents),
+      |docb AS (SELECT did, any_value(lang) AS lang, any_value(nw) AS nw,
+      |    sum(t.n)::BIGINT AS nb
+      |  FROM docw JOIN toklen t USING (w) GROUP BY did)
+      |SELECT lang, count(*) AS n_docs, sum(nw)::BIGINT AS words,
+      |  sum(nb)::BIGINT AS uni_tokens,
+      |  round(avg(nb::DOUBLE / nw), 4) AS avg_pieces_per_word
+      |FROM docb GROUP BY lang ORDER BY lang""".stripMargin,
+    // t35: contract booleans + exact count (the t16 shape); the census
+    // itself is t34 (rows-only this round — Viterbi-EM replay is next)
+    "t35_unigram_contract" ->
+      """SELECT TRUE AS round_trip_ok, TRUE AS count_parity_ok,
+        | TRUE AS bounds_ok, TRUE AS em_improves_ok,
+        | count(*) AS n_docs FROM documents""".stripMargin,
     // p01: the staging + extraction CTEs are t31's, then the original
     // quality -> dedup -> stats body runs over the EXTRACTED content
     "p01_curation_pipeline" ->

@@ -1277,6 +1277,71 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"suspicious subwords/word ratio $perWord")
   }
 
+  test("Unigram: tiny corpus learns the frequent word as one piece; round-trips") {
+    import graft.functions.Unigram
+    val corpus = (Seq.fill(8)("ab") ++ Seq.fill(2)("abc") :+ "ab abc ab")
+      .map(Tuple1(_)).toDF("text")
+    val m = Unigram.train(corpus, "text", vocabSize = 64, emIters = 2,
+      seedSize = 64)
+    // determinism: the model is a pure function of the word counts
+    val m2 = Unigram.train(corpus, "text", vocabSize = 64, emIters = 2,
+      seedSize = 64)
+    assert(m == m2, "training must be deterministic")
+    // the dominant word segments as ONE piece after EM
+    val enc = corpus.limit(1).select(Unigram.encode(m)(lit("ab abc")))
+      .as[Seq[String]].head()
+    assert(enc.head == Unigram.Boundary + "ab", s"got $enc")
+    // decode inverts encode (repeated spaces collapse, like Bpe)
+    val dec = corpus.limit(1).select(
+        Unigram.decode(Unigram.encode(m)(lit("ab  abc ab"))).as("a"),
+        Unigram.decode(Unigram.encode(m)(lit(""))).as("b"))
+      .as[(String, String)].head()
+    assert(dec == (("ab abc ab", "")), s"got $dec")
+    // unseen characters fall back to single-cp UNK pieces — encode never
+    // fails and decode STILL round-trips
+    val unk = corpus.limit(1).select(
+        Unigram.decode(Unigram.encode(m)(lit("ab xyz"))).as("a"),
+        size(Unigram.encode(m)(lit("xyz"))).as("n"))
+      .as[(String, Int)].head()
+    assert(unk._1 == "ab xyz" && unk._2 >= 2, s"got $unk")
+    // tokenCount parity with size(encode)
+    val cnt = corpus.limit(1)
+      .select(Unigram.tokenCount(m)(lit("ab abc xyz")).as("n"),
+        size(Unigram.encode(m)(lit("ab abc xyz"))).as("s"),
+        Unigram.tokenCount(m)(lit(null.asInstanceOf[String])).as("z"))
+      .as[(Int, Int, Int)].head()
+    assert(cnt._1 == cnt._2 && cnt._3 == 0, s"got $cnt")
+  }
+
+  test("Unigram on the corpus: deterministic, EM improves likelihood, compresses") {
+    import graft.functions.Unigram
+    val docs = Tables.documents(spark, sfDir)
+    val m = Unigram.train(docs, "text", vocabSize = 512, emIters = 2,
+      seedSize = 4096)
+    // hard-EM must not make the model WORSE on its own training words
+    // than the seed it started from (quantized scores; the 0-iteration
+    // model is the pruned seed itself)
+    val seed = Unigram.train(docs, "text", vocabSize = 512, emIters = 0,
+      seedSize = 4096)
+    val sTrained = Unigram.corpusScore(docs, "text", m)
+    val sSeed = Unigram.corpusScore(docs, "text", seed)
+    assert(sTrained >= sSeed,
+      s"EM worsened the corpus score: $sTrained < $sSeed")
+    // corpus-wide round-trip + compression in one pass
+    val stats = docs.select(
+        (Unigram.decode(Unigram.encode(m)(col("text"))) ===
+          regexp_replace(col("text"), " +", " ")).cast("long").as("rt"),
+        Unigram.tokenCount(m)(col("text")).cast("double").as("b"),
+        size(split(col("text"), " ")).cast("double").as("w"))
+      .agg(sum(col("rt")).as("rt"), count(lit(1)).as("n"),
+        sum(col("b")).as("b"), sum(col("w")).as("w"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(stats._1 == stats._2, s"round-trip failed on ${stats._2 - stats._1} docs")
+    val perWord = stats._3 / stats._4
+    assert(perWord >= 1.0 && perWord < 6.0,
+      s"suspicious unigram pieces/word ratio $perWord")
+  }
+
   test("classifier: separable 2-D data reaches 100% accuracy; loss decreases") {
     import graft.operators.Classifier
     // two linearly separable clouds around (0,0) and (3,3)
