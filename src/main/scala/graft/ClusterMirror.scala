@@ -144,7 +144,13 @@ object ClusterMirror {
     //       real executor JVMs (a LOSSY codec: the gate's tolerance
     //       booleans must come out identical bits on a worker daemon's
     //       own ImageIO/AWT initialization, not just the driver's)
-    "m11_jpeg_ingest")
+    "m11_jpeg_ingest",
+    //  t34: the unigram Viterbi UDF's per-task TaskMemo — a closure
+    //       carrying @transient lazy mutable state plus the broadcast
+    //       piece table, deserialized fresh per REMOTE task (local mode
+    //       never round-trips the closure; a serialization bug would
+    //       surface as an NPE or a shared-map race only on daemons)
+    "t34_unigram_tokens")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
