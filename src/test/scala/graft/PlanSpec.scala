@@ -19,6 +19,21 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
 
+  test("t34: unigram census is one exchange; encode stays narrow") {
+    // the tokenize-the-corpus shape at 100 TB: scan -> project (the
+    // Viterbi UDF — the honest-UDF case, like Bpe's) -> partial agg ->
+    // ONE hash exchange on lang -> final agg. A second exchange or a
+    // sort here would mean the tokenizer added a corpus-sized shuffle.
+    val p = plan("t34_unigram_tokens")
+    val body = p.split("TakeOrderedAndProject|Sort ").head
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx == 1, s"expected exactly 1 census exchange, got $nEx:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation around the exchange:\n$p")
+    assert(!body.contains("Exchange rangepartitioning"),
+      s"encode/census must not range-shuffle the corpus:\n$p")
+  }
+
   test("q02: filters are pushed to the parquet scan") {
     val p = plan("q02_scan_filter_count")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,45.0)"),
