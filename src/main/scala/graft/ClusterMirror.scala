@@ -38,9 +38,9 @@ import org.apache.spark.sql.SparkSession
   *                         broadcast to real executors) + argmin codegen
   *  - t20_dsir             Gumbel race over broadcast one-row totals
   *
-  * Usage (see .claude/skills/verify — `local-cluster[...]` does NOT work
-  * against the /opt/spark distribution layout; a real standalone
-  * master/worker does):
+  * Usage (note: the `local-cluster[...]` master does NOT work against
+  * the /opt/spark distribution layout; a real standalone master/worker
+  * does):
   * {{{
   *   sbt -batch package
   *   /opt/spark/sbin/start-master.sh -h 127.0.0.1 -p 7077

@@ -177,7 +177,18 @@ object Ann {
         while (j < dim) { sums(best)(j) += v(j); j += 1 }
       }
       cents = cents.indices.map { c =>
-        if (counts(c) == 0) unit(rnd.nextInt(unit.length)) // re-seed empty cell
+        if (counts(c) == 0) {
+          // Forced-replay regime (explicit initIdx): every trainer
+          // decision must be oracle-replayable, and an RNG re-seed is
+          // not — fail loudly instead of silently diverging from the
+          // SQL replay (whose sum over an empty cell would NaN out).
+          // Production (seeded-shuffle init) keeps the re-seed.
+          if (initIdx.isDefined) throw new IllegalStateException(
+            s"k-means replay regime: cell $c emptied at iteration $it — " +
+              "the explicit-init replay contract requires no empty cells; " +
+              "pick different initIdx")
+          unit(rnd.nextInt(unit.length)) // re-seed empty cell
+        }
         else normalized(sums(c).map(_.toFloat))
       }.toArray
       it += 1

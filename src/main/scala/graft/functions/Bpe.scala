@@ -136,9 +136,15 @@ object Bpe {
       }
       if (pairCounts.isEmpty) m = nMerges
       else {
-        // argmax with lexicographic tie-break -> deterministic model
-        val best = pairCounts.toSeq
-          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        // argmax with lexicographic tie-break -> deterministic model.
+        // UTF-8/code-point collation ([[Collation.utf8Order]]), NOT
+        // String.compareTo: trainDistributed argmaxes via Spark orderBy
+        // (UTF8String bytes) — one total order must govern both trainers
+        // or a count tie on supplementary-plane symbols breaks parity.
+        val best = pairCounts.toSeq.min(
+          Ordering.by[((String, String), Long), Long](-_._2).orElse(
+            Ordering.by[((String, String), Long), String](_._1._1)(Collation.utf8Order)).orElse(
+            Ordering.by[((String, String), Long), String](_._1._2)(Collation.utf8Order)))._1
         merges += best
         current = current.map { case (syms, c) =>
           (mergePair(syms, best._1, best._2), c)
@@ -223,18 +229,18 @@ object Bpe {
 
   /** Column of subword tokens (array<string>) for a text column under a
     * trained model. The rank map ships once per executor via the UDF's
-    * closure; a per-document word→tokens memo makes repeated words
-    * (Zipf: most of them) one lookup. */
+    * closure; a per-TASK word→tokens memo ([[TaskMemo]] — lifted from
+    * the unigram tokenizer, where per-task beat per-document 29× on the
+    * same Zipf argument) makes repeated words one probe ACROSS the
+    * task's documents, not just within one. */
   def encode(model: Model)(text: Column): Column = {
     val rank = model.rank // materialize on the driver; closure-ships the map
+    val memo = new TaskMemo[Vector[String]]
     val f = udf { (s: String) =>
       if (s == null) Seq.empty[String]
-      else {
-        val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
-        s.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
-          memo.getOrElseUpdate(w, applyMerges(baseSymbols(w), rank))
-        }.toSeq
-      }
+      else s.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+        memo.get(w, x => applyMerges(baseSymbols(x), rank))
+      }.toSeq
     }
     f(text)
   }
@@ -262,14 +268,15 @@ object Bpe {
     * Parity with `size(encode(...))` is spec-asserted. */
   def tokenCount(model: Model)(text: Column): Column = {
     val rank = model.rank
+    val memo = new TaskMemo[Integer]
     val f = udf { (s: String) =>
       if (s == null) 0
       else {
-        val memo = scala.collection.mutable.HashMap.empty[String, Int]
         var n = 0
         s.split(" ").foreach { w =>
           if (w.nonEmpty)
-            n += memo.getOrElseUpdate(w, applyMerges(baseSymbols(w), rank).length)
+            n += memo.get(w,
+              x => Integer.valueOf(applyMerges(baseSymbols(x), rank).length))
         }
         n
       }

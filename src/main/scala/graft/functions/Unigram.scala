@@ -201,41 +201,22 @@ object Unigram {
     }
 
     // --- prune to the final vocabulary ---------------------------------
+    // Same collation as the Spark-side seed top-K (orderBy = UTF8String
+    // byte order): String.compareTo would disagree on count ties between
+    // U+E000..U+FFFF and supplementary-plane pieces, letting the prune
+    // diverge from the seed selection and the binary-collated oracle.
     val singleSet = singles.keySet
     val kept = counts.toSeq
-      .sortBy { case (p, c) => (-c, p) }
+      .sorted(Collation.byCountDescThenUtf8)
       .take(vocabSize).toMap
     val withCoverage = kept ++ singleSet.iterator
       .filterNot(kept.contains).map(p => p -> counts(p)).toMap
     Model(quantize(withCoverage), maxPieceLen)
   }
 
-  /** Per-TASK word→result memo for the Viterbi UDFs: Viterbi is ~5-10×
-    * the per-word cost of BPE's merge scan (36 substring builds + map
-    * probes per word), so the [[Bpe.encode]] per-DOCUMENT memo leaves
-    * too much on the table — Zipf means a task's documents share most
-    * of their vocabulary. `@transient lazy val` materializes one map
-    * per deserialized task closure (thread-confined), and the cap
-    * bounds memory on adversarial vocabularies (measured: per-task vs
-    * per-doc memoization took the sf10 encode pass from 43 s to
-    * single-digit). */
-  private class TaskMemo[V] extends Serializable {
-    @transient private lazy val m = new java.util.HashMap[String, V]
-    def get(w: String, compute: String => V): V = {
-      val hit = m.get(w)
-      if (hit != null) hit
-      else {
-        if (m.size >= 131072) m.clear()
-        val v = compute(w)
-        m.put(w, v)
-        v
-      }
-    }
-  }
-
   /** Subword tokens (array<string>) for a text column — Viterbi per
-    * word under the broadcast model, per-task word memo (Zipf makes
-    * repeats ~free), the [[Bpe.encode]] UDF shape. */
+    * word under the broadcast model, per-task word memo ([[TaskMemo]] —
+    * Zipf makes repeats ~free), the [[Bpe.encode]] UDF shape. */
   def encode(model: Model)(text: Column): Column = {
     val logq = model.logq
     val maxPieceLen = model.maxPieceLen

@@ -23,10 +23,15 @@ import org.apache.spark.sql.types._
   *    `ffmpeg -f image2pipe -vcodec ppm` shape): [[ppmStreamFrames]]
   *    splits frames, [[sampleFrames]] strided-samples and re-decodes
   *    them (m03 hash-verifies the sampled-frame statistics);
+  *  - REAL PNG and JPEG codecs via the JDK's ImageIO (batched
+  *    reader/writer reuse — see [[normalizeImages]]), gated byte-exact
+  *    (PNG, m10) or by tolerance contract (JPEG, m11 — lossy decode is
+  *    not bit-portable across IDCTs);
   *  - `decodeStub` for formats whose codecs this container lacks
-  *    (JPEG/MP3/MP4): a deterministic fake keyed on the bytes. A
-  *    production deployment swaps the stub for a JNI codec or a
-  *    Pandas-UDF sidecar without touching the plan shape.
+  *    (MP3/MP4 — the JDK ships no codec for either): a deterministic
+  *    fake keyed on the bytes. A production deployment swaps the stub
+  *    for a JNI codec or a Pandas-UDF sidecar without touching the
+  *    plan shape.
   */
 object Multimodal {
 

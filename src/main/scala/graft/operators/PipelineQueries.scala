@@ -1711,9 +1711,14 @@ object PipelineQueries {
         emIters = 0, seedSize = 4096)
       val emOk = Unigram.corpusScore(docs, "text", model) >=
         Unigram.corpusScore(docs, "text", seed)
+      // trim() the reference side: encode drops empty splits and decode
+      // ltrims the boundary marker, so decode∘encode yields the TRIMMED
+      // single-spaced word sequence — a document with edge whitespace
+      // would fail an untrimmed comparison even though tokenization is
+      // correct.
       val per = docs.select(
         (Unigram.decode(Unigram.encode(model)(col("text"))) ===
-          regexp_replace(col("text"), " +", " ")).as("rt"),
+          trim(regexp_replace(col("text"), " +", " "))).as("rt"),
         (Unigram.tokenCount(model)(col("text")) ===
           size(Unigram.encode(model)(col("text")))).as("par"),
         size(split(col("text"), " ")).cast("long").as("nw"),
@@ -3057,9 +3062,12 @@ object PipelineQueries {
     "t34_unigram_tokens" ->
     """WITH RECURSIVE
       |words AS MATERIALIZED (
-      |  SELECT '▁' || w AS w, count(*)::BIGINT AS c FROM (
+      |  -- filter on the QUALIFIED base column: a bare `w` would be
+      |  -- ambiguous with the SELECT's prefixed alias, under which empty
+      |  -- words would survive as a lone boundary piece
+      |  SELECT '▁' || z.w AS w, count(*)::BIGINT AS c FROM (
       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
-      |  WHERE len(w) > 0 GROUP BY 1),
+      |  WHERE len(z.w) > 0 GROUP BY 1),
       |-- (word, position, piece-length) lattice, shared by every model
       |wpl AS MATERIALIZED (SELECT w, i.i::INT AS i, l.l::INT AS l,
       |    substr(w, i.i::INT - l.l::INT + 1, l.l::INT) AS piece
