@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   * work). Min-of-N makes the artifact load-proof: a transient CPU spike on
   * the host inflates one pass, not the reported number (round 3's one-pass
   * artifact read 3.4x worse than an idle rerun of the same binary).
+  *
+  * Load that spans ALL N passes defeats min-of-N silently, so the artifact
+  * also carries per-query PASS DISPERSION (max/min across the timed passes)
+  * and a p50/p90/max summary: a clean idle-host run reads p50 ≈ 1.0-1.1
+  * with a thin tail; a contaminated run reads a fat tail — "was this run
+  * clean" is a recorded number, not a post-hoc judgment call.
   */
 object Bench {
 
@@ -149,7 +155,7 @@ object Bench {
       spark.catalog.clearCache()
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val results = qs.map { q =>
+    val perPass = qs.map { q =>
       // min of `passes` timed runs: one noisy scheduling window on the host
       // inflates a single pass, not the reported figure
       val times = (1 to passes).map { _ =>
@@ -164,9 +170,36 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) t else -1.0
       }
-      val good = times.filter(_ >= 0)
+      q -> times.filter(_ >= 0)
+    }
+    val results = perPass.map { case (q, good) =>
       q -> (if (good.nonEmpty) good.min else -1.0)
     }
+    // Per-query PASS DISPERSION (max/min across the timed passes) + a
+    // headline summary: "was this run clean" as a NUMBER. Min-of-N hides
+    // transient load, but load that spans all N passes does not show in
+    // the minima — it shows here: an idle host reads p50 ≈ 1.0-1.1 with a
+    // thin tail, a contaminated run reads a fat dispersion tail. The
+    // summary percentiles skip sub-50ms rows, where the scheduler's
+    // ~ms-scale jitter makes max/min ratios meaningless noise.
+    def fmt2(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val disps = perPass.collect {
+      case (q, good) if good.size >= 2 && good.min > 0 => q -> good.max / good.min
+    }
+    val meaningful = perPass.collect {
+      case (q, good) if good.size >= 2 && good.min >= 0.05 => good.max / good.min
+    }.sorted
+    def pct(p: Double): Double =
+      if (meaningful.isEmpty) -1.0
+      else meaningful(math.min(meaningful.size - 1, (p * meaningful.size).toInt))
+    val dispP50 = pct(0.50)
+    val dispP90 = pct(0.90)
+    val (dispMaxQ, dispMax) =
+      if (disps.isEmpty) ("", -1.0) else disps.maxBy(_._2)
+    val dispJson = disps.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+      .mkString("{", ",", "}")
+    val dispSummary = s""","disp":{"p50":${fmt2(dispP50)},"p90":${fmt2(dispP90)},"max":${fmt2(dispMax)},"max_q":"$dispMaxQ","per_query":$dispJson}"""
     // 0.1 ms precision: full-precision doubles tripled the line length,
     // and the driver's bounded stdout-tail capture clipped the head of
     // the (single-line) JSON two rounds running — parsed:null artifacts.
@@ -191,7 +224,7 @@ object Bench {
           ""","u10_files":null"""
         }
       else ""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"passes":$passes$skipMeta,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"passes":$passes$skipMeta$dispSummary,"sf":"$sfDir"}"""
     // printed TWICE — immediately here and again as the very last stdout
     // after spark.stop(): the driver captures a bounded TAIL of stdout,
     // and in r6/r7 the capture window started mid-line, clipping the
@@ -246,6 +279,6 @@ object Bench {
     // breakdown lives in the committed BENCH_LOCAL.json and in the full
     // line printed above.
     val anchor = results.toMap.getOrElse("q01_tpch_agg", -1.0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"q01_tpch_agg":${fmt(anchor)}},"n":${results.size},"passes":$passes,"anchor_q01":${fmt(anchor)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"q01_tpch_agg":${fmt(anchor)}},"n":${results.size},"passes":$passes,"anchor_q01":${fmt(anchor)},"disp_p50":${fmt2(dispP50)},"disp_max":${fmt2(dispMax)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
   }
 }
