@@ -19,10 +19,14 @@ import org.apache.spark.sql.types._
   *  - a REAL pure-JVM decoder for RIFF/WAVE PCM16 audio ([[decodeWav]]):
   *    chunk walk, sample decode, integer sample statistics — the audio
   *    path gets the same end-to-end proof (m01 hash-verifies both);
-  *  - a REAL frame walker for concatenated-P6 video streams (the
-  *    `ffmpeg -f image2pipe -vcodec ppm` shape): [[ppmStreamFrames]]
-  *    splits frames, [[sampleFrames]] strided-samples and re-decodes
-  *    them (m03 hash-verifies the sampled-frame statistics);
+  *  - REAL frame walkers for two video stream shapes: concatenated-P6
+  *    (`ffmpeg -f image2pipe -vcodec ppm`): [[ppmStreamFrames]] splits
+  *    frames, [[sampleFrames]] strided-samples and re-decodes them (m03
+  *    hash-verifies the sampled-frame statistics); and MJPEG
+  *    (`-vcodec mjpeg`): [[mjpegFrames]] splits via a real
+  *    stuffed-byte-aware JPEG segment parse and [[frameStats]] decodes
+  *    each frame through the batched JDK reader (m12 gates it with the
+  *    m11 tolerance contract);
   *  - REAL PNG and JPEG codecs via the JDK's ImageIO (batched
   *    reader/writer reuse — see [[normalizeImages]]), gated byte-exact
   *    (PNG, m10) or by tolerance contract (JPEG, m11 — lossy decode is
@@ -394,6 +398,155 @@ object Multimodal {
     val reader = newJpegReader()
     try decodeImageWith(reader, bytes).flatMap(imageToP6)
     finally reader.dispose()
+  }
+
+  /** Exclusive end offset of the JPEG frame starting at `start`, or -1
+    * when the bytes from `start` are not one complete JPEG. A real
+    * segment walk, not a naive FFD9 scan: entropy-coded scan data may
+    * contain any byte pair EXCEPT FF-followed-by-a-real-marker (FF00 is
+    * a stuffed data byte, FFD0-D7 are restart markers inside the scan),
+    * so the walker parses segment lengths up to SOS and then skips
+    * entropy data stuffed-byte-aware — the one correct way to split
+    * concatenated JPEGs (a pixel-data FFD9 false positive would truncate
+    * a frame). All arithmetic bounds-checked; hostile lengths return -1
+    * rather than reading out of range. */
+  private def jpegFrameEnd(bytes: Array[Byte], start: Int): Int = {
+    if (start + 2 > bytes.length || (bytes(start) & 0xff) != 0xff ||
+      (bytes(start + 1) & 0xff) != 0xd8) return -1
+    var pos = start + 2
+    while (pos + 2 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return -1
+      // any run of FF bytes is fill; the marker is the first non-FF
+      var mp = pos + 1
+      while (mp < bytes.length && (bytes(mp) & 0xff) == 0xff) mp += 1
+      if (mp >= bytes.length) return -1
+      val marker = bytes(mp) & 0xff
+      if (marker == 0xd9) return mp + 1 // EOI
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        pos = mp + 1 // standalone marker, no length field
+      } else {
+        if (mp + 3 > bytes.length) return -1
+        val len = ((bytes(mp + 1) & 0xff) << 8) | (bytes(mp + 2) & 0xff)
+        if (len < 2 || mp + 1 + len > bytes.length) return -1
+        pos = mp + 1 + len
+        if (marker == 0xda) {
+          // SOS: entropy-coded data until the next REAL marker
+          var done = false
+          while (!done) {
+            if (pos >= bytes.length) return -1
+            if ((bytes(pos) & 0xff) == 0xff) {
+              if (pos + 1 >= bytes.length) return -1
+              val m = bytes(pos + 1) & 0xff
+              if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+              else done = true // next segment marker (incl. EOI)
+            } else pos += 1
+          }
+        }
+      }
+    }
+    -1
+  }
+
+  /** REAL MJPEG (motion-JPEG) frame walker: byte offsets/lengths of
+    * every complete JPEG in a concatenated-JPEG stream — the
+    * `ffmpeg -f image2pipe -vcodec mjpeg` shape, the JPEG analog of
+    * [[ppmStreamFrames]]. Empty unless the WHOLE buffer is consumed by
+    * complete frames (trailing junk / truncation ⇒ not an MJPEG
+    * stream). */
+  def mjpegFrames(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[(Int, Int)]
+    var pos = 0
+    while (pos < bytes.length) {
+      val end = jpegFrameEnd(bytes, pos)
+      if (end < 0) return Seq.empty
+      out += ((pos, end - pos))
+      pos = end
+    }
+    out.result()
+  }
+
+  /** Batched P6-stream → MJPEG staging (the m12 gate's interchange
+    * direction, continuing m10/m11's codec ladder to video): every P6
+    * frame of the stream is JPEG-encoded (ONE reused writer per batch —
+    * the [[normalizeImages]] discipline) and the frames concatenate to
+    * the image2pipe MJPEG shape. Non-P6-stream rows drop. */
+  def transcodeToMjpeg(media: DataFrame, batchSize: Int = 64,
+      quality: Float = 0.95f): DataFrame =
+    batchedBytesPass[javax.imageio.ImageWriter](media, batchSize,
+      () => newJpegWriter(), _.dispose(),
+      { (writer, b) =>
+        val frames = ppmStreamFrames(b)
+        if (frames.isEmpty) None
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          frames.foreach { case (off, len) =>
+            // walked above, so p6ToImage cannot fail on these slices
+            val img = p6ToImage(java.util.Arrays.copyOfRange(b, off, off + len))
+              .getOrElse(sys.error(s"walked frame at $off failed to parse"))
+            bos.write(encodeJpegWith(writer, img, quality))
+          }
+          Some(bos.toByteArray)
+        }
+      })
+
+  /** Per-frame image statistics over a VIDEO column, format-dispatched:
+    * P6 streams walk [[ppmStreamFrames]] and read stats off the raw
+    * plane; MJPEG streams walk [[mjpegFrames]] and decode each frame
+    * through a per-BATCH JPEG reader (m11's codec-reuse discipline) to
+    * canonical P6 first. One row per sampled frame:
+    * (media_id, frame_idx, w, h, dhash, mr_r, mr_g, mr_b) — dims, the
+    * dHash fingerprint and per-channel means, i.e. exactly the fields
+    * the m11/m12 tolerance contracts compare. Narrow, no shuffle;
+    * non-video rows drop. */
+  def frameStats(media: DataFrame, stride: Int = 1,
+      maxFrames: Int = Int.MaxValue, batchSize: Int = 64): DataFrame = {
+    require(stride >= 1 && maxFrames >= 1, s"bad sampling $stride/$maxFrames")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("w", IntegerType, nullable = false),
+      StructField("h", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("mr_r", DoubleType, nullable = false),
+      StructField("mr_g", DoubleType, nullable = false),
+      StructField("mr_b", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val reader = newJpegReader()
+        try {
+          // strict inner collection (the batchedBytesPass rule): the
+          // reader must not be touched lazily after dispose
+          batch.flatMap { r =>
+            val bytes = r.getAs[Array[Byte]](bytesIdx)
+            if (bytes == null) Seq.empty[Row]
+            else {
+              val id = r.getLong(idIdx)
+              val p6Frames = ppmStreamFrames(bytes)
+              val (frames, toP6): (Seq[(Int, Int)], Array[Byte] => Option[Array[Byte]]) =
+                if (p6Frames.nonEmpty) (p6Frames, (fb: Array[Byte]) => Some(fb))
+                else (mjpegFrames(bytes),
+                  (fb: Array[Byte]) => decodeImageWith(reader, fb).flatMap(imageToP6))
+              frameSampleIndices(frames.length, stride, maxFrames).flatMap { i =>
+                val (off, len) = frames(i)
+                val slice = java.util.Arrays.copyOfRange(bytes, off, off + len)
+                toP6(slice).flatMap { p6 =>
+                  for {
+                    (w, h) <- ppmDims(p6)
+                    dh <- dhashPpm(p6)
+                    (mr, mg, mb) <- meanRgbPpm(p6)
+                  } yield Row(id, i, w, h, dh, mr, mg, mb)
+                }
+              }
+            }
+          }
+        } finally reader.dispose()
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Batched image-format normalization over a (media_id, bytes) frame:

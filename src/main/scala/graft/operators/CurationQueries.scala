@@ -547,6 +547,42 @@ object CurationQueries {
         .orderBy(col("media_id"))
     }),
 
+    // -- m12: REAL MJPEG video ingestion — the codec ladder's video rung
+    // (PNG → JPEG → MJPEG): each video's P6 frames are JPEG-encoded on
+    // the executors and concatenated to the image2pipe MJPEG shape, then
+    // the ingest path walks the JPEG stream with a real segment parser
+    // (stuffed-byte-aware SOS skip — a naive FFD9 scan would split
+    // inside entropy data) and decodes every frame back through the
+    // batched JDK reader. Gated the m11 tolerance way per FRAME: frame
+    // count and dims EXACT (sum_w hash-pins the decoded widths against
+    // the closed-form synthetic formula), dHash Hamming <= 16 and
+    // mean-RGB delta <= 24 per frame (the measured <=5x5 sub-MCU worst
+    // case; MultimodalSpec pins real-sized frames at <= 2). -------------
+    "m12_mjpeg_ingest" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "video")
+        .select(col("media_id"), col("bytes"))
+      val orig = Multimodal.frameStats(media)
+      val mj = Multimodal.frameStats(Multimodal.transcodeToMjpeg(media))
+        .select(col("media_id"), col("frame_idx"), col("w").as("jw"),
+          col("h").as("jh"), col("dhash").as("jdhash"),
+          col("mr_r").as("jmr_r"), col("mr_g").as("jmr_g"),
+          col("mr_b").as("jmr_b"))
+      orig.join(mj, Seq("media_id", "frame_idx"))
+        .groupBy(col("media_id"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(col("jw").cast("long")).as("sum_w"),
+          min(col("w") === col("jw") && col("h") === col("jh")).as("dims_ok"),
+          min(bit_count(col("dhash").bitwiseXOR(col("jdhash"))) <= 16)
+            .as("dhash_ok"),
+          min(greatest(abs(col("mr_r") - col("jmr_r")),
+            abs(col("mr_g") - col("jmr_g")),
+            abs(col("mr_b") - col("jmr_b"))) <= 24.0).as("mean_ok"))
+        .orderBy(col("media_id"))
+    }),
+
     "m05_image_phash" -> ((s, d) => {
       val media = graft.multimodal.Multimodal
         .mediaFromDocuments(Tables.documents(s, d))
@@ -1193,6 +1229,19 @@ object CurationQueries {
       """SELECT doc_id AS media_id, ((doc_id % 5) + 1)::INT AS w,
         | ((doc_id % 4) + 2)::INT AS h, TRUE AS dhash_ok, TRUE AS mean_ok
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
+    // m12: frame count replays from the synthetic stream formula
+    // ((doc_id % 4) + 2 frames), decoded frame widths replay closed-form
+    // (frame j = ppmFromId(doc_id + j) => w = (doc_id+j) % 5 + 1 — dims
+    // survive the lossy roundtrip exactly); tolerance booleans pinned
+    // TRUE per media (the m11 discipline)
+    "m12_mjpeg_ingest" ->
+      """WITH v AS (SELECT doc_id, ((doc_id % 4) + 2)::BIGINT AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM v)
+        |SELECT doc_id AS media_id, count(*)::BIGINT AS n_frames,
+        |  CAST(sum((doc_id + j) % 5 + 1) AS BIGINT) AS sum_w,
+        |  TRUE AS dims_ok, TRUE AS dhash_ok, TRUE AS mean_ok
+        |FROM f GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // m10: per-image dHash + Sobel replayed from the synthetic pixel
     // formula (m05's hash CTEs + m08's convolution CTEs, joined per doc)
     // — the gate's bytes took the PNG encode->decode roundtrip, so a

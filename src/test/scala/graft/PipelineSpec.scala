@@ -248,6 +248,60 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("MJPEG: frame walker splits exactly, real-size tolerance <= 2, frameStats dispatches") {
+    import graft.multimodal.Multimodal
+    // three REAL-SIZED distinct frames (64x48), encoded individually so
+    // the expected frame boundaries are known exactly
+    val w = 64; val h = 48
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val ppms = (0 until 3).map { f =>
+      header ++ Array.tabulate(w * h * 3) { i =>
+        val p = i / 3; val x = p % w; val y = p / w
+        ((x * (f + 2) + y * 3 + i % 3 * 7 + f * 31) % 256).toByte
+      }
+    }
+    val jpgs = ppms.map { ppm =>
+      Multimodal.transcodeToJpeg(Seq((1L, ppm)).toDF("media_id", "bytes"),
+        quality = 0.95f).collect()(0).getAs[Array[Byte]](1)
+    }
+    val mjpeg = jpgs.reduce(_ ++ _)
+    // the walker must recover the EXACT encode boundaries — a naive FFD9
+    // scan that split inside entropy data would disagree
+    val frames = Multimodal.mjpegFrames(mjpeg)
+    assert(frames.map(_._2) == jpgs.map(_.length),
+      s"walked lengths ${frames.map(_._2)} != encoded ${jpgs.map(_.length)}")
+    // per-frame decode: dims exact, real-size tolerance <= 2 (m11 bounds)
+    frames.zip(ppms).foreach { case ((off, len), ppm) =>
+      val back = Multimodal.jpegToPpm(
+        java.util.Arrays.copyOfRange(mjpeg, off, off + len)).get
+      assert(Multimodal.ppmDims(back).get == ((w, h)))
+      val hd = java.lang.Long.bitCount(
+        Multimodal.dhashPpm(ppm).get ^ Multimodal.dhashPpm(back).get)
+      assert(hd <= 2, s"real-size frame dHash drift $hd > 2")
+    }
+    // truncation and trailing junk mean "not an MJPEG stream", not a
+    // partial parse
+    assert(Multimodal.mjpegFrames(mjpeg.dropRight(10)).isEmpty)
+    assert(Multimodal.mjpegFrames(mjpeg ++ "junk".getBytes).isEmpty)
+    assert(Multimodal.mjpegFrames("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.mjpegFrames(Array.empty[Byte]).isEmpty)
+    // frameStats dispatches both stream formats to the same stat rows
+    val p6Stream = ppms.reduce(_ ++ _)
+    val media = Seq((1L, p6Stream)).toDF("media_id", "bytes")
+    val viaP6 = Multimodal.frameStats(media)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val viaMj = Multimodal.frameStats(Multimodal.transcodeToMjpeg(media))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(viaP6.length == 3 && viaMj.length == 3)
+    assert(viaP6.map(t => (t._1, t._2, t._3)).toSeq ==
+      viaMj.map(t => (t._1, t._2, t._3)).toSeq,
+      "frame indices and dims must agree across the two stream formats")
+    viaP6.zip(viaMj).foreach { case ((_, _, _, d1), (_, _, _, d2)) =>
+      assert(java.lang.Long.bitCount(d1 ^ d2) <= 2,
+        "per-frame dHash must agree within real-size JPEG tolerance")
+    }
+  }
+
   test("ivfTopKReplay: forced regime is run-to-run identical and recall-usable") {
     val emb = Tables.embeddings(spark, sfDir)
     def run() = Ann.ivfTopKReplay(emb, "vec_id", "embedding",
