@@ -150,7 +150,19 @@ object ClusterMirror {
     //       piece table, deserialized fresh per REMOTE task (local mode
     //       never round-trips the closure; a serialization bug would
     //       surface as an NPE or a shared-map race only on daemons)
-    "t34_unigram_tokens")
+    "t34_unigram_tokens",
+    // round-14 risk classes:
+    //  m13: the pure-Scala FLAC bit-serial codec on remote executor
+    //       JVMs — MSB-first bit reader/writer, sign extension, CRC-8/16
+    //       and Rice zigzag folds are exactly the endianness/sign bug
+    //       class that only surfaces when encode and decode run in
+    //       DIFFERENT worker JVMs on bytes that crossed an exchange
+    "m13_flac_ingest",
+    //  m12: the MJPEG segment walker + per-frame JDK JPEG decode inside
+    //       worker JVMs, joined per (media_id, frame_idx) across a real
+    //       exchange — frame boundaries computed on one executor must
+    //       match decodes performed on another
+    "m12_mjpeg_ingest")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

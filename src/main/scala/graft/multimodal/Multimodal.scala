@@ -660,7 +660,13 @@ object Multimodal {
     * hardened header walk as [[decodeWav]], returning the sample stream
     * instead of whole-clip statistics (the per-frame feature path needs
     * the samples). None on anything decodeWav would reject. */
-  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    decodeWavPcm(bytes).map(_._2)
+
+  /** (sampleRate, samples) of a (mono, 16-bit) RIFF/WAVE payload — the
+    * transcoding direction needs both. None on anything [[decodeWav]]
+    * would reject. */
+  def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
     def le16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
     def le32(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
       ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
@@ -683,8 +689,58 @@ object Multimodal {
     }
     if (sampleRate <= 0 || dataPos < 0 || dataLen < 2 || dataLen % 2 != 0)
       return None
-    Some(Array.tabulate(dataLen / 2)(i => le16(dataPos + 2 * i).toShort.toInt))
+    Some((sampleRate,
+      Array.tabulate(dataLen / 2)(i => le16(dataPos + 2 * i).toShort.toInt)))
   }
+
+  /** Canonical mono-PCM16 RIFF/WAVE bytes for a sample stream — the
+    * audio analog of [[imageToP6]]: the re-emit half of the audio
+    * ingest front door ([[normalizeAudio]]) and of [[wavFromId]]. */
+  def wavFromPcm(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    require(samples.nonEmpty && sampleRate > 0, "empty clip or bad rate")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits/sample
+    buf.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Batched WAV → FLAC staging (the m13 gate's interchange direction —
+    * real corpora carry COMPRESSED audio): each clip's PCM16 samples are
+    * FLAC-encoded on the executors ([[Flac.encode]], the fixed-predictor
+    * profile). Lossless, so downstream statistics hash-verify exactly —
+    * the audio rung of the codec ladder next to m10/m11/m12's images.
+    * Non-WAV rows drop. */
+  def transcodeToFlac(media: DataFrame, batchSize: Int = 64,
+      blockSize: Int = 4096): DataFrame =
+    batchedBytesPass[Unit](media, batchSize, () => (), _ => (),
+      (_, b) => decodeWavPcm(b).map { case (rate, pcm) =>
+        Flac.encode(pcm, rate, blockSize)
+      })
+
+  /** Batched audio-format normalization — the audio front door,
+    * mirroring [[normalizeImages]]: FLAC rows decode ([[Flac.decodeSamples]],
+    * pure-integer, lossless) and re-emit as canonical PCM16 WAV; WAV
+    * rows pass through untouched; undecodable rows drop. Everything
+    * downstream (frame features, QC census, upsampling) sees one
+    * container. Narrow, scan-parallel. */
+  def normalizeAudio(media: DataFrame, batchSize: Int = 64): DataFrame =
+    batchedBytesPass[Unit](media, batchSize, () => (), _ => (),
+      (_, b) =>
+        if (Flac.isFlac(b))
+          Flac.decodeSamples(b).map { case (rate, pcm) => wavFromPcm(rate, pcm) }
+        else if (decodeWavPcm(b).isDefined) Some(b)
+        else None)
 
   /** Per-frame audio features over decoded PCM16: frame = `frameLen`
     * consecutive samples (no overlap, trailing partial frame kept), and
@@ -796,24 +852,8 @@ object Multimodal {
   def wavFromId(id: Long): Array[Byte] = {
     val n = (id % 50 + 20).toInt
     val rate = (8000 + (id % 4) * 4000).toInt
-    val dataLen = n * 2
-    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
-    buf.put("fmt ".getBytes).putInt(16)
-      .putShort(1) // PCM
-      .putShort(1) // mono
-      .putInt(rate)
-      .putInt(rate * 2) // byte rate
-      .putShort(2)      // block align
-      .putShort(16)     // bits/sample
-    buf.put("data".getBytes).putInt(dataLen)
-    var i = 0
-    while (i < n) {
-      buf.putShort((((id * 37 + i * 13) % 4001) - 2000).toShort)
-      i += 1
-    }
-    buf.array()
+    wavFromPcm(rate,
+      Array.tabulate(n)(i => (((id * 37 + i * 13) % 4001) - 2000).toInt))
   }
 
   /** REAL nearest-neighbor resize for P6 PPM: decodes the header, samples

@@ -547,6 +547,41 @@ object CurationQueries {
         .orderBy(col("media_id"))
     }),
 
+    // -- m13: REAL FLAC audio ingestion — the LOSSLESS codec rung: each
+    // clip's PCM16 samples are FLAC-encoded on the executors (pure-Scala
+    // fixed-predictor profile, Rice residuals, CRC-8/16 per spec), then
+    // the ingest front door (normalizeAudio) decodes the FLAC back to
+    // canonical WAV and the m09 QC census runs unchanged. FLAC decode is
+    // pure-integer and lossless, so unlike lossy JPEG (m11 tolerance)
+    // this gate HASH-verifies the whole stage→decode→stats path against
+    // the same closed-form sample formula that gates the WAV path. -----
+    "m13_flac_ingest" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "audio")
+        .select(col("media_id"), col("bytes"))
+      val staged = Multimodal.transcodeToFlac(media, blockSize = 64)
+      val normalized = Multimodal.normalizeAudio(staged)
+      val qc = udf((b: Array[Byte]) =>
+        Multimodal.decodeWavPcm(b) match {
+          case Some((rate, ss)) =>
+            var peak = 0L; var clip = 0L; var sq = 0L
+            ss.foreach { v =>
+              val a = math.abs(v.toLong)
+              if (a > peak) peak = a
+              if (a >= 32767) clip += 1
+              sq += v.toLong * v
+            }
+            (rate.toLong, ss.length.toLong, peak, clip, sq)
+          case None => (-1L, -1L, -1L, -1L, -1L)
+        })
+      normalized.select(col("media_id"), qc(col("bytes")).as("q"))
+        .select(col("media_id"), col("q._1").as("sample_rate"),
+          col("q._2").as("n_samples"), col("q._3").as("peak_abs"),
+          col("q._4").as("n_clipped"), col("q._5").as("sum_sq"))
+        .orderBy(col("media_id"))
+    }),
+
     // -- m12: REAL MJPEG video ingestion — the codec ladder's video rung
     // (PNG → JPEG → MJPEG): each video's P6 frames are JPEG-encoded on
     // the executors and concatenated to the image2pipe MJPEG shape, then
@@ -1187,6 +1222,23 @@ object CurationQueries {
         |    ((doc_id*37 + unnest(range(0, n))*13) % 4001) - 2000 AS s
         |  FROM au)
         |SELECT doc_id AS media_id, CAST(max(n) AS BIGINT) AS n_samples,
+        | CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+        | CAST(sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped,
+        | CAST(sum(s * s) AS BIGINT) AS sum_sq
+        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // m13: the SAME closed-form sample formula as m09 — FLAC is lossless,
+    // so the staged→decoded statistics replay exactly, plus the rate
+    // (8000 + (doc_id % 4) * 4000, carried through STREAMINFO)
+    "m13_flac_ingest" ->
+      """WITH au AS (SELECT doc_id, (doc_id % 50 + 20)::INT AS n,
+        |    (8000 + (doc_id % 4) * 4000)::BIGINT AS rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sm AS (SELECT doc_id, n, rate,
+        |    ((doc_id*37 + unnest(range(0, n))*13) % 4001) - 2000 AS s
+        |  FROM au)
+        |SELECT doc_id AS media_id, CAST(max(rate) AS BIGINT) AS sample_rate,
+        | CAST(max(n) AS BIGINT) AS n_samples,
         | CAST(max(abs(s)) AS BIGINT) AS peak_abs,
         | CAST(sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_clipped,

@@ -1,0 +1,100 @@
+package graft
+
+import graft.multimodal.{Flac, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The FLAC codec's LOSSLESS contract: decode(encode(pcm)) == pcm
+  * bit-for-bit on every subframe family the encoder can emit, and every
+  * malformation (CRC, truncation, trailing junk, unsupported shapes)
+  * returns None instead of wrong samples. Pure-JVM — no Spark session. */
+class FlacSpec extends AnyFunSuite {
+
+  private def roundTrip(s: Array[Int], rate: Int = 16000,
+      blockSize: Int = 4096): Array[Int] = {
+    val flac = Flac.encode(s, rate, blockSize)
+    assert(Flac.isFlac(flac), "encoder must emit a signed stream")
+    val (r, back) = Flac.decodeSamples(flac).getOrElse(
+      fail(s"decode failed on ${s.length}-sample clip"))
+    assert(r == rate, s"rate $r != $rate")
+    back
+  }
+
+  test("round-trip is bit-exact across subframe families") {
+    // CONSTANT: flat block
+    val const = Array.fill(100)(-1234)
+    assert(roundTrip(const).sameElements(const))
+    // FIXED order 1/2 friendly: linear ramp and smooth quadratic-ish
+    val ramp = Array.tabulate(500)(i => i * 13 - 3000)
+    assert(roundTrip(ramp).sameElements(ramp))
+    val smooth = Array.tabulate(800)(i =>
+      (8000 * math.sin(i / 25.0)).toInt)
+    assert(roundTrip(smooth).sameElements(smooth))
+    // white-noise-ish (the VERBATIM escape hatch): deterministic LCG
+    var seed = 12345L
+    val noise = Array.fill(300) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 65536 - 32768).toInt
+    }
+    assert(roundTrip(noise).sameElements(noise))
+    // the synthetic corpus signal (what the m13 gate stages)
+    val synth = Array.tabulate(70)(i => (((7L * 37 + i * 13) % 4001) - 2000).toInt)
+    assert(roundTrip(synth).sameElements(synth))
+    // 16-bit extremes survive sign handling
+    val extremes = Array(-32768, 32767, -32768, 32767, 0, -1, 1, -32768)
+    assert(roundTrip(extremes).sameElements(extremes))
+    // single sample, and a clip shorter than any block
+    assert(roundTrip(Array(-7)).sameElements(Array(-7)))
+    assert(roundTrip(Array(3, -3, 3)).sameElements(Array(3, -3, 3)))
+  }
+
+  test("multi-frame streams: frame sequencing and short last frame") {
+    val s = Array.tabulate(1000)(i => (i * 31 % 4001) - 2000)
+    // 1000 samples at blockSize 64 = 15 full frames + one 40-sample tail
+    assert(roundTrip(s, rate = 8000, blockSize = 64).sameElements(s))
+    // blockSize 16 (the spec minimum): 62 full frames + tail
+    assert(roundTrip(s, blockSize = 16).sameElements(s))
+  }
+
+  test("compression actually pays on smooth signals") {
+    val smooth = Array.tabulate(4000)(i => (8000 * math.sin(i / 40.0)).toInt)
+    val flac = Flac.encode(smooth, 16000)
+    assert(flac.length < smooth.length * 2 / 2 + 200,
+      s"smooth 4000-sample clip should beat 8000 raw bytes, got ${flac.length}")
+    assert(flac.length < 6000,
+      s"order-2 prediction should compress the sine well, got ${flac.length}")
+  }
+
+  test("malformations return None, never wrong samples") {
+    val s = Array.tabulate(200)(i => (i * 17 % 3001) - 1500)
+    val flac = Flac.encode(s, 16000, blockSize = 64)
+    // every single-byte corruption either fails decode or (headers we
+    // skip, e.g. MD5) still decodes to the SAME samples — never silently
+    // wrong ones. CRCs cover the frames; STREAMINFO rate/count feed the
+    // contract checks.
+    var silentWrong = 0
+    (0 until flac.length by 7).foreach { i =>
+      val bad = flac.clone()
+      bad(i) = (bad(i) ^ 0x40).toByte
+      Flac.decodeSamples(bad) match {
+        case Some((_, back)) if !back.sameElements(s) => silentWrong += 1
+        case _ => ()
+      }
+    }
+    assert(silentWrong == 0, s"$silentWrong corruptions decoded to wrong samples")
+    // truncation and trailing junk
+    assert(Flac.decodeSamples(flac.dropRight(3)).isEmpty)
+    assert(Flac.decodeSamples(flac ++ Array[Byte](1, 2, 3)).isEmpty)
+    assert(Flac.decodeSamples("not flac at all".getBytes).isEmpty)
+    assert(Flac.decodeSamples(Array[Byte]('f', 'L', 'a', 'C')).isEmpty)
+  }
+
+  test("wav -> flac -> samples equals wav -> samples (the m13 staging path)") {
+    (0L until 40L).foreach { id =>
+      val wav = Multimodal.wavFromId(id)
+      val pcm = Multimodal.decodeWavSamples(wav).get
+      val rate = (8000 + (id % 4) * 4000).toInt
+      val (r, back) = Flac.decodeSamples(Flac.encode(pcm, rate)).get
+      assert(r == rate && back.sameElements(pcm), s"clip $id diverged")
+    }
+  }
+}

@@ -302,6 +302,29 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("FLAC front door: normalizeAudio dispatches FLAC/WAV, drops junk and null") {
+    import graft.multimodal.{Flac, Multimodal}
+    val wav = Multimodal.wavFromId(13L)
+    val pcm = Multimodal.decodeWavSamples(wav).get
+    val flac = Flac.encode(pcm, 12000, blockSize = 16)
+    val media = Seq((1L, flac), (2L, wav), (3L, "noise".getBytes),
+      (4L, null: Array[Byte])).toDF("media_id", "bytes")
+    val normed = Multimodal.normalizeAudio(media)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(normed.keySet == Set(1L, 2L), s"junk/null must drop: ${normed.keySet}")
+    // FLAC row re-emits canonical WAV with the SAME samples (lossless)
+    val (rate, back) = Multimodal.decodeWavPcm(normed(1L)).get
+    assert(rate == 12000 && back.sameElements(pcm))
+    // WAV row passes through untouched
+    assert(java.util.Arrays.equals(normed(2L), wav))
+    // staging direction: transcodeToFlac emits decodable signed streams
+    val staged = Multimodal.transcodeToFlac(media)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(staged.keySet == Set(2L), "only the WAV row stages to FLAC")
+    assert(Flac.isFlac(staged(2L)) &&
+      Flac.decodeSamples(staged(2L)).get._2.sameElements(pcm))
+  }
+
   test("ivfTopKReplay: forced regime is run-to-run identical and recall-usable") {
     val emb = Tables.embeddings(spark, sfDir)
     def run() = Ann.ivfTopKReplay(emb, "vec_id", "embedding",
