@@ -126,6 +126,40 @@ object Unigram {
     (pieces.result(), dp(n))
   }
 
+  /** Best Viterbi SCORE of a word with one piece banned from the
+    * vocabulary — the per-piece likelihood-loss probe of the
+    * SentencePiece prune step (re-segment without the piece; single
+    * code points still fall back to [[UnkScore]], so a path always
+    * exists). Score-only: the loss aggregate never needs the path. */
+  private[graft] def viterbiBanned(word: String, logq: Map[String, Long],
+      maxLen: Int, banned: String): Long = {
+    val cps = codePoints(word)
+    val n = cps.length
+    if (n == 0) return 0L
+    val dp = Array.fill(n + 1)(Long.MinValue)
+    dp(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxLen, i)
+      while (l <= lMax) {
+        if (dp(i - l) != Long.MinValue) {
+          val piece = cps.slice(i - l, i).mkString
+          val s =
+            if (piece == banned) Long.MinValue
+            else logq.get(piece) match {
+              case Some(q) => q
+              case None => if (l == 1) UnkScore else Long.MinValue
+            }
+          if (s != Long.MinValue && dp(i - l) + s > dp(i)) dp(i) = dp(i - l) + s
+        }
+        l += 1
+      }
+      i += 1
+    }
+    dp(n)
+  }
+
   /** Quantized log-prob table from integer piece counts: micro-nats,
     * floor — the ONE float touch in the whole trainer, immediately
     * frozen to BIGINT so every downstream decision is integer-exact. */
@@ -146,15 +180,25 @@ object Unigram {
     *    Viterbi-segment the word table (narrow map), aggregate weighted
     *    piece counts, re-quantize. Pieces the E-step never uses drop;
     *    single code points are floored at count 1 (coverage again).
-    * 4. Prune to `vocabSize` by (count DESC, piece ASC) ∪ single cps,
-    *    re-quantize over the kept mass.
+    * 4. Prune to `vocabSize`: by (count DESC, piece ASC) — or, with
+    *    `pruneByLoss`, by LIKELIHOOD LOSS, SentencePiece's actual prune
+    *    criterion: one more vocabulary-sized aggregate round scores
+    *    every multi-cp piece by Σ c·(viterbi(w) − viterbiWithout(w, p))
+    *    over the words whose best path uses it — how many micro-nats the
+    *    corpus loses if the piece disappears — and keeps the top
+    *    `vocabSize` by (loss DESC, piece ASC). A frequent-but-redundant
+    *    piece (its words re-segment almost as well without it) ranks
+    *    low here but high by count; loss-pruning keeps the pieces the
+    *    model would miss. Either way single cps stay (coverage) and the
+    *    kept mass is re-quantized.
     *
     * Every selection is a total order on integers and strings; the only
     * float is the frozen micro-nat quantization — the model is a pure
-    * function of the word counts. */
+    * function of the word counts. Losses are integer Viterbi sums, so
+    * the loss regime replays engine-free exactly like the count regime. */
   def train(df: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int = 4, emIters: Int = 2,
-      seedSize: Int = 20000): Model = {
+      seedSize: Int = 20000, pruneByLoss: Boolean = false): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     require(vocabSize > 0 && seedSize >= vocabSize,
@@ -206,9 +250,32 @@ object Unigram {
     // U+E000..U+FFFF and supplementary-plane pieces, letting the prune
     // diverge from the seed selection and the binary-collated oracle.
     val singleSet = singles.keySet
-    val kept = counts.toSeq
-      .sorted(Collation.byCountDescThenUtf8)
-      .take(vocabSize).toMap
+    val kept: Map[String, Long] =
+      if (!pruneByLoss)
+        counts.toSeq.sorted(Collation.byCountDescThenUtf8)
+          .take(vocabSize).toMap
+      else {
+        // per-piece likelihood loss as ONE more vocabulary-sized
+        // aggregate (map-side combined): each word re-Viterbis once per
+        // DISTINCT multi-cp piece on its best path — a few score-only
+        // DPs per word, never corpus-sized driver state. Single cps are
+        // un-droppable (coverage), so they skip the ranking.
+        val model = quantize(counts)
+        val bcL = spark.sparkContext.broadcast(model)
+        val maxLenL = maxL
+        val losses = words.flatMap { case (w, c) =>
+            val (pieces, s0) = viterbi(w, bcL.value, maxLenL)
+            pieces.distinct.iterator
+              .filter(p => codePoints(p).length > 1)
+              .map(p => (p, c * (s0 - viterbiBanned(w, bcL.value, maxLenL, p))))
+          }.toDF("p", "loss")
+          .groupBy(col("p")).agg(sum(col("loss")).as("l"))
+          .as[(String, Long)].collect().toMap
+        bcL.destroy()
+        losses.toSeq.sorted(Collation.byCountDescThenUtf8)
+          .take(vocabSize)
+          .map { case (p, _) => p -> counts(p) }.toMap
+      }
     val withCoverage = kept ++ singleSet.iterator
       .filterNot(kept.contains).map(p => p -> counts(p)).toMap
     Model(quantize(withCoverage), maxPieceLen)

@@ -1700,7 +1700,11 @@ object PipelineQueries {
     // size(encode) corpus-wide; (3) per-doc bounds
     // n_words ≤ n_pieces ≤ n_chars + n_words; (4) hard-EM did not make
     // the model worse on its own training words than the pruned seed it
-    // started from (quantized corpus scores, integer comparison). -------
+    // started from (quantized corpus scores, integer comparison);
+    // (5) the LOSS-pruned regime (SentencePiece's actual prune
+    // criterion — drop the pieces whose removal costs the least
+    // likelihood) scores the training words at least as well as the
+    // count-pruned regime it upgrades. ----------------------------------
     "t35_unigram_contract" -> ((s, d) => {
       import s.implicits._
       import graft.functions.Unigram
@@ -1709,8 +1713,12 @@ object PipelineQueries {
         emIters = 2, seedSize = 4096)
       val seed = Unigram.train(docs, "text", vocabSize = 512,
         emIters = 0, seedSize = 4096)
+      val lossModel = Unigram.train(docs, "text", vocabSize = 512,
+        emIters = 2, seedSize = 4096, pruneByLoss = true)
       val emOk = Unigram.corpusScore(docs, "text", model) >=
         Unigram.corpusScore(docs, "text", seed)
+      val lossOk = Unigram.corpusScore(docs, "text", lossModel) >=
+        Unigram.corpusScore(docs, "text", model)
       // trim() the reference side: encode drops empty splits and decode
       // ltrims the boundary marker, so decode∘encode yields the TRIMMED
       // single-spaced word sequence — a document with edge whitespace
@@ -1731,7 +1739,8 @@ object PipelineQueries {
             .as("bounds_ok"),
           count(lit(1)).as("n_docs"))
         .select(col("round_trip_ok"), col("count_parity_ok"),
-          col("bounds_ok"), lit(emOk).as("em_improves_ok"), col("n_docs"))
+          col("bounds_ok"), lit(emOk).as("em_improves_ok"),
+          lit(lossOk).as("loss_prune_ok"), col("n_docs"))
     }),
 
     // -- BPE tokenizer CONTRACT, gate-enforced (upgrades t12 from
@@ -3210,7 +3219,7 @@ object PipelineQueries {
     "t35_unigram_contract" ->
       """SELECT TRUE AS round_trip_ok, TRUE AS count_parity_ok,
         | TRUE AS bounds_ok, TRUE AS em_improves_ok,
-        | count(*) AS n_docs FROM documents""".stripMargin,
+        | TRUE AS loss_prune_ok, count(*) AS n_docs FROM documents""".stripMargin,
     // p01: the staging + extraction CTEs are t31's, then the original
     // quality -> dedup -> stats body runs over the EXTRACTED content
     "p01_curation_pipeline" ->
