@@ -952,7 +952,10 @@ object Multimodal {
     * flag a cut wherever consecutive means jump more than `threshold`.
     * The cheap shot-boundary heuristic a video pipeline thresholds on
     * before expensive per-shot processing. Batched mapPartitions, one
-    * stream walk + one decode pass per video, no shuffle. */
+    * stream walk + one decode pass per video, no shuffle.
+    * Format-dispatched like [[frameStats]]: P6 streams read means off
+    * the raw plane; MJPEG streams decode per frame through a per-batch
+    * JDK reader. */
   def sceneCuts(media: DataFrame, threshold: Double = 8.0,
       batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -964,27 +967,59 @@ object Multimodal {
     val bytesIdx = media.schema.fieldIndex("bytes")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val bytes = r.getAs[Array[Byte]](bytesIdx)
-          val frames = ppmStreamFrames(bytes)
-          val means = sampleWalked(bytes, frames, stride = 1,
-            maxFrames = Int.MaxValue).map { case (_, f) =>
-            f(5).toDouble / (f(0).toDouble * f(1).toDouble * 3.0)
+        val reader = newJpegReader() // once per batch, MJPEG branch only
+        try {
+          batch.map { r =>
+            val bytes = r.getAs[Array[Byte]](bytesIdx)
+            val p6 = ppmStreamFrames(bytes)
+            val (frames, toP6): (Seq[(Int, Int)], Array[Byte] => Option[Array[Byte]]) =
+              if (p6.nonEmpty) (p6, fb => Some(fb))
+              else (mjpegFrames(bytes),
+                fb => decodeImageWith(reader, fb).flatMap(imageToP6))
+            val means = frames.flatMap { case (off, len) =>
+              toP6(java.util.Arrays.copyOfRange(bytes, off, off + len))
+                .flatMap(decodePpm).map { f =>
+                  f(5).toDouble / (f(0).toDouble * f(1).toDouble * 3.0)
+                }
+            }
+            val cuts = means.zip(means.drop(1))
+              .count { case (a, b) => math.abs(b - a) > threshold }
+            Row(r.getLong(idIdx), frames.length.toLong, cuts.toLong)
           }
-          val cuts = means.zip(means.drop(1))
-            .count { case (a, b) => math.abs(b - a) > threshold }
-          Row(r.getLong(idIdx), frames.length.toLong, cuts.toLong)
-        }
+        } finally reader.dispose()
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** [[decodeWav]]'s feature vector computed from already-decoded PCM —
+    * shared with the FLAC branch of [[extractFeatures]] (lossless decode
+    * ⇒ identical features to the clip's WAV form). */
+  private def pcmFeatures(rate: Int, s: Array[Int]): Array[Float] = {
+    var sum = 0L; var sumAbs = 0L
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var i = 0
+    while (i < s.length) {
+      val v = s(i)
+      sum += v; sumAbs += math.abs(v)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    Array(rate.toFloat, s.length.toFloat, sum.toFloat, sumAbs.toFloat,
+      mn.toFloat, mx.toFloat, s(0).toFloat, s(s.length - 1).toFloat)
+  }
+
   /** Batched feature extraction over the binary column: mapPartitions with
     * an explicit batch shape (grouped iterator) — the JVM analog of
-    * mapInPandas batches, so a codec that amortizes per-batch setup slots
-    * in without plan changes. Narrow op: no shuffle, preserves
-    * partitioning. */
+    * mapInPandas batches; the JPEG reader for MJPEG video initializes
+    * once per batch here (the real-codec discipline). Narrow op: no
+    * shuffle, preserves partitioning.
+    *
+    * Format dispatch per kind — every REAL container the battery
+    * supports, stub only for the codec-less leftovers (MP3/MP4):
+    * image = P6; audio = WAV or FLAC (lossless ⇒ identical features);
+    * video = concatenated-P6 or MJPEG (per-frame JPEG decode). */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
@@ -996,28 +1031,47 @@ object Multimodal {
     val bytesIdx = media.schema.fieldIndex("bytes")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // per-batch: real codecs initialize once per batch here
-        batch.iterator.map { r =>
-          val bytes = r.getAs[Array[Byte]](bytesIdx)
-          val kind = r.getString(kindIdx)
-          // real PPM path for images, stub for codec-less formats
-          val feats = kind match {
-            case "image" => decodePpm(bytes).getOrElse(decodeStub(bytes))
-            case "audio" => decodeWav(bytes).getOrElse(decodeStub(bytes))
-            case "video" =>
-              val frames = ppmStreamFrames(bytes) // ONE stream walk
-              if (frames.isEmpty) decodeStub(bytes)
-              else {
-                val sampled = sampleWalked(bytes, frames, stride = 2, maxFrames = 4)
-                Array(frames.length.toFloat, sampled.length.toFloat,
-                  sampled.map(_._2(5).toDouble).sum.toFloat,
-                  sampled.map(_._2(6)).min, sampled.map(_._2(7)).max,
-                  sampled.head._2(0), sampled.head._2(1), 0f)
+        val reader = newJpegReader() // once per batch, MJPEG branch only
+        try {
+          // strict inner map: the reader must not outlive dispose
+          batch.map { r =>
+            val bytes = r.getAs[Array[Byte]](bytesIdx)
+            val kind = r.getString(kindIdx)
+            def videoFeatures(frames: Seq[(Int, Int)],
+                toP6: Array[Byte] => Option[Array[Byte]]): Array[Float] = {
+              val sampled = frameSampleIndices(frames.length, stride = 2,
+                maxFrames = 4).flatMap { i =>
+                val (off, len) = frames(i)
+                toP6(java.util.Arrays.copyOfRange(bytes, off, off + len))
+                  .flatMap(decodePpm)
               }
-            case _ => decodeStub(bytes)
+              if (sampled.isEmpty) decodeStub(bytes)
+              else Array(frames.length.toFloat, sampled.length.toFloat,
+                sampled.map(_(5).toDouble).sum.toFloat,
+                sampled.map(_(6)).min, sampled.map(_(7)).max,
+                sampled.head(0), sampled.head(1), 0f)
+            }
+            val feats = kind match {
+              case "image" => decodePpm(bytes).getOrElse(decodeStub(bytes))
+              case "audio" =>
+                decodeWav(bytes).orElse(
+                  Flac.decodeSamples(bytes).map { case (rate, pcm) =>
+                    pcmFeatures(rate, pcm)
+                  }).getOrElse(decodeStub(bytes))
+              case "video" =>
+                val p6 = ppmStreamFrames(bytes) // ONE stream walk
+                if (p6.nonEmpty) videoFeatures(p6, fb => Some(fb))
+                else {
+                  val mj = mjpegFrames(bytes)
+                  if (mj.nonEmpty) videoFeatures(mj,
+                    fb => decodeImageWith(reader, fb).flatMap(imageToP6))
+                  else decodeStub(bytes)
+                }
+              case _ => decodeStub(bytes)
+            }
+            Row(r.getLong(idIdx), kind, feats.toSeq)
           }
-          Row(r.getLong(idIdx), kind, feats.toSeq)
-        }
+        } finally reader.dispose()
       }
     }
     spark.createDataFrame(rdd, outSchema)

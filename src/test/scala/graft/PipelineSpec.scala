@@ -325,6 +325,41 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       Flac.decodeSamples(staged(2L)).get._2.sameElements(pcm))
   }
 
+  test("extractFeatures/sceneCuts dispatch the compressed containers (FLAC, MJPEG)") {
+    import graft.multimodal.{Flac, Multimodal}
+    // audio: FLAC features == WAV features (lossless decode)
+    val wav = Multimodal.wavFromId(25L) // kind audio (25 % 3 == 1)
+    val pcm = Multimodal.decodeWavSamples(wav).get
+    val flac = Flac.encode(pcm, (8000 + (25L % 4) * 4000).toInt)
+    val audio = Seq((1L, "audio", wav), (2L, "audio", flac))
+      .toDF("media_id", "kind", "bytes")
+    val af = Multimodal.extractFeatures(audio).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(af(1L) == af(2L),
+      "FLAC features must equal the WAV twin's (lossless decode)")
+    // video: MJPEG frame count and dims match the P6-stream twin;
+    // pixel-sum features within lossy tolerance, never the stub
+    val p6Stream = Multimodal.ppmStreamFromId(23L) // kind video (23 % 3 == 2)
+    val mjpeg = Multimodal.transcodeToMjpeg(
+        Seq((1L, p6Stream)).toDF("media_id", "bytes"))
+      .collect()(0).getAs[Array[Byte]](1)
+    val video = Seq((1L, "video", p6Stream), (2L, "video", mjpeg))
+      .toDF("media_id", "kind", "bytes")
+    val vf = Multimodal.extractFeatures(video).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(vf(1L).take(2) == vf(2L).take(2) &&
+      vf(1L)(5) == vf(2L)(5) && vf(1L)(6) == vf(2L)(6),
+      s"frame count / sampled count / first dims must be exact: ${vf(1L)} vs ${vf(2L)}")
+    assert(vf(2L) != Multimodal.decodeStub(mjpeg).toSeq,
+      "MJPEG must take the real branch, not the stub")
+    // sceneCuts: same frame census over both containers
+    val sc = Multimodal.sceneCuts(Seq((1L, p6Stream), (2L, mjpeg))
+        .toDF("media_id", "bytes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sc(1L)._1 == sc(2L)._1 && sc(1L)._1 == (23L % 4 + 2),
+      s"both containers must census the same frames: $sc")
+  }
+
   test("ivfTopKReplay: forced regime is run-to-run identical and recall-usable") {
     val emb = Tables.embeddings(spark, sfDir)
     def run() = Ann.ivfTopKReplay(emb, "vec_id", "embedding",
