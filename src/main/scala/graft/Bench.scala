@@ -15,9 +15,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Load that spans ALL N passes defeats min-of-N silently, so the artifact
   * also carries per-query PASS DISPERSION (max/min across the timed passes)
-  * and a p50/p90/max summary: a clean idle-host run reads p50 ≈ 1.0-1.1
-  * with a thin tail; a contaminated run reads a fat tail — "was this run
-  * clean" is a recorded number, not a post-hoc judgment call.
+  * and a p50/p90/max summary — "was this run clean" is a recorded number,
+  * not a post-hoc judgment call. MEASURED floor on this virtualized host:
+  * two back-to-back idle-host runs both read p50 ≈ 1.45 (even on >1s
+  * rows), so inter-pass variance of ~1.3-1.5× is endemic VM jitter here,
+  * which is exactly why min-of-N totals from different runs can disagree
+  * ~1.1× at a flat anchor without any contamination. Read the number
+  * COMPARATIVELY: same host, run-to-run — a spanning load shows as p50
+  * well above that floor and max >> p90.
   */
 object Bench {
 
