@@ -549,6 +549,50 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Video near-dup pairs by SHARED FRAME FINGERPRINTS — the standard
+    * first-pass video dedup of a training corpus (near-dup videos share
+    * re-encoded/re-cut frames; per-frame perceptual hashes turn the
+    * pairwise problem into an inverted-index join, the d02/d21 shape for
+    * the video modality):
+    *
+    *  1. [[frameStats]] fingerprints every frame (dHash — P6 exact or
+    *     MJPEG-decoded), narrow;
+    *  2. distinct (video, hash) — a video repeating its own frame must
+    *     not inflate pair counts;
+    *  3. hash census caps the hot buckets: a fingerprint occurring in
+    *     more than `maxVideosPerHash` videos (black frames, title cards,
+    *     test patterns — the degenerate mass of any real corpus) is
+    *     excluded from pair generation, exactly like LSH's `maxBucket`:
+    *     without the cap one ubiquitous frame makes the self-join
+    *     quadratic in the corpus;
+    *  4. self-join on the hash, count shared fingerprints per pair, keep
+    *     pairs with ≥ `minShared`.
+    *
+    * Scale shape: one narrow decode pass; the only corpus-sized exchange
+    * is keyed by frame hash (census reuses that partitioning); pair
+    * output is bounded by the census cap. Returns (a, b, shared_frames),
+    * a < b. */
+  def videoDupPairs(media: DataFrame, minShared: Int = 1,
+      maxVideosPerHash: Long = 0L): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared")
+    val vh = frameStats(media)
+      .select(col("media_id"), col("dhash")).distinct()
+    val indexed =
+      if (maxVideosPerHash > 0) {
+        val ok = vh.groupBy(col("dhash"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2, maxVideosPerHash))
+          .select(col("dhash"))
+        vh.join(ok, Seq("dhash"))
+      } else vh
+    val l = indexed.select(col("dhash"), col("media_id").as("a"))
+    val r = indexed.select(col("dhash"), col("media_id").as("b"))
+    l.join(r, Seq("dhash")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
   /** Batched image-format normalization over a (media_id, bytes) frame:
     * PNG and JPEG rows are transcoded to canonical P6 on the executors
     * (mapPartitions — ImageIO plugin lookup initializes once per batch,

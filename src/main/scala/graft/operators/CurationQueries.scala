@@ -547,6 +547,23 @@ object CurationQueries {
         .orderBy(col("media_id"))
     }),
 
+    // -- m14: VIDEO near-dup pairs by shared frame fingerprints — the
+    // d02/d21 inverted-index discipline for the video modality: per-frame
+    // dHash (real decode), distinct per video, hot-hash census cap, then
+    // the hash-keyed self-join counts shared fingerprints per pair. The
+    // synthetic streams PLANT real overlaps (video id's frames are
+    // ppmFromId(id..id+n-1), so consecutive video ids share frames when
+    // n ≥ 4) and the whole pipeline — hashes, census, pairs — replays
+    // closed-form in SQL. ------------------------------------------------
+    "m14_video_dedup" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "video")
+        .select(col("media_id"), col("bytes"))
+      Multimodal.videoDupPairs(media, minShared = 1, maxVideosPerHash = 64)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // -- m13: REAL FLAC audio ingestion — the LOSSLESS codec rung: each
     // clip's PCM16 samples are FLAC-encoded on the executors (pure-Scala
     // fixed-predictor profile, Rice residuals, CRC-8/16 per spec), then
@@ -1227,6 +1244,47 @@ object CurationQueries {
         |   AS n_clipped,
         | CAST(sum(s * s) AS BIGINT) AS sum_sq
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // m14: per-(video, frame) dHash replayed closed-form (m05's hash CTE
+    // with the frame image id fid = doc_id + j), split into two uint32
+    // halves for exact BIGINT math; distinct-per-video, the 2..64 hash
+    // census, and the pair count are plain relational algebra
+    "m14_video_dedup" ->
+      """WITH v AS (SELECT doc_id, ((doc_id % 4) + 2)::INT AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, doc_id + unnest(range(0, nf)) AS fid FROM v),
+        |fm AS (SELECT doc_id, fid, ((fid % 5) + 1)::BIGINT AS w,
+        |    ((fid % 4) + 2)::BIGINT AS h FROM fr),
+        |g AS (SELECT fm.doc_id, fm.fid, ys.y, xs.x,
+        |    (((fm.fid*31 + 3*(((ys.y*fm.h)//8)*fm.w + (xs.x*fm.w)//9)) % 256)
+        |     + ((fm.fid*31 + 3*(((ys.y*fm.h)//8)*fm.w + (xs.x*fm.w)//9) + 1) % 256)
+        |     + ((fm.fid*31 + 3*(((ys.y*fm.h)//8)*fm.w + (xs.x*fm.w)//9) + 2) % 256)
+        |    ) // 3 AS gv
+        |  FROM fm
+        |  CROSS JOIN generate_series(0, 7) AS ys(y)
+        |  CROSS JOIN generate_series(0, 8) AS xs(x)),
+        |b AS (SELECT doc_id, fid, y, x, gv,
+        |    lead(gv) OVER (PARTITION BY doc_id, fid, y ORDER BY x) AS nxt
+        |  FROM g),
+        |bits AS (SELECT doc_id, fid, y*8 + x AS bit FROM b
+        |         WHERE x < 8 AND nxt > gv),
+        |hash AS (SELECT f.doc_id, f.fid,
+        |    CAST(coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (CAST(1 AS BIGINT) << (bit - 32)) END), 0) AS BIGINT) AS hi,
+        |    CAST(coalesce(sum(CASE WHEN bit < 32
+        |      THEN (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS lo
+        |  FROM fm f LEFT JOIN bits ON bits.doc_id = f.doc_id
+        |    AND bits.fid = f.fid
+        |  GROUP BY f.doc_id, f.fid),
+        |vh AS (SELECT DISTINCT doc_id, hi, lo FROM hash),
+        |census AS (SELECT hi, lo FROM vh GROUP BY hi, lo
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |idx AS (SELECT vh.doc_id, vh.hi, vh.lo FROM vh
+        |  JOIN census USING (hi, lo))
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  count(*)::BIGINT AS shared_frames
+        |FROM idx x JOIN idx y ON x.hi = y.hi AND x.lo = y.lo
+        |  AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
     // m13: the SAME closed-form sample formula as m09 — FLAC is lossless,
     // so the staged→decoded statistics replay exactly, plus the rate
     // (8000 + (doc_id % 4) * 4000, carried through STREAMINFO)

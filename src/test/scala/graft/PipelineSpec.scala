@@ -360,6 +360,40 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"both containers must census the same frames: $sc")
   }
 
+  test("videoDupPairs: planted shared frames found; hot-hash cap sheds ubiquitous frames") {
+    import graft.multimodal.Multimodal
+    // distinct real-size frames (dhash collisions implausible at 64x48)
+    val w = 64; val h = 48
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    def frame(f: Int) = header ++ Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      ((x * (f + 2) + y * (f + 3) + i % 3 * 7 + f * 31) % 256).toByte
+    }
+    val common = frame(0)
+    // videos 1,2,3 all contain the common frame; 1 and 2 ALSO share frame(9)
+    val media = Seq(
+      (1L, common ++ frame(1) ++ frame(9)),
+      (2L, common ++ frame(2) ++ frame(9)),
+      (3L, common ++ frame(3))).toDF("media_id", "bytes")
+    val uncapped = Multimodal.videoDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(uncapped == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+      s"uncapped pairs wrong: $uncapped")
+    // cap 2: the common frame (in 3 videos) is shed; only (1,2) survive
+    // via frame(9), now with ONE shared fingerprint
+    val capped = Multimodal.videoDupPairs(media, maxVideosPerHash = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 1L), s"capped pairs wrong: $capped")
+    // the synthetic corpus plants real overlaps: video 2 (frames 2-5)
+    // and video 5 (frames 5-7) share frame image 5
+    val synth = Seq((2L, Multimodal.ppmStreamFromId(2L)),
+      (5L, Multimodal.ppmStreamFromId(5L))).toDF("media_id", "bytes")
+    val sp = Multimodal.videoDupPairs(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sp.exists(p => p._1 == 2L && p._2 == 5L && p._3 >= 1),
+      s"planted synthetic overlap missed: ${sp.toSeq}")
+  }
+
   test("ivfTopKReplay: forced regime is run-to-run identical and recall-usable") {
     val emb = Tables.embeddings(spark, sfDir)
     def run() = Ann.ivfTopKReplay(emb, "vec_id", "embedding",
