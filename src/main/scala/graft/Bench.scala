@@ -86,6 +86,7 @@ object Bench {
     "m11_jpeg_ingest",       // real JPEG codec -> normalize -> tolerance gate
     "m12_mjpeg_ingest",      // MJPEG walk -> per-frame decode -> frame contract
     "m13_flac_ingest",       // FLAC stage -> lossless decode -> QC census
+    "m14_video_dedup",       // frame-fingerprint inverted-index pair join
     "r03_ndcg_eval",         // BM25 ranking + nDCG evaluation
     "u03_incremental_agg",   // base+delta agg merge, no base rescan
     "t21_pmi_collocations",  // PMI over vocabulary-sized count tables

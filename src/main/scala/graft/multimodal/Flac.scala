@@ -8,19 +8,23 @@ package graft.multimodal
   * that gate the WAV path (m04/m09) replay verbatim — no tolerance
   * contract, unlike lossy JPEG's m11.
   *
-  * Subset = the fixed-predictor profile (what `flac -l 0` emits):
+  * Subset = mono 16-bit, the full subframe family:
   *  - encoder ([[encode]]): STREAMINFO + fixed-blocksize frames; per
-  *    frame the best FIXED predictor order 0..4 by exact coded size,
-  *    CONSTANT for flat blocks, VERBATIM when Rice does not pay;
-  *    single-partition Rice residuals with exact-minimal parameter;
-  *    CRC-8 frame headers + CRC-16 frame trailers per spec.
-  *  - decoder ([[decodeSamples]]): CONSTANT / VERBATIM / FIXED 0-4
-  *    subframes, both Rice methods (4- and 5-bit parameters) at any
-  *    partition order including the raw-escape, wasted bits, both
-  *    blocking strategies, all block-size codes and the sample-rate
-  *    table. LPC subframes and multi-channel are rejected (None), as is
-  *    any CRC mismatch or truncation — undecodable rows DROP, the
-  *    ingest contract.
+  *    frame the best FIXED predictor order 0..4 by exact coded size
+  *    (what `flac -l 0` emits), CONSTANT for flat blocks, VERBATIM when
+  *    Rice does not pay; Rice residuals at any requested partition
+  *    order with exact-minimal per-partition parameters and the raw
+  *    escape; CRC-8 frame headers + CRC-16 frame trailers per spec.
+  *    [[encodeLpc]] emits LPC subframes with caller-supplied integer
+  *    coefficients (integer-exact, so round trips stay bit-perfect).
+  *  - decoder ([[decodeSamples]]): CONSTANT / VERBATIM / FIXED 0-4 /
+  *    LPC 1-32 subframes, both Rice methods (4- and 5-bit parameters)
+  *    at any partition order including the raw-escape, wasted bits,
+  *    both blocking strategies, all block-size codes and the
+  *    sample-rate table — i.e. any spec-valid mono-16-bit stream,
+  *    including default `flac` output. Multi-channel and other sample
+  *    widths are rejected (None), as is any CRC mismatch or
+  *    truncation — undecodable rows DROP, the ingest contract.
   *
   * Everything is big-endian bit-serial (MSB-first), the opposite of
   * WAV's little-endian byte order — the [[BitReader]]/[[BitWriter]]
@@ -226,13 +230,51 @@ object Flac {
 
   /** Encode mono 16-bit PCM as a FLAC stream (fixed-predictor profile).
     * Deterministic: subframe type, predictor order and Rice parameter
-    * are all exact-minimal-size argmins with lowest-wins tie-breaks. */
+    * are all exact-minimal-size argmins with lowest-wins tie-breaks.
+    *
+    * `partitionOrder` > 0 splits each frame's residual into 2^p Rice
+    * partitions with independent exact-minimal parameters (clamped per
+    * frame when the block size does not divide); `rice2` selects the
+    * 5-bit-parameter residual method. Both default off — the spec's
+    * simplest profile — and exist chiefly so the decoder's partition /
+    * Rice2 / raw-escape paths are exercised by REAL encoded streams,
+    * not synthetic bit fiddling. */
   def encode(samples: Array[Int], sampleRate: Int,
-      blockSize: Int = 4096): Array[Byte] = {
+      blockSize: Int = 4096, partitionOrder: Int = 0,
+      rice2: Boolean = false): Array[Byte] =
+    encodeWith(samples, sampleRate, blockSize, partitionOrder, rice2, None)
+
+  /** LPC-subframe encoder with CALLER-SUPPLIED integer coefficients and
+    * shift (applied to every frame) — the integer-exact way to exercise
+    * the decoder's LPC reconstruction with real streams: residuals are
+    * computed with the same `(Σ coef·s) >> shift` prediction the decoder
+    * inverts, so decode(encodeLpc(pcm)) == pcm bit-for-bit for ANY
+    * coefficient choice. Test/interop support, hence package-private
+    * (a production LPC analyzer — Levinson-Durbin — is out of scope;
+    * the DECODER accepts any spec-valid LPC stream regardless). */
+  private[graft] def encodeLpc(samples: Array[Int], sampleRate: Int,
+      coefs: Array[Int], shift: Int, blockSize: Int = 4096,
+      partitionOrder: Int = 0, rice2: Boolean = false): Array[Byte] = {
+    require(coefs.nonEmpty && coefs.length <= 32, s"lpc order ${coefs.length}")
+    require(shift >= 0 && shift <= 15, s"lpc shift $shift")
+    val prec = math.max(2, coefs.map(c =>
+      64 - java.lang.Long.numberOfLeadingZeros(if (c >= 0) c.toLong else ~c.toLong) + 1
+    ).max.toInt)
+    require(prec <= 15, s"lpc coefficients need $prec bits > 15")
+    encodeWith(samples, sampleRate, blockSize, partitionOrder, rice2,
+      Some((coefs, shift, prec)))
+  }
+
+  private def encodeWith(samples: Array[Int], sampleRate: Int,
+      blockSize: Int, partitionOrder: Int, rice2: Boolean,
+      lpc: Option[(Array[Int], Int, Int)]): Array[Byte] = {
     require(samples.nonEmpty, "empty clip")
     require(blockSize >= 16 && blockSize <= 65535, s"blockSize=$blockSize")
+    require(partitionOrder >= 0 && partitionOrder <= 15, s"partitionOrder=$partitionOrder")
     require(sampleRate > 0 && sampleRate < (1 << 20), s"sampleRate=$sampleRate")
     samples.foreach(s => require(s >= -32768 && s <= 32767, s"not 16-bit: $s"))
+    lpc.foreach { case (c, _, _) =>
+      require(samples.length >= c.length, "clip shorter than the LPC order") }
 
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
@@ -255,14 +297,103 @@ object Flac {
     while (off < samples.length) {
       val n = math.min(blockSize, samples.length - off)
       val block = java.util.Arrays.copyOfRange(samples, off, off + n)
-      out.write(encodeFrame(block, frameIdx))
+      out.write(encodeFrame(block, frameIdx, partitionOrder, rice2, lpc))
       off += n
       frameIdx += 1
     }
     out.toByteArray
   }
 
-  private def encodeFrame(block: Array[Int], frameIdx: Long): Array[Byte] = {
+  /** Minimal two's-complement width of a value (0 → 0 bits — the spec's
+    * all-zero raw partition). */
+  private def signedWidth(v: Long): Int =
+    if (v == 0) 0
+    else 65 - java.lang.Long.numberOfLeadingZeros(if (v > 0) v else ~v)
+
+  /** Exact-minimal residual-section plan: effective partition order
+    * (clamped so the block divides and the first partition is
+    * non-negative), and per partition either Left(best Rice k) or
+    * Right(raw width) when the all-ones escape codes smaller. Returns
+    * (effPartOrder, plans, total section bits incl. method/order/param
+    * fields). Deterministic: lowest k wins ties, Rice wins a tie with
+    * the escape. */
+  private def planResidual(res: Array[Long], ord: Int, n: Int,
+      reqPartOrd: Int, paramBits: Int): (Int, Array[Either[Int, Int]], Long) = {
+    var p = reqPartOrd
+    while (p > 0 && (n % (1 << p) != 0 || n / (1 << p) < ord)) p -= 1
+    val nParts = 1 << p
+    val escape = (1 << paramBits) - 1
+    val plans = new Array[Either[Int, Int]](nParts)
+    var totalBits = 2L + 4L + nParts.toLong * paramBits
+    var pi = 0
+    var idx = 0
+    while (pi < nParts) {
+      val count = n / nParts - (if (pi == 0) ord else 0)
+      var bestK = 0
+      var bestKBits = Long.MaxValue
+      var k = 0
+      while (k < escape) {
+        var bits = 0L
+        var j = 0
+        while (j < count && bits < (1L << 40)) {
+          bits += riceBits(zigzag(res(idx + j)), k)
+          j += 1
+        }
+        if (bits < bestKBits) { bestKBits = bits; bestK = k }
+        k += 1
+      }
+      var w = 0
+      var j = 0
+      while (j < count) {
+        val sw = signedWidth(res(idx + j)); if (sw > w) w = sw; j += 1
+      }
+      val escBits = 5L + count.toLong * w
+      if (w <= 31 && escBits < bestKBits) {
+        plans(pi) = Right(w); totalBits += escBits
+      } else {
+        plans(pi) = Left(bestK); totalBits += bestKBits
+      }
+      idx += count
+      pi += 1
+    }
+    (p, plans, totalBits)
+  }
+
+  private def writeResidual(bw: BitWriter, res: Array[Long], ord: Int,
+      n: Int, partOrd: Int, plans: Array[Either[Int, Int]],
+      paramBits: Int): Unit = {
+    bw.writeBits(if (paramBits == 4) 0L else 1L, 2)
+    bw.writeBits(partOrd.toLong, 4)
+    val nParts = 1 << partOrd
+    val escape = (1 << paramBits) - 1
+    var pi = 0
+    var idx = 0
+    while (pi < nParts) {
+      val count = n / nParts - (if (pi == 0) ord else 0)
+      plans(pi) match {
+        case Right(w) =>
+          bw.writeBits(escape.toLong, paramBits)
+          bw.writeBits(w.toLong, 5)
+          var j = 0
+          while (j < count) { bw.writeBits(res(idx + j), w); j += 1 }
+        case Left(k) =>
+          bw.writeBits(k.toLong, paramBits)
+          var j = 0
+          while (j < count) {
+            val u = zigzag(res(idx + j))
+            bw.writeUnary((u >>> k).toInt)
+            bw.writeBits(u, k)
+            j += 1
+          }
+      }
+      idx += count
+      pi += 1
+    }
+  }
+
+  private def encodeFrame(block: Array[Int], frameIdx: Long,
+      reqPartOrd: Int, rice2: Boolean,
+      lpc: Option[(Array[Int], Int, Int)]): Array[Byte] = {
     val n = block.length
     val bw = new BitWriter
     bw.writeBits(0x3FFEL, 14) // sync
@@ -278,58 +409,71 @@ object Flac {
     val headerSoFar = { bw.alignToByte(); bw.toBytes } // header is byte-aligned here
     bw.writeBits(crc8(headerSoFar, 0, headerSoFar.length).toLong, 8)
 
-    // ---- subframe: CONSTANT if flat, else best FIXED order by exact
-    // coded size (incl. the exact-minimal Rice parameter), else VERBATIM
-    if (block.forall(_ == block(0))) {
-      bw.writeBits(0L, 1); bw.writeBits(0L, 6); bw.writeBits(0L, 1)
-      bw.writeBits(block(0).toLong & 0xffff, 16)
-    } else {
-      val maxOrd = math.min(4, n - 1)
-      var bestOrd = -1
-      var bestK = 0
-      var bestBits = Long.MaxValue
-      var ord = 0
-      while (ord <= maxOrd) {
-        // exact-minimal k for this order (residual count n-ord)
-        var k = 0
-        var bestOrdBits = Long.MaxValue
-        var bestOrdK = 0
-        while (k <= 30) {
-          var bits = 0L
-          var i = ord
-          while (i < n && bits < Long.MaxValue / 2) {
-            bits += riceBits(zigzag(fixedResidual(block, ord, i)), k)
-            i += 1
-          }
-          if (bits < bestOrdBits) { bestOrdBits = bits; bestOrdK = k }
-          k += 1
-        }
-        val total = ord.toLong * 16 + bestOrdBits
-        if (total < bestBits) { bestBits = total; bestOrd = ord; bestK = bestOrdK }
-        ord += 1
-      }
-      if (bestK > 14 || bestBits >= n.toLong * 16) {
-        // Rice does not pay (white-noise block): VERBATIM
-        bw.writeBits(0L, 1); bw.writeBits(1L, 6); bw.writeBits(0L, 1)
-        var i = 0
-        while (i < n) { bw.writeBits(block(i).toLong & 0xffff, 16); i += 1 }
-      } else {
-        bw.writeBits(0L, 1)
-        bw.writeBits(8L | bestOrd.toLong, 6) // 0b001xxx = FIXED order xxx
-        bw.writeBits(0L, 1)                  // no wasted bits
-        var i = 0
-        while (i < bestOrd) { bw.writeBits(block(i).toLong & 0xffff, 16); i += 1 }
-        bw.writeBits(0L, 2)                  // residual method: RICE (4-bit)
-        bw.writeBits(0L, 4)                  // partition order 0
-        bw.writeBits(bestK.toLong, 4)
-        i = bestOrd
+    // ---- subframe: LPC when forced by the caller, CONSTANT if flat,
+    // else best FIXED order by exact coded size, else VERBATIM
+    val paramBits = if (rice2) 5 else 4
+    def writeVerbatim(): Unit = {
+      bw.writeBits(0L, 1); bw.writeBits(1L, 6); bw.writeBits(0L, 1)
+      var i = 0
+      while (i < n) { bw.writeBits(block(i).toLong & 0xffff, 16); i += 1 }
+    }
+    lpc match {
+      case Some((coefs, shift, prec)) if n > coefs.length =>
+        val ord = coefs.length
+        val res = new Array[Long](n - ord)
+        var i = ord
         while (i < n) {
-          val u = zigzag(fixedResidual(block, bestOrd, i))
-          bw.writeUnary((u >>> bestK).toInt)
-          bw.writeBits(u, bestK)
+          var acc = 0L
+          var j = 0
+          while (j < ord) { acc += coefs(j).toLong * block(i - 1 - j); j += 1 }
+          res(i - ord) = block(i).toLong - (acc >> shift)
           i += 1
         }
-      }
+        val (pOrd, plans, _) = planResidual(res, ord, n, reqPartOrd, paramBits)
+        bw.writeBits(0L, 1)
+        bw.writeBits(0x20L | (ord - 1).toLong, 6) // 0b1xxxxx = LPC order-1
+        bw.writeBits(0L, 1)                       // no wasted bits
+        i = 0
+        while (i < ord) { bw.writeBits(block(i).toLong & 0xffff, 16); i += 1 }
+        bw.writeBits((prec - 1).toLong, 4)
+        bw.writeBits(shift.toLong, 5)
+        i = 0
+        while (i < ord) { bw.writeBits(coefs(i).toLong, prec); i += 1 }
+        writeResidual(bw, res, ord, n, pOrd, plans, paramBits)
+      case Some(_) =>
+        // last frame shorter than the LPC order: no prediction possible
+        writeVerbatim()
+      case None if block.forall(_ == block(0)) =>
+        bw.writeBits(0L, 1); bw.writeBits(0L, 6); bw.writeBits(0L, 1)
+        bw.writeBits(block(0).toLong & 0xffff, 16)
+      case None =>
+        val maxOrd = math.min(4, n - 1)
+        var bestOrd = -1
+        var bestPlan: (Int, Array[Either[Int, Int]], Long) = null
+        var bestRes: Array[Long] = null
+        var bestBits = Long.MaxValue
+        var ord = 0
+        while (ord <= maxOrd) {
+          val res = new Array[Long](n - ord)
+          var i = ord
+          while (i < n) { res(i - ord) = fixedResidual(block, ord, i); i += 1 }
+          val plan = planResidual(res, ord, n, reqPartOrd, paramBits)
+          val total = ord.toLong * 16 + plan._3
+          if (total < bestBits) {
+            bestBits = total; bestOrd = ord; bestPlan = plan; bestRes = res
+          }
+          ord += 1
+        }
+        if (bestBits >= n.toLong * 16) writeVerbatim() // Rice does not pay
+        else {
+          bw.writeBits(0L, 1)
+          bw.writeBits(8L | bestOrd.toLong, 6) // 0b001xxx = FIXED order xxx
+          bw.writeBits(0L, 1)                  // no wasted bits
+          var i = 0
+          while (i < bestOrd) { bw.writeBits(block(i).toLong & 0xffff, 16); i += 1 }
+          writeResidual(bw, bestRes, bestOrd, n, bestPlan._1, bestPlan._2,
+            paramBits)
+        }
     }
     bw.alignToByte()
     val body = bw.toBytes
@@ -341,6 +485,45 @@ object Flac {
   }
 
   // ---- decoder -----------------------------------------------------------
+
+  /** Coded-residual section shared by the FIXED and LPC subframes: 2-bit
+    * method (Rice/Rice2), 4-bit partition order, per-partition parameter
+    * with the all-ones raw-bits escape. Fills s(ord until blockSize) with
+    * residual values; false on any malformation. */
+  private def readResidual(br: BitReader, s: Array[Long], ord: Int,
+      blockSize: Int): Boolean = {
+    val method = br.readBits(2).toInt
+    if (br.failed || method > 1) return false
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val partOrd = br.readBits(4).toInt
+    val nParts = 1 << partOrd
+    if (br.failed || blockSize % nParts != 0) return false
+    var p = 0
+    var idx = ord
+    while (p < nParts) {
+      val count = blockSize / nParts - (if (p == 0) ord else 0)
+      if (count < 0) return false
+      val k = br.readBits(paramBits).toInt
+      if (k == escape) {
+        val raw = br.readBits(5).toInt
+        var j = 0
+        while (j < count) { s(idx) = br.readSigned(raw).toLong; idx += 1; j += 1 }
+      } else {
+        var j = 0
+        while (j < count) {
+          val q = br.readUnary().toLong
+          val low = br.readBits(k)
+          val u = (q << k) | low
+          s(idx) = (u >>> 1) ^ -(u & 1L)
+          idx += 1; j += 1
+        }
+      }
+      if (br.failed) return false
+      p += 1
+    }
+    true
+  }
 
   /** Decode a FLAC stream to (sampleRate, samples). Mono 16-bit
     * fixed-predictor subset; None on LPC, multi-channel, other sample
@@ -437,39 +620,36 @@ object Flac {
         if (ord > blockSize) return None
         var i = 0
         while (i < ord) { s(i) = br.readSigned(eff).toLong; i += 1 }
-        // residuals
-        val method = br.readBits(2).toInt
-        if (method > 1) return None
-        val paramBits = if (method == 0) 4 else 5
-        val escape = (1 << paramBits) - 1
-        val partOrd = br.readBits(4).toInt
-        val nParts = 1 << partOrd
-        if (blockSize % nParts != 0) return None
-        var p = 0
-        var idx = ord
-        while (p < nParts) {
-          val count = blockSize / nParts - (if (p == 0) ord else 0)
-          if (count < 0) return None
-          val k = br.readBits(paramBits).toInt
-          if (k == escape) {
-            val raw = br.readBits(5).toInt
-            var j = 0
-            while (j < count) { s(idx) = br.readSigned(raw).toLong; idx += 1; j += 1 }
-          } else {
-            var j = 0
-            while (j < count) {
-              val q = br.readUnary().toLong
-              val low = br.readBits(k)
-              val u = (q << k) | low
-              s(idx) = (u >>> 1) ^ -(u & 1L)
-              idx += 1; j += 1
-            }
-          }
-          if (br.failed) return None
-          p += 1
-        }
+        if (!readResidual(br, s, ord, blockSize)) return None
         fixedRestore(s, ord)
-      } else return None // LPC or reserved: outside the subset
+      } else if ((sfType & 0x20) != 0) { // LPC, order = (type & 0x1F) + 1
+        val ord = (sfType & 0x1f) + 1
+        if (ord > blockSize) return None
+        var i = 0
+        while (i < ord) { s(i) = br.readSigned(eff).toLong; i += 1 }
+        val precM1 = br.readBits(4).toInt
+        if (precM1 == 15 || br.failed) return None // 0b1111 invalid per spec
+        val prec = precM1 + 1
+        val shift = br.readSigned(5)
+        // negative shift is reserved-in-practice (libFLAC never emits it
+        // and defines no right-shift-by-negative); reject, don't guess
+        if (shift < 0) return None
+        val coefs = new Array[Long](ord)
+        i = 0
+        while (i < ord) { coefs(i) = br.readSigned(prec).toLong; i += 1 }
+        if (br.failed || !readResidual(br, s, ord, blockSize)) return None
+        // restore: s[i] = residual + ((Σ coef[j]·s[i-1-j]) >> shift) —
+        // the SUM is arithmetic-shifted, all in Long (exact: |coef| <
+        // 2^15, |s| ≤ 2^17-ish through any 16-bit-input prediction)
+        i = ord
+        while (i < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < ord) { acc += coefs(j) * s(i - 1 - j); j += 1 }
+          s(i) += (acc >> shift)
+          i += 1
+        }
+      } else return None // reserved subframe types
 
       br.skipToByte()
       val expectedCrc16 = crc16(bytes, frameStart, br.bytePos)

@@ -64,6 +64,52 @@ class FlacSpec extends AnyFunSuite {
       s"order-2 prediction should compress the sine well, got ${flac.length}")
   }
 
+  test("partitioned Rice, Rice2, raw escape, and LPC subframes round-trip bit-exact") {
+    val s = Array.tabulate(512)(i => (3000 * math.sin(i / 17.0)).toInt + (i % 7) - 3)
+    // partition orders 1..4 at both Rice methods: real partitioned streams
+    for (p <- 1 to 4; r2 <- Seq(false, true)) {
+      val flac = Flac.encode(s, 16000, blockSize = 128, partitionOrder = p,
+        rice2 = r2)
+      val (_, back) = Flac.decodeSamples(flac).getOrElse(
+        fail(s"decode failed at partitionOrder=$p rice2=$r2"))
+      assert(back.sameElements(s), s"partitionOrder=$p rice2=$r2 diverged")
+    }
+    // the raw escape: a constant-magnitude alternating signal makes
+    // every order-0 residual exactly 13 bits wide — fixed-width raw
+    // (13 bits) beats the best Rice (k=12 → 14 bits/sample) AND beats
+    // verbatim (16), so the encoder must pick the escape and the
+    // decoder must invert it; the size check proves the escape branch
+    // actually ran (verbatim would be ≥ 2 bytes/sample)
+    val wild = Array.tabulate(200)(i => if (i % 2 == 0) 2048 else -2048)
+    val wildFlac = Flac.encode(wild, 8000, blockSize = 64)
+    assert(Flac.decodeSamples(wildFlac).get._2.sameElements(wild))
+    // verbatim would cost 42 (stream header) + 4 frames × (~12 overhead
+    // + 128 payload) ≈ 490 bytes; 13-bit escape coding lands ~420
+    assert(wildFlac.length < 450,
+      s"escape coding should beat verbatim (~490), got ${wildFlac.length} bytes")
+    // LPC: arbitrary integer coefficients, several orders and shifts —
+    // the reconstruction (Σ coef·s) >> shift must invert exactly
+    val lpcCases = Seq(
+      (Array(2, -1), 0),            // the fixed-order-2 polynomial as LPC
+      (Array(3, -3, 1), 0),         // fixed-order-3
+      (Array(13, -7, 2), 3),        // fractional predictor, shift 3
+      (Array(-5, 9, -4, 1, 2), 5),  // order 5, shift 5
+      (Array(1), 1))                // order 1, half-weight
+    for ((coefs, shift) <- lpcCases; r2 <- Seq(false, true)) {
+      val flac = Flac.encodeLpc(s, 16000, coefs, shift, blockSize = 128,
+        partitionOrder = 2, rice2 = r2)
+      val (_, back) = Flac.decodeSamples(flac).getOrElse(
+        fail(s"LPC decode failed coefs=${coefs.toSeq} shift=$shift rice2=$r2"))
+      assert(back.sameElements(s),
+        s"LPC coefs=${coefs.toSeq} shift=$shift rice2=$r2 diverged")
+    }
+    // last frame shorter than the LPC order falls back to VERBATIM
+    val short = Array.tabulate(130)(i => i * 11 - 700) // 128 + 2-sample tail
+    val lf = Flac.encodeLpc(short, 16000, Array(-5, 9, -4, 1, 2), 5,
+      blockSize = 128)
+    assert(Flac.decodeSamples(lf).get._2.sameElements(short))
+  }
+
   test("malformations return None, never wrong samples") {
     val s = Array.tabulate(200)(i => (i * 17 % 3001) - 1500)
     val flac = Flac.encode(s, 16000, blockSize = 64)
