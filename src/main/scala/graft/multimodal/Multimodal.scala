@@ -575,8 +575,16 @@ object Multimodal {
   def videoDupPairs(media: DataFrame, minShared: Int = 1,
       maxVideosPerHash: Long = 0L): DataFrame = {
     require(minShared >= 1, s"minShared=$minShared")
+    // localCheckpoint the distinct fingerprint table: it is referenced
+    // FOUR times downstream (census twice through the join, both
+    // self-join sides), and Spark does not reuse the RDD-scan exchange
+    // across those references (measured: 4 full decode passes without
+    // this) — the DECODE is the dominant cost, so it must run once. The
+    // checkpointed table is (video, hash) rows — 12 bytes/frame, orders
+    // smaller than the media bytes, the duplicateClusters discipline.
     val vh = frameStats(media)
       .select(col("media_id"), col("dhash")).distinct()
+      .localCheckpoint()
     val indexed =
       if (maxVideosPerHash > 0) {
         val ok = vh.groupBy(col("dhash"))

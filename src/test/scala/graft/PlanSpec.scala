@@ -34,6 +34,24 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"encode/census must not range-shuffle the corpus:\n$p")
   }
 
+  test("m14: video dedup decodes once (checkpointed fingerprints), no extra shuffles") {
+    // the inverted-index pair join at 100 TB: the DECODE pass is the
+    // dominant cost and the fingerprint table is referenced four times
+    // downstream (census twice, both self-join sides) — Spark does not
+    // reuse the RDD-scan exchange across those references (measured:
+    // four full decode passes before videoDupPairs checkpointed the
+    // distinct). The plan must read the CHECKPOINTED rdd, never the
+    // mapPartitions decode directly, and pair generation must not grow
+    // shuffles beyond census + join-key + pair-agg.
+    val p = plan("m14_video_dedup")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"only the final result order may range-shuffle:\n$p")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx <= 5, s"pair generation grew extra shuffles ($nEx > 5):\n$p")
+    assert(!p.contains("SerializeFromObject"),
+      s"the decode mapPartitions leaked past the checkpoint into the pair plan:\n$p")
+  }
+
   test("q02: filters are pushed to the parquet scan") {
     val p = plan("q02_scan_filter_count")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,45.0)"),
