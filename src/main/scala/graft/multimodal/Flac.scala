@@ -410,12 +410,38 @@ object Flac {
     bw.writeBits(crc8(headerSoFar, 0, headerSoFar.length).toLong, 8)
 
     // ---- subframe: LPC when forced by the caller, CONSTANT if flat,
-    // else best FIXED order by exact coded size, else VERBATIM
+    // else best FIXED order by exact coded size, else VERBATIM.
+    // Wasted-bits detection first (spec: when every sample shares w
+    // trailing zero bits — upscaled/quantized audio — the subframe
+    // codes s >> w at 16-w bits and flags w in its header): applies to
+    // the CONSTANT/VERBATIM/FIXED paths; the LPC path keeps wasted=0
+    // (caller-supplied coefficients are defined against raw samples).
     val paramBits = if (rice2) 5 else 4
-    def writeVerbatim(): Unit = {
-      bw.writeBits(0L, 1); bw.writeBits(1L, 6); bw.writeBits(0L, 1)
+    val wasted = if (lpc.isDefined) 0 else {
+      var w = 16
+      var any = false
       var i = 0
-      while (i < n) { bw.writeBits(block(i).toLong & 0xffff, 16); i += 1 }
+      while (i < n && w > 0) {
+        val v = block(i)
+        if (v != 0) {
+          any = true
+          w = math.min(w, java.lang.Integer.numberOfTrailingZeros(v))
+        }
+        i += 1
+      }
+      if (!any) 0 else math.min(w, 15)
+    }
+    val eff = 16 - wasted
+    val blk = if (wasted == 0) block else block.map(_ >> wasted)
+    def writeWastedFlag(): Unit =
+      if (wasted == 0) bw.writeBits(0L, 1)
+      else { bw.writeBits(1L, 1); bw.writeUnary(wasted - 1) }
+    def writeVerbatim(): Unit = {
+      bw.writeBits(0L, 1); bw.writeBits(1L, 6); writeWastedFlag()
+      var i = 0
+      while (i < n) {
+        bw.writeBits(blk(i).toLong & ((1L << eff) - 1), eff); i += 1
+      }
     }
     lpc match {
       case Some((coefs, shift, prec)) if n > coefs.length =>
@@ -432,7 +458,7 @@ object Flac {
         val (pOrd, plans, _) = planResidual(res, ord, n, reqPartOrd, paramBits)
         bw.writeBits(0L, 1)
         bw.writeBits(0x20L | (ord - 1).toLong, 6) // 0b1xxxxx = LPC order-1
-        bw.writeBits(0L, 1)                       // no wasted bits
+        bw.writeBits(0L, 1)                       // no wasted bits (raw-coef path)
         i = 0
         while (i < ord) { bw.writeBits(block(i).toLong & 0xffff, 16); i += 1 }
         bw.writeBits((prec - 1).toLong, 4)
@@ -443,9 +469,9 @@ object Flac {
       case Some(_) =>
         // last frame shorter than the LPC order: no prediction possible
         writeVerbatim()
-      case None if block.forall(_ == block(0)) =>
-        bw.writeBits(0L, 1); bw.writeBits(0L, 6); bw.writeBits(0L, 1)
-        bw.writeBits(block(0).toLong & 0xffff, 16)
+      case None if blk.forall(_ == blk(0)) =>
+        bw.writeBits(0L, 1); bw.writeBits(0L, 6); writeWastedFlag()
+        bw.writeBits(blk(0).toLong & ((1L << eff) - 1), eff)
       case None =>
         val maxOrd = math.min(4, n - 1)
         var bestOrd = -1
@@ -456,21 +482,23 @@ object Flac {
         while (ord <= maxOrd) {
           val res = new Array[Long](n - ord)
           var i = ord
-          while (i < n) { res(i - ord) = fixedResidual(block, ord, i); i += 1 }
+          while (i < n) { res(i - ord) = fixedResidual(blk, ord, i); i += 1 }
           val plan = planResidual(res, ord, n, reqPartOrd, paramBits)
-          val total = ord.toLong * 16 + plan._3
+          val total = ord.toLong * eff + plan._3
           if (total < bestBits) {
             bestBits = total; bestOrd = ord; bestPlan = plan; bestRes = res
           }
           ord += 1
         }
-        if (bestBits >= n.toLong * 16) writeVerbatim() // Rice does not pay
+        if (bestBits >= n.toLong * eff) writeVerbatim() // Rice does not pay
         else {
           bw.writeBits(0L, 1)
           bw.writeBits(8L | bestOrd.toLong, 6) // 0b001xxx = FIXED order xxx
-          bw.writeBits(0L, 1)                  // no wasted bits
+          writeWastedFlag()
           var i = 0
-          while (i < bestOrd) { bw.writeBits(block(i).toLong & 0xffff, 16); i += 1 }
+          while (i < bestOrd) {
+            bw.writeBits(blk(i).toLong & ((1L << eff) - 1), eff); i += 1
+          }
           writeResidual(bw, bestRes, bestOrd, n, bestPlan._1, bestPlan._2,
             paramBits)
         }

@@ -108,6 +108,24 @@ class FlacSpec extends AnyFunSuite {
     val lf = Flac.encodeLpc(short, 16000, Array(-5, 9, -4, 1, 2), 5,
       blockSize = 128)
     assert(Flac.decodeSamples(lf).get._2.sameElements(short))
+    // wasted bits: every sample a multiple of 2^6 — the subframe codes
+    // s >> 6 at 10 bits and the decoder restores the shift; the size
+    // assertion proves the wasted-bits branch actually ran (a 16-bit
+    // coding of this noise-ish signal could not reach ~10.5 bits/sample)
+    var seed = 99L
+    val scaled = Array.fill(400) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 40) % 512).toInt - 256) * 64
+    }
+    val sf = Flac.encode(scaled, 16000, blockSize = 128)
+    assert(Flac.decodeSamples(sf).get._2.sameElements(scaled),
+      "wasted-bits round trip diverged")
+    assert(sf.length < 400 * 11 / 8 + 120,
+      s"wasted-bits coding should land ~10.5 bits/sample, got ${sf.length} bytes")
+    // ...and a flat block of multiples rides CONSTANT + wasted bits
+    val flatScaled = Array.fill(64)(-4096)
+    assert(Flac.decodeSamples(Flac.encode(flatScaled, 8000))
+      .get._2.sameElements(flatScaled))
   }
 
   test("malformations return None, never wrong samples") {
