@@ -162,7 +162,12 @@ object ClusterMirror {
     //       worker JVMs, joined per (media_id, frame_idx) across a real
     //       exchange — frame boundaries computed on one executor must
     //       match decodes performed on another
-    "m12_mjpeg_ingest")
+    "m12_mjpeg_ingest",
+    //  st18: the FLAC codec UNDER the streaming engine on real daemons —
+    //        executor-side encode staging, per-micro-batch decode in a
+    //        streaming query, and the complete-mode aggregate's state
+    //        store merging across batches in separate worker JVMs
+    "st18_stream_flac_qc")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

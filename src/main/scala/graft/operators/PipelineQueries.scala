@@ -1954,6 +1954,46 @@ object PipelineQueries {
       }.orderBy(col("lang"))
     }),
 
+    // -- st18: COMPRESSED audio ingested inside a REAL stream — clips
+    // staged AS FLAC (executor-side encode), then a streaming query
+    // decodes every clip per micro-batch (the pure-Scala codec running
+    // under the streaming engine) and a complete-mode stateful aggregate
+    // merges per-rate QC stats across batches. FLAC is lossless and the
+    // aggregate chop-invariant, so the closed-form sample formula
+    // hash-gates the streamed result exactly — the codec ladder and the
+    // streaming family composed. ----------------------------------------
+    "st18_stream_flac_qc" -> ((s, d) => {
+      import graft.multimodal.{Flac, Multimodal}
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "audio")
+        .select(col("media_id"), col("bytes"))
+      val staged = Multimodal.transcodeToFlac(media, blockSize = 64)
+        .select(col("media_id").cast("timestamp").as("ts"),
+          col("media_id"), col("bytes"))
+      graft.streaming.EventStreams.runStagedStream(s, staged,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st18_stage",
+          nFiles = 3, sinkName = "st18_sink") { df =>
+        val qc = udf((b: Array[Byte]) =>
+          Flac.decodeSamples(b) match {
+            case Some((rate, ss)) =>
+              var peak = 0L; var sq = 0L
+              ss.foreach { v =>
+                val a = math.abs(v.toLong)
+                if (a > peak) peak = a
+                sq += v.toLong * v
+              }
+              (rate.toLong, ss.length.toLong, peak, sq)
+            case None => (-1L, -1L, -1L, -1L)
+          })
+        df.select(qc(col("bytes")).as("q"))
+          .select(col("q._1").as("sample_rate"), col("q._2").as("n"),
+            col("q._3").as("peak"), col("q._4").as("sq"))
+          .groupBy(col("sample_rate"))
+          .agg(count(lit(1)).as("n_clips"), sum(col("n")).as("n_samples"),
+            max(col("peak")).as("peak_abs"), sum(col("sq")).as("sum_sq"))
+      }.orderBy(col("sample_rate"))
+    }),
+
     // -- weighted repeat-upsampling: materialized per-language epoch
     // counts with deterministic fractional copies --------------------------
     "p15_repeat_upsample" -> ((s, d) =>
@@ -3982,6 +4022,24 @@ object PipelineQueries {
         | len(regexp_extract_all(dec, '\p{Mn}')) AS mn_before,
         | len(regexp_extract_all(nfc_normalize(dec), '\p{Mn}')) AS mn_after
         |FROM dd ORDER BY doc_id""".stripMargin,
+    // st18: the streamed-FLAC QC replays closed-form — the codec is
+    // lossless, so staging+decode vanish from the math and the per-rate
+    // rollup is the m09 sample formula grouped by rate
+    "st18_stream_flac_qc" ->
+      """WITH au AS (SELECT doc_id, (doc_id % 50 + 20)::INT AS n,
+        |    (8000 + (doc_id % 4) * 4000)::BIGINT AS rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sm AS (SELECT doc_id, n, rate,
+        |    ((doc_id*37 + unnest(range(0, n))*13) % 4001) - 2000 AS s
+        |  FROM au),
+        |per AS (SELECT doc_id, any_value(rate) AS rate, max(n) AS n,
+        |    max(abs(s)) AS peak, sum(s*s) AS sq
+        |  FROM sm GROUP BY doc_id)
+        |SELECT rate AS sample_rate, count(*)::BIGINT AS n_clips,
+        |  CAST(sum(n) AS BIGINT) AS n_samples,
+        |  CAST(max(peak) AS BIGINT) AS peak_abs,
+        |  CAST(sum(sq) AS BIGINT) AS sum_sq
+        |FROM per GROUP BY rate ORDER BY sample_rate""".stripMargin,
     // st17: batch replay of the streamed html pipeline — staging +
     // extraction CTEs (t31's), the p01 quality formula over the
     // extracted content, then the per-lang census
