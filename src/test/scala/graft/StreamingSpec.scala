@@ -22,6 +22,39 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
   private def ts(minute: Int): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
+  test("st18 FLAC stream QC is chop-invariant and equals the batch decode") {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.{Flac, Multimodal}
+    val media = Multimodal
+      .mediaFromDocuments(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("bytes"))
+    val staged = Multimodal.transcodeToFlac(media, blockSize = 64)
+      .select(col("media_id").cast("timestamp").as("ts"),
+        col("media_id"), col("bytes"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val nOf = udf((b: Array[Byte]) =>
+        Flac.decodeSamples(b).map(_._2.length.toLong).getOrElse(-1L))
+      val rOf = udf((b: Array[Byte]) =>
+        Flac.decodeSamples(b).map(_._1.toLong).getOrElse(-1L))
+      df.select(rOf(col("bytes")).as("sample_rate"), nOf(col("bytes")).as("n"))
+        .groupBy(col("sample_rate"))
+        .agg(count(lit(1)).as("n_clips"), sum(col("n")).as("n_samples"))
+    }
+    def run(nFiles: Int) = graft.streaming.EventStreams.runStagedStream(
+        spark, staged, s"target/qtmp/st18spec_$nFiles", nFiles,
+        s"st18spec_sink_$nFiles")(pipeline)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val one = run(1)
+    val three = run(3)
+    val batch = pipeline(staged)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == batch && three == batch,
+      s"streamed FLAC QC must be chop-invariant and batch-equal:\n1=$one\n3=$three\nb=$batch")
+    assert(batch.nonEmpty && !batch.exists(_._1 == -1L),
+      "every staged clip must decode (no -1 rate bucket)")
+  }
+
   test("streaming windowed agg == batch windowed agg on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = (0 until 300).map { i =>
