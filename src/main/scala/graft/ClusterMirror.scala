@@ -167,7 +167,13 @@ object ClusterMirror {
     //        executor-side encode staging, per-micro-batch decode in a
     //        streaming query, and the complete-mode aggregate's state
     //        store merging across batches in separate worker JVMs
-    "st18_stream_flac_qc")
+    "st18_stream_flac_qc",
+    //  m15: iterative min-label connected components (duplicateClusters'
+    //       localCheckpoint-per-round loop) on REAL executors — the CC
+    //       family's checkpoint blocks had only ever lived in the local
+    //       JVM; here every round re-reads them across the wire, plus
+    //       the banded-hash self-join and the signed→unsigned rep map
+    "m15_image_neardup")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

@@ -601,6 +601,84 @@ object Multimodal {
       .filter(col("shared_frames") >= minShared)
   }
 
+  /** Image near-dup CLUSTERS by banded perceptual hash — the image
+    * analog of SimHash-banded text dedup (d03/d08), shaped for the
+    * corpus reality that near-dup images arrive in LARGE groups (crops,
+    * re-encodes, thumbnails): pair output would be quadratic in group
+    * size, so the operator clusters the DISTINCT-hash table instead and
+    * reports a census per cluster.
+    *
+    *  1. dHash per image (narrow decode), then the hash census — the
+    *     distinct-hash table, orders smaller than the corpus;
+    *  2. 4×16-bit bands over the distinct hashes: by pigeonhole, two
+    *     hashes within Hamming ≤ 3 share at least one band EXACTLY, so
+    *     the band join has FULL recall at the default radius;
+    *  3. band-joined candidate pairs, exact Hamming filter;
+    *  4. connected components over the hash graph ([[graft.dedup.Dedup
+    *     .duplicateClusters]] — hashes are mapped through XOR MinValue
+    *     so min-label CC picks the UNSIGNED-minimum hash as the rep,
+    *     the order an engine-free replay can compute);
+    *  5. join the census back: one row per cluster with the unsigned
+    *     rep split into uint32 halves (exact BIGINT math for replays),
+    *     total images and distinct hashes.
+    *
+    * `maxPerBand` caps hot bands exactly like LSH's maxBucket — at real
+    * corpus scale a degenerate band key (flat thumbnails) would square;
+    * capped keys fall out of pair generation and their hashes cluster
+    * alone. */
+  def imageDupClusters(media: DataFrame, maxHamming: Int = 3,
+      maxPerBand: Long = 0L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding guarantees full recall only to Hamming 3, got $maxHamming")
+    val dh = udf((b: Array[Byte]) => dhashPpm(b).getOrElse(-1L))
+    // census = ONE decode pass; referenced by bands (twice through the
+    // self-join) and the final join-back — checkpoint, the
+    // videoDupPairs lesson (Spark re-ran the RDD subtree per reference)
+    val hashes = media.select(dh(col("bytes")).as("phash"))
+      .filter(col("phash") =!= -1L)
+      .groupBy(col("phash")).agg(count(lit(1)).as("n_images"))
+      .localCheckpoint()
+    val bandCols = (0 until 4).map { i =>
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("phash"), i * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val bands = hashes.select(col("phash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("phash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded =
+      if (maxPerBand > 0) {
+        val ok = bands.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("nb"))
+          .filter(col("nb").between(2, maxPerBand))
+          .select(col("band"), col("key"))
+        bands.join(ok, Seq("band", "key"))
+      } else bands
+    val l = banded.select(col("band"), col("key"), col("phash").as("pa"))
+    val r = banded.select(col("band"), col("key"), col("phash").as("pb"))
+    val pairs = l.join(r, Seq("band", "key")).filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
+    // XOR MinValue = order-preserving signed→unsigned map: min-label CC
+    // then elects the unsigned-minimum hash, which a SQL replay can
+    // compute without simulating Java's signed long order
+    val shifted = pairs.select(
+      col("pa").bitwiseXOR(lit(Long.MinValue)).as("a"),
+      col("pb").bitwiseXOR(lit(Long.MinValue)).as("b"))
+    val reps = graft.dedup.Dedup.duplicateClusters(shifted)
+      .select(col("doc_id").bitwiseXOR(lit(Long.MinValue)).as("phash"),
+        col("rep").bitwiseXOR(lit(Long.MinValue)).as("rep"))
+    hashes.join(reps, Seq("phash"), "left_outer")
+      .withColumn("r", coalesce(col("rep"), col("phash")))
+      .groupBy(col("r"))
+      .agg(sum(col("n_images")).as("n_images"),
+        count(lit(1)).as("n_hashes"))
+      .select(
+        expr("shiftrightunsigned(r, 32)").as("rep_hi"),
+        col("r").bitwiseAND(lit(0xFFFFFFFFL)).as("rep_lo"),
+        col("n_images"), col("n_hashes"))
+  }
+
   /** Batched image-format normalization over a (media_id, bytes) frame:
     * PNG and JPEG rows are transcoded to canonical P6 on the executors
     * (mapPartitions — ImageIO plugin lookup initializes once per batch,

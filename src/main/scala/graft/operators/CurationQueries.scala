@@ -564,6 +564,23 @@ object CurationQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // -- m15: image near-dup CLUSTERS by banded dHash — SimHash-banded
+    // dedup (d03/d08) for the image modality, cluster-shaped because
+    // near-dup images arrive in large groups (pair output would square).
+    // Distinct-hash band join (4×16 bits: pigeonhole ⇒ full recall at
+    // Hamming ≤ 3), exact Hamming filter, connected components over the
+    // hash graph, census per cluster. Everything — hashes, bands,
+    // Hamming, the reachability closure, the unsigned-min rep — replays
+    // closed-form in SQL. ------------------------------------------------
+    "m15_image_neardup" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "image")
+        .select(col("media_id"), col("bytes"))
+      Multimodal.imageDupClusters(media, maxHamming = 3)
+        .orderBy(col("rep_hi"), col("rep_lo"))
+    }),
+
     // -- m13: REAL FLAC audio ingestion — the LOSSLESS codec rung: each
     // clip's PCM16 samples are FLAC-encoded on the executors (pure-Scala
     // fixed-predictor profile, Rice residuals, CRC-8/16 per spec), then
@@ -1244,6 +1261,58 @@ object CurationQueries {
         |   AS n_clipped,
         | CAST(sum(s * s) AS BIGINT) AS sum_sq
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // m15: m05's per-image dHash CTE → hash census → band-join pairs
+    // (the band predicate is pigeonhole-redundant at Hamming ≤ 3 but
+    // kept so the oracle mirrors the operator) → reachability closure
+    // (the d06 recursive idiom) over HUGEINT hash keys → unsigned-min
+    // rep per cluster, split into uint32 halves
+    "m15_image_neardup" ->
+      """WITH RECURSIVE m AS (SELECT doc_id, (doc_id % 5) + 1 AS w,
+        |    (doc_id % 4) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT m.doc_id, ys.y, xs.x,
+        |    (((m.doc_id*31 + 3*(((ys.y*m.h)//8)*m.w + (xs.x*m.w)//9)) % 256)
+        |     + ((m.doc_id*31 + 3*(((ys.y*m.h)//8)*m.w + (xs.x*m.w)//9) + 1) % 256)
+        |     + ((m.doc_id*31 + 3*(((ys.y*m.h)//8)*m.w + (xs.x*m.w)//9) + 2) % 256)
+        |    ) // 3 AS gv
+        |  FROM m
+        |  CROSS JOIN generate_series(0, 7) AS ys(y)
+        |  CROSS JOIN generate_series(0, 8) AS xs(x)),
+        |b AS (SELECT doc_id, y, x, gv,
+        |    lead(gv) OVER (PARTITION BY doc_id, y ORDER BY x) AS nxt
+        |  FROM g),
+        |bits AS (SELECT doc_id, y*8 + x AS bit FROM b
+        |         WHERE x < 8 AND nxt > gv),
+        |hash AS (SELECT m.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (CAST(1 AS BIGINT) << (bit - 32)) END), 0) AS BIGINT) AS hi,
+        |    CAST(coalesce(sum(CASE WHEN bit < 32
+        |      THEN (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS lo
+        |  FROM m LEFT JOIN bits ON bits.doc_id = m.doc_id
+        |  GROUP BY m.doc_id),
+        |census AS (SELECT hi, lo,
+        |    CAST(hi AS HUGEINT) * 4294967296 + lo AS k,
+        |    count(*)::BIGINT AS n
+        |  FROM hash GROUP BY hi, lo),
+        |pairs AS (SELECT x.k AS a, y.k AS b
+        |  FROM census x JOIN census y ON x.k < y.k
+        |  WHERE (bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))) <= 3
+        |    AND ((x.lo & 65535) = (y.lo & 65535)
+        |      OR ((x.lo >> 16) & 65535) = ((y.lo >> 16) & 65535)
+        |      OR (x.hi & 65535) = (y.hi & 65535)
+        |      OR ((x.hi >> 16) & 65535) = ((y.hi >> 16) & 65535))),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |rep AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        |cl AS (SELECT coalesce(rep.rep, c.k) AS repk, c.n
+        |  FROM census c LEFT JOIN rep ON rep.id = c.k)
+        |SELECT CAST(repk // 4294967296 AS BIGINT) AS rep_hi,
+        |  CAST(repk % 4294967296 AS BIGINT) AS rep_lo,
+        |  CAST(sum(n) AS BIGINT) AS n_images, count(*)::BIGINT AS n_hashes
+        |FROM cl GROUP BY repk ORDER BY rep_hi, rep_lo""".stripMargin,
     // m14: per-(video, frame) dHash replayed closed-form (m05's hash CTE
     // with the frame image id fid = doc_id + j), split into two uint32
     // halves for exact BIGINT math; distinct-per-video, the 2..64 hash

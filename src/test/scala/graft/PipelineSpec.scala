@@ -394,6 +394,34 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"planted synthetic overlap missed: ${sp.toSeq}")
   }
 
+  test("imageDupClusters invariants: mass preserved, reps are member hashes, cap isolates") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal
+      .mediaFromDocuments(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("bytes"))
+    val hashes = media.collect()
+      .flatMap(r => Multimodal.dhashPpm(r.getAs[Array[Byte]](1)))
+    assert(hashes.nonEmpty)
+    val out = Multimodal.imageDupClusters(media).collect()
+      .map(r => ((r.getLong(0) << 32) | r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every image lands in exactly one cluster; hash census preserved
+    assert(out.map(_._2).sum == hashes.length,
+      s"image mass ${out.map(_._2).sum} != ${hashes.length}")
+    assert(out.map(_._3).sum == hashes.distinct.length,
+      s"hash mass ${out.map(_._3).sum} != ${hashes.distinct.length}")
+    // each cluster rep IS one of the corpus hashes (the unsigned min)
+    val hs = hashes.toSet
+    assert(out.forall(c => hs.contains(c._1)),
+      s"non-member rep in ${out.toSeq}")
+    // maxPerBand = 1 excludes every band key (a shared key needs >= 2):
+    // all hashes become singleton clusters, mass unchanged
+    val capped = Multimodal.imageDupClusters(media, maxPerBand = 1).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(capped.forall(_._2 == 1) && capped.map(_._1).sum == hashes.length,
+      s"cap must isolate: ${capped.toSeq}")
+  }
+
   test("ivfTopKReplay: forced regime is run-to-run identical and recall-usable") {
     val emb = Tables.embeddings(spark, sfDir)
     def run() = Ann.ivfTopKReplay(emb, "vec_id", "embedding",
