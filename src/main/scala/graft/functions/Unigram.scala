@@ -250,10 +250,17 @@ object Unigram {
     // U+E000..U+FFFF and supplementary-plane pieces, letting the prune
     // diverge from the seed selection and the binary-collated oracle.
     val singleSet = singles.keySet
+    // the count regime's budget is spent over ALL candidates, so some of
+    // its vocabSize slots go to single-cp pieces that coverage would keep
+    // anyway; the loss regime ranks only multi-cp pieces, so it must take
+    // vocabSize MINUS those single-occupied slots or its effective
+    // vocabulary is systematically larger and the t35 loss-vs-count
+    // comparison stops isolating the prune criterion.
+    val countKept: Map[String, Long] =
+      counts.toSeq.sorted(Collation.byCountDescThenUtf8)
+        .take(vocabSize).toMap
     val kept: Map[String, Long] =
-      if (!pruneByLoss)
-        counts.toSeq.sorted(Collation.byCountDescThenUtf8)
-          .take(vocabSize).toMap
+      if (!pruneByLoss) countKept
       else {
         // per-piece likelihood loss as ONE more vocabulary-sized
         // aggregate (map-side combined): each word re-Viterbis once per
@@ -272,8 +279,10 @@ object Unigram {
           .groupBy(col("p")).agg(sum(col("loss")).as("l"))
           .as[(String, Long)].collect().toMap
         bcL.destroy()
+        val multiBudget =
+          vocabSize - countKept.keysIterator.count(singleSet.contains)
         losses.toSeq.sorted(Collation.byCountDescThenUtf8)
-          .take(vocabSize)
+          .take(math.max(0, multiBudget))
           .map { case (p, _) => p -> counts(p) }.toMap
       }
     val withCoverage = kept ++ singleSet.iterator

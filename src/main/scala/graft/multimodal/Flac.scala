@@ -275,6 +275,10 @@ object Flac {
     samples.foreach(s => require(s >= -32768 && s <= 32767, s"not 16-bit: $s"))
     lpc.foreach { case (c, _, _) =>
       require(samples.length >= c.length, "clip shorter than the LPC order") }
+    // the 4-byte UTF-8-number ladder in writeUtf8Number tops out at 2^21
+    // frame indices; fail loudly instead of emitting an undecodable stream
+    require((samples.length.toLong + blockSize - 1) / blockSize < (1L << 21),
+      s"clip needs >= 2^21 frames at blockSize=$blockSize; raise blockSize")
 
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
@@ -320,7 +324,7 @@ object Flac {
   private def planResidual(res: Array[Long], ord: Int, n: Int,
       reqPartOrd: Int, paramBits: Int): (Int, Array[Either[Int, Int]], Long) = {
     var p = reqPartOrd
-    while (p > 0 && (n % (1 << p) != 0 || n / (1 << p) < ord)) p -= 1
+    while (p > 0 && (n % (1 << p) != 0 || n / (1 << p) <= ord)) p -= 1
     val nParts = 1 << p
     val escape = (1 << paramBits) - 1
     val plans = new Array[Either[Int, Int]](nParts)
@@ -531,7 +535,9 @@ object Flac {
     var idx = ord
     while (p < nParts) {
       val count = blockSize / nParts - (if (p == 0) ord else 0)
-      if (count < 0) return false
+      // RFC 9639: blockSize >> partOrd must be STRICTLY greater than the
+      // predictor order, so a zero-sample first partition is spec-invalid
+      if (count <= 0) return false
       val k = br.readBits(paramBits).toInt
       if (k == escape) {
         val raw = br.readBits(5).toInt

@@ -630,12 +630,15 @@ object Multimodal {
       maxPerBand: Long = 0L): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16 banding guarantees full recall only to Hamming 3, got $maxHamming")
-    val dh = udf((b: Array[Byte]) => dhashPpm(b).getOrElse(-1L))
+    // Option return → nullable column: -1L (all-ones dHash) is a
+    // LEGITIMATE hash (any strictly-brightening 8x9 grid produces it),
+    // so undecodable must be NULL, not a sentinel the census would drop
+    val dh = udf((b: Array[Byte]) => dhashPpm(b))
     // census = ONE decode pass; referenced by bands (twice through the
     // self-join) and the final join-back — checkpoint, the
     // videoDupPairs lesson (Spark re-ran the RDD subtree per reference)
     val hashes = media.select(dh(col("bytes")).as("phash"))
-      .filter(col("phash") =!= -1L)
+      .filter(col("phash").isNotNull)
       .groupBy(col("phash")).agg(count(lit(1)).as("n_images"))
       .localCheckpoint()
     val bandCols = (0 until 4).map { i =>
@@ -1106,14 +1109,20 @@ object Multimodal {
               if (p6.nonEmpty) (p6, fb => Some(fb))
               else (mjpegFrames(bytes),
                 fb => decodeImageWith(reader, fb).flatMap(imageToP6))
-            val means = frames.flatMap { case (off, len) =>
+            // per-frame Option means: a frame that fails to decode keeps
+            // its slot (n_frames counts walked frames) but no delta is
+            // compared ACROSS it — flattening the gap would pair frames
+            // that were never adjacent and invent or hide cuts there
+            val means = frames.map { case (off, len) =>
               toP6(java.util.Arrays.copyOfRange(bytes, off, off + len))
                 .flatMap(decodePpm).map { f =>
                   f(5).toDouble / (f(0).toDouble * f(1).toDouble * 3.0)
                 }
             }
-            val cuts = means.zip(means.drop(1))
-              .count { case (a, b) => math.abs(b - a) > threshold }
+            val cuts = means.zip(means.drop(1)).count {
+              case (Some(a), Some(b)) => math.abs(b - a) > threshold
+              case _ => false
+            }
             Row(r.getLong(idIdx), frames.length.toLong, cuts.toLong)
           }
         } finally reader.dispose()

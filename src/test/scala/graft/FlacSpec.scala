@@ -152,6 +152,41 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decodeSamples(Array[Byte]('f', 'L', 'a', 'C')).isEmpty)
   }
 
+  test("partition order clamps below blockSize>>p == predictor order (RFC 9639)") {
+    // LPC order 4 at blockSize 128, partitionOrder 5: 128>>5 == 4 == the
+    // order, which the spec forbids (it would put ZERO samples in the
+    // first partition). The encoder must clamp to a coarser partition
+    // order, and the decoder now rejects count == 0 — so this round-trip
+    // is the regression trap for both sides of the fix.
+    val s = Array.tabulate(256)(i => (2000 * math.sin(i / 9.0)).toInt + (i % 5))
+    val flac = Flac.encodeLpc(s, 16000, Array(-5, 9, -4, 1), 5,
+      blockSize = 128, partitionOrder = 5)
+    assert(Flac.decodeSamples(flac).exists(_._2.sameElements(s)),
+      "LPC order-4 at 128>>5 must clamp the partition order, not emit a zero-sample partition")
+    // FIXED path: whatever order the search picks at these partition
+    // orders must also round-trip under the spec-valid clamp
+    for (p <- Seq(4, 5)) {
+      val f2 = Flac.encode(s, 16000, blockSize = 128, partitionOrder = p)
+      assert(Flac.decodeSamples(f2).exists(_._2.sameElements(s)),
+        s"FIXED round-trip diverged at partitionOrder=$p")
+    }
+  }
+
+  test("frame indices beyond the 4-byte UTF-8 ladder fail loudly") {
+    // writeUtf8Number's ladder tops out at 2^21 frame indices; a clip
+    // that needs more must throw up front, not emit an undecodable
+    // stream that desyncs at frame 2^21
+    val huge = new Array[Int](16 * (1 << 21)) // exactly 2^21 frames at 16
+    val e = intercept[IllegalArgumentException] {
+      Flac.encode(huge, 16000, blockSize = 16)
+    }
+    assert(e.getMessage.contains("2^21"))
+    // one frame under the limit stays encodable (boundary is exact)
+    val ok = new Array[Int](16 * ((1 << 21) - 1))
+    assert(Flac.decodeSamples(Flac.encode(ok, 16000, blockSize = 16))
+      .exists(_._2.length == ok.length))
+  }
+
   test("wav -> flac -> samples equals wav -> samples (the m13 staging path)") {
     (0L until 40L).foreach { id =>
       val wav = Multimodal.wavFromId(id)

@@ -422,6 +422,58 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"cap must isolate: ${capped.toSeq}")
   }
 
+  test("all-ones dHash is a legitimate hash, not the undecodable sentinel") {
+    // a horizontal gradient brightens strictly left-to-right, so every
+    // neighbor pair sets its bit: dhash == -1L (all 64 ones). The old
+    // -1L undecodable sentinel silently dropped such images from
+    // clustering AND the census; null is the only safe encoding.
+    val w = 9; val h = 8
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate(w * h * 3)(i => (((i / 3) % w) * 28).toByte)
+    val grad = header ++ px
+    assert(Multimodal.dhashPpm(grad).contains(-1L),
+      "gradient must produce the all-ones hash")
+    val media = Seq((1L, grad), (2L, grad), (3L, "junk".getBytes))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.imageDupClusters(media).collect()
+    assert(out.length == 1 && out(0).getLong(2) == 2 && out(0).getLong(3) == 1,
+      s"gradient images must cluster, not vanish: ${out.toSeq}")
+    // the unsigned rep of the all-ones hash splits to 0xFFFFFFFF halves
+    assert(out(0).getLong(0) == 0xFFFFFFFFL && out(0).getLong(1) == 0xFFFFFFFFL,
+      s"rep halves must replay the unsigned all-ones hash: ${out(0)}")
+  }
+
+  test("sceneCuts skips deltas across undecodable frames instead of flattening the gap") {
+    // dark frame, STRUCTURALLY-complete-but-undecodable JPEG, bright
+    // frame: the walker censuses 3 frames; flattening the failed decode
+    // out of the means list would compare dark vs bright ACROSS the gap
+    // and invent a cut between frames that were never adjacent
+    def p6(v: Int): Array[Byte] = {
+      val header = s"P6\n16 16\n255\n".getBytes("US-ASCII")
+      header ++ Array.fill(16 * 16 * 3)(v.toByte)
+    }
+    val mjpeg2 = Multimodal.transcodeToMjpeg(
+        Seq((1L, p6(10) ++ p6(245))).toDF("media_id", "bytes"))
+      .collect()(0).getAs[Array[Byte]](1)
+    val frames = Multimodal.mjpegFrames(mjpeg2)
+    assert(frames.length == 2)
+    // SOI + empty COM + EOI: jpegFrameEnd walks it, ImageIO cannot
+    // decode it (no SOF) — the undecodable-frame shape
+    val junk = Array(0xFF, 0xD8, 0xFF, 0xFE, 0x00, 0x02, 0xFF, 0xD9)
+      .map(_.toByte)
+    assert(Multimodal.mjpegFrames(junk).length == 1)
+    val (o2, l2) = frames(1)
+    val spliced = mjpeg2.take(o2) ++ junk ++ mjpeg2.slice(o2, o2 + l2)
+    assert(Multimodal.mjpegFrames(spliced).length == 3)
+    val sc = Multimodal.sceneCuts(
+        Seq((1L, mjpeg2), (2L, spliced)).toDF("media_id", "bytes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sc(1L) == (2L, 1L),
+      s"adjacent dark->bright must cut (the control): $sc")
+    assert(sc(2L) == (3L, 0L),
+      s"no delta may span the undecodable frame: $sc")
+  }
+
   test("ivfTopKReplay: forced regime is run-to-run identical and recall-usable") {
     val emb = Tables.embeddings(spark, sfDir)
     def run() = Ann.ivfTopKReplay(emb, "vec_id", "embedding",
@@ -1485,6 +1537,25 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
         Unigram.tokenCount(m)(lit(null.asInstanceOf[String])).as("z"))
       .as[(Int, Int, Int)].head()
     assert(cnt._1 == cnt._2 && cnt._3 == 0, s"got $cnt")
+  }
+
+  test("Unigram loss-prune spends the same vocabulary budget as count-prune") {
+    // the loss regime ranks only multi-cp pieces; without deducting the
+    // single-cp slots the count regime spends from its vocabSize budget,
+    // the loss model gets a systematically LARGER vocabulary and the
+    // t35 loss>=count comparison stops isolating the prune criterion
+    import graft.functions.Unigram
+    val docs = Tables.documents(spark, sfDir)
+    val byCount = Unigram.train(docs, "text", vocabSize = 512,
+      emIters = 2, seedSize = 4096)
+    val byLoss = Unigram.train(docs, "text", vocabSize = 512,
+      emIters = 2, seedSize = 4096, pruneByLoss = true)
+    assert(byLoss.logq.size == byCount.logq.size,
+      s"equal budget required: loss=${byLoss.logq.size} count=${byCount.logq.size}")
+    // ...and the criterion still wins (or ties) at the SAME budget
+    assert(Unigram.corpusScore(docs, "text", byLoss) >=
+      Unigram.corpusScore(docs, "text", byCount),
+      "loss prune must not lose to count prune at an equal budget")
   }
 
   test("Unigram on the corpus: deterministic, EM improves likelihood, compresses") {
