@@ -88,6 +88,7 @@ object Bench {
     "m13_flac_ingest",       // FLAC stage -> lossless decode -> QC census
     "m14_video_dedup",       // frame-fingerprint inverted-index pair join
     "m15_image_neardup",     // banded-dHash near-dup clusters (hash-level CC)
+    "m16_audio_neardup",     // window-fingerprint inverted-index pair join
     "r03_ndcg_eval",         // BM25 ranking + nDCG evaluation
     "u03_incremental_agg",   // base+delta agg merge, no base rescan
     "t21_pmi_collocations",  // PMI over vocabulary-sized count tables

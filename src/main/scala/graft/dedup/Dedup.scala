@@ -871,6 +871,44 @@ object Dedup {
       .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("rep"))
   }
 
+  /** Regime-dispatched connected components over a near-dup pair graph —
+    * the engine picks between [[duplicateClusters]] (min-label,
+    * O(diameter) rounds, one shuffle per round — cheapest for the
+    * blob-shaped groups real near-dup corpora produce) and
+    * [[duplicateClustersLogD]] (star contraction, O(log d) rounds, two
+    * shuffles per round — the only safe regime for CHAIN-shaped graphs:
+    * transcript chains, gradual-crop image chains).
+    *
+    * `"auto"` dispatches off the MEASURED round-count signal, not a
+    * structural proxy: min-label runs with a small probe budget
+    * (`probeIters`); convergence inside it means the graph was
+    * blob-shaped and the answer is already exact — non-convergence IS
+    * the high-diameter signal, and the run restarts under star
+    * contraction. The probe's wasted work is bounded (probeIters
+    * label-table-sized rounds over the localCheckpointed pair table both
+    * regimes iterate anyway); no degree/sparsity heuristic can separate
+    * a window-k chain (degree 2k, diameter n/k) from a small clique
+    * (degree n-1, diameter 1) as reliably as just measuring the rounds.
+    *
+    * Same output contract as both twins (rep = component minimum), so
+    * any gate's oracle is regime-independent. */
+  def duplicateClustersAuto(pairs: DataFrame, maxIters: Int = 20,
+      regime: String = "auto", probeIters: Int = 8): DataFrame = {
+    require(Seq("auto", "minlabel", "logd").contains(regime),
+      s"regime must be auto|minlabel|logd, got '$regime'")
+    regime match {
+      case "minlabel" => duplicateClusters(pairs, maxIters)
+      case "logd"     => duplicateClustersLogD(pairs, maxIters)
+      case _ =>
+        // stage the pair table once: the probe and any fallback re-scan it
+        val p = pairs.localCheckpoint()
+        try duplicateClusters(p, math.min(probeIters, maxIters))
+        catch {
+          case _: IllegalStateException => duplicateClustersLogD(p, maxIters)
+        }
+    }
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset (Charikar 2002). */

@@ -559,8 +559,9 @@ object Multimodal {
     *     MJPEG-decoded), narrow;
     *  2. distinct (video, hash) — a video repeating its own frame must
     *     not inflate pair counts;
-    *  3. hash census caps the hot buckets: a fingerprint occurring in
-    *     more than `maxVideosPerHash` videos (black frames, title cards,
+    *  3. hash census caps the hot buckets ([[hotKeyPrune]] — explicit,
+    *     off, or the census-derived DEFAULT): a fingerprint occurring in
+    *     more than the cap's videos (black frames, title cards,
     *     test patterns — the degenerate mass of any real corpus) is
     *     excluded from pair generation, exactly like LSH's `maxBucket`:
     *     without the cap one ubiquitous frame makes the self-join
@@ -573,7 +574,15 @@ object Multimodal {
     * output is bounded by the census cap. Returns (a, b, shared_frames),
     * a < b. */
   def videoDupPairs(media: DataFrame, minShared: Int = 1,
-      maxVideosPerHash: Long = 0L): DataFrame = {
+      maxVideosPerHash: Long = -1L): DataFrame =
+    videoDupPairsWithStats(media, minShared, maxVideosPerHash)._1
+
+  /** [[videoDupPairs]] plus the DROPPED-fingerprint census
+    * `(dhash, n, cap)` — the [[graft.dedup.Dedup.simhashPairsWithStats]]
+    * observability contract for the video modality: a capped run is
+    * never silently lossy. */
+  def videoDupPairsWithStats(media: DataFrame, minShared: Int = 1,
+      maxVideosPerHash: Long = -1L): (DataFrame, DataFrame) = {
     require(minShared >= 1, s"minShared=$minShared")
     // localCheckpoint the distinct fingerprint table: it is referenced
     // FOUR times downstream (census twice through the join, both
@@ -585,20 +594,166 @@ object Multimodal {
     val vh = frameStats(media)
       .select(col("media_id"), col("dhash")).distinct()
       .localCheckpoint()
-    val indexed =
-      if (maxVideosPerHash > 0) {
-        val ok = vh.groupBy(col("dhash"))
-          .agg(count(lit(1)).as("n"))
-          .filter(col("n").between(2, maxVideosPerHash))
-          .select(col("dhash"))
-        vh.join(ok, Seq("dhash"))
-      } else vh
+    val census = vh.groupBy(col("dhash")).agg(count(lit(1)).as("n"))
+    val (ok, dropped) = hotKeyPrune(census, Seq("dhash"), maxVideosPerHash)
+    val indexed = vh.join(ok, Seq("dhash"))
     val l = indexed.select(col("dhash"), col("media_id").as("a"))
     val r = indexed.select(col("dhash"), col("media_id").as("b"))
-    l.join(r, Seq("dhash")).filter(col("a") < col("b"))
+    val pairs = l.join(r, Seq("dhash")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_frames"))
       .filter(col("shared_frames") >= minShared)
+    (pairs, dropped)
+  }
+
+  /** Hot-key census prune shared by the modality pair generators
+    * ([[videoDupPairs]], [[imageDupClusters]], [[audioDupPairs]]) — one
+    * cap POLICY instead of three ad-hoc defaults:
+    *
+    *  - `cap > 0` — explicit cap, the caller knows the corpus;
+    *  - `cap == 0` — off (completeness over the n² risk, the
+    *    [[graft.dedup.Dedup.simhashPairs]] caveat);
+    *  - `cap < 0` (DEFAULT) — census-derived: `max(256, 32 × ⌈mean
+    *    bucket size⌉)`, p23's skew statistic turned into a default-on
+    *    cap. Honest buckets sit near the census mean; a degenerate key
+    *    (silence windows, black frames, flat thumbnails) sits orders
+    *    above and squares at corpus scale. Computed plan-side as a
+    *    1-row broadcast over the census aggregate — exact integer
+    *    arithmetic, no extra driver job, and SQL-replayable when a gate
+    *    needs to pin it. The 256 floor keeps the auto cap from ever
+    *    binding on gate-scale corpora (every bucket ≤ 256 passes), so
+    *    correctness oracles stay cap-free unless they opt in.
+    *
+    * Singleton buckets (n = 1) generate no pairs and are pruned in every
+    * regime. Returns (kept keys, dropped census `(key…, n, cap)`) — the
+    * dropped frame is the observability contract: empty ⇒ no loss;
+    * non-empty ⇒ each row names a degenerate key to handle upstream. */
+  private def hotKeyPrune(census: DataFrame, keyCols: Seq[String],
+      cap: Long): (DataFrame, DataFrame) = {
+    val withCap =
+      if (cap > 0) census.withColumn("cap", lit(cap))
+      else if (cap == 0L) census.withColumn("cap", lit(Long.MaxValue))
+      else {
+        val capDf = census
+          .agg(sum(col("n")).as("s"), count(lit(1)).as("k"))
+          .select(greatest(lit(256L),
+            lit(32L) * expr("(s + k - 1) div k")).as("cap"))
+        census.crossJoin(broadcast(capDf))
+      }
+    (withCap.filter(col("n").between(2, col("cap")))
+       .select(keyCols.map(col): _*),
+     withCap.filter(col("n") > col("cap")))
+  }
+
+  /** 64-bit energy-band fingerprint of one PCM window — the audio
+    * perceptual hash of the modality×dedup matrix (text SimHash, image
+    * dHash, video frame-dHash, THIS): 8 equal time bands, per band the
+    * mean |amplitude| quantized to 7 bits (`min(127, meanAbs >> 4)`),
+    * packed byte-per-band (always non-negative — every SQL engine
+    * replays it without sign games). The time-banded analog of the
+    * Chromaprint/Shazam spectral-band signature: integer-exact end to
+    * end, which is what lets a DuckDB oracle hash-verify the whole
+    * dedup path; an FFT filterbank would slot in at exactly this seam
+    * with the same inverted-index shape downstream. Quantizing by 16
+    * absorbs small amplitude jitter while keeping unrelated windows
+    * apart (uniform speech-scale audio spans ~2⁶ quantized levels per
+    * band). */
+  def audioWindowFingerprint(s: Array[Int], off: Int, len: Int): Long = {
+    require(len >= 8 && len % 8 == 0, s"window length $len not 8-banded")
+    val subLen = len / 8
+    var fp = 0L
+    var b = 0
+    while (b < 8) {
+      var sumAbs = 0L
+      var i = off + b * subLen
+      val end = i + subLen
+      while (i < end) { sumAbs += math.abs(s(i)); i += 1 }
+      fp |= math.min(127L, (sumAbs / subLen) >> 4) << (8 * b)
+      b += 1
+    }
+    fp
+  }
+
+  /** Per-clip window fingerprints (media_id, fp), format-dispatched
+    * (WAV passthrough / FLAC lossless decode — the [[normalizeAudio]]
+    * front-door contract), one fingerprint per FULL non-overlapping
+    * `windowLen`-sample window (the partial tail drops: a window must
+    * mean the same thing in every clip for the inverted index to be an
+    * equality join). Narrow, scan-parallel; undecodable rows drop. */
+  def audioFingerprints(media: DataFrame, windowLen: Int = 1024,
+      batchSize: Int = 64): DataFrame = {
+    require(windowLen >= 8 && windowLen % 8 == 0,
+      s"windowLen=$windowLen must be a positive multiple of 8")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](bytesIdx)
+          val pcm =
+            if (bytes == null) None
+            else if (Flac.isFlac(bytes)) Flac.decodeSamples(bytes).map(_._2)
+            else decodeWavSamples(bytes)
+          pcm.toSeq.flatMap { s =>
+            val id = r.getLong(idIdx)
+            (0 until s.length / windowLen).map(w =>
+              Row(id, audioWindowFingerprint(s, w * windowLen, windowLen)))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Audio near-dup pairs by shared window fingerprints — completes the
+    * modality×dedup matrix (d02 text, m15 image, m14 video, THIS audio)
+    * with the same inverted-index discipline as [[videoDupPairs]]:
+    *
+    *  1. [[audioFingerprints]] — one decode pass, narrow;
+    *  2. distinct (clip, fp) — a clip repeating its own window (loops,
+    *     silence runs) must not inflate pair counts;
+    *  3. fingerprint census caps the hot keys ([[hotKeyPrune]] —
+    *     explicit, off, or the census-derived DEFAULT): silence and
+    *     test-tone windows are audio's black frames, present in a huge
+    *     fraction of any real corpus, and square the self-join uncapped;
+    *  4. self-join on fp, count shared windows per pair, keep pairs
+    *     with ≥ `minShared`.
+    *
+    * Scale shape: the only corpus-sized exchange is keyed by fingerprint
+    * (the census reuses that partitioning); everything downstream is
+    * fingerprint-table-sized. Returns (a, b, shared_windows), a < b. */
+  def audioDupPairs(media: DataFrame, windowLen: Int = 1024,
+      minShared: Int = 1, maxClipsPerFingerprint: Long = -1L): DataFrame =
+    audioDupPairsWithStats(media, windowLen, minShared,
+      maxClipsPerFingerprint)._1
+
+  /** [[audioDupPairs]] plus the DROPPED-fingerprint census
+    * `(fp, n, cap)` — the capped-run observability contract. */
+  def audioDupPairsWithStats(media: DataFrame, windowLen: Int = 1024,
+      minShared: Int = 1, maxClipsPerFingerprint: Long = -1L)
+      : (DataFrame, DataFrame) = {
+    require(minShared >= 1, s"minShared=$minShared")
+    // checkpoint AFTER the distinct: the fingerprint table is referenced
+    // four times downstream and exchange reuse over RDD-sourced subtrees
+    // does not happen (the measured videoDupPairs lesson) — the decode
+    // must run once
+    val cf = audioFingerprints(media, windowLen)
+      .distinct().localCheckpoint()
+    val census = cf.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    val (ok, dropped) =
+      hotKeyPrune(census, Seq("fp"), maxClipsPerFingerprint)
+    val indexed = cf.join(ok, Seq("fp"))
+    val l = indexed.select(col("fp"), col("media_id").as("a"))
+    val r = indexed.select(col("fp"), col("media_id").as("b"))
+    val pairs = l.join(r, Seq("fp")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minShared)
+    (pairs, dropped)
   }
 
   /** Image near-dup CLUSTERS by banded perceptual hash — the image
@@ -622,12 +777,24 @@ object Multimodal {
     *     rep split into uint32 halves (exact BIGINT math for replays),
     *     total images and distinct hashes.
     *
-    * `maxPerBand` caps hot bands exactly like LSH's maxBucket — at real
-    * corpus scale a degenerate band key (flat thumbnails) would square;
-    * capped keys fall out of pair generation and their hashes cluster
-    * alone. */
+    * `maxPerBand` caps hot bands exactly like LSH's maxBucket
+    * ([[hotKeyPrune]] — explicit, off, or the census-derived DEFAULT) —
+    * at real corpus scale a degenerate band key (flat thumbnails) would
+    * square; capped keys fall out of pair generation and their hashes
+    * cluster alone. `ccRegime` picks the components regime
+    * ([[graft.dedup.Dedup.duplicateClustersAuto]] — min-label, star
+    * contraction, or the measured-probe auto DEFAULT). */
   def imageDupClusters(media: DataFrame, maxHamming: Int = 3,
-      maxPerBand: Long = 0L): DataFrame = {
+      maxPerBand: Long = -1L, ccRegime: String = "auto"): DataFrame =
+    imageDupClustersWithStats(media, maxHamming, maxPerBand, ccRegime)._1
+
+  /** [[imageDupClusters]] plus the DROPPED-band census
+    * `(band, key, n, cap)` — the capped-run observability contract
+    * ([[hotKeyPrune]]): hashes in a dropped band fall out of pair
+    * generation there and may cluster apart. */
+  def imageDupClustersWithStats(media: DataFrame, maxHamming: Int = 3,
+      maxPerBand: Long = -1L, ccRegime: String = "auto")
+      : (DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16 banding guarantees full recall only to Hamming 3, got $maxHamming")
     // Option return → nullable column: -1L (all-ones dHash) is a
@@ -649,29 +816,31 @@ object Multimodal {
     val bands = hashes.select(col("phash"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col("phash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val banded =
-      if (maxPerBand > 0) {
-        val ok = bands.groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("nb"))
-          .filter(col("nb").between(2, maxPerBand))
-          .select(col("band"), col("key"))
-        bands.join(ok, Seq("band", "key"))
-      } else bands
+    val bandCensus = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+    val (okBands, dropped) =
+      hotKeyPrune(bandCensus, Seq("band", "key"), maxPerBand)
+    val banded = bands.join(okBands, Seq("band", "key"))
     val l = banded.select(col("band"), col("key"), col("phash").as("pa"))
     val r = banded.select(col("band"), col("key"), col("phash").as("pb"))
     val pairs = l.join(r, Seq("band", "key")).filter(col("pa") < col("pb"))
       .select(col("pa"), col("pb")).distinct()
       .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
-    // XOR MinValue = order-preserving signed→unsigned map: min-label CC
-    // then elects the unsigned-minimum hash, which a SQL replay can
-    // compute without simulating Java's signed long order
+    // XOR MinValue = order-preserving signed→unsigned map: CC then
+    // elects the unsigned-minimum hash as the rep, which a SQL replay
+    // can compute without simulating Java's signed long order.
+    // Regime-dispatched CC (duplicateClustersAuto): gradual-crop image
+    // chains are the image analog of transcript chains — min-label's
+    // O(diameter) rounds lose to star contraction there, and the probe
+    // measures which graph this corpus actually is.
     val shifted = pairs.select(
       col("pa").bitwiseXOR(lit(Long.MinValue)).as("a"),
       col("pb").bitwiseXOR(lit(Long.MinValue)).as("b"))
-    val reps = graft.dedup.Dedup.duplicateClusters(shifted)
+    val reps = graft.dedup.Dedup.duplicateClustersAuto(shifted,
+        regime = ccRegime)
       .select(col("doc_id").bitwiseXOR(lit(Long.MinValue)).as("phash"),
         col("rep").bitwiseXOR(lit(Long.MinValue)).as("rep"))
-    hashes.join(reps, Seq("phash"), "left_outer")
+    val clusters = hashes.join(reps, Seq("phash"), "left_outer")
       .withColumn("r", coalesce(col("rep"), col("phash")))
       .groupBy(col("r"))
       .agg(sum(col("n_images")).as("n_images"),
@@ -680,6 +849,7 @@ object Multimodal {
         expr("shiftrightunsigned(r, 32)").as("rep_hi"),
         col("r").bitwiseAND(lit(0xFFFFFFFFL)).as("rep_lo"),
         col("n_images"), col("n_hashes"))
+    (clusters, dropped)
   }
 
   /** Batched image-format normalization over a (media_id, bytes) frame:

@@ -581,6 +581,34 @@ object CurationQueries {
         .orderBy(col("rep_hi"), col("rep_lo"))
     }),
 
+    // -- m16: AUDIO near-dup pairs by shared window fingerprints — the
+    // last cell of the modality×dedup matrix (d02 text, m15 image, m14
+    // video, THIS audio). Planted overlaps at WINDOW granularity:
+    // clip(id) = one silence window ++ seg(id) ++ seg(id+3), so
+    // consecutive audio ids (stride 3) share seg(id+3) — and the
+    // silence window appears in EVERY clip, making it the degenerate
+    // hot key: the explicit cap (16) BINDS at gate scale and the oracle
+    // replays the capped census (the requirement m14's >64-video hashes
+    // also satisfy). Even ids stage as FLAC (lossless ⇒ identical
+    // fingerprints), odd as WAV — the gate pins the codec dispatch too.
+    "m16_audio_neardup" -> ((s, d) => {
+      import graft.multimodal.{Flac, Multimodal}
+      val W = 64
+      val mk = udf { (id: Long) =>
+        def seg(k: Long): Array[Int] =
+          Array.tabulate(W)(i => (((k * 37 + i * 13) % 4001) - 2000).toInt)
+        val pcm = Array.fill(W)(0) ++ seg(id) ++ seg(id + 3)
+        val rate = (8000 + (id % 4) * 4000).toInt
+        if (id % 2 == 0) Flac.encode(pcm, rate)
+        else Multimodal.wavFromPcm(rate, pcm)
+      }
+      val media = Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+      Multimodal.audioDupPairs(media, windowLen = W, minShared = 1,
+          maxClipsPerFingerprint = 16)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // -- m13: REAL FLAC audio ingestion — the LOSSLESS codec rung: each
     // clip's PCM16 samples are FLAC-encoded on the executors (pure-Scala
     // fixed-predictor profile, Rice residuals, CRC-8/16 per spec), then
@@ -1353,6 +1381,33 @@ object CurationQueries {
         |  count(*)::BIGINT AS shared_frames
         |FROM idx x JOIN idx y ON x.hi = y.hi AND x.lo = y.lo
         |  AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    // m16: three 64-sample windows per clip (silence, seg(id),
+    // seg(id+3)), the energy-band fingerprint (8 bands of 8 samples,
+    // q = least(127, meanAbs >> 4), byte-packed), distinct per clip,
+    // the BINDING 2..16 census (silence's fingerprint count == n_clips,
+    // far over 16 — the cap sheds it), pair counts — FLAC staging is
+    // lossless so the PCM formula replays for both containers
+    "m16_audio_neardup" ->
+      """WITH au AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT id, unnest([0, 1, 2]) AS wi FROM au),
+        |sm AS (SELECT id, wi, unnest(range(0, 64)) AS i FROM w),
+        |sv AS (SELECT id, wi, (i // 8)::INT AS band,
+        |    CASE WHEN wi = 0 THEN 0
+        |      ELSE abs((((CASE WHEN wi = 1 THEN id ELSE id + 3 END) * 37
+        |        + i * 13) % 4001) - 2000) END AS a
+        |  FROM sm),
+        |bd AS (SELECT id, wi, band,
+        |    least(127, (sum(a) // 8) >> 4) AS q
+        |  FROM sv GROUP BY 1, 2, 3),
+        |fp AS (SELECT id, wi, CAST(sum(q << (8 * band)) AS BIGINT) AS fp
+        |  FROM bd GROUP BY 1, 2),
+        |cf AS (SELECT DISTINCT id, fp FROM fp),
+        |census AS (SELECT fp FROM cf GROUP BY fp
+        |  HAVING count(*) BETWEEN 2 AND 16),
+        |idx AS (SELECT cf.id, cf.fp FROM cf JOIN census USING (fp))
+        |SELECT x.id AS a, y.id AS b, count(*)::BIGINT AS shared_windows
+        |FROM idx x JOIN idx y ON x.fp = y.fp AND x.id < y.id
         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
     // m13: the SAME closed-form sample formula as m09 — FLAC is lossless,
     // so the staged→decoded statistics replay exactly, plus the rate

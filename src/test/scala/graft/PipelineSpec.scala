@@ -394,6 +394,103 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"planted synthetic overlap missed: ${sp.toSeq}")
   }
 
+  test("audioDupPairs: planted window overlaps found across WAV and FLAC; silence capped and observable") {
+    import graft.multimodal.{Flac, Multimodal}
+    val W = 64
+    def seg(k: Long) = Array.tabulate(W)(i =>
+      (((k * 1009 + i * 17) % 3001) - 1500).toInt)
+    // 6 clips: clip j = silence ++ seg(j) ++ seg(j+1), alternating
+    // containers — FLAC is lossless so fingerprints must agree
+    val media = (0 until 6).map { j =>
+      val pcm = Array.fill(W)(0) ++ seg(j) ++ seg(j + 1)
+      (j.toLong,
+        if (j % 2 == 0) Flac.encode(pcm, 8000)
+        else Multimodal.wavFromPcm(8000, pcm))
+    }.toDF("media_id", "bytes")
+    val (pairs, dropped) = Multimodal.audioDupPairsWithStats(media,
+      windowLen = W, minShared = 1, maxClipsPerFingerprint = 4)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == (0 until 5).map(j => (j.toLong, j + 1L, 1L)).toSet,
+      s"adjacent clips share exactly seg(j+1): $got")
+    // the silence fingerprint (all-zero bands -> fp 0) is in all 6
+    // clips > cap 4: dropped AND observable, never silent
+    val dr = dropped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dr == Seq((0L, 6L, 4L)), s"dropped census: $dr")
+    // cap off: the silence window makes every pair adjacent (15 = C(6,2))
+    assert(Multimodal.audioDupPairs(media, windowLen = W,
+      maxClipsPerFingerprint = 0).count() == 15)
+    // census-derived default: the 256 floor never binds at this scale
+    assert(Multimodal.audioDupPairs(media, windowLen = W).count() == 15)
+    // partial tail windows drop: a 1.5-window clip fingerprints once
+    val tail = Seq((9L, Multimodal.wavFromPcm(8000,
+        seg(0) ++ seg(1).take(W / 2))))
+      .toDF("media_id", "bytes")
+    assert(Multimodal.audioFingerprints(tail, W).count() == 1)
+  }
+
+  test("hot-key cap observability: videoDupPairs dropped census names the shed fingerprint") {
+    import graft.multimodal.Multimodal
+    val w = 64; val h = 48
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    def frame(f: Int) = header ++ Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      ((x * (f + 2) + y * (f + 3) + i % 3 * 7 + f * 31) % 256).toByte
+    }
+    val common = frame(0)
+    val media = Seq(
+      (1L, common ++ frame(1)), (2L, common ++ frame(2)),
+      (3L, common ++ frame(3))).toDF("media_id", "bytes")
+    val (pairs, dropped) = Multimodal.videoDupPairsWithStats(media,
+      maxVideosPerHash = 2)
+    assert(pairs.count() == 0, "the only shared frame is over the cap")
+    val dr = dropped.collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(dr == Seq((3L, 2L)),
+      s"one dropped fingerprint in 3 videos at cap 2: $dr")
+    // auto default at this scale: floor 256 keeps everything
+    val (autoPairs, autoDropped) = Multimodal.videoDupPairsWithStats(media)
+    assert(autoPairs.count() == 3 && autoDropped.count() == 0)
+  }
+
+  test("imageDupClusters: chain-shaped hash graph defeats min-label, auto measures and collapses it") {
+    // image i's dHash has exactly bits 0..i-1 set, so Hamming(i,j) =
+    // |i-j|: the Hamming<=3 graph is a window-3 chain with diameter
+    // ceil(63/3) = 21 > min-label's 20-round budget — the gradual-crop
+    // chain shape, the image twin of the d06b transcript-chain spec
+    def chainImg(k: Int): Array[Byte] = {
+      val w = 9; val h = 8
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h) {
+        var g = 128
+        for (x <- 0 until w) {
+          if (x > 0) g += (if (y * 8 + (x - 1) < k) 8 else -8)
+          val p = (y * w + x) * 3
+          px(p) = g.toByte; px(p + 1) = g.toByte; px(p + 2) = g.toByte
+        }
+      }
+      header ++ px
+    }
+    assert(Multimodal.dhashPpm(chainImg(0)).contains(0L))
+    assert(Multimodal.dhashPpm(chainImg(3)).contains(7L))
+    val media = (0 until 64).map(i => (i.toLong, chainImg(i)))
+      .toDF("media_id", "bytes")
+    intercept[IllegalStateException] {
+      Multimodal.imageDupClusters(media, ccRegime = "minlabel").collect()
+    }
+    // auto: the probe's non-convergence IS the diameter signal -> log-d
+    val out = Multimodal.imageDupClusters(media).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 0L &&
+      out(0).getLong(1) == 0L && out(0).getLong(2) == 64 &&
+      out(0).getLong(3) == 64,
+      s"one 64-image chain cluster rooted at hash 0 expected: ${out.toSeq}")
+    // the explicit log-d regime agrees (one output contract)
+    val ld = Multimodal.imageDupClusters(media, ccRegime = "logd").collect()
+    assert(ld.toSeq == out.toSeq)
+  }
+
   test("imageDupClusters invariants: mass preserved, reps are member hashes, cap isolates") {
     import graft.multimodal.Multimodal
     val media = Multimodal
