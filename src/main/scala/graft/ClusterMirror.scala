@@ -173,7 +173,19 @@ object ClusterMirror {
     //       family's checkpoint blocks had only ever lived in the local
     //       JVM; here every round re-reads them across the wire, plus
     //       the banded-hash self-join and the signed→unsigned rep map
-    "m15_image_neardup")
+    "m15_image_neardup",
+    // round-12 risk classes:
+    //  m16: audioFingerprints' RDD-created DataFrame (createDataFrame
+    //       over a mapPartitions decode) feeding the fingerprint-keyed
+    //       self-join — fingerprint longs as join keys across a REAL
+    //       exchange, after a FLAC/WAV decode that ran in a different
+    //       worker JVM than the join; plus the binding hotKeyPrune cap
+    //  p25: the full multimodal curation COMPOSITION on real executors —
+    //       two checkpointed normalize passes (PNG batch codec + FLAC
+    //       bit-serial), per-branch dedup machinery, keep-best windows
+    //       and the final union all inside one job graph; proves the
+    //       front doors compose when every seam crosses the wire
+    "m16_audio_neardup", "p25_multimodal_curation")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

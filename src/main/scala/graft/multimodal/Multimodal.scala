@@ -808,6 +808,42 @@ object Multimodal {
       .filter(col("phash").isNotNull)
       .groupBy(col("phash")).agg(count(lit(1)).as("n_images"))
       .localCheckpoint()
+    val (reps, dropped) = hashClusterReps(hashes, maxHamming, maxPerBand,
+      ccRegime)
+    val clusters = hashes.join(reps, Seq("phash"), "left_outer")
+      .withColumn("r", coalesce(col("rep"), col("phash")))
+      .groupBy(col("r"))
+      .agg(sum(col("n_images")).as("n_images"),
+        count(lit(1)).as("n_hashes"))
+      .select(
+        expr("shiftrightunsigned(r, 32)").as("rep_hi"),
+        col("r").bitwiseAND(lit(0xFFFFFFFFL)).as("rep_lo"),
+        col("n_images"), col("n_hashes"))
+    (clusters, dropped)
+  }
+
+  /** The banded-dHash cluster core shared by [[imageDupClustersWithStats]]
+    * and [[imageDupAssignWithStats]]: `hashes` is the DISTINCT-hash table
+    * (column `phash`, already checkpointed by the caller — this helper
+    * references it three times and must not re-run its decode). Returns
+    * (hash→rep map in ORIGINAL signed space — reps are the
+    * unsigned-minimum member hash, absent rows are singleton hashes;
+    * dropped-band census).
+    *
+    *  1. 4×16-bit bands over the distinct hashes: by pigeonhole, two
+    *     hashes within Hamming ≤ 3 share at least one band EXACTLY, so
+    *     the band join has FULL recall at the default radius;
+    *  2. band-joined candidate pairs, exact Hamming filter;
+    *  3. connected components over the hash graph — hashes are mapped
+    *     through XOR MinValue (order-preserving signed→unsigned) so
+    *     min-label CC elects the UNSIGNED-minimum hash as the rep, the
+    *     order an engine-free SQL replay can compute; the CC regime is
+    *     dispatched ([[graft.dedup.Dedup.duplicateClustersAuto]]) because
+    *     gradual-crop image chains are the image analog of transcript
+    *     chains — min-label's O(diameter) rounds lose to star
+    *     contraction there. */
+  private def hashClusterReps(hashes: DataFrame, maxHamming: Int,
+      maxPerBand: Long, ccRegime: String): (DataFrame, DataFrame) = {
     val bandCols = (0 until 4).map { i =>
       struct(lit(i).as("band"),
         shiftrightunsigned(col("phash"), i * 16)
@@ -826,13 +862,6 @@ object Multimodal {
     val pairs = l.join(r, Seq("band", "key")).filter(col("pa") < col("pb"))
       .select(col("pa"), col("pb")).distinct()
       .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
-    // XOR MinValue = order-preserving signed→unsigned map: CC then
-    // elects the unsigned-minimum hash as the rep, which a SQL replay
-    // can compute without simulating Java's signed long order.
-    // Regime-dispatched CC (duplicateClustersAuto): gradual-crop image
-    // chains are the image analog of transcript chains — min-label's
-    // O(diameter) rounds lose to star contraction there, and the probe
-    // measures which graph this corpus actually is.
     val shifted = pairs.select(
       col("pa").bitwiseXOR(lit(Long.MinValue)).as("a"),
       col("pb").bitwiseXOR(lit(Long.MinValue)).as("b"))
@@ -840,16 +869,50 @@ object Multimodal {
         regime = ccRegime)
       .select(col("doc_id").bitwiseXOR(lit(Long.MinValue)).as("phash"),
         col("rep").bitwiseXOR(lit(Long.MinValue)).as("rep"))
-    val clusters = hashes.join(reps, Seq("phash"), "left_outer")
+    (reps, dropped)
+  }
+
+  /** Per-MEDIA near-dup cluster assignment — [[imageDupClusters]]' hash
+    * graph joined back to media granularity: one row per decodable image
+    * `(media_id, rep_hi, rep_lo)` where rep is the unsigned-minimum hash
+    * of the image's Hamming-≤`maxHamming` component (its own hash when
+    * the image is a singleton). This is the seam a curation pipeline
+    * needs between near-dup detection and canonical selection: group by
+    * (rep_hi, rep_lo) and keep the best-scored member (the
+    * [[graft.dedup.Dedup.keepBestPerCluster]] discipline at media
+    * granularity — p25 composes exactly that).
+    *
+    * Scale shape: ONE decode pass (the (media_id, phash) table is
+    * checkpointed and is the only corpus-sized frame); the band join,
+    * Hamming filter and CC all run on the DISTINCT-hash table, orders
+    * smaller; the final join-back is hash-keyed. Undecodable rows drop
+    * (the [[normalizeImages]] front-door contract). */
+  def imageDupAssign(media: DataFrame, maxHamming: Int = 3,
+      maxPerBand: Long = -1L, ccRegime: String = "auto"): DataFrame =
+    imageDupAssignWithStats(media, maxHamming, maxPerBand, ccRegime)._1
+
+  /** [[imageDupAssign]] plus the DROPPED-band census `(band, key, n,
+    * cap)` — the capped-run observability contract ([[hotKeyPrune]]). */
+  def imageDupAssignWithStats(media: DataFrame, maxHamming: Int = 3,
+      maxPerBand: Long = -1L, ccRegime: String = "auto")
+      : (DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding guarantees full recall only to Hamming 3, got $maxHamming")
+    val dh = udf((b: Array[Byte]) => dhashPpm(b))
+    // ONE decode pass at media granularity; the distinct-hash census
+    // derives from the checkpoint, never from a second decode
+    val mh = media.select(col("media_id"), dh(col("bytes")).as("phash"))
+      .filter(col("phash").isNotNull)
+      .localCheckpoint()
+    val hashes = mh.groupBy(col("phash")).agg(count(lit(1)).as("n_images"))
+    val (reps, dropped) = hashClusterReps(hashes, maxHamming, maxPerBand,
+      ccRegime)
+    val asg = mh.join(reps, Seq("phash"), "left_outer")
       .withColumn("r", coalesce(col("rep"), col("phash")))
-      .groupBy(col("r"))
-      .agg(sum(col("n_images")).as("n_images"),
-        count(lit(1)).as("n_hashes"))
-      .select(
+      .select(col("media_id"),
         expr("shiftrightunsigned(r, 32)").as("rep_hi"),
-        col("r").bitwiseAND(lit(0xFFFFFFFFL)).as("rep_lo"),
-        col("n_images"), col("n_hashes"))
-    (clusters, dropped)
+        col("r").bitwiseAND(lit(0xFFFFFFFFL)).as("rep_lo"))
+    (asg, dropped)
   }
 
   /** Batched image-format normalization over a (media_id, bytes) frame:

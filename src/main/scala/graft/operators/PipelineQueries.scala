@@ -1160,6 +1160,97 @@ object PipelineQueries {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // -- p25: END-TO-END MULTIMODAL CURATION — the media analog of p08's
+    // training-mix composition proof: both modality FRONT DOORS, QC,
+    // near-dup and canonical keep composed in ONE plan, each heavy codec
+    // decoded exactly once.
+    //   images: stage as PNG (the web container) → normalizeImages
+    //     (batched PNG→P6 transcode) → texture QC (Sobel energy > 0 —
+    //     the blur/degenerate filter; images without a 3×3 interior
+    //     fail) → banded-dHash near-dup assignment (imageDupAssign:
+    //     census-derived band cap, auto CC regime) → keep the
+    //     highest-energy member per cluster, tie min media_id;
+    //   audio: planted window-overlap clips (the m16 corpus — silence ++
+    //     seg(id) ++ seg(id+3), so consecutive audio ids share a
+    //     segment), every 5th clip gains a CLIPPED window; even ids
+    //     stage FLAC, odd WAV → normalizeAudio (lossless decode, format
+    //     dispatch) → clipping QC (n_clipped == 0 — drops exactly the
+    //     planted rows, breaking the dup chains into runs) →
+    //     audioDupPairs with the BINDING fingerprint cap 16 (silence is
+    //     the degenerate hot key, shed by census) → keepBestPerCluster
+    //     by energy Σs² (tie min media_id; unpaired survivors keep
+    //     themselves — the d16 discipline).
+    // Both normalized corpora are checkpointed: QC and dedup reference
+    // them twice and exchange reuse over RDD-sourced subtrees does not
+    // happen (the measured m14 lesson) — ONE decode pass per modality.
+    // Pixels, samples, hashes, fingerprints, the cap, CC and the keep
+    // rule all replay closed-form in ONE DuckDB oracle. ------------------
+    "p25_multimodal_curation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.multimodal.{Flac, Multimodal}
+      val docs = Tables.documents(s, d)
+
+      // ---- image branch ----
+      val img = Multimodal.mediaFromDocuments(docs)
+        .filter(col("kind") === "image").select(col("media_id"), col("bytes"))
+      val normImg = Multimodal.normalizeImages(Multimodal.transcodeToPng(img))
+        .localCheckpoint()
+      val sob = udf((b: Array[Byte]) =>
+        Multimodal.sobelEnergyPpm(b).getOrElse(-1L))
+      val imgQc = normImg
+        .select(col("media_id"), col("bytes"), sob(col("bytes")).as("e"))
+        .filter(col("e") > 0)
+      val asg = Multimodal.imageDupAssign(
+        imgQc.select(col("media_id"), col("bytes")))
+      val wI = Window.partitionBy(col("rep_hi"), col("rep_lo"))
+        .orderBy(col("e").desc, col("media_id"))
+      val keptImg = imgQc.drop("bytes").join(asg, Seq("media_id"))
+        .withColumn("__rk", row_number().over(wI)).filter(col("__rk") === 1)
+        .select(lit("image").as("kind"), col("media_id"),
+          col("e").as("weight"))
+
+      // ---- audio branch ----
+      val W = 64
+      val mk = udf { (id: Long) =>
+        def seg(k: Long): Array[Int] =
+          Array.tabulate(W)(i => (((k * 37 + i * 13) % 4001) - 2000).toInt)
+        val tail = if (id % 5 == 0) Array.fill(W)(32767) else Array.empty[Int]
+        val pcm = Array.fill(W)(0) ++ seg(id) ++ seg(id + 3) ++ tail
+        val rate = (8000 + (id % 4) * 4000).toInt
+        if (id % 2 == 0) Flac.encode(pcm, rate)
+        else Multimodal.wavFromPcm(rate, pcm)
+      }
+      val aud = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+      val normAud = Multimodal.normalizeAudio(aud).localCheckpoint()
+      val qc = udf((b: Array[Byte]) =>
+        Multimodal.decodeWavSamples(b) match {
+          case Some(ss) =>
+            var clip = 0L; var sq = 0L
+            ss.foreach { v =>
+              if (math.abs(v.toLong) >= 32767) clip += 1
+              sq += v.toLong * v
+            }
+            (clip, sq)
+          case None => (-1L, -1L)
+        })
+      val audQc = normAud
+        .select(col("media_id"), col("bytes"), qc(col("bytes")).as("q"))
+        .select(col("media_id"), col("bytes"), col("q._1").as("n_clipped"),
+          col("q._2").as("sum_sq"))
+        .filter(col("n_clipped") === 0)
+      val pairs = Multimodal.audioDupPairs(
+        audQc.select(col("media_id"), col("bytes")),
+        windowLen = W, minShared = 1, maxClipsPerFingerprint = 16)
+      val keptAud = Dedup.keepBestPerCluster(
+          audQc.select(col("media_id"), col("sum_sq")),
+          "media_id", "sum_sq", pairs.select(col("a"), col("b")))
+        .select(lit("audio").as("kind"), col("media_id"),
+          col("sum_sq").as("weight"))
+
+      keptImg.unionByName(keptAud).orderBy(col("kind"), col("media_id"))
+    }),
+
     // -- REAL image resize pipeline: every image row nearest-neighbor
     // resized to 2x2 (pure-JVM P6 resample), re-decoded, per-image channel
     // sums. NN source-pixel indices are closed-form integer arithmetic,
@@ -2649,6 +2740,132 @@ object PipelineQueries {
         |FROM documents doc LEFT JOIN out o USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin,
     "p08_training_mix" -> trainingMixOracle,
+    // p25: the whole multimodal curation mix replayed in one statement —
+    // image: m08's Sobel CTEs (QC), m05's dHash CTEs over the QC
+    // survivors, m15's band-join + Hamming + reachability closure, then
+    // keep-best (energy DESC, id) per component; audio: m16's
+    // fingerprint CTEs with the planted CLIPPED window dropped by QC,
+    // the BINDING 2..16 census, reachability closure over pair edges,
+    // keep-best (Σs² DESC, id) per component plus unpaired survivors.
+    // PNG and FLAC staging are lossless, so the closed-form pixel and
+    // sample formulas replay through both front doors.
+    "p25_multimodal_curation" ->
+      """WITH RECURSIVE m AS (SELECT doc_id, (doc_id % 5) + 1 AS w,
+        |    (doc_id % 4) + 2 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ptx AS (SELECT doc_id, w, h, unnest(range(1, w - 1))::INT AS x
+        |  FROM m),
+        |pts AS (SELECT doc_id, w, h, x, unnest(range(1, h - 1))::INT AS y
+        |  FROM ptx),
+        |nb AS (SELECT p.doc_id, p.x, p.y, o.dx, o.dy,
+        |    (((p.doc_id*31 + 3*((p.y+o.dy)*p.w + (p.x+o.dx))) % 256
+        |     + (p.doc_id*31 + 3*((p.y+o.dy)*p.w + (p.x+o.dx)) + 1) % 256
+        |     + (p.doc_id*31 + 3*((p.y+o.dy)*p.w + (p.x+o.dx)) + 2) % 256)
+        |     // 3) AS g
+        |  FROM pts p, (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),
+        |    (-1,1),(0,1),(1,1)) AS o(dx,dy)),
+        |sb AS (SELECT doc_id, x, y,
+        |    sum(g * CASE WHEN dx = -1 AND dy = 0 THEN -2
+        |      WHEN dx = 1 AND dy = 0 THEN 2
+        |      WHEN dx = -1 THEN -1 WHEN dx = 1 THEN 1 ELSE 0 END) AS gx,
+        |    sum(g * CASE WHEN dy = -1 AND dx = 0 THEN -2
+        |      WHEN dy = 1 AND dx = 0 THEN 2
+        |      WHEN dy = -1 THEN -1 WHEN dy = 1 THEN 1 ELSE 0 END) AS gy
+        |  FROM nb GROUP BY 1, 2, 3),
+        |iqc AS (SELECT m.doc_id, m.w, m.h, e.energy FROM m
+        |  JOIN (SELECT doc_id, CAST(sum(abs(gx) + abs(gy)) AS BIGINT)
+        |          AS energy FROM sb GROUP BY 1) e USING (doc_id)
+        |  WHERE e.energy > 0),
+        |g2 AS (SELECT q.doc_id, ys.y, xs.x,
+        |    (((q.doc_id*31 + 3*(((ys.y*q.h)//8)*q.w + (xs.x*q.w)//9)) % 256)
+        |     + ((q.doc_id*31 + 3*(((ys.y*q.h)//8)*q.w + (xs.x*q.w)//9) + 1) % 256)
+        |     + ((q.doc_id*31 + 3*(((ys.y*q.h)//8)*q.w + (xs.x*q.w)//9) + 2) % 256)
+        |    ) // 3 AS gv
+        |  FROM iqc q
+        |  CROSS JOIN generate_series(0, 7) AS ys(y)
+        |  CROSS JOIN generate_series(0, 8) AS xs(x)),
+        |b2 AS (SELECT doc_id, y, x, gv,
+        |    lead(gv) OVER (PARTITION BY doc_id, y ORDER BY x) AS nxt
+        |  FROM g2),
+        |bits AS (SELECT doc_id, y*8 + x AS bit FROM b2
+        |         WHERE x < 8 AND nxt > gv),
+        |ih AS (SELECT q.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (CAST(1 AS BIGINT) << (bit - 32)) END), 0) AS BIGINT) AS hi,
+        |    CAST(coalesce(sum(CASE WHEN bit < 32
+        |      THEN (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS lo
+        |  FROM iqc q LEFT JOIN bits ON bits.doc_id = q.doc_id
+        |  GROUP BY q.doc_id),
+        |ikey AS (SELECT doc_id,
+        |    CAST(hi AS HUGEINT) * 4294967296 + lo AS k FROM ih),
+        |icen AS (SELECT hi, lo,
+        |    CAST(hi AS HUGEINT) * 4294967296 + lo AS k
+        |  FROM ih GROUP BY hi, lo),
+        |ip AS (SELECT x.k AS a, y.k AS b
+        |  FROM icen x JOIN icen y ON x.k < y.k
+        |  WHERE (bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))) <= 3
+        |    AND ((x.lo & 65535) = (y.lo & 65535)
+        |      OR ((x.lo >> 16) & 65535) = ((y.lo >> 16) & 65535)
+        |      OR (x.hi & 65535) = (y.hi & 65535)
+        |      OR ((x.hi >> 16) & 65535) = ((y.hi >> 16) & 65535))),
+        |ie AS (SELECT a, b FROM ip UNION SELECT b, a FROM ip),
+        |ireach(id, r) AS (
+        |  SELECT a, a FROM ie
+        |  UNION
+        |  SELECT e.b, ireach.r FROM ireach JOIN ie e ON e.a = ireach.id),
+        |irep AS (SELECT id, min(r) AS rep FROM ireach GROUP BY id),
+        |iasg AS (SELECT kk.doc_id, coalesce(irep.rep, kk.k) AS repk,
+        |    q.energy
+        |  FROM ikey kk JOIN iqc q USING (doc_id)
+        |  LEFT JOIN irep ON irep.id = kk.k),
+        |ikept AS (SELECT doc_id, energy FROM (
+        |    SELECT doc_id, energy, row_number() OVER (PARTITION BY repk
+        |      ORDER BY energy DESC, doc_id) AS rk FROM iasg) WHERE rk = 1),
+        |apass AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id % 3 = 1 AND doc_id % 5 <> 0),
+        |w2 AS (SELECT id, unnest([0, 1, 2]) AS wi FROM apass),
+        |sm2 AS (SELECT id, wi, unnest(range(0, 64)) AS i FROM w2),
+        |sv2 AS (SELECT id, wi, (i // 8)::INT AS band,
+        |    CASE WHEN wi = 0 THEN 0
+        |      ELSE abs((((CASE WHEN wi = 1 THEN id ELSE id + 3 END) * 37
+        |        + i * 13) % 4001) - 2000) END AS a
+        |  FROM sm2),
+        |bd2 AS (SELECT id, wi, band,
+        |    least(127, (sum(a) // 8) >> 4) AS q
+        |  FROM sv2 GROUP BY 1, 2, 3),
+        |fp2 AS (SELECT id, wi, CAST(sum(q << (8 * band)) AS BIGINT) AS fp
+        |  FROM bd2 GROUP BY 1, 2),
+        |cf2 AS (SELECT DISTINCT id, fp FROM fp2),
+        |cen2 AS (SELECT fp FROM cf2 GROUP BY fp
+        |  HAVING count(*) BETWEEN 2 AND 16),
+        |idx2 AS (SELECT cf2.id, cf2.fp FROM cf2 JOIN cen2 USING (fp)),
+        |ap AS (SELECT x.id AS a, y.id AS b FROM idx2 x JOIN idx2 y
+        |  ON x.fp = y.fp AND x.id < y.id GROUP BY 1, 2),
+        |ae AS (SELECT a, b FROM ap UNION SELECT b, a FROM ap),
+        |areach(id, r) AS (
+        |  SELECT a, a FROM ae
+        |  UNION
+        |  SELECT e.b, areach.r FROM areach JOIN ae e ON e.a = areach.id),
+        |arep AS (SELECT id, min(r) AS rep FROM areach GROUP BY id),
+        |asq AS (SELECT id, CAST(sum(s * s) AS BIGINT) AS sum_sq FROM (
+        |    SELECT id, (((CASE WHEN wi = 1 THEN id ELSE id + 3 END) * 37
+        |      + i * 13) % 4001) - 2000 AS s
+        |    FROM sm2 WHERE wi > 0) GROUP BY id),
+        |akept AS (
+        |  SELECT id, sum_sq FROM (
+        |    SELECT l.id, q.sum_sq, row_number() OVER (PARTITION BY l.rep
+        |      ORDER BY q.sum_sq DESC, l.id) AS rk
+        |    FROM arep l JOIN asq q ON q.id = l.id) WHERE rk = 1
+        |  UNION ALL
+        |  SELECT id, sum_sq FROM asq
+        |  WHERE id NOT IN (SELECT id FROM arep))
+        |SELECT kind, media_id, weight FROM (
+        |  SELECT 'image' AS kind, doc_id AS media_id, energy AS weight
+        |  FROM ikept
+        |  UNION ALL
+        |  SELECT 'audio' AS kind, id AS media_id, sum_sq AS weight
+        |  FROM akept)
+        |ORDER BY kind, media_id""".stripMargin,
     "t11_lm_score" -> lmScoreOracle,
     "p21_datasheet" ->
       """SELECT count(*) AS n_docs,

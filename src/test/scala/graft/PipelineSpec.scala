@@ -519,6 +519,36 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"cap must isolate: ${capped.toSeq}")
   }
 
+  test("imageDupAssign: per-media reps carry exactly the cluster census mass") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal
+      .mediaFromDocuments(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("bytes"))
+    val asg = Multimodal.imageDupAssign(media).collect()
+      .map(r => (r.getLong(0), (r.getLong(1) << 32) | r.getLong(2)))
+    // one assignment per DECODABLE image (the normalizeImages contract)
+    val decodable = media.collect().flatMap(r =>
+      Multimodal.dhashPpm(r.getAs[Array[Byte]](1)).map(_ => r.getLong(0)))
+    assert(asg.map(_._1).sorted.toSeq == decodable.sorted.toSeq,
+      "every decodable image must be assigned exactly once")
+    // media-granularity rep counts == the cluster census (one contract,
+    // two granularities: p25 composes keep-best on top of this equality)
+    val clusters = Multimodal.imageDupClusters(media).collect()
+      .map(r => ((r.getLong(0) << 32) | r.getLong(1), r.getLong(2))).toMap
+    val counts = asg.groupBy(_._2).map { case (k, v) => (k, v.length.toLong) }
+    assert(counts == clusters,
+      s"assignment mass diverges from the cluster census: $counts vs $clusters")
+    // a singleton's rep is its own hash
+    val hashByMedia = media.collect().flatMap(r =>
+      Multimodal.dhashPpm(r.getAs[Array[Byte]](1))
+        .map(h => r.getLong(0) -> h)).toMap
+    val singletonReps = counts.filter(_._2 == 1L).keySet
+    asg.filter(a => singletonReps(a._2)).foreach { case (id, rep) =>
+      assert(hashByMedia(id) == rep, s"singleton $id rep != own hash")
+    }
+  }
+
   test("all-ones dHash is a legitimate hash, not the undecodable sentinel") {
     // a horizontal gradient brightens strictly left-to-right, so every
     // neighbor pair sets its bit: dhash == -1L (all 64 ones). The old
@@ -1598,6 +1628,89 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     val perWord = stats._1 / stats._2
     assert(perWord > 1.0 && perWord < 6.0,
       s"suspicious subwords/word ratio $perWord")
+  }
+
+  test("WordPiece: likelihood-scored merges on the textbook corpus; greedy longest-match encode") {
+    import graft.functions.WordPiece
+    // HF tokenizers' WordPiece example corpus: the likelihood ratio
+    // count(ab)/(count(a)·count(b)) must pick (##g,##s) FIRST even
+    // though its raw pair count (5) is the smallest — ##s only ever
+    // follows ##g. Rounds 2 and 3 are all-tie rounds (every score
+    // floors to 1e12/36 resp. 1e12/21), so they pin the quantized
+    // integer argmax AND the utf8 lexicographic tie-break.
+    val words = Array(("hug", 10L), ("pug", 5L), ("pun", 12L),
+      ("bun", 4L), ("hugs", 5L))
+    val model = WordPiece.trainFromWordCounts(words, nMerges = 3)
+    assert(model.merges == Seq(("##g", "##s"), ("##u", "##g"),
+      ("##u", "##gs")), s"got ${model.merges}")
+    assert(model.vocab == Set("h", "##u", "##g", "p", "##n", "b", "##s",
+      "##gs", "##ug", "##ugs"), s"got ${model.vocab}")
+
+    // both DataFrame trainers agree with the serial word-count loop
+    val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+        Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .map(Tuple1(_)).toDF("text")
+    assert(WordPiece.train(corpus, "text", nMerges = 3).merges ==
+      model.merges, "word-count train must equal serial train")
+    assert(WordPiece.trainDistributed(corpus, "text", nMerges = 3).merges ==
+      model.merges, "trainDistributed must equal the serial trainer")
+
+    // greedy longest-match-first: "hugs" takes ##ugs whole, never ##ug+s
+    assert(WordPiece.encodeWord("hugs", model.vocab) ==
+      Vector("h", "##ugs"))
+    assert(WordPiece.encodeWord("pun", model.vocab) ==
+      Vector("p", "##u", "##n"))
+    // cross-word generalization: b + ##ug never co-occurred in training
+    assert(WordPiece.encodeWord("bug", model.vocab) ==
+      Vector("b", "##ug"))
+    // unknown alphabet -> the whole word is one [UNK]
+    assert(WordPiece.encodeWord("mug", model.vocab) ==
+      Vector(WordPiece.Unk))
+
+    // column paths: encode/tokenCount/decode with nulls and empties
+    val enc = corpus.limit(1)
+      .select(WordPiece.encode(model)(lit("hug pug hugs")))
+      .as[Seq[String]].head()
+    assert(enc == Seq("h", "##ug", "p", "##ug", "h", "##ugs"), s"got $enc")
+    val cnt = corpus.limit(1)
+      .select(WordPiece.tokenCount(model)(lit("hug pug hugs")).as("n"),
+        WordPiece.tokenCount(model)(lit(null.asInstanceOf[String])).as("z"))
+      .as[(Int, Int)].head()
+    assert(cnt == ((6, 0)), s"got $cnt")
+    val dec = corpus.limit(1).select(
+        WordPiece.decode(WordPiece.encode(model)(lit("hug  pun hugs"))).as("a"),
+        WordPiece.decode(WordPiece.encode(model)(lit(""))).as("b"),
+        WordPiece.decode(WordPiece.encode(model)(lit("mug"))).as("c"))
+      .as[(String, String, String)].head()
+    assert(dec == (("hug pun hugs", "", WordPiece.Unk)), s"got $dec")
+  }
+
+  test("WordPiece on the corpus: deterministic, distributed parity, UNK-free self-encode") {
+    import graft.functions.WordPiece
+    val docs = Tables.documents(spark, sfDir)
+    val m1 = WordPiece.train(docs, "text", nMerges = 32)
+    val m2 = WordPiece.train(docs, "text", nMerges = 32)
+    assert(m1.merges == m2.merges, "training must be deterministic")
+    assert(m1.merges.size == 32, "corpus is rich enough for 32 merges")
+    val md = WordPiece.trainDistributed(docs, "text", nMerges = 32)
+    assert(md.merges == m1.merges,
+      s"distributed trainer drifted: ${md.merges} vs ${m1.merges}")
+    assert(md.vocab == m1.vocab, "vocabularies must agree too")
+    // the training corpus' own alphabet is in the vocab, so encoding the
+    // corpus never hits [UNK] and the per-word piece count is bounded by
+    // the word's code-point count
+    val stats = docs.select(
+        size(split(col("text"), " ")).cast("double").as("w"),
+        WordPiece.tokenCount(m1)(col("text")).cast("double").as("p"),
+        (size(filter(WordPiece.encode(m1)(col("text")),
+          t => t === WordPiece.Unk)) > 0).as("unk"))
+      .agg(sum(col("p")).as("p"), sum(col("w")).as("w"),
+        max(col("unk")).as("unk"))
+      .as[(Double, Double, Boolean)].head()
+    assert(!stats._3, "self-encode must be UNK-free")
+    val perWord = stats._1 / stats._2
+    assert(perWord > 1.0 && perWord < 6.0,
+      s"suspicious pieces/word ratio $perWord")
   }
 
   test("Unigram: tiny corpus learns the frequent word as one piece; round-trips") {
