@@ -90,6 +90,7 @@ object Bench {
     "m15_image_neardup",     // banded-dHash near-dup clusters (hash-level CC)
     "m16_audio_neardup",     // window-fingerprint inverted-index pair join
     "p25_multimodal_curation", // both modality front doors -> QC -> dedup -> keep
+    "t36_wordpiece_tokens",  // WordPiece train + greedy longest-match census
     "r03_ndcg_eval",         // BM25 ranking + nDCG evaluation
     "u03_incremental_agg",   // base+delta agg merge, no base rescan
     "t21_pmi_collocations",  // PMI over vocabulary-sized count tables

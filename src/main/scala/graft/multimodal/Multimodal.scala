@@ -572,17 +572,30 @@ object Multimodal {
     * Scale shape: one narrow decode pass; the only corpus-sized exchange
     * is keyed by frame hash (census reuses that partitioning); pair
     * output is bounded by the census cap. Returns (a, b, shared_frames),
-    * a < b. */
+    * a < b.
+    *
+    * `stride`/`maxFrames` thread through to [[frameStats]]: the decode
+    * pass is the MEASURED dominant cost of this operator, so a
+    * 100×-frame corpus (full-length video vs clips) fingerprints on a
+    * sampled lattice instead of every frame. Recall semantics shift
+    * with sampling: two near-dup videos are found iff they share a
+    * fingerprint among the SAMPLED frames — same-alignment copies
+    * (re-encodes, the dominant dup class) always are, since both sides
+    * sample the same indices; arbitrarily-cut overlaps degrade
+    * gracefully with 1/stride. */
   def videoDupPairs(media: DataFrame, minShared: Int = 1,
-      maxVideosPerHash: Long = -1L): DataFrame =
-    videoDupPairsWithStats(media, minShared, maxVideosPerHash)._1
+      maxVideosPerHash: Long = -1L, stride: Int = 1,
+      maxFrames: Int = Int.MaxValue): DataFrame =
+    videoDupPairsWithStats(media, minShared, maxVideosPerHash, stride,
+      maxFrames)._1
 
   /** [[videoDupPairs]] plus the DROPPED-fingerprint census
     * `(dhash, n, cap)` — the [[graft.dedup.Dedup.simhashPairsWithStats]]
     * observability contract for the video modality: a capped run is
     * never silently lossy. */
   def videoDupPairsWithStats(media: DataFrame, minShared: Int = 1,
-      maxVideosPerHash: Long = -1L): (DataFrame, DataFrame) = {
+      maxVideosPerHash: Long = -1L, stride: Int = 1,
+      maxFrames: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     require(minShared >= 1, s"minShared=$minShared")
     // localCheckpoint the distinct fingerprint table: it is referenced
     // FOUR times downstream (census twice through the join, both
@@ -591,7 +604,7 @@ object Multimodal {
     // this) — the DECODE is the dominant cost, so it must run once. The
     // checkpointed table is (video, hash) rows — 12 bytes/frame, orders
     // smaller than the media bytes, the duplicateClusters discipline.
-    val vh = frameStats(media)
+    val vh = frameStats(media, stride, maxFrames)
       .select(col("media_id"), col("dhash")).distinct()
       .localCheckpoint()
     val census = vh.groupBy(col("dhash")).agg(count(lit(1)).as("n"))

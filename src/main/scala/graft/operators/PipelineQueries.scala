@@ -1834,6 +1834,78 @@ object PipelineQueries {
           lit(lossOk).as("loss_prune_ok"), col("n_docs"))
     }),
 
+    // -- t36: WordPiece subword tokenization (Schuster & Nakajima 2012 —
+    // the BERT-family tokenizer, completing the subword triple next to
+    // BPE t12 and Unigram t34): likelihood-scored merge training
+    // (count(ab)/(count(a)·count(b)), quantized to an exact 1e12
+    // integer so SQL replays every argmax), then greedy
+    // longest-match-first encode over the learned vocabulary → per-lang
+    // token census. The oracle replays the WHOLE thing: 48 training
+    // rounds in a recursive CTE (pair counts JOINed with symbol counts,
+    // HUGEINT floor-divide score), then — unlike BPE, where encode of a
+    // training word IS its final repr — a second recursive CTE walks
+    // the greedy longest-match segmentation per word, because
+    // WordPiece's encoder consults only the vocabulary and can segment
+    // a training word differently than training left it. ---------------
+    "t36_wordpiece_tokens" -> ((s, d) => {
+      import graft.functions.WordPiece
+      val docs = Tables.documents(s, d)
+      val model = WordPiece.train(docs, "text", nMerges = 48)
+      docs.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          WordPiece.tokenCount(model)(col("text")).cast("long").as("n_wp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_wp")).as("wp_tokens"),
+          round(avg(col("n_wp").cast("double") / col("n_words")), 4)
+            .as("avg_pieces_per_word"))
+        .orderBy(col("lang"))
+    }),
+
+    // -- t37: WordPiece tokenizer CONTRACT, gate-enforced (the t16/t35
+    // discipline): (1) decode∘encode reproduces every document's
+    // single-spaced word sequence (UNK-free by construction — the
+    // corpus' own alphabet trains the model, so losslessness is the
+    // invariant an encode bug breaks first); (2) the allocation-free
+    // tokenCount path agrees with size(encode) corpus-wide; (3) per-doc
+    // bounds n_words ≤ n_wp ≤ n_chars (greedy emits 1..cp-count pieces
+    // per word, never an end-of-word marker); (4) no [UNK] anywhere on
+    // the training corpus; (5) 48 merges strictly compress below the
+    // unmerged per-character count; (6) the DISTRIBUTED trainer learns
+    // the identical model — vocabulary AND merge order — under the one
+    // utf8 collation (the round-11 lesson, baked in from day one). -----
+    "t37_wordpiece_contract" -> ((s, d) => {
+      import graft.functions.WordPiece
+      val docs = Tables.documents(s, d)
+      val model = WordPiece.train(docs, "text", nMerges = 48)
+      val dist = WordPiece.trainDistributed(docs, "text", nMerges = 48)
+      val distOk = dist.merges == model.merges && dist.vocab == model.vocab
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val enc = docs.select(col("text"),
+        WordPiece.encode(model)(col("text")).as("toks"),
+        WordPiece.tokenCount(model)(col("text")).cast("long").as("n_wp"))
+      val per = enc.select(
+        WordPiece.decode(col("toks")).eqNullSafe(concat_ws(" ", words))
+          .as("rt"),
+        (size(col("toks")).cast("long") === col("n_wp")).as("parity"),
+        (!array_contains(col("toks"), WordPiece.Unk)).as("no_unk"),
+        col("n_wp"),
+        size(words).cast("long").as("n_words"),
+        length(replace(col("text"), lit(" "), lit(""))).cast("long")
+          .as("n_chars"))
+      per.agg(count(lit(1)).as("n_docs"),
+        min(col("rt")).as("roundtrip_ok"),
+        min(col("parity")).as("count_parity"),
+        min(col("no_unk")).as("unk_free"),
+        min(col("n_wp") >= col("n_words") && col("n_wp") <= col("n_chars"))
+          .as("bounds_ok"),
+        (sum(col("n_wp")) < sum(col("n_chars"))).as("compresses"))
+        .select(col("n_docs"), col("roundtrip_ok"), col("count_parity"),
+          col("unk_free"), col("bounds_ok"), col("compresses"),
+          lit(distOk).as("dist_parity_ok"))
+    }),
+
     // -- BPE tokenizer CONTRACT, gate-enforced (upgrades t12 from
     // rows-only — merge TRAINING isn't SQL-replayable, but the learned
     // tokenizer's algebra is): (1) round-trip — decode(encode(text))
@@ -3313,6 +3385,100 @@ object PipelineQueries {
     // training replay gates it
     "t12c_bpe_tokens_distributed" -> bpeTrainingOracle,
     "t12_bpe_tokens" -> bpeTrainingOracle,
+    // t37: the booleans are corpus-wide invariants the plan must prove
+    // TRUE (the t16 shape); dist_parity_ok additionally pins the
+    // distributed trainer to the serial model
+    "t37_wordpiece_contract" ->
+      ("SELECT count(*) AS n_docs, TRUE AS roundtrip_ok, " +
+        "TRUE AS count_parity, TRUE AS unk_free, TRUE AS bounds_ok, " +
+        "TRUE AS compresses, TRUE AS dist_parity_ok FROM documents"),
+    // t36: WordPiece training AND encoding replayed end to end. The
+    // training CTE runs all 48 likelihood-scored rounds (pair counts
+    // joined with symbol counts from the same working table; the score
+    // `(count(ab)·10¹²) // (count(a)·count(b))` is a HUGEINT
+    // floor-divide that matches the trainer's BigInt truncation on
+    // positives exactly; ties break on DuckDB's binary VARCHAR order ==
+    // Collation.utf8Order). Unlike the BPE oracle, tokenization canNOT
+    // read off the final training reprs — WordPiece encodes by greedy
+    // longest-match over the VOCABULARY (base alphabet + one token per
+    // merge, accumulated in the `tok` column), so a second recursive
+    // CTE walks the greedy segmentation: per word, the longest
+    // vocab match at each position (the `best` argmax over all
+    // substring candidates), one step per emitted piece; a word whose
+    // walk strands (no match) is one [UNK] — coalesce(…, 1).
+    "t36_wordpiece_tokens" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT w, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+        |  WHERE len(w) > 0 GROUP BY w ORDER BY c DESC, w LIMIT 100000),
+        |init AS (SELECT w, c,
+        |  list_concat([string_split(w,'')[1]],
+        |    list_transform(string_split(w,'')[2:], x -> '##' || x)) AS syms
+        |  FROM words),
+        |sim AS (
+        |  SELECT 0 AS it, w, c, syms, NULL::VARCHAR AS tok FROM init
+        |  UNION ALL
+        |  SELECT s.it + 1, s.w, s.c,
+        |    list_reduce(
+        |      list_prepend([]::VARCHAR[], list_transform(s.syms, x -> [x])),
+        |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = bp.a
+        |                        AND x[1] = bp.b
+        |        THEN list_append(acc[1:len(acc)-1],
+        |               bp.a || CASE WHEN bp.b LIKE '##%'
+        |                 THEN bp.b[3:] ELSE bp.b END)
+        |        ELSE list_append(acc, x[1]) END),
+        |    bp.a || CASE WHEN bp.b LIKE '##%' THEN bp.b[3:] ELSE bp.b END
+        |  FROM sim s, (
+        |    SELECT pc.a, pc.b FROM
+        |      (SELECT pr[1] AS a, pr[2] AS b, sum(c)::HUGEINT AS n FROM (
+        |         SELECT unnest(list_transform(range(len(syms)-1),
+        |           i -> [syms[i+1], syms[i+2]])) AS pr, c FROM sim) q
+        |       GROUP BY 1, 2) pc
+        |      JOIN (SELECT s1, sum(c)::HUGEINT AS m FROM (
+        |         SELECT unnest(syms) AS s1, c FROM sim) z GROUP BY 1) ca
+        |        ON ca.s1 = pc.a
+        |      JOIN (SELECT s1, sum(c)::HUGEINT AS m FROM (
+        |         SELECT unnest(syms) AS s1, c FROM sim) z GROUP BY 1) cb
+        |        ON cb.s1 = pc.b
+        |    ORDER BY (pc.n * 1000000000000::HUGEINT) // (ca.m * cb.m) DESC,
+        |      pc.a, pc.b
+        |    LIMIT 1) bp
+        |  WHERE s.it < 48),
+        |vocab AS (
+        |  SELECT DISTINCT unnest(syms) AS v FROM sim WHERE it = 0
+        |  UNION
+        |  SELECT DISTINCT tok AS v FROM sim WHERE tok IS NOT NULL),
+        |wl AS (SELECT w, string_split(w,'') AS cps,
+        |    len(string_split(w,''))::INT AS n FROM words),
+        |pos1 AS (SELECT w, cps, n, unnest(range(1, n + 1))::INT AS pos
+        |  FROM wl),
+        |cand AS (SELECT w, pos, l,
+        |    CASE WHEN pos = 1 THEN '' ELSE '##' END ||
+        |      array_to_string(cps[pos:pos+l-1], '') AS piece
+        |  FROM (SELECT w, cps, n, pos,
+        |          unnest(range(1, n - pos + 2))::INT AS l FROM pos1)),
+        |best AS (SELECT c.w, c.pos, max(c.l) AS l
+        |  FROM cand c JOIN vocab v ON v.v = c.piece GROUP BY 1, 2),
+        |walk(w, n, pos, cnt) AS (
+        |  SELECT w, n, 1, 0 FROM wl
+        |  UNION ALL
+        |  SELECT k.w, k.n, k.pos + b.l, k.cnt + 1
+        |  FROM walk k JOIN best b ON b.w = k.w AND b.pos = k.pos
+        |  WHERE k.pos <= k.n),
+        |wp AS (SELECT wl.w,
+        |    coalesce(max(CASE WHEN k.pos = k.n + 1 THEN k.cnt END), 1)
+        |      AS npieces
+        |  FROM wl LEFT JOIN walk k ON k.w = wl.w GROUP BY wl.w),
+        |docw AS (SELECT doc_id AS did, lang,
+        |    len(string_split(text,' '))::BIGINT AS nw,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |docb AS (SELECT did, any_value(lang) AS lang, any_value(nw) AS nw,
+        |    sum(t.npieces)::BIGINT AS np
+        |  FROM docw JOIN wp t USING (w) GROUP BY did)
+        |SELECT lang, count(*) AS n_docs, sum(nw)::BIGINT AS words,
+        |  sum(np)::BIGINT AS wp_tokens,
+        |  round(avg(np::DOUBLE / nw), 4) AS avg_pieces_per_word
+        |FROM docb GROUP BY lang ORDER BY lang""".stripMargin,
     // t34: the ENTIRE unigram training replayed in SQL — substring seed
     // (top-4096 by (count DESC, piece ASC) + single-cp coverage),
     // micro-nat quantization (floor(ln(c/T)*1e6) — the one float touch,

@@ -392,6 +392,23 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sp.exists(p => p._1 == 2L && p._2 == 5L && p._3 >= 1),
       s"planted synthetic overlap missed: ${sp.toSeq}")
+    // STRIDED fingerprinting (the 100x-frame lever — decode is the
+    // measured dominant cost): same-alignment copies are always found
+    // (both sides sample the same indices), here an exact re-encode...
+    val copies = Seq((7L, media.collect()(0).getAs[Array[Byte]](1)),
+      (8L, media.collect()(0).getAs[Array[Byte]](1)))
+      .toDF("media_id", "bytes")
+    val strided = Multimodal.videoDupPairs(copies, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(strided.toSeq == Seq((7L, 8L, 2L)),
+      s"stride-2 copy pair: ${strided.toSeq}") // frames 0,2 of 3 sampled
+    // ...while an arbitrarily-CUT overlap can fall off the lattice:
+    // videos 2 (fids 2..5) and 5 (fids 5..7) share only fid 5, which
+    // stride 2 samples on neither side (indices {0,2} -> fids {2,4} vs
+    // {5,7}... fid 5 IS video 5's index 0 but video 2's index 3) — the
+    // documented graceful-degradation semantics, pinned
+    assert(Multimodal.videoDupPairs(synth, stride = 2).collect().isEmpty,
+      "cut overlap off the stride lattice must (documentedly) drop")
   }
 
   test("audioDupPairs: planted window overlaps found across WAV and FLAC; silence capped and observable") {
