@@ -342,13 +342,24 @@ object Dedup {
     * never the corpus; untouched docs pass through one left-anti join.
     * The corpus-sized work is exactly two hash joins on the id.
     *
+    * `ccRegime` dispatches the components pass
+    * ([[duplicateClustersAuto]]: min-label probe, star-contraction
+    * fallback, or either pinned). The default is the AUTO probe because
+    * canonical selection is exactly where chain-shaped dup graphs show
+    * up in practice — measured in-repo: p25's audio corpus at sf0.1
+    * cross-links its stride-3 near-dup chains through sample-formula
+    * aliasing into components of diameter > 20, which min-label's round
+    * budget cannot close but the log-d fallback collapses. The kept set
+    * is regime-INDEPENDENT (same components either way), so callers pay
+    * only the probe.
+    *
     * @param pairs (a, b) near-dup pairs, ids drawn from `df(idCol)`
     * @return the kept rows of `df`, schema unchanged
     */
   def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, ccRegime: String = "auto"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = duplicateClusters(pairs)
+    val clusters = duplicateClustersAuto(pairs, regime = ccRegime)
       .select(col("doc_id").as(idCol), col("rep"))
     val clustered = df.join(clusters, Seq(idCol))
     val w = Window.partitionBy(col("rep"))

@@ -536,6 +536,25 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"cap must isolate: ${capped.toSeq}")
   }
 
+  test("keepBestPerCluster survives a chain deeper than min-label's round budget") {
+    // the regime p25's sf0.1 audio corpus actually produced (stride-3
+    // near-dup chains cross-linked by sample-formula aliasing into
+    // >20-diameter components): a 41-node path graph defeats plain
+    // min-label (20 rounds) — the auto dispatch must probe, fall back
+    // to star contraction, and still keep exactly the best member
+    val pairs = (0 until 40).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val docs = (0 to 40).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("id", "score")
+    intercept[IllegalStateException] {
+      Dedup.keepBestPerCluster(docs, "id", "score", pairs,
+        ccRegime = "minlabel").collect()
+    }
+    val kept = Dedup.keepBestPerCluster(docs, "id", "score", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one component, best score 6 first reached at id 6 (ties -> min id)
+    assert(kept.toSeq == Seq((6L, 6L)), s"got ${kept.toSeq}")
+  }
+
   test("imageDupAssign: per-media reps carry exactly the cluster census mass") {
     import graft.multimodal.Multimodal
     val media = Multimodal
