@@ -872,9 +872,17 @@ object Multimodal {
     val banded = bands.join(okBands, Seq("band", "key"))
     val l = banded.select(col("band"), col("key"), col("phash").as("pa"))
     val r = banded.select(col("band"), col("key"), col("phash").as("pb"))
+    // Hamming filter BEFORE the distinct: bit_count is one codegen'd
+    // instruction per candidate, the distinct is a SHUFFLE — on a
+    // dissimilar corpus most band-joined candidates fail the radius, so
+    // filtering first shrinks the exchange by the failure rate, at the
+    // cost of re-computing bit_count for the ≤4-band duplicates of the
+    // survivors (measured: m15 sf10 4.35 s → 3.38 s at a flat anchor,
+    // sf1 neutral within jitter; same result set — filter and distinct
+    // commute)
     val pairs = l.join(r, Seq("band", "key")).filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
       .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
+      .select(col("pa"), col("pb")).distinct()
     val shifted = pairs.select(
       col("pa").bitwiseXOR(lit(Long.MinValue)).as("a"),
       col("pb").bitwiseXOR(lit(Long.MinValue)).as("b"))
