@@ -1188,67 +1188,89 @@ object PipelineQueries {
     "p25_multimodal_curation" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       import graft.multimodal.{Flac, Multimodal}
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val docs = Tables.documents(s, d)
 
+      // The two modality branches are INDEPENDENT pipelines whose
+      // wall-clock is dominated by driver-PACED work (normalize
+      // checkpoints, the CC loops' per-round jobs) — exactly the case
+      // where Spark's thread-safe concurrent job submission overlaps
+      // them instead of serializing two scheduling-bound loops
+      // (measured: p25 sf0.1 9.5 s sequential → see BASELINE.md). The
+      // result is deterministic either way; on a cluster this is how a
+      // real curation driver runs independent stages.
+
       // ---- image branch ----
-      val img = Multimodal.mediaFromDocuments(docs)
-        .filter(col("kind") === "image").select(col("media_id"), col("bytes"))
-      val normImg = Multimodal.normalizeImages(Multimodal.transcodeToPng(img))
-        .localCheckpoint()
-      val sob = udf((b: Array[Byte]) =>
-        Multimodal.sobelEnergyPpm(b).getOrElse(-1L))
-      val imgQc = normImg
-        .select(col("media_id"), col("bytes"), sob(col("bytes")).as("e"))
-        .filter(col("e") > 0)
-      val asg = Multimodal.imageDupAssign(
-        imgQc.select(col("media_id"), col("bytes")))
-      val wI = Window.partitionBy(col("rep_hi"), col("rep_lo"))
-        .orderBy(col("e").desc, col("media_id"))
-      val keptImg = imgQc.drop("bytes").join(asg, Seq("media_id"))
-        .withColumn("__rk", row_number().over(wI)).filter(col("__rk") === 1)
-        .select(lit("image").as("kind"), col("media_id"),
-          col("e").as("weight"))
+      val fImg = Future {
+        val img = Multimodal.mediaFromDocuments(docs)
+          .filter(col("kind") === "image")
+          .select(col("media_id"), col("bytes"))
+        val normImg = Multimodal
+          .normalizeImages(Multimodal.transcodeToPng(img))
+          .localCheckpoint()
+        val sob = udf((b: Array[Byte]) =>
+          Multimodal.sobelEnergyPpm(b).getOrElse(-1L))
+        val imgQc = normImg
+          .select(col("media_id"), col("bytes"), sob(col("bytes")).as("e"))
+          .filter(col("e") > 0)
+        val asg = Multimodal.imageDupAssign(
+          imgQc.select(col("media_id"), col("bytes")))
+        val wI = Window.partitionBy(col("rep_hi"), col("rep_lo"))
+          .orderBy(col("e").desc, col("media_id"))
+        imgQc.drop("bytes").join(asg, Seq("media_id"))
+          .withColumn("__rk", row_number().over(wI))
+          .filter(col("__rk") === 1)
+          .select(lit("image").as("kind"), col("media_id"),
+            col("e").as("weight"))
+      }
 
       // ---- audio branch ----
-      val W = 64
-      val mk = udf { (id: Long) =>
-        def seg(k: Long): Array[Int] =
-          Array.tabulate(W)(i => (((k * 37 + i * 13) % 4001) - 2000).toInt)
-        val tail = if (id % 5 == 0) Array.fill(W)(32767) else Array.empty[Int]
-        val pcm = Array.fill(W)(0) ++ seg(id) ++ seg(id + 3) ++ tail
-        val rate = (8000 + (id % 4) * 4000).toInt
-        if (id % 2 == 0) Flac.encode(pcm, rate)
-        else Multimodal.wavFromPcm(rate, pcm)
+      val fAud = Future {
+        val W = 64
+        val mk = udf { (id: Long) =>
+          def seg(k: Long): Array[Int] =
+            Array.tabulate(W)(i => (((k * 37 + i * 13) % 4001) - 2000).toInt)
+          val tail =
+            if (id % 5 == 0) Array.fill(W)(32767) else Array.empty[Int]
+          val pcm = Array.fill(W)(0) ++ seg(id) ++ seg(id + 3) ++ tail
+          val rate = (8000 + (id % 4) * 4000).toInt
+          if (id % 2 == 0) Flac.encode(pcm, rate)
+          else Multimodal.wavFromPcm(rate, pcm)
+        }
+        val aud = docs.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+        val normAud = Multimodal.normalizeAudio(aud).localCheckpoint()
+        val qc = udf((b: Array[Byte]) =>
+          Multimodal.decodeWavSamples(b) match {
+            case Some(ss) =>
+              var clip = 0L; var sq = 0L
+              ss.foreach { v =>
+                if (math.abs(v.toLong) >= 32767) clip += 1
+                sq += v.toLong * v
+              }
+              (clip, sq)
+            case None => (-1L, -1L)
+          })
+        val audQc = normAud
+          .select(col("media_id"), col("bytes"), qc(col("bytes")).as("q"))
+          .select(col("media_id"), col("bytes"), col("q._1").as("n_clipped"),
+            col("q._2").as("sum_sq"))
+          .filter(col("n_clipped") === 0)
+        val pairs = Multimodal.audioDupPairs(
+          audQc.select(col("media_id"), col("bytes")),
+          windowLen = W, minShared = 1, maxClipsPerFingerprint = 16)
+        Dedup.keepBestPerCluster(
+            audQc.select(col("media_id"), col("sum_sq")),
+            "media_id", "sum_sq", pairs.select(col("a"), col("b")))
+          .select(lit("audio").as("kind"), col("media_id"),
+            col("sum_sq").as("weight"))
       }
-      val aud = docs.filter(col("doc_id") % 3 === 1)
-        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
-      val normAud = Multimodal.normalizeAudio(aud).localCheckpoint()
-      val qc = udf((b: Array[Byte]) =>
-        Multimodal.decodeWavSamples(b) match {
-          case Some(ss) =>
-            var clip = 0L; var sq = 0L
-            ss.foreach { v =>
-              if (math.abs(v.toLong) >= 32767) clip += 1
-              sq += v.toLong * v
-            }
-            (clip, sq)
-          case None => (-1L, -1L)
-        })
-      val audQc = normAud
-        .select(col("media_id"), col("bytes"), qc(col("bytes")).as("q"))
-        .select(col("media_id"), col("bytes"), col("q._1").as("n_clipped"),
-          col("q._2").as("sum_sq"))
-        .filter(col("n_clipped") === 0)
-      val pairs = Multimodal.audioDupPairs(
-        audQc.select(col("media_id"), col("bytes")),
-        windowLen = W, minShared = 1, maxClipsPerFingerprint = 16)
-      val keptAud = Dedup.keepBestPerCluster(
-          audQc.select(col("media_id"), col("sum_sq")),
-          "media_id", "sum_sq", pairs.select(col("a"), col("b")))
-        .select(lit("audio").as("kind"), col("media_id"),
-          col("sum_sq").as("weight"))
 
-      keptImg.unionByName(keptAud).orderBy(col("kind"), col("media_id"))
+      Await.result(fImg, Duration.Inf)
+        .unionByName(Await.result(fAud, Duration.Inf))
+        .orderBy(col("kind"), col("media_id"))
     }),
 
     // -- REAL image resize pipeline: every image row nearest-neighbor
