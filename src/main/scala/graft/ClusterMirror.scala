@@ -185,7 +185,14 @@ object ClusterMirror {
     //       bit-serial), per-branch dedup machinery, keep-best windows
     //       and the final union all inside one job graph; proves the
     //       front doors compose when every seam crosses the wire
-    "m16_audio_neardup", "p25_multimodal_curation")
+    "m16_audio_neardup", "p25_multimodal_curation",
+    //  st19: a driver-trained tokenizer model (vocab Set + TaskMemo
+    //        @transient state) closure-shipped into STREAMING tasks on
+    //        real daemons — t34 proves the memo closure on batch tasks,
+    //        st04-18 prove the state store; this row proves the
+    //        composition (model closures deserialized per micro-batch
+    //        task in separate worker JVMs)
+    "st19_stream_wordpiece")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

@@ -2179,6 +2179,35 @@ object PipelineQueries {
       }.orderBy(col("sample_rate"))
     }),
 
+    // -- st19: a LEARNED TOKENIZER under a REAL stream — the tokenizer
+    // family and the streaming family composed (the st18 discipline for
+    // t36): WordPiece trains driver-side on the batch corpus, then its
+    // tokenCount UDF (vocabulary closure + per-TASK memo, deserialized
+    // fresh per streaming task) runs per micro-batch and a
+    // complete-mode aggregate merges the per-lang census across batch
+    // boundaries. Stateless per-row encode + chop-invariant aggregate
+    // ⇒ the streamed census hash-matches the SAME training +
+    // greedy-encode replay that gates t36 (integer columns only —
+    // stream == batch == replay exactly). -------------------------------
+    "st19_stream_wordpiece" -> ((s, d) => {
+      import graft.functions.WordPiece
+      val docs = Tables.documents(s, d)
+      val model = WordPiece.train(docs, "text", nMerges = 48)
+      val staged = docs.select(col("doc_id").cast("timestamp").as("ts"),
+        col("doc_id"), col("lang"), col("text"))
+      graft.streaming.EventStreams.runStagedStream(s, staged,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st19_stage",
+          nFiles = 3, sinkName = "st19_sink") { df =>
+        df.select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_words"),
+            WordPiece.tokenCount(model)(col("text")).cast("long").as("n_wp"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("words"),
+            sum(col("n_wp")).as("wp_tokens"))
+      }.orderBy(col("lang"))
+    }),
+
     // -- weighted repeat-upsampling: materialized per-language epoch
     // counts with deterministic fractional copies --------------------------
     "p15_repeat_upsample" -> ((s, d) =>
@@ -2575,6 +2604,80 @@ object PipelineQueries {
     * (every corpus word is inside the 100k training cap at gate scale,
     * which also makes the serial and distributed trainers learn the
     * identical model — one replay gates both). */
+  /** WordPiece training (48 likelihood-scored recursive rounds) +
+    * greedy longest-match encode + per-doc census CTEs — shared by
+    * the t36 batch gate and the st19 streaming gate (same replay,
+    * different final projection). */
+  private val wordPieceCtes: String =
+    """WITH RECURSIVE words AS (
+        |  SELECT w, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+        |  WHERE len(w) > 0 GROUP BY w ORDER BY c DESC, w LIMIT 100000),
+        |init AS (SELECT w, c,
+        |  list_concat([string_split(w,'')[1]],
+        |    list_transform(string_split(w,'')[2:], x -> '##' || x)) AS syms
+        |  FROM words),
+        |sim AS (
+        |  SELECT 0 AS it, w, c, syms, NULL::VARCHAR AS tok FROM init
+        |  UNION ALL
+        |  SELECT s.it + 1, s.w, s.c,
+        |    list_reduce(
+        |      list_prepend([]::VARCHAR[], list_transform(s.syms, x -> [x])),
+        |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = bp.a
+        |                        AND x[1] = bp.b
+        |        THEN list_append(acc[1:len(acc)-1],
+        |               bp.a || CASE WHEN bp.b LIKE '##%'
+        |                 THEN bp.b[3:] ELSE bp.b END)
+        |        ELSE list_append(acc, x[1]) END),
+        |    bp.a || CASE WHEN bp.b LIKE '##%' THEN bp.b[3:] ELSE bp.b END
+        |  FROM sim s, (
+        |    SELECT pc.a, pc.b FROM
+        |      (SELECT pr[1] AS a, pr[2] AS b, sum(c)::HUGEINT AS n FROM (
+        |         SELECT unnest(list_transform(range(len(syms)-1),
+        |           i -> [syms[i+1], syms[i+2]])) AS pr, c FROM sim) q
+        |       GROUP BY 1, 2) pc
+        |      JOIN (SELECT s1, sum(c)::HUGEINT AS m FROM (
+        |         SELECT unnest(syms) AS s1, c FROM sim) z GROUP BY 1) ca
+        |        ON ca.s1 = pc.a
+        |      JOIN (SELECT s1, sum(c)::HUGEINT AS m FROM (
+        |         SELECT unnest(syms) AS s1, c FROM sim) z GROUP BY 1) cb
+        |        ON cb.s1 = pc.b
+        |    ORDER BY (pc.n * 1000000000000::HUGEINT) // (ca.m * cb.m) DESC,
+        |      pc.a, pc.b
+        |    LIMIT 1) bp
+        |  WHERE s.it < 48),
+        |vocab AS (
+        |  SELECT DISTINCT unnest(syms) AS v FROM sim WHERE it = 0
+        |  UNION
+        |  SELECT DISTINCT tok AS v FROM sim WHERE tok IS NOT NULL),
+        |wl AS (SELECT w, string_split(w,'') AS cps,
+        |    len(string_split(w,''))::INT AS n FROM words),
+        |pos1 AS (SELECT w, cps, n, unnest(range(1, n + 1))::INT AS pos
+        |  FROM wl),
+        |cand AS (SELECT w, pos, l,
+        |    CASE WHEN pos = 1 THEN '' ELSE '##' END ||
+        |      array_to_string(cps[pos:pos+l-1], '') AS piece
+        |  FROM (SELECT w, cps, n, pos,
+        |          unnest(range(1, n - pos + 2))::INT AS l FROM pos1)),
+        |best AS (SELECT c.w, c.pos, max(c.l) AS l
+        |  FROM cand c JOIN vocab v ON v.v = c.piece GROUP BY 1, 2),
+        |walk(w, n, pos, cnt) AS (
+        |  SELECT w, n, 1, 0 FROM wl
+        |  UNION ALL
+        |  SELECT k.w, k.n, k.pos + b.l, k.cnt + 1
+        |  FROM walk k JOIN best b ON b.w = k.w AND b.pos = k.pos
+        |  WHERE k.pos <= k.n),
+        |wp AS (SELECT wl.w,
+        |    coalesce(max(CASE WHEN k.pos = k.n + 1 THEN k.cnt END), 1)
+        |      AS npieces
+        |  FROM wl LEFT JOIN walk k ON k.w = wl.w GROUP BY wl.w),
+        |docw AS (SELECT doc_id AS did, lang,
+        |    len(string_split(text,' '))::BIGINT AS nw,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |docb AS (SELECT did, any_value(lang) AS lang, any_value(nw) AS nw,
+        |    sum(t.npieces)::BIGINT AS np
+        |  FROM docw JOIN wp t USING (w) GROUP BY did)""".stripMargin
+
   private val bpeTrainingOracle: String =
     """WITH RECURSIVE words AS (
       |  SELECT w, count(*)::BIGINT AS c FROM (
@@ -3428,79 +3531,20 @@ object PipelineQueries {
     // vocab match at each position (the `best` argmax over all
     // substring candidates), one step per emitted piece; a word whose
     // walk strands (no match) is one [UNK] — coalesce(…, 1).
-    "t36_wordpiece_tokens" ->
-      """WITH RECURSIVE words AS (
-        |  SELECT w, count(*)::BIGINT AS c FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
-        |  WHERE len(w) > 0 GROUP BY w ORDER BY c DESC, w LIMIT 100000),
-        |init AS (SELECT w, c,
-        |  list_concat([string_split(w,'')[1]],
-        |    list_transform(string_split(w,'')[2:], x -> '##' || x)) AS syms
-        |  FROM words),
-        |sim AS (
-        |  SELECT 0 AS it, w, c, syms, NULL::VARCHAR AS tok FROM init
-        |  UNION ALL
-        |  SELECT s.it + 1, s.w, s.c,
-        |    list_reduce(
-        |      list_prepend([]::VARCHAR[], list_transform(s.syms, x -> [x])),
-        |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = bp.a
-        |                        AND x[1] = bp.b
-        |        THEN list_append(acc[1:len(acc)-1],
-        |               bp.a || CASE WHEN bp.b LIKE '##%'
-        |                 THEN bp.b[3:] ELSE bp.b END)
-        |        ELSE list_append(acc, x[1]) END),
-        |    bp.a || CASE WHEN bp.b LIKE '##%' THEN bp.b[3:] ELSE bp.b END
-        |  FROM sim s, (
-        |    SELECT pc.a, pc.b FROM
-        |      (SELECT pr[1] AS a, pr[2] AS b, sum(c)::HUGEINT AS n FROM (
-        |         SELECT unnest(list_transform(range(len(syms)-1),
-        |           i -> [syms[i+1], syms[i+2]])) AS pr, c FROM sim) q
-        |       GROUP BY 1, 2) pc
-        |      JOIN (SELECT s1, sum(c)::HUGEINT AS m FROM (
-        |         SELECT unnest(syms) AS s1, c FROM sim) z GROUP BY 1) ca
-        |        ON ca.s1 = pc.a
-        |      JOIN (SELECT s1, sum(c)::HUGEINT AS m FROM (
-        |         SELECT unnest(syms) AS s1, c FROM sim) z GROUP BY 1) cb
-        |        ON cb.s1 = pc.b
-        |    ORDER BY (pc.n * 1000000000000::HUGEINT) // (ca.m * cb.m) DESC,
-        |      pc.a, pc.b
-        |    LIMIT 1) bp
-        |  WHERE s.it < 48),
-        |vocab AS (
-        |  SELECT DISTINCT unnest(syms) AS v FROM sim WHERE it = 0
-        |  UNION
-        |  SELECT DISTINCT tok AS v FROM sim WHERE tok IS NOT NULL),
-        |wl AS (SELECT w, string_split(w,'') AS cps,
-        |    len(string_split(w,''))::INT AS n FROM words),
-        |pos1 AS (SELECT w, cps, n, unnest(range(1, n + 1))::INT AS pos
-        |  FROM wl),
-        |cand AS (SELECT w, pos, l,
-        |    CASE WHEN pos = 1 THEN '' ELSE '##' END ||
-        |      array_to_string(cps[pos:pos+l-1], '') AS piece
-        |  FROM (SELECT w, cps, n, pos,
-        |          unnest(range(1, n - pos + 2))::INT AS l FROM pos1)),
-        |best AS (SELECT c.w, c.pos, max(c.l) AS l
-        |  FROM cand c JOIN vocab v ON v.v = c.piece GROUP BY 1, 2),
-        |walk(w, n, pos, cnt) AS (
-        |  SELECT w, n, 1, 0 FROM wl
-        |  UNION ALL
-        |  SELECT k.w, k.n, k.pos + b.l, k.cnt + 1
-        |  FROM walk k JOIN best b ON b.w = k.w AND b.pos = k.pos
-        |  WHERE k.pos <= k.n),
-        |wp AS (SELECT wl.w,
-        |    coalesce(max(CASE WHEN k.pos = k.n + 1 THEN k.cnt END), 1)
-        |      AS npieces
-        |  FROM wl LEFT JOIN walk k ON k.w = wl.w GROUP BY wl.w),
-        |docw AS (SELECT doc_id AS did, lang,
-        |    len(string_split(text,' '))::BIGINT AS nw,
-        |    unnest(string_split(text,' ')) AS w FROM documents),
-        |docb AS (SELECT did, any_value(lang) AS lang, any_value(nw) AS nw,
-        |    sum(t.npieces)::BIGINT AS np
-        |  FROM docw JOIN wp t USING (w) GROUP BY did)
+    "t36_wordpiece_tokens" -> (wordPieceCtes +
+      """
         |SELECT lang, count(*) AS n_docs, sum(nw)::BIGINT AS words,
         |  sum(np)::BIGINT AS wp_tokens,
         |  round(avg(np::DOUBLE / nw), 4) AS avg_pieces_per_word
-        |FROM docb GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM docb GROUP BY lang ORDER BY lang""".stripMargin),
+    // st19: the streamed census is the SAME training + greedy-encode
+    // replay as t36, integer columns only (the streaming family's
+    // stream==batch==replay discipline)
+    "st19_stream_wordpiece" -> (wordPieceCtes +
+      """
+        |SELECT lang, count(*) AS n_docs, sum(nw)::BIGINT AS words,
+        |  sum(np)::BIGINT AS wp_tokens
+        |FROM docb GROUP BY lang ORDER BY lang""".stripMargin),
     // t34: the ENTIRE unigram training replayed in SQL — substring seed
     // (top-4096 by (count DESC, piece ASC) + single-cp coverage),
     // micro-nat quantization (floor(ln(c/T)*1e6) — the one float touch,
