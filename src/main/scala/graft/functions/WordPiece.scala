@@ -275,6 +275,40 @@ object WordPiece {
       when(t.startsWith(ContPrefix), substring(t, 3, 1 << 30))
         .otherwise(concat(lit(" "), t)))))
 
+  /** Serialize the model in the BERT `vocab.txt` convention — one piece
+    * per line, line number = token id, `##` continuations inline (the
+    * format every BERT-family checkpoint ships and every tokenizer
+    * library loads). Line order is DETERMINISTIC so two identical
+    * trainings produce byte-identical artifacts: `[UNK]` first, then
+    * the base alphabet in [[Collation.utf8Order]], then the merged
+    * tokens in TRAINING order (the id-assignment convention WordPiece
+    * trainers use — later merges get higher ids). */
+  def saveVocab(model: Model, path: java.nio.file.Path): Unit = {
+    val base = (model.vocab -- model.merges.map(m =>
+      mergedSymbol(m._1, m._2)).toSet - Unk).toSeq.sorted(Collation.utf8Order)
+    val lines = (Unk +: base) ++ model.merges.map(m =>
+      mergedSymbol(m._1, m._2))
+    java.nio.file.Files.write(path,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  /** Load a `vocab.txt` artifact (ours or any BERT checkpoint's) back
+    * into a [[Model]]. The greedy encoder needs only the vocabulary, so
+    * an imported model encodes identically to the trained one
+    * (spec-pinned round trip); `merges` is empty — training provenance
+    * does not survive the public format, by its design. The `[UNK]`
+    * line is the encoder's whole-word fallback SENTINEL, not a
+    * matchable piece — it is dropped on load so a word containing the
+    * literal text "[UNK]" segments the same under a trained and an
+    * imported model. */
+  def loadVocab(path: java.nio.file.Path): Model = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(path,
+      java.nio.charset.StandardCharsets.UTF_8).asScala
+    Model(lines.iterator.filter(l => l.nonEmpty && l != Unk).toSet,
+      Seq.empty)
+  }
+
   /** Learned-vocabulary token count — the allocation-free twin of
     * `size(encode(...))` (the [[Bpe.tokenCount]] shape). */
   def tokenCount(model: Model)(text: Column): Column = {

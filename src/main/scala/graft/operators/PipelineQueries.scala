@@ -915,6 +915,26 @@ object PipelineQueries {
         .orderBy(col("bin"))
     }),
 
+    // -- p26: packing under the LEARNED token count — what a training
+    // pipeline actually packs by (the context window is denominated in
+    // MODEL tokens, not whitespace words): t36's WordPiece model prices
+    // every document, then t07's deterministic order-preserving packer
+    // bins them to a 512-token capacity. One gate proves the tokenizer
+    // and the packer compose — the oracle replays training + greedy
+    // encode (the shared wordPieceCtes) and then the same running-offset
+    // bin arithmetic as t07. ----------------------------------------------
+    "p26_learned_packing" -> ((s, d) => {
+      import graft.functions.WordPiece
+      val docs = Tables.documents(s, d)
+      val model = WordPiece.train(docs, "text", nMerges = 48)
+      val priced = docs.select(col("doc_id"),
+        WordPiece.tokenCount(model)(col("text")).cast("long").as("toks"))
+      Packing.packByOrder(priced, "doc_id", "toks", capacity = 512L)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy(col("bin"))
+    }),
+
     // -- multimodal: binary column -> batched stub decode -> features ----
     // batch twin of the streaming sessionizer (EventStreams.sessionize):
     // 30-min gap sessions over events, reduced to a session-size profile.
@@ -3537,6 +3557,16 @@ object PipelineQueries {
         |  sum(np)::BIGINT AS wp_tokens,
         |  round(avg(np::DOUBLE / nw), 4) AS avg_pieces_per_word
         |FROM docb GROUP BY lang ORDER BY lang""".stripMargin),
+    // p26: the learned per-doc count (wordPieceCtes' docb.np) through
+    // t07's running-offset bin arithmetic
+    "p26_learned_packing" -> (wordPieceCtes +
+      """,
+        |pk AS (SELECT did, np,
+        |  sum(np) OVER (ORDER BY did ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) - np AS strt FROM docb)
+        |SELECT CAST(strt // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(np) AS BIGINT) AS n_tokens
+        |FROM pk GROUP BY bin ORDER BY bin""".stripMargin),
     // st19: the streamed census is the SAME training + greedy-encode
     // replay as t36, integer columns only (the streaming family's
     // stream==batch==replay discipline)

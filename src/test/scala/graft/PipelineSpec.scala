@@ -1721,6 +1721,34 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(dec == (("hug pun hugs", "", WordPiece.Unk)), s"got $dec")
   }
 
+  test("WordPiece vocab.txt round trip: byte-deterministic artifact, encode-identical import") {
+    import graft.functions.WordPiece
+    val words = Array(("hug", 10L), ("pug", 5L), ("pun", 12L),
+      ("bun", 4L), ("hugs", 5L))
+    val model = WordPiece.trainFromWordCounts(words, nMerges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("wpvocab")
+    val p1 = dir.resolve("vocab.txt"); val p2 = dir.resolve("vocab2.txt")
+    WordPiece.saveVocab(model, p1)
+    // deterministic artifact: retraining writes identical bytes
+    WordPiece.saveVocab(WordPiece.trainFromWordCounts(words, 3), p2)
+    assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p1),
+      java.nio.file.Files.readAllBytes(p2)), "artifact must be byte-stable")
+    // BERT convention: [UNK] line 0, base alphabet utf8-sorted, merges
+    // in training order (id = line number)
+    val lines = new String(java.nio.file.Files.readAllBytes(p1), "UTF-8")
+      .split("\n").toSeq
+    assert(lines.head == WordPiece.Unk, s"line 0 must be [UNK]: $lines")
+    assert(lines.takeRight(3) == Seq("##gs", "##ug", "##ugs"),
+      s"merged tokens must close the file in training order: $lines")
+    // an imported model encodes identically (the encoder needs only
+    // the vocabulary)
+    val imported = WordPiece.loadVocab(p1)
+    assert(imported.vocab == model.vocab)
+    for (w <- Seq("hugs", "pun", "bug", "mug"))
+      assert(WordPiece.encodeWord(w, imported.vocab) ==
+        WordPiece.encodeWord(w, model.vocab), s"import drift on $w")
+  }
+
   test("WordPiece on the corpus: deterministic, distributed parity, UNK-free self-encode") {
     import graft.functions.WordPiece
     val docs = Tables.documents(spark, sfDir)
