@@ -192,7 +192,14 @@ object ClusterMirror {
     //        st04-18 prove the state store; this row proves the
     //        composition (model closures deserialized per micro-batch
     //        task in separate worker JVMs)
-    "st19_stream_wordpiece")
+    "st19_stream_wordpiece",
+    //  st20: the foreachBatch INGEST path on real daemons — per-trigger
+    //        index appends where the store scan, the broadcast of the
+    //        batch's bands, the jaccard verify joins and the
+    //        report-before-segments disk barrier all execute on remote
+    //        executors against a SHARED store directory; every earlier
+    //        streaming row used the state store, none used foreachBatch
+    "st20_stream_lsh_ingest")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

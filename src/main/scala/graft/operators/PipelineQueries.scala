@@ -2209,6 +2209,51 @@ object PipelineQueries {
     // ⇒ the streamed census hash-matches the SAME training +
     // greedy-encode replay that gates t36 (integer columns only —
     // stream == batch == replay exactly). -------------------------------
+    // -- st20: INCREMENTAL LSH DEDUP under a REAL stream — the
+    // daily-ingest shape (d10) composed with the streaming engine: the
+    // index builds on the pre-existing corpus (doc_id % 4 != 0), then
+    // the ingest arrives as 3 ascending files and EVERY micro-batch
+    // appends to the persistent store via foreachBatch — the batch is
+    // signatured narrowly and broadcast against the store (O(batch) per
+    // trigger, the corpus never shuffles), the pair report hits disk
+    // BEFORE the store gains the segments, and the micro-batch id is
+    // the idempotent batchId (Structured Streaming replays a failed
+    // trigger under the SAME id ⇒ exactly-once ingest). (build pairs) ∪
+    // (all streamed batch reports) must equal the ONE-SHOT d02 over the
+    // full corpus — the same exact-jaccard oracle gates all three
+    // ingest modes (one-shot, batch-incremental, streamed). ------------
+    "st20_stream_lsh_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st20"
+      // fresh store per run: a multi-batch append against STALE segments
+      // of a previous run would double-report cross-batch pairs (batch
+      // b0's report would see last run's b1 docs already in the store)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$base/idx"))
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 4 === 0)
+      Dedup.buildLshIndex(old, "doc_id", "text", s"$base/idx")
+      val oldPairs = Dedup.minhashLshPairs(old, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val staged = fresh.select(col("doc_id").cast("timestamp").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.EventStreams.runStagedForeachBatch(s, staged,
+          s"$base/stage", nFiles = 3) { (batch, id) =>
+        Dedup.appendToLshIndex(s, s"$base/idx", batch, "doc_id", "text",
+          batchId = s"b$id", shingleN = 3, k = 64, bands = 16,
+          threshold = 0.8)
+        ()
+      }
+      val streamed = s.read.parquet(s"$base/idx/pairs")
+        .select(col("a"), col("b"), col("jaccard"))
+      oldPairs.unionByName(streamed)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "st19_stream_wordpiece" -> ((s, d) => {
       import graft.functions.WordPiece
       val docs = Tables.documents(s, d)
@@ -3775,6 +3820,9 @@ object PipelineQueries {
     // d10 is the incremental-index formulation of d02 — deterministic
     // signatures make batch order irrelevant, so one oracle gates both
     "d10_incremental_lsh" -> lshPairsOracle,
+    // st20: one-shot == batch-incremental == STREAMED ingest — the same
+    // exact-jaccard replay gates all three
+    "st20_stream_lsh_ingest" -> lshPairsOracle,
     // d06b: star contraction must land on the identical components —
     // the exact reachability oracle gates both CC regimes
     "d06b_dup_clusters_logd" -> dupClustersOracle,

@@ -104,6 +104,38 @@ object EventStreams {
     spark.table(sinkName)
   }
 
+  /** Drive an arbitrary per-micro-batch ACTION over staged ascending
+    * files — the foreachBatch INGEST shape (stateful side effects per
+    * trigger: index appends, store upserts) next to
+    * [[runStagedStream]]'s aggregate shape. One file per micro-batch
+    * (`maxFilesPerTrigger=1` + AvailableNow), so `action` sees the
+    * files in staged order with batch ids 0..nFiles-1; an action that
+    * is idempotent in the batch id (the [[graft.dedup.Dedup
+    * .appendToLshIndex]] contract) therefore gets exactly-once ingest
+    * semantics on retry — Structured Streaming replays a failed
+    * micro-batch under the SAME id. */
+  def runStagedForeachBatch(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int)
+      (action: (DataFrame, Long) => Unit): Unit = {
+    val inDir = stageAscendingFiles(events, stageDir, nFiles)
+    val ckpt = new java.io.File(
+      s"$stageDir/ckpt/fb_${System.nanoTime()}")
+    val q = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], id: Long) => action(df.toDF(), id))
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    try q.awaitTermination()
+    finally rm(ckpt)
+  }
+
   /** Exact streaming deduplication + per-type profile: drop repeated
     * `event_id`s (exactly-once semantics over an at-least-once feed —
     * THE standard ingest-dedup step), then count the survivors per
