@@ -36,6 +36,15 @@ object Dedup {
     * chosen regime persisted nothing, so callers can release uniformly. */
   private[graft] def emptyCacheHandle: CacheHandle = new CacheHandle(Seq.empty)
 
+  /** A connected-components regime exhausted its round budget — the
+    * DEDICATED dispatch signal [[duplicateClustersAuto]]'s probe catches
+    * (a bare IllegalStateException could be Spark's own — stopped
+    * context, checkpoint failure — and must propagate, not be misread as
+    * "high diameter"). Subtypes IllegalStateException so pre-existing
+    * caller intercepts keep working. */
+  final class CcBudgetExceeded(msg: String)
+      extends IllegalStateException(msg)
+
   // ---- shingling ------------------------------------------------------
 
   /** n-word shingles (order-sensitive) as a distinct set — UDF reference
@@ -805,11 +814,17 @@ object Dedup {
     }
     // min-label propagation needs O(component diameter) rounds; a chain
     // longer than maxIters hops would otherwise silently return labels
-    // that are not the component minimum (diverging from any exact oracle)
-    if (!converged)
-      throw new IllegalStateException(
+    // that are not the component minimum (diverging from any exact oracle).
+    // unpersist BEFORE the throw: duplicateClustersAuto makes this a
+    // ROUTINE control path (the probe's dispatch signal), and a leaked
+    // plan-keyed cache entry per fallback would accumulate for the
+    // session's lifetime
+    if (!converged) {
+      edges.unpersist()
+      throw new CcBudgetExceeded(
         s"duplicateClusters did not converge after $maxIters rounds; " +
           "raise maxIters (component diameter exceeds it)")
+    }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("rep"))
   }
@@ -873,7 +888,7 @@ object Dedup {
       i += 1
     }
     if (!converged)
-      throw new IllegalStateException(
+      throw new CcBudgetExceeded(
         s"duplicateClustersLogD did not converge after $maxIters rounds " +
           "(O(log d) expected; raise maxIters)")
     // star forest: non-roots point at their component minimum; roots
@@ -915,7 +930,11 @@ object Dedup {
         val p = pairs.localCheckpoint()
         try duplicateClusters(p, math.min(probeIters, maxIters))
         catch {
-          case _: IllegalStateException => duplicateClustersLogD(p, maxIters)
+          // ONLY the budget signal dispatches — a generic
+          // IllegalStateException here could be Spark's own (stopped
+          // context, checkpoint failure) and must propagate, not be
+          // misread as "high diameter" and retried under star contraction
+          case _: CcBudgetExceeded => duplicateClustersLogD(p, maxIters)
         }
     }
   }

@@ -239,7 +239,17 @@ object WordPiece {
       while (hit == null && j > i) {
         val sub = w.substring(bounds(i), bounds(j))
         val piece = if (i == 0) sub else ContPrefix + sub
-        if (vocab.contains(piece)) hit = piece else j -= 1
+        // a word whose literal text starts with "##" must NOT match a
+        // CONTINUATION piece at position 0 (plain and ##-pieces share
+        // one vocabulary namespace — the vocab.txt reality): matching
+        // one would make decode() glue the word onto its predecessor,
+        // breaking decode∘encode. Skipping it keeps the round trip
+        // lossless for any corpus whose TRAINING words don't start with
+        // "##" (then no plain piece does either); such a word segments
+        // through its "#" pieces or falls back to [UNK].
+        if ((i > 0 || !sub.startsWith(ContPrefix)) && vocab.contains(piece))
+          hit = piece
+        else j -= 1
       }
       if (hit == null) return Vector(Unk)
       out += hit
@@ -269,7 +279,16 @@ object WordPiece {
     * starts a new word). `[UNK]` words are lossy by construction —
     * the t37 contract corpus is UNK-free (its alphabet trains the
     * model), and the UNK path is spec-pinned instead. Pure column
-    * functions — codegen'd, no UDF. */
+    * functions — codegen'd, no UDF.
+    *
+    * CAVEAT (the [[Bpe.decode]] `</w>` analog): the `##` marker is
+    * in-band, so a PLAIN piece whose text itself starts with "##" (only
+    * possible when a TRAINING word starts with "##") is
+    * indistinguishable from a continuation here. [[encodeWord]]'s
+    * position-0 guard keeps decode∘encode lossless for every input as
+    * long as training words don't start with the literal marker;
+    * retrain with a private-use-codepoint prefix for corpora where that
+    * collision is live. */
   def decode(tokens: Column): Column =
     ltrim(concat_ws("", transform(tokens, t =>
       when(t.startsWith(ContPrefix), substring(t, 3, 1 << 30))
@@ -286,8 +305,12 @@ object WordPiece {
   def saveVocab(model: Model, path: java.nio.file.Path): Unit = {
     val base = (model.vocab -- model.merges.map(m =>
       mergedSymbol(m._1, m._2)).toSet - Unk).toSeq.sorted(Collation.utf8Order)
-    val lines = (Unk +: base) ++ model.merges.map(m =>
-      mergedSymbol(m._1, m._2))
+    // distinct: two different merge pairs can produce the same surface
+    // string (("a","##bc") and ("ab","##c") both yield "abc"); the
+    // vocabulary stores it once, so the artifact must too — duplicate
+    // lines would shift every later token id for an external loader
+    val lines = ((Unk +: base) ++ model.merges.map(m =>
+      mergedSymbol(m._1, m._2))).distinct
     java.nio.file.Files.write(path,
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
   }

@@ -275,10 +275,11 @@ object Flac {
     samples.foreach(s => require(s >= -32768 && s <= 32767, s"not 16-bit: $s"))
     lpc.foreach { case (c, _, _) =>
       require(samples.length >= c.length, "clip shorter than the LPC order") }
-    // the 4-byte UTF-8-number ladder in writeUtf8Number tops out at 2^21
-    // frame indices; fail loudly instead of emitting an undecodable stream
-    require((samples.length.toLong + blockSize - 1) / blockSize < (1L << 21),
-      s"clip needs >= 2^21 frames at blockSize=$blockSize; raise blockSize")
+    // the 4-byte UTF-8-number ladder in writeUtf8Number encodes frame
+    // INDICES up to 2^21 - 1, so a clip may have AT MOST 2^21 frames;
+    // fail loudly instead of emitting an undecodable stream
+    require((samples.length.toLong + blockSize - 1) / blockSize <= (1L << 21),
+      s"clip needs > 2^21 frames at blockSize=$blockSize; raise blockSize")
 
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')

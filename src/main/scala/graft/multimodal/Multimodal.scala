@@ -693,8 +693,8 @@ object Multimodal {
     * `windowLen`-sample window (the partial tail drops: a window must
     * mean the same thing in every clip for the inverted index to be an
     * equality join). Narrow, scan-parallel; undecodable rows drop. */
-  def audioFingerprints(media: DataFrame, windowLen: Int = 1024,
-      batchSize: Int = 64): DataFrame = {
+  def audioFingerprints(media: DataFrame, windowLen: Int = 1024)
+      : DataFrame = {
     require(windowLen >= 8 && windowLen % 8 == 0,
       s"windowLen=$windowLen must be a positive multiple of 8")
     val spark = media.sparkSession
@@ -703,19 +703,20 @@ object Multimodal {
       StructField("fp", LongType, nullable = false)))
     val idIdx = media.schema.fieldIndex("media_id")
     val bytesIdx = media.schema.fieldIndex("bytes")
+    // no per-batch grouping: unlike the image passes there is no shared
+    // codec resource to amortize — the pure-Scala decoders are plain
+    // function calls, so a row-wise flatMap is the whole pass
     val rdd = media.rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](bytesIdx)
-          val pcm =
-            if (bytes == null) None
-            else if (Flac.isFlac(bytes)) Flac.decodeSamples(bytes).map(_._2)
-            else decodeWavSamples(bytes)
-          pcm.toSeq.flatMap { s =>
-            val id = r.getLong(idIdx)
-            (0 until s.length / windowLen).map(w =>
-              Row(id, audioWindowFingerprint(s, w * windowLen, windowLen)))
-          }
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bytesIdx)
+        val pcm =
+          if (bytes == null) None
+          else if (Flac.isFlac(bytes)) Flac.decodeSamples(bytes).map(_._2)
+          else decodeWavSamples(bytes)
+        pcm.toSeq.flatMap { s =>
+          val id = r.getLong(idIdx)
+          (0 until s.length / windowLen).map(w =>
+            Row(id, audioWindowFingerprint(s, w * windowLen, windowLen)))
         }
       }
     }
@@ -1481,6 +1482,30 @@ object Multimodal {
     * PCM16 WAV bytes ([[wavFromId]]), video rows a REAL concatenated-P6
     * frame stream ([[ppmStreamFromId]] — the image2pipe shape). Metadata
     * derived deterministically. */
+  /** Planted-overlap audio clip for the dedup gates (m16, p25): one
+    * silence window ++ seg(id) ++ seg(id+3), so CONSECUTIVE audio ids
+    * (stride 3) share seg(id+3) at window granularity, and the silence
+    * window is the degenerate hot key every clip carries; when
+    * `clipEvery > 0`, every `clipEvery`-th id gains a fully CLIPPED
+    * window (the QC-reject plant). Even ids stage as FLAC (lossless ⇒
+    * identical fingerprints), odd as WAV — the container dispatch is
+    * part of what the gates pin. One builder shared by both gates so
+    * their planted structure cannot drift (their SQL oracles replay the
+    * same closed-form sample formula). */
+  def overlapClipFromId(id: Long, windowLen: Int = 64,
+      clipEvery: Long = 0L): Array[Byte] = {
+    def seg(k: Long): Array[Int] =
+      Array.tabulate(windowLen)(i =>
+        (((k * 37 + i * 13) % 4001) - 2000).toInt)
+    val tail =
+      if (clipEvery > 0 && id % clipEvery == 0)
+        Array.fill(windowLen)(32767)
+      else Array.empty[Int]
+    val pcm = Array.fill(windowLen)(0) ++ seg(id) ++ seg(id + 3) ++ tail
+    val rate = (8000 + (id % 4) * 4000).toInt
+    if (id % 2 == 0) Flac.encode(pcm, rate) else wavFromPcm(rate, pcm)
+  }
+
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     val ppm = udf((id: Long) => ppmFromId(id))
     val wav = udf((id: Long) => wavFromId(id))

@@ -592,16 +592,9 @@ object CurationQueries {
     // also satisfy). Even ids stage as FLAC (lossless ⇒ identical
     // fingerprints), odd as WAV — the gate pins the codec dispatch too.
     "m16_audio_neardup" -> ((s, d) => {
-      import graft.multimodal.{Flac, Multimodal}
+      import graft.multimodal.Multimodal
       val W = 64
-      val mk = udf { (id: Long) =>
-        def seg(k: Long): Array[Int] =
-          Array.tabulate(W)(i => (((k * 37 + i * 13) % 4001) - 2000).toInt)
-        val pcm = Array.fill(W)(0) ++ seg(id) ++ seg(id + 3)
-        val rate = (8000 + (id % 4) * 4000).toInt
-        if (id % 2 == 0) Flac.encode(pcm, rate)
-        else Multimodal.wavFromPcm(rate, pcm)
-      }
+      val mk = udf((id: Long) => Multimodal.overlapClipFromId(id, W))
       val media = Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
         .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
       Multimodal.audioDupPairs(media, windowLen = W, minShared = 1,

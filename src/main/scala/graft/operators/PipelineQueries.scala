@@ -1207,7 +1207,7 @@ object PipelineQueries {
     // rule all replay closed-form in ONE DuckDB oracle. ------------------
     "p25_multimodal_curation" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      import graft.multimodal.{Flac, Multimodal}
+      import graft.multimodal.Multimodal
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -1232,9 +1232,13 @@ object PipelineQueries {
           .localCheckpoint()
         val sob = udf((b: Array[Byte]) =>
           Multimodal.sobelEnergyPpm(b).getOrElse(-1L))
+        // checkpointed: referenced twice (dedup-assign input + the
+        // keep-best join) and RDD-subtree reuse does not happen — without
+        // this the Sobel QC pass runs twice
         val imgQc = normImg
           .select(col("media_id"), col("bytes"), sob(col("bytes")).as("e"))
           .filter(col("e") > 0)
+          .localCheckpoint()
         val asg = Multimodal.imageDupAssign(
           imgQc.select(col("media_id"), col("bytes")))
         val wI = Window.partitionBy(col("rep_hi"), col("rep_lo"))
@@ -1249,16 +1253,8 @@ object PipelineQueries {
       // ---- audio branch ----
       val fAud = Future {
         val W = 64
-        val mk = udf { (id: Long) =>
-          def seg(k: Long): Array[Int] =
-            Array.tabulate(W)(i => (((k * 37 + i * 13) % 4001) - 2000).toInt)
-          val tail =
-            if (id % 5 == 0) Array.fill(W)(32767) else Array.empty[Int]
-          val pcm = Array.fill(W)(0) ++ seg(id) ++ seg(id + 3) ++ tail
-          val rate = (8000 + (id % 4) * 4000).toInt
-          if (id % 2 == 0) Flac.encode(pcm, rate)
-          else Multimodal.wavFromPcm(rate, pcm)
-        }
+        val mk = udf((id: Long) =>
+          Multimodal.overlapClipFromId(id, W, clipEvery = 5))
         val aud = docs.filter(col("doc_id") % 3 === 1)
           .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
         val normAud = Multimodal.normalizeAudio(aud).localCheckpoint()
@@ -1273,11 +1269,14 @@ object PipelineQueries {
               (clip, sq)
             case None => (-1L, -1L)
           })
+        // checkpointed for the same two-reference reason (pair input +
+        // keep-best's weight frame)
         val audQc = normAud
           .select(col("media_id"), col("bytes"), qc(col("bytes")).as("q"))
           .select(col("media_id"), col("bytes"), col("q._1").as("n_clipped"),
             col("q._2").as("sum_sq"))
           .filter(col("n_clipped") === 0)
+          .localCheckpoint()
         val pairs = Multimodal.audioDupPairs(
           audQc.select(col("media_id"), col("bytes")),
           windowLen = W, minShared = 1, maxClipsPerFingerprint = 16)
@@ -2740,8 +2739,8 @@ object PipelineQueries {
         |    len(string_split(text,' '))::BIGINT AS nw,
         |    unnest(string_split(text,' ')) AS w FROM documents),
         |docb AS (SELECT did, any_value(lang) AS lang, any_value(nw) AS nw,
-        |    sum(t.npieces)::BIGINT AS np
-        |  FROM docw JOIN wp t USING (w) GROUP BY did)""".stripMargin
+        |    sum(coalesce(t.npieces, 0))::BIGINT AS np
+        |  FROM docw LEFT JOIN wp t USING (w) GROUP BY did)""".stripMargin
 
   private val bpeTrainingOracle: String =
     """WITH RECURSIVE words AS (

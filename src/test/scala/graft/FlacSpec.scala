@@ -173,16 +173,16 @@ class FlacSpec extends AnyFunSuite {
   }
 
   test("frame indices beyond the 4-byte UTF-8 ladder fail loudly") {
-    // writeUtf8Number's ladder tops out at 2^21 frame indices; a clip
-    // that needs more must throw up front, not emit an undecodable
-    // stream that desyncs at frame 2^21
-    val huge = new Array[Int](16 * (1 << 21)) // exactly 2^21 frames at 16
+    // writeUtf8Number's ladder encodes frame INDICES up to 2^21 - 1, so
+    // at most 2^21 frames are encodable; a clip that needs more must
+    // throw up front, not emit an undecodable stream that desyncs
+    val huge = new Array[Int](16 * ((1 << 21) + 1)) // 2^21 + 1 frames at 16
     val e = intercept[IllegalArgumentException] {
       Flac.encode(huge, 16000, blockSize = 16)
     }
     assert(e.getMessage.contains("2^21"))
-    // one frame under the limit stays encodable (boundary is exact)
-    val ok = new Array[Int](16 * ((1 << 21) - 1))
+    // exactly 2^21 frames (max index 2^21 - 1 = the ladder's top) encodes
+    val ok = new Array[Int](16 * (1 << 21))
     assert(Flac.decodeSamples(Flac.encode(ok, 16000, blockSize = 16))
       .exists(_._2.length == ok.length))
   }

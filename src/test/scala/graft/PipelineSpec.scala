@@ -1702,6 +1702,12 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     // unknown alphabet -> the whole word is one [UNK]
     assert(WordPiece.encodeWord("mug", model.vocab) ==
       Vector(WordPiece.Unk))
+    // a word whose literal text starts with "##" must NOT match a
+    // continuation piece at position 0 (decode would glue it onto the
+    // previous word, breaking the round trip): "##ug" has no plain "#"
+    // piece in this vocab, so it falls to [UNK] — never to ["##ug"]
+    assert(WordPiece.encodeWord("##ug", model.vocab) ==
+      Vector(WordPiece.Unk))
 
     // column paths: encode/tokenCount/decode with nulls and empties
     val enc = corpus.limit(1)
