@@ -1477,11 +1477,6 @@ object Multimodal {
   def ppmStreamFromId(id: Long): Array[Byte] =
     (0 until (id % 4 + 2).toInt).toArray.flatMap(j => ppmFromId(id + j))
 
-  /** Build a media table from a text corpus (test harness): image rows
-    * carry REAL renderable P6 bytes ([[ppmFromId]]), audio rows REAL
-    * PCM16 WAV bytes ([[wavFromId]]), video rows a REAL concatenated-P6
-    * frame stream ([[ppmStreamFromId]] — the image2pipe shape). Metadata
-    * derived deterministically. */
   /** Planted-overlap audio clip for the dedup gates (m16, p25): one
     * silence window ++ seg(id) ++ seg(id+3), so CONSECUTIVE audio ids
     * (stride 3) share seg(id+3) at window granularity, and the silence
@@ -1506,6 +1501,11 @@ object Multimodal {
     if (id % 2 == 0) Flac.encode(pcm, rate) else wavFromPcm(rate, pcm)
   }
 
+  /** Build a media table from a text corpus (test harness): image rows
+    * carry REAL renderable P6 bytes ([[ppmFromId]]), audio rows REAL
+    * PCM16 WAV bytes ([[wavFromId]]), video rows a REAL concatenated-P6
+    * frame stream ([[ppmStreamFromId]] — the image2pipe shape). Metadata
+    * derived deterministically. */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     val ppm = udf((id: Long) => ppmFromId(id))
     val wav = udf((id: Long) => wavFromId(id))

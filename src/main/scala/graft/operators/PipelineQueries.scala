@@ -2724,7 +2724,9 @@ object PipelineQueries {
         |  FROM (SELECT w, cps, n, pos,
         |          unnest(range(1, n - pos + 2))::INT AS l FROM pos1)),
         |best AS (SELECT c.w, c.pos, max(c.l) AS l
-        |  FROM cand c JOIN vocab v ON v.v = c.piece GROUP BY 1, 2),
+        |  FROM cand c JOIN vocab v ON v.v = c.piece
+        |  WHERE c.pos > 1 OR c.piece NOT LIKE '##%'
+        |  GROUP BY 1, 2),
         |walk(w, n, pos, cnt) AS (
         |  SELECT w, n, 1, 0 FROM wl
         |  UNION ALL
