@@ -199,7 +199,15 @@ object ClusterMirror {
     //        report-before-segments disk barrier all execute on remote
     //        executors against a SHARED store directory; every earlier
     //        streaming row used the state store, none used foreachBatch
-    "st20_stream_lsh_ingest")
+    "st20_stream_lsh_ingest",
+    //  t38: byte-level BPE — the 256-entry byte→char map and the rank
+    //       map ship inside BOTH the distributed trainer's Dataset
+    //       lambdas (Vector[String] symbol rows Kryo-exchanged across a
+    //       real shuffle each of the 48 rounds) and the tokenCount UDF
+    //       closure (TaskMemo @transient rebuild per remote task); the
+    //       other tokenizer rows ship word-keyed state, none ship
+    //       byte-alphabet tables through executor JVMs
+    "t38_bytebpe_tokens")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

@@ -1947,6 +1947,92 @@ object PipelineQueries {
           lit(distOk).as("dist_parity_ok"))
     }),
 
+    // -- t38: byte-level BPE (the GPT-2/tiktoken fourth tokenizer
+    // family) — training AND encoding replayed end to end. Base
+    // symbols are the 256 bytes mapped through the published
+    // bytes_to_unicode bijection; the pre-tokenizer keeps each space
+    // glued to the word it precedes (Ġword), so spaces are data and
+    // decode∘encode is the identity on arbitrary text. Trains the
+    // DISTRIBUTED path (the 100 TB regime — t12c's precedent); the
+    // oracle rebuilds the byte map closed-form from the printable
+    // ranges, re-derives every pretoken's byte symbols from
+    // hex(encode(w)), replays all 48 argmax rounds in a recursive CTE,
+    // and — the t12 property, shared merge kernels — reads each
+    // training pretoken's token count straight off its final repr. ----
+    "t38_bytebpe_tokens" -> ((s, d) => {
+      import graft.functions.ByteBpe
+      val docs = Tables.documents(s, d)
+      val model = ByteBpe.trainDistributed(docs, "text", nMerges = 48)
+      docs.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          ByteBpe.tokenCount(model)(col("text")).cast("long").as("n_bb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_bb")).as("bb_tokens"),
+          round(avg(col("n_bb").cast("double") / col("n_words")), 4)
+            .as("avg_tokens_per_word"))
+        .orderBy(col("lang"))
+    }),
+
+    // -- t39: byte-level BPE CONTRACT — the structural claims the
+    // family was added for, gate-enforced: (1) decode∘encode == text
+    // EXACTLY (no single-spacing normalization — spaces are data);
+    // (2) tokenCount parity with size(encode); (3) per-doc bounds
+    // n_pretokens ≤ n_tokens ≤ n_bytes (each pretoken is 1..byte-count
+    // tokens, no end-of-word marker); (4) vocabulary closure — every
+    // emitted token ∈ 256 base symbols + one per merge (the no-UNK
+    // structure, checked not assumed); (5) 48 merges strictly compress
+    // below the per-byte count; (6) distributed trainer learns the
+    // identical merge list; (7) ADVERSARIAL round-trip — the other
+    // families' in-band markers ("##", "</w>", "[UNK]", the literal Ġ
+    // glyph), repeated/leading/trailing spaces, tabs/newlines, emoji,
+    // and "" all survive decode∘encode EXACTLY even though none of
+    // them trained the model (byte fallback — the property that
+    // distinguishes this family). --------------------------------------
+    "t39_bytebpe_contract" -> ((s, d) => {
+      import graft.functions.ByteBpe
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val model = ByteBpe.train(docs, "text", nMerges = 48)
+      val dist = ByteBpe.trainDistributed(docs, "text", nMerges = 48)
+      val distOk = dist.merges == model.merges
+      val adv = Seq("## leading marker", "with tail</w> marker",
+        "an [UNK] literal", "double  space", " leading space",
+        "trailing space ", "", " ", "emoji 😀🎈 text",
+        "tab\tand\nnewline", "the literal Ġ glyph itself").toDF("text")
+      val advOk = adv
+        .select(ByteBpe.decode(ByteBpe.encode(model)(col("text")))
+          .eqNullSafe(col("text")).as("rt"))
+        .agg(min(col("rt"))).collect()(0).getBoolean(0)
+      val vocabArr = model.vocab.toArray.sorted(
+        graft.functions.Collation.utf8Order)
+      val nPre = (size(split(col("text"), " ")) - lit(1) +
+        when(col("text") =!= "" && !col("text").startsWith(" "), 1)
+          .otherwise(0)).cast("long")
+      val enc = docs.select(col("text"),
+        ByteBpe.encode(model)(col("text")).as("toks"),
+        ByteBpe.tokenCount(model)(col("text")).cast("long").as("n_bb"))
+      val per = enc.select(
+        ByteBpe.decode(col("toks")).eqNullSafe(col("text")).as("rt"),
+        (size(col("toks")).cast("long") === col("n_bb")).as("parity"),
+        (size(array_except(col("toks"), typedlit(vocabArr))) === 0)
+          .as("closed"),
+        col("n_bb"), nPre.as("n_pre"),
+        expr("octet_length(text)").cast("long").as("n_bytes"))
+      per.agg(count(lit(1)).as("n_docs"),
+        min(col("rt")).as("roundtrip_ok"),
+        min(col("parity")).as("count_parity"),
+        min(col("closed")).as("vocab_closed"),
+        min(col("n_bb") >= col("n_pre") && col("n_bb") <= col("n_bytes"))
+          .as("bounds_ok"),
+        (sum(col("n_bb")) < sum(col("n_bytes"))).as("compresses"))
+        .select(col("n_docs"), col("roundtrip_ok"), col("count_parity"),
+          col("vocab_closed"), col("bounds_ok"), col("compresses"),
+          lit(distOk).as("dist_parity_ok"),
+          lit(advOk).as("adv_roundtrip_ok"))
+    }),
+
     // -- BPE tokenizer CONTRACT, gate-enforced (upgrades t12 from
     // rows-only — merge TRAINING isn't SQL-replayable, but the learned
     // tokenizer's algebra is): (1) round-trip — decode(encode(text))
@@ -2743,6 +2829,64 @@ object PipelineQueries {
         |docb AS (SELECT did, any_value(lang) AS lang, any_value(nw) AS nw,
         |    sum(coalesce(t.npieces, 0))::BIGINT AS np
         |  FROM docw LEFT JOIN wp t USING (w) GROUP BY did)""".stripMargin
+
+  /** t38: byte-level BPE training + encoding replayed end to end.
+    * `bm` rebuilds the GPT-2 bytes_to_unicode bijection closed-form
+    * (printable bytes keep their codepoint; the 68 others take
+    * 256,257,… in byte order — the running sum over NOT-printable IS
+    * that rank). `docw` re-derives the leading-space pre-tokenizer on
+    * the single-spaced corpus (pretoken i>1 = ' '||word). `init` maps
+    * each pretoken to its byte symbols via hex(encode(w)) — two hex
+    * digits per UTF-8 byte, decoded with strpos arithmetic, looked up
+    * in the byte map as a 1-indexed list. The sim recursion is the
+    * t12 merge replay verbatim (shared kernels ⇒ shared SQL), 48
+    * rounds; token counts read off the final reprs (every corpus
+    * pretoken is inside the 100k training cap at gate scale). */
+  private val byteBpeCtes: String =
+    """WITH RECURSIVE
+      |bm AS (SELECT b, CASE WHEN p THEN b
+      |    ELSE 255 + (sum(CASE WHEN p THEN 0 ELSE 1 END)
+      |                  OVER (ORDER BY b))::INT END AS u
+      |  FROM (SELECT b::INT AS b,
+      |          (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+      |            OR (b BETWEEN 174 AND 255) AS p
+      |        FROM range(256) r(b))),
+      |bml AS (SELECT list(chr(u) ORDER BY b) AS m FROM bm),
+      |doc0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |docw AS (SELECT doc_id AS did, lang, len(ws)::BIGINT AS nw,
+      |    CASE WHEN i = 1 THEN ws[i] ELSE ' ' || ws[i] END AS w
+      |  FROM (SELECT doc_id, lang, ws,
+      |          unnest(range(1, len(ws) + 1))::INT AS i FROM doc0)),
+      |words AS (SELECT w, count(*)::BIGINT AS c FROM docw
+      |  GROUP BY w ORDER BY c DESC, w LIMIT 100000),
+      |init AS (SELECT w, c, list_transform(range(len(hx) // 2),
+      |      i -> m[16 * strpos('0123456789ABCDEF', hx[2*i+1])
+      |             + strpos('0123456789ABCDEF', hx[2*i+2]) - 16]) AS syms
+      |  FROM (SELECT w, c, string_split(hex(encode(w)), '') AS hx
+      |        FROM words), bml),
+      |sim AS (
+      |  SELECT 0 AS it, w, c, syms FROM init
+      |  UNION ALL
+      |  SELECT s.it + 1, s.w, s.c,
+      |    list_reduce(
+      |      list_prepend([]::VARCHAR[], list_transform(s.syms, x -> [x])),
+      |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = bp.a
+      |                        AND x[1] = bp.b
+      |        THEN list_append(acc[1:len(acc)-1], bp.a || bp.b)
+      |        ELSE list_append(acc, x[1]) END)
+      |  FROM sim s, (
+      |    SELECT pr[1] AS a, pr[2] AS b FROM (
+      |      SELECT unnest(list_transform(range(len(syms)-1),
+      |               i -> [syms[i+1], syms[i+2]])) AS pr, c
+      |      FROM sim) q
+      |    GROUP BY pr ORDER BY sum(c) DESC, pr[1], pr[2] LIMIT 1) bp
+      |  WHERE s.it < 48
+      |),
+      |toklen AS (SELECT w, len(syms)::BIGINT AS n FROM sim WHERE it = 48),
+      |docb AS (SELECT did, any_value(lang) AS lang, any_value(nw) AS nw,
+      |    sum(t.n)::BIGINT AS nb
+      |  FROM docw JOIN toklen t USING (w) GROUP BY did)""".stripMargin
 
   private val bpeTrainingOracle: String =
     """WITH RECURSIVE words AS (
@@ -3583,6 +3727,25 @@ object PipelineQueries {
       ("SELECT count(*) AS n_docs, TRUE AS roundtrip_ok, " +
         "TRUE AS count_parity, TRUE AS unk_free, TRUE AS bounds_ok, " +
         "TRUE AS compresses, TRUE AS dist_parity_ok FROM documents"),
+    // t38: byte-level BPE training + encoding replayed end to end (see
+    // byteBpeCtes — byte map, pre-tokenizer, and all 48 argmax rounds
+    // rebuilt closed-form in SQL; token counts read off final reprs,
+    // the t12 shared-merge-kernel property)
+    "t38_bytebpe_tokens" -> (byteBpeCtes +
+      """
+        |SELECT lang, count(*) AS n_docs, sum(nw)::BIGINT AS words,
+        |  sum(nb)::BIGINT AS bb_tokens,
+        |  round(avg(nb::DOUBLE / nw), 4) AS avg_tokens_per_word
+        |FROM docb GROUP BY lang ORDER BY lang""".stripMargin),
+    // t39: the booleans are corpus-wide invariants the plan must prove
+    // TRUE (the t37 shape); adv_roundtrip_ok additionally pins
+    // decode∘encode == id on inputs that carry the OTHER families'
+    // in-band markers
+    "t39_bytebpe_contract" ->
+      ("SELECT count(*) AS n_docs, TRUE AS roundtrip_ok, " +
+        "TRUE AS count_parity, TRUE AS vocab_closed, TRUE AS bounds_ok, " +
+        "TRUE AS compresses, TRUE AS dist_parity_ok, " +
+        "TRUE AS adv_roundtrip_ok FROM documents"),
     // t36: WordPiece training AND encoding replayed end to end. The
     // training CTE runs all 48 likelihood-scored rounds (pair counts
     // joined with symbol counts from the same working table; the score

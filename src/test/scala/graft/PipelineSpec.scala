@@ -1783,6 +1783,135 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"suspicious pieces/word ratio $perWord")
   }
 
+  test("ByteBpe: bytes_to_unicode bijection and byte base symbols") {
+    import graft.functions.ByteBpe
+    // 256 distinct single-BMP-char symbols; the bijection inverts
+    assert(ByteBpe.byteToChar.length == 256)
+    assert(ByteBpe.byteToChar.toSet.size == 256, "map must be injective")
+    assert(ByteBpe.byteToChar.forall(_.length == 1), "all symbols 1 char")
+    // the published landmarks: printable ASCII maps to itself, space to Ġ
+    assert(ByteBpe.byteToChar(65) == "A")
+    assert(ByteBpe.byteToChar(32) == "Ġ", "space must map to Ġ")
+    // symbols are one per UTF-8 BYTE: é = C3 A9 (C3='Ã' printable-high,
+    // A9=©' in the 161..172 printable run), 😀 = 4 bytes
+    assert(ByteBpe.baseSymbols("hug") == Vector("h", "u", "g"))
+    assert(ByteBpe.baseSymbols(" é") ==
+      Vector("Ġ", "Ã", "©"))
+    assert(ByteBpe.baseSymbols("😀").length == 4,
+      "supplementary-plane cp is its 4 UTF-8 bytes, never a split pair")
+  }
+
+  test("ByteBpe: pre-tokenizer keeps spaces as data; column split agrees") {
+    import graft.functions.ByteBpe
+    val cases = Seq("a b", "a  b", " leading", "trailing ", "", " ",
+      "tab\tand\nnewline", "x")
+    assert(ByteBpe.pretokens("a b").toSeq == Seq("a", " b"))
+    assert(ByteBpe.pretokens("a  b").toSeq == Seq("a", " ", " b"))
+    assert(ByteBpe.pretokens(" leading").toSeq == Seq(" leading"))
+    assert(ByteBpe.pretokens("").toSeq == Seq.empty)
+    // concatenation is the identity — spaces are data, not separators
+    for (s <- cases) assert(ByteBpe.pretokens(s).mkString == s)
+    // the trainers' COLUMN-side split must agree with the Scala
+    // pre-tokenizer (both use PretokPattern; this pins Spark's regex
+    // split to Java's zero-width-lookahead semantics)
+    val got = cases.toDF("t")
+      .select(col("t"),
+        filter(split(col("t"), ByteBpe.PretokPattern),
+          w => length(w) > 0).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    for (s <- cases)
+      assert(got(s) == ByteBpe.pretokens(s).toSeq,
+        s"column split drift on '$s': ${got(s)}")
+  }
+
+  test("ByteBpe: merge training argmax; serial == distributed; encode merges") {
+    import graft.functions.ByteBpe
+    // pair counts: (u,g)=27 wins round 1; then (h,ug)=15; then (p,ug)=12
+    val words = Array(("hug", 10L), (" hug", 5L), ("pug", 12L))
+    val m = ByteBpe.trainFromWordCounts(words, nMerges = 3)
+    assert(m.merges == Seq(("u", "g"), ("h", "ug"), ("p", "ug")),
+      s"got ${m.merges}")
+    assert(m.vocab.contains("hug") && m.vocab.contains("pug"))
+    assert(m.vocab.size == 256 + 3, "vocab = 256 base + one per merge")
+    // DataFrame trainers re-derive the same pretoken counts ("hug hug"
+    // = pretokens hug + Ġhug, so 5 such docs + 5 bare "hug" = 10 plain
+    // + 5 spaced) and the same model
+    val corpus = (Seq.fill(5)("hug hug") ++ Seq.fill(5)("hug") ++
+        Seq.fill(12)("pug")).map(Tuple1(_)).toDF("text")
+    assert(ByteBpe.train(corpus, "text", nMerges = 3).merges == m.merges)
+    assert(ByteBpe.trainDistributed(corpus, "text", nMerges = 3).merges ==
+      m.merges, "distributed trainer must learn the identical model")
+    // " pug" segments Ġ+pug (no Ġp merge learned; p+ug fires, then no
+    // rank for (Ġ,pug))
+    val enc = corpus.limit(1)
+      .select(ByteBpe.encode(m)(lit("hug pug"))).as[Seq[String]].head()
+    assert(enc == Seq("hug", "Ġ", "pug"), s"got $enc")
+  }
+
+  test("ByteBpe: decode∘encode is the identity on arbitrary text (no UNK, no sentinel)") {
+    import graft.functions.ByteBpe
+    val words = Array(("hug", 10L), (" hug", 5L), ("pug", 12L))
+    val m = ByteBpe.trainFromWordCounts(words, nMerges = 3)
+    // the OTHER families' in-band markers are just bytes here; so are
+    // repeated/leading/trailing spaces, control chars, emoji, and the
+    // literal Ġ glyph (its UTF-8 bytes C4 A0 encode through the byte
+    // map, never through the single mapped symbol — bijection)
+    val adv = Seq("## leading", "tail</w>", "[UNK]", "a  b", " lead",
+      "trail ", "", " ", "😀🎈", "t\tn\nr\r", "Ġ glyph", "héllo wörld")
+    val got = adv.toDF("t")
+      .select(col("t"),
+        ByteBpe.decode(ByteBpe.encode(m)(col("t"))).as("rt"),
+        ByteBpe.tokenCount(m)(col("t")).as("n"),
+        size(ByteBpe.encode(m)(col("t"))).as("sz"))
+      .as[(String, String, Int, Int)].collect()
+    for ((t, rt, n, sz) <- got) {
+      assert(rt == t, s"round trip broke on '$t': '$rt'")
+      assert(n == sz, s"tokenCount parity broke on '$t': $n vs $sz")
+      val nBytes = t.getBytes("UTF-8").length
+      assert(n <= nBytes, s"'$t': $n tokens > $nBytes bytes")
+      assert(n >= ByteBpe.pretokens(t).length, s"'$t': too few tokens")
+    }
+    // null text -> empty tokens -> decode "" (not null)
+    val nt = adv.toDF("t").limit(1)
+      .select(ByteBpe.decode(ByteBpe.encode(m)(lit(null
+        .asInstanceOf[String]))))
+      .as[String].head()
+    assert(nt == "", s"null text must encode to [] and decode to '': $nt")
+  }
+
+  test("ByteBpe: decode fails loud on a char outside the mapped alphabet") {
+    import graft.functions.ByteBpe
+    val bad = Seq(Seq("h", "☃")).toDF("toks")
+    val e = intercept[Exception] {
+      bad.select(ByteBpe.decode(col("toks"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(_.isInstanceOf[IllegalArgumentException]),
+      s"expected IllegalArgumentException in cause chain: $e")
+  }
+
+  test("ByteBpe on the corpus: deterministic, distributed parity, compresses") {
+    import graft.functions.ByteBpe
+    val docs = Tables.documents(spark, sfDir)
+    val m1 = ByteBpe.train(docs, "text", nMerges = 32)
+    assert(m1.merges.size == 32, "corpus is rich enough for 32 merges")
+    assert(ByteBpe.train(docs, "text", nMerges = 32).merges == m1.merges,
+      "training must be deterministic")
+    val md = ByteBpe.trainDistributed(docs, "text", nMerges = 32)
+    assert(md.merges == m1.merges,
+      s"distributed trainer drifted: ${md.merges} vs ${m1.merges}")
+    val stats = docs.select(
+        expr("octet_length(text)").cast("double").as("b"),
+        ByteBpe.tokenCount(m1)(col("text")).cast("double").as("n"))
+      .agg(sum(col("n")).as("n"), sum(col("b")).as("b"))
+      .as[(Double, Double)].head()
+    assert(stats._1 < stats._2,
+      s"32 merges must compress below the per-byte count: $stats")
+    assert(stats._1 > stats._2 / 10.0,
+      s"suspicious compression ratio: $stats")
+  }
+
   test("Unigram: tiny corpus learns the frequent word as one piece; round-trips") {
     import graft.functions.Unigram
     val corpus = (Seq.fill(8)("ab") ++ Seq.fill(2)("abc") :+ "ab abc ab")
