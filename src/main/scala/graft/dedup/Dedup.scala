@@ -784,6 +784,27 @@ object Dedup {
     * @return (doc_id, rep) for every doc appearing in a pair
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val (labels, converged) = minLabelLoop(pairs, maxIters)
+    // min-label propagation needs O(component diameter) rounds; a chain
+    // longer than maxIters hops would otherwise silently return labels
+    // that are not the component minimum (diverging from any exact oracle).
+    if (!converged)
+      throw new CcBudgetExceeded(
+        s"duplicateClusters did not converge after $maxIters rounds; " +
+          "raise maxIters (component diameter exceeds it)")
+    labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
+  /** The min-label round loop, returning the (possibly PARTIAL) label
+    * table plus whether it converged — so [[duplicateClustersAuto]]'s
+    * probe can hand its partial contraction to the star-contraction
+    * fallback instead of discarding probeIters rounds of work. The
+    * partial table is component-consistent by construction: labels
+    * start as own-id and only ever adopt a NEIGHBOR's smaller label,
+    * so every partial rep is a doc id inside its own component, and
+    * the component minimum m always keeps label m. */
+  private def minLabelLoop(pairs: DataFrame, maxIters: Int)
+      : (DataFrame, Boolean) = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
@@ -812,21 +833,13 @@ object Dedup {
       converged = changes == 0
       i += 1
     }
-    // min-label propagation needs O(component diameter) rounds; a chain
-    // longer than maxIters hops would otherwise silently return labels
-    // that are not the component minimum (diverging from any exact oracle).
-    // unpersist BEFORE the throw: duplicateClustersAuto makes this a
-    // ROUTINE control path (the probe's dispatch signal), and a leaked
-    // plan-keyed cache entry per fallback would accumulate for the
-    // session's lifetime
-    if (!converged) {
-      edges.unpersist()
-      throw new CcBudgetExceeded(
-        s"duplicateClusters did not converge after $maxIters rounds; " +
-          "raise maxIters (component diameter exceeds it)")
-    }
+    // unpersist on EVERY exit: duplicateClustersAuto makes the
+    // non-converged return a ROUTINE control path (the probe's dispatch
+    // signal), and a leaked plan-keyed cache entry per fallback would
+    // accumulate for the session's lifetime. The labels table is
+    // localCheckpointed, so it survives the unpersist.
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("rep"))
+    (labels, converged)
   }
 
   /** Diameter-robust twin of [[duplicateClusters]]: alternating
@@ -917,7 +930,23 @@ object Dedup {
     * (degree n-1, diameter 1) as reliably as just measuring the rounds.
     *
     * Same output contract as both twins (rep = component minimum), so
-    * any gate's oracle is regime-independent. */
+    * any gate's oracle is regime-independent.
+    *
+    * WARM START (round 13): a failed probe no longer discards its work.
+    * The probe's partial label table is component-consistent (every
+    * partial rep lies inside its own component, and the component
+    * minimum keeps its own label — see [[minLabelLoop]]), so the pair
+    * graph is first CONTRACTED through the partial labels
+    * ((a,b) → (rep(a),rep(b)), self-loops dropped): quotienting by a
+    * component-consistent labelling preserves components exactly, the
+    * contracted node set is the distinct partial reps (every chain
+    * segment the probe already collapsed becomes one node), and the
+    * contracted component's minimum IS the original minimum (m keeps
+    * label m). Star contraction then runs on the — typically
+    * probeIters-fold shorter — quotient graph, and the final rep
+    * composes back through the partial labels. probeIters rounds of
+    * scheduling stop being pure waste: they are the first probeIters
+    * halvings the fallback no longer has to do. */
   def duplicateClustersAuto(pairs: DataFrame, maxIters: Int = 20,
       regime: String = "auto", probeIters: Int = 8): DataFrame = {
     require(Seq("auto", "minlabel", "logd").contains(regime),
@@ -928,13 +957,24 @@ object Dedup {
       case _ =>
         // stage the pair table once: the probe and any fallback re-scan it
         val p = pairs.localCheckpoint()
-        try duplicateClusters(p, math.min(probeIters, maxIters))
-        catch {
-          // ONLY the budget signal dispatches — a generic
-          // IllegalStateException here could be Spark's own (stopped
-          // context, checkpoint failure) and must propagate, not be
-          // misread as "high diameter" and retried under star contraction
-          case _: CcBudgetExceeded => duplicateClustersLogD(p, maxIters)
+        val (part, converged) = minLabelLoop(p, math.min(probeIters, maxIters))
+        if (converged) part.select(col("id").as("doc_id"), col("rep"))
+        else {
+          // quotient the pair graph through the probe's partial labels
+          val la = part.select(col("id").as("a"), col("rep").as("ra"))
+          val lb = part.select(col("id").as("b"), col("rep").as("rb"))
+          val contracted = p.join(la, "a").join(lb, "b")
+            .filter(col("ra") =!= col("rb"))
+            .select(col("ra").as("a"), col("rb").as("b"))
+            .distinct()
+          // CC over the quotient (label-node ids); a label absent from
+          // the quotient pairs is a fully-collapsed component whose
+          // partial rep is already the component minimum
+          val onLabels = duplicateClustersLogD(contracted, maxIters)
+            .withColumnRenamed("doc_id", "lbl")
+          part.join(onLabels, part("rep") === onLabels("lbl"), "left_outer")
+            .select(part("id").as("doc_id"),
+              coalesce(onLabels("rep"), part("rep")).as("rep"))
         }
     }
   }

@@ -84,6 +84,30 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(a == b, s"regimes disagree: $a vs $b")
   }
 
+  test("duplicateClustersAuto warm start: failed probe's contraction equals cold star contraction") {
+    // exactly the shape that trips the probe: a 40-hop chain (diameter
+    // 40 >> probeIters) + a blob + an isolated pair + a component the
+    // probe DOES fully collapse before the budget hits (diameter 2 —
+    // its quotient node must come back unchanged via the coalesce arm)
+    val pairs = ((1L until 41L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L),
+          (300L, 301L), (301L, 302L))).toDF("a", "b")
+    val warm = Dedup.duplicateClustersAuto(pairs, maxIters = 20,
+        probeIters = 4).as[(Long, Long)].collect().toMap
+    val cold = Dedup.duplicateClustersLogD(pairs, maxIters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(warm == cold, s"warm-start drifted: $warm vs $cold")
+    val expected = (1L to 41L).map(_ -> 1L).toMap ++
+      Map(100L -> 100L, 101L -> 100L, 102L -> 100L, 200L -> 200L,
+        201L -> 200L, 300L -> 300L, 301L -> 300L, 302L -> 300L)
+    assert(warm == expected, s"wrong components: $warm")
+    // a converged probe still answers exactly (the fast path)
+    val blob = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    assert(Dedup.duplicateClustersAuto(blob, probeIters = 8)
+      .as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("SimHash flags synthetic near-identical docs, not unrelated ones") {
     val base = (0 until 200).map(i => s"tok${i % 37}").mkString(" ")
     val nearDup = base.replace("tok1 ", "tok999 ") // few-token edit
