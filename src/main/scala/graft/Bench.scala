@@ -89,6 +89,9 @@ object Bench {
     "m14_video_dedup",       // frame-fingerprint inverted-index pair join
     "m15_image_neardup",     // banded-dHash near-dup clusters (hash-level CC)
     "m16_audio_neardup",     // window-fingerprint inverted-index pair join
+    "m17_audio_neardup_hopped", // half-hop lattice (2x fingerprint mass)
+    "m18_video_dup_clusters",   // video pairs -> CC -> cluster census
+    "m19_audio_dup_clusters",   // audio pairs -> CC -> cluster census
     "p25_multimodal_curation", // both modality front doors -> QC -> dedup -> keep
     "t36_wordpiece_tokens",  // WordPiece train + greedy longest-match census
     "t38_bytebpe_tokens",    // byte-level BPE distributed train + census

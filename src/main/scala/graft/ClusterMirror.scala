@@ -200,6 +200,14 @@ object ClusterMirror {
     //        executors against a SHARED store directory; every earlier
     //        streaming row used the state store, none used foreachBatch
     "st20_stream_lsh_ingest",
+    //  m19: the audio CLUSTER front on real JVMs — fingerprint longs
+    //       through a remote exchange INTO the warm-started CC dispatch
+    //       (probe labels + quotient contraction + star rounds all
+    //       cross executor boundaries) and back out through the
+    //       singleton-coalescing assign join; m16 mirrors the pair
+    //       front only, and no earlier row exercises the round-13
+    //       warm-start path on separate JVMs
+    "m19_audio_dup_clusters",
     //  t38: byte-level BPE — the 256-entry byte→char map and the rank
     //       map ship inside BOTH the distributed trainer's Dataset
     //       lambdas (Vector[String] symbol rows Kryo-exchanged across a

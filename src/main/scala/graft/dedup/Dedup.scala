@@ -366,10 +366,26 @@ object Dedup {
     * @return the kept rows of `df`, schema unchanged
     */
   def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
-      pairs: DataFrame, ccRegime: String = "auto"): DataFrame = {
+      pairs: DataFrame, ccRegime: String = "auto"): DataFrame =
+    keepBestAssigned(df, idCol, scoreCol,
+      duplicateClustersAuto(pairs, regime = ccRegime)
+        .select(col("doc_id").as(idCol), col("rep")))
+
+  /** [[keepBestPerCluster]] with the clustering ALREADY DONE — the seam
+    * the modality cluster fronts hand over
+    * ([[graft.multimodal.Multimodal.imageDupAssign]] /
+    * `videoDupAssign` / `audioDupAssign`): `assign` is an
+    * `(idCol, rep)` table; rows of `df` absent from it pass through
+    * untouched (they are their own cluster). Keeps the sparse-window
+    * discipline: the rank window runs over the ASSIGNED subset only —
+    * hand in a pair-members-only assignment (what
+    * [[duplicateClustersAuto]] emits) and the corpus never shuffles
+    * through the window; an all-ids assignment trades that for
+    * singleton rows ranked in size-1 partitions. */
+  def keepBestAssigned(df: DataFrame, idCol: String, scoreCol: String,
+      assign: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = duplicateClustersAuto(pairs, regime = ccRegime)
-      .select(col("doc_id").as(idCol), col("rep"))
+    val clusters = assign.select(col(idCol), col("rep"))
     val clustered = df.join(clusters, Seq(idCol))
     val w = Window.partitionBy(col("rep"))
       .orderBy(col(scoreCol).desc, col(idCol))

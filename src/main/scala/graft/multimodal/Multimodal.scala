@@ -596,6 +596,18 @@ object Multimodal {
   def videoDupPairsWithStats(media: DataFrame, minShared: Int = 1,
       maxVideosPerHash: Long = -1L, stride: Int = 1,
       maxFrames: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+    val (_, pairs, dropped) = videoPairsCore(media, minShared,
+      maxVideosPerHash, stride, maxFrames)
+    (pairs, dropped)
+  }
+
+  /** The frame-fingerprint-index core shared by the video pair/assign/
+    * cluster fronts. Returns (decodable video ids, pairs, dropped
+    * census) — the id universe rides the already-checkpointed
+    * fingerprint table (no second decode). */
+  private def videoPairsCore(media: DataFrame, minShared: Int,
+      maxVideosPerHash: Long, stride: Int, maxFrames: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(minShared >= 1, s"minShared=$minShared")
     // localCheckpoint the distinct fingerprint table: it is referenced
     // FOUR times downstream (census twice through the join, both
@@ -607,6 +619,7 @@ object Multimodal {
     val vh = frameStats(media, stride, maxFrames)
       .select(col("media_id"), col("dhash")).distinct()
       .localCheckpoint()
+    val ids = vh.select(col("media_id")).distinct()
     val census = vh.groupBy(col("dhash")).agg(count(lit(1)).as("n"))
     val (ok, dropped) = hotKeyPrune(census, Seq("dhash"), maxVideosPerHash)
     val indexed = vh.join(ok, Seq("dhash"))
@@ -616,7 +629,48 @@ object Multimodal {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_frames"))
       .filter(col("shared_frames") >= minShared)
-    (pairs, dropped)
+    (ids, pairs, dropped)
+  }
+
+  /** Per-VIDEO near-dup cluster assignment — the video analog of
+    * [[imageDupAssign]] ([[audioDupAssign]] is the audio cell): one row
+    * per decodable video `(media_id, rep)`, rep = minimum video id of
+    * its shared-fingerprint component, own id for singletons. Composes
+    * with [[graft.dedup.Dedup.keepBestAssigned]] so callers stop
+    * re-deriving CC from the pair table. */
+  def videoDupAssign(media: DataFrame, minShared: Int = 1,
+      maxVideosPerHash: Long = -1L, stride: Int = 1,
+      maxFrames: Int = Int.MaxValue, ccRegime: String = "auto"): DataFrame =
+    videoDupAssignWithStats(media, minShared, maxVideosPerHash, stride,
+      maxFrames, ccRegime)._1
+
+  /** [[videoDupAssign]] plus the dropped-fingerprint census. */
+  def videoDupAssignWithStats(media: DataFrame, minShared: Int = 1,
+      maxVideosPerHash: Long = -1L, stride: Int = 1,
+      maxFrames: Int = Int.MaxValue, ccRegime: String = "auto")
+      : (DataFrame, DataFrame) = {
+    val (ids, pairs, dropped) = videoPairsCore(media, minShared,
+      maxVideosPerHash, stride, maxFrames)
+    (assignReps(ids, pairs, ccRegime), dropped)
+  }
+
+  /** Video near-dup CLUSTER census — one row per cluster
+    * `(rep, n_members)` incl. singletons (the [[imageDupClusters]]
+    * contract at video granularity). */
+  def videoDupClusters(media: DataFrame, minShared: Int = 1,
+      maxVideosPerHash: Long = -1L, stride: Int = 1,
+      maxFrames: Int = Int.MaxValue, ccRegime: String = "auto"): DataFrame =
+    videoDupClustersWithStats(media, minShared, maxVideosPerHash, stride,
+      maxFrames, ccRegime)._1
+
+  /** [[videoDupClusters]] plus the dropped-fingerprint census. */
+  def videoDupClustersWithStats(media: DataFrame, minShared: Int = 1,
+      maxVideosPerHash: Long = -1L, stride: Int = 1,
+      maxFrames: Int = Int.MaxValue, ccRegime: String = "auto")
+      : (DataFrame, DataFrame) = {
+    val (asg, dropped) = videoDupAssignWithStats(media, minShared,
+      maxVideosPerHash, stride, maxFrames, ccRegime)
+    (clusterCensus(asg), dropped)
   }
 
   /** Hot-key census prune shared by the modality pair generators
@@ -689,14 +743,33 @@ object Multimodal {
 
   /** Per-clip window fingerprints (media_id, fp), format-dispatched
     * (WAV passthrough / FLAC lossless decode — the [[normalizeAudio]]
-    * front-door contract), one fingerprint per FULL non-overlapping
-    * `windowLen`-sample window (the partial tail drops: a window must
-    * mean the same thing in every clip for the inverted index to be an
-    * equality join). Narrow, scan-parallel; undecodable rows drop. */
-  def audioFingerprints(media: DataFrame, windowLen: Int = 1024)
-      : DataFrame = {
+    * front-door contract), one fingerprint per FULL `windowLen`-sample
+    * window on a `hop`-strided lattice (the partial tail drops: a
+    * window must mean the same thing in every clip for the inverted
+    * index to be an equality join). Narrow, scan-parallel; undecodable
+    * rows drop.
+    *
+    * RECALL SEMANTICS (the m14-stride discipline for the time axis):
+    * the index is an EQUALITY join on whole-window fingerprints, so two
+    * clips share a fingerprint iff their common audio is aligned to the
+    * same lattice offsets in both. The default `hop = 0` means
+    * hop = windowLen (non-overlapping grid): cheapest — one fingerprint
+    * per windowLen samples — but a shared segment OFFSET by a
+    * non-multiple of windowLen in either clip lands on no common
+    * window and is invisible. `hop = windowLen/2` (or any divisor)
+    * makes every offset that is a multiple of `hop` recoverable at
+    * `windowLen/hop`× fingerprint mass — the classic
+    * hopped-STFT/Shazam trade. Arbitrary sample-level offsets would
+    * need landmark pairs (onset-anchored), which slot in at this seam
+    * with the same inverted-index shape downstream; the m17 gate pins
+    * the half-hop regime's recall closed-form. */
+  def audioFingerprints(media: DataFrame, windowLen: Int = 1024,
+      hop: Int = 0): DataFrame = {
     require(windowLen >= 8 && windowLen % 8 == 0,
       s"windowLen=$windowLen must be a positive multiple of 8")
+    val hopLen = if (hop == 0) windowLen else hop
+    require(hopLen >= 1 && windowLen % hopLen == 0,
+      s"hop=$hop must divide windowLen=$windowLen (0 = grid mode)")
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -715,8 +788,12 @@ object Multimodal {
           else decodeWavSamples(bytes)
         pcm.toSeq.flatMap { s =>
           val id = r.getLong(idIdx)
-          (0 until s.length / windowLen).map(w =>
-            Row(id, audioWindowFingerprint(s, w * windowLen, windowLen)))
+          // guard the short-clip case BEFORE the division: a negative
+          // numerator truncates toward zero and would emit one
+          // out-of-bounds window
+          if (s.length < windowLen) Seq.empty
+          else (0 to (s.length - windowLen) / hopLen).map(w =>
+            Row(id, audioWindowFingerprint(s, w * hopLen, windowLen)))
         }
       }
     }
@@ -741,22 +818,38 @@ object Multimodal {
     * (the census reuses that partitioning); everything downstream is
     * fingerprint-table-sized. Returns (a, b, shared_windows), a < b. */
   def audioDupPairs(media: DataFrame, windowLen: Int = 1024,
-      minShared: Int = 1, maxClipsPerFingerprint: Long = -1L): DataFrame =
+      minShared: Int = 1, maxClipsPerFingerprint: Long = -1L,
+      hop: Int = 0): DataFrame =
     audioDupPairsWithStats(media, windowLen, minShared,
-      maxClipsPerFingerprint)._1
+      maxClipsPerFingerprint, hop)._1
 
   /** [[audioDupPairs]] plus the DROPPED-fingerprint census
     * `(fp, n, cap)` — the capped-run observability contract. */
   def audioDupPairsWithStats(media: DataFrame, windowLen: Int = 1024,
-      minShared: Int = 1, maxClipsPerFingerprint: Long = -1L)
-      : (DataFrame, DataFrame) = {
+      minShared: Int = 1, maxClipsPerFingerprint: Long = -1L,
+      hop: Int = 0): (DataFrame, DataFrame) = {
+    val (_, pairs, dropped) = audioPairsCore(media, windowLen, minShared,
+      maxClipsPerFingerprint, hop)
+    (pairs, dropped)
+  }
+
+  /** The fingerprint-index core shared by the audio pair/assign/cluster
+    * fronts: one decode pass, distinct, census cap, inverted-index
+    * self-join. Returns (decodable clip ids, pairs, dropped census) —
+    * the id universe rides the already-checkpointed fingerprint table,
+    * so the cluster fronts get their singleton rows without a second
+    * decode. */
+  private def audioPairsCore(media: DataFrame, windowLen: Int,
+      minShared: Int, maxClipsPerFingerprint: Long, hop: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(minShared >= 1, s"minShared=$minShared")
     // checkpoint AFTER the distinct: the fingerprint table is referenced
     // four times downstream and exchange reuse over RDD-sourced subtrees
     // does not happen (the measured videoDupPairs lesson) — the decode
     // must run once
-    val cf = audioFingerprints(media, windowLen)
+    val cf = audioFingerprints(media, windowLen, hop)
       .distinct().localCheckpoint()
+    val ids = cf.select(col("media_id")).distinct()
     val census = cf.groupBy(col("fp")).agg(count(lit(1)).as("n"))
     val (ok, dropped) =
       hotKeyPrune(census, Seq("fp"), maxClipsPerFingerprint)
@@ -767,8 +860,72 @@ object Multimodal {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_windows"))
       .filter(col("shared_windows") >= minShared)
-    (pairs, dropped)
+    (ids, pairs, dropped)
   }
+
+  /** Per-CLIP near-dup cluster assignment — the audio analog of
+    * [[imageDupAssign]], closing the m15-shaped cluster contract across
+    * the modality matrix: one row per decodable clip `(media_id, rep)`
+    * where rep is the minimum clip id of its shared-fingerprint
+    * component (its own id for singletons). This is the seam a curation
+    * pipeline composes with [[graft.dedup.Dedup.keepBestAssigned]] —
+    * the caller no longer re-derives connected components from the pair
+    * table (p25 consumed exactly that before round 13).
+    *
+    * Scale shape: the CC runs over the SPARSE pair table; the
+    * assignment join is id-keyed against the fingerprint-table-derived
+    * id universe (no second decode — [[audioPairsCore]]). */
+  def audioDupAssign(media: DataFrame, windowLen: Int = 1024,
+      minShared: Int = 1, maxClipsPerFingerprint: Long = -1L,
+      hop: Int = 0, ccRegime: String = "auto"): DataFrame =
+    audioDupAssignWithStats(media, windowLen, minShared,
+      maxClipsPerFingerprint, hop, ccRegime)._1
+
+  /** [[audioDupAssign]] plus the dropped-fingerprint census. */
+  def audioDupAssignWithStats(media: DataFrame, windowLen: Int = 1024,
+      minShared: Int = 1, maxClipsPerFingerprint: Long = -1L,
+      hop: Int = 0, ccRegime: String = "auto"): (DataFrame, DataFrame) = {
+    val (ids, pairs, dropped) = audioPairsCore(media, windowLen,
+      minShared, maxClipsPerFingerprint, hop)
+    (assignReps(ids, pairs, ccRegime), dropped)
+  }
+
+  /** Audio near-dup CLUSTER census — pairs → regime-dispatched CC →
+    * one row per cluster `(rep, n_members)` incl. singletons (the
+    * [[imageDupClusters]] contract at clip granularity). */
+  def audioDupClusters(media: DataFrame, windowLen: Int = 1024,
+      minShared: Int = 1, maxClipsPerFingerprint: Long = -1L,
+      hop: Int = 0, ccRegime: String = "auto"): DataFrame =
+    audioDupClustersWithStats(media, windowLen, minShared,
+      maxClipsPerFingerprint, hop, ccRegime)._1
+
+  /** [[audioDupClusters]] plus the dropped-fingerprint census. */
+  def audioDupClustersWithStats(media: DataFrame, windowLen: Int = 1024,
+      minShared: Int = 1, maxClipsPerFingerprint: Long = -1L,
+      hop: Int = 0, ccRegime: String = "auto"): (DataFrame, DataFrame) = {
+    val (asg, dropped) = audioDupAssignWithStats(media, windowLen,
+      minShared, maxClipsPerFingerprint, hop, ccRegime)
+    (clusterCensus(asg), dropped)
+  }
+
+  /** (id universe, pairs) → per-id rep assignment: CC over the SPARSE
+    * pair table ([[graft.dedup.Dedup.duplicateClustersAuto]] — regime
+    * dispatched, warm-started fallback), singletons coalesce to their
+    * own id. Shared by the audio and video cluster fronts. */
+  private def assignReps(ids: DataFrame, pairs: DataFrame,
+      ccRegime: String): DataFrame = {
+    val cc = graft.dedup.Dedup
+      .duplicateClustersAuto(pairs.select(col("a"), col("b")),
+        regime = ccRegime)
+      .withColumnRenamed("doc_id", "media_id")
+    ids.join(cc, Seq("media_id"), "left_outer")
+      .select(col("media_id"),
+        coalesce(col("rep"), col("media_id")).as("rep"))
+  }
+
+  /** Assignment → cluster census `(rep, n_members)`. */
+  private def clusterCensus(asg: DataFrame): DataFrame =
+    asg.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
 
   /** Image near-dup CLUSTERS by banded perceptual hash — the image
     * analog of SimHash-banded text dedup (d03/d08), shaped for the
@@ -1497,6 +1654,31 @@ object Multimodal {
         Array.fill(windowLen)(32767)
       else Array.empty[Int]
     val pcm = Array.fill(windowLen)(0) ++ seg(id) ++ seg(id + 3) ++ tail
+    val rate = (8000 + (id % 4) * 4000).toInt
+    if (id % 2 == 0) Flac.encode(pcm, rate) else wavFromPcm(rate, pcm)
+  }
+
+  /** Planted ARBITRARY-OFFSET overlap clip for the hopped-fingerprint
+    * gate (m17): silence(windowLen + (id%2)·windowLen/2) ++ seg(id) ++
+    * seg(id+3) — same seg formula and stride-3 sharing as
+    * [[overlapClipFromId]], but the odd-id half-window silence prefix
+    * shifts the shared segment by windowLen/2. Since the (id, id+3)
+    * dup pairs ALWAYS flip parity, every shared segment sits
+    * grid-aligned in one clip and half-window-offset in the other:
+    * the grid fingerprint lattice (hop = windowLen) provably misses
+    * every PLANTED pair on this corpus (it reports only 7-bit
+    * quantization aliases between unrelated segs — spec-pinned), while
+    * hop = windowLen/2 recovers every planted pair — the recall claim
+    * the m17 oracle replays closed-form. The full
+    * silence window every clip opens with stays the degenerate hot key
+    * (the binding-cap plant). FLAC/WAV parity dispatch as in
+    * [[overlapClipFromId]]. */
+  def offsetClipFromId(id: Long, windowLen: Int = 64): Array[Byte] = {
+    def seg(k: Long): Array[Int] =
+      Array.tabulate(windowLen)(i =>
+        (((k * 37 + i * 13) % 4001) - 2000).toInt)
+    val prefix = windowLen + (id % 2).toInt * (windowLen / 2)
+    val pcm = Array.fill(prefix)(0) ++ seg(id) ++ seg(id + 3)
     val rate = (8000 + (id % 4) * 4000).toInt
     if (id % 2 == 0) Flac.encode(pcm, rate) else wavFromPcm(rate, pcm)
   }

@@ -602,6 +602,60 @@ object CurationQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // -- m17: HOPPED-window audio near-dup — the offset-recall lever
+    // audioFingerprints grew in round 13. The planted corpus
+    // (offsetClipFromId) shifts every shared segment by windowLen/2 in
+    // exactly one side of each (id, id+3) dup pair (parity always
+    // flips), so the grid lattice provably misses every PLANTED pair
+    // (spec-pinned; what grid does report is 7-bit quantization
+    // aliasing between unrelated segs — replayable, not the plant)
+    // while hop = windowLen/2 recovers every planted pair at 2×
+    // fingerprint mass. Cap 16 still BINDS (the full-silence opening
+    // window is in every clip; the hopped lattice adds more silence
+    // windows for odd ids); the oracle replays the whole hopped
+    // lattice, fingerprints, capped census and pair counts
+    // closed-form. ----------------------------------------------------
+    "m17_audio_neardup_hopped" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val W = 64
+      val mk = udf((id: Long) => Multimodal.offsetClipFromId(id, W))
+      val media = Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+      Multimodal.audioDupPairs(media, windowLen = W, minShared = 1,
+          maxClipsPerFingerprint = 16, hop = W / 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // -- m18: video near-dup CLUSTER census — m14's pair graph carried
+    // through regime-dispatched CC to the m15 cluster contract
+    // (rep = min video id, n_members incl. singletons): all four
+    // modalities now hand keepBestAssigned the same (id, rep) shape.
+    // The oracle extends m14's closed-form pair replay with the d06
+    // reachability closure; the result is CC-regime-independent. ------
+    "m18_video_dup_clusters" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "video")
+        .select(col("media_id"), col("bytes"))
+      Multimodal.videoDupClusters(media, minShared = 1,
+          maxVideosPerHash = 64)
+        .orderBy(col("rep"))
+    }),
+
+    // -- m19: audio near-dup CLUSTER census — m16's pair graph through
+    // the same CC seam (the last cell of the cluster-contract matrix).
+    // Binding cap 16 as in m16; oracle = m16 pair replay + closure. ----
+    "m19_audio_dup_clusters" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val W = 64
+      val mk = udf((id: Long) => Multimodal.overlapClipFromId(id, W))
+      val media = Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+      Multimodal.audioDupClusters(media, windowLen = W, minShared = 1,
+          maxClipsPerFingerprint = 16)
+        .orderBy(col("rep"))
+    }),
+
     // -- m13: REAL FLAC audio ingestion — the LOSSLESS codec rung: each
     // clip's PCM16 samples are FLAC-encoded on the executors (pure-Scala
     // fixed-predictor profile, Rice residuals, CRC-8/16 per spec), then
@@ -1402,6 +1456,119 @@ object CurationQueries {
         |SELECT x.id AS a, y.id AS b, count(*)::BIGINT AS shared_windows
         |FROM idx x JOIN idx y ON x.fp = y.fp AND x.id < y.id
         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    // m17: the HOPPED lattice replayed closed-form — window offsets
+    // o = 0,32,…,len-64 over clip(id) = silence(64 + (id%2)*32) ++
+    // seg(id) ++ seg(id+3); sample o+j is silence below the prefix,
+    // else the seg formula at ((o+j-p) % 64) of seg(id) or seg(id+3);
+    // same 8-band fingerprint, BINDING 2..16 census, pair counts. The
+    // parity-flipping prefix means the grid lattice (o multiples of
+    // 64 only) yields NO pairs — spec-pinned; this oracle pins that
+    // hop=32 recovers every (id, id+3) pair exactly once
+    "m17_audio_neardup_hopped" ->
+      """WITH au AS (SELECT doc_id AS id, (64 + (doc_id % 2) * 32)::INT AS p
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT id, p,
+        |    (32 * unnest(range(0, (p + 64) // 32 + 1)))::INT AS o FROM au),
+        |sm AS (SELECT id, p, o, unnest(range(0, 64))::INT AS j FROM w),
+        |sv AS (SELECT id, o, (j // 8)::INT AS band,
+        |    CASE WHEN o + j < p THEN 0
+        |      ELSE abs((((CASE WHEN o + j - p < 64 THEN id ELSE id + 3 END)
+        |        * 37 + ((o + j - p) % 64) * 13) % 4001) - 2000) END AS a
+        |  FROM sm),
+        |bd AS (SELECT id, o, band,
+        |    least(127, (sum(a) // 8) >> 4) AS q
+        |  FROM sv GROUP BY 1, 2, 3),
+        |fp AS (SELECT id, o, CAST(sum(q << (8 * band)) AS BIGINT) AS fp
+        |  FROM bd GROUP BY 1, 2),
+        |cf AS (SELECT DISTINCT id, fp FROM fp),
+        |census AS (SELECT fp FROM cf GROUP BY fp
+        |  HAVING count(*) BETWEEN 2 AND 16),
+        |idx AS (SELECT cf.id, cf.fp FROM cf JOIN census USING (fp))
+        |SELECT x.id AS a, y.id AS b, count(*)::BIGINT AS shared_windows
+        |FROM idx x JOIN idx y ON x.fp = y.fp AND x.id < y.id
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    // m18: m14's closed-form pair replay + the d06 reachability closure
+    // + the singleton-inclusive census — the cluster contract is
+    // CC-regime-independent, so one oracle gates every regime
+    "m18_video_dup_clusters" ->
+      """WITH RECURSIVE v AS (SELECT doc_id, ((doc_id % 4) + 2)::INT AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, doc_id + unnest(range(0, nf)) AS fid FROM v),
+        |fm AS (SELECT doc_id, fid, ((fid % 5) + 1)::BIGINT AS w,
+        |    ((fid % 4) + 2)::BIGINT AS h FROM fr),
+        |g AS (SELECT fm.doc_id, fm.fid, ys.y, xs.x,
+        |    (((fm.fid*31 + 3*(((ys.y*fm.h)//8)*fm.w + (xs.x*fm.w)//9)) % 256)
+        |     + ((fm.fid*31 + 3*(((ys.y*fm.h)//8)*fm.w + (xs.x*fm.w)//9) + 1) % 256)
+        |     + ((fm.fid*31 + 3*(((ys.y*fm.h)//8)*fm.w + (xs.x*fm.w)//9) + 2) % 256)
+        |    ) // 3 AS gv
+        |  FROM fm
+        |  CROSS JOIN generate_series(0, 7) AS ys(y)
+        |  CROSS JOIN generate_series(0, 8) AS xs(x)),
+        |b AS (SELECT doc_id, fid, y, x, gv,
+        |    lead(gv) OVER (PARTITION BY doc_id, fid, y ORDER BY x) AS nxt
+        |  FROM g),
+        |bits AS (SELECT doc_id, fid, y*8 + x AS bit FROM b
+        |         WHERE x < 8 AND nxt > gv),
+        |hash AS (SELECT f.doc_id, f.fid,
+        |    CAST(coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (CAST(1 AS BIGINT) << (bit - 32)) END), 0) AS BIGINT) AS hi,
+        |    CAST(coalesce(sum(CASE WHEN bit < 32
+        |      THEN (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS lo
+        |  FROM fm f LEFT JOIN bits ON bits.doc_id = f.doc_id
+        |    AND bits.fid = f.fid
+        |  GROUP BY f.doc_id, f.fid),
+        |vh AS (SELECT DISTINCT doc_id, hi, lo FROM hash),
+        |census AS (SELECT hi, lo FROM vh GROUP BY hi, lo
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |idx AS (SELECT vh.doc_id, vh.hi, vh.lo FROM vh
+        |  JOIN census USING (hi, lo)),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM idx x JOIN idx y ON x.hi = y.hi AND x.lo = y.lo
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |asg AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT coalesce(asg.rep, v.doc_id) AS rep,
+        |  count(*)::BIGINT AS n_members
+        |FROM v LEFT JOIN asg ON asg.id = v.doc_id
+        |GROUP BY 1 ORDER BY rep""".stripMargin,
+    // m19: m16's closed-form pair replay + closure + singleton census
+    "m19_audio_dup_clusters" ->
+      """WITH RECURSIVE au AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |w AS (SELECT id, unnest([0, 1, 2]) AS wi FROM au),
+        |sm AS (SELECT id, wi, unnest(range(0, 64)) AS i FROM w),
+        |sv AS (SELECT id, wi, (i // 8)::INT AS band,
+        |    CASE WHEN wi = 0 THEN 0
+        |      ELSE abs((((CASE WHEN wi = 1 THEN id ELSE id + 3 END) * 37
+        |        + i * 13) % 4001) - 2000) END AS a
+        |  FROM sm),
+        |bd AS (SELECT id, wi, band,
+        |    least(127, (sum(a) // 8) >> 4) AS q
+        |  FROM sv GROUP BY 1, 2, 3),
+        |fp AS (SELECT id, wi, CAST(sum(q << (8 * band)) AS BIGINT) AS fp
+        |  FROM bd GROUP BY 1, 2),
+        |cf AS (SELECT DISTINCT id, fp FROM fp),
+        |census AS (SELECT fp FROM cf GROUP BY fp
+        |  HAVING count(*) BETWEEN 2 AND 16),
+        |idx AS (SELECT cf.id, cf.fp FROM cf JOIN census USING (fp)),
+        |pr AS (SELECT x.id AS a, y.id AS b
+        |  FROM idx x JOIN idx y ON x.fp = y.fp AND x.id < y.id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |asg AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT coalesce(asg.rep, au.id) AS rep,
+        |  count(*)::BIGINT AS n_members
+        |FROM au LEFT JOIN asg ON asg.id = au.id
+        |GROUP BY 1 ORDER BY rep""".stripMargin,
     // m13: the SAME closed-form sample formula as m09 — FLAC is lossless,
     // so the staged→decoded statistics replay exactly, plus the rate
     // (8000 + (doc_id % 4) * 4000, carried through STREAMINFO)

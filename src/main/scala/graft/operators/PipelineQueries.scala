@@ -1277,12 +1277,20 @@ object PipelineQueries {
             col("q._2").as("sum_sq"))
           .filter(col("n_clipped") === 0)
           .localCheckpoint()
-        val pairs = Multimodal.audioDupPairs(
+        // round 13: the audio branch consumes the CLUSTER-contract
+        // front (audioDupAssign — pairs → CC → (media_id, rep) with
+        // singletons coalesced) exactly like the image branch consumes
+        // imageDupAssign, instead of re-deriving CC + anti-join inside
+        // keepBestPerCluster: one window over the assigned frame IS the
+        // whole keep-best
+        val asg = Multimodal.audioDupAssign(
           audQc.select(col("media_id"), col("bytes")),
           windowLen = W, minShared = 1, maxClipsPerFingerprint = 16)
-        Dedup.keepBestPerCluster(
-            audQc.select(col("media_id"), col("sum_sq")),
-            "media_id", "sum_sq", pairs.select(col("a"), col("b")))
+        val wA = Window.partitionBy(col("rep"))
+          .orderBy(col("sum_sq").desc, col("media_id"))
+        audQc.select(col("media_id"), col("sum_sq")).join(asg, Seq("media_id"))
+          .withColumn("__rk", row_number().over(wA))
+          .filter(col("__rk") === 1)
           .select(lit("audio").as("kind"), col("media_id"),
             col("sum_sq").as("weight"))
       }

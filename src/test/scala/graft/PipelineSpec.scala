@@ -579,6 +579,96 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(kept.toSeq == Seq((6L, 6L)), s"got ${kept.toSeq}")
   }
 
+  test("hopped audio fingerprints: grid provably misses the offset plant, hop=W/2 recovers it") {
+    import graft.multimodal.Multimodal
+    val W = 64
+    val mk = udf((id: Long) => Multimodal.offsetClipFromId(id, W))
+    val media = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+      .localCheckpoint()
+    // every PLANTED (id, id+3) dup pair flips parity, so the shared
+    // segment is half-window-offset in exactly one side: the grid
+    // lattice misses every planted pair (whatever it does report is
+    // quantization ALIASING between unrelated segs — the fingerprint
+    // keeps 7 bits/band, and the p25 corpus showed the same effect;
+    // aliases replay in the oracle, so they are not wrong answers,
+    // just not the plant)
+    val ids = media.select(col("media_id")).as[Long].collect().toSet
+    val planted = ids.filter(id => ids.contains(id + 3))
+      .map(id => (id, id + 3))
+    val grid = Multimodal.audioDupPairs(media, windowLen = W,
+        maxClipsPerFingerprint = 16)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(grid.intersect(planted).isEmpty,
+      s"grid lattice must miss every planted offset pair: " +
+        s"${grid.intersect(planted).take(5)}")
+    // hop = W/2 recovers every planted pair
+    val hopped = Multimodal.audioDupPairs(media, windowLen = W,
+        maxClipsPerFingerprint = 16, hop = W / 2)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(hopped),
+      s"hopped lattice must recover every planted pair: missing " +
+        s"${planted.diff(hopped).take(5)}")
+    // 2x lattice density costs ~2x fingerprint mass (the documented
+    // price): count the raw fingerprints both ways
+    val g = Multimodal.audioFingerprints(media, W).count()
+    val h = Multimodal.audioFingerprints(media, W, hop = W / 2).count()
+    assert(h > g && h <= 2 * g, s"hopped mass $h vs grid $g")
+    // hop must divide the window
+    intercept[IllegalArgumentException] {
+      Multimodal.audioFingerprints(media, W, hop = 24)
+    }
+  }
+
+  test("audio/video cluster fronts agree with pairs + CC + keepBest composition") {
+    import graft.multimodal.Multimodal
+    val W = 64
+    val mk = udf((id: Long) => Multimodal.overlapClipFromId(id, W))
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val aud = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+      .localCheckpoint()
+    val pairs = Multimodal.audioDupPairs(aud, windowLen = W,
+      maxClipsPerFingerprint = 16)
+    val asg = Multimodal.audioDupAssign(aud, windowLen = W,
+      maxClipsPerFingerprint = 16)
+    // the assign covers every decodable clip; pair members carry the CC
+    // rep, singletons their own id
+    val cc = Dedup.duplicateClustersAuto(pairs.select(col("a"), col("b")))
+      .as[(Long, Long)].collect().toMap
+    val got = asg.as[(Long, Long)].collect().toMap
+    val ids = aud.select(col("media_id")).as[Long].collect().toSet
+    assert(got.keySet == ids, "assign must cover every decodable clip")
+    assert(got.forall { case (id, rep) => cc.getOrElse(id, id) == rep },
+      "assign reps must match CC (singletons = own id)")
+    // the census is the assign's groupBy — and total mass is the corpus
+    val cen = Multimodal.audioDupClusters(aud, windowLen = W,
+      maxClipsPerFingerprint = 16).as[(Long, Long)].collect()
+    assert(cen.map(_._2).sum == ids.size, "census mass must be the corpus")
+    assert(cen.toMap == got.groupBy(_._2).map { case (r, m) =>
+      (r, m.size.toLong) }, "census != assign rollup")
+    // keepBestAssigned over the assign == keepBestPerCluster over pairs
+    val weights = aud.select(col("media_id"),
+      (col("media_id") % 7).as("score"))
+    val viaAssign = Dedup.keepBestAssigned(weights, "media_id", "score",
+      asg).as[(Long, Long)].collect().toSet
+    val viaPairs = Dedup.keepBestPerCluster(weights, "media_id", "score",
+      pairs.select(col("a"), col("b"))).as[(Long, Long)].collect().toSet
+    assert(viaAssign == viaPairs,
+      s"keep-best fronts disagree: $viaAssign vs $viaPairs")
+    // video front: census mass equals the video universe
+    val vid = Multimodal.mediaFromDocuments(docs)
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"))
+    val vcen = Multimodal.videoDupClusters(vid, maxVideosPerHash = 64)
+      .as[(Long, Long)].collect()
+    val nVid = vid.count()
+    assert(vcen.map(_._2).sum == nVid,
+      s"video census mass ${vcen.map(_._2).sum} != $nVid")
+    assert(vcen.exists(_._2 > 1), "planted video dups must cluster")
+  }
+
   test("imageDupAssign: per-media reps carry exactly the cluster census mass") {
     import graft.multimodal.Multimodal
     val media = Multimodal
