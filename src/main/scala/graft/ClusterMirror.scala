@@ -200,6 +200,13 @@ object ClusterMirror {
     //        executors against a SHARED store directory; every earlier
     //        streaming row used the state store, none used foreachBatch
     "st20_stream_lsh_ingest",
+    //  st21: streamed audio-dedup ingest on real JVMs — binary clip
+    //        DECODE inside foreachBatch actions on remote executors
+    //        (st20 ships text shingles; no earlier streaming row runs a
+    //        codec in the ingest path), broadcast fingerprint probes
+    //        against a shared on-disk store, the report-before-segment
+    //        disk barrier across executor filesystems
+    "st21_stream_audio_ingest",
     //  m19: the audio CLUSTER front on real JVMs — fingerprint longs
     //       through a remote exchange INTO the warm-started CC dispatch
     //       (probe labels + quotient contraction + star rounds all

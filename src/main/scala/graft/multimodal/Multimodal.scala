@@ -908,6 +908,104 @@ object Multimodal {
     (clusterCensus(asg), dropped)
   }
 
+  // ---- incremental audio fingerprint index ----------------------------
+
+  /** Build a persistent audio fingerprint index so later clip batches
+    * deduplicate incrementally — the audio face of
+    * [[graft.dedup.Dedup.buildLshIndex]]: daily ingest probes the store
+    * by fingerprint, O(batch) per append, the store scanned once and
+    * never re-fingerprinted. Layout: `path/fps/batch=base` holds the
+    * distinct (id, fp) table ([[audioFingerprints]] — same windowLen
+    * and hop MUST be used for every append; fingerprints are
+    * hash-free integer functions of the samples, so build + appends in
+    * any batch order produce exactly the pairs of a one-shot
+    * [[audioDupPairs]] over the union when uncapped (st21-gated). */
+  def buildAudioIndex(media: DataFrame, path: String,
+      windowLen: Int = 1024, hop: Int = 0): Unit = {
+    audioFingerprints(media, windowLen, hop).distinct()
+      .withColumnRenamed("media_id", "id")
+      .write.mode("overwrite").parquet(s"$path/fps/batch=base")
+  }
+
+  /** Append a clip batch to a [[buildAudioIndex]] store and return the
+    * verified near-dup pairs INVOLVING the new clips (new↔old and
+    * new↔new; old↔old pairs were reported when appended) — the st20
+    * foreachBatch discipline for the audio modality.
+    *
+    * Scale shape: the batch is fingerprinted narrowly (one decode) and
+    * BROADCAST against the store's fingerprint table — the corpus-sized
+    * side is scanned once, unshuffled. Durability/ordering: the pair
+    * report is written to `pairs/batch=<id>` BEFORE the store gains the
+    * batch's `fps/batch=<id>` segment, and the returned frame reads the
+    * written report (no lazy plan can observe the post-append store);
+    * re-running a `batchId` overwrites both segments and plan-time
+    * `batch =!= batchId` filters exclude them from "old" — idempotent
+    * re-ingest, exactly-once under streaming epoch replay.
+    *
+    * Cap semantics under incrementality: `maxClipsPerFingerprint`
+    * applies to the census over old∪new AT APPEND TIME. Reports are
+    * append-time-consistent — a fingerprint that crosses the cap in a
+    * LATER batch keeps its earlier reports (no retraction), so exact
+    * one-shot equality holds uncapped (the st21 gate regime) or when no
+    * key crosses the cap mid-stream; the default census-derived cap
+    * still bounds every append's blowup on degenerate keys. */
+  def appendToAudioIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newMedia: DataFrame, batchId: String,
+      windowLen: Int = 1024, hop: Int = 0, minShared: Int = 1,
+      maxClipsPerFingerprint: Long = -1L): DataFrame = {
+    require(batchId.matches("[A-Za-z0-9_-]+") && batchId != "base",
+      s"batchId must be a fresh [A-Za-z0-9_-]+ segment name, got '$batchId'")
+    require(minShared >= 1, s"minShared=$minShared")
+    val newFps = audioFingerprints(newMedia, windowLen, hop).distinct()
+      .withColumnRenamed("media_id", "id")
+      .persist()
+    val oldFps = spark.read.parquet(s"$path/fps")
+      .filter(col("batch") =!= batchId).drop("batch")
+    // cap over the old∪new census (append-time view; see scaladoc)
+    val (okNew, okOld) = if (maxClipsPerFingerprint == 0L)
+        (newFps, oldFps)
+      else {
+        val census = oldFps.unionByName(newFps)
+          .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+        val (ok, _) = hotKeyPrune(census, Seq("fp"), maxClipsPerFingerprint)
+        (newFps.join(ok, Seq("fp")), oldFps.join(ok, Seq("fp")))
+      }
+    val newVsOld = okOld.join(
+        broadcast(okNew.withColumnRenamed("id", "nid")), Seq("fp"))
+      .filter(col("id") =!= col("nid"))
+      .select(least(col("id"), col("nid")).as("a"),
+        greatest(col("id"), col("nid")).as("b"))
+    val l = okNew.as("l"); val r = okNew.as("r")
+    val newVsNew = l.join(broadcast(r),
+        col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+    val pairs = newVsOld.unionByName(newVsNew)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minShared)
+    // disk barrier: report first, then the store segment
+    pairs.write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
+    newFps.write.mode("overwrite").parquet(s"$path/fps/batch=$batchId")
+    newFps.unpersist()
+    spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
+  }
+
+  /** Silence-free planted-overlap clip for the st21 streamed-ingest
+    * gate: seg(id) ++ seg(id+3) (the [[overlapClipFromId]] stride-3
+    * sharing, same seg formula and FLAC/WAV parity dispatch, NO hot
+    * key) — uncapped pair generation stays linear, which is what lets
+    * the gate pin EXACT one-shot == build∪appends equality (the cap's
+    * append-time-view caveat never engages; see
+    * [[appendToAudioIndex]]). */
+  def segClipFromId(id: Long, windowLen: Int = 64): Array[Byte] = {
+    def seg(k: Long): Array[Int] =
+      Array.tabulate(windowLen)(i =>
+        (((k * 37 + i * 13) % 4001) - 2000).toInt)
+    val pcm = seg(id) ++ seg(id + 3)
+    val rate = (8000 + (id % 4) * 4000).toInt
+    if (id % 2 == 0) Flac.encode(pcm, rate) else wavFromPcm(rate, pcm)
+  }
+
   /** (id universe, pairs) → per-id rep assignment: CC over the SPARSE
     * pair table ([[graft.dedup.Dedup.duplicateClustersAuto]] — regime
     * dispatched, warm-started fallback), singletons coalesce to their

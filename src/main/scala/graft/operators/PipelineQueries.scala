@@ -2347,6 +2347,50 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // -- st21: streamed AUDIO-dedup ingest — the st20 foreachBatch
+    // discipline composed with the m16 fingerprint machinery: every
+    // micro-batch of a clip stream appends to a persistent audio
+    // fingerprint store (batch decoded+fingerprinted narrowly,
+    // BROADCAST against the store; report written before the store
+    // gains the segment; idempotent on batchId). Silence-free corpus
+    // (segClipFromId) + uncapped ⇒ EXACT equality: (one-shot pairs over
+    // the base) ∪ (streamed reports) == one-shot over the union, all
+    // replayed closed-form by the same fingerprint oracle. ------------
+    "st21_stream_audio_ingest" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val W = 64
+      val docs = Tables.documents(s, d)
+      val base = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st21"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      // fresh store per run (the st20 lesson: stale segments of a prior
+      // run would double-report cross-batch pairs)
+      rm(new java.io.File(s"$base/idx"))
+      val mk = udf((id: Long) => Multimodal.segClipFromId(id, W))
+      def clips(ids: DataFrame) = ids
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+      val aud = docs.filter(col("doc_id") % 3 === 1)
+      val old = aud.filter(col("doc_id") % 4 =!= 0)
+      val fresh = aud.filter(col("doc_id") % 4 === 0)
+      Multimodal.buildAudioIndex(clips(old), s"$base/idx", windowLen = W)
+      val oldPairs = Multimodal.audioDupPairs(clips(old), windowLen = W,
+        minShared = 1, maxClipsPerFingerprint = 0)
+      val staged = fresh.select(col("doc_id").cast("timestamp").as("ts"),
+        col("doc_id"))
+      graft.streaming.EventStreams.runStagedForeachBatch(s, staged,
+          s"$base/stage", nFiles = 3) { (batch, id) =>
+        Multimodal.appendToAudioIndex(s, s"$base/idx", clips(batch),
+          batchId = s"b$id", windowLen = W, minShared = 1,
+          maxClipsPerFingerprint = 0)
+        ()
+      }
+      val streamed = s.read.parquet(s"$base/idx/pairs")
+        .select(col("a"), col("b"), col("shared_windows"))
+      oldPairs.unionByName(streamed).orderBy(col("a"), col("b"))
+    }),
+
     "st19_stream_wordpiece" -> ((s, d) => {
       import graft.functions.WordPiece
       val docs = Tables.documents(s, d)
@@ -3995,6 +4039,29 @@ object PipelineQueries {
     // st20: one-shot == batch-incremental == STREAMED ingest — the same
     // exact-jaccard replay gates all three
     "st20_stream_lsh_ingest" -> lshPairsOracle,
+    // st21: the one-shot audio fingerprint replay over the FULL clip
+    // universe — the stream==batch==replay discipline: (build pairs) ∪
+    // (streamed reports) must equal one-shot over the union exactly
+    // (silence-free corpus, uncapped ⇒ the cap's append-time-view
+    // caveat never engages)
+    "st21_stream_audio_ingest" ->
+      """WITH au AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |w AS (SELECT id, unnest([0, 1]) AS wi FROM au),
+        |sm AS (SELECT id, wi, unnest(range(0, 64)) AS i FROM w),
+        |sv AS (SELECT id, wi, (i // 8)::INT AS band,
+        |    abs((((CASE WHEN wi = 0 THEN id ELSE id + 3 END) * 37
+        |      + i * 13) % 4001) - 2000) AS a
+        |  FROM sm),
+        |bd AS (SELECT id, wi, band,
+        |    least(127, (sum(a) // 8) >> 4) AS q
+        |  FROM sv GROUP BY 1, 2, 3),
+        |fp AS (SELECT id, wi, CAST(sum(q << (8 * band)) AS BIGINT) AS fp
+        |  FROM bd GROUP BY 1, 2),
+        |cf AS (SELECT DISTINCT id, fp FROM fp)
+        |SELECT x.id AS a, y.id AS b, count(*)::BIGINT AS shared_windows
+        |FROM cf x JOIN cf y ON x.fp = y.fp AND x.id < y.id
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
     // d06b: star contraction must land on the identical components —
     // the exact reachability oracle gates both CC regimes
     "d06b_dup_clusters_logd" -> dupClustersOracle,

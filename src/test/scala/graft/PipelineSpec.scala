@@ -1174,6 +1174,55 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(oneShot.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("incremental audio index: build + two appends equals one-shot; re-ingest idempotent") {
+    import graft.multimodal.Multimodal
+    val W = 64
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val mk = udf((id: Long) => Multimodal.segClipFromId(id, W))
+    def clips(ids: org.apache.spark.sql.DataFrame) = ids
+      .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+    val aud = docs.filter(col("doc_id") % 3 === 1)
+    val dir = "target/qtmp/audio_idx_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(dir))
+    val b0 = aud.filter(col("doc_id") % 3 === 1 && col("doc_id") % 9 < 4)
+    val b1 = aud.filter(col("doc_id") % 9 >= 4 && col("doc_id") % 9 < 7)
+    val b2 = aud.filter(col("doc_id") % 9 >= 7)
+    Multimodal.buildAudioIndex(clips(b0), dir, windowLen = W)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a"), col("b"), col("shared_windows"))
+        .as[(Long, Long, Long)].collect().toSet
+    val p0 = pairSet(Multimodal.audioDupPairs(clips(b0), windowLen = W,
+      maxClipsPerFingerprint = 0))
+    val p1 = pairSet(Multimodal.appendToAudioIndex(spark, dir, clips(b1),
+      "b1", windowLen = W, maxClipsPerFingerprint = 0))
+    val p2 = pairSet(Multimodal.appendToAudioIndex(spark, dir, clips(b2),
+      "b2", windowLen = W, maxClipsPerFingerprint = 0))
+    val oneShot = pairSet(Multimodal.audioDupPairs(clips(aud),
+      windowLen = W, maxClipsPerFingerprint = 0))
+    assert((p0 ++ p1 ++ p2) == oneShot,
+      s"inc-only=${(p0 ++ p1 ++ p2) -- oneShot} one-only=${oneShot -- (p0 ++ p1 ++ p2)}")
+    assert(oneShot.nonEmpty, "fixture should contain planted audio pairs")
+    assert(p1.intersect(p2).isEmpty, "a pair must be reported exactly once")
+    // re-ingesting the SAME batch id overwrites its segments: the
+    // report is unchanged and the store does not double-count
+    val p2again = pairSet(Multimodal.appendToAudioIndex(spark, dir,
+      clips(b2), "b2", windowLen = W, maxClipsPerFingerprint = 0))
+    assert(p2again == p2, "re-ingest must be idempotent on batchId")
+    // an explicit cap engages on the old∪new census: appending clips
+    // that all share the silence fingerprint under cap 1 reports nothing
+    val sil = udf((id: Long) =>
+      Multimodal.wavFromPcm(8000, Array.fill(W)(0)))
+    val silClips = docs.filter(col("doc_id") % 3 === 2).limit(8)
+      .select(col("doc_id").as("media_id"), sil(col("doc_id")).as("bytes"))
+    val capped = pairSet(Multimodal.appendToAudioIndex(spark, dir,
+      silClips, "b3", windowLen = W, maxClipsPerFingerprint = 1))
+    assert(capped.isEmpty, s"cap 1 must shed the shared key: $capped")
+  }
+
   test("bloom filter: zero false negatives; prefiltered decontamination equals exact") {
     import graft.functions.BloomFunctions
     // no false negatives — every inserted member must probe true
