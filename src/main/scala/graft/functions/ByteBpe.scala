@@ -243,6 +243,41 @@ object ByteBpe {
     f(tokens)
   }
 
+  /** Export the learned merges as a GPT-2 `merges.txt` artifact —
+    * `#version: 0.2` header, then one `a b` line per merge in training
+    * order (the format HF tokenizers / tiktoken-style loaders read).
+    * The space separator is unambiguous BECAUSE of the byte map: no
+    * mapped symbol ever contains a literal space char (byte 0x20 maps
+    * to Ġ, and every symbol char is printable) — the same property
+    * that makes the format work for GPT-2 itself. Unlike WordPiece's
+    * vocab.txt, the artifact carries FULL training provenance (ranked
+    * merges), so an imported model is rank-identical, not merely
+    * encode-identical. Byte-deterministic: retraining writes identical
+    * bytes (spec-pinned). */
+  def saveMerges(model: Model, path: java.nio.file.Path): Unit = {
+    val lines = "#version: 0.2" +: model.merges.map(m => m._1 + " " + m._2)
+    java.nio.file.Files.write(path,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  /** Load a `merges.txt` artifact (ours or a GPT-2/HF checkpoint's)
+    * back into a [[Model]]. `#`-prefixed header lines and blanks are
+    * skipped; each remaining line is one `a b` merge in rank order. */
+  def loadMerges(path: java.nio.file.Path): Model = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(path,
+      java.nio.charset.StandardCharsets.UTF_8).asScala
+    val merges = lines.iterator
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1 && l.indexOf(' ', sp + 1) < 0,
+          s"malformed merges.txt line: '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }.toVector
+    Model(merges)
+  }
+
   /** Learned token count without materializing token arrays (the
     * packing/budget divisor — [[Bpe.tokenCount]]'s shape). */
   def tokenCount(model: Model)(text: Column): Column = {

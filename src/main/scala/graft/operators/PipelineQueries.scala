@@ -2391,6 +2391,38 @@ object PipelineQueries {
       oldPairs.unionByName(streamed).orderBy(col("a"), col("b"))
     }),
 
+    // -- st22: byte-level BPE under the STREAMING engine (the st19
+    // discipline for the round-13 tokenizer family): the driver-trained
+    // model's tokenCount UDF (rank-map closure + per-TASK memo) runs
+    // per micro-batch; stateless encode + chop-invariant integer
+    // aggregate ⇒ streamed census == batch == the SAME byteBpeCtes
+    // replay that gates t38. Also pins the merges.txt round trip in
+    // the production path: the STREAMED side runs on a model
+    // round-tripped through the GPT-2 artifact (save → load), so any
+    // export/import drift would hash-diverge the gate. ----------------
+    "st22_stream_bytebpe" -> ((s, d) => {
+      import graft.functions.ByteBpe
+      val docs = Tables.documents(s, d)
+      val trained = ByteBpe.trainDistributed(docs, "text", nMerges = 48)
+      val tmp = java.nio.file.Files.createTempDirectory("st22merges")
+      val mPath = tmp.resolve("merges.txt")
+      ByteBpe.saveMerges(trained, mPath)
+      val model = ByteBpe.loadMerges(mPath)
+      val staged = docs.select(col("doc_id").cast("timestamp").as("ts"),
+        col("doc_id"), col("lang"), col("text"))
+      graft.streaming.EventStreams.runStagedStream(s, staged,
+          s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st22_stage",
+          nFiles = 3, sinkName = "st22_sink") { df =>
+        df.select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_words"),
+            ByteBpe.tokenCount(model)(col("text")).cast("long").as("n_bb"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("words"),
+            sum(col("n_bb")).as("bb_tokens"))
+      }.orderBy(col("lang"))
+    }),
+
     "st19_stream_wordpiece" -> ((s, d) => {
       import graft.functions.WordPiece
       val docs = Tables.documents(s, d)
@@ -3798,6 +3830,14 @@ object PipelineQueries {
         "TRUE AS count_parity, TRUE AS vocab_closed, TRUE AS bounds_ok, " +
         "TRUE AS compresses, TRUE AS dist_parity_ok, " +
         "TRUE AS adv_roundtrip_ok FROM documents"),
+    // st22: the streamed census is the SAME training + byte-map replay
+    // as t38, integer columns only (stream==batch==replay), run on a
+    // merges.txt-round-tripped model
+    "st22_stream_bytebpe" -> (byteBpeCtes +
+      """
+        |SELECT lang, count(*) AS n_docs, sum(nw)::BIGINT AS words,
+        |  sum(nb)::BIGINT AS bb_tokens
+        |FROM docb GROUP BY lang ORDER BY lang""".stripMargin),
     // t36: WordPiece training AND encoding replayed end to end. The
     // training CTE runs all 48 likelihood-scored rounds (pair counts
     // joined with symbol counts from the same working table; the score

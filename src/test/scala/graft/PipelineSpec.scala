@@ -2054,6 +2054,32 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       s"expected IllegalArgumentException in cause chain: $e")
   }
 
+  test("ByteBpe merges.txt round trip: byte-deterministic artifact, rank-identical import") {
+    import graft.functions.ByteBpe
+    val words = Array(("hug", 10L), (" hug", 5L), ("pug", 12L))
+    val model = ByteBpe.trainFromWordCounts(words, nMerges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("bbmerges")
+    val p1 = dir.resolve("merges.txt"); val p2 = dir.resolve("merges2.txt")
+    ByteBpe.saveMerges(model, p1)
+    ByteBpe.saveMerges(ByteBpe.trainFromWordCounts(words, 3), p2)
+    assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p1),
+      java.nio.file.Files.readAllBytes(p2)), "artifact must be byte-stable")
+    val lines = new String(java.nio.file.Files.readAllBytes(p1), "UTF-8")
+      .split("\n").toSeq
+    assert(lines.head == "#version: 0.2", s"GPT-2 header expected: $lines")
+    assert(lines.tail == Seq("u g", "h ug", "p ug"),
+      s"merges in training order: $lines")
+    // import carries FULL provenance: rank-identical, not merely
+    // encode-identical (unlike vocab.txt)
+    val imported = ByteBpe.loadMerges(p1)
+    assert(imported.merges == model.merges, "rank drift on import")
+    assert(imported.rank == model.rank)
+    // a malformed line (two spaces = three tokens) fails loud
+    val bad = dir.resolve("bad.txt")
+    java.nio.file.Files.write(bad, "#version: 0.2\na b c\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { ByteBpe.loadMerges(bad) }
+  }
+
   test("ByteBpe on the corpus: deterministic, distributed parity, compresses") {
     import graft.functions.ByteBpe
     val docs = Tables.documents(spark, sfDir)
