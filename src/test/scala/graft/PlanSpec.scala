@@ -34,6 +34,44 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
       s"encode/census must not range-shuffle the corpus:\n$p")
   }
 
+  test("t38: byte-BPE census is one exchange; encode stays narrow") {
+    // the t34/t12 discipline for the fourth family: scan -> project
+    // (the tokenCount UDF — the honest-UDF case) -> partial agg -> ONE
+    // hash exchange on lang -> final agg; a second exchange or an
+    // in-body sort would mean the tokenizer added a corpus shuffle.
+    // (trainDistributed's 48 rounds run during query CONSTRUCTION and
+    // are not part of this plan — their per-round shape is the gated
+    // t12c profile.)
+    val p = plan("t38_bytebpe_tokens")
+    val body = p.split("TakeOrderedAndProject|Sort ").head
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx == 1, s"expected exactly 1 census exchange, got $nEx:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation around the exchange:\n$p")
+    assert(!body.contains("Exchange rangepartitioning"),
+      s"census must not range-shuffle the corpus:\n$p")
+  }
+
+  test("m19: audio cluster census reads checkpointed tables only (decode + CC done upfront)") {
+    // the cluster-front plan at 100 TB: by the time the returned frame
+    // executes, the decode pass and every CC round already ran
+    // (checkpointed during construction) — the remaining plan is the
+    // id-universe/label join + the census aggregate over
+    // fingerprint-table-sized inputs. No mapPartitions decode may leak
+    // into it, and it must stay a bounded join+agg shape.
+    val p = plan("m19_audio_dup_clusters")
+    assert(!p.contains("SerializeFromObject"),
+      s"the decode mapPartitions leaked past the checkpoint:\n$p")
+    // 6 hash exchanges is the measured warm-start composition shape
+    // (ids dedup + ids⋈assign + probe-labels⋈quotient-reps + census) —
+    // every exchanged table is fingerprint/label-sized, never media
+    // bytes; the guard is against growth, not the count itself
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx <= 6, s"cluster census grew extra shuffles ($nEx > 6):\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+      s"only the final result order may range-shuffle:\n$p")
+  }
+
   test("m14: video dedup decodes once (checkpointed fingerprints), no extra shuffles") {
     // the inverted-index pair join at 100 TB: the DECODE pass is the
     // dominant cost and the fingerprint table is referenced four times
