@@ -991,16 +991,32 @@ object Multimodal {
   }
 
   /** Silence-free planted-overlap clip for the st21 streamed-ingest
-    * gate: seg(id) ++ seg(id+3) (the [[overlapClipFromId]] stride-3
-    * sharing, same seg formula and FLAC/WAV parity dispatch, NO hot
-    * key) — uncapped pair generation stays linear, which is what lets
-    * the gate pin EXACT one-shot == build∪appends equality (the cap's
-    * append-time-view caveat never engages; see
-    * [[appendToAudioIndex]]). */
+    * gate: seg(id) ++ seg(id+3) (stride-3 sharing, FLAC/WAV parity
+    * dispatch, NO hot key). The seg waveform is FINGERPRINT-INJECTIVE
+    * by construction: band b of seg(k) holds the constant amplitude
+    * `16·((k·41 + b) mod M(b))` with per-band co-prime moduli M =
+    * (97,101,103,107,109,113,89,127), so the 8-band quantized
+    * fingerprint equals `Σ ((k·41+b) mod M(b)) << 8b` EXACTLY (sum of
+    * 8 constant |amplitudes| / 8 >> 4 recovers the level), and two
+    * segs share a fingerprint only when k ≡ k' mod lcm(M) ≈ 1.2e16 —
+    * i.e. never, except the PLANTED seg(id+3) share. That matters at
+    * scale: the first corpus draft reused [[overlapClipFromId]]'s
+    * pseudo-random ±2000 waveform, whose mean-|amp| concentrates all
+    * bands near one quantized level — millions of clips aliased into a
+    * handful of fingerprint buckets and the gate's UNCAPPED self-join
+    * (uncapped is what makes one-shot == build∪appends exact)
+    * squared on them. Production corpora handle that with the census
+    * cap; an exactness gate needs a corpus where uncapped is linear.
+    * See [[appendToAudioIndex]] for the cap's append-time-view
+    * caveat. */
   def segClipFromId(id: Long, windowLen: Int = 64): Array[Byte] = {
+    val mods = Array(97, 101, 103, 107, 109, 113, 89, 127)
+    val sub = windowLen / 8
     def seg(k: Long): Array[Int] =
-      Array.tabulate(windowLen)(i =>
-        (((k * 37 + i * 13) % 4001) - 2000).toInt)
+      Array.tabulate(windowLen) { i =>
+        val b = i / sub
+        (16L * ((k * 41 + b) % mods(b))).toInt
+      }
     val pcm = seg(id) ++ seg(id + 3)
     val rate = (8000 + (id % 4) * 4000).toInt
     if (id % 2 == 0) Flac.encode(pcm, rate) else wavFromPcm(rate, pcm)

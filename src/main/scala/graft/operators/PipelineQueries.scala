@@ -2374,8 +2374,13 @@ object PipelineQueries {
       val aud = docs.filter(col("doc_id") % 3 === 1)
       val old = aud.filter(col("doc_id") % 4 =!= 0)
       val fresh = aud.filter(col("doc_id") % 4 === 0)
-      Multimodal.buildAudioIndex(clips(old), s"$base/idx", windowLen = W)
-      val oldPairs = Multimodal.audioDupPairs(clips(old), windowLen = W,
+      // checkpoint the staged base clips: FLAC-encoding the synthetic
+      // corpus is the gate's dominant cost and the frame is referenced
+      // twice (store build + the one-shot base dedup) — the m14
+      // exchange-reuse lesson applied to the gate's own staging
+      val oldClips = clips(old).localCheckpoint()
+      Multimodal.buildAudioIndex(oldClips, s"$base/idx", windowLen = W)
+      val oldPairs = Multimodal.audioDupPairs(oldClips, windowLen = W,
         minShared = 1, maxClipsPerFingerprint = 0)
       val staged = fresh.select(col("doc_id").cast("timestamp").as("ts"),
         col("doc_id"))
@@ -4082,22 +4087,23 @@ object PipelineQueries {
     // st21: the one-shot audio fingerprint replay over the FULL clip
     // universe — the stream==batch==replay discipline: (build pairs) ∪
     // (streamed reports) must equal one-shot over the union exactly
-    // (silence-free corpus, uncapped ⇒ the cap's append-time-view
-    // caveat never engages)
+    // (silence-free fingerprint-INJECTIVE corpus, uncapped ⇒ the cap's
+    // append-time-view caveat never engages and the self-join stays
+    // linear). segClipFromId's per-band constant levels make the
+    // fingerprint CLOSED-FORM: band b of seg(k) quantizes to exactly
+    // (k·41+b) mod M(b) — no sample simulation needed
     "st21_stream_audio_ingest" ->
       """WITH au AS (SELECT doc_id AS id FROM documents
         |  WHERE doc_id % 3 = 1),
-        |w AS (SELECT id, unnest([0, 1]) AS wi FROM au),
-        |sm AS (SELECT id, wi, unnest(range(0, 64)) AS i FROM w),
-        |sv AS (SELECT id, wi, (i // 8)::INT AS band,
-        |    abs((((CASE WHEN wi = 0 THEN id ELSE id + 3 END) * 37
-        |      + i * 13) % 4001) - 2000) AS a
-        |  FROM sm),
-        |bd AS (SELECT id, wi, band,
-        |    least(127, (sum(a) // 8) >> 4) AS q
-        |  FROM sv GROUP BY 1, 2, 3),
-        |fp AS (SELECT id, wi, CAST(sum(q << (8 * band)) AS BIGINT) AS fp
-        |  FROM bd GROUP BY 1, 2),
+        |w AS (SELECT id,
+        |    CASE WHEN wi = 0 THEN id ELSE id + 3 END AS k
+        |  FROM au, (SELECT unnest([0, 1]) AS wi)),
+        |bq AS (SELECT id, k, band,
+        |    (k * 41 + band) % ([97,101,103,107,109,113,89,127])[band + 1]
+        |      AS q
+        |  FROM w, (SELECT unnest(range(0, 8))::INT AS band)),
+        |fp AS (SELECT id, k, CAST(sum(q << (8 * band)) AS BIGINT) AS fp
+        |  FROM bq GROUP BY 1, 2),
         |cf AS (SELECT DISTINCT id, fp FROM fp)
         |SELECT x.id AS a, y.id AS b, count(*)::BIGINT AS shared_windows
         |FROM cf x JOIN cf y ON x.fp = y.fp AND x.id < y.id
