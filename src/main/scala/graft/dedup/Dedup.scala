@@ -977,37 +977,133 @@ object Dedup {
     * probeIters-fold shorter — quotient graph, and the final rep
     * composes back through the partial labels. probeIters rounds of
     * scheduling stop being pure waste: they are the first probeIters
-    * halvings the fallback no longer has to do. */
+    * halvings the fallback no longer has to do.
+    *
+    * SMALL-GRAPH FAST PATH (round 14): edge counts are MEASURED at two
+    * census points (the same discipline as `hotKeyPrune` / the q65
+    * footer census — driver state is bounded by a number the engine
+    * just computed, never by hope), and a graph at or under
+    * `fastPathMaxEdges` edges is collected and closed with driver-side
+    * union-find in milliseconds instead of O(rounds) of scheduled
+    * shuffle jobs — the measured long pole of p25/m15/m18/m19 being
+    * per-round driver PACING, corpus-size-independent.
+    *  - PRE-probe: near-dup pair tables are sparse by construction
+    *    (banded + capped generators), so the whole graph often fits the
+    *    bound — then even the probe is wasted motion, and CC costs one
+    *    narrow count + one collect + a broadcast label map.
+    *  - POST-quotient: when the pair table is large but the probe's
+    *    contraction is small, the quotient edges take the same exit.
+    * 100k edges ≈ single-digit MBs of driver state either way. Results
+    * are regime-independent (rep = component minimum under Spark's own
+    * ordering — [[graft.functions.Collation.utf8Order]] for strings),
+    * so every existing gate oracle carries over; 0 disables the path. */
   def duplicateClustersAuto(pairs: DataFrame, maxIters: Int = 20,
-      regime: String = "auto", probeIters: Int = 8): DataFrame = {
+      regime: String = "auto", probeIters: Int = 8,
+      fastPathMaxEdges: Long = 100000L): DataFrame = {
     require(Seq("auto", "minlabel", "logd").contains(regime),
       s"regime must be auto|minlabel|logd, got '$regime'")
     regime match {
       case "minlabel" => duplicateClusters(pairs, maxIters)
       case "logd"     => duplicateClustersLogD(pairs, maxIters)
       case _ =>
-        // stage the pair table once: the probe and any fallback re-scan it
-        val p = pairs.localCheckpoint()
-        val (part, converged) = minLabelLoop(p, math.min(probeIters, maxIters))
-        if (converged) part.select(col("id").as("doc_id"), col("rep"))
+        // stage the pair table once: the census, the probe, and any
+        // fallback all re-scan it
+        val p = pairs.select(col("a"), col("b")).localCheckpoint()
+        // PRE-probe census: near-dup pair tables are SPARSE by
+        // construction (banded + capped generators), so at gate and
+        // mid scale the whole graph often fits the fast-path bound —
+        // then even the probe's O(probeIters) scheduled rounds are
+        // wasted motion. One narrow count over the checkpointed table
+        // decides; the count is the same job the probe's first round
+        // would schedule anyway.
+        val nPairs = if (fastPathMaxEdges > 0) p.count() else Long.MaxValue
+        if (nPairs <= fastPathMaxEdges) unionFindLocal(p)
         else {
-          // quotient the pair graph through the probe's partial labels
-          val la = part.select(col("id").as("a"), col("rep").as("ra"))
-          val lb = part.select(col("id").as("b"), col("rep").as("rb"))
-          val contracted = p.join(la, "a").join(lb, "b")
-            .filter(col("ra") =!= col("rb"))
-            .select(col("ra").as("a"), col("rb").as("b"))
-            .distinct()
-          // CC over the quotient (label-node ids); a label absent from
-          // the quotient pairs is a fully-collapsed component whose
-          // partial rep is already the component minimum
-          val onLabels = duplicateClustersLogD(contracted, maxIters)
-            .withColumnRenamed("doc_id", "lbl")
-          part.join(onLabels, part("rep") === onLabels("lbl"), "left_outer")
-            .select(part("id").as("doc_id"),
-              coalesce(onLabels("rep"), part("rep")).as("rep"))
+          val (part, converged) =
+            minLabelLoop(p, math.min(probeIters, maxIters))
+          if (converged) part.select(col("id").as("doc_id"), col("rep"))
+          else {
+            // quotient the pair graph through the probe's partial labels;
+            // checkpointed because BOTH dispatch arms re-scan it (the
+            // census count + either the collect or the logD loop), and
+            // the two joins behind it would otherwise re-run per action
+            val la = part.select(col("id").as("a"), col("rep").as("ra"))
+            val lb = part.select(col("id").as("b"), col("rep").as("rb"))
+            val contracted = p.join(la, "a").join(lb, "b")
+              .filter(col("ra") =!= col("rb"))
+              .select(col("ra").as("a"), col("rb").as("b"))
+              .distinct().localCheckpoint()
+            // CC over the quotient (label-node ids); a label absent from
+            // the quotient pairs is a fully-collapsed component whose
+            // partial rep is already the component minimum
+            val nEdges =
+              if (fastPathMaxEdges > 0) contracted.count() else Long.MaxValue
+            val onLabels =
+              if (nEdges <= fastPathMaxEdges)
+                broadcast(unionFindLocal(contracted)
+                  .withColumnRenamed("doc_id", "lbl"))
+              else duplicateClustersLogD(contracted, maxIters)
+                .withColumnRenamed("doc_id", "lbl")
+            part.join(onLabels, part("rep") === onLabels("lbl"), "left_outer")
+              .select(part("id").as("doc_id"),
+                coalesce(onLabels("rep"), part("rep")).as("rep"))
+          }
         }
     }
+  }
+
+  /** Driver-side connected components over a SMALL edge list — the
+    * terminal step of [[duplicateClustersAuto]]'s fast path. Classic
+    * union-find with path compression, then one pass assigning every
+    * node its component's MINIMUM id, so the output contract is
+    * identical to [[duplicateClusters]]/[[duplicateClustersLogD]]
+    * (`(doc_id, rep)`, rep = component minimum). "Minimum" uses the
+    * ordering Spark's `min`/`least` would apply to the id type —
+    * UTF-8 byte order for strings ([[graft.functions.Collation.utf8Order]];
+    * Scala's String ordering compares UTF-16 code units and diverges
+    * outside the BMP), natural order for numerics — so a fast-path
+    * answer is bit-identical to a distributed one. The caller gates the
+    * collect on a MEASURED edge census; this method is size-oblivious. */
+  private[graft] def unionFindLocal(edges: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = edges.sparkSession
+    val idType = edges.schema.head.dataType
+    val lt: (Any, Any) => Boolean = idType match {
+      case org.apache.spark.sql.types.StringType =>
+        (x, y) => graft.functions.Collation.utf8Order
+          .compare(x.asInstanceOf[String], y.asInstanceOf[String]) < 0
+      case _ =>
+        (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var root = x
+      while ({ val p = parent.get(root); p != null && p != root }) root = parent.get(root)
+      var cur = x
+      while (cur != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+      root
+    }
+    val nodes = new java.util.LinkedHashSet[Any]()
+    edges.collect().foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      nodes.add(a); nodes.add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    // component minimum per root, then one (node, min) row per node
+    val minOf = new java.util.HashMap[Any, Any]()
+    nodes.asScala.foreach { n =>
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur == null || lt(n, cur)) minOf.put(r, n)
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      nodes.asScala.map(n =>
+        org.apache.spark.sql.Row(n, minOf.get(find(n)))).toList.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("rep", idType)))
+    spark.createDataFrame(rows, schema)
   }
 
   // ---- SimHash --------------------------------------------------------

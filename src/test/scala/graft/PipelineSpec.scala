@@ -92,8 +92,10 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     val pairs = ((1L until 41L).map(i => (i, i + 1)) ++
         Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L),
           (300L, 301L), (301L, 302L))).toDF("a", "b")
+    // fastPathMaxEdges = 0 pins the distributed warm-start path (the
+    // default census gate would otherwise collect this small graph)
     val warm = Dedup.duplicateClustersAuto(pairs, maxIters = 20,
-        probeIters = 4).as[(Long, Long)].collect().toMap
+        probeIters = 4, fastPathMaxEdges = 0L).as[(Long, Long)].collect().toMap
     val cold = Dedup.duplicateClustersLogD(pairs, maxIters = 20)
       .as[(Long, Long)].collect().toMap
     assert(warm == cold, s"warm-start drifted: $warm vs $cold")
@@ -106,6 +108,56 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(Dedup.duplicateClustersAuto(blob, probeIters = 8)
       .as[(Long, Long)].collect().toMap ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateClustersAuto small-quotient fast path equals the distributed loop") {
+    // a chain FLEET (the p25/m19 regime: many >probe-diameter chains)
+    // plus blobs, an isolated pair, and a probe-collapsible component —
+    // quotient is tiny, so the default threshold takes the driver
+    // union-find; fastPathMaxEdges = 0 pins the distributed loop
+    val fleet = (0L until 12L).flatMap { c =>
+      (0L until 40L).map(i => (c * 1000 + i, c * 1000 + i + 1))
+    } ++ Seq((90001L, 90002L), (90001L, 90003L), (90002L, 90003L),
+      (95000L, 95001L))
+    val pairs = fleet.toDF("a", "b")
+    val fast = Dedup.duplicateClustersAuto(pairs, maxIters = 40,
+        probeIters = 4).as[(Long, Long)].collect().toMap
+    // ~952 pairs > 200 forces the probe; the 4-round quotient (~100
+    // edges) then fits — exercises the POST-quotient fast-path arm
+    val quot = Dedup.duplicateClustersAuto(pairs, maxIters = 40,
+        probeIters = 4, fastPathMaxEdges = 200L)
+      .as[(Long, Long)].collect().toMap
+    val loop = Dedup.duplicateClustersAuto(pairs, maxIters = 40,
+        probeIters = 4, fastPathMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val logd = Dedup.duplicateClustersLogD(pairs, maxIters = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop, "pre-probe fast path drifted from the loop")
+    assert(quot == loop, "post-quotient fast path drifted from the loop")
+    assert(fast == logd, "fast path drifted from cold star contraction")
+    // every chain must collapse to its minimum id
+    assert((0L until 12L).forall(c => fast(c * 1000 + 40) == c * 1000))
+  }
+
+  test("unionFindLocal: string ids use Spark's UTF-8 collation for the min rep") {
+    // adversarial component {😀, Ａ}: the fullwidth A (U+FF21, UTF-8
+    // EF BC A1) precedes 😀 (U+1F600, UTF-8 F0 9F 98 80) in Spark's
+    // UTF-8 byte order, but Scala/Java String ordering compares UTF-16
+    // code units (surrogate 0xD83D < 0xFF21) and would pick 😀 — the
+    // fast path must agree with Spark's least(), not the JVM default
+    val pairs = Seq(("😀", "Ａ"), ("zz", "yy")).toDF("a", "b")
+    val local = Dedup.unionFindLocal(pairs)
+      .as[(String, String)].collect().toMap
+    val sparkMin = pairs.filter(col("b") === "Ａ")
+      .select(least(col("a"), col("b"))).as[String].head()
+    assert(sparkMin == "Ａ", s"Spark collation witness moved: $sparkMin")
+    assert(local("😀") == "Ａ" && local("Ａ") == "Ａ",
+      s"fast path used JVM string order, not UTF-8: $local")
+    assert(local("zz") == "yy" && local("yy") == "yy")
+    // and the distributed regime agrees end-to-end on string ids
+    val dist = Dedup.duplicateClustersLogD(pairs)
+      .as[(String, String)].collect().toMap
+    assert(local == dist, s"string-id fast path drifted: $local vs $dist")
   }
 
   test("SimHash flags synthetic near-identical docs, not unrelated ones") {
