@@ -943,7 +943,16 @@ object Multimodal {
     * re-ingest, exactly-once under streaming epoch replay.
     *
     * Cap semantics under incrementality: `maxClipsPerFingerprint`
-    * applies to the census over old∪new AT APPEND TIME. Reports are
+    * applies to the census over (old∪new) RESTRICTED to the batch's
+    * fingerprints AT APPEND TIME — only batch fingerprints can form new
+    * pairs, so for an explicit cap the results are provably identical
+    * to a census over the full store, while the per-trigger plan stays
+    * batch-keyed (the store is scanned once behind a broadcast
+    * semi-join on the batch's fingerprints and NEVER shuffled — the
+    * round-13 verdict's O(store)-per-trigger fix). The census-derived
+    * default (-1) derives its cap from that same batch-restricted
+    * census: the append-relevant population, which is also the right
+    * reference for an append-time cap. Reports are
     * append-time-consistent — a fingerprint that crosses the cap in a
     * LATER batch keeps its earlier reports (no retraction), so exact
     * one-shot equality holds uncapped (the st21 gate regime) or when no
@@ -961,14 +970,38 @@ object Multimodal {
       .persist()
     val oldFps = spark.read.parquet(s"$path/fps")
       .filter(col("batch") =!= batchId).drop("batch")
-    // cap over the old∪new census (append-time view; see scaladoc)
+    val pairs = audioAppendPairs(oldFps, newFps, minShared,
+      maxClipsPerFingerprint)
+    // disk barrier: report first, then the store segment
+    pairs.write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
+    newFps.write.mode("overwrite").parquet(s"$path/fps/batch=$batchId")
+    newFps.unpersist()
+    spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
+  }
+
+  /** The lazy pair plan of [[appendToAudioIndex]] — split out so its
+    * shape is plan-testable (PlanSpec pins that the store side is never
+    * shuffled, in BOTH cap regimes). `oldFps`/`newFps` are (id, fp)
+    * tables; the batch side is always broadcast. */
+  private[graft] def audioAppendPairs(oldFps: DataFrame, newFps: DataFrame,
+      minShared: Int, maxClipsPerFingerprint: Long): DataFrame = {
     val (okNew, okOld) = if (maxClipsPerFingerprint == 0L)
         (newFps, oldFps)
       else {
-        val census = oldFps.unionByName(newFps)
+        // semi-join prune BOTH census sides to the batch's fingerprints
+        // before the count: a fingerprint absent from the batch forms no
+        // new pair, so an explicit cap's verdict on it is irrelevant —
+        // pruning first makes the census (and everything downstream)
+        // batch-keyed instead of store-sized, and the store side rides a
+        // broadcast semi-join instead of a per-trigger shuffle
+        val batchFps = broadcast(newFps.select(col("fp")).distinct())
+        val oldRelevant = oldFps.join(batchFps, Seq("fp"), "left_semi")
+        val census = oldRelevant.unionByName(newFps)
           .groupBy(col("fp")).agg(count(lit(1)).as("n"))
         val (ok, _) = hotKeyPrune(census, Seq("fp"), maxClipsPerFingerprint)
-        (newFps.join(ok, Seq("fp")), oldFps.join(ok, Seq("fp")))
+        // ok is bounded by the batch's distinct fingerprints → broadcast
+        (newFps.join(broadcast(ok), Seq("fp")),
+          oldRelevant.join(broadcast(ok), Seq("fp")))
       }
     val newVsOld = okOld.join(
         broadcast(okNew.withColumnRenamed("id", "nid")), Seq("fp"))
@@ -979,15 +1012,10 @@ object Multimodal {
     val newVsNew = l.join(broadcast(r),
         col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
-    val pairs = newVsOld.unionByName(newVsNew)
+    newVsOld.unionByName(newVsNew)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_windows"))
       .filter(col("shared_windows") >= minShared)
-    // disk barrier: report first, then the store segment
-    pairs.write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
-    newFps.write.mode("overwrite").parquet(s"$path/fps/batch=$batchId")
-    newFps.unpersist()
-    spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
   }
 
   /** Silence-free planted-overlap clip for the st21 streamed-ingest

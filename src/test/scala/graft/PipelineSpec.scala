@@ -139,6 +139,44 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert((0L until 12L).forall(c => fast(c * 1000 + 40) == c * 1000))
   }
 
+  test("capped audio append: batch-fp-pruned census equals the full-store census") {
+    // store: a hot fp (111, 20 clips), a normal shared fp (222), and 200
+    // fps the batch never touches (the mass the prune must keep out of
+    // the census shuffle); batch: one hot-fp clip, two on 222, one new
+    val oldFps = ((0L until 20L).map(i => (i, 111L)) ++
+      Seq((50L, 222L), (51L, 222L)) ++
+      (0L until 200L).map(i => (300L + i, 3000L + i))).toDF("id", "fp")
+    val newFps = Seq((9000L, 111L), (9001L, 222L), (9002L, 222L),
+      (9003L, 7777L)).toDF("id", "fp")
+    val cap = 6L
+    val got = Multimodal.audioAppendPairs(oldFps, newFps, 1, cap)
+      .as[(Long, Long, Long)].collect().toSet
+    // the round-13 form: census over the FULL old∪new store (explicit
+    // cap ⇒ provably the same verdict per batch fp, since non-batch fps
+    // generate no pairs either way)
+    val fullCensus = oldFps.unionByName(newFps).groupBy(col("fp"))
+      .agg(count(lit(1)).as("n")).filter(col("n").between(2, cap))
+      .select("fp")
+    val okNew = newFps.join(fullCensus, Seq("fp"))
+    val okOld = oldFps.join(fullCensus, Seq("fp"))
+    val nvo = okOld.join(okNew.withColumnRenamed("id", "nid"), Seq("fp"))
+      .filter(col("id") =!= col("nid"))
+      .select(least(col("id"), col("nid")).as("a"),
+        greatest(col("id"), col("nid")).as("b"))
+    val nvn = okNew.as("l").join(okNew.as("r"),
+        col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+    val want = nvo.unionByName(nvn).groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("sw")).filter(col("sw") >= 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"pruned census drifted: ${got -- want} / ${want -- got}")
+    // the hot fp must be capped out, the normal fp fully paired
+    assert(!got.exists(p => p._1 < 20L || p._1 == 9000L),
+      s"hot-fp pairs leaked through the cap: $got")
+    assert(got.map(p => (p._1, p._2)) == Set((50L, 9001L), (51L, 9001L),
+      (50L, 9002L), (51L, 9002L), (9001L, 9002L)))
+  }
+
   test("unionFindLocal: string ids use Spark's UTF-8 collation for the min rep") {
     // adversarial component {😀, Ａ}: the fullwidth A (U+FF21, UTF-8
     // EF BC A1) precedes 😀 (U+1F600, UTF-8 F0 9F 98 80) in Spark's

@@ -811,4 +811,42 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
         s"auto must shuffle once the set exceeds the threshold:\n$p")
     } finally spark.conf.set(key, prev)
   }
+
+  test("capped audio-index append: the store is never shuffled (batch-fp prune)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val spark2 = spark; import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audidx").toString
+    spark.range(0L, 2000L)
+      .select(col("id"), (col("id") % 50).as("fp"))
+      .write.parquet(s"$dir/fps/batch=base")
+    val oldFps = spark.read.parquet(s"$dir/fps").drop("batch")
+    val newFps = Seq((9001L, 3L), (9002L, 3L), (9003L, 7L)).toDF("id", "fp")
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false") // plain tree for the structural walk
+      for (cap <- Seq(-1L, 10L, 0L)) {
+        val plan = graft.multimodal.Multimodal
+          .audioAppendPairs(oldFps, newFps, 1, cap)
+          .queryExecution.executedPlan
+        // the store may only reach a shuffle AFTER the batch broadcast
+        // join pruned it: any Exchange whose subtree scans the store
+        // parquet without an intervening broadcast join is the exact
+        // O(store)-per-trigger regression this pins against
+        val bad = plan.collect {
+          case e: ShuffleExchangeExec
+              if e.collect { case s: FileSourceScanExec => s }.nonEmpty &&
+                e.collect { case j: BroadcastHashJoinExec => j }.isEmpty => e
+        }
+        assert(bad.isEmpty,
+          s"cap=$cap shuffles the unpruned store:\n${bad.headOption.getOrElse(plan)}")
+        assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+          plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+          s"cap=$cap join-shuffles the store:\n$plan")
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }
