@@ -64,27 +64,83 @@ object ByteBpe {
     a
   }
 
-  /** Learned merge rules in application order. `vocab` = 256 base
-    * symbols + one token per merge (useful for closure checks; encode
-    * itself never consults it — that is the no-UNK structure). */
-  final case class Model(merges: Seq[(String, String)]) extends Serializable {
+  /** Learned merge rules in application order, plus the pre-tokenizer
+    * mode they were trained under (`"space"` or `"gpt2"` — encode and
+    * tokenCount read it off the model, so a train/encode pretokenizer
+    * mismatch is unrepresentable). `vocab` = 256 base symbols + one
+    * token per merge (useful for closure checks; encode itself never
+    * consults it — that is the no-UNK structure). */
+  final case class Model(merges: Seq[(String, String)],
+      pretok: String = PretokSpace) extends Serializable {
+    require(Pretoks.contains(pretok),
+      s"pretok must be one of $Pretoks, got '$pretok'")
     @transient lazy val rank: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
     @transient lazy val vocab: Set[String] =
       byteToChar.toSet ++ merges.map { case (a, b) => a + b }
   }
 
-  /** Pre-tokenizer: split BEFORE every space, so each space stays glued
-    * to the word it precedes (`"a b"` → `["a", " b"]`; `"a  b"` →
-    * `["a", " ", " b"]`). Concatenating the pretokens reproduces the
-    * input exactly — spaces are data, not separators. The zero-width
-    * split pattern is shared verbatim with the column-side `split` in
-    * the trainers. */
+  val PretokSpace = "space"
+  val PretokGpt2 = "gpt2"
+  private[graft] val Pretoks = Seq(PretokSpace, PretokGpt2)
+
+  /** Default pre-tokenizer: split BEFORE every space, so each space
+    * stays glued to the word it precedes (`"a b"` → `["a", " b"]`;
+    * `"a  b"` → `["a", " ", " b"]`). Concatenating the pretokens
+    * reproduces the input exactly — spaces are data, not separators.
+    * The zero-width split pattern is shared verbatim with the
+    * column-side `split` in the trainers. */
   private[graft] val PretokPattern = "(?= )"
   private val PretokRe = java.util.regex.Pattern.compile(PretokPattern)
 
+  /** The published GPT-2 pre-tokenization pattern (Radford et al. 2019
+    * encoder.py; the `pretok = "gpt2"` opt-in mode): contraction
+    * suffixes, then optional-leading-space letter / digit /
+    * punctuation RUNS, then whitespace fallbacks — `\s+(?!\S)` peels
+    * interior whitespace runs so their LAST char stays glued to the
+    * following word. Every match is kept (spaces are data), so
+    * concatenating pretokens still reproduces the input exactly and
+    * decode∘encode stays the identity.
+    *
+    * Checkpoint parity: under this mode, encode of a [[loadMerges]]'d
+    * GPT-2 `merges.txt` matches HF tokenizers' pretokenization on text
+    * whose whitespace is ASCII (space/tab/newline/CR/FF) — which is
+    * where the space-only default diverges on contractions ("don't"),
+    * letter/digit boundaries ("abc123") and punctuation ("a,b"). The
+    * one documented residual divergence: GPT-2/HF compile the pattern
+    * with Unicode `\s`, while this engine keeps Java/RE2's default
+    * ASCII `\s` so the DuckDB oracle replays the identical class — an
+    * exotic Unicode space (U+00A0, U+2028…) therefore pretokenizes
+    * into the punctuation-run branch here vs the whitespace branch in
+    * HF. Byte-level encoding keeps round-trips exact either way. */
+  private[graft] val Gpt2Pattern =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+  private val Gpt2Re = java.util.regex.Pattern.compile(Gpt2Pattern)
+
   private[graft] def pretokens(text: String): Array[String] =
     PretokRe.split(text).filter(_.nonEmpty)
+
+  private[graft] def pretokens(text: String, pretok: String): Array[String] =
+    pretok match {
+      case PretokSpace => pretokens(text)
+      case PretokGpt2 =>
+        val m = Gpt2Re.matcher(text)
+        val out = Array.newBuilder[String]
+        while (m.find()) out += m.group()
+        out.result()
+    }
+
+  /** The SAME pre-tokenization as a column expression — shared between
+    * the trainers' corpus pass and the UDF paths so the two can never
+    * drift (both run Java regex; the DuckDB oracles replay the same
+    * pattern class under RE2). */
+  private[graft] def pretokensCol(c: Column, pretok: String): Column =
+    pretok match {
+      case PretokSpace => split(c, PretokPattern)
+      case PretokGpt2  => regexp_extract_all(c, lit(Gpt2Pattern), lit(0))
+      case other => throw new IllegalArgumentException(
+        s"pretok must be one of $Pretoks, got '$other'")
+    }
 
   /** Base symbols: one mapped char per UTF-8 BYTE. No end-of-word
     * marker — word separation lives in the leading-space byte. */
@@ -100,22 +156,22 @@ object ByteBpe {
     * driver loop — [[Bpe.train]]'s shape with byte symbolization; the
     * `maxWordRows` cap bounds driver state the same way). */
   def train(df: DataFrame, textCol: String, nMerges: Int,
-      maxWordRows: Int = 100000): Model = {
+      maxWordRows: Int = 100000, pretok: String = PretokSpace): Model = {
     val words = df
-      .select(explode(split(col(textCol), PretokPattern)).as("w"))
+      .select(explode(pretokensCol(col(textCol), pretok)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
       .limit(maxWordRows)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    trainFromWordCounts(words, nMerges)
+    trainFromWordCounts(words, nMerges, pretok)
   }
 
   /** Driver-side merge loop (exposed for specs) — [[Bpe]]'s argmax
     * total order, byte base symbols. */
   private[graft] def trainFromWordCounts(words: Array[(String, Long)],
-      nMerges: Int): Model = {
+      nMerges: Int, pretok: String = PretokSpace): Model = {
     var current: Array[(Vector[String], Long)] =
       words.map { case (w, c) => (baseSymbols(w), c) }
     val merges = Vector.newBuilder[(String, String)]
@@ -144,7 +200,7 @@ object ByteBpe {
         m += 1
       }
     }
-    Model(merges.result())
+    Model(merges.result(), pretok)
   }
 
   /** Distributed trainer — [[Bpe.trainDistributed]]'s regime (word
@@ -155,18 +211,27 @@ object ByteBpe {
     * [[train]] whenever the vocabulary fits the serial cap
     * (t39-gated). */
   def trainDistributed(df: DataFrame, textCol: String,
-      nMerges: Int, checkpointEvery: Int = 8): Model = {
+      nMerges: Int, checkpointEvery: Int = 8,
+      pretok: String = PretokSpace, maxWordRows: Long = 0L): Model = {
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery < 1")
     val spark = df.sparkSession
     import spark.implicits._
     var current = df
-      .select(explode(split(col(textCol), PretokPattern)).as("w"))
+      .select(explode(pretokensCol(col(textCol), pretok)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(String, Long)]
       .map { case (w, c) => (baseSymbols(w), c) }
       .localCheckpoint()
     val vocabRows = current.count()
+    // loud-failure guard for oracle-replayed gates: a DuckDB replay that
+    // caps its pretoken table (LIMIT maxWordRows) is exact only while
+    // the true vocabulary fits the cap — the trainer already counts the
+    // vocabulary, so enforcing the bound costs nothing and a silent
+    // replay drift at larger scale factors becomes an error instead
+    require(maxWordRows <= 0L || vocabRows <= maxWordRows,
+      s"pretoken vocabulary ($vocabRows rows) exceeds maxWordRows=" +
+        s"$maxWordRows — the capped oracle replay would silently drift")
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       (vocabRows + 199999L) / 200000L)).toInt
@@ -194,7 +259,7 @@ object ByteBpe {
                   else mapped
       }
     }
-    Model(merges.result())
+    Model(merges.result(), pretok)
   }
 
   /** Column of byte-level tokens (array<string> over the mapped
@@ -202,10 +267,11 @@ object ByteBpe {
     * amortizes repeated pretokens across a task's documents. */
   def encode(model: Model)(text: Column): Column = {
     val rank = model.rank
+    val pretok = model.pretok
     val memo = new TaskMemo[Vector[String]]
     val f = udf { (s: String) =>
       if (s == null) Seq.empty[String]
-      else pretokens(s).iterator.flatMap { w =>
+      else pretokens(s, pretok).iterator.flatMap { w =>
         memo.get(w, x => Bpe.applyMerges(baseSymbols(x), rank))
       }.toSeq
     }
@@ -262,8 +328,14 @@ object ByteBpe {
 
   /** Load a `merges.txt` artifact (ours or a GPT-2/HF checkpoint's)
     * back into a [[Model]]. `#`-prefixed header lines and blanks are
-    * skipped; each remaining line is one `a b` merge in rank order. */
-  def loadMerges(path: java.nio.file.Path): Model = {
+    * skipped; each remaining line is one `a b` merge in rank order.
+    * The artifact format carries no pre-tokenizer metadata (GPT-2's
+    * own doesn't either), so `pretok` names the mode the checkpoint
+    * was trained under — pass [[PretokGpt2]] when importing a real
+    * GPT-2/HF checkpoint to get encode parity on ASCII-whitespace
+    * text (see [[Gpt2Pattern]]). */
+  def loadMerges(path: java.nio.file.Path,
+      pretok: String = PretokSpace): Model = {
     import scala.jdk.CollectionConverters._
     val lines = java.nio.file.Files.readAllLines(path,
       java.nio.charset.StandardCharsets.UTF_8).asScala
@@ -275,19 +347,20 @@ object ByteBpe {
           s"malformed merges.txt line: '$l'")
         (l.substring(0, sp), l.substring(sp + 1))
       }.toVector
-    Model(merges)
+    Model(merges, pretok)
   }
 
   /** Learned token count without materializing token arrays (the
     * packing/budget divisor — [[Bpe.tokenCount]]'s shape). */
   def tokenCount(model: Model)(text: Column): Column = {
     val rank = model.rank
+    val pretok = model.pretok
     val memo = new TaskMemo[Integer]
     val f = udf { (s: String) =>
       if (s == null) 0
       else {
         var n = 0
-        pretokens(s).foreach { w =>
+        pretokens(s, pretok).foreach { w =>
           n += memo.get(w,
             x => Integer.valueOf(Bpe.applyMerges(baseSymbols(x), rank).length))
         }

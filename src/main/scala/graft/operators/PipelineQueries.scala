@@ -1970,7 +1970,8 @@ object PipelineQueries {
     "t38_bytebpe_tokens" -> ((s, d) => {
       import graft.functions.ByteBpe
       val docs = Tables.documents(s, d)
-      val model = ByteBpe.trainDistributed(docs, "text", nMerges = 48)
+      val model = ByteBpe.trainDistributed(docs, "text", nMerges = 48,
+        maxWordRows = 100000L) // oracle replay caps its pretoken CTE here
       docs.select(col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_words"),
           ByteBpe.tokenCount(model)(col("text")).cast("long").as("n_bb"))
@@ -2039,6 +2040,62 @@ object PipelineQueries {
           col("vocab_closed"), col("bounds_ok"), col("compresses"),
           lit(distOk).as("dist_parity_ok"),
           lit(advOk).as("adv_roundtrip_ok"))
+    }),
+
+    // -- t40: byte-level BPE under the GPT-2 pre-tokenizer (the
+    // `pretok = "gpt2"` opt-in — the mode that matches HF checkpoint
+    // pretokenization on ASCII-whitespace text). The corpus is the
+    // documents table PLUS adversarial rows stressing exactly the
+    // boundaries the space-only default can't see: contraction
+    // suffixes ("don't" → don|'t), letter/digit runs ("abc123" →
+    // abc|123), punctuation runs, accented letters inside \p{L}. The
+    // model trains DISTRIBUTED on the union (48 argmax rounds); the
+    // oracle replays the SAME RE2-expressible pattern via
+    // regexp_extract_all (gate corpus has no multi-char whitespace
+    // runs, where Java's \s+(?!\S) peel and RE2's greedy \s+ would
+    // legitimately differ — that case is battery-covered Spark-side),
+    // all 48 rounds, and reads per-doc counts off the final reprs.
+    // Output: one row per adversarial doc (pretoken + token counts —
+    // the boundary behavior, hash-pinned) plus a doc_id=-1 row with
+    // corpus-wide totals (pins training + encode over the full
+    // union); rt_ok carries the t39 adversarial round-trip battery
+    // re-run under the gpt2 mode plus serial==distributed parity. ----
+    "t40_bytebpe_gpt2" -> ((s, d) => {
+      import graft.functions.ByteBpe
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        gpt2AdvRows.toDF("doc_id", "text"))
+      val model = ByteBpe.trainDistributed(corpus, "text", nMerges = 48,
+        pretok = ByteBpe.PretokGpt2,
+        maxWordRows = 100000L) // oracle replay caps its pretoken CTE here
+      val serialOk = ByteBpe.train(corpus, "text", nMerges = 48,
+        pretok = ByteBpe.PretokGpt2).merges == model.merges
+      // the t39 battery under gpt2 — including the whitespace shapes
+      // the oracle pattern can't replay (multi-space, trailing, tabs):
+      // byte-level round-trip must hold on ALL of them
+      val battery = Seq("## leading marker", "with tail</w> marker",
+        "an [UNK] literal", "double  space", " leading space",
+        "trailing space ", "", " ", "emoji 😀🎈 text",
+        "tab\tand\nnewline", "the literal Ġ glyph itself",
+        "don't can't won't it's we're they've I'm you'll he'd",
+        "abc123 def456ghi 789", "hello,world!semi;colon:dash-dash",
+        "(parens) [brackets] {braces}", "café naïve résumé")
+      val advOk = battery.toDF("text")
+        .select(ByteBpe.decode(ByteBpe.encode(model)(col("text")))
+          .eqNullSafe(col("text")).as("rt"))
+        .agg(min(col("rt"))).collect()(0).getBoolean(0)
+      val per = corpus.select(col("doc_id"),
+        size(ByteBpe.pretokensCol(col("text"), ByteBpe.PretokGpt2))
+          .cast("long").as("n_pre"),
+        ByteBpe.tokenCount(model)(col("text")).cast("long").as("n_bb"))
+      val advRows = per.filter(col("doc_id") >= 900000000L)
+      val total = per.agg(sum(col("n_pre")).as("n_pre"),
+          sum(col("n_bb")).as("n_bb"))
+        .select(lit(-1L).as("doc_id"), col("n_pre"), col("n_bb"))
+      advRows.unionByName(total)
+        .withColumn("rt_ok", lit(advOk && serialOk))
+        .orderBy(col("doc_id"))
     }),
 
     // -- BPE tokenizer CONTRACT, gate-enforced (upgrades t12 from
@@ -2408,7 +2465,8 @@ object PipelineQueries {
     "st22_stream_bytebpe" -> ((s, d) => {
       import graft.functions.ByteBpe
       val docs = Tables.documents(s, d)
-      val trained = ByteBpe.trainDistributed(docs, "text", nMerges = 48)
+      val trained = ByteBpe.trainDistributed(docs, "text", nMerges = 48,
+          maxWordRows = 100000L) // oracle replay caps its pretoken CTE here
       val tmp = java.nio.file.Files.createTempDirectory("st22merges")
       val mPath = tmp.resolve("merges.txt")
       ByteBpe.saveMerges(trained, mPath)
@@ -2931,23 +2989,24 @@ object PipelineQueries {
     * t12 merge replay verbatim (shared kernels ⇒ shared SQL), 48
     * rounds; token counts read off the final reprs (every corpus
     * pretoken is inside the 100k training cap at gate scale). */
-  private val byteBpeCtes: String =
-    """WITH RECURSIVE
-      |bm AS (SELECT b, CASE WHEN p THEN b
+  /** bm/bml: the bytes_to_unicode bijection, closed-form. Shared by
+    * the space-mode (t38/st22) and gpt2-mode (t40) replays. */
+  private val byteBpeByteMapSql: String =
+    """bm AS (SELECT b, CASE WHEN p THEN b
       |    ELSE 255 + (sum(CASE WHEN p THEN 0 ELSE 1 END)
       |                  OVER (ORDER BY b))::INT END AS u
       |  FROM (SELECT b::INT AS b,
       |          (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
       |            OR (b BETWEEN 174 AND 255) AS p
       |        FROM range(256) r(b))),
-      |bml AS (SELECT list(chr(u) ORDER BY b) AS m FROM bm),
-      |doc0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
-      |  FROM documents),
-      |docw AS (SELECT doc_id AS did, lang, len(ws)::BIGINT AS nw,
-      |    CASE WHEN i = 1 THEN ws[i] ELSE ' ' || ws[i] END AS w
-      |  FROM (SELECT doc_id, lang, ws,
-      |          unnest(range(1, len(ws) + 1))::INT AS i FROM doc0)),
-      |words AS (SELECT w, count(*)::BIGINT AS c FROM docw
+      |bml AS (SELECT list(chr(u) ORDER BY b) AS m FROM bm)""".stripMargin
+
+  /** words → init → sim → toklen: the capped pretoken census, byte
+    * symbolization, 48 argmax rounds, and final-repr token lengths —
+    * pretokenizer-independent given a `docw(did, …, w)` CTE upstream
+    * (shared merge kernels ⇒ ONE shared replay for both pretok modes). */
+  private val byteBpeTrainSql: String =
+    """words AS (SELECT w, count(*)::BIGINT AS c FROM docw
       |  GROUP BY w ORDER BY c DESC, w LIMIT 100000),
       |init AS (SELECT w, c, list_transform(range(len(hx) // 2),
       |      i -> m[16 * strpos('0123456789ABCDEF', hx[2*i+1])
@@ -2972,9 +3031,70 @@ object PipelineQueries {
       |    GROUP BY pr ORDER BY sum(c) DESC, pr[1], pr[2] LIMIT 1) bp
       |  WHERE s.it < 48
       |),
-      |toklen AS (SELECT w, len(syms)::BIGINT AS n FROM sim WHERE it = 48),
+      |-- max-it, not a pinned 48: if the corpus exhausts mergeable pairs
+      |-- early the recursion stops short, and the final reprs live at
+      |-- max(it) — a pinned round would return ZERO rows and silently
+      |-- zero the replay while Spark (which also stops early) returns
+      |-- real counts
+      |toklen AS (SELECT w, len(syms)::BIGINT AS n FROM sim
+      |  WHERE it = (SELECT max(it) FROM sim))""".stripMargin
+
+  private val byteBpeCtes: String =
+    s"""WITH RECURSIVE
+      |$byteBpeByteMapSql,
+      |doc0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |docw AS (SELECT doc_id AS did, lang, len(ws)::BIGINT AS nw,
+      |    CASE WHEN i = 1 THEN ws[i] ELSE ' ' || ws[i] END AS w
+      |  FROM (SELECT doc_id, lang, ws,
+      |          unnest(range(1, len(ws) + 1))::INT AS i FROM doc0)),
+      |$byteBpeTrainSql,
       |docb AS (SELECT did, any_value(lang) AS lang, any_value(nw) AS nw,
       |    sum(t.n)::BIGINT AS nb
+      |  FROM docw JOIN toklen t USING (w) GROUP BY did)""".stripMargin
+
+  /** The adversarial corpus rows t40 unions onto the documents table —
+    * defined ONCE and rendered into the oracle's VALUES list, so the
+    * gate query and its replay cannot drift. Constraints the oracle
+    * pattern imposes (see the t40 comment): single ASCII spaces only,
+    * no trailing/leading whitespace runs. */
+  private[graft] val gpt2AdvRows: Seq[(Long, String)] = Seq(
+    (900000001L, "don't stop can't won't it's we're they've I'm you'll he'd"),
+    (900000002L, "abc123 def456ghi 789jkl 4ever mix3d"),
+    (900000003L, "hello,world!semi;colon:dash-dash...dots!!bangs??what"),
+    (900000004L, "CamelCase MixedCase42Numbers ALLCAPS lower"),
+    (900000005L, "(parens) [brackets] {braces} <angles> \"quotes\" 'single'"),
+    (900000006L, "café naïve résumé Москва 東京"),
+    (900000007L, "x'd y'll z's q't r're s've t'm"))
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The oracle-side GPT-2 pattern: [[graft.functions.ByteBpe.Gpt2Pattern]]
+    * minus the `\s+(?!\S)` lookahead branch RE2 cannot express — exact
+    * on any corpus without multi-char whitespace runs (enforced by the
+    * t40 corpus constraint above; the divergent shapes are covered by
+    * the gate's Spark-side round-trip battery instead). */
+  private val gpt2OraclePattern: String = {
+    val p = graft.functions.ByteBpe.Gpt2Pattern.replace("""|\s+(?!\S)""", "")
+    require(!p.contains("(?"), s"lookahead survived into the RE2 oracle: $p")
+    p
+  }
+
+  /** t40: the t38 replay under the gpt2 pre-tokenizer — corpus is
+    * documents ∪ the adversarial VALUES, docw comes from
+    * regexp_extract_all over the shared pattern, training/token
+    * lengths are the SAME CTEs as t38 (byteBpeTrainSql). */
+  private val byteBpeGpt2Ctes: String =
+    s"""WITH RECURSIVE
+      |$byteBpeByteMapSql,
+      |corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT * FROM (VALUES ${gpt2AdvRows.map { case (id, t) =>
+           s"($id::BIGINT, ${sqlStr(t)})" }.mkString(",\n    ")}) v(doc_id, text)),
+      |docw AS (SELECT doc_id AS did,
+      |    unnest(regexp_extract_all(text, ${sqlStr(gpt2OraclePattern)})) AS w
+      |  FROM corpus),
+      |$byteBpeTrainSql,
+      |docb AS (SELECT did, count(*)::BIGINT AS npre, sum(t.n)::BIGINT AS nb
       |  FROM docw JOIN toklen t USING (w) GROUP BY did)""".stripMargin
 
   private val bpeTrainingOracle: String =
@@ -3002,7 +3122,8 @@ object PipelineQueries {
       |    GROUP BY pr ORDER BY sum(c) DESC, pr[1], pr[2] LIMIT 1) bp
       |  WHERE s.it < 64
       |),
-      |toklen AS (SELECT w, len(syms)::BIGINT AS n FROM sim WHERE it = 64),
+      |toklen AS (SELECT w, len(syms)::BIGINT AS n FROM sim
+      |  WHERE it = (SELECT max(it) FROM sim)),
       |docw AS (SELECT doc_id AS did, lang,
       |    len(string_split(text,' '))::BIGINT AS nw,
       |    unnest(string_split(text,' ')) AS w
@@ -3835,6 +3956,19 @@ object PipelineQueries {
         "TRUE AS count_parity, TRUE AS vocab_closed, TRUE AS bounds_ok, " +
         "TRUE AS compresses, TRUE AS dist_parity_ok, " +
         "TRUE AS adv_roundtrip_ok FROM documents"),
+    // t40: the gpt2-pretokenizer replay — per-adversarial-doc pretoken
+    // and token counts plus a doc_id=-1 corpus-total row; rt_ok
+    // replays as the invariant TRUE (Spark-side battery + trainer
+    // parity, the t39 shape)
+    "t40_bytebpe_gpt2" -> (byteBpeGpt2Ctes +
+      """
+        |SELECT doc_id, n_pre, n_bb, rt_ok FROM (
+        |  SELECT did AS doc_id, npre AS n_pre, nb AS n_bb, TRUE AS rt_ok
+        |  FROM docb WHERE did >= 900000000
+        |  UNION ALL
+        |  SELECT -1::BIGINT, sum(npre)::BIGINT, sum(nb)::BIGINT, TRUE
+        |  FROM docb) z
+        |ORDER BY doc_id""".stripMargin),
     // st22: the streamed census is the SAME training + byte-map replay
     // as t38, integer columns only (stream==batch==replay), run on a
     // merges.txt-round-tripped model

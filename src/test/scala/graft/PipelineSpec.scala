@@ -2170,6 +2170,62 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     intercept[IllegalArgumentException] { ByteBpe.loadMerges(bad) }
   }
 
+  test("ByteBpe gpt2 pretokenizer: published boundary behavior, shared column/UDF paths") {
+    import graft.functions.ByteBpe
+    val g = ByteBpe.PretokGpt2
+    def pt(s: String) = ByteBpe.pretokens(s, g).toSeq
+    // contraction suffixes split off; the space glues to the next word
+    assert(pt("don't stop") == Seq("don", "'t", " stop"))
+    // letter/digit boundaries split runs
+    assert(pt("abc123 def") == Seq("abc", "123", " def"))
+    // punctuation runs (optional leading space)
+    assert(pt("hello,world! ok") == Seq("hello", ",", "world", "!", " ok"))
+    assert(pt("a (b)") == Seq("a", " (", "b", ")"))
+    // interior multi-space: \s+(?!\S) peels all but the last space,
+    // which attaches to the word — concatenation is still the identity
+    assert(pt("a  b") == Seq("a", " ", " b"))
+    assert(pt("a   b") == Seq("a", "  ", " b"))
+    // trailing/leading whitespace kept as data
+    assert(pt("ab ") == Seq("ab", " "))
+    assert(pt(" ab") == Seq(" ab"))
+    assert(pt("tab\tx\ny") == Seq("tab", "\t", "x", "\n", "y"))
+    // concatenation identity on every battery string (spaces are data)
+    val battery = Seq("don't", "abc123", "x  y ", " 'q'", "a\t\tb", "")
+    battery.foreach(s => assert(pt(s).mkString == s, s"lossy pretok: '$s'"))
+    // the column expression is the same pretokenization (shared pattern)
+    val df = (battery :+ "don't stop abc123 hello,world").toDF("text")
+    val colSide = df.select(
+      ByteBpe.pretokensCol(col("text"), g).as("p")).as[Seq[String]].collect()
+    val udfSide = df.as[String].collect().map(s => pt(s))
+    assert(colSide.toSeq == udfSide.toSeq, "column/UDF pretok drift")
+    // encode reads the mode off the model: a gpt2-trained model splits
+    // "don't" into don|'t pieces even when no such merge trained
+    val m = ByteBpe.trainFromWordCounts(
+      Array(("don", 5L), ("'t", 5L)), nMerges = 2, pretok = g)
+    assert(m.pretok == g)
+    val enc = df.limit(1)
+      .select(ByteBpe.decode(ByteBpe.encode(m)(lit("don't"))))
+      .as[String].head()
+    assert(enc == "don't", "gpt2-mode round trip broke")
+    // loadMerges carries the declared mode
+    val dir = java.nio.file.Files.createTempDirectory("gpt2m")
+    val f = dir.resolve("merges.txt")
+    ByteBpe.saveMerges(m, f)
+    assert(ByteBpe.loadMerges(f, pretok = g).pretok == g)
+    assert(ByteBpe.loadMerges(f).pretok == ByteBpe.PretokSpace)
+    intercept[IllegalArgumentException] {
+      ByteBpe.Model(Seq.empty, "wordpiece")
+    }
+  }
+
+  test("ByteBpe trainDistributed maxWordRows guard fails loud on vocabulary overflow") {
+    import graft.functions.ByteBpe
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    intercept[IllegalArgumentException] {
+      ByteBpe.trainDistributed(docs, "text", nMerges = 1, maxWordRows = 10L)
+    }
+  }
+
   test("ByteBpe on the corpus: deterministic, distributed parity, compresses") {
     import graft.functions.ByteBpe
     val docs = Tables.documents(spark, sfDir)
