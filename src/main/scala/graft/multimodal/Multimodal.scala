@@ -835,10 +835,12 @@ object Multimodal {
 
   /** The fingerprint-index core shared by the audio pair/assign/cluster
     * fronts: one decode pass, distinct, census cap, inverted-index
-    * self-join. Returns (decodable clip ids, pairs, dropped census) —
-    * the id universe rides the already-checkpointed fingerprint table,
-    * so the cluster fronts get their singleton rows without a second
-    * decode. */
+    * self-join. Returns (ids of clips with ≥1 full window, pairs,
+    * dropped census) — the id universe rides the already-checkpointed
+    * fingerprint table, so the cluster fronts get their singleton rows
+    * without a second decode (the price: a decodable clip shorter than
+    * windowLen emits no fingerprint and is absent from the universe —
+    * see [[audioDupAssign]]'s scaladoc). */
   private def audioPairsCore(media: DataFrame, windowLen: Int,
       minShared: Int, maxClipsPerFingerprint: Long, hop: Int)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -865,12 +867,18 @@ object Multimodal {
 
   /** Per-CLIP near-dup cluster assignment — the audio analog of
     * [[imageDupAssign]], closing the m15-shaped cluster contract across
-    * the modality matrix: one row per decodable clip `(media_id, rep)`
-    * where rep is the minimum clip id of its shared-fingerprint
-    * component (its own id for singletons). This is the seam a curation
-    * pipeline composes with [[graft.dedup.Dedup.keepBestAssigned]] —
-    * the caller no longer re-derives connected components from the pair
-    * table (p25 consumed exactly that before round 13).
+    * the modality matrix: one row per clip WITH ≥1 FULL FINGERPRINT
+    * WINDOW `(media_id, rep)` where rep is the minimum clip id of its
+    * shared-fingerprint component (its own id for singletons). The id
+    * universe rides the fingerprint table (no second decode —
+    * [[audioPairsCore]]), so a clip that decodes but is shorter than
+    * `windowLen` (zero full windows) is ABSENT from the assignment and
+    * the cluster-census mass; it cannot be in any pair, so callers that
+    * must keep such clips pass them through
+    * [[graft.dedup.Dedup.keepBestAssigned]]'s left-anti singleton arm
+    * (which is also the composition seam — the caller no longer
+    * re-derives connected components from the pair table; p25 consumed
+    * exactly that before round 13).
     *
     * Scale shape: the CC runs over the SPARSE pair table; the
     * assignment join is id-keyed against the fingerprint-table-derived

@@ -1286,11 +1286,15 @@ object PipelineQueries {
         val asg = Multimodal.audioDupAssign(
           audQc.select(col("media_id"), col("bytes")),
           windowLen = W, minShared = 1, maxClipsPerFingerprint = 16)
-        val wA = Window.partitionBy(col("rep"))
-          .orderBy(col("sum_sq").desc, col("media_id"))
-        audQc.select(col("media_id"), col("sum_sq")).join(asg, Seq("media_id"))
-          .withColumn("__rk", row_number().over(wA))
-          .filter(col("__rk") === 1)
+        // keepBestAssigned, not a hand-inlined window: the assign's id
+        // universe is "clips with ≥1 full fingerprint window", so a
+        // QC-passing clip shorter than W would silently vanish from an
+        // inner join — the left-anti singleton union passes it through
+        // as its own cluster (r13 ADVICE; identical on this corpus,
+        // where every 192-sample clip clears W=64)
+        graft.dedup.Dedup.keepBestAssigned(
+            audQc.select(col("media_id"), col("sum_sq")),
+            "media_id", "sum_sq", asg)
           .select(lit("audio").as("kind"), col("media_id"),
             col("sum_sq").as("weight"))
       }

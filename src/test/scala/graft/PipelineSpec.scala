@@ -2170,6 +2170,30 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     intercept[IllegalArgumentException] { ByteBpe.loadMerges(bad) }
   }
 
+  test("audioDupAssign universe excludes sub-window clips; keepBestAssigned passes them through") {
+    // two planted dup clips (identical 128-sample PCM ≥ W) plus one
+    // decodable clip SHORTER than the window (48 samples < W=64): the
+    // assign has no row for it (zero full windows — documented), and
+    // the keep-best composition must still keep it via the singleton arm
+    val W = 64
+    val pcmDup = Array.tabulate(128)(i => (i % 7) * 800)
+    val pcmShort = Array.tabulate(48)(i => i * 100)
+    val media = Seq(
+      (1L, Multimodal.wavFromPcm(8000, pcmDup)),
+      (2L, Multimodal.wavFromPcm(8000, pcmDup)),
+      (3L, Multimodal.wavFromPcm(8000, pcmShort))).toDF("media_id", "bytes")
+    val asg = Multimodal.audioDupAssign(media, windowLen = W)
+      .as[(Long, Long)].collect().toMap
+    assert(asg == Map(1L -> 1L, 2L -> 1L),
+      s"universe must be clips with >=1 full window: $asg")
+    val scored = Seq((1L, 10L), (2L, 99L), (3L, 5L)).toDF("media_id", "score")
+    val kept = Dedup.keepBestAssigned(scored, "media_id", "score",
+        Multimodal.audioDupAssign(media, windowLen = W))
+      .as[(Long, Long)].collect().toMap
+    assert(kept == Map(2L -> 99L, 3L -> 5L),
+      s"short clip must survive via the singleton arm: $kept")
+  }
+
   test("ByteBpe gpt2 pretokenizer: published boundary behavior, shared column/UDF paths") {
     import graft.functions.ByteBpe
     val g = ByteBpe.PretokGpt2
