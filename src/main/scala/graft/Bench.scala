@@ -28,7 +28,8 @@ object Bench {
 
   /** Headline set — the BASELINE.md table shapes + pipeline heavies. */
   val headline: Seq[String] = Seq(
-    "q01_tpch_agg",          // scan + partial/final agg
+    "q01_tpch_agg",          // scan + partial/final agg (SCAN anchor)
+    "q66_shuffle_anchor",    // combine-defeating groupBy (EXCHANGE anchor)
     "q02_scan_filter_count", // pushed-filter scan
     "q03_histogram",         // groupBy + count + sort
     "q04_join_broadcast",    // broadcast inner join + agg
@@ -294,7 +295,11 @@ object Bench {
     // "queries" map carries only the q01 host anchor; the full per-query
     // breakdown lives in the committed BENCH_LOCAL.json and in the full
     // line printed above.
+    // TWO anchors (r13 verdict #8): q01 is scan-bound, q66 is
+    // exchange-bound — host drift on the shuffle path is separable
+    // from scan-path drift by which anchor moved
     val anchor = results.toMap.getOrElse("q01_tpch_agg", -1.0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"q01_tpch_agg":${fmt(anchor)}},"n":${results.size},"passes":$passes,"anchor_q01":${fmt(anchor)},"disp_p50":${fmt2(dispP50)},"disp_max":${fmt2(dispMax)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    val anchorSh = results.toMap.getOrElse("q66_shuffle_anchor", -1.0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"q01_tpch_agg":${fmt(anchor)},"q66_shuffle_anchor":${fmt(anchorSh)}},"n":${results.size},"passes":$passes,"anchor_q01":${fmt(anchor)},"anchor_q66":${fmt(anchorSh)},"disp_p50":${fmt2(dispP50)},"disp_max":${fmt2(dispMax)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
   }
 }

@@ -665,6 +665,25 @@ object CoreQueries {
     // ceiling. -----------------------------------------------------------
     "q65_tpch_q21_auto" -> ((s, d) => q21Auto(s, d)),
 
+    // -- SHUFFLE ANCHOR (r13 verdict #8): the bench's second host
+    // anchor. q01 is scan-bound, so host drift on the EXCHANGE path
+    // (GC, disk, network-loopback) is invisible to it; this row is
+    // deliberately exchange-dominated — group on (l_orderkey,
+    // l_partkey), whose ~per-row cardinality defeats the map-side
+    // combine, so the shuffle moves ~|lineitem| rows — and the outer
+    // global aggregate shrinks the output to one row so the gate
+    // compare stays cheap. Reading BENCH deltas: a uniform slowdown at
+    // flat q01 but moving q66 = exchange-path drift; both flat = the
+    // common geomean moved on its own. --------------------------------
+    "q66_shuffle_anchor" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .groupBy(col("l_orderkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .agg(count(lit(1)).as("n_groups"),
+          round(sum(col("qty")), 2).as("total_qty"))
+    }),
+
     // -- TPC-H Q17 shape: small-quantity lineitems for one brand vs the
     // per-part average — the aggregate-join-back (decorrelated scalar
     // subquery) pattern. The broadcast part filter prunes lineitem FIRST
@@ -1563,6 +1582,10 @@ object CoreQueries {
     // dispatcher over the two (regime choice never changes the result)
     "q40_tpch_q21_agg" -> q21Oracle,
     "q65_tpch_q21_auto" -> q21Oracle,
+    "q66_shuffle_anchor" ->
+      """SELECT count(*) AS n_groups, round(sum(qty), 2) AS total_qty
+        |FROM (SELECT l_orderkey, l_partkey, sum(l_quantity) AS qty
+        |      FROM lineitem GROUP BY 1, 2) z""".stripMargin,
     "q39_tpch_q17" ->
       """WITH l AS (
         |  SELECT l_partkey, l_quantity, l_extendedprice
