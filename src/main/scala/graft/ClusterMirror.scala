@@ -222,7 +222,16 @@ object ClusterMirror {
     //       closure (TaskMemo @transient rebuild per remote task); the
     //       other tokenizer rows ship word-keyed state, none ship
     //       byte-alphabet tables through executor JVMs
-    "t38_bytebpe_tokens")
+    "t38_bytebpe_tokens",
+    // round-14 risk classes:
+    //  st23: streamed IVF ingest on real JVMs — the frozen centroid
+    //        matrix ships as plan LITERALS into assignCells' fused
+    //        argmax expression inside foreachBatch actions on remote
+    //        executors (st20/st21 ship shingles/codecs; no earlier
+    //        streaming row compiles multi-KB float literals into a
+    //        remote micro-batch plan), then the probe's partition-dir
+    //        pruned scan + centroid broadcast cross a real exchange
+    "st23_stream_ivf_ingest")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {

@@ -313,10 +313,22 @@ object Ann {
       querySelector: Column, k: Int, nLists: Int, nProbe: Int,
       iters: Int, initIdx: Seq[Int]): DataFrame = {
     val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .repartition(1).sortWithinPartitions(col("id"))
-    val cents = trainCentroids(withVec, nLists, seed = 0L,
-      maxTrainRows = Int.MaxValue.toLong, iters, Some(initIdx))
+    val cents = trainCentroidsReplay(emb, idCol, vecCol, nLists, iters, initIdx)
     ivfProbeRerank(assignCells(withVec, cents), cents, querySelector, k, nProbe)
+  }
+
+  /** The forced-replay centroid trainer as a standalone seam: the
+    * training corpus staged as ONE partition in id order, explicit init
+    * indices, every Lloyd's iteration IEEE-pinned (see [[ivfTopKReplay]]).
+    * Exists so oracle-replayable gates can FREEZE a deterministic cell
+    * geometry and hand it to the index builders (st23 trains on the
+    * base corpus, then streams appends under the frozen centroids). */
+  def trainCentroidsReplay(emb: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, iters: Int, initIdx: Seq[Int]): Array[Array[Float]] = {
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(1).sortWithinPartitions(col("id"))
+    trainCentroids(withVec, nLists, seed = 0L,
+      maxTrainRows = Int.MaxValue.toLong, iters, Some(initIdx))
   }
 
   /** Shared probe+rerank tail of the in-plan IVF regimes: nProbe nearest
@@ -452,7 +464,19 @@ object Ann {
     * path). */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
       cents: Array[Array[Float]], queries: DataFrame, k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4): DataFrame =
+    probeStored(spark, spark.table(table), cents, queries, k, nProbe)
+
+  /** Probe tail shared by the bucketed-table ([[ivfTopKIndexed]]) and
+    * partition-dir ([[ivfTopKStore]]) index layouts: nProbe nearest
+    * cells per query via the (tiny, broadcast) centroid table, the
+    * index scan restricted to the probed cells' LITERAL list — bucket
+    * pruning on a bucketed table, partition-dir pruning on a
+    * `cell=`-partitioned store; either way each query batch reads
+    * ~nProbe/nLists of the index bytes — then exact cosine re-rank. */
+  private def probeStored(spark: org.apache.spark.sql.SparkSession,
+      idx0: DataFrame, cents: Array[Array[Float]], queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
@@ -465,9 +489,9 @@ object Ann {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qvec"), col("cell"))
-    // literal cell list => bucket pruning on the bucketed index scan
+    // literal cell list => bucket/partition pruning on the index scan
     val cells = probed.select("cell").distinct().as[Int].collect().sorted
-    val idx = spark.table(table).filter(col("cell").isin(cells.map(Int.box): _*))
+    val idx = idx0.filter(col("cell").isin(cells.map(Int.box): _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     idx.join(broadcast(probed), Seq("cell"))
@@ -477,6 +501,56 @@ object Ann {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
+
+  // ---- streamed IVF ingest store ---------------------------------------
+
+  /** Persistent IVF store in the st20/st21 SEGMENT layout — the
+    * streaming-ingest twin of [[buildIvfIndex]]'s catalog table. Rows
+    * land under `path/vecs/batch=<id>/cell=<c>/`, so
+    *  - probes prune at the partition-DIRECTORY level on `cell`
+    *    (the same ~nProbe/nLists byte fraction bucket pruning buys),
+    *  - each streamed append OVERWRITES exactly its own `batch=<id>`
+    *    segment — Structured Streaming replays a failed trigger under
+    *    the same micro-batch id, so re-ingest is idempotent (the
+    *    exactly-once discipline [[graft.dedup.Dedup.appendToLshIndex]]
+    *    and `appendToAudioIndex` pin; a bucketed catalog table has no
+    *    per-batch segment to overwrite, which is why the streamed form
+    *    uses dirs).
+    * Cell geometry is FROZEN in `cents` (assignment is a pure function
+    * of (vector, centroids)), so build + appends in any batch order
+    * equal a one-shot assignment of the union — st23 hash-verifies that
+    * against the a03b-style closed-form replay. */
+  def buildIvfStore(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, cents: Array[Array[Float]]): Unit = {
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    assignCells(withVec, cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vecs/batch=base")
+  }
+
+  /** Append a vector batch to a [[buildIvfStore]] store under its
+    * FROZEN centroids: assignment is one narrow codegen'd pass over the
+    * batch (O(batch) per trigger — the store is neither read nor
+    * shuffled), and the write overwrites the batch's own segment
+    * (idempotent on `batchId`). */
+  def appendToIvfStore(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, cents: Array[Array[Float]], batchId: String): Unit = {
+    require(batchId.matches("[A-Za-z0-9_-]+") && batchId != "base",
+      s"batchId must be a fresh [A-Za-z0-9_-]+ segment name, got '$batchId'")
+    val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    assignCells(withVec, cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vecs/batch=$batchId")
+  }
+
+  /** Probe a [[buildIvfStore]] store — [[ivfTopKIndexed]]'s semantics
+    * over the segment layout; the probed-cell literal list prunes
+    * `cell=` partition directories across every batch segment. */
+  def ivfTopKStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      cents: Array[Array[Float]], queries: DataFrame, k: Int,
+      nProbe: Int = 4): DataFrame =
+    probeStored(spark, spark.read.parquet(s"$path/vecs").drop("batch"),
+      cents, queries, k, nProbe)
 
   /** LSH approximate top-k: candidates share at least one signature band
     * with the query; exact cosine re-ranking on candidates only. */

@@ -2490,6 +2490,50 @@ object PipelineQueries {
       }.orderBy(col("lang"))
     }),
 
+    // -- st23: streamed IVF-index ingest — the stream×index matrix's
+    // last cell (LSH st20, audio fingerprints st21, IVF here): the
+    // cell geometry FREEZES on the pre-existing corpus (a03b's
+    // forced-replay trainer, so the whole structure stays
+    // closed-form), the index builds on the base, and the fresh
+    // vectors arrive as 3 ascending files — every micro-batch is
+    // assigned NARROWLY under the frozen centroids (O(batch) per
+    // trigger; the store is neither read nor shuffled) and lands in
+    // its own batch=<id>/cell=<c> segment (idempotent on the replayed
+    // micro-batch id; cell dirs give probes partition pruning).
+    // Assignment is a pure function of (vector, centroids), so probing
+    // (build ∪ streamed appends) == probing a one-shot assignment of
+    // the union — which is exactly what the a03b-style oracle replays
+    // value-for-value (training on the base only, probe over all). ----
+    "st23_stream_ivf_ingest" -> ((s, d) => {
+      import graft.ann.Ann
+      val emb = Tables.embeddings(s, d)
+      val base = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st23"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      // fresh store per run (the st20 lesson: stale segments of a prior
+      // run would duplicate vectors under new batch ids)
+      rm(new java.io.File(s"$base/idx"))
+      val baseEmb = emb.filter(col("vec_id") % 4 =!= 0)
+      val fresh = emb.filter(col("vec_id") % 4 === 0)
+      val cents = Ann.trainCentroidsReplay(baseEmb, "vec_id", "embedding",
+        nLists = 4, iters = 3, initIdx = Seq(0, 90, 180, 270))
+      Ann.buildIvfStore(baseEmb, "vec_id", "embedding", s"$base/idx", cents)
+      val staged = fresh.select(col("vec_id").cast("timestamp").as("ts"),
+        col("vec_id"), col("embedding"))
+      graft.streaming.EventStreams.runStagedForeachBatch(s, staged,
+          s"$base/stage", nFiles = 3) { (batch, id) =>
+        Ann.appendToIvfStore(batch, "vec_id", "embedding", s"$base/idx",
+          cents, batchId = s"b$id")
+        ()
+      }
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Ann.ivfTopKStore(s, s"$base/idx", cents, queries, k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
     "st19_stream_wordpiece" -> ((s, d) => {
       import graft.functions.WordPiece
       val docs = Tables.documents(s, d)
@@ -2809,8 +2853,8 @@ object PipelineQueries {
     * exactly like the Scala trainer. cosine() replays as three
     * independent ordered folds — the fused loop's accumulators are
     * independent, so the split is bit-identical. */
-  private val ivfReplayOracle: String =
-    """WITH RECURSIVE
+  private def ivfReplayOracleFor(trainWhere: String, init: Seq[Int]): String =
+    s"""WITH RECURSIVE
       |ev0 AS (SELECT vec_id, generate_subscripts(embedding,1) AS j,
       |          unnest(embedding) AS v FROM embeddings),
       |nn2 AS (SELECT vec_id, list_reduce(list_prepend(0.0::DOUBLE,
@@ -2823,9 +2867,9 @@ object PipelineQueries {
       |samples AS (SELECT list(u ORDER BY vec_id) AS S,
       |    count(*)::INT AS n,
       |    (SELECT len(embedding) FROM embeddings LIMIT 1)::INT AS d
-      |  FROM unitv),
+      |  FROM unitv$trainWhere),
       |km AS (
-      |  SELECT 0 AS it, [S[1], S[126], S[251], S[376]] AS C FROM samples
+      |  SELECT 0 AS it, [${init.map(i => s"S[$i]").mkString(", ")}] AS C FROM samples
       |  UNION ALL
       |  SELECT t.it + 1,
       |    list_transform(t.FS, f -> list_transform(f, x ->
@@ -2892,6 +2936,17 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, round(cos, 4) AS cos
       |FROM ranked WHERE rn <= 10
       |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+
+  /** a03b's fixed regime: train on ALL vectors, init 0/125/250/375. */
+  private val ivfReplayOracle: String =
+    ivfReplayOracleFor("", Seq(1, 126, 251, 376))
+
+  /** st23's regime: centroids train on the BASE corpus only
+    * (vec_id % 4 != 0, init 0/90/180/270 within the one-partition
+    * id-ordered base sample), assignment/probe run over ALL vectors —
+    * exactly the one-shot the streamed build∪appends must equal. */
+  private val ivfStreamIngestOracle: String =
+    ivfReplayOracleFor(" WHERE vec_id % 4 != 0", Seq(1, 91, 181, 271))
 
   /** t12/t12c: BPE TRAINING replayed in SQL. The merge loop is fully
     * deterministic (argmax with (count DESC, pair ASC) tie-break; a
@@ -3834,6 +3889,9 @@ object PipelineQueries {
     // a03b: the forced-regime IVF replays relationally too — recursive-CTE
     // Lloyd's training + assignment + probe + rerank, all IEEE-pinned
     "a03b_ann_ivf_replay" -> ivfReplayOracle,
+    // st23: the streamed store probe must equal the one-shot IVF over
+    // the union under base-frozen centroids — replayed closed-form
+    "st23_stream_ivf_ingest" -> ivfStreamIngestOracle,
     "a11_ivf_append_contract" ->
       "SELECT TRUE AS append_matches_rebuild, TRUE AS nonempty",
     "p05_sample_contract" ->

@@ -548,6 +548,49 @@ class StreamingSpec extends AnyFunSuite with CacheHygiene {
     assert(streamed == rebuilt && streamed.nonEmpty)
   }
 
+  test("IVF segment store: append==rebuild, batchId re-ingest idempotent") {
+    import graft.ann.Ann
+    val rnd = new scala.util.Random(23)
+    val emb = (0 until 160).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == (i % 4) * 2) 5f else 0f) + rnd.nextFloat() * 0.2f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 100)
+    val feed = emb.filter(col("vec_id") >= 100)
+    val cents = Ann.trainCentroidsReplay(base, "vec_id", "embedding",
+      nLists = 4, iters = 3, initIdx = Seq(0, 25, 50, 75))
+    val path = "target/qtmp/st_ivf_store"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    Ann.buildIvfStore(base, "vec_id", "embedding", path, cents)
+    Ann.appendToIvfStore(feed, "vec_id", "embedding", path, cents, "b0")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val appended = Ann.ivfTopKStore(spark, path, cents, queries, k = 5)
+      .collect().toSet
+    // probing the segment store == probing a one-shot bucketed rebuild
+    // under the same frozen centroids (assignment is pure)
+    Ann.buildIvfIndexFrom(emb, "vec_id", "embedding",
+      "graft_ivf_store_ref", cents)
+    val rebuilt = Ann.ivfTopKIndexed(spark, "graft_ivf_store_ref", cents,
+      queries, k = 5).collect().toSet
+    assert(appended == rebuilt && appended.nonEmpty,
+      "segment-store probe drifted from the bucketed rebuild")
+    // a REPLAYED trigger re-runs the same batchId: the segment is
+    // overwritten, not duplicated — exactly-once under epoch replay
+    Ann.appendToIvfStore(feed, "vec_id", "embedding", path, cents, "b0")
+    val total = spark.read.parquet(s"$path/vecs").count()
+    assert(total == 160L, s"re-ingest duplicated rows: $total")
+    assert(Ann.ivfTopKStore(spark, path, cents, queries, k = 5)
+      .collect().toSet == rebuilt)
+    intercept[IllegalArgumentException] {
+      Ann.appendToIvfStore(feed, "vec_id", "embedding", path, cents, "base")
+    }
+  }
+
   test("cdcApplyVersioned: versions archive per epoch; final == live store") {
     val log = (1 to 60).map { i =>
       (new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong % 7,
