@@ -96,6 +96,7 @@ object Bench {
     "p25_multimodal_curation", // both modality front doors -> QC -> dedup -> keep
     "t36_wordpiece_tokens",  // WordPiece train + greedy longest-match census
     "t38_bytebpe_tokens",    // byte-level BPE distributed train + census
+    "t40_bytebpe_gpt2",      // byte-BPE under the GPT-2 pre-tokenizer
     "r03_ndcg_eval",         // BM25 ranking + nDCG evaluation
     "u03_incremental_agg",   // base+delta agg merge, no base rescan
     "t21_pmi_collocations",  // PMI over vocabulary-sized count tables
