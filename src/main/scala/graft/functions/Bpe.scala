@@ -181,24 +181,38 @@ object Bpe {
     *   loop is job-scheduling-bound, so batching the truncation
     *   roughly halves wall-clock; lineage depth stays bounded at N. */
   def trainDistributed(df: DataFrame, textCol: String,
-      nMerges: Int, checkpointEvery: Int = 8): Model = {
+      nMerges: Int, checkpointEvery: Int = 8,
+      serialUnder: Long = 100000L): Model = {
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery < 1")
     val spark = df.sparkSession
     import spark.implicits._
-    var current = df
+    val words = df
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(String, Long)]
+      .localCheckpoint()
+    // census-driven dispatch + parallelism (the d25/q65/CC-fast-path
+    // discipline): the word table is orders smaller than the corpus —
+    // ONE O(1) count over the checkpointed census decides everything
+    // downstream. At or under `serialUnder` (default 100k words ≈ MBs
+    // — the same bound `train`'s maxWordRows collects anyway), the
+    // merge loop finishes ON THE DRIVER in milliseconds, where the
+    // distributed loop would pay one scheduled argmax job per merge
+    // round for kilobytes of work (measured: t38's 48 rounds ≈ 4.3 s
+    // of pure scheduling at sandbox scale). Above the bound — the
+    // open-vocabulary regime this trainer exists for — the word table
+    // stays on executors and the count sizes the loop's partitioning
+    // (~200k words per task, never more partitions than cores).
+    // Results are regime-IDENTICAL (one argmax total order; t12c/t39
+    // pin serial == distributed), so gates carry over; 0 pins the
+    // distributed loop.
+    val vocabRows = words.count()
+    if (serialUnder > 0 && vocabRows <= serialUnder)
+      return trainFromWordCounts(words.collect(), nMerges)
+    var current = words
       .map { case (w, c) => (baseSymbols(w), c) }
       .localCheckpoint()
-    // census-driven parallelism for the 64-round loop (the d25/q65
-    // discipline): the word table is orders smaller than the corpus, so
-    // inheriting the corpus aggregate's 32 partitions makes every round
-    // pay 32 tasks of scheduling for kilobytes of work. One O(1) count
-    // over the checkpointed table sizes the loop's partitioning —
-    // ~200k words per task, never more partitions than cores.
-    val vocabRows = current.count()
     val parts = math.max(1, math.min(
       df.sparkSession.sparkContext.defaultParallelism.toLong,
       (vocabRows + 199999L) / 200000L)).toInt

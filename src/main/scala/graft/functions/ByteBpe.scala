@@ -212,18 +212,18 @@ object ByteBpe {
     * (t39-gated). */
   def trainDistributed(df: DataFrame, textCol: String,
       nMerges: Int, checkpointEvery: Int = 8,
-      pretok: String = PretokSpace, maxWordRows: Long = 0L): Model = {
+      pretok: String = PretokSpace, maxWordRows: Long = 0L,
+      serialUnder: Long = 100000L): Model = {
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery < 1")
     val spark = df.sparkSession
     import spark.implicits._
-    var current = df
+    val words = df
       .select(explode(pretokensCol(col(textCol), pretok)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(String, Long)]
-      .map { case (w, c) => (baseSymbols(w), c) }
       .localCheckpoint()
-    val vocabRows = current.count()
+    val vocabRows = words.count()
     // loud-failure guard for oracle-replayed gates: a DuckDB replay that
     // caps its pretoken table (LIMIT maxWordRows) is exact only while
     // the true vocabulary fits the cap — the trainer already counts the
@@ -232,6 +232,16 @@ object ByteBpe {
     require(maxWordRows <= 0L || vocabRows <= maxWordRows,
       s"pretoken vocabulary ($vocabRows rows) exceeds maxWordRows=" +
         s"$maxWordRows — the capped oracle replay would silently drift")
+    // census-gated dispatch (see [[Bpe.trainDistributed]] — same
+    // discipline, same bound): a driver-sized vocabulary finishes the
+    // merge loop on the driver in milliseconds instead of one scheduled
+    // argmax job per round; results are regime-identical (t39 pins
+    // serial == distributed), 0 pins the distributed loop
+    if (serialUnder > 0 && vocabRows <= serialUnder)
+      return trainFromWordCounts(words.collect(), nMerges, pretok)
+    var current = words
+      .map { case (w, c) => (baseSymbols(w), c) }
+      .localCheckpoint()
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       (vocabRows + 199999L) / 200000L)).toInt

@@ -1803,7 +1803,12 @@ object PipelineQueries {
     "t12c_bpe_tokens_distributed" -> ((s, d) => {
       import graft.functions.Bpe
       val docs = Tables.documents(s, d)
-      val model = Bpe.trainDistributed(docs, "text", nMerges = 64)
+      // serialUnder = 0 pins the DISTRIBUTED loop: this gate exists to
+      // exercise the open-vocabulary regime (the census dispatch would
+      // otherwise — correctly — finish a sandbox-scale vocabulary on
+      // the driver and the gate would stop testing the executor path)
+      val model = Bpe.trainDistributed(docs, "text", nMerges = 64,
+        serialUnder = 0L)
       docs.select(col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_words"),
           Bpe.tokenCount(model)(col("text")).cast("long").as("n_bpe"))
@@ -2008,7 +2013,10 @@ object PipelineQueries {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val model = ByteBpe.train(docs, "text", nMerges = 48)
-      val dist = ByteBpe.trainDistributed(docs, "text", nMerges = 48)
+      // serialUnder = 0: the dist_parity_ok column must compare the REAL
+      // distributed loop against the serial trainer, not serial twice
+      val dist = ByteBpe.trainDistributed(docs, "text", nMerges = 48,
+        serialUnder = 0L)
       val distOk = dist.merges == model.merges
       val adv = Seq("## leading marker", "with tail</w> marker",
         "an [UNK] literal", "double  space", " leading space",

@@ -1870,7 +1870,8 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
       "distributed word-count train must equal serial train")
     // the FULLY distributed trainer (per-round pair-count aggregates)
     // learns the identical model under the same argmax total order
-    assert(Bpe.trainDistributed(corpus, "text", nMerges = 3).merges == model.merges,
+    assert(Bpe.trainDistributed(corpus, "text", nMerges = 3,
+        serialUnder = 0L).merges == model.merges,
       "trainDistributed must equal the serial trainer")
 
     // encode applies merges greedily lowest-rank-first
@@ -1904,7 +1905,8 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(m1.merges.size == 32, "corpus is rich enough for 32 merges")
     // the corpus vocabulary fits the serial cap, so the distributed
     // trainer must learn the exact same merge list on real text too
-    val md = Bpe.trainDistributed(docs, "text", nMerges = 32)
+    val md = Bpe.trainDistributed(docs, "text", nMerges = 32,
+      serialUnder = 0L)
     assert(md.merges == m1.merges,
       s"distributed trainer drifted: ${md.merges} vs ${m1.merges}")
     val stats = docs.select(
@@ -2092,7 +2094,8 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     val corpus = (Seq.fill(5)("hug hug") ++ Seq.fill(5)("hug") ++
         Seq.fill(12)("pug")).map(Tuple1(_)).toDF("text")
     assert(ByteBpe.train(corpus, "text", nMerges = 3).merges == m.merges)
-    assert(ByteBpe.trainDistributed(corpus, "text", nMerges = 3).merges ==
+    assert(ByteBpe.trainDistributed(corpus, "text", nMerges = 3,
+      serialUnder = 0L).merges ==
       m.merges, "distributed trainer must learn the identical model")
     // " pug" segments Ġ+pug (no Ġp merge learned; p+ug fires, then no
     // rank for (Ġ,pug))
@@ -2242,6 +2245,40 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("trainDistributed census dispatch: driver-sized vocab skips the scheduled rounds") {
+    import graft.functions.ByteBpe
+    import java.util.concurrent.atomic.AtomicLong
+    val docs = Tables.documents(spark, sfDir)
+    val jobs = new AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def counted(f: => ByteBpe.Model): (ByteBpe.Model, Long) = {
+        Thread.sleep(500) // drain the async listener bus between counts
+        val j0 = jobs.get()
+        val m = f
+        Thread.sleep(500)
+        (m, jobs.get() - j0)
+      }
+      val (auto, jAuto) = counted(
+        ByteBpe.trainDistributed(docs, "text", nMerges = 24))
+      val (dist, jDist) = counted(
+        ByteBpe.trainDistributed(docs, "text", nMerges = 24, serialUnder = 0L))
+      // identical model either regime (the t39 parity, re-pinned here
+      // across the dispatch seam)...
+      assert(auto.merges == dist.merges, "dispatch changed the model")
+      // ...but the auto path must have COLLECTED (census + collect ≈ a
+      // handful of jobs) while the pinned path schedules ≥1 argmax job
+      // per round
+      assert(jAuto < 10, s"auto path scheduled $jAuto jobs — dispatch dead?")
+      assert(jDist >= 24, s"pinned path scheduled only $jDist jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ByteBpe trainDistributed maxWordRows guard fails loud on vocabulary overflow") {
     import graft.functions.ByteBpe
     val docs = Tables.documents(spark, sfDir).limit(50)
@@ -2257,7 +2294,8 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(m1.merges.size == 32, "corpus is rich enough for 32 merges")
     assert(ByteBpe.train(docs, "text", nMerges = 32).merges == m1.merges,
       "training must be deterministic")
-    val md = ByteBpe.trainDistributed(docs, "text", nMerges = 32)
+    val md = ByteBpe.trainDistributed(docs, "text", nMerges = 32,
+      serialUnder = 0L)
     assert(md.merges == m1.merges,
       s"distributed trainer drifted: ${md.merges} vs ${m1.merges}")
     val stats = docs.select(
