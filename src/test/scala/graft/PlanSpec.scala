@@ -812,6 +812,31 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     } finally spark.conf.set(key, prev)
   }
 
+  test("ivfTopKStore probe prunes the store's cell partition directories") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark; import spark2.implicits._
+    val emb = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == (i % 4) * 2) 5f else 0f) + (i % 7) * 0.01f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = graft.ann.Ann.trainCentroidsReplay(emb, "vec_id", "embedding",
+      nLists = 4, iters = 2, initIdx = Seq(0, 50, 100, 150))
+    val path = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    graft.ann.Ann.buildIvfStore(emb, "vec_id", "embedding", path, cents)
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = graft.ann.Ann.ivfTopKStore(spark, path, cents, queries,
+      k = 5, nProbe = 2)
+    val p = out.queryExecution.executedPlan.toString
+    // the probed-cell literal list must land in the scan's PARTITION
+    // filters (directory pruning — the segment layout's analog of
+    // bucket pruning), not ride as a post-scan data filter
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"probed cells not pushed to partition pruning:\n$p")
+    assert(out.count() > 0)
+  }
+
   test("capped audio-index append: the store is never shuffled (batch-fp prune)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
