@@ -713,6 +713,12 @@ object Dedup {
         graft.plans.MinHashBandsExpression.minhashBands(col("sh"), k, bands).as("bh"))
       .select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
       .write.mode("overwrite").parquet(s"$path/bands/batch=base")
+    // seed the STORE-WIDE cap statistics ([[Census]] scaladoc): exact at
+    // build time, appends accumulate their own one-row segments
+    val st = spark.read.parquet(s"$path/bands/batch=base")
+      .agg(count(lit(1)).as("s"),
+        count_distinct(struct(col("band"), col("h"))).as("k")).head()
+    Census.writeCapStats(spark, path, "base", st.getLong(0), st.getLong(1))
   }
 
   /** Append a document batch to a [[buildLshIndex]] store and return the
@@ -720,10 +726,23 @@ object Dedup {
     * new↔new; the store's old↔old pairs were reported when they were
     * appended).
     *
-    * Scale shape: the batch is signatured narrowly and BROADCAST against
-    * the store's band table — the corpus-sized side is scanned once and
-    * never shuffled; the shingle fetch joins are semi-join-pruned to
-    * candidate ids exactly as in [[minhashLshPairs]].
+    * Scale shape: the batch is signatured narrowly and (below the batch
+    * census bound `broadcastMaxBatchRows`) BROADCAST against the store's
+    * band table — the corpus-sized side is scanned once and never
+    * shuffled; a backfill-sized batch degrades to an AQE-picked shuffle
+    * join instead of OOMing the driver. The shingle fetch joins are
+    * semi-join-pruned to candidate ids exactly as in [[minhashLshPairs]].
+    *
+    * Hot-bucket cap (round 15 — this was the ONE pair generator outside
+    * the engine's cap policy): `maxBucket` censuses the batch's
+    * `(band, h)` buckets over (store ∪ batch) and drops buckets above
+    * the cap from pair generation, persisting the dropped census to
+    * `dropped/batch=<id>` next to the pairs segment (`> 0` explicit,
+    * `0` off, `-1` DEFAULT: derived from the store-wide capstats —
+    * see [[Census]] — so one degenerate boilerplate bucket in a 100 TB
+    * store can no longer square every trigger's candidate set, and a
+    * skewed batch cannot inflate the cap). See [[lshAppendPairs]] for
+    * the append-time-consistency contract.
     *
     * Durability/ordering: the pair report is WRITTEN TO DISK
     * (`pairs/batch=<id>`) before the store gains the batch's
@@ -736,9 +755,11 @@ object Dedup {
   def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, idCol: String, textCol: String, batchId: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Long = -1L,
+      broadcastMaxBatchRows: Long = 4000000L): DataFrame = {
     require(batchId.matches("[A-Za-z0-9_-]+") && batchId != "base",
       s"batchId must be a fresh [A-Za-z0-9_-]+ segment name, got '$batchId'")
+    require(maxBucket >= -1L, s"maxBucket must be -1, 0 or positive, got $maxBucket")
     val newMeta = newDocs
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .persist()
@@ -747,20 +768,102 @@ object Dedup {
         graft.plans.MinHashBandsExpression.minhashBands(col("sh"), k, bands).as("bh"))
       .select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
       .persist()
+    // ONE small aggregate over the persisted band table feeds BOTH
+    // census disciplines: (a) the broadcast gate — a backfill-sized
+    // batch must degrade to a shuffle join instead of OOMing the driver
+    // with a corpus-sized broadcast, so the batch is COUNTED, never
+    // assumed micro; (b) the batch's one-row capstats segment
+    val st = newBanded.agg(count(lit(1)).as("s"),
+      count_distinct(struct(col("band"), col("h"))).as("k")).head()
+    val (bRows, bKeys) = (st.getLong(0), st.getLong(1))
+    val broadcastBatch = bRows <= broadcastMaxBatchRows
     // store segments as of BEFORE this batch (its batch=<id> dirs are
     // excluded even on re-ingest: the filter prunes them at plan time)
     val oldMeta = spark.read.parquet(s"$path/meta")
       .filter(col("batch") =!= batchId).drop("batch")
     val oldBands = spark.read.parquet(s"$path/bands")
       .filter(col("batch") =!= batchId).drop("batch")
+    // census-derived default cap from the STORE-WIDE statistics (the
+    // [[Census]] scaladoc's drift argument) — a store built before
+    // capstats existed falls back to the batch-restricted derive inside
+    // hotKeyPrune (-1 passes through), documented conservative-only once
+    // the store carries stats
+    val cap = if (maxBucket == -1L)
+        Census.readCapStats(spark, path, excludeBatch = batchId)
+          .map { case (s0, k0) => Census.derivedCap(s0 + bRows, k0 + bKeys) }
+          .getOrElse(-1L)
+      else maxBucket
+    val (pairs, dropped) = lshAppendPairs(oldBands, oldMeta, newBanded,
+      newMeta, threshold, cap, broadcastBatch)
+    // disk barrier: report first, then the dropped-bucket observability
+    // frame, then the store segments
+    pairs.write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
+    if (dropped != null)
+      dropped.write.mode("overwrite").parquet(s"$path/dropped/batch=$batchId")
+    newMeta.write.mode("overwrite").parquet(s"$path/meta/batch=$batchId")
+    newBanded.write.mode("overwrite").parquet(s"$path/bands/batch=$batchId")
+    Census.writeCapStats(spark, path, batchId, bRows, bKeys)
+    newMeta.unpersist(); newBanded.unpersist()
+    spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
+  }
+
+  /** The lazy pair plan of [[appendToLshIndex]] — split out so its shape
+    * is plan-testable (PlanSpec pins that the store side is never
+    * shuffled in ANY cap regime, and that the broadcast gate actually
+    * flips the join strategy). `oldBands`/`newBanded` are
+    * `(id, band, h)` tables; `oldMeta`/`newMeta` are `(id, sh)` shingle
+    * tables.
+    *
+    * Cap semantics under incrementality (the audio append's contract,
+    * [[graft.multimodal.Multimodal.appendToAudioIndex]]): the census
+    * runs over (old ∪ new) RESTRICTED to the batch's `(band, h)` keys —
+    * only batch keys can form new pairs, so an explicit cap's verdict
+    * matches a full-store census exactly while the per-trigger plan
+    * stays batch-keyed (the store rides a semi-join on the batch's
+    * keys and is never shuffled). Reports are append-time-consistent —
+    * a bucket that crosses the cap in a LATER batch keeps its earlier
+    * reports (no retraction), so exact one-shot equality holds uncapped
+    * or when no bucket crosses the cap mid-stream (the st21
+    * discipline; PipelineSpec pins capped append == capped one-shot on
+    * a corpus whose hot bucket is over-cap from the base store on).
+    *
+    * Returns (verified pairs, dropped census `(band, h, n, cap)`);
+    * dropped is null in the uncapped regime (no census is computed). */
+  private[graft] def lshAppendPairs(oldBands: DataFrame, oldMeta: DataFrame,
+      newBanded: DataFrame, newMeta: DataFrame, threshold: Double,
+      cap: Long, broadcastBatch: Boolean = true): (DataFrame, DataFrame) = {
+    // batch-derived frames are broadcast only below the caller's batch
+    // census bound; above it the hint is withheld and AQE picks the
+    // shuffle strategy (backfill-sized re-ingest degrades, never OOMs)
+    def hint(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    val (okNew, okOld, dropped) =
+      if (cap == 0L)
+        // uncapped: the hash join on (band, h) against the batch side
+        // restricts the store scan without a separate semi-join pass
+        (newBanded, oldBands, null: DataFrame)
+      else {
+        // semi-join prune the store census side to the batch's buckets
+        // BEFORE counting: a bucket absent from the batch forms no new
+        // pair, so the census (and everything downstream) stays
+        // batch-keyed instead of store-sized — the audioAppendPairs
+        // pattern for the text modality
+        val batchKeys = hint(newBanded.select(col("band"), col("h")).distinct())
+        val oldRelevant = oldBands.join(batchKeys, Seq("band", "h"), "left_semi")
+        val census = oldRelevant.unionByName(newBanded)
+          .groupBy(col("band"), col("h")).agg(count(lit(1)).as("n"))
+        val (ok, drop) = Census.hotKeyPrune(census, Seq("band", "h"), cap)
+        // ok is bounded by the batch's distinct buckets -> same gate
+        (newBanded.join(hint(ok), Seq("band", "h")),
+          oldRelevant.join(hint(ok), Seq("band", "h")), drop)
+      }
     // candidates with >=1 new side; store side scanned once, unshuffled
-    val newVsOld = oldBands.join(
-        broadcast(newBanded.withColumnRenamed("id", "nid")), Seq("band", "h"))
+    val newVsOld = okOld.join(
+        hint(okNew.withColumnRenamed("id", "nid")), Seq("band", "h"))
       .filter(col("id") =!= col("nid"))
       .select(least(col("id"), col("nid")).as("a"),
         greatest(col("id"), col("nid")).as("b"))
-    val l = newBanded.as("l"); val r = newBanded.as("r")
-    val newVsNew = l.join(broadcast(r),
+    val l = okNew.as("l"); val r = okNew.as("r")
+    val newVsNew = l.join(hint(r),
         col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
@@ -775,12 +878,7 @@ object Dedup {
     val pairs = cand.join(sa, "a").join(sb, "b")
       .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // disk barrier: report first, then the store segments
-    pairs.write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
-    newMeta.write.mode("overwrite").parquet(s"$path/meta/batch=$batchId")
-    newBanded.write.mode("overwrite").parquet(s"$path/bands/batch=$batchId")
-    newMeta.unpersist(); newBanded.unpersist()
-    spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
+    (pairs, dropped)
   }
 
   // ---- duplicate clusters ---------------------------------------------

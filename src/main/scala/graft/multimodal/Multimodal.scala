@@ -696,21 +696,8 @@ object Multimodal {
     * dropped frame is the observability contract: empty ⇒ no loss;
     * non-empty ⇒ each row names a degenerate key to handle upstream. */
   private def hotKeyPrune(census: DataFrame, keyCols: Seq[String],
-      cap: Long): (DataFrame, DataFrame) = {
-    val withCap =
-      if (cap > 0) census.withColumn("cap", lit(cap))
-      else if (cap == 0L) census.withColumn("cap", lit(Long.MaxValue))
-      else {
-        val capDf = census
-          .agg(sum(col("n")).as("s"), count(lit(1)).as("k"))
-          .select(greatest(lit(256L),
-            lit(32L) * expr("(s + k - 1) div k")).as("cap"))
-        census.crossJoin(broadcast(capDf))
-      }
-    (withCap.filter(col("n").between(2, col("cap")))
-       .select(keyCols.map(col): _*),
-     withCap.filter(col("n") > col("cap")))
-  }
+      cap: Long): (DataFrame, DataFrame) =
+    graft.dedup.Census.hotKeyPrune(census, keyCols, cap)
 
   /** 64-bit energy-band fingerprint of one PCM window — the audio
     * perceptual hash of the modality×dedup matrix (text SimHash, image
@@ -933,6 +920,13 @@ object Multimodal {
     audioFingerprints(media, windowLen, hop).distinct()
       .withColumnRenamed("media_id", "id")
       .write.mode("overwrite").parquet(s"$path/fps/batch=base")
+    // seed the STORE-WIDE cap statistics ([[graft.dedup.Census]]): exact
+    // at build time, appends accumulate their own one-row segments
+    val spark = media.sparkSession
+    val st = spark.read.parquet(s"$path/fps/batch=base")
+      .agg(count(lit(1)).as("s"), count_distinct(col("fp")).as("k")).head()
+    graft.dedup.Census.writeCapStats(spark, path, "base",
+      st.getLong(0), st.getLong(1))
   }
 
   /** Append a clip batch to a [[buildAudioIndex]] store and return the
@@ -958,9 +952,12 @@ object Multimodal {
     * batch-keyed (the store is scanned once behind a broadcast
     * semi-join on the batch's fingerprints and NEVER shuffled — the
     * round-13 verdict's O(store)-per-trigger fix). The census-derived
-    * default (-1) derives its cap from that same batch-restricted
-    * census: the append-relevant population, which is also the right
-    * reference for an append-time cap. Reports are
+    * default (-1) derives its cap from the STORE-WIDE capstats segments
+    * ([[graft.dedup.Census]], round 15): a batch-restricted derive
+    * drifts with batch composition — a small batch concentrated on one
+    * degenerate fingerprint (silence windows) inflates the mean and
+    * RAISES the cap exactly when the protection matters; the store-wide
+    * statistic is conservative by construction. Reports are
     * append-time-consistent — a fingerprint that crosses the cap in a
     * LATER batch keeps its earlier reports (no retraction), so exact
     * one-shot equality holds uncapped (the st21 gate regime) or when no
@@ -969,20 +966,44 @@ object Multimodal {
   def appendToAudioIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newMedia: DataFrame, batchId: String,
       windowLen: Int = 1024, hop: Int = 0, minShared: Int = 1,
-      maxClipsPerFingerprint: Long = -1L): DataFrame = {
+      maxClipsPerFingerprint: Long = -1L,
+      broadcastMaxBatchRows: Long = 4000000L): DataFrame = {
     require(batchId.matches("[A-Za-z0-9_-]+") && batchId != "base",
       s"batchId must be a fresh [A-Za-z0-9_-]+ segment name, got '$batchId'")
     require(minShared >= 1, s"minShared=$minShared")
     val newFps = audioFingerprints(newMedia, windowLen, hop).distinct()
       .withColumnRenamed("media_id", "id")
       .persist()
+    // ONE small aggregate over the persisted batch feeds BOTH census
+    // disciplines: (a) the broadcast gate — a backfill-sized batch
+    // degrades to an AQE-picked shuffle join instead of OOMing the
+    // driver with an unconditional broadcast; (b) the batch's one-row
+    // capstats segment
+    val st = newFps.agg(count(lit(1)).as("s"),
+      count_distinct(col("fp")).as("k")).head()
+    val (bRows, bKeys) = (st.getLong(0), st.getLong(1))
     val oldFps = spark.read.parquet(s"$path/fps")
       .filter(col("batch") =!= batchId).drop("batch")
-    val pairs = audioAppendPairs(oldFps, newFps, minShared,
-      maxClipsPerFingerprint)
-    // disk barrier: report first, then the store segment
+    // census-derived default cap from the STORE-WIDE statistics (the
+    // [[graft.dedup.Census]] drift argument: a batch concentrated on one
+    // degenerate fingerprint must not be able to RAISE the cap); a store
+    // built before capstats existed falls back to the batch-restricted
+    // derive inside hotKeyPrune
+    val cap = if (maxClipsPerFingerprint == -1L)
+        graft.dedup.Census.readCapStats(spark, path, excludeBatch = batchId)
+          .map { case (s0, k0) =>
+            graft.dedup.Census.derivedCap(s0 + bRows, k0 + bKeys) }
+          .getOrElse(-1L)
+      else maxClipsPerFingerprint
+    val (pairs, dropped) = audioAppendPairsTracked(oldFps, newFps, minShared,
+      cap, broadcastBatch = bRows <= broadcastMaxBatchRows)
+    // disk barrier: report first, then the dropped-fingerprint
+    // observability frame, then the store segment
     pairs.write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
+    if (dropped != null)
+      dropped.write.mode("overwrite").parquet(s"$path/dropped/batch=$batchId")
     newFps.write.mode("overwrite").parquet(s"$path/fps/batch=$batchId")
+    graft.dedup.Census.writeCapStats(spark, path, batchId, bRows, bKeys)
     newFps.unpersist()
     spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
   }
@@ -992,9 +1013,23 @@ object Multimodal {
     * shuffled, in BOTH cap regimes). `oldFps`/`newFps` are (id, fp)
     * tables; the batch side is always broadcast. */
   private[graft] def audioAppendPairs(oldFps: DataFrame, newFps: DataFrame,
-      minShared: Int, maxClipsPerFingerprint: Long): DataFrame = {
-    val (okNew, okOld) = if (maxClipsPerFingerprint == 0L)
-        (newFps, oldFps)
+      minShared: Int, maxClipsPerFingerprint: Long): DataFrame =
+    audioAppendPairsTracked(oldFps, newFps, minShared,
+      maxClipsPerFingerprint, broadcastBatch = true)._1
+
+  /** [[audioAppendPairs]] plus the dropped-fingerprint census (null in
+    * the uncapped regime — no census is computed) and the batch
+    * broadcast gate: batch-derived frames are broadcast only when the
+    * caller's batch census said so; above the bound the hint is
+    * withheld and AQE picks the shuffle strategy (backfill-sized
+    * re-ingest degrades, never OOMs the driver). */
+  private[graft] def audioAppendPairsTracked(oldFps: DataFrame,
+      newFps: DataFrame, minShared: Int, maxClipsPerFingerprint: Long,
+      broadcastBatch: Boolean): (DataFrame, DataFrame) = {
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
+    val (okNew, okOld, dropped) = if (maxClipsPerFingerprint == 0L)
+        (newFps, oldFps, null: DataFrame)
       else {
         // semi-join prune BOTH census sides to the batch's fingerprints
         // before the count: a fingerprint absent from the batch forms no
@@ -1002,28 +1037,29 @@ object Multimodal {
         // pruning first makes the census (and everything downstream)
         // batch-keyed instead of store-sized, and the store side rides a
         // broadcast semi-join instead of a per-trigger shuffle
-        val batchFps = broadcast(newFps.select(col("fp")).distinct())
+        val batchFps = hint(newFps.select(col("fp")).distinct())
         val oldRelevant = oldFps.join(batchFps, Seq("fp"), "left_semi")
         val census = oldRelevant.unionByName(newFps)
           .groupBy(col("fp")).agg(count(lit(1)).as("n"))
-        val (ok, _) = hotKeyPrune(census, Seq("fp"), maxClipsPerFingerprint)
-        // ok is bounded by the batch's distinct fingerprints → broadcast
-        (newFps.join(broadcast(ok), Seq("fp")),
-          oldRelevant.join(broadcast(ok), Seq("fp")))
+        val (ok, drop) =
+          hotKeyPrune(census, Seq("fp"), maxClipsPerFingerprint)
+        // ok is bounded by the batch's distinct fingerprints → same gate
+        (newFps.join(hint(ok), Seq("fp")),
+          oldRelevant.join(hint(ok), Seq("fp")), drop)
       }
     val newVsOld = okOld.join(
-        broadcast(okNew.withColumnRenamed("id", "nid")), Seq("fp"))
+        hint(okNew.withColumnRenamed("id", "nid")), Seq("fp"))
       .filter(col("id") =!= col("nid"))
       .select(least(col("id"), col("nid")).as("a"),
         greatest(col("id"), col("nid")).as("b"))
     val l = okNew.as("l"); val r = okNew.as("r")
-    val newVsNew = l.join(broadcast(r),
+    val newVsNew = l.join(hint(r),
         col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
-    newVsOld.unionByName(newVsNew)
+    (newVsOld.unionByName(newVsNew)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_windows"))
-      .filter(col("shared_windows") >= minShared)
+      .filter(col("shared_windows") >= minShared), dropped)
   }
 
   /** Silence-free planted-overlap clip for the st21 streamed-ingest
