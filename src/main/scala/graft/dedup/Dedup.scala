@@ -868,14 +868,20 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
     val cand = newVsOld.unionByName(newVsNew).distinct()
-    // verify with exact jaccard over the combined shingle store
+    // verify with exact jaccard over the combined shingle store. The
+    // candidate frames are batch-bounded, so they ride the same
+    // broadcast gate: the semi-join prune and the first fetch join keep
+    // the corpus-sized shingle table SCANNED-NOT-SHUFFLED per trigger
+    // (the one-shot path accepts that shuffle because its candidate set
+    // is corpus-sized; an append's is not) — only candidate-sized
+    // frames ever reach an exchange here, and PlanSpec pins it
     val allMeta = oldMeta.unionByName(newMeta)
-    val candIds = cand.select(col("a").as("id"))
-      .union(cand.select(col("b").as("id")))
+    val candIds = hint(cand.select(col("a").as("id"))
+      .union(cand.select(col("b").as("id"))))
     val needed = allMeta.join(candIds, Seq("id"), "left_semi")
     val sa = needed.select(col("id").as("a"), col("sh").as("sha"))
     val sb = needed.select(col("id").as("b"), col("sh").as("shb"))
-    val pairs = cand.join(sa, "a").join(sb, "b")
+    val pairs = hint(cand).join(sa, "a").join(sb, "b")
       .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     (pairs, dropped)
@@ -1107,6 +1113,13 @@ object Dedup {
         // stage the pair table once: the census, the probe, and any
         // fallback all re-scan it
         val p = pairs.select(col("a"), col("b")).localCheckpoint()
+        // the driver-side union-find compares collected JVM values, which
+        // is only well-defined for types whose Spark ordering the local
+        // comparator reproduces (UTF-8 strings, numerics, date/time/bool);
+        // anything else (e.g. BinaryType ids -> Array[Byte], not
+        // Comparable) falls through to the distributed regimes, whose
+        // min/least handle every orderable Spark type
+        val fastOk = fastPathIdSupported(p.schema.head.dataType)
         // PRE-probe census: near-dup pair tables are SPARSE by
         // construction (banded + capped generators), so at gate and
         // mid scale the whole graph often fits the fast-path bound —
@@ -1114,7 +1127,8 @@ object Dedup {
         // wasted motion. One narrow count over the checkpointed table
         // decides; the count is the same job the probe's first round
         // would schedule anyway.
-        val nPairs = if (fastPathMaxEdges > 0) p.count() else Long.MaxValue
+        val nPairs =
+          if (fastPathMaxEdges > 0 && fastOk) p.count() else Long.MaxValue
         if (nPairs <= fastPathMaxEdges) unionFindLocal(p)
         else {
           val (part, converged) =
@@ -1135,7 +1149,8 @@ object Dedup {
             // the quotient pairs is a fully-collapsed component whose
             // partial rep is already the component minimum
             val nEdges =
-              if (fastPathMaxEdges > 0) contracted.count() else Long.MaxValue
+              if (fastPathMaxEdges > 0 && fastOk) contracted.count()
+              else Long.MaxValue
             val onLabels =
               if (nEdges <= fastPathMaxEdges)
                 broadcast(unionFindLocal(contracted)
@@ -1148,6 +1163,20 @@ object Dedup {
           }
         }
     }
+  }
+
+  /** Id types the fast path's local comparator reproduces Spark's
+    * ordering for — [[duplicateClustersAuto]] gates the collect on this
+    * so a BinaryType (or struct/array) id column takes the distributed
+    * regimes instead of throwing ClassCastException driver-side. */
+  private def fastPathIdSupported(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType => true
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.DateType => true
+    case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.BooleanType => true
+    case _ => false
   }
 
   /** Driver-side connected components over a SMALL edge list — the

@@ -1264,6 +1264,166 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(oneShot.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("capped LSH append equals capped one-shot; dropped census persisted") {
+    import graft.dedup.Dedup
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    // hot bucket: identical boilerplate clones, OVER the cap from the
+    // base store on — no key crosses the cap mid-stream, the regime
+    // where capped append == capped one-shot holds exactly (the st21
+    // discipline; see lshAppendPairs' scaladoc)
+    val boilerText = "the same boilerplate banner text repeated on every " +
+      "page of the crawl over and over again without any variation at all"
+    def boiler(ids: Range) = ids.map(i => (i.toLong + 100000L, boilerText))
+      .toDF("doc_id", "text")
+    val cap = 16
+    val base = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(boiler(0 until 40)) // 40 > cap already in the store
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(boiler(40 until 45))
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    val dir = "target/qtmp/lsh_idx_capped_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(dir))
+    Dedup.buildLshIndex(base, "doc_id", "text", dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    val p0 = pairSet(Dedup.minhashLshPairs(base, "doc_id", "text",
+      threshold = 0.8, maxBucket = cap))
+    val p1 = pairSet(Dedup.appendToLshIndex(spark, dir, b1, "doc_id", "text",
+      "b1", threshold = 0.8, maxBucket = cap.toLong))
+    val p2 = pairSet(Dedup.appendToLshIndex(spark, dir, b2, "doc_id", "text",
+      "b2", threshold = 0.8, maxBucket = cap.toLong))
+    val all = base.unionByName(b1).unionByName(b2)
+    val oneShotCapped = pairSet(Dedup.minhashLshPairs(all, "doc_id", "text",
+      threshold = 0.8, maxBucket = cap))
+    assert(p0 ++ p1 ++ p2 == oneShotCapped,
+      s"capped-append-only=${(p0 ++ p1 ++ p2) -- oneShotCapped} " +
+        s"capped-oneshot-only=${oneShotCapped -- (p0 ++ p1 ++ p2)}")
+    // the cap must have BOUND something: uncapped one-shot sees the 45
+    // boilerplate clones' pairs, the capped views do not
+    val oneShotUncapped = pairSet(
+      Dedup.minhashLshPairs(all, "doc_id", "text", threshold = 0.8))
+    assert((oneShotUncapped -- oneShotCapped)
+      .exists { case (a, b) => a >= 100000L && b >= 100000L },
+      "fixture's hot bucket never exceeded the cap")
+    assert(!oneShotCapped.exists { case (a, b) => a >= 100000L && b >= 100000L })
+    // dropped-bucket observability: persisted next to the pairs segment,
+    // queryable, and naming an over-cap bucket
+    val dropped = spark.read.parquet(s"$dir/dropped")
+    assert(dropped.columns.toSet == Set("band", "h", "n", "cap", "batch"))
+    assert(dropped.filter(col("n") > col("cap")).count() > 0,
+      "hot boilerplate bucket missing from the dropped census")
+  }
+
+  test("streamed appends: shuffle regime (broadcast gate at 0) preserves results") {
+    import graft.dedup.Dedup
+    import graft.multimodal.Multimodal
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 4 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 4 === 0)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    // LSH: one append in each regime over identical stores
+    val dirB = "target/qtmp/lsh_bgate_b"; val dirS = "target/qtmp/lsh_bgate_s"
+    rm(new java.io.File(dirB)); rm(new java.io.File(dirS))
+    Dedup.buildLshIndex(old, "doc_id", "text", dirB)
+    Dedup.buildLshIndex(old, "doc_id", "text", dirS)
+    val viaBroadcast = pairSet(Dedup.appendToLshIndex(spark, dirB, fresh,
+      "doc_id", "text", "b1", threshold = 0.8))
+    val viaShuffle = pairSet(Dedup.appendToLshIndex(spark, dirS, fresh,
+      "doc_id", "text", "b1", threshold = 0.8, broadcastMaxBatchRows = 0L))
+    assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty,
+      s"broadcast-only=${viaBroadcast -- viaShuffle} " +
+        s"shuffle-only=${viaShuffle -- viaBroadcast}")
+    // audio: same discipline through appendToAudioIndex
+    val W = 64
+    val mk = udf((id: Long) => Multimodal.segClipFromId(id, W))
+    def clips(ids: org.apache.spark.sql.DataFrame) = ids
+      .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+    val aud = docs.filter(col("doc_id") % 3 === 1)
+    val aOld = clips(aud.filter(col("doc_id") % 4 =!= 0))
+    val aNew = clips(aud.filter(col("doc_id") % 4 === 0))
+    val adB = "target/qtmp/aud_bgate_b"; val adS = "target/qtmp/aud_bgate_s"
+    rm(new java.io.File(adB)); rm(new java.io.File(adS))
+    Multimodal.buildAudioIndex(aOld, adB, windowLen = W)
+    Multimodal.buildAudioIndex(aOld, adS, windowLen = W)
+    def aPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a"), col("b"), col("shared_windows"))
+        .as[(Long, Long, Long)].collect().toSet
+    val aB = aPairs(Multimodal.appendToAudioIndex(spark, adB, aNew, "b1",
+      windowLen = W))
+    val aS = aPairs(Multimodal.appendToAudioIndex(spark, adS, aNew, "b1",
+      windowLen = W, broadcastMaxBatchRows = 0L))
+    assert(aB == aS && aB.nonEmpty,
+      s"audio broadcast-only=${aB -- aS} shuffle-only=${aS -- aB}")
+  }
+
+  test("audio append -1 cap: a hot-key-concentrated batch cannot inflate the cap") {
+    import graft.multimodal.Multimodal
+    val spark2 = spark; import spark2.implicits._
+    val W = 64
+    // store: 700 clips across 120 quantized amplitude levels -> mean
+    // fingerprint bucket ~6, store-wide derived cap = max(256, 32*6) = 256
+    def flatClip(level: Int) =
+      Multimodal.wavFromPcm(8000, Array.fill(W)(16 * level))
+    val mkStore = udf((id: Long) => flatClip((id % 120).toInt))
+    val store = spark.range(0L, 700L)
+      .select(col("id").as("media_id"), mkStore(col("id")).as("bytes"))
+    val dir = "target/qtmp/aud_hotbatch_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(dir))
+    Multimodal.buildAudioIndex(store, dir, windowLen = W)
+    // batch: 400 clips ALL on one level the store lacks. A
+    // batch-restricted derive would read mean bucket = 400 and lift the
+    // cap to 12800 — letting the hot key through (the round-14 ADVICE
+    // failure mode). The store-wide stats read mean ~ (1100/121) -> cap
+    // 320 < 400, so the hot fingerprint is DROPPED and reported.
+    val mkHot = udf((id: Long) => flatClip(121))
+    val hot = spark.range(1000L, 1400L)
+      .select(col("id").as("media_id"), mkHot(col("id")).as("bytes"))
+    val pairs = Multimodal.appendToAudioIndex(spark, dir, hot, "b1",
+      windowLen = W) // maxClipsPerFingerprint = -1 (the default under test)
+    assert(pairs.count() == 0,
+      "hot batch fingerprint escaped the store-wide derived cap")
+    val dropped = spark.read.parquet(s"$dir/dropped")
+    val row = dropped.select(col("n"), col("cap")).as[(Long, Long)].collect()
+    assert(row.length == 1 && row.head._1 == 400L,
+      s"dropped census should name the n=400 hot fingerprint, got ${row.toSeq}")
+    assert(row.head._2 < 400L && row.head._2 >= 256L,
+      s"store-wide derived cap out of range: ${row.head._2}")
+  }
+
+  test("CC fast path: unsupported id types fall through to the distributed loop") {
+    import graft.dedup.Dedup
+    val spark2 = spark; import spark2.implicits._
+    // BinaryType ids collect as Array[Byte] (not Comparable) — before the
+    // round-15 gate the default-on fast path threw ClassCastException
+    // where the distributed regimes would have worked
+    val pairs = Seq(
+      (Array[Byte](1), Array[Byte](2)), (Array[Byte](2), Array[Byte](3)),
+      (Array[Byte](10), Array[Byte](11))).toDF("a", "b")
+    val reps = Dedup.duplicateClustersAuto(pairs)
+      .select(col("doc_id"), col("rep")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq))
+      .toMap
+    assert(reps(Seq[Byte](3)) == Seq[Byte](1) &&
+      reps(Seq[Byte](2)) == Seq[Byte](1) &&
+      reps(Seq[Byte](11)) == Seq[Byte](10),
+      s"binary-id components wrong: $reps")
+  }
+
   test("incremental audio index: build + two appends equals one-shot; re-ingest idempotent") {
     import graft.multimodal.Multimodal
     val W = 64
