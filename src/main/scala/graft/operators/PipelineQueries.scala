@@ -2542,6 +2542,112 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
     }),
 
+    // -- d26: segment-store COMPACTION on the LSH ingest path — build,
+    // append, COMPACT (base+b1 fold into a rewritten base; the folded
+    // pair reports ride along), append again against the folded store.
+    // Compaction is union-preserving by construction (probes read the
+    // union over segments), so (build pairs) ∪ (all pair reports) must
+    // STILL equal the one-shot d02 over the full corpus — the same
+    // exact-jaccard oracle that gates d02/d10/st20 now also pins the
+    // maintenance path that keeps a year of triggers from becoming the
+    // small-files death at 100 TB. ------------------------------------
+    "d26_compacted_lsh_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/d26_idx"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val b1 = docs.filter(col("doc_id") % 8 === 0)
+      val b2 = docs.filter(col("doc_id") % 8 === 4)
+      Dedup.buildLshIndex(old, "doc_id", "text", dir)
+      val oldPairs = Dedup.minhashLshPairs(old, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      Dedup.appendToLshIndex(s, dir, b1, "doc_id", "text", batchId = "b1",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      SegmentStore.compactSegmentStore(s, dir, upTo = "b1")
+      Dedup.appendToLshIndex(s, dir, b2, "doc_id", "text", batchId = "b2",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val reports = s.read.parquet(s"$dir/pairs").drop("batch")
+        .select(col("a"), col("b"), col("jaccard"))
+      oldPairs.unionByName(reports)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // -- st24: compaction on the streamed-IVF store — the st23 content
+    // under different batch boundaries with a COMPACT between the two
+    // appends. Cell assignment is a pure function of (vector, frozen
+    // centroids) and compaction preserves the row union AND the `cell=`
+    // partition dirs inside the new base, so the probe is value-for-
+    // value the st23 probe — the same closed-form replay oracle. ------
+    "st24_compact_ivf_probe" -> ((s, d) => {
+      import graft.ann.Ann
+      val emb = Tables.embeddings(s, d)
+      val base = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st24"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$base/idx"))
+      val baseEmb = emb.filter(col("vec_id") % 4 =!= 0)
+      val c1 = emb.filter(col("vec_id") % 8 === 0)
+      val c2 = emb.filter(col("vec_id") % 8 === 4)
+      val cents = Ann.trainCentroidsReplay(baseEmb, "vec_id", "embedding",
+        nLists = 4, iters = 3, initIdx = Seq(0, 90, 180, 270))
+      Ann.buildIvfStore(baseEmb, "vec_id", "embedding", s"$base/idx", cents)
+      Ann.appendToIvfStore(c1, "vec_id", "embedding", s"$base/idx", cents,
+        batchId = "b1")
+      SegmentStore.compactSegmentStore(s, s"$base/idx", upTo = "b1")
+      Ann.appendToIvfStore(c2, "vec_id", "embedding", s"$base/idx", cents,
+        batchId = "b2")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Ann.ivfTopKStore(s, s"$base/idx", cents, queries, k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
+    // -- st25: compaction on the audio fingerprint store — st21's
+    // universe and uncapped exactness regime with a COMPACT between the
+    // two appends. Pair reports are batch-boundary-independent (each
+    // pair reported exactly once, shared_windows computed over the full
+    // store at report time) and compaction preserves their union, so
+    // the same closed-form fingerprint replay gates this path. --------
+    "st25_compact_audio_ingest" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val W = 64
+      val docs = Tables.documents(s, d)
+      val base = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st25"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$base/idx"))
+      val mk = udf((id: Long) => Multimodal.segClipFromId(id, W))
+      def clips(ids: DataFrame) = ids
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+      val aud = docs.filter(col("doc_id") % 3 === 1)
+      val old = aud.filter(col("doc_id") % 4 =!= 0)
+      val b1 = aud.filter(col("doc_id") % 8 === 0)
+      val b2 = aud.filter(col("doc_id") % 8 === 4)
+      val oldClips = clips(old).localCheckpoint()
+      Multimodal.buildAudioIndex(oldClips, s"$base/idx", windowLen = W)
+      val oldPairs = Multimodal.audioDupPairs(oldClips, windowLen = W,
+        minShared = 1, maxClipsPerFingerprint = 0)
+      Multimodal.appendToAudioIndex(s, s"$base/idx", clips(b1),
+        batchId = "b1", windowLen = W, minShared = 1,
+        maxClipsPerFingerprint = 0)
+      SegmentStore.compactSegmentStore(s, s"$base/idx", upTo = "b1")
+      Multimodal.appendToAudioIndex(s, s"$base/idx", clips(b2),
+        batchId = "b2", windowLen = W, minShared = 1,
+        maxClipsPerFingerprint = 0)
+      val reports = s.read.parquet(s"$base/idx/pairs").drop("batch")
+        .select(col("a"), col("b"), col("shared_windows"))
+      oldPairs.unionByName(reports).orderBy(col("a"), col("b"))
+    }),
+
     "st19_stream_wordpiece" -> ((s, d) => {
       import graft.functions.WordPiece
       val docs = Tables.documents(s, d)
@@ -2953,6 +3059,31 @@ object PipelineQueries {
     * (vec_id % 4 != 0, init 0/90/180/270 within the one-partition
     * id-ordered base sample), assignment/probe run over ALL vectors —
     * exactly the one-shot the streamed build∪appends must equal. */
+  /** st21/st25: the one-shot audio fingerprint replay over the FULL
+    * clip universe — the stream==batch==replay discipline: (build
+    * pairs) ∪ (reports) must equal one-shot over the union exactly
+    * (silence-free fingerprint-INJECTIVE corpus, uncapped ⇒ the cap's
+    * append-time-view caveat never engages and the self-join stays
+    * linear). segClipFromId's per-band constant levels make the
+    * fingerprint CLOSED-FORM: band b of seg(k) quantizes to exactly
+    * (k·41+b) mod M(b) — no sample simulation needed. */
+  private val audioIngestOracle: String =
+    """WITH au AS (SELECT doc_id AS id FROM documents
+      |  WHERE doc_id % 3 = 1),
+      |w AS (SELECT id,
+      |    CASE WHEN wi = 0 THEN id ELSE id + 3 END AS k
+      |  FROM au, (SELECT unnest([0, 1]) AS wi)),
+      |bq AS (SELECT id, k, band,
+      |    (k * 41 + band) % ([97,101,103,107,109,113,89,127])[band + 1]
+      |      AS q
+      |  FROM w, (SELECT unnest(range(0, 8))::INT AS band)),
+      |fp AS (SELECT id, k, CAST(sum(q << (8 * band)) AS BIGINT) AS fp
+      |  FROM bq GROUP BY 1, 2),
+      |cf AS (SELECT DISTINCT id, fp FROM fp)
+      |SELECT x.id AS a, y.id AS b, count(*)::BIGINT AS shared_windows
+      |FROM cf x JOIN cf y ON x.fp = y.fp AND x.id < y.id
+      |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
+
   private val ivfStreamIngestOracle: String =
     ivfReplayOracleFor(" WHERE vec_id % 4 != 0", Seq(1, 91, 181, 271))
 
@@ -3900,6 +4031,9 @@ object PipelineQueries {
     // st23: the streamed store probe must equal the one-shot IVF over
     // the union under base-frozen centroids — replayed closed-form
     "st23_stream_ivf_ingest" -> ivfStreamIngestOracle,
+    // st24: same final store content and probe params as st23 under
+    // different batch boundaries + a compaction — same replay
+    "st24_compact_ivf_probe" -> ivfStreamIngestOracle,
     "a11_ivf_append_contract" ->
       "SELECT TRUE AS append_matches_rebuild, TRUE AS nonempty",
     "p05_sample_contract" ->
@@ -4288,6 +4422,9 @@ object PipelineQueries {
     // st20: one-shot == batch-incremental == STREAMED ingest — the same
     // exact-jaccard replay gates all three
     "st20_stream_lsh_ingest" -> lshPairsOracle,
+    // d26: ... == COMPACTED ingest (compaction is union-preserving, so
+    // the same oracle pins the maintenance path too)
+    "d26_compacted_lsh_ingest" -> lshPairsOracle,
     // st21: the one-shot audio fingerprint replay over the FULL clip
     // universe — the stream==batch==replay discipline: (build pairs) ∪
     // (streamed reports) must equal one-shot over the union exactly
@@ -4296,22 +4433,11 @@ object PipelineQueries {
     // linear). segClipFromId's per-band constant levels make the
     // fingerprint CLOSED-FORM: band b of seg(k) quantizes to exactly
     // (k·41+b) mod M(b) — no sample simulation needed
-    "st21_stream_audio_ingest" ->
-      """WITH au AS (SELECT doc_id AS id FROM documents
-        |  WHERE doc_id % 3 = 1),
-        |w AS (SELECT id,
-        |    CASE WHEN wi = 0 THEN id ELSE id + 3 END AS k
-        |  FROM au, (SELECT unnest([0, 1]) AS wi)),
-        |bq AS (SELECT id, k, band,
-        |    (k * 41 + band) % ([97,101,103,107,109,113,89,127])[band + 1]
-        |      AS q
-        |  FROM w, (SELECT unnest(range(0, 8))::INT AS band)),
-        |fp AS (SELECT id, k, CAST(sum(q << (8 * band)) AS BIGINT) AS fp
-        |  FROM bq GROUP BY 1, 2),
-        |cf AS (SELECT DISTINCT id, fp FROM fp)
-        |SELECT x.id AS a, y.id AS b, count(*)::BIGINT AS shared_windows
-        |FROM cf x JOIN cf y ON x.fp = y.fp AND x.id < y.id
-        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    "st21_stream_audio_ingest" -> audioIngestOracle,
+    // st25: same clip universe and uncapped regime as st21 under
+    // different batch boundaries + a compaction — pair reports are
+    // boundary-independent, so the same closed-form replay gates it
+    "st25_compact_audio_ingest" -> audioIngestOracle,
     // d06b: star contraction must land on the identical components —
     // the exact reachability oracle gates both CC regimes
     "d06b_dup_clusters_logd" -> dupClustersOracle,

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Maintenance for the streamed-ingest SEGMENT stores (LSH `meta/bands/
+  * pairs`, audio `fps/pairs`, IVF `vecs` — plus their `capstats`/
+  * `dropped` observability sub-stores): every trigger appends one
+  * `batch=<id>` directory per sub-store forever, which at 100 TB is the
+  * classic small-files death — a year of 1-minute triggers is ~500k
+  * directories whose listing alone dominates every probe's planning.
+  * [[compactSegmentStore]] folds all segments up to a watermark into a
+  * single rewritten `batch=base` segment, preserving probe results
+  * EXACTLY (probes read the union over segments; a fold is
+  * union-preserving) and preserving inner partition directories (the
+  * IVF `cell=` dirs keep their partition-pruning role inside the new
+  * base).
+  *
+  * Crash-safety is the u06 write-then-swap discipline extended with a
+  * COMMIT marker so a crashed compaction is RE-ENTRANT:
+  *
+  *  1. STAGE — the folded rows of every sub-store are written under
+  *     `<path>/.compact/stage/<sub>` (a dot-directory: invisible to
+  *     Spark's file listing, so concurrent probes never see a
+  *     half-written fold);
+  *  2. COMMIT — `<path>/.compact/COMMIT` records, per sub-store, the
+  *     exact segment ids being folded. Until this file exists, a crash
+  *     leaves the store untouched (recovery just deletes the stage);
+  *  3. SWAP — per sub-store: delete the folded `batch=<id>` dirs
+  *     (including the old base), rename the staged dir to
+  *     `batch=base`; then delete the marker. Every step is idempotent
+  *     given the marker (deletes are exists-guarded; a staged dir
+  *     already renamed is skipped), so re-running [[compactSegmentStore]]
+  *     — or just calling it again later — finishes a crashed swap
+  *     before doing anything new.
+  *
+  * Concurrency contract: compaction is a single-writer maintenance
+  * operation. Run it from the stream's own foreachBatch (or between
+  * triggers) — the swap window is not atomic across sub-stores, so a
+  * probe racing the swap can observe a partially-folded store. What is
+  * guaranteed is that the store is exactly-equal before and after, and
+  * that a crash anywhere leaves it recoverable to exactly-equal.
+  *
+  * Only fold segments that will never be REPLAYED: the streamed appends
+  * are idempotent per `batchId` via whole-segment overwrite, and a
+  * folded batch no longer has its own segment to overwrite — compact
+  * strictly below the stream's committed watermark (`upTo` = a batch id
+  * every epoch of which is durably committed).
+  */
+object SegmentStore {
+
+  private[graft] case class Plan(subs: Seq[(String, Seq[String])])
+
+  /** Fold every `batch=<id>` segment with `id ≤ upTo` (natural order:
+    * digit runs compare numerically, so `b2 < b10`) plus the current
+    * `base` into a rewritten `batch=base`, in every sub-store of
+    * `path` that is segment-laid-out. Re-entrant: finishes a previously
+    * crashed compaction first. No-op when nothing besides `base` folds. */
+  def compactSegmentStore(spark: SparkSession, path: String,
+      upTo: String): Unit = {
+    val fs = fileSystem(spark, path)
+    recover(spark, path)
+    stage(spark, fs, path, upTo).foreach(swap(fs, path, _))
+  }
+
+  /** Natural (digit-run-aware) `a ≤ b`: the segment ids of streamed
+    * ingest are epoch counters rendered as strings (`b2`, `b10`), where
+    * plain lexicographic order would fold the wrong set. */
+  private[graft] def naturalLeq(a: String, b: String): Boolean = {
+    def split(s: String): List[String] =
+      "\\d+|\\D+".r.findAllIn(s).toList
+    def cmp(x: List[String], y: List[String]): Int = (x, y) match {
+      case (Nil, Nil) => 0
+      case (Nil, _)   => -1
+      case (_, Nil)   => 1
+      case (a0 :: at, b0 :: bt) =>
+        val c =
+          if (a0.head.isDigit && b0.head.isDigit)
+            BigInt(a0).compare(BigInt(b0))
+          else a0.compareTo(b0)
+        if (c != 0) c else cmp(at, bt)
+    }
+    cmp(split(a), split(b)) <= 0
+  }
+
+  private def fileSystem(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Segment-laid-out sub-stores of `path`: direct child dirs holding at
+    * least one `batch=` dir. */
+  private def listSubs(fs: FileSystem, path: String): Seq[String] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+      .filter(st => fs.listStatus(st.getPath)
+        .exists(c => c.isDirectory && c.getPath.getName.startsWith("batch=")))
+      .map(_.getPath.getName).sorted
+  }
+
+  private def listBatchIds(fs: FileSystem, sub: Path): Seq[String] =
+    fs.listStatus(sub).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=")).sorted
+
+  /** Inner partition-directory columns of one segment (e.g. `cell` for
+    * the IVF store): the chain of `k=` components below `batch=<id>`,
+    * read off one leaf path so the staged rewrite partitions the same
+    * way and probes keep their directory pruning. */
+  private def innerPartitionCols(fs: FileSystem, seg: Path): Seq[String] = {
+    def walk(p: Path, acc: Vector[String]): Vector[String] = {
+      val kids = fs.listStatus(p).filter(st => st.isDirectory &&
+        st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith("."))
+      if (kids.isEmpty) acc
+      else walk(kids.head.getPath,
+        acc :+ kids.head.getPath.getName.takeWhile(_ != '='))
+    }
+    walk(seg, Vector.empty)
+  }
+
+  /** Steps 1–2: write the folded rows of every sub-store under
+    * `.compact/stage/` and record the fold in the COMMIT marker.
+    * Returns None (and leaves no trace) when nothing besides `base`
+    * would fold anywhere. */
+  private[graft] def stage(spark: SparkSession, fs: FileSystem,
+      path: String, upTo: String): Option[Plan] = {
+    val folds = listSubs(fs, path).map { sub =>
+      val ids = listBatchIds(fs, new Path(s"$path/$sub"))
+      sub -> ids.filter(id => id == "base" || naturalLeq(id, upTo))
+    }
+    if (!folds.exists(_._2.exists(_ != "base"))) return None
+    val stageRoot = new Path(s"$path/.compact/stage")
+    fs.delete(new Path(s"$path/.compact"), true)
+    folds.foreach { case (sub, ids) =>
+      if (ids.nonEmpty) {
+        val first = new Path(s"$path/$sub/batch=${ids.head}")
+        val inner = innerPartitionCols(fs, first)
+        val df = spark.read.parquet(s"$path/$sub")
+          .filter(col("batch").isin(ids: _*)).drop("batch")
+        val w = df.write.mode("overwrite")
+        (if (inner.nonEmpty) w.partitionBy(inner: _*) else w)
+          .parquet(s"$stageRoot/$sub")
+      }
+    }
+    // the marker is the commit point: crash before it ⇒ recovery deletes
+    // the stage and the store is untouched; crash after it ⇒ recovery
+    // finishes the swap from exactly this record
+    val out = fs.create(new Path(s"$path/.compact/COMMIT"), true)
+    out.write(folds.map { case (sub, ids) =>
+      s"$sub\t${ids.mkString(",")}" }.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    Some(Plan(folds))
+  }
+
+  /** Step 3: delete the folded segments, rename the staged fold in as
+    * the new `batch=base`, drop the marker. Idempotent given the
+    * marker. */
+  private[graft] def swap(fs: FileSystem, path: String, plan: Plan): Unit = {
+    plan.subs.foreach { case (sub, ids) =>
+      val staged = new Path(s"$path/.compact/stage/$sub")
+      ids.foreach { id =>
+        val seg = new Path(s"$path/$sub/batch=$id")
+        if (fs.exists(seg)) fs.delete(seg, true)
+      }
+      if (fs.exists(staged)) {
+        // _SUCCESS markers inside the staged dir are harmless (hidden
+        // from Spark's listing); the rename is the visible instant
+        if (!fs.rename(staged, new Path(s"$path/$sub/batch=base")))
+          throw new java.io.IOException(
+            s"compaction swap: rename failed for $sub (crashed midway? " +
+              "re-run compactSegmentStore to recover)")
+      }
+    }
+    fs.delete(new Path(s"$path/.compact"), true)
+  }
+
+  /** Finish (or discard) a crashed compaction: with a COMMIT marker the
+    * recorded swap is re-driven to completion; without one the
+    * half-written stage is deleted and the store is untouched. Called
+    * automatically by [[compactSegmentStore]]. */
+  private[graft] def recover(spark: SparkSession, path: String): Unit = {
+    val fs = fileSystem(spark, path)
+    val marker = new Path(s"$path/.compact/COMMIT")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val text = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      val subs = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(sub, ids @ _*) = line.split("\t", 2): @unchecked
+        sub -> ids.headOption.map(_.split(",").toSeq.filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+      }
+      swap(fs, path, Plan(subs))
+    } else fs.delete(new Path(s"$path/.compact"), true)
+  }
+}
