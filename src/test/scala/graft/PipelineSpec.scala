@@ -2410,19 +2410,33 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     import java.util.concurrent.atomic.AtomicLong
     val docs = Tables.documents(spark, sfDir)
     val jobs = new AtomicLong(0)
+    // scoped to a job GROUP (not a global counter) so concurrent or
+    // background jobs cannot pollute the count, and settled by POLLING
+    // the async listener bus to a stable value instead of fixed sleeps
+    val group = "census-dispatch-spec"
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      def settled(): Long = {
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var prev = -1L
+        var cur = jobs.get()
+        while (prev != cur && System.nanoTime() < deadline) {
+          prev = cur; Thread.sleep(200); cur = jobs.get()
+        }
+        cur
+      }
       def counted(f: => ByteBpe.Model): (ByteBpe.Model, Long) = {
-        Thread.sleep(500) // drain the async listener bus between counts
-        val j0 = jobs.get()
-        val m = f
-        Thread.sleep(500)
-        (m, jobs.get() - j0)
+        val j0 = settled()
+        spark.sparkContext.setJobGroup(group, "census dispatch count")
+        val m = try f finally spark.sparkContext.clearJobGroup()
+        (m, settled() - j0)
       }
       val (auto, jAuto) = counted(
         ByteBpe.trainDistributed(docs, "text", nMerges = 24))
