@@ -2648,6 +2648,48 @@ object PipelineQueries {
       oldPairs.unionByName(reports).orderBy(col("a"), col("b"))
     }),
 
+    // -- st26: compaction INTERLEAVED with live streamed ingest — the
+    // production shape (d26 compacts between BATCH appends; here the
+    // fold runs inside foreachBatch itself, after each trigger commits,
+    // always strictly BELOW the current batch id so a replayed epoch
+    // still has its own segment to overwrite). Two folds happen while
+    // the stream is live (after b1: base+b0; after b2: base+b1); the
+    // union of pair reports is fold-invariant, so the same exact-
+    // jaccard oracle that gates st20 gates this too. ------------------
+    "st26_stream_lsh_compacting" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st26"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$base/idx"))
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 4 === 0)
+      Dedup.buildLshIndex(old, "doc_id", "text", s"$base/idx")
+      val oldPairs = Dedup.minhashLshPairs(old, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val staged = fresh.select(col("doc_id").cast("timestamp").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.EventStreams.runStagedForeachBatch(s, staged,
+          s"$base/stage", nFiles = 3) { (batch, id) =>
+        Dedup.appendToLshIndex(s, s"$base/idx", batch, "doc_id", "text",
+          batchId = s"b$id", shingleN = 3, k = 64, bands = 16,
+          threshold = 0.8)
+        // fold strictly below the committed watermark: batch id just
+        // wrote segment b<id>, so everything ≤ b<id-1> is final
+        if (id >= 1)
+          SegmentStore.compactSegmentStore(s, s"$base/idx",
+            upTo = s"b${id - 1}")
+        ()
+      }
+      val streamed = s.read.parquet(s"$base/idx/pairs")
+        .select(col("a"), col("b"), col("jaccard"))
+      oldPairs.unionByName(streamed)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "st19_stream_wordpiece" -> ((s, d) => {
       import graft.functions.WordPiece
       val docs = Tables.documents(s, d)
@@ -4425,6 +4467,9 @@ object PipelineQueries {
     // d26: ... == COMPACTED ingest (compaction is union-preserving, so
     // the same oracle pins the maintenance path too)
     "d26_compacted_lsh_ingest" -> lshPairsOracle,
+    // st26: ... == compaction interleaved with LIVE streamed ingest
+    // (folds run inside foreachBatch, strictly below the watermark)
+    "st26_stream_lsh_compacting" -> lshPairsOracle,
     // st21: the one-shot audio fingerprint replay over the FULL clip
     // universe — the stream==batch==replay discipline: (build pairs) ∪
     // (streamed reports) must equal one-shot over the union exactly

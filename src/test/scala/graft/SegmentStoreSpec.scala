@@ -140,6 +140,28 @@ class SegmentStoreSpec extends AnyFunSuite with CacheHygiene {
     assert(readIds(dir, "vecs") == before)
   }
 
+  test("compaction preserves the store-wide capstats sums") {
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val dir = "target/qtmp/segstore_capstats"
+    rm(dir)
+    graft.dedup.Dedup.buildLshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+    graft.dedup.Dedup.appendToLshIndex(spark, dir,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "b1")
+    def stats: (Long, Long) =
+      graft.dedup.Census.readCapStats(spark, dir, excludeBatch = "-").get
+    val before = stats
+    SegmentStore.compactSegmentStore(spark, dir, upTo = "b1")
+    // the capstats segments fold as plain row unions, so the store-wide
+    // sums — and therefore every future append's derived cap — are
+    // exactly preserved across the fold
+    assert(stats == before,
+      s"capstats sums changed across compaction: $before -> $stats")
+    assert(batchDirs(dir, "capstats") == Set("batch=base"))
+  }
+
   test("naturalLeq: digit runs compare numerically") {
     assert(SegmentStore.naturalLeq("b2", "b10"))
     assert(!SegmentStore.naturalLeq("b10", "b2"))
