@@ -543,6 +543,17 @@ object Ann {
       .parquet(s"$path/vecs/batch=$batchId")
   }
 
+  /** Right-to-be-forgotten over a [[buildIvfStore]] store: removed
+    * vec_ids leave every `batch=/cell=` segment (cell dirs and their
+    * pruning preserved — the rewrite partitions by the same inner
+    * cols); cell GEOMETRY stays frozen (no retrain — assignment is a
+    * pure function of (vector, centroids), so survivors keep their
+    * cells and probes stay closed-form replayable). Gate a13. */
+  def removeFromIvfStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, removeIds: org.apache.spark.sql.DataFrame): Unit =
+    graft.operators.SegmentStore.removeFromSegmentStore(spark, path,
+      removeIds, idCols = Map("vecs" -> Seq("id")))
+
   /** Probe a [[buildIvfStore]] store — [[ivfTopKIndexed]]'s semantics
     * over the segment layout; the probed-cell literal list prunes
     * `cell=` partition directories across every batch segment. */

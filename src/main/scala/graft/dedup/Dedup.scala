@@ -807,6 +807,24 @@ object Dedup {
     spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
   }
 
+  /** Right-to-be-forgotten over a [[buildLshIndex]] store: removes the
+    * given doc ids from the index state — shingle metadata, band
+    * postings, AND already-emitted pair reports naming a removed doc
+    * (takedowns must retract reports, or a downstream cluster pass
+    * would keep resurrecting the removed docs) — with capstats
+    * recomputed exactly from the rewritten band segments so the
+    * census-derived append cap stays truthful. Crash-safe and
+    * re-entrant via the [[graft.operators.SegmentStore]] protocol; the
+    * d27 gate hash-verifies that a post-takedown store (plus later
+    * appends) equals a one-shot dedup over the surviving corpus. */
+  def removeFromLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, removeIds: DataFrame): Unit =
+    graft.operators.SegmentStore.removeFromSegmentStore(spark, path,
+      removeIds,
+      idCols = Map("meta" -> Seq("id"), "bands" -> Seq("id"),
+        "pairs" -> Seq("a", "b")),
+      capstatsFrom = Some(("bands", Seq("band", "h"))))
+
   /** The lazy pair plan of [[appendToLshIndex]] — split out so its shape
     * is plan-testable (PlanSpec pins that the store side is never
     * shuffled in ANY cap regime, and that the broadcast gate actually

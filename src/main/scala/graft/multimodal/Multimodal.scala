@@ -1008,6 +1008,17 @@ object Multimodal {
     spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
   }
 
+  /** Right-to-be-forgotten over a [[buildAudioIndex]] store — the
+    * [[graft.dedup.Dedup.removeFromLshIndex]] contract for the audio
+    * modality: fingerprint postings and pair reports naming a removed
+    * clip are retracted, capstats recomputed exactly. Gate m20. */
+  def removeFromAudioIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, removeIds: DataFrame): Unit =
+    graft.operators.SegmentStore.removeFromSegmentStore(spark, path,
+      removeIds,
+      idCols = Map("fps" -> Seq("id"), "pairs" -> Seq("a", "b")),
+      capstatsFrom = Some(("fps", Seq("fp"))))
+
   /** The lazy pair plan of [[appendToAudioIndex]] — split out so its
     * shape is plan-testable (PlanSpec pins that the store side is never
     * shuffled, in BOTH cap regimes). `oldFps`/`newFps` are (id, fp)

@@ -2416,6 +2416,113 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // -- d27: right-to-be-forgotten TAKEDOWN on the LSH store — build,
+    // append, REMOVE a doc set (subset of already-ingested docs:
+    // %8==1 ⊂ the %4=!=0 base), append again against the cleansed
+    // store. Takedown retracts postings AND already-emitted pair
+    // reports naming removed docs, and the pre-removal one-shot is
+    // recomputed over survivors, so (one-shot over base−R) ∪ (reports)
+    // == one-shot over (corpus − R) — the d02 oracle with the survivor
+    // predicate spliced into its corpus CTE. The b2 append runs AFTER
+    // the takedown: its pairs derive from the cleansed store and its
+    // census cap from the recomputed capstats. ------------------------
+    "d27_lsh_takedown" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/d27_idx"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val b1 = docs.filter(col("doc_id") % 8 === 0)
+      val b2 = docs.filter(col("doc_id") % 8 === 4)
+      val removed = docs.filter(col("doc_id") % 8 === 1).select(col("doc_id"))
+      Dedup.buildLshIndex(old, "doc_id", "text", dir)
+      Dedup.appendToLshIndex(s, dir, b1, "doc_id", "text", batchId = "b1",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      Dedup.removeFromLshIndex(s, dir, removed)
+      Dedup.appendToLshIndex(s, dir, b2, "doc_id", "text", batchId = "b2",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val survivors = old.filter(col("doc_id") % 8 =!= 1)
+      val basePairs = Dedup.minhashLshPairs(survivors, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val reports = s.read.parquet(s"$dir/pairs").drop("batch")
+        .select(col("a"), col("b"), col("jaccard"))
+      basePairs.unionByName(reports)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // -- m20: the d27 takedown for the AUDIO store (st21's universe and
+    // uncapped regime; R = %8==1 ⊂ the base). ------------------------
+    "m20_audio_takedown" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val W = 64
+      val docs = Tables.documents(s, d)
+      val base = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/m20"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$base/idx"))
+      val mk = udf((id: Long) => Multimodal.segClipFromId(id, W))
+      def clips(ids: DataFrame) = ids
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("bytes"))
+      val aud = docs.filter(col("doc_id") % 3 === 1)
+      val old = aud.filter(col("doc_id") % 4 =!= 0)
+      val b1 = aud.filter(col("doc_id") % 8 === 0)
+      val b2 = aud.filter(col("doc_id") % 8 === 4)
+      val removed = aud.filter(col("doc_id") % 8 === 1).select(col("doc_id"))
+      Multimodal.buildAudioIndex(clips(old), s"$base/idx", windowLen = W)
+      Multimodal.appendToAudioIndex(s, s"$base/idx", clips(b1),
+        batchId = "b1", windowLen = W, minShared = 1,
+        maxClipsPerFingerprint = 0)
+      Multimodal.removeFromAudioIndex(s, s"$base/idx", removed)
+      Multimodal.appendToAudioIndex(s, s"$base/idx", clips(b2),
+        batchId = "b2", windowLen = W, minShared = 1,
+        maxClipsPerFingerprint = 0)
+      val survivors = clips(old.filter(col("doc_id") % 8 =!= 1))
+      val basePairs = Multimodal.audioDupPairs(survivors, windowLen = W,
+        minShared = 1, maxClipsPerFingerprint = 0)
+      val reports = s.read.parquet(s"$base/idx/pairs").drop("batch")
+        .select(col("a"), col("b"), col("shared_windows"))
+      basePairs.unionByName(reports).orderBy(col("a"), col("b"))
+    }),
+
+    // -- a13: the takedown for the IVF store — cell geometry FROZEN
+    // (no retrain: assignment is a pure function of (vector,
+    // centroids), survivors keep their cells), removed vec_ids leave
+    // every batch=/cell= segment, probe == one-shot over the
+    // survivors under the ORIGINAL base-trained centroids — the st23
+    // replay with the survivor predicate on the index CTE only. ------
+    "a13_ivf_takedown" -> ((s, d) => {
+      import graft.ann.Ann
+      val emb = Tables.embeddings(s, d)
+      val base = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/a13"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$base/idx"))
+      val baseEmb = emb.filter(col("vec_id") % 4 =!= 0)
+      val c1 = emb.filter(col("vec_id") % 8 === 0)
+      val c2 = emb.filter(col("vec_id") % 8 === 4)
+      val removed = emb.filter(col("vec_id") % 8 === 1).select(col("vec_id"))
+      val cents = Ann.trainCentroidsReplay(baseEmb, "vec_id", "embedding",
+        nLists = 4, iters = 3, initIdx = Seq(0, 90, 180, 270))
+      Ann.buildIvfStore(baseEmb, "vec_id", "embedding", s"$base/idx", cents)
+      Ann.appendToIvfStore(c1, "vec_id", "embedding", s"$base/idx", cents,
+        batchId = "b1")
+      Ann.removeFromIvfStore(s, s"$base/idx", removed)
+      Ann.appendToIvfStore(c2, "vec_id", "embedding", s"$base/idx", cents,
+        batchId = "b2")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Ann.ivfTopKStore(s, s"$base/idx", cents, queries, k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
     // -- st21: streamed AUDIO-dedup ingest — the st20 foreachBatch
     // discipline composed with the m16 fingerprint machinery: every
     // micro-batch of a clip stream appends to a persistent audio
@@ -4076,6 +4183,12 @@ object PipelineQueries {
     // st24: same final store content and probe params as st23 under
     // different batch boundaries + a compaction — same replay
     "st24_compact_ivf_probe" -> ivfStreamIngestOracle,
+    // a13: takedown — the st23 replay with the survivor predicate on
+    // the INDEX side only (training keeps the original base: geometry
+    // is frozen, takedown does not retrain; queries read the table)
+    "a13_ivf_takedown" -> ivfStreamIngestOracle.replace(
+      "FROM scored_cells),",
+      "FROM scored_cells WHERE vec_id % 8 != 1),"),
     "a11_ivf_append_contract" ->
       "SELECT TRUE AS append_matches_rebuild, TRUE AS nonempty",
     "p05_sample_contract" ->
@@ -4470,6 +4583,11 @@ object PipelineQueries {
     // st26: ... == compaction interleaved with LIVE streamed ingest
     // (folds run inside foreachBatch, strictly below the watermark)
     "st26_stream_lsh_compacting" -> lshPairsOracle,
+    // d27: takedown — the SAME replay over the SURVIVING corpus (the
+    // removal predicate spliced into the corpus CTE): a takedown that
+    // retracts postings AND reports leaves exactly the one-shot state
+    "d27_lsh_takedown" -> lshPairsOracle.replace(
+      "FROM documents)", "FROM documents WHERE doc_id % 8 != 1)"),
     // st21: the one-shot audio fingerprint replay over the FULL clip
     // universe — the stream==batch==replay discipline: (build pairs) ∪
     // (streamed reports) must equal one-shot over the union exactly
@@ -4483,6 +4601,10 @@ object PipelineQueries {
     // different batch boundaries + a compaction — pair reports are
     // boundary-independent, so the same closed-form replay gates it
     "st25_compact_audio_ingest" -> audioIngestOracle,
+    // m20: takedown — the same closed-form replay over the surviving
+    // clip universe
+    "m20_audio_takedown" -> audioIngestOracle.replace(
+      "WHERE doc_id % 3 = 1)", "WHERE doc_id % 3 = 1 AND doc_id % 8 != 1)"),
     // d06b: star contraction must land on the identical components —
     // the exact reachability oracle gates both CC regimes
     "d06b_dup_clusters_logd" -> dupClustersOracle,

@@ -50,7 +50,11 @@ import org.apache.spark.sql.functions._
   */
 object SegmentStore {
 
-  private[graft] case class Plan(subs: Seq[(String, Seq[String])])
+  /** `mode` is "fold" (compaction: staged sub renamed in as the new
+    * `batch=base`) or "rewrite" (takedown: every staged `batch=<id>`
+    * renamed in over its deleted original). */
+  private[graft] case class Plan(mode: String,
+      subs: Seq[(String, Seq[String])])
 
   /** Fold every `batch=<id>` segment with `id ≤ upTo` (natural order:
     * digit runs compare numerically, so `b2 < b10`) plus the current
@@ -151,7 +155,93 @@ object SegmentStore {
     out.write(folds.map { case (sub, ids) =>
       s"$sub\t${ids.mkString(",")}" }.mkString("\n").getBytes("UTF-8"))
     out.close()
-    Some(Plan(folds))
+    Some(Plan("fold", folds))
+  }
+
+  /** REMOVE rows whose `idCols` values appear in `removeIds` (one-column
+    * frame) from every segment of the listed sub-stores — the
+    * right-to-be-forgotten / takedown maintenance op for the dedup and
+    * ANN stores: PII, copyright, or poisoning removals must reach not
+    * just the corpus but the INDEX state built from it. Each
+    * `batch=<id>` segment is rewritten minus the matching rows
+    * (anti-join per listed column — a pairs table drops a row when
+    * EITHER endpoint is removed), under the same stage → COMMIT →
+    * swap protocol as [[compactSegmentStore]], so a crashed takedown
+    * is re-entrant; a segment whose rows are all removed disappears.
+    *
+    * `capstatsFrom = Some((srcSub, keyCols))` recomputes the store's
+    * `capstats/batch=<id>` rows EXACTLY from the rewritten `srcSub`
+    * segments (s = rows, k = distinct keyCols), so census-derived caps
+    * stay truthful after mass removals instead of drifting stale.
+    *
+    * NOT touched: `dropped/` segments — they are append-TIME
+    * observability logs (what a historical trigger declined to pair),
+    * not current state. Pair REPORTS already emitted for removed docs
+    * ARE retracted (the pairs sub-store lists both endpoint columns),
+    * so a post-takedown probe over the store equals a one-shot over
+    * the surviving corpus — the d27/m20/a13 gates hash-verify exactly
+    * that. Same single-writer contract as compaction. */
+  def removeFromSegmentStore(spark: SparkSession, path: String,
+      removeIds: org.apache.spark.sql.DataFrame,
+      idCols: Map[String, Seq[String]],
+      capstatsFrom: Option[(String, Seq[String])] = None): Unit = {
+    val fs = fileSystem(spark, path)
+    recover(spark, path)
+    stageRemove(spark, fs, path, removeIds, idCols, capstatsFrom)
+      .foreach(swap(fs, path, _))
+  }
+
+  private[graft] def stageRemove(spark: SparkSession, fs: FileSystem,
+      path: String, removeIds: org.apache.spark.sql.DataFrame,
+      idCols: Map[String, Seq[String]],
+      capstatsFrom: Option[(String, Seq[String])]): Option[Plan] = {
+    capstatsFrom.foreach { case (src, _) =>
+      require(idCols.contains(src),
+        s"capstatsFrom source '$src' must be one of the rewritten subs") }
+    val ids = removeIds
+      .select(col(removeIds.columns.head).as("__rid"))
+      .filter(col("__rid").isNotNull).distinct()
+    val present = listSubs(fs, path)
+    val subs = idCols.keys.toSeq.sorted.filter(present.contains)
+    if (subs.isEmpty) return None
+    val stageRoot = new Path(s"$path/.compact/stage")
+    fs.delete(new Path(s"$path/.compact"), true)
+    val entries = subs.map { sub =>
+      val segIds = listBatchIds(fs, new Path(s"$path/$sub"))
+      val inner = innerPartitionCols(fs,
+        new Path(s"$path/$sub/batch=${segIds.head}"))
+      // anti-join per listed column: the row dies when ANY matches.
+      // The removal-set side is left unhinted — takedown sets are
+      // usually broadcast-sized and AQE picks that up at runtime, but
+      // a court-order-sized sweep degrades to a shuffle join instead
+      // of OOMing the driver (the round-15 broadcast-gate discipline)
+      val df = idCols(sub).foldLeft(spark.read.parquet(s"$path/$sub")) {
+        (d, c) => d.join(ids, d(c) === ids("__rid"), "left_anti") }
+      df.write.mode("overwrite")
+        .partitionBy("batch" +: inner: _*).parquet(s"$stageRoot/$sub")
+      sub -> segIds
+    }
+    // recompute capstats EXACTLY from the rewritten source segments
+    val capEntry = capstatsFrom.map { case (src, keyCols) =>
+      import spark.implicits._
+      val prevIds = listBatchIds(fs, new Path(s"$path/capstats"))
+      spark.read.parquet(s"$stageRoot/$src")
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("s"),
+          count_distinct(struct(keyCols.map(col): _*)).as("k"))
+        .collect().foreach { r =>
+          Seq((r.getLong(1), r.getLong(2))).toDF("s", "k")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$stageRoot/capstats/batch=${r.getString(0)}")
+        }
+      "capstats" -> prevIds
+    }
+    val plan = Plan("rewrite", entries ++ capEntry.toSeq)
+    val out = fs.create(new Path(s"$path/.compact/COMMIT"), true)
+    out.write((s"mode\trewrite\n" + plan.subs.map { case (sub, segIds) =>
+      s"$sub\t${segIds.mkString(",")}" }.mkString("\n")).getBytes("UTF-8"))
+    out.close()
+    Some(plan)
   }
 
   /** Step 3: delete the folded segments, rename the staged fold in as
@@ -164,13 +254,29 @@ object SegmentStore {
         val seg = new Path(s"$path/$sub/batch=$id")
         if (fs.exists(seg)) fs.delete(seg, true)
       }
-      if (fs.exists(staged)) {
-        // _SUCCESS markers inside the staged dir are harmless (hidden
-        // from Spark's listing); the rename is the visible instant
-        if (!fs.rename(staged, new Path(s"$path/$sub/batch=base")))
-          throw new java.io.IOException(
-            s"compaction swap: rename failed for $sub (crashed midway? " +
-              "re-run compactSegmentStore to recover)")
+      if (plan.mode == "fold") {
+        if (fs.exists(staged)) {
+          // _SUCCESS markers inside the staged dir are harmless (hidden
+          // from Spark's listing); the rename is the visible instant
+          if (!fs.rename(staged, new Path(s"$path/$sub/batch=base")))
+            throw new java.io.IOException(
+              s"compaction swap: rename failed for $sub (crashed midway? " +
+                "re-run compactSegmentStore to recover)")
+        }
+      } else if (fs.exists(staged)) {
+        // rewrite mode: each staged batch=<id> replaces its (deleted)
+        // original; a batch whose rows were all removed has no staged
+        // dir and simply disappears from the store
+        fs.listStatus(staged)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("batch="))
+          .foreach { st =>
+            if (!fs.rename(st.getPath,
+                new Path(s"$path/$sub/${st.getPath.getName}")))
+              throw new java.io.IOException(
+                s"takedown swap: rename failed for $sub/${st.getPath.getName}" +
+                  " (crashed midway? re-run to recover)")
+          }
       }
     }
     fs.delete(new Path(s"$path/.compact"), true)
@@ -188,12 +294,18 @@ object SegmentStore {
       val text = new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       in.close()
-      val subs = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+      val (mode, rest) = lines.headOption match {
+        case Some(l) if l.startsWith("mode\t") =>
+          (l.stripPrefix("mode\t"), lines.tail)
+        case _ => ("fold", lines) // pre-round-15 markers carried no mode
+      }
+      val subs = rest.map { line =>
         val Array(sub, ids @ _*) = line.split("\t", 2): @unchecked
         sub -> ids.headOption.map(_.split(",").toSeq.filter(_.nonEmpty))
           .getOrElse(Seq.empty)
       }
-      swap(fs, path, Plan(subs))
+      swap(fs, path, Plan(mode, subs))
     } else fs.delete(new Path(s"$path/.compact"), true)
   }
 }

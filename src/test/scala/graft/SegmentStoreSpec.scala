@@ -162,6 +162,76 @@ class SegmentStoreSpec extends AnyFunSuite with CacheHygiene {
     assert(batchDirs(dir, "capstats") == Set("batch=base"))
   }
 
+  test("takedown rewrites segments minus matching rows; either pair endpoint kills the row") {
+    val dir = "target/qtmp/segstore_takedown"
+    mkStore(dir)
+    // {2, 41} hit two vecs segments and pair (1,2)'s b endpoint; 60..69
+    // wipe batch=b2 entirely — the emptied segment must DISAPPEAR
+    val ids = ((Seq(2L, 41L) ++ (60L until 70L)).toDF("id"))
+    SegmentStore.removeFromSegmentStore(spark, dir, ids,
+      idCols = Map("vecs" -> Seq("id"), "pairs" -> Seq("a", "b")))
+    assert(readIds(dir, "vecs") ==
+      ((0L until 75L).toSet -- Set(2L, 41L) -- (60L until 70L)),
+      "takedown left or lost the wrong vecs rows")
+    assert(batchDirs(dir, "vecs") == Set("batch=base", "batch=b1", "batch=b10"),
+      "an all-removed segment must disappear")
+    assert(readIds(dir, "pairs") == Set(3L),
+      "pair (1,2) must die via its b endpoint; (3,4) must survive")
+    // inner cell= dirs preserved by the rewrite (probe pruning intact)
+    val baseCells = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/vecs/batch=base"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("cell=")).toSet
+    assert(baseCells == Set("cell=0", "cell=1", "cell=2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.compact")))
+    // idempotent: removing the same set again is a no-op rewrite
+    SegmentStore.removeFromSegmentStore(spark, dir, ids,
+      idCols = Map("vecs" -> Seq("id"), "pairs" -> Seq("a", "b")))
+    assert(readIds(dir, "pairs") == Set(3L))
+  }
+
+  test("takedown crash AFTER the COMMIT marker: recovery finishes the rewrite") {
+    val dir = "target/qtmp/segstore_takedown_crash"
+    mkStore(dir)
+    val ids = Seq(2L, 41L).toDF("id")
+    val plan = SegmentStore.stageRemove(spark, fs, dir, ids,
+      Map("vecs" -> Seq("id"), "pairs" -> Seq("a", "b")), None)
+    assert(plan.isDefined && plan.get.mode == "rewrite")
+    assert(readIds(dir, "vecs").contains(2L), "stage must not touch the store")
+    // crash before swap; simulate a partially-driven swap too
+    rm(s"$dir/vecs/batch=b1")
+    SegmentStore.recover(spark, dir)
+    assert(readIds(dir, "vecs") == ((0L until 75L).toSet -- Set(2L, 41L)))
+    assert(batchDirs(dir, "vecs") ==
+      Set("batch=base", "batch=b1", "batch=b2", "batch=b10"),
+      "the staged rewrite of the manually-deleted segment must be renamed in")
+    assert(readIds(dir, "pairs") == Set(3L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.compact")))
+  }
+
+  test("takedown recomputes capstats exactly (equal to a fresh build over survivors)") {
+    import graft.dedup.{Census, Dedup}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 4 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 4 === 0)
+    val removed = docs.filter(col("doc_id") % 8 === 1).select(col("doc_id"))
+    val dirT = "target/qtmp/segstore_capstats_takedown"
+    val dirF = "target/qtmp/segstore_capstats_fresh"
+    rm(dirT); rm(dirF)
+    Dedup.buildLshIndex(old, "doc_id", "text", dirT)
+    Dedup.appendToLshIndex(spark, dirT, b1, "doc_id", "text", "b1")
+    Dedup.removeFromLshIndex(spark, dirT, removed)
+    // a store built directly on the survivors has the same deterministic
+    // band rows per segment, so its capstats must match row-for-row
+    Dedup.buildLshIndex(old.filter(col("doc_id") % 8 =!= 1),
+      "doc_id", "text", dirF)
+    Dedup.appendToLshIndex(spark, dirF, b1, "doc_id", "text", "b1")
+    def stats(dir: String) = Census.readCapStats(spark, dir, "-").get
+    assert(stats(dirT) == stats(dirF),
+      s"takedown capstats drifted from ground truth: ${stats(dirT)} vs ${stats(dirF)}")
+  }
+
   test("naturalLeq: digit runs compare numerically") {
     assert(SegmentStore.naturalLeq("b2", "b10"))
     assert(!SegmentStore.naturalLeq("b10", "b2"))
