@@ -231,7 +231,17 @@ object ClusterMirror {
     //        streaming row compiles multi-KB float literals into a
     //        remote micro-batch plan), then the probe's partition-dir
     //        pruned scan + centroid broadcast cross a real exchange
-    "st23_stream_ivf_ingest")
+    "st23_stream_ivf_ingest",
+    // round-15 risk class:
+    //  st24: segment-store COMPACTION between appends, probed on real
+    //        JVMs — the fold's staged rewrite + marker swap run
+    //        driver-side, but the post-fold store is then PROBED from
+    //        remote executors: the probed-cell literal list must prune
+    //        the REWRITTEN batch=base/cell= partition dirs in remote
+    //        FileSourceScans (no earlier row reads a compacted store
+    //        across executor JVMs), composed with the frozen-centroid
+    //        literal plan st23 pins
+    "st24_compact_ivf_probe")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
