@@ -2416,6 +2416,46 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // -- st27: TAKEDOWN interleaved with LIVE streamed ingest — the
+    // st26 discipline for removals: batch b0 appends against the full
+    // store (its report may name soon-removed docs), the takedown runs
+    // inside foreachBatch after trigger 1 and RETRACTS those reports,
+    // later triggers append against the cleansed store. Every surviving
+    // pair is reported exactly once, so (one-shot over base−R) ∪
+    // (reports) == one-shot over (corpus − R) — d27's spliced oracle
+    // gates the streamed regime too. ----------------------------------
+    "st27_stream_lsh_takedown" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st27"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$base/idx"))
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 4 === 0)
+      val removed = docs.filter(col("doc_id") % 8 === 1).select(col("doc_id"))
+      Dedup.buildLshIndex(old, "doc_id", "text", s"$base/idx")
+      val staged = fresh.select(col("doc_id").cast("timestamp").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.EventStreams.runStagedForeachBatch(s, staged,
+          s"$base/stage", nFiles = 3) { (batch, id) =>
+        Dedup.appendToLshIndex(s, s"$base/idx", batch, "doc_id", "text",
+          batchId = s"b$id", shingleN = 3, k = 64, bands = 16,
+          threshold = 0.8)
+        if (id == 1) Dedup.removeFromLshIndex(s, s"$base/idx", removed)
+        ()
+      }
+      val survivors = old.filter(col("doc_id") % 8 =!= 1)
+      val basePairs = Dedup.minhashLshPairs(survivors, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val reports = s.read.parquet(s"$base/idx/pairs").drop("batch")
+        .select(col("a"), col("b"), col("jaccard"))
+      basePairs.unionByName(reports)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // -- d27: right-to-be-forgotten TAKEDOWN on the LSH store — build,
     // append, REMOVE a doc set (subset of already-ingested docs:
     // %8==1 ⊂ the %4=!=0 base), append again against the cleansed
@@ -4587,6 +4627,10 @@ object PipelineQueries {
     // removal predicate spliced into the corpus CTE): a takedown that
     // retracts postings AND reports leaves exactly the one-shot state
     "d27_lsh_takedown" -> lshPairsOracle.replace(
+      "FROM documents)", "FROM documents WHERE doc_id % 8 != 1)"),
+    // st27: the takedown's STREAMED regime — retraction inside
+    // foreachBatch leaves exactly the same survivor state
+    "st27_stream_lsh_takedown" -> lshPairsOracle.replace(
       "FROM documents)", "FROM documents WHERE doc_id % 8 != 1)"),
     // st21: the one-shot audio fingerprint replay over the FULL clip
     // universe — the stream==batch==replay discipline: (build pairs) ∪
