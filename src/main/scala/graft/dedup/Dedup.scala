@@ -1283,6 +1283,37 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures (native, codegen'd). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Incremental SimHash store — the text wrapper over the generic
+    * [[HammingIndex]] (band-sliced 64-bit keys on the segment-store
+    * layout): build on the pre-existing corpus, then
+    * [[appendToSimhashIndex]] per ingest batch; compaction and takedown
+    * come via [[graft.operators.SegmentStore]]. The st28 gate
+    * hash-verifies (build one-shot) ∪ (streamed appends) against the
+    * brute-force hamming oracle; d28 gates the takedown. */
+  def buildSimhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    HammingIndex.buildHammingIndex(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")), path)
+
+  /** Append a document batch to a [[buildSimhashIndex]] store; returns
+    * the verified `(a, b, hamming)` pairs involving the new docs. Same
+    * cap/broadcast/durability contract as [[appendToLshIndex]] (see
+    * [[HammingIndex.appendToHammingIndex]]). */
+  def appendToSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String, textCol: String,
+      batchId: String, maxHamming: Int = 3, maxBucket: Long = -1L,
+      broadcastMaxBatchRows: Long = 4000000L): DataFrame =
+    HammingIndex.appendToHammingIndex(spark, path,
+      newDocs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")),
+      batchId, maxHamming, bands = 4, maxBucket = maxBucket,
+      broadcastMaxBatchRows = broadcastMaxBatchRows)
+
+  /** Takedown over a [[buildSimhashIndex]] store: postings removed,
+    * emitted pair reports retracted, capstats recomputed exactly. */
+  def removeFromSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, removeIds: DataFrame): Unit =
+    HammingIndex.removeFromHammingIndex(spark, path, removeIds)
+
   /** SimHash near-dup pairs: 4×16-bit band bucketing (any pair within
     * hamming distance 3 shares at least one exact 16-bit band), verified
     * by exact hamming distance.

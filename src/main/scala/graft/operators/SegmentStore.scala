@@ -52,9 +52,14 @@ object SegmentStore {
 
   /** `mode` is "fold" (compaction: staged sub renamed in as the new
     * `batch=base`) or "rewrite" (takedown: every staged `batch=<id>`
-    * renamed in over its deleted original). */
+    * renamed in over its deleted original). `emptied` lists, per sub,
+    * the rewrite-mode segment ids whose rows were ALL removed — the only
+    * deletes that may run unconditionally, because a missing staged dir
+    * for any other id means its rename already happened (crash-recovery
+    * must then leave the renamed data alone). */
   private[graft] case class Plan(mode: String,
-      subs: Seq[(String, Seq[String])])
+      subs: Seq[(String, Seq[String])],
+      emptied: Map[String, Seq[String]] = Map.empty)
 
   /** Fold every `batch=<id>` segment with `id ≤ upTo` (natural order:
     * digit runs compare numerically, so `b2 < b10`) plus the current
@@ -219,12 +224,32 @@ object SegmentStore {
         (d, c) => d.join(ids, d(c) === ids("__rid"), "left_anti") }
       df.write.mode("overwrite")
         .partitionBy("batch" +: inner: _*).parquet(s"$stageRoot/$sub")
+      val stagedIds = listBatchIds(fs, new Path(s"$stageRoot/$sub"))
+      if (stagedIds.isEmpty) {
+        // every row of this sub was removed: a sub dir with zero batch=
+        // dirs would make later reads throw unable-to-infer-schema, so
+        // keep one empty schema-bearing segment (written flat — the
+        // inner cols ride in the file schema of the empty frame)
+        df.drop("batch").limit(0).coalesce(1).write.mode("overwrite")
+          .parquet(s"$stageRoot/$sub/batch=${segIds.head}")
+      }
       sub -> segIds
     }
+    // ids with no staged replacement (all rows removed) — the only
+    // deletes swap() may run unconditionally on a re-drive
+    val emptied = entries.map { case (sub, segIds) =>
+      val stagedIds = listBatchIds(fs, new Path(s"$stageRoot/$sub"))
+      sub -> segIds.filterNot(stagedIds.contains)
+    }.filter(_._2.nonEmpty).toMap
     // recompute capstats EXACTLY from the rewritten source segments
     val capEntry = capstatsFrom.map { case (src, keyCols) =>
       import spark.implicits._
-      val prevIds = listBatchIds(fs, new Path(s"$path/capstats"))
+      val capDir = new Path(s"$path/capstats")
+      // pre-capstats stores (built before the census machinery) have no
+      // capstats dir: recompute fresh over empty prevIds rather than
+      // letting listStatus throw
+      val prevIds =
+        if (fs.exists(capDir)) listBatchIds(fs, capDir) else Seq.empty[String]
       spark.read.parquet(s"$stageRoot/$src")
         .groupBy(col("batch"))
         .agg(count(lit(1)).as("s"),
@@ -236,26 +261,47 @@ object SegmentStore {
         }
       "capstats" -> prevIds
     }
-    val plan = Plan("rewrite", entries ++ capEntry.toSeq)
+    // capstats segments whose source batch vanished get no staged row —
+    // they too must be recorded as emptied (unconditional delete)
+    val capEmptied = capEntry.toSeq.flatMap { case (sub, prevIds) =>
+      val stagedSub = new Path(s"$stageRoot/$sub")
+      val stagedIds =
+        if (fs.exists(stagedSub)) listBatchIds(fs, stagedSub)
+        else Seq.empty[String]
+      val gone = prevIds.filterNot(stagedIds.contains)
+      if (gone.nonEmpty) Seq(sub -> gone) else Seq.empty
+    }.toMap
+    val plan = Plan("rewrite", entries ++ capEntry.toSeq,
+      emptied ++ capEmptied)
     val out = fs.create(new Path(s"$path/.compact/COMMIT"), true)
     out.write((s"mode\trewrite\n" + plan.subs.map { case (sub, segIds) =>
-      s"$sub\t${segIds.mkString(",")}" }.mkString("\n")).getBytes("UTF-8"))
+      val gone = plan.emptied.getOrElse(sub, Seq.empty)
+      s"$sub\t${segIds.mkString(",")}\t${gone.mkString(",")}"
+    }.mkString("\n")).getBytes("UTF-8"))
     out.close()
     Some(plan)
   }
 
-  /** Step 3: delete the folded segments, rename the staged fold in as
-    * the new `batch=base`, drop the marker. Idempotent given the
-    * marker. */
+  /** Step 3: delete the replaced segments, rename the staged data in,
+    * drop the marker. Idempotent given the marker — and crucially the
+    * deletes are CONDITIONED on the staged copy still existing: once a
+    * sub's (fold) or segment's (rewrite) rename has happened, its staged
+    * dir is gone, and re-driving the swap after a crash in that window
+    * must NOT re-delete what the rename just installed (re-deleting
+    * `batch=base` with no staged copy left would lose the fold — only
+    * rewrite-mode `emptied` segments, which have no staged replacement
+    * by construction, keep unconditional deletes). */
   private[graft] def swap(fs: FileSystem, path: String, plan: Plan): Unit = {
     plan.subs.foreach { case (sub, ids) =>
       val staged = new Path(s"$path/.compact/stage/$sub")
-      ids.foreach { id =>
-        val seg = new Path(s"$path/$sub/batch=$id")
-        if (fs.exists(seg)) fs.delete(seg, true)
-      }
       if (plan.mode == "fold") {
+        // staged gone ⇒ this sub's delete+rename already completed on a
+        // previous drive (or nothing was staged for it) — skip entirely
         if (fs.exists(staged)) {
+          ids.foreach { id =>
+            val seg = new Path(s"$path/$sub/batch=$id")
+            if (fs.exists(seg)) fs.delete(seg, true)
+          }
           // _SUCCESS markers inside the staged dir are harmless (hidden
           // from Spark's listing); the rename is the visible instant
           if (!fs.rename(staged, new Path(s"$path/$sub/batch=base")))
@@ -263,20 +309,29 @@ object SegmentStore {
               s"compaction swap: rename failed for $sub (crashed midway? " +
                 "re-run compactSegmentStore to recover)")
         }
-      } else if (fs.exists(staged)) {
-        // rewrite mode: each staged batch=<id> replaces its (deleted)
-        // original; a batch whose rows were all removed has no staged
-        // dir and simply disappears from the store
-        fs.listStatus(staged)
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("batch="))
-          .foreach { st =>
-            if (!fs.rename(st.getPath,
-                new Path(s"$path/$sub/${st.getPath.getName}")))
-              throw new java.io.IOException(
-                s"takedown swap: rename failed for $sub/${st.getPath.getName}" +
-                  " (crashed midway? re-run to recover)")
-          }
+      } else {
+        // rewrite mode: per-segment delete-then-rename, each conditioned
+        // on its staged batch dir existing; only the recorded `emptied`
+        // segments (all rows removed ⇒ no staged replacement) are
+        // deleted unconditionally
+        plan.emptied.getOrElse(sub, Seq.empty).foreach { id =>
+          val seg = new Path(s"$path/$sub/batch=$id")
+          if (fs.exists(seg)) fs.delete(seg, true)
+        }
+        if (fs.exists(staged)) {
+          fs.listStatus(staged)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("batch="))
+            .foreach { st =>
+              val name = st.getPath.getName
+              val seg = new Path(s"$path/$sub/$name")
+              if (fs.exists(seg)) fs.delete(seg, true)
+              if (!fs.rename(st.getPath, seg))
+                throw new java.io.IOException(
+                  s"takedown swap: rename failed for $sub/$name" +
+                    " (crashed midway? re-run to recover)")
+            }
+        }
       }
     }
     fs.delete(new Path(s"$path/.compact"), true)
@@ -300,12 +355,16 @@ object SegmentStore {
           (l.stripPrefix("mode\t"), lines.tail)
         case _ => ("fold", lines) // pre-round-15 markers carried no mode
       }
-      val subs = rest.map { line =>
-        val Array(sub, ids @ _*) = line.split("\t", 2): @unchecked
-        sub -> ids.headOption.map(_.split(",").toSeq.filter(_.nonEmpty))
-          .getOrElse(Seq.empty)
+      val parsed = rest.map { line =>
+        val fields = line.split("\t", 3)
+        def csv(i: Int): Seq[String] =
+          if (fields.length > i) fields(i).split(",").toSeq.filter(_.nonEmpty)
+          else Seq.empty
+        (fields(0), csv(1), csv(2))
       }
-      swap(fs, path, Plan(mode, subs))
+      val emptied = parsed.collect {
+        case (sub, _, gone) if gone.nonEmpty => sub -> gone }.toMap
+      swap(fs, path, Plan(mode, parsed.map(p => p._1 -> p._2), emptied))
     } else fs.delete(new Path(s"$path/.compact"), true)
   }
 }

@@ -232,6 +232,82 @@ class SegmentStoreSpec extends AnyFunSuite with CacheHygiene {
       s"takedown capstats drifted from ground truth: ${stats(dirT)} vs ${stats(dirF)}")
   }
 
+  test("fold crash AFTER a sub's rename: re-drive must not re-delete the new base") {
+    val dir = "target/qtmp/segstore_postrename"
+    mkStore(dir)
+    val before = readIds(dir, "vecs")
+    val plan = SegmentStore.stage(spark, fs, dir, "b2")
+    assert(plan.isDefined)
+    // manually complete the 'pairs' sub's swap (delete folded segments,
+    // rename its stage in as the new base), then "crash" with the
+    // marker still present — the exact window the round-15 protocol
+    // lost data in: re-driving used to re-delete batch=base (now the
+    // ONLY copy of the folded pairs) because the unconditional delete
+    // loop ran before the staged-dir existence check
+    rm(s"$dir/pairs/batch=b1"); rm(s"$dir/pairs/batch=b2")
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/.compact/stage/pairs"),
+      new org.apache.hadoop.fs.Path(s"$dir/pairs/batch=base")))
+    SegmentStore.compactSegmentStore(spark, dir, upTo = "b2")
+    assert(readIds(dir, "pairs") == Set(1L, 3L),
+      "re-driven swap deleted the already-renamed pairs base (data loss)")
+    assert(batchDirs(dir, "pairs") == Set("batch=base"))
+    assert(batchDirs(dir, "vecs") == Set("batch=base", "batch=b10"))
+    assert(readIds(dir, "vecs") == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.compact")))
+  }
+
+  test("takedown crash AFTER a segment's rename: re-drive preserves the renamed segment") {
+    val dir = "target/qtmp/segstore_postrename_rm"
+    mkStore(dir)
+    val ids = Seq(2L, 41L).toDF("id")
+    val plan = SegmentStore.stageRemove(spark, fs, dir, ids,
+      Map("vecs" -> Seq("id"), "pairs" -> Seq("a", "b")), None)
+    assert(plan.isDefined)
+    // manually complete ONE segment's delete+rename, then "crash"
+    rm(s"$dir/vecs/batch=b1")
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/.compact/stage/vecs/batch=b1"),
+      new org.apache.hadoop.fs.Path(s"$dir/vecs/batch=b1")))
+    SegmentStore.recover(spark, dir)
+    assert(readIds(dir, "vecs") == ((0L until 75L).toSet -- Set(2L, 41L)),
+      "re-driven rewrite lost the already-renamed segment's rows")
+    assert(batchDirs(dir, "vecs") ==
+      Set("batch=base", "batch=b1", "batch=b2", "batch=b10"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.compact")))
+  }
+
+  test("takedown that empties an entire sub keeps it readable (empty, schema intact)") {
+    val dir = "target/qtmp/segstore_empty_sub"
+    mkStore(dir)
+    // every pair endpoint removed -> the pairs sub would have ZERO
+    // batch dirs; later reads (append paths, gates) must get an empty
+    // frame with the original schema, not unable-to-infer-schema
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
+    SegmentStore.removeFromSegmentStore(spark, dir, ids,
+      idCols = Map("vecs" -> Seq("id"), "pairs" -> Seq("a", "b")))
+    val pairs = spark.read.parquet(s"$dir/pairs")
+    assert(pairs.count() == 0L)
+    assert(pairs.columns.toSet == Set("a", "b", "batch"))
+    assert(readIds(dir, "vecs") == ((0L until 75L).toSet -- Set(1L, 2L, 3L, 4L)))
+    // re-entrancy survives the placeholder: a second identical takedown
+    SegmentStore.removeFromSegmentStore(spark, dir, ids,
+      idCols = Map("vecs" -> Seq("id"), "pairs" -> Seq("a", "b")))
+    assert(spark.read.parquet(s"$dir/pairs").count() == 0L)
+  }
+
+  test("takedown on a pre-capstats store recomputes capstats fresh instead of throwing") {
+    val dir = "target/qtmp/segstore_precapstats"
+    mkStore(dir) // mkStore writes no capstats sub — the pre-round-15 layout
+    SegmentStore.removeFromSegmentStore(spark, dir, Seq(2L).toDF("id"),
+      idCols = Map("vecs" -> Seq("id")),
+      capstatsFrom = Some(("vecs", Seq("id"))))
+    assert(readIds(dir, "vecs") == ((0L until 75L).toSet - 2L))
+    val cap = spark.read.parquet(s"$dir/capstats")
+    assert(cap.agg(sum(col("s"))).head().getLong(0) == 74L,
+      "capstats must be recomputed fresh over the rewritten segments")
+  }
+
   test("naturalLeq: digit runs compare numerically") {
     assert(SegmentStore.naturalLeq("b2", "b10"))
     assert(!SegmentStore.naturalLeq("b10", "b2"))
