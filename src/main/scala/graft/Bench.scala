@@ -206,6 +206,12 @@ object Bench {
       spark.catalog.clearCache()
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // wall-clock stamp of each query's LAST timed pass — the recheck
+    // embeds the re-read's distance from it, so the artifact shows
+    // whether a re-read actually left the contaminated window (a mover
+    // measured near the end of the draw is re-read seconds later, which
+    // adjudicates nothing; one from the head has had many minutes)
+    val measuredAt = scala.collection.mutable.Map.empty[String, Long]
     val perPass = qs.map { q =>
       // min of `passes` timed runs: one noisy scheduling window on the host
       // inflates a single pass, not the reported figure
@@ -221,6 +227,7 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) t else -1.0
       }
+      measuredAt(q) = System.nanoTime()
       q -> times.filter(_ >= 0)
     }
     val results = perPass.map { case (q, good) =>
@@ -241,7 +248,7 @@ object Bench {
     val recheckOn = only.isEmpty && priorQueries.nonEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RECHECK", "1") != "0"
     val resultMap = results.toMap
-    val recheck: Seq[(String, (Double, Double, Double))] =
+    val recheck: Seq[(String, (Double, Double, Double, Double))] =
       if (!recheckOn) Seq.empty
       else {
         val movers = results.collect {
@@ -255,6 +262,9 @@ object Bench {
           else (movers ++ Seq("q01_tpch_agg", "q66_shuffle_anchor")
             .filter(a => !movers.contains(a) && resultMap.contains(a)))
         targets.map { q =>
+          val since =
+            measuredAt.get(q).map(t => (System.nanoTime() - t) / 1e9)
+              .getOrElse(-1.0)
           val times = (1 to passes).flatMap { _ =>
             val t0 = System.nanoTime()
             val ok = try { run(q); true } catch { case _: Throwable => false }
@@ -263,7 +273,7 @@ object Bench {
             if (ok) Some(t) else None
           }
           val reread = if (times.nonEmpty) times.min else -1.0
-          q -> ((resultMap(q), priorQueries.getOrElse(q, -1.0), reread))
+          q -> ((resultMap(q), priorQueries.getOrElse(q, -1.0), reread, since))
         }
       }
     // Per-query PASS DISPERSION (max/min across the timed passes) + a
@@ -317,9 +327,12 @@ object Bench {
       else ""
     val recheckJson =
       if (recheck.isEmpty) ""
-      else recheck.map { case (q, (full, prior, reread)) =>
+      else recheck.map { case (q, (full, prior, reread, since)) =>
+        // since_sec = re-read start minus this query's full-draw
+        // measurement: the adjudication is only as good as this gap
         "\"" + q + "\":{\"full\":" + fmt(full) + ",\"prior\":" +
-          fmt(prior) + ",\"reread\":" + fmt(reread) + "}"
+          fmt(prior) + ",\"reread\":" + fmt(reread) +
+          ",\"since_sec\":" + fmt2(since) + "}"
       }.mkString(""","recheck":{""", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"passes":$passes$skipMeta$dispSummary$recheckJson,"sf":"$sfDir"}"""
     // printed TWICE — immediately here and again as the very last stdout
