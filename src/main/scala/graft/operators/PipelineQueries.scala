@@ -2456,6 +2456,82 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // -- st28: streamed SIMHASH (Hamming-modality) ingest — the round-16
+    // store that closes the modality matrix (Jaccard-LSH st20, audio
+    // st21, IVF st23 … and now band-sliced 64-bit Hamming): build on
+    // the pre-existing corpus, stream the fresh quarter in 3 files,
+    // every micro-batch appends via foreachBatch (batch banded narrowly
+    // and broadcast against the store; postings carry the signature so
+    // verification is inline — no fetch join), and trigger 2 COMPACTS
+    // the store strictly below the watermark from INSIDE foreachBatch
+    // (the st26 discipline — the fold is union-preserving, so reports
+    // survive byte-exactly). (one-shot over base) ∪ (streamed reports)
+    // must equal the brute-force hamming join — banding is complete for
+    // hamming ≤ 3 and the gate runs uncapped (st21 discipline). -------
+    "st28_stream_simhash_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/st28"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$base/idx"))
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 4 === 0)
+      Dedup.buildSimhashIndex(old, "doc_id", "text", s"$base/idx")
+      val oldPairs = Dedup.simhashPairs(old, "doc_id", "text",
+        maxHamming = 3, maxBucket = 0)
+      val staged = fresh.select(col("doc_id").cast("timestamp").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.EventStreams.runStagedForeachBatch(s, staged,
+          s"$base/stage", nFiles = 3) { (batch, id) =>
+        Dedup.appendToSimhashIndex(s, s"$base/idx", batch, "doc_id",
+          "text", batchId = s"b$id", maxHamming = 3, maxBucket = 0L)
+        if (id == 2) graft.operators.SegmentStore.compactSegmentStore(
+          s, s"$base/idx", upTo = "b1")
+        ()
+      }
+      val streamed = s.read.parquet(s"$base/idx/pairs").drop("batch")
+        .select(col("a"), col("b"), col("hamming"))
+      oldPairs.unionByName(streamed)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // -- d28: TAKEDOWN on the SimHash store — the d27 shape for the
+    // Hamming modality: build, append, remove (%8==1 ⊂ the base),
+    // append again against the cleansed store; postings and emitted
+    // reports retracted, capstats recomputed. (one-shot over base−R) ∪
+    // (reports) == one-shot over (corpus − R) — the brute oracle with
+    // the survivor predicate spliced into its corpus CTE. -------------
+    "d28_simhash_takedown" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/d28_idx"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val b1 = docs.filter(col("doc_id") % 8 === 0)
+      val b2 = docs.filter(col("doc_id") % 8 === 4)
+      val removed = docs.filter(col("doc_id") % 8 === 1).select(col("doc_id"))
+      Dedup.buildSimhashIndex(old, "doc_id", "text", dir)
+      Dedup.appendToSimhashIndex(s, dir, b1, "doc_id", "text",
+        batchId = "b1", maxHamming = 3, maxBucket = 0L)
+      Dedup.removeFromSimhashIndex(s, dir, removed)
+      Dedup.appendToSimhashIndex(s, dir, b2, "doc_id", "text",
+        batchId = "b2", maxHamming = 3, maxBucket = 0L)
+      val survivors = old.filter(col("doc_id") % 8 =!= 1)
+      val basePairs = Dedup.simhashPairs(survivors, "doc_id", "text",
+        maxHamming = 3, maxBucket = 0)
+      val reports = s.read.parquet(s"$dir/pairs").drop("batch")
+        .select(col("a"), col("b"), col("hamming"))
+      basePairs.unionByName(reports)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // -- d27: right-to-be-forgotten TAKEDOWN on the LSH store — build,
     // append, REMOVE a doc set (subset of already-ingested docs:
     // %8==1 ⊂ the %4=!=0 base), append again against the cleansed
@@ -3549,6 +3625,87 @@ object PipelineQueries {
       |SELECT id AS doc_id, min(r) AS rep FROM reach
       |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** The d03 SimHash signature replay (MurmurHash64A + per-bit majority
+    * votes, fully recomputed in DuckDB) WITHOUT the final ordering —
+    * shared by d03 and the Hamming-store gates (st28/d28), which join
+    * it against itself for the brute-force pair oracle. */
+  private val simhashSigSql: String =
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |uniq AS (SELECT DISTINCT tok FROM toks),
+        |uh AS (SELECT tok, lower(hex(encode(tok))) AS hx,
+        |  octet_length(encode(tok))::BIGINT AS len FROM uniq),
+        |s1 AS (SELECT tok, hx, len, len//8 AS nc, len%8 AS nr,
+        |  xor(5351959::UBIGINT,
+        |      ((len::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |        % 18446744073709551616::UHUGEINT)::UBIGINT) AS h0
+        |  FROM uh),
+        |s2 AS (SELECT tok, hx, len, nc, nr, h0,
+        |  list_transform(range(nc), ci ->
+        |    list_reduce(list_prepend(0::UBIGINT,
+        |      list_transform(range(8), j ->
+        |        ('0x'||substr(hx, (2*(8*ci+j)+1)::INT, 2))::UBIGINT << (8*j)::INT)),
+        |      (a,b) -> xor(a,b))) AS ks
+        |  FROM s1),
+        |s3 AS (SELECT tok, hx, len, nc, nr, h0,
+        |  list_transform(ks, k ->
+        |    ((xor(((k::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |            % 18446744073709551616::UHUGEINT)::UBIGINT,
+        |          ((k::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |            % 18446744073709551616::UHUGEINT)::UBIGINT >> 47
+        |      )::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |      % 18446744073709551616::UHUGEINT)::UBIGINT) AS mks
+        |  FROM s2),
+        |s4 AS (SELECT tok, hx, len, nc, nr,
+        |  list_reduce(list_prepend(h0, mks),
+        |    (a,x) -> ((xor(a,x)::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |               % 18446744073709551616::UHUGEINT)::UBIGINT) AS hb
+        |  FROM s3),
+        |s5 AS (SELECT tok, nr,
+        |  CASE WHEN nr = 0 THEN hb ELSE
+        |    ((xor(hb,
+        |       list_reduce(list_prepend(0::UBIGINT,
+        |         list_transform(range(nr), j ->
+        |           ('0x'||substr(hx, (2*(8*nc+j)+1)::INT, 2))::UBIGINT << (8*j)::INT)),
+        |         (a,b) -> xor(a,b))
+        |     )::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |     % 18446744073709551616::UHUGEINT)::UBIGINT
+        |  END AS ht
+        |  FROM s4),
+        |s6 AS (SELECT tok,
+        |  ((xor(ht, ht >> 47)::UHUGEINT * 14313749767032793493::UHUGEINT)
+        |    % 18446744073709551616::UHUGEINT)::UBIGINT AS hf
+        |  FROM s5),
+        |th AS (SELECT tok, xor(hf, hf >> 47) AS h FROM s6),
+        |votes AS (SELECT t.doc_id, b.range AS bit,
+        |    sum(CASE WHEN (th.h >> b.range::INT) & 1::UBIGINT = 1::UBIGINT
+        |        THEN 1 ELSE -1 END) AS acc
+        |  FROM toks t JOIN th USING (tok) CROSS JOIN range(64) b
+        |  GROUP BY 1, 2),
+        |usig AS (SELECT doc_id,
+        |    coalesce(bit_or(CASE WHEN acc > 0
+        |      THEN 1::UBIGINT << bit::INT ELSE 0::UBIGINT END), 0::UBIGINT) AS u
+        |  FROM votes GROUP BY 1)
+        |SELECT doc_id,
+        |  CASE WHEN u >= 9223372036854775808::UBIGINT
+        |    THEN (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+        |    ELSE u::BIGINT END AS simhash
+        |FROM usig""".stripMargin
+
+  /** Brute-force hamming ≤ 3 pairs over the replayed signatures — the
+    * oracle for the incremental SimHash store: 4×16-bit banding is
+    * COMPLETE for hamming ≤ 3 (pigeonhole) and verification is exact,
+    * so (one-shot over the base) ∪ (streamed append reports) must equal
+    * this join exactly; the st28/d28 gates run uncapped (the st21
+    * discipline — append-time caps are a view, not a retraction). */
+  private val simhashBruteOracle: String =
+    "WITH sigs AS (" + simhashSigSql + ")\n" +
+    "SELECT l.doc_id AS a, r.doc_id AS b,\n" +
+    "  bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming\n" +
+    "FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id\n" +
+    "WHERE bit_count(xor(l.simhash, r.simhash)) <= 3\n" +
+    "ORDER BY a, b"
+
   private val lshPairsOracle: String =
     """WITH w AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
@@ -4244,68 +4401,7 @@ object PipelineQueries {
     // little-endian tail fold-in, and the final avalanche — all 64-bit
     // modular arithmetic staged through UHUGEINT (the sk25 idiom).
     // Hashing cost is per DISTINCT token; votes then join counts back.
-    "d03_simhash" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |uniq AS (SELECT DISTINCT tok FROM toks),
-        |uh AS (SELECT tok, lower(hex(encode(tok))) AS hx,
-        |  octet_length(encode(tok))::BIGINT AS len FROM uniq),
-        |s1 AS (SELECT tok, hx, len, len//8 AS nc, len%8 AS nr,
-        |  xor(5351959::UBIGINT,
-        |      ((len::UHUGEINT * 14313749767032793493::UHUGEINT)
-        |        % 18446744073709551616::UHUGEINT)::UBIGINT) AS h0
-        |  FROM uh),
-        |s2 AS (SELECT tok, hx, len, nc, nr, h0,
-        |  list_transform(range(nc), ci ->
-        |    list_reduce(list_prepend(0::UBIGINT,
-        |      list_transform(range(8), j ->
-        |        ('0x'||substr(hx, (2*(8*ci+j)+1)::INT, 2))::UBIGINT << (8*j)::INT)),
-        |      (a,b) -> xor(a,b))) AS ks
-        |  FROM s1),
-        |s3 AS (SELECT tok, hx, len, nc, nr, h0,
-        |  list_transform(ks, k ->
-        |    ((xor(((k::UHUGEINT * 14313749767032793493::UHUGEINT)
-        |            % 18446744073709551616::UHUGEINT)::UBIGINT,
-        |          ((k::UHUGEINT * 14313749767032793493::UHUGEINT)
-        |            % 18446744073709551616::UHUGEINT)::UBIGINT >> 47
-        |      )::UHUGEINT * 14313749767032793493::UHUGEINT)
-        |      % 18446744073709551616::UHUGEINT)::UBIGINT) AS mks
-        |  FROM s2),
-        |s4 AS (SELECT tok, hx, len, nc, nr,
-        |  list_reduce(list_prepend(h0, mks),
-        |    (a,x) -> ((xor(a,x)::UHUGEINT * 14313749767032793493::UHUGEINT)
-        |               % 18446744073709551616::UHUGEINT)::UBIGINT) AS hb
-        |  FROM s3),
-        |s5 AS (SELECT tok, nr,
-        |  CASE WHEN nr = 0 THEN hb ELSE
-        |    ((xor(hb,
-        |       list_reduce(list_prepend(0::UBIGINT,
-        |         list_transform(range(nr), j ->
-        |           ('0x'||substr(hx, (2*(8*nc+j)+1)::INT, 2))::UBIGINT << (8*j)::INT)),
-        |         (a,b) -> xor(a,b))
-        |     )::UHUGEINT * 14313749767032793493::UHUGEINT)
-        |     % 18446744073709551616::UHUGEINT)::UBIGINT
-        |  END AS ht
-        |  FROM s4),
-        |s6 AS (SELECT tok,
-        |  ((xor(ht, ht >> 47)::UHUGEINT * 14313749767032793493::UHUGEINT)
-        |    % 18446744073709551616::UHUGEINT)::UBIGINT AS hf
-        |  FROM s5),
-        |th AS (SELECT tok, xor(hf, hf >> 47) AS h FROM s6),
-        |votes AS (SELECT t.doc_id, b.range AS bit,
-        |    sum(CASE WHEN (th.h >> b.range::INT) & 1::UBIGINT = 1::UBIGINT
-        |        THEN 1 ELSE -1 END) AS acc
-        |  FROM toks t JOIN th USING (tok) CROSS JOIN range(64) b
-        |  GROUP BY 1, 2),
-        |usig AS (SELECT doc_id,
-        |    coalesce(bit_or(CASE WHEN acc > 0
-        |      THEN 1::UBIGINT << bit::INT ELSE 0::UBIGINT END), 0::UBIGINT) AS u
-        |  FROM votes GROUP BY 1)
-        |SELECT doc_id,
-        |  CASE WHEN u >= 9223372036854775808::UBIGINT
-        |    THEN (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
-        |    ELSE u::BIGINT END AS simhash
-        |FROM usig ORDER BY doc_id""".stripMargin,
+    "d03_simhash" -> (simhashSigSql + " ORDER BY doc_id"),
     "t15_fingerprint_contract" ->
       ("SELECT TRUE AS planted_dups_exist, TRUE AS dup_groups_share_fp, " +
         "TRUE AS fp_injective_on_corpus"),
@@ -4631,6 +4727,14 @@ object PipelineQueries {
     // st27: the takedown's STREAMED regime — retraction inside
     // foreachBatch leaves exactly the same survivor state
     "st27_stream_lsh_takedown" -> lshPairsOracle.replace(
+      "FROM documents)", "FROM documents WHERE doc_id % 8 != 1)"),
+    // st28: the streamed SIMHASH store — (one-shot over base) ∪
+    // (streamed reports, compaction interleaved at trigger 2) must
+    // equal the brute-force hamming join over the replayed signatures
+    "st28_stream_simhash_ingest" -> simhashBruteOracle,
+    // d28: the SimHash takedown — the same brute join with the
+    // survivor predicate spliced into the signature corpus CTE
+    "d28_simhash_takedown" -> simhashBruteOracle.replace(
       "FROM documents)", "FROM documents WHERE doc_id % 8 != 1)"),
     // st21: the one-shot audio fingerprint replay over the FULL clip
     // universe — the stream==batch==replay discipline: (build pairs) ∪

@@ -1264,6 +1264,108 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(oneShot.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("incremental SimHash index: build + two appends equals one-shot pairs") {
+    import graft.dedup.Dedup
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val dir = "target/qtmp/simhash_idx_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(dir))
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    Dedup.buildSimhashIndex(b0, "doc_id", "text", dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    // uncapped: banding completeness holds unconditionally, so the
+    // three ingest modes partition the one-shot pair set exactly
+    val p0 = pairSet(Dedup.simhashPairs(b0, "doc_id", "text", 3, maxBucket = 0))
+    val p1 = pairSet(Dedup.appendToSimhashIndex(spark, dir, b1, "doc_id",
+      "text", "b1", maxBucket = 0L))
+    val p2 = pairSet(Dedup.appendToSimhashIndex(spark, dir, b2, "doc_id",
+      "text", "b2", maxBucket = 0L))
+    val oneShot = pairSet(
+      Dedup.simhashPairs(docs, "doc_id", "text", 3, maxBucket = 0))
+    assert(p0 ++ p1 ++ p2 == oneShot,
+      s"incremental-only=${(p0 ++ p1 ++ p2) -- oneShot} " +
+        s"oneshot-only=${oneShot -- (p0 ++ p1 ++ p2)}")
+    assert(oneShot.nonEmpty, "fixture should contain hamming<=3 pairs")
+  }
+
+  test("capped SimHash append holds a hot boilerplate bucket; dropped census persisted") {
+    import graft.dedup.{Dedup, HammingIndex}
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    // identical clones collapse to ONE signature ⇒ every band's bucket
+    // is the clone count — over the cap from the base store on (no key
+    // crosses the cap mid-stream, the regime where capped append ==
+    // capped one-shot holds exactly; the st21 discipline)
+    val boilerText = "the same boilerplate banner text repeated on every " +
+      "page of the crawl over and over again without any variation at all"
+    def boiler(ids: Range) = ids.map(i => (i.toLong + 100000L, boilerText))
+      .toDF("doc_id", "text")
+    val cap = 16L
+    val base = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(boiler(0 until 40))
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(boiler(40 until 45))
+    val dir = "target/qtmp/simhash_idx_capped_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(dir))
+    Dedup.buildSimhashIndex(base, "doc_id", "text", dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    val p1 = pairSet(Dedup.appendToSimhashIndex(spark, dir, b1, "doc_id",
+      "text", "b1", maxBucket = cap))
+    // the cap must have BOUND the clone bucket: no clone-clone pair
+    // reported, and the dropped census names the over-cap buckets
+    assert(!p1.exists { case (a, b) => a >= 100000L && b >= 100000L },
+      "over-cap boilerplate bucket leaked pairs through the census gate")
+    val dropped = spark.read.parquet(s"$dir/dropped")
+    assert(dropped.columns.toSet == Set("band", "h", "n", "cap", "batch"))
+    assert(dropped.filter(col("n") > col("cap")).count() > 0,
+      "hot boilerplate bucket missing from the dropped census")
+    // honest pairs among the real docs still flow in the capped regime
+    val uncappedDir = "target/qtmp/simhash_idx_capped_spec_u"
+    rm(new java.io.File(uncappedDir))
+    Dedup.buildSimhashIndex(base, "doc_id", "text", uncappedDir)
+    val u1 = pairSet(Dedup.appendToSimhashIndex(spark, uncappedDir, b1,
+      "doc_id", "text", "b1", maxBucket = 0L))
+    assert(p1 == u1.filterNot { case (a, b) => a >= 100000L && b >= 100000L },
+      "cap changed pairs outside the hot bucket")
+  }
+
+  test("SimHash append: shuffle regime (broadcast gate at 0) preserves results") {
+    import graft.dedup.Dedup
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 4 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 4 === 0)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    val dirB = "target/qtmp/sh_bgate_b"; val dirS = "target/qtmp/sh_bgate_s"
+    rm(new java.io.File(dirB)); rm(new java.io.File(dirS))
+    Dedup.buildSimhashIndex(old, "doc_id", "text", dirB)
+    Dedup.buildSimhashIndex(old, "doc_id", "text", dirS)
+    val viaBroadcast = pairSet(Dedup.appendToSimhashIndex(spark, dirB,
+      fresh, "doc_id", "text", "b1"))
+    val viaShuffle = pairSet(Dedup.appendToSimhashIndex(spark, dirS,
+      fresh, "doc_id", "text", "b1", broadcastMaxBatchRows = 0L))
+    assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty,
+      s"broadcast-only=${viaBroadcast -- viaShuffle} " +
+        s"shuffle-only=${viaShuffle -- viaBroadcast}")
+  }
+
   test("capped LSH append equals capped one-shot; dropped census persisted") {
     import graft.dedup.Dedup
     val d = "/root/testdata/sf0.001"

@@ -920,6 +920,68 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     } finally spark.conf.set(key, prev)
   }
 
+  test("capped Hamming-index append: the store is never shuffled (batch-bucket prune)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val spark2 = spark; import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hamidx").toString
+    spark.range(0L, 2000L)
+      .select(col("id"), (col("id") * 7L).as("sig"),
+        (col("id") % 4).cast("int").as("band"), (col("id") % 50).as("h"))
+      .write.parquet(s"$dir/bands/batch=base")
+    val oldBands = spark.read.parquet(s"$dir/bands").drop("batch")
+    val newBanded = Seq((9001L, 21L, 3, 3L), (9002L, 23L, 3, 3L),
+      (9003L, 49L, 1, 7L)).toDF("id", "sig", "band", "h")
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false") // plain tree for the structural walk
+      for (cap <- Seq(-1L, 10L, 0L)) {
+        val (pairs, _) = graft.dedup.HammingIndex.hammingAppendPairs(
+          oldBands, newBanded, maxHamming = 3, cap)
+        val plan = pairs.queryExecution.executedPlan
+        // same pin as the LSH append: any Exchange whose subtree scans
+        // the store parquet without an intervening broadcast join is
+        // the O(store)-per-trigger regression
+        val bad = plan.collect {
+          case e: ShuffleExchangeExec
+              if e.collect { case sc: FileSourceScanExec => sc }.nonEmpty &&
+                e.collect { case j: BroadcastHashJoinExec => j }.isEmpty => e
+        }
+        assert(bad.isEmpty,
+          s"cap=$cap shuffles the unpruned store:\n${bad.headOption.getOrElse(plan)}")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("Hamming-append broadcast gate actually flips the batch join strategy") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val spark2 = spark; import spark2.implicits._
+    val oldBands = spark.range(0L, 500L)
+      .select(col("id"), (col("id") * 7L).as("sig"),
+        (col("id") % 4).cast("int").as("band"), (col("id") % 50).as("h"))
+    val newBanded = Seq((9001L, 21L, 3, 3L), (9002L, 23L, 3, 3L))
+      .toDF("id", "sig", "band", "h")
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe = "spark.sql.adaptive.enabled"
+    val (pThr, pAqe) = (spark.conf.get(thr), spark.conf.get(aqe))
+    try {
+      spark.conf.set(thr, "-1"); spark.conf.set(aqe, "false")
+      def bhjCount(broadcastBatch: Boolean): Int =
+        graft.dedup.HammingIndex.hammingAppendPairs(oldBands, newBanded,
+            maxHamming = 3, cap = 10L, broadcastBatch = broadcastBatch)
+          ._1.queryExecution.executedPlan
+          .collect { case j: BroadcastHashJoinExec => j }.size
+      assert(bhjCount(true) > 0,
+        "gate=broadcast regime lost its broadcast joins")
+      assert(bhjCount(false) == 0,
+        "gate=shuffle regime still broadcasts the batch side")
+    } finally { spark.conf.set(thr, pThr); spark.conf.set(aqe, pAqe) }
+  }
+
   test("LSH-append broadcast gate actually flips the batch join strategy") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
