@@ -2570,6 +2570,42 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // -- d29: segment-store OBSERVABILITY — the operational query that
+    // makes compaction debt and cap drops visible: one row per
+    // sub-store with segment count, parquet row total, byte total
+    // (asserted positive — filesystem fact DuckDB cannot see), the
+    // store-wide capstats sums + CURRENT derived append cap, and the
+    // dropped-census total. The oracle is a DuckDB recompute over the
+    // STORE'S OWN parquet files (parquet_file_metadata for per-FILE
+    // segment/row counts — a zero-pair batch still counts as a
+    // segment — plus real reads for the capstats/dropped sums), so the
+    // operator's numbers are pinned to what is actually on disk. -----
+    "d29_store_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/d29_idx"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val b1 = docs.filter(col("doc_id") % 8 === 0)
+      val b2 = docs.filter(col("doc_id") % 8 === 4)
+      Dedup.buildLshIndex(old, "doc_id", "text", dir)
+      Dedup.appendToLshIndex(s, dir, b1, "doc_id", "text", batchId = "b1",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      Dedup.appendToLshIndex(s, dir, b2, "doc_id", "text", batchId = "b2",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      graft.operators.SegmentStore.storeStats(s, dir)
+        .select(col("sub"), col("n_segments"), col("n_rows"),
+          (col("n_bytes") > 0).as("bytes_pos"),
+          coalesce(col("s_sum"), lit(-1L)).as("s_sum"),
+          coalesce(col("k_sum"), lit(-1L)).as("k_sum"),
+          coalesce(col("derived_cap"), lit(-1L)).as("derived_cap"),
+          coalesce(col("dropped_n_sum"), lit(-1L)).as("dropped_n_sum"))
+        .orderBy(col("sub"))
+    }),
+
     // -- m20: the d27 takedown for the AUDIO store (st21's universe and
     // uncapped regime; R = %8==1 ⊂ the base). ------------------------
     "m20_audio_takedown" -> ((s, d) => {
@@ -4728,6 +4764,44 @@ object PipelineQueries {
     // foreachBatch leaves exactly the same survivor state
     "st27_stream_lsh_takedown" -> lshPairsOracle.replace(
       "FROM documents)", "FROM documents WHERE doc_id % 8 != 1)"),
+    // d29: store observability — the oracle reads the STORE'S OWN
+    // parquet (written by the gate earlier in the same Verify run):
+    // parquet_file_metadata gives per-FILE segment/row counts (a
+    // zero-pair batch still counts as a segment — rows-based DISTINCT
+    // would miss it), real reads give the capstats/dropped sums, and
+    // the derived cap replays Census.derivedCap. The store path embeds
+    // the DRIVER's sf key (correctness always runs at sf0.01; a Verify
+    // at another sf would need the path swapped).
+    "d29_store_stats" -> {
+      val p = "target/qtmp/_root_testdata_sf0_01/d29_idx"
+      s"""WITH fm AS (
+         |  SELECT 'bands' AS sub, file_name, num_rows
+         |    FROM parquet_file_metadata('$p/bands/*/*.parquet')
+         |  UNION ALL SELECT 'capstats', file_name, num_rows
+         |    FROM parquet_file_metadata('$p/capstats/*/*.parquet')
+         |  UNION ALL SELECT 'dropped', file_name, num_rows
+         |    FROM parquet_file_metadata('$p/dropped/*/*.parquet')
+         |  UNION ALL SELECT 'meta', file_name, num_rows
+         |    FROM parquet_file_metadata('$p/meta/*/*.parquet')
+         |  UNION ALL SELECT 'pairs', file_name, num_rows
+         |    FROM parquet_file_metadata('$p/pairs/*/*.parquet')),
+         |st AS (SELECT sub,
+         |    count(DISTINCT regexp_extract(file_name, 'batch=([^/]+)', 1))
+         |      AS n_segments,
+         |    sum(num_rows)::BIGINT AS n_rows FROM fm GROUP BY sub),
+         |cap AS (SELECT sum(s)::BIGINT AS s_sum, sum(k)::BIGINT AS k_sum
+         |        FROM read_parquet('$p/capstats/*/*.parquet')),
+         |drp AS (SELECT coalesce(sum(n),0)::BIGINT AS dn
+         |        FROM read_parquet('$p/dropped/*/*.parquet'))
+         |SELECT st.sub, st.n_segments, st.n_rows, TRUE AS bytes_pos,
+         |  CASE WHEN st.sub='capstats' THEN cap.s_sum ELSE -1 END AS s_sum,
+         |  CASE WHEN st.sub='capstats' THEN cap.k_sum ELSE -1 END AS k_sum,
+         |  CASE WHEN st.sub='capstats'
+         |    THEN greatest(256, 32 * ((cap.s_sum + cap.k_sum - 1) // cap.k_sum))
+         |    ELSE -1 END AS derived_cap,
+         |  CASE WHEN st.sub='dropped' THEN drp.dn ELSE -1 END AS dropped_n_sum
+         |FROM st, cap, drp ORDER BY st.sub""".stripMargin
+    },
     // st28: the streamed SIMHASH store — (one-shot over base) ∪
     // (streamed reports, compaction interleaved at trigger 2) must
     // equal the brute-force hamming join over the replayed signatures

@@ -337,6 +337,56 @@ object SegmentStore {
     fs.delete(new Path(s"$path/.compact"), true)
   }
 
+  /** Observability over a segment store — the operational primitive
+    * that makes cap drops and compaction debt VISIBLE without
+    * spelunking directories: one row per sub-store family with its
+    * segment count (compaction debt), row and byte totals, plus the
+    * store-wide capstats sums / the CURRENT census-derived append cap
+    * on the `capstats` row and the total dropped-key census on the
+    * `dropped` row.
+    *
+    * Cost shape: one driver-side listing per sub (segment-count-
+    * bounded — the quantity this query exists to watch) and one
+    * footer-only `count()` per sub (parquet row counts come from file
+    * metadata, no column data is read). Maintenance-cadence, like the
+    * compaction it monitors. The d29 gate hash-verifies every column
+    * except `n_bytes` against a DuckDB recompute over the SAME parquet
+    * files (bytes are filesystem facts DuckDB cannot see; asserted
+    * positive in the gate instead). */
+  def storeStats(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fs = fileSystem(spark, path)
+    val subs = listSubs(fs, path)
+    val base = subs.map { sub =>
+      val subPath = new Path(s"$path/$sub")
+      val nSegs = listBatchIds(fs, subPath).length.toLong
+      val nBytes = fs.getContentSummary(subPath).getLength
+      val nRows = spark.read.parquet(subPath.toString).count()
+      (sub, nSegs, nRows, nBytes)
+    }
+    val capSums = if (subs.contains("capstats")) {
+      val r = spark.read.parquet(s"$path/capstats")
+        .agg(coalesce(sum(col("s")), lit(0L)).as("s"),
+          coalesce(sum(col("k")), lit(0L)).as("k")).head()
+      Some((r.getLong(0), r.getLong(1)))
+    } else None
+    val droppedSum = if (subs.contains("dropped"))
+      Some(spark.read.parquet(s"$path/dropped")
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0))
+    else None
+    base.toDF("sub", "n_segments", "n_rows", "n_bytes")
+      .withColumn("s_sum", when(col("sub") === "capstats",
+        capSums.map(c => lit(c._1)).getOrElse(lit(null))).cast("long"))
+      .withColumn("k_sum", when(col("sub") === "capstats",
+        capSums.map(c => lit(c._2)).getOrElse(lit(null))).cast("long"))
+      .withColumn("derived_cap", when(col("sub") === "capstats",
+        capSums.map(c => lit(graft.dedup.Census.derivedCap(c._1, c._2)))
+          .getOrElse(lit(null))).cast("long"))
+      .withColumn("dropped_n_sum", when(col("sub") === "dropped",
+        droppedSum.map(lit(_)).getOrElse(lit(null))).cast("long"))
+      .orderBy(col("sub"))
+  }
+
   /** Finish (or discard) a crashed compaction: with a COMMIT marker the
     * recorded swap is re-driven to completion; without one the
     * half-written stage is deleted and the store is untouched. Called
