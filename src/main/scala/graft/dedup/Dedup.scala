@@ -818,12 +818,14 @@ object Dedup {
     * d27 gate hash-verifies that a post-takedown store (plus later
     * appends) equals a one-shot dedup over the surviving corpus. */
   def removeFromLshIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, removeIds: DataFrame): Unit =
+      path: String, removeIds: DataFrame,
+      purgeDropped: Boolean = false): Unit =
     graft.operators.SegmentStore.removeFromSegmentStore(spark, path,
       removeIds,
       idCols = Map("meta" -> Seq("id"), "bands" -> Seq("id"),
         "pairs" -> Seq("a", "b")),
-      capstatsFrom = Some(("bands", Seq("band", "h"))))
+      capstatsFrom = Some(("bands", Seq("band", "h"))),
+      purgeDropped = purgeDropped)
 
   /** The lazy pair plan of [[appendToLshIndex]] — split out so its shape
     * is plan-testable (PlanSpec pins that the store side is never
@@ -1311,8 +1313,9 @@ object Dedup {
   /** Takedown over a [[buildSimhashIndex]] store: postings removed,
     * emitted pair reports retracted, capstats recomputed exactly. */
   def removeFromSimhashIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, removeIds: DataFrame): Unit =
-    HammingIndex.removeFromHammingIndex(spark, path, removeIds)
+      path: String, removeIds: DataFrame,
+      purgeDropped: Boolean = false): Unit =
+    HammingIndex.removeFromHammingIndex(spark, path, removeIds, purgeDropped)
 
   /** SimHash near-dup pairs: 4×16-bit band bucketing (any pair within
     * hamming distance 3 shares at least one exact 16-bit band), verified

@@ -130,11 +130,12 @@ object HammingIndex {
     * exactly — the [[graft.operators.SegmentStore]] rewrite protocol
     * (crash-safe, re-entrant). */
   def removeFromHammingIndex(spark: SparkSession, path: String,
-      removeIds: DataFrame): Unit =
+      removeIds: DataFrame, purgeDropped: Boolean = false): Unit =
     graft.operators.SegmentStore.removeFromSegmentStore(spark, path,
       removeIds,
       idCols = Map("bands" -> Seq("id"), "pairs" -> Seq("a", "b")),
-      capstatsFrom = Some(("bands", Seq("band", "h"))))
+      capstatsFrom = Some(("bands", Seq("band", "h"))),
+      purgeDropped = purgeDropped)
 
   /** The lazy pair plan of [[appendToHammingIndex]], split out so its
     * shape is plan-testable (PlanSpec pins that the store side is never

@@ -1013,11 +1013,13 @@ object Multimodal {
     * modality: fingerprint postings and pair reports naming a removed
     * clip are retracted, capstats recomputed exactly. Gate m20. */
   def removeFromAudioIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, removeIds: DataFrame): Unit =
+      path: String, removeIds: DataFrame,
+      purgeDropped: Boolean = false): Unit =
     graft.operators.SegmentStore.removeFromSegmentStore(spark, path,
       removeIds,
       idCols = Map("fps" -> Seq("id"), "pairs" -> Seq("a", "b")),
-      capstatsFrom = Some(("fps", Seq("fp"))))
+      capstatsFrom = Some(("fps", Seq("fp"))),
+      purgeDropped = purgeDropped)
 
   /** The lazy pair plan of [[appendToAudioIndex]] — split out so its
     * shape is plan-testable (PlanSpec pins that the store side is never

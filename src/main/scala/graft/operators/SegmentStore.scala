@@ -36,11 +36,16 @@ import org.apache.spark.sql.functions._
   *     before doing anything new.
   *
   * Concurrency contract: compaction is a single-writer maintenance
-  * operation. Run it from the stream's own foreachBatch (or between
-  * triggers) — the swap window is not atomic across sub-stores, so a
-  * probe racing the swap can observe a partially-folded store. What is
-  * guaranteed is that the store is exactly-equal before and after, and
-  * that a crash anywhere leaves it recoverable to exactly-equal.
+  * operation, ENFORCED (round 16) by an exclusive lease file — a
+  * second concurrent compaction/takedown fails loudly instead of
+  * clobbering the first one's stage (see [[withLease]]; stale leases
+  * from crashed writers are overridden after a TTL). Run it from the
+  * stream's own foreachBatch (or between triggers) — the swap window
+  * is not atomic across sub-stores, so a probe racing the swap can
+  * observe a partially-folded store (the lease serializes WRITERS, not
+  * readers). What is guaranteed is that the store is exactly-equal
+  * before and after, and that a crash anywhere leaves it recoverable
+  * to exactly-equal.
   *
   * Only fold segments that will never be REPLAYED: the streamed appends
   * are idempotent per `batchId` via whole-segment overwrite, and a
@@ -67,10 +72,50 @@ object SegmentStore {
     * `path` that is segment-laid-out. Re-entrant: finishes a previously
     * crashed compaction first. No-op when nothing besides `base` folds. */
   def compactSegmentStore(spark: SparkSession, path: String,
-      upTo: String): Unit = {
+      upTo: String, leaseStaleMs: Long = 3600000L): Unit = {
     val fs = fileSystem(spark, path)
-    recover(spark, path)
-    stage(spark, fs, path, upTo).foreach(swap(fs, path, _))
+    withLease(fs, path, leaseStaleMs) {
+      recover(spark, path)
+      stage(spark, fs, path, upTo).foreach(swap(fs, path, _))
+    }
+  }
+
+  /** Single-writer enforcement (round 16 — the contract used to live
+    * only in a scaladoc): maintenance ops run under an exclusive lease
+    * file `<path>/.compact.lease`, created with `overwrite = false` so
+    * a second concurrent writer fails LOUDLY instead of silently
+    * clobbering the first one's stage mid-protocol. The lease is a
+    * sibling of `.compact` (not inside it — staging deletes that dir).
+    * A writer that died without releasing leaves the lease behind; it
+    * goes STALE after `staleMs` (judged by file modification time) and
+    * the next writer overrides it — crashed-op recovery then proceeds
+    * through the normal marker protocol. On HDFS the create is atomic;
+    * on a raw local FS it is exists-then-create (a theoretical TOCTOU
+    * two real JVMs on one disk could thread — the documented residue).
+    * The probe-vs-swap read race is unchanged and stays documented: a
+    * manifest-based listing is a larger redesign. */
+  private[graft] def withLease[T](fs: FileSystem, path: String,
+      staleMs: Long)(body: => T): T = {
+    val lease = new Path(s"$path/.compact.lease")
+    if (fs.exists(lease)) {
+      val age = System.currentTimeMillis -
+        fs.getFileStatus(lease).getModificationTime
+      if (age > staleMs) fs.delete(lease, false)
+    }
+    try {
+      val out = fs.create(lease, false)
+      out.write(s"${System.currentTimeMillis}\n".getBytes("UTF-8"))
+      out.close()
+    } catch {
+      case e: java.io.IOException =>
+        if (fs.exists(lease)) throw new IllegalStateException(
+          s"another maintenance op holds the lease on $path " +
+            s"($lease): compaction/takedown are single-writer. If that " +
+            s"writer crashed, the lease goes stale after ${staleMs} ms " +
+            "and the next call recovers it.", e)
+        else throw e
+    }
+    try body finally fs.delete(lease, false)
   }
 
   /** Natural (digit-run-aware) `a ≤ b`: the segment ids of streamed
@@ -179,27 +224,46 @@ object SegmentStore {
     * segments (s = rows, k = distinct keyCols), so census-derived caps
     * stay truthful after mass removals instead of drifting stale.
     *
-    * NOT touched: `dropped/` segments — they are append-TIME
-    * observability logs (what a historical trigger declined to pair),
-    * not current state. Pair REPORTS already emitted for removed docs
-    * ARE retracted (the pairs sub-store lists both endpoint columns),
-    * so a post-takedown probe over the store equals a one-shot over
-    * the surviving corpus — the d27/m20/a13 gates hash-verify exactly
-    * that. Same single-writer contract as compaction. */
+    * `dropped/` segments are NOT touched by default — they are
+    * append-TIME observability logs (what a historical trigger declined
+    * to pair), not current state, and they carry no doc ids. They DO
+    * carry content-derived aggregate keys (minhash band values,
+    * perceptual fingerprints) with counts; a strict right-to-be-
+    * forgotten deployment that classifies those as derived personal
+    * data can pass `purgeDropped = true`: the removed docs' keys are
+    * read from the PRE-rewrite `capstatsFrom` postings sub and every
+    * dropped-census row matching one is rewritten away — conservative
+    * over-purge (a key shared between a removed doc and survivors is
+    * purged too, trading a little observability for the privacy-safe
+    * direction). Pair REPORTS already emitted for removed docs ARE
+    * always retracted (the pairs sub-store lists both endpoint
+    * columns), so a post-takedown probe over the store equals a
+    * one-shot over the surviving corpus — the d27/m20/a13 gates
+    * hash-verify exactly that. Same single-writer contract as
+    * compaction. */
   def removeFromSegmentStore(spark: SparkSession, path: String,
       removeIds: org.apache.spark.sql.DataFrame,
       idCols: Map[String, Seq[String]],
-      capstatsFrom: Option[(String, Seq[String])] = None): Unit = {
+      capstatsFrom: Option[(String, Seq[String])] = None,
+      leaseStaleMs: Long = 3600000L,
+      purgeDropped: Boolean = false): Unit = {
     val fs = fileSystem(spark, path)
-    recover(spark, path)
-    stageRemove(spark, fs, path, removeIds, idCols, capstatsFrom)
-      .foreach(swap(fs, path, _))
+    withLease(fs, path, leaseStaleMs) {
+      recover(spark, path)
+      stageRemove(spark, fs, path, removeIds, idCols, capstatsFrom,
+          purgeDropped)
+        .foreach(swap(fs, path, _))
+    }
   }
 
   private[graft] def stageRemove(spark: SparkSession, fs: FileSystem,
       path: String, removeIds: org.apache.spark.sql.DataFrame,
       idCols: Map[String, Seq[String]],
-      capstatsFrom: Option[(String, Seq[String])]): Option[Plan] = {
+      capstatsFrom: Option[(String, Seq[String])],
+      purgeDropped: Boolean = false): Option[Plan] = {
+    require(!purgeDropped || capstatsFrom.isDefined,
+      "purgeDropped needs capstatsFrom: the removed keys are read from " +
+        "its postings sub and matched on its key columns")
     capstatsFrom.foreach { case (src, _) =>
       require(idCols.contains(src),
         s"capstatsFrom source '$src' must be one of the rewritten subs") }
@@ -261,9 +325,30 @@ object SegmentStore {
         }
       "capstats" -> prevIds
     }
+    // optional dropped-census purge: rows whose content-derived key
+    // (band hash / fingerprint) was contributed by a removed doc are
+    // rewritten away — keys read from the PRE-rewrite postings sub, so
+    // the match is exact even though dropped rows carry no doc ids
+    val droppedEntry = capstatsFrom.collect {
+      case (src, keyCols)
+          if purgeDropped && listSubs(fs, path).contains("dropped") =>
+        val removedKeys = spark.read.parquet(s"$path/$src")
+          .join(ids, col(idCols(src).head) === ids("__rid"), "left_semi")
+          .select(keyCols.map(col): _*).distinct()
+        val prevIds = listBatchIds(fs, new Path(s"$path/dropped"))
+        val df = spark.read.parquet(s"$path/dropped")
+          .join(removedKeys, keyCols, "left_anti")
+        df.write.mode("overwrite").partitionBy("batch")
+          .parquet(s"$stageRoot/dropped")
+        val stagedIds = listBatchIds(fs, new Path(s"$stageRoot/dropped"))
+        if (stagedIds.isEmpty)
+          df.drop("batch").limit(0).coalesce(1).write.mode("overwrite")
+            .parquet(s"$stageRoot/dropped/batch=${prevIds.head}")
+        "dropped" -> prevIds
+    }
     // capstats segments whose source batch vanished get no staged row —
     // they too must be recorded as emptied (unconditional delete)
-    val capEmptied = capEntry.toSeq.flatMap { case (sub, prevIds) =>
+    val capEmptied = (capEntry.toSeq ++ droppedEntry.toSeq).flatMap { case (sub, prevIds) =>
       val stagedSub = new Path(s"$stageRoot/$sub")
       val stagedIds =
         if (fs.exists(stagedSub)) listBatchIds(fs, stagedSub)
@@ -271,7 +356,7 @@ object SegmentStore {
       val gone = prevIds.filterNot(stagedIds.contains)
       if (gone.nonEmpty) Seq(sub -> gone) else Seq.empty
     }.toMap
-    val plan = Plan("rewrite", entries ++ capEntry.toSeq,
+    val plan = Plan("rewrite", entries ++ capEntry.toSeq ++ droppedEntry.toSeq,
       emptied ++ capEmptied)
     val out = fs.create(new Path(s"$path/.compact/COMMIT"), true)
     out.write((s"mode\trewrite\n" + plan.subs.map { case (sub, segIds) =>

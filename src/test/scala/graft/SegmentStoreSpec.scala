@@ -308,6 +308,98 @@ class SegmentStoreSpec extends AnyFunSuite with CacheHygiene {
       "capstats must be recomputed fresh over the rewritten segments")
   }
 
+  test("purgeDropped: removed docs' content-derived keys leave the dropped census; others stay") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // two distinct boilerplate clone groups -> two hot buckets in the
+    // dropped census; the takedown removes group A's docs only
+    def clones(txt: String, ids: Range) =
+      ids.map(i => (i.toLong, txt)).toDF("doc_id", "text")
+    val aTxt = "alpha banner text repeated verbatim across the whole crawl " +
+      "with zero variation whatsoever in any single copy of it"
+    val bTxt = "beta footer disclaimer stamped identically onto every page " +
+      "of the archive without one character of difference anywhere"
+    val dir = "target/qtmp/segstore_purgedropped"
+    rm(dir)
+    val base = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(clones(aTxt, 100000 until 100040))
+      .unionByName(clones(bTxt, 200000 until 200040))
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(clones(aTxt, 100040 until 100045))
+      .unionByName(clones(bTxt, 200040 until 200045))
+    Dedup.buildLshIndex(base, "doc_id", "text", dir)
+    Dedup.appendToLshIndex(spark, dir, b1, "doc_id", "text", "b1",
+      threshold = 0.8, maxBucket = 16L)
+    def keysOf(lo: Long): Set[(Int, Long)] = spark.read.parquet(s"$dir/bands")
+      .filter(col("id") >= lo && col("id") < lo + 100000L)
+      .select(col("band"), col("h")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val (aKeys, bKeys) = (keysOf(100000L), keysOf(200000L))
+    def droppedKeys: Set[(Int, Long)] = spark.read.parquet(s"$dir/dropped")
+      .select(col("band"), col("h")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert((droppedKeys & aKeys).nonEmpty && (droppedKeys & bKeys).nonEmpty,
+      "fixture must census-drop both clone groups")
+    val removed = (100000L until 100045L).toDF("doc_id")
+    Dedup.removeFromLshIndex(spark, dir, removed, purgeDropped = true)
+    assert((droppedKeys & aKeys).isEmpty,
+      "purgeDropped left the removed group's fingerprint keys in dropped/")
+    assert((droppedKeys & bKeys).nonEmpty,
+      "purgeDropped must not purge keys the removed docs never produced")
+    // default retention: a second takedown WITHOUT the flag keeps B's keys
+    Dedup.removeFromLshIndex(spark, dir, Seq(200000L).toDF("doc_id"))
+    assert((droppedKeys & bKeys).nonEmpty)
+  }
+
+  test("single-writer lease: a held lease fails the second writer loudly; stale leases recover") {
+    val dir = "target/qtmp/segstore_lease"
+    mkStore(dir)
+    val before = readIds(dir, "vecs")
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/.compact.lease")
+    // a live writer holds the lease -> the op must error, store untouched
+    val out = fs.create(lease, false); out.write('x'); out.close()
+    val e = intercept[IllegalStateException] {
+      SegmentStore.compactSegmentStore(spark, dir, upTo = "b2")
+    }
+    assert(e.getMessage.contains("single-writer"))
+    assert(batchDirs(dir, "vecs").size == 4, "loser touched the store")
+    assert(readIds(dir, "vecs") == before)
+    // the same lease gone STALE (older than the TTL) is overridden and
+    // the op proceeds — crashed writers cannot wedge the store forever
+    new java.io.File(s"$dir/.compact.lease")
+      .setLastModified(System.currentTimeMillis - 10000L)
+    SegmentStore.compactSegmentStore(spark, dir, upTo = "b2",
+      leaseStaleMs = 5000L)
+    assert(batchDirs(dir, "vecs") == Set("batch=base", "batch=b10"))
+    assert(readIds(dir, "vecs") == before)
+    assert(!fs.exists(lease), "winner must release the lease")
+  }
+
+  test("two concurrent compactions: at most one wins, the store stays exactly-equal") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = "target/qtmp/segstore_race"
+    mkStore(dir)
+    val before = readIds(dir, "vecs")
+    val attempts = Seq(
+      Future(try { SegmentStore.compactSegmentStore(spark, dir, "b2"); "ok" }
+        catch { case _: IllegalStateException => "lost" }),
+      Future(try { SegmentStore.compactSegmentStore(spark, dir, "b2"); "ok" }
+        catch { case _: IllegalStateException => "lost" }))
+    val outcomes = attempts.map(Await.result(_, 120.seconds))
+    // overlap ⇒ exactly one loses on the lease; full serialization ⇒
+    // both succeed (the second is a no-op fold) — either way the store
+    // is exactly the single-compaction result
+    assert(outcomes.count(_ == "ok") >= 1 && outcomes.count(_ == "lost") <= 1,
+      s"unexpected outcomes: $outcomes")
+    assert(batchDirs(dir, "vecs") == Set("batch=base", "batch=b10"))
+    assert(readIds(dir, "vecs") == before,
+      "racing compactions corrupted the store")
+    assert(readIds(dir, "pairs") == Set(1L, 3L))
+  }
+
   test("naturalLeq: digit runs compare numerically") {
     assert(SegmentStore.naturalLeq("b2", "b10"))
     assert(!SegmentStore.naturalLeq("b10", "b2"))
