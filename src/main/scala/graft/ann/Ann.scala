@@ -534,13 +534,19 @@ object Ann {
     * shuffled), and the write overwrites the batch's own segment
     * (idempotent on `batchId`). */
   def appendToIvfStore(emb: DataFrame, idCol: String, vecCol: String,
-      path: String, cents: Array[Array[Float]], batchId: String): Unit = {
+      path: String, cents: Array[Array[Float]], batchId: String,
+      compactEvery: Int = 0): Unit = {
     require(batchId.matches("[A-Za-z0-9_-]+") && batchId != "base",
       s"batchId must be a fresh [A-Za-z0-9_-]+ segment name, got '$batchId'")
     val withVec = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     assignCells(withVec, cents)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/vecs/batch=$batchId")
+    // auto-compaction AFTER this batch's segment is durable: folds
+    // strictly below the live batch (the st26 watermark contract)
+    if (compactEvery > 0)
+      graft.operators.SegmentStore.autoCompact(emb.sparkSession, path,
+        "vecs", batchId, compactEvery)
   }
 
   /** Right-to-be-forgotten over a [[buildIvfStore]] store: removed

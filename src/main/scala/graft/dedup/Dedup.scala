@@ -756,7 +756,8 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String, batchId: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Long = -1L,
-      broadcastMaxBatchRows: Long = 4000000L): DataFrame = {
+      broadcastMaxBatchRows: Long = 4000000L,
+      compactEvery: Int = 0): DataFrame = {
     require(batchId.matches("[A-Za-z0-9_-]+") && batchId != "base",
       s"batchId must be a fresh [A-Za-z0-9_-]+ segment name, got '$batchId'")
     require(maxBucket >= -1L, s"maxBucket must be -1, 0 or positive, got $maxBucket")
@@ -804,6 +805,11 @@ object Dedup {
     newBanded.write.mode("overwrite").parquet(s"$path/bands/batch=$batchId")
     Census.writeCapStats(spark, path, batchId, bRows, bKeys)
     newMeta.unpersist(); newBanded.unpersist()
+    // auto-compaction AFTER this batch's segments are durable: folds
+    // strictly below the live batch (the st26 watermark contract)
+    if (compactEvery > 0)
+      graft.operators.SegmentStore.autoCompact(spark, path, "bands",
+        batchId, compactEvery)
     spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
   }
 

@@ -92,7 +92,8 @@ object HammingIndex {
   def appendToHammingIndex(spark: SparkSession, path: String,
       newSigs: DataFrame, batchId: String, maxHamming: Int = 3,
       bands: Int = 4, maxBucket: Long = -1L,
-      broadcastMaxBatchRows: Long = 4000000L): DataFrame = {
+      broadcastMaxBatchRows: Long = 4000000L,
+      compactEvery: Int = 0): DataFrame = {
     require(batchId.matches("[A-Za-z0-9_-]+") && batchId != "base",
       s"batchId must be a fresh [A-Za-z0-9_-]+ segment name, got '$batchId'")
     require(maxBucket >= -1L,
@@ -122,6 +123,9 @@ object HammingIndex {
     newBanded.write.mode("overwrite").parquet(s"$path/bands/batch=$batchId")
     Census.writeCapStats(spark, path, batchId, bRows, bKeys)
     newBanded.unpersist()
+    if (compactEvery > 0)
+      graft.operators.SegmentStore.autoCompact(spark, path, "bands",
+        batchId, compactEvery)
     spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
   }
 

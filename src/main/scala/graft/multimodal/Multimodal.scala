@@ -967,7 +967,8 @@ object Multimodal {
       path: String, newMedia: DataFrame, batchId: String,
       windowLen: Int = 1024, hop: Int = 0, minShared: Int = 1,
       maxClipsPerFingerprint: Long = -1L,
-      broadcastMaxBatchRows: Long = 4000000L): DataFrame = {
+      broadcastMaxBatchRows: Long = 4000000L,
+      compactEvery: Int = 0): DataFrame = {
     require(batchId.matches("[A-Za-z0-9_-]+") && batchId != "base",
       s"batchId must be a fresh [A-Za-z0-9_-]+ segment name, got '$batchId'")
     require(minShared >= 1, s"minShared=$minShared")
@@ -1005,6 +1006,11 @@ object Multimodal {
     newFps.write.mode("overwrite").parquet(s"$path/fps/batch=$batchId")
     graft.dedup.Census.writeCapStats(spark, path, batchId, bRows, bKeys)
     newFps.unpersist()
+    // auto-compaction AFTER this batch's segments are durable: folds
+    // strictly below the live batch (the st26 watermark contract)
+    if (compactEvery > 0)
+      graft.operators.SegmentStore.autoCompact(spark, path, "fps",
+        batchId, compactEvery)
     spark.read.parquet(s"$path/pairs/batch=$batchId").drop("batch")
   }
 

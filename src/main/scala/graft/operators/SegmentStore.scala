@@ -422,6 +422,33 @@ object SegmentStore {
     fs.delete(new Path(s"$path/.compact"), true)
   }
 
+  /** Auto-compaction policy for the streamed appends (round 16 — st26
+    * proved the interleaved fold; production wants it DEFAULT-able):
+    * when `dataSub` holds more than `maxSegments` `batch=` dirs, fold
+    * everything up to the naturally-LARGEST segment id that is neither
+    * `base` nor `excludeBatch` (the trigger's own batch — not yet
+    * durable: Structured Streaming may replay it under the same id,
+    * and a folded batch has no segment left to overwrite; every EARLIER
+    * micro-batch has committed its epoch, so folding it is safe — the
+    * st26 watermark contract). Called from inside the appends AFTER
+    * their own segments are durable; monotone batch ids (the streaming
+    * shape) are assumed — an out-of-order manual id newer than the
+    * current trigger would be folded with the rest. */
+  def autoCompact(spark: SparkSession, path: String, dataSub: String,
+      excludeBatch: String, maxSegments: Int): Unit = {
+    require(maxSegments >= 2,
+      s"compactEvery must leave room for base + the live batch, got $maxSegments")
+    val fs = fileSystem(spark, path)
+    val sub = new Path(s"$path/$dataSub")
+    if (!fs.exists(sub)) return
+    val ids = listBatchIds(fs, sub)
+    if (ids.length <= maxSegments) return
+    val prior = ids.filterNot(id => id == "base" || id == excludeBatch)
+    if (prior.nonEmpty)
+      compactSegmentStore(spark, path,
+        prior.reduce((a, b) => if (naturalLeq(a, b)) b else a))
+  }
+
   /** Observability over a segment store — the operational primitive
     * that makes cap drops and compaction debt VISIBLE without
     * spelunking directories: one row per sub-store family with its

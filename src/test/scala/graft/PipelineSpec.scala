@@ -1264,6 +1264,44 @@ class PipelineSpec extends AnyFunSuite with CacheHygiene {
     assert(oneShot.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("compactEvery: segment count stays bounded over 3N triggers, results unchanged") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = "target/qtmp/lsh_autocompact_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(dir))
+    val n = 3 // compactEvery; 9 appends = 3N triggers
+    Dedup.buildLshIndex(docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", dir)
+    def segCount: Int = new java.io.File(s"$dir/bands")
+      .listFiles().count(_.getName.startsWith("batch="))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    var pairs = pairSet(Dedup.minhashLshPairs(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", threshold = 0.8))
+    var maxSegs = segCount
+    (1 until 10).foreach { i =>
+      pairs ++= pairSet(Dedup.appendToLshIndex(spark, dir,
+        docs.filter(col("doc_id") % 10 === i), "doc_id", "text", s"b$i",
+        threshold = 0.8, compactEvery = n))
+      maxSegs = math.max(maxSegs, segCount)
+    }
+    // the fold runs whenever the count exceeds N and folds everything
+    // below the live batch, so the count never exceeds N+1 and always
+    // returns to 2 (base + live) after a fold — bounded forever
+    assert(maxSegs <= n + 1,
+      s"auto-compaction let the store grow to $maxSegs segments")
+    assert(segCount <= 2, s"final store not folded: $segCount segments")
+    val oneShot = pairSet(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8))
+    assert(pairs == oneShot,
+      s"auto-compaction changed results: extra=${pairs -- oneShot} " +
+        s"missing=${oneShot -- pairs}")
+  }
+
   test("incremental SimHash index: build + two appends equals one-shot pairs") {
     import graft.dedup.Dedup
     val d = "/root/testdata/sf0.001"
