@@ -241,7 +241,19 @@ object ClusterMirror {
     //        FileSourceScans (no earlier row reads a compacted store
     //        across executor JVMs), composed with the frozen-centroid
     //        literal plan st23 pins
-    "st24_compact_ivf_probe")
+    "st24_compact_ivf_probe",
+    // round-16 risk class:
+    //  st27: TAKEDOWN interleaved with live streamed ingest on real
+    //        JVMs — the rewrite-swap renames and the anti-join
+    //        retraction had never crossed executor boundaries: the
+    //        driver-side FS protocol (stage → COMMIT → per-segment
+    //        delete-then-rename under the new lease) interleaves with
+    //        REMOTE-executor reads of the store being swapped (later
+    //        triggers' appends scan the cleansed store from worker
+    //        JVMs, and the removal anti-joins themselves execute
+    //        remotely) — exactly the driver-FS-vs-remote-reader race
+    //        class the mirror exists for
+    "st27_stream_lsh_takedown")
 
   /** Collect a query's result as row-strings, order-normalized. */
   private def snapshot(spark: SparkSession, name: String, sfDir: String): Seq[String] = {
