@@ -1205,7 +1205,16 @@ object CoreQueries {
     * shuffle, no window. Result-identical to [[q21SemiAnti]] (shared
     * oracle); wins through sf1 and trails at sf10 (BASELINE.md). */
   def q21AggRewrite(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // ONE fact exchange for both aggregate levels (guide §2.4): hash
+    // partitioning on l_orderkey alone satisfies the (orderkey, suppkey)
+    // grouping AND the per-order rollup, so the explicit repartition
+    // replaces the previous two back-to-back fact shuffles (partial agg
+    // on the near-unique (orderkey, suppkey) key reduced ~nothing, so the
+    // second shuffle moved the same rows again). No explicit partition
+    // count: AQE sizes/coalesces it, so the plan stays scale-adaptive.
     val perOrd = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(count(when(col("l_returnflag") === "R", 1)).as("n_fault_rows"))
       .groupBy(col("l_orderkey"))

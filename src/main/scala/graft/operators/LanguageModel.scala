@@ -141,8 +141,14 @@ object LanguageModel {
     val toks = df.select(explode(split(col(textCol), " ")).as("tok0"))
     val cu = toks.select(key(col("tok0")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    val nv = toks
-      .agg(count(lit(1)).as("n_tok"), countDistinct(key(col("tok0"))).as("v"))
+    // N and V derive from the unigram count table — sum(cu) ≡ token
+    // count, count(*) over cu ≡ countDistinct over the token stream — so
+    // the one-row scalar frame costs a vocabulary-sized aggregate instead
+    // of the corpus-sized Expand the combined count+countDistinct
+    // aggregate planned (and AQE reuses cu's exchange stage for the
+    // scoring join, so the token stream is scanned once, not three times)
+    val nv = cu.agg(coalesce(sum(col("cu")), lit(0L)).as("n_tok"),
+      count(lit(1)).as("v"))
     val p3 = (col("c3") + lit(1.0)) / (col("ch3") + col("v"))
     val p2 = (col("cb") + lit(1.0)) / (col("chb") + col("v"))
     val p1 = (col("cu") + lit(1.0)) / (col("n_tok") + col("v"))
