@@ -169,6 +169,12 @@ object Dedup {
           .filter(col("df") > maxGramDf).select("g")
         inv0.join(hot, Seq("g"), "left_anti")
       } else inv0
+    // pair generation stays the inverted-index self-join: a gram-keyed
+    // collect_list + combination-explode rewrite was A/B-measured at
+    // parity on min and WORSE on median (r16: 2.98→3.03 min, 3.22→3.40
+    // med) — the self-join's exchange is reused across both sides and
+    // the merge streams, where the array form pays object aggregation
+    // + per-gram pair-array construction. Left as-is deliberately.
     inv.select(col("g"), col("doc_id").as("a"))
       .join(inv.select(col("g"), col("doc_id").as("b")), "g")
       .filter(col("a") < col("b"))
@@ -613,9 +619,21 @@ object Dedup {
       .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
     val grams = if (hashGrams) grams0.withColumn("gram", xxhash64(col("gram")))
       else grams0
-    val dupGrams = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minOccurrences).select(col("gram"))
-    val dup = grams.join(dupGrams, Seq("gram"), "left_semi")
+    // duplicated positions via ONE gram-partitioned window count instead
+    // of the former count-aggregate + semi-join: the aggregate's build
+    // side recomputed the whole corpus-scan → window-generation subtree
+    // (gram generation alone measured 0.55 s of d12's 1.6 s at sf0.1 —
+    // two of the three corpus passes were this), where the window form
+    // generates grams ONCE and shuffles the narrow (id, pos, gram) rows
+    // a single time. At 100 TB the trade is one full corpus
+    // scan+split+hash pass saved against a per-partition sort of 20-byte
+    // rows; a degenerate hot gram buffers one group in WindowExec
+    // (spillable ExternalAppendOnlyUnsafeRowArray), the same rows the
+    // old semi-join streamed — acceptable, and the id-window that
+    // follows had the same property already.
+    val wG = Window.partitionBy(col("gram"))
+    val dup = grams.withColumn("__c", count(lit(1)).over(wG))
+      .filter(col("__c") >= minOccurrences).drop("__c")
     val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
     // new island unless this window overlaps or exactly abuts the
     // previous one (distance <= k); first row's lag is null -> island

@@ -42,6 +42,90 @@ object AbMisc {
         graft.operators.CoreQueries.q21AggRewrite(spark, sf)
     }
 
+    if (which("c03")) {
+      import org.apache.spark.sql.expressions.Window
+      arms("old_c03") = () => {
+        val ev = Tables.events(spark, sf)
+        val smoothed = graft.operators.Analytics.ewmaWindowed(ev, Seq("user_id"),
+          Seq("ts", "event_id"), "value", alpha = 0.3, win = 20,
+          quantized = true)
+        val wAll = Window.partitionBy(col("user_id"))
+        val wLast = wAll.orderBy(col("ts").desc, col("event_id").desc)
+        smoothed
+          .withColumn("n_events", count(lit(1)).over(wAll))
+          .withColumn("_rk", row_number().over(wLast))
+          .filter(col("_rk") === 1)
+          .select(col("user_id"), col("n_events"), col("ewma"))
+          .orderBy(col("user_id"))
+      }
+      arms("new_c03") = () =>
+        graft.SparkEntry.queries("c03_ewma")(spark, sf)
+    }
+
+    if (which("d12")) {
+      import org.apache.spark.sql.expressions.Window
+      // OLD duplicateSpans: count-aggregate + semi-join (two gram gens)
+      def oldSpans(hash: Boolean): DataFrame = {
+        val k = 8
+        val docs = Tables.documents(spark, sf)
+        val toks = docs.select(col("doc_id").as("id"), split(col("text"), " ").as("t"))
+        val grams0 = toks.select(col("id"),
+          explode(when(size(col("t")) >= k,
+            transform(sequence(lit(0), size(col("t")) - k),
+              i => struct(i.as("pos"),
+                concat_ws(" ", slice(col("t"), i + 1, lit(k))).as("gram"))))
+            .otherwise(array())).as("pg"))
+          .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+        val grams = if (hash) grams0.withColumn("gram", xxhash64(col("gram")))
+          else grams0
+        val dupGrams = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("gram"))
+        val dup = grams.join(dupGrams, Seq("gram"), "left_semi")
+        val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
+        val islands = dup
+          .withColumn("ni",
+            when(col("pos") - lag(col("pos"), 1).over(wOrd) <= k, 0L).otherwise(1L))
+          .withColumn("isl", sum(col("ni")).over(wOrd))
+        islands.groupBy(col("id"), col("isl"))
+          .agg(min(col("pos")).cast("long").as("span_start"),
+            (max(col("pos")) + k - 1).cast("long").as("span_end"))
+          .select(col("id").as("doc_id"), col("span_start"), col("span_end"))
+          .orderBy(col("doc_id"), col("span_start"))
+      }
+      arms("old_d12") = () => oldSpans(true)
+      arms("new_d12") = () => graft.SparkEntry.queries("d12_dup_spans")(spark, sf)
+      arms("new_d18") = () => graft.SparkEntry.queries("d18_span_removal")(spark, sf)
+    }
+
+    if (which("d21")) {
+      // OLD containment pairs: inverted-index self-join
+      arms("old_d21") = () => {
+        val docs = Tables.documents(spark, sf)
+        val sh = docs.select(col("doc_id"),
+          graft.dedup.Dedup.wordShingles(col("text"), 3).as("sh"))
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+          .filter(col("sz") > 0)
+        val expl = sh.select(col("doc_id"), explode(col("sh")).as("g0"))
+        val inv0 = expl.select(col("doc_id"), xxhash64(col("g0")).as("g"))
+        val hot = inv0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > 50).select("g")
+        val inv = inv0.join(hot, Seq("g"), "left_anti")
+        inv.select(col("g"), col("doc_id").as("a"))
+          .join(inv.select(col("g"), col("doc_id").as("b")), "g")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("n_a")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("n_b")), "b")
+          .withColumn("containment",
+            col("common").cast("double") / least(col("n_a"), col("n_b")))
+          .filter(col("containment") >= 0.5)
+          .select(col("a"), col("b"), col("common"),
+            round(col("containment"), 4).as("containment"))
+          .orderBy(col("containment").desc, col("a"), col("b"))
+      }
+      arms("new_d21") = () => graft.SparkEntry.queries("d21_containment")(spark, sf)
+    }
+
     def run(df: DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()

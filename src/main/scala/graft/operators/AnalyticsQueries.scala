@@ -17,20 +17,18 @@ object AnalyticsQueries {
     // -- Windowed EWMA per user (α=0.3, 20-row window), final value -------
     // Quantized mode: weighted terms snapped to 1e-6 and summed as BIGINT
     // micro-units, so the sum is order-independent and engine-replayable.
-    "c03_ewma" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val smoothed = Analytics.ewmaWindowed(ev, Seq("user_id"),
-        Seq("ts", "event_id"), "value", alpha = 0.3, win = 20,
-        quantized = true)
-      val wAll = Window.partitionBy(col("user_id"))
-      val wLast = wAll.orderBy(col("ts").desc, col("event_id").desc)
-      smoothed
-        .withColumn("n_events", count(lit(1)).over(wAll))
-        .withColumn("_rk", row_number().over(wLast))
-        .filter(col("_rk") === 1)
+    // ewmaLast: the keep-last-row query shape computes the EWMA once per
+    // user over the trailing 20 rows instead of once per EVENT (the
+    // former ewmaWindowed + count + row_number composition ran the
+    // O(win) weighted aggregate on every row and threw all but one
+    // away); result-identical (spec-pinned + same oracle), same single
+    // user-keyed exchange.
+    "c03_ewma" -> ((s, d) =>
+      Analytics.ewmaLast(Tables.events(s, d), Seq("user_id"),
+          Seq("ts", "event_id"), "value", alpha = 0.3, win = 20,
+          quantized = true)
         .select(col("user_id"), col("n_events"), col("ewma"))
-        .orderBy(col("user_id"))
-    }),
+        .orderBy(col("user_id"))),
 
     // -- Calendar gap-fill: per-user day grid, forward-filled daily cents --
     // Integer cents make every aggregate exact; the grid is generated

@@ -50,6 +50,45 @@ class AnalyticsSpec extends AnyFunSuite with CacheHygiene {
     }
   }
 
+  test("ewmaLast == ewmaWindowed + count + keep-last (both modes, nulls, short keys)") {
+    import org.apache.spark.sql.expressions.Window
+    // keys with > win rows, == win rows, < win rows, null values inside
+    // and outside the trailing window, and an all-null-tail key
+    val rows = (1 to 60).map { i =>
+      val k = i % 4L
+      val v: java.lang.Double =
+        if (i % 7 == 0) null else java.lang.Double.valueOf((i * 31 % 97) / 9.0)
+      (k, i, v)
+    } ++ Seq((9L, 1, null: java.lang.Double), (9L, 2, null: java.lang.Double))
+    val df = rows.toDF("k", "seq", "x")
+    for (quant <- Seq(false, true)) {
+      val oldForm = {
+        val smoothed = Analytics.ewmaWindowed(df, Seq("k"), Seq("seq"), "x",
+          alpha = 0.3, win = 5, quantized = quant)
+        val wAll = Window.partitionBy(col("k"))
+        val wLast = wAll.orderBy(col("seq").desc)
+        smoothed
+          .withColumn("n_events", count(lit(1)).over(wAll))
+          .withColumn("_rk", row_number().over(wLast))
+          .filter(col("_rk") === 1)
+          .select(col("k"), col("n_events"), col("ewma"))
+      }
+      val newForm = Analytics.ewmaLast(df, Seq("k"), Seq("seq"), "x",
+        alpha = 0.3, win = 5, quantized = quant)
+      val o = oldForm.orderBy("k").collect().toSeq
+      val n = newForm.select("k", "n_events", "ewma").orderBy("k").collect().toSeq
+      assert(o == n, s"quant=$quant\nold=$o\nnew=$n")
+    }
+  }
+
+  test("ewmaLast: partition-count invariant") {
+    val df = (1 to 100).map(i => (i % 3L, i, i * 1.7)).toDF("k", "seq", "x")
+    def run(parts: Int) = Analytics.ewmaLast(df.repartition(parts),
+        Seq("k"), Seq("seq"), "x", 0.3, quantized = true)
+      .orderBy("k").select("ewma").as[Double].collect().toSeq
+    assert(run(1) == run(7))
+  }
+
   test("ewmaWindowed: partition-count invariant") {
     val df = (1 to 100).map(i => (i % 3L, i, i * 1.7)).toDF("k", "seq", "x")
     def run(parts: Int) = Analytics.ewmaWindowed(df.repartition(parts),
