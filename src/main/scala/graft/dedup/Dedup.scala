@@ -566,8 +566,18 @@ object Dedup {
     val confirmed =
       if (useBroadcast) pruned.join(broadcast(grams), "h8")
       else pruned.join(grams.hint("shuffle_hash"), "h8")
+    // count, not countDistinct: (corpusId, h8) is distinct by
+    // construction — wordShingles emits each doc's DISTINCT grams, and
+    // the benchmark set is .distinct(), so the equi-join yields at most
+    // one row per (doc, gram). countDistinct planned a second corpus-row
+    // aggregate level (partial-distinct + exchange + merge) to dedup
+    // rows that were already unique; count rides one map-side-combined
+    // aggregate. (Under a real 64-bit gram collision count is also the
+    // MORE faithful replay of the string-count oracle — countDistinct
+    // would merge the colliding pair.) Requires corpusId to be unique
+    // per document, which the operator already assumes.
     val out = confirmed.groupBy(col(corpusId))
-      .agg(countDistinct(col("h8")).as("n_overlap"))
+      .agg(count(lit(1)).as("n_overlap"))
     (out, new CacheHandle(Seq(grams)))
   }
 

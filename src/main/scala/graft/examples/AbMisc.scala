@@ -126,6 +126,68 @@ object AbMisc {
       arms("new_d21") = () => graft.SparkEntry.queries("d21_containment")(spark, sf)
     }
 
+    if (which("d24")) {
+      import graft.dedup.Dedup
+      // OLD d24 final agg: countDistinct over already-unique (id, h8)
+      arms("old_d24") = () => {
+        val docs = Tables.documents(spark, sf)
+        val bench = docs.filter(col("doc_id") % 2 === 0)
+          .select(explode(Dedup.wordShingles(col("text"), 8)).as("g"))
+          .select(xxhash64(col("g")).as("h8")).distinct().persist()
+        val measured = bench.agg(count(lit(1)),
+          graft.functions.BloomFunctions.bloomAgg(col("h8"),
+            math.max((1L << 21) / 16L, 1L), 1L << 21).as("bf")).head()
+        val bloom = measured.getAs[Array[Byte]](1)
+        val pruned = docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 8)).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("h8"))
+          .filter(graft.functions.BloomFunctions.mightContain(bloom, col("h8")))
+        pruned.join(bench.hint("shuffle_hash"), "h8")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("h8")).as("n_overlap"))
+          .orderBy(col("doc_id"))
+      }
+      arms("new_d24") = () =>
+        graft.SparkEntry.queries("d24_bloom_shuffle_confirm")(spark, sf)
+      arms("new_d09") = () =>
+        graft.SparkEntry.queries("d09_bloom_decontaminate")(spark, sf)
+      arms("new_d07") = () =>
+        graft.SparkEntry.queries("d07_contamination")(spark, sf)
+    }
+
+    if (which("t31")) {
+      import graft.functions.TextFunctions
+      def staged: DataFrame = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          graft.operators.PipelineQueries.stagedHtml.as("html"))
+      arms("t31_staged_only") = () =>
+        staged.select(col("doc_id"), length(col("html")).as("n"))
+      arms("t31_extract") = () =>
+        staged.select(col("doc_id"),
+          length(TextFunctions.htmlExtract(col("html"))).as("n"))
+      arms("t31_full") = () =>
+        graft.SparkEntry.queries("t31_html_extract")(spark, sf)
+      def extracted: DataFrame = staged
+        .select(col("doc_id"), TextFunctions.htmlExtract(col("html")).as("content"))
+      arms("t31_md5_only") = () =>
+        extracted.select(col("doc_id"), md5(col("content")).as("d"))
+      arms("t31_nkept_only") = () =>
+        extracted.select(col("doc_id"),
+          when(col("content") === "", lit(0L))
+            .otherwise(size(split(col("content"), "\n")).cast("long")).as("n"))
+      arms("t31_all_noorder") = () =>
+        extracted.select(col("doc_id"),
+          when(col("content") === "", lit(0L))
+            .otherwise(size(split(col("content"), "\n")).cast("long")).as("n_kept"),
+          length(col("content")).cast("long").as("content_len"),
+          md5(col("content")).as("content_digest"))
+      def t31out: DataFrame = arms("t31_all_noorder")()
+      arms("t31_ckpt_order") = () =>
+        t31out.localCheckpoint(eager = false).orderBy(col("doc_id"))
+      arms("t31_repart_order") = () =>
+        t31out.repartition(col("doc_id")).orderBy(col("doc_id"))
+    }
+
     def run(df: DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()

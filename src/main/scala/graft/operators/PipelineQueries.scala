@@ -532,7 +532,8 @@ object PipelineQueries {
           col("pii.n_ip").cast("long").as("n_ip"),
           col("pii.n_digit9").cast("long").as("n_digit9"),
           col("scrub_digest"))
-        .orderBy(col("doc_id"))
+        // orderByStaged: narrow PII regex battery under a global sort
+        .transform(SortStage.orderByStaged(_, col("doc_id")))
     }),
 
     // -- t30: native Unicode NFC normalization (codegen'd expression with
@@ -572,7 +573,9 @@ object PipelineQueries {
     // differentially across the corpus. ---------------------------------
     "t31_html_extract" -> ((s, d) => {
       val content = TextFunctions.htmlExtract(col("html"))
-      Tables.documents(s, d)
+      // orderByStaged: the extraction chain is narrow — a bare orderBy
+      // would re-run it for the range-bounds sampling pass (SortStage)
+      SortStage.orderByStaged(Tables.documents(s, d)
         .select(col("doc_id"), stagedHtml.as("html"))
         .select(col("doc_id"), content.as("content"))
         .select(col("doc_id"),
@@ -580,8 +583,8 @@ object PipelineQueries {
             .otherwise(size(split(col("content"), "\n")).cast("long"))
             .as("n_kept"),
           length(col("content")).cast("long").as("content_len"),
-          md5(col("content")).as("content_digest"))
-        .orderBy(col("doc_id"))
+          md5(col("content")).as("content_digest")),
+        col("doc_id"))
     }),
 
     // -- t33: OUTLINK extraction — the web-graph half of the HTML
@@ -745,7 +748,9 @@ object PipelineQueries {
         .select(col("doc_id"), xxhash64(col("g8")).as("h8"))
         .join(broadcast(bench), "h8")
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("h8")).as("n_overlap"))
+        // count ≡ countDistinct here: (doc_id, h8) unique by construction
+        // (distinct shingles × distinct bench set) — see bloomDecontaminate
+        .agg(count(lit(1)).as("n_overlap"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2170,23 +2175,26 @@ object PipelineQueries {
     // the corpus distribution so both outcomes of the load-bearing
     // rules appear. ----------------------------------------------------
     "t17_gopher_rules" -> ((s, d) =>
-      Tables.documents(s, d)
+      // orderByStaged: narrow rule battery under a global sort (SortStage)
+      SortStage.orderByStaged(Tables.documents(s, d)
         .select(col("doc_id"),
           QualityRules.gopherRuleFlags(col("text")).as("g"))
         .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
           col("g.n_stopwords"), col("g.r_word_count"), col("g.r_mean_len"),
           col("g.r_symbol"), col("g.r_bullet"), col("g.r_ellipsis"),
-          col("g.r_alpha"), col("g.r_stop"), col("g.keep"))
-        .orderBy(col("doc_id"))),
+          col("g.r_alpha"), col("g.r_stop"), col("g.keep")),
+        col("doc_id"))),
 
     // -- Gopher repetition battery: top-{2,3,4}-gram character
     // fractions, one gram-keyed shuffle for all three n, production
     // hashed-gram path (oracle replays the string form — output depends
     // only on counts and lengths, the d12/t11 pattern). ------------------
     "t18_gopher_repetition" -> ((s, d) =>
-      QualityRules.topNgramCharFractions(Tables.documents(s, d),
-          "doc_id", "text", ns = Seq(2, 3, 4))
-        .orderBy(col("doc_id"))),
+      // orderByStaged: narrow native top-gram pass under a global sort
+      SortStage.orderByStaged(
+        QualityRules.topNgramCharFractions(Tables.documents(s, d),
+          "doc_id", "text", ns = Seq(2, 3, 4)),
+        col("doc_id"))),
 
     // -- CCNet head/middle/tail partition: per-lang ntile over the
     // ROUNDED t11 LM score (the engine-stable key; raw ln would flip
@@ -3142,7 +3150,7 @@ object PipelineQueries {
     * paragraphs sliced from the document text, the third with one inline
     * anchor. The DuckDB oracles rebuild the identical string with `||`
     * concatenation, so extraction digests compare char-for-char. */
-  private[operators] def stagedHtml: org.apache.spark.sql.Column = concat(
+  private[graft] def stagedHtml: org.apache.spark.sql.Column = concat(
     lit("<html><head><title>Doc "), col("doc_id").cast("string"),
     lit("</title><style type=\"text/css\">body { margin: 0; } a { color: #04f; }</style>" +
       "<script type=\"text/javascript\">var page = "), col("doc_id").cast("string"),
