@@ -333,8 +333,17 @@ object Dedup {
         .as(Seq("pos", "para")))
     val keyed = paras.withColumn("__k",
       if (hashParagraphs) xxhash64(col("para")) else col("para"))
-    val cnt = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
-    val kept = keyed.join(cnt, "__k").filter(col("__n") < minOccurrences)
+    // corpus-wide paragraph counts via ONE paragraph-partitioned window
+    // (d12's discipline): the former count-aggregate + join-back
+    // recomputed the posexplode subtree for the count build, and the
+    // join shuffled the same (id, pos, para) rows anyway — the window
+    // form explodes once and shuffles once, trading the second pass for
+    // a per-partition sort on the key. Hot boilerplate paragraphs buffer
+    // one spillable WindowExec group (the join streamed them), same
+    // caveat as duplicateSpans.
+    val wK = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+    val kept = keyed.withColumn("__n", count(lit(1)).over(wK))
+      .filter(col("__n") < minOccurrences)
     val rebuilt = kept.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_kept"),
       array_join(transform(array_sort(collect_list(struct(col("pos"),

@@ -188,6 +188,35 @@ object AbMisc {
         t31out.repartition(col("doc_id")).orderBy(col("doc_id"))
     }
 
+    if (which("d17")) {
+      // OLD dropDuplicateParagraphs: count-aggregate + join-back
+      arms("old_d17") = () => {
+        val nChunks = ((size(col("tk")) + lit(9)) / lit(10)).cast("int")
+        val chunked = Tables.documents(spark, sf)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"),
+            array_join(transform(sequence(lit(0), nChunks - 1),
+              i => array_join(slice(col("tk"), i * lit(10) + lit(1), lit(10)), " ")),
+              "\n").as("text"))
+        val paras = chunked.select(col("doc_id"),
+          posexplode(split(col("text"), java.util.regex.Pattern.quote("\n")))
+            .as(Seq("pos", "para")))
+        val keyed = paras.withColumn("__k", col("para"))
+        val cnt = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+        val kept = keyed.join(cnt, "__k").filter(col("__n") < 2)
+        val rebuilt = kept.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"),
+            col("para")))), x => x.getField("para")), "\n").as("text_out"))
+        chunked.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("text_out"), lit("")).as("text_out"))
+          .orderBy(col("doc_id"))
+      }
+      arms("new_d17") = () =>
+        graft.SparkEntry.queries("d17_paragraph_dedup")(spark, sf)
+    }
+
     def run(df: DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
