@@ -217,19 +217,98 @@ object AbMisc {
         graft.SparkEntry.queries("d17_paragraph_dedup")(spark, sf)
     }
 
-    def run(df: DataFrame): Double = {
+    if (which("t19")) {
+      import org.apache.spark.sql.expressions.Window
+      // OLD t19: plain orderBy over the window output
+      arms("old_t19") = () =>
+        graft.operators.LanguageModel.perplexityBuckets(
+            Tables.documents(spark, sf), "doc_id", "text", "lang",
+            nBuckets = 3, hashTokens = true)
+          .select(col("doc_id"), col("lang"), col("ll"),
+            when(col("bucket") === 1, "head")
+              .when(col("bucket") === 2, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy(col("doc_id"))
+      arms("new_t19") = () =>
+        graft.SparkEntry.queries("t19_ccnet_buckets")(spark, sf)
+      arms("new_t19b") = () =>
+        graft.SparkEntry.queries("t19b_ccnet_buckets_scalable")(spark, sf)
+      // OLD t19b: HEAD's scalable form — unstaged repartitionByRange +
+      // plain final orderBy (copied verbatim minus the r16 staging)
+      arms("old_t19b") = () => {
+        import spark.implicits._
+        val df = Tables.documents(spark, sf)
+        val scored = graft.operators.LanguageModel
+          .bigramLogLikelihood(df, "doc_id", "text", hashTokens = true)
+          .join(df.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id").cast("long"), col("lang").cast("string"),
+            col("ll").cast("double"))
+          .as[(Long, String, Double)]
+        val sorted = scored.toDF("__id", "__c", "__ll")
+          .repartitionByRange(col("__c"), col("__ll").desc, col("__id"))
+          .sortWithinPartitions(col("__c"), col("__ll").desc, col("__id"))
+          .as[(Long, String, Double)]
+          .persist()
+        val census = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach(t => m.update(t._2, m.getOrElse(t._2, 0L) + 1))
+          m.iterator.map { case (c, n) => (pid, c, n) }
+        }.collect()
+        val totals: Map[String, Long] =
+          census.groupBy(_._2).map { case (c, rows) => c -> rows.map(_._3).sum }
+        val startOffsets: Map[(Int, String), Long] = {
+          val m = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+          var runningClass: String = null
+          var running = 0L
+          census.sortBy { case (pid, c, _) => (c, pid) }.foreach { case (pid, c, n) =>
+            if (c != runningClass) { runningClass = c; running = 0L }
+            m.update((pid, c), running)
+            running += n
+          }
+          m.toMap
+        }
+        val bTotals = spark.sparkContext.broadcast(totals)
+        val bOffsets = spark.sparkContext.broadcast(startOffsets)
+        def ntileBucket(rank: Long, cnt: Long, n: Int): Long = {
+          val q = cnt / n
+          val rem = cnt % n
+          val thr = rem * (q + 1)
+          if (rank <= thr) (rank - 1) / (q + 1) + 1
+          else rem + (rank - 1 - thr) / q + 1
+        }
+        val out = sorted.mapPartitions { it =>
+          var pid = org.apache.spark.TaskContext.getPartitionId()
+          val running = scala.collection.mutable.HashMap.empty[String, Long]
+          it.map { case (id, c, ll) =>
+            val r = running.getOrElse(c, bOffsets.value.getOrElse((pid, c), 0L)) + 1
+            running.update(c, r)
+            (id, c, ll, ntileBucket(r, bTotals.value(c), 3))
+          }
+        }.toDF("doc_id", "lang", "ll", "bucket")
+        out.select(col("doc_id"), col("lang"), col("ll"),
+            when(col("bucket") === 1, "head")
+              .when(col("bucket") === 2, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy(col("doc_id"))
+      }
+    }
+
+    // time CONSTRUCTION + write: operators like perplexityBucketsScalable
+    // run jobs at construction (census collect), which a df-argument
+    // timing would silently exclude (Bench times construction too)
+    def run(mk: () => DataFrame): Double = {
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      mk().write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       t
     }
-    arms.values.foreach(a => run(a())) // warm
+    arms.values.foreach(a => run(a)) // warm
     val reps = 5
     val results = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     (1 to reps).foreach { _ =>
-      arms.foreach { case (k, a) => results(k) ::= run(a()) }
+      arms.foreach { case (k, a) => results(k) ::= run(a) }
     }
     results.toSeq.sortBy(_._1).foreach { case (k, v) =>
       println(f"AB $k min=${v.min}%.3f med=${v.sorted.apply(v.size / 2)}%.3f")

@@ -430,8 +430,13 @@ object LanguageModel {
       .as[(Long, String, Double)]
     // the window's ORDER BY (ll DESC, id ASC) as a range partitioning:
     // the .desc sort key on the range partitioner (and the matching
-    // sortWithinPartitions) reproduces the window order directly
+    // sortWithinPartitions) reproduces the window order directly.
+    // The hash repartition UNDER it is the SortStage discipline:
+    // repartitionByRange samples its child for range bounds — a full
+    // re-execution of the scoring join without the staging exchange
+    // (r16: measured as a second bigram-LL pass)
     val sorted = scored.toDF("__id", "__c", "__ll")
+      .repartition(col("__c"), col("__ll"), col("__id"))
       .repartitionByRange(col("__c"), col("__ll").desc, col("__id"))
       .sortWithinPartitions(col("__c"), col("__ll").desc, col("__id"))
       .as[(Long, String, Double)]

@@ -2200,6 +2200,10 @@ object PipelineQueries {
     // ROUNDED t11 LM score (the engine-stable key; raw ln would flip
     // buckets on last-ulp differences), ties on doc_id. ------------------
     "t19_ccnet_buckets" -> ((s, d) =>
+      // NOTE (r16): orderByStaged was tried here and measured a wash —
+      // the ntile window re-run for range-bounds sampling reads the
+      // window's own materialized exchange, so the extra staging
+      // exchange bought nothing. Plain orderBy kept.
       LanguageModel.perplexityBuckets(Tables.documents(s, d),
           "doc_id", "text", "lang", nBuckets = 3, hashTokens = true)
         .select(col("doc_id"), col("lang"), col("ll"),
@@ -2214,13 +2218,15 @@ object PipelineQueries {
     // O(partitions+classes) rank offsets + closed-form ntile arithmetic
     // reproduce the bucket assignment row-for-row ----------------------
     "t19b_ccnet_buckets_scalable" -> ((s, d) =>
-      LanguageModel.perplexityBucketsScalable(Tables.documents(s, d),
+      // orderByStaged (same rationale as t19)
+      SortStage.orderByStaged(
+        LanguageModel.perplexityBucketsScalable(Tables.documents(s, d),
           "doc_id", "text", "lang", nBuckets = 3, hashTokens = true)
         .select(col("doc_id"), col("lang"), col("ll"),
           when(col("bucket") === 1, "head")
             .when(col("bucket") === 2, "middle")
-            .otherwise("tail").as("bucket"))
-        .orderBy(col("doc_id"))),
+            .otherwise("tail").as("bucket")),
+        col("doc_id"))),
 
     // -- URL-level dedup (RefinedWeb §3.1: one doc per normalized URL,
     // before any text processing): canonicalize scheme/host/port/params,
