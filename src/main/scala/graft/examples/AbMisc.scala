@@ -293,6 +293,37 @@ object AbMisc {
       }
     }
 
+    if (which("d22")) {
+      import graft.operators.EntityResolution
+      arms("old_d22") = () =>
+        EntityResolution.fuzzyPairs(Tables.part(spark, sf), "p_partkey",
+            "p_name", "p_brand", threshold = 0.9, probeParallelism = 64)
+          .filter(col("sim") < 1.0)
+          .select(col("a"), col("b"), col("a_name"), col("b_name"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy(col("sim").desc, col("a"), col("b"))
+      arms("new_d22") = () =>
+        graft.SparkEntry.queries("d22_entity_resolution")(spark, sf)
+      arms("old_d23") = () =>
+        EntityResolution.fuzzyPairs(Tables.part(spark, sf), "p_partkey",
+            "p_name", "p_brand", threshold = 0.9, saltFactor = 8,
+            forceShuffleJoin = true)
+          .filter(col("sim") < 1.0)
+          .select(col("a"), col("b"), col("a_name"), col("b_name"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy(col("sim").desc, col("a"), col("b"))
+      arms("new_d23") = () =>
+        graft.SparkEntry.queries("d23_entity_resolution_smj")(spark, sf)
+      arms("old_d21b") = () =>
+        graft.dedup.Dedup.containmentPairs(Tables.documents(spark, sf),
+            "doc_id", "text", shingleN = 3, minContainment = 0.5,
+            maxGramDf = 50, hashGrams = true)
+          .withColumn("containment", round(col("containment"), 4))
+          .orderBy(col("containment").desc, col("a"), col("b"))
+      arms("new_d21b") = () =>
+        graft.SparkEntry.queries("d21_containment")(spark, sf)
+    }
+
     // time CONSTRUCTION + write: operators like perplexityBucketsScalable
     // run jobs at construction (census collect), which a df-argument
     // timing would silently exclude (Bench times construction too)

@@ -176,6 +176,8 @@ object PipelineQueries {
           shingleN = 3, minContainment = 0.5, maxGramDf = 50,
           hashGrams = true)
         .withColumn("containment", round(col("containment"), 4))
+        // NOTE (r16): orderByStaged measured a wash here — the pair
+        // aggregate's exchange already bounds the resample re-run
         .orderBy(col("containment").desc, col("a"), col("b"))),
 
     // -- blocked fuzzy ENTITY RESOLUTION: Jaro-Winkler record linkage ----
@@ -190,7 +192,12 @@ object PipelineQueries {
         .filter(col("sim") < 1.0)
         .select(col("a"), col("b"), col("a_name"), col("b_name"),
           round(col("sim"), 4).as("sim"))
-        .orderBy(col("sim").desc, col("a"), col("b"))),
+        // orderByStaged: the whole within-block Jaro-Winkler kernel sits
+        // between the last exchange and this sort — a bare orderBy runs
+        // it twice (range-bounds sampling; SortStage)
+        .transform(df => SortStage.orderByStagedOn(df,
+          Seq(col("a"), col("b")),
+          Seq(col("sim").desc, col("a"), col("b"))))),
 
     // -- d23: d22's SORT-MERGE regime — the plan a 100 TB entity table
     // gets once it outgrows the broadcast threshold, exercised at gate
@@ -204,7 +211,10 @@ object PipelineQueries {
         .filter(col("sim") < 1.0)
         .select(col("a"), col("b"), col("a_name"), col("b_name"),
           round(col("sim"), 4).as("sim"))
-        .orderBy(col("sim").desc, col("a"), col("b"))),
+        // orderByStaged (same rationale as d22 — the SMJ + kernel re-run)
+        .transform(df => SortStage.orderByStagedOn(df,
+          Seq(col("a"), col("b")),
+          Seq(col("sim").desc, col("a"), col("b"))))),
 
     // -- d25: the AUTO-dispatched regime (VERDICT r7 #4, oracle-gated):
     // EntityResolution.resolve measures the block census and picks the
@@ -217,7 +227,10 @@ object PipelineQueries {
         .filter(col("sim") < 1.0)
         .select(col("a"), col("b"), col("a_name"), col("b_name"),
           round(col("sim"), 4).as("sim"))
-        .orderBy(col("sim").desc, col("a"), col("b"))),
+        // orderByStaged (same rationale as d22)
+        .transform(df => SortStage.orderByStagedOn(df,
+          Seq(col("a"), col("b")),
+          Seq(col("sim").desc, col("a"), col("b"))))),
 
     // -- duplicate clusters: connected components over LSH pairs ---------
     "d06_dup_clusters" -> ((s, d) => {

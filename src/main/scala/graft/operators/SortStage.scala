@@ -27,4 +27,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 object SortStage {
   def orderByStaged(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(keys: _*).orderBy(keys: _*)
+
+  /** As [[orderByStaged]], for sorts whose keys carry direction markers
+    * (`desc`) that `repartition` cannot take: stage on `hashKeys` (any
+    * deterministic plain columns — the staging exchange is only a
+    * materialization boundary, its key never affects the sorted result),
+    * sort by `sortKeys`. */
+  def orderByStagedOn(df: DataFrame, hashKeys: Seq[Column],
+      sortKeys: Seq[Column]): DataFrame =
+    df.repartition(hashKeys: _*).orderBy(sortKeys: _*)
 }
