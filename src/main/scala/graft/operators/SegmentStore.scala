@@ -90,32 +90,57 @@ object SegmentStore {
     * goes STALE after `staleMs` (judged by file modification time) and
     * the next writer overrides it — crashed-op recovery then proceeds
     * through the normal marker protocol. On HDFS the create is atomic;
-    * on a raw local FS it is exists-then-create (a theoretical TOCTOU
-    * two real JVMs on one disk could thread — the documented residue).
-    * The probe-vs-swap read race is unchanged and stays documented: a
-    * manifest-based listing is a larger redesign. */
+    * on a raw local FS `create(overwrite = false)` is exists-THEN-create,
+    * which two writer THREADS in one JVM can thread (both pass the
+    * check, both "hold" the lease, and the loser's stage delete clobbers
+    * the winner's in-flight write — caught live by the race spec on a
+    * slow host), so same-JVM acquisition goes through an atomic
+    * `putIfAbsent` on a process-wide table first. Two real JVMs on one
+    * raw local disk keep the documented TOCTOU residue (HDFS and object
+    * stores with atomic create don't). The probe-vs-swap read race is
+    * unchanged and stays documented: a manifest-based listing is a
+    * larger redesign. */
+  private val jvmLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[graft] def withLease[T](fs: FileSystem, path: String,
       staleMs: Long)(body: => T): T = {
     val lease = new Path(s"$path/.compact.lease")
-    if (fs.exists(lease)) {
-      val age = System.currentTimeMillis -
-        fs.getFileStatus(lease).getModificationTime
-      if (age > staleMs) fs.delete(lease, false)
+    val key = fs.makeQualified(lease).toString
+    def loudlyHeld(cause: Throwable): Nothing = throw new IllegalStateException(
+      s"another maintenance op holds the lease on $path " +
+        s"($lease): compaction/takedown are single-writer. If that " +
+        s"writer crashed, the lease goes stale after ${staleMs} ms " +
+        "and the next call recovers it.", cause)
+    // same-JVM writers race atomically here (putIfAbsent), never on the
+    // non-atomic local-FS create below; stale in-process entries (a
+    // writer killed without its finally — fatal JVM errors only) age out
+    // on the same clock as the lease file
+    val now = java.lang.Long.valueOf(System.currentTimeMillis)
+    val prev = jvmLeases.putIfAbsent(key, now)
+    if (prev != null) {
+      if (System.currentTimeMillis - prev.longValue <= staleMs)
+        loudlyHeld(null)
+      else if (!jvmLeases.replace(key, prev, now)) loudlyHeld(null)
     }
     try {
-      val out = fs.create(lease, false)
-      out.write(s"${System.currentTimeMillis}\n".getBytes("UTF-8"))
-      out.close()
-    } catch {
-      case e: java.io.IOException =>
-        if (fs.exists(lease)) throw new IllegalStateException(
-          s"another maintenance op holds the lease on $path " +
-            s"($lease): compaction/takedown are single-writer. If that " +
-            s"writer crashed, the lease goes stale after ${staleMs} ms " +
-            "and the next call recovers it.", e)
-        else throw e
+      if (fs.exists(lease)) {
+        val age = System.currentTimeMillis -
+          fs.getFileStatus(lease).getModificationTime
+        if (age > staleMs) fs.delete(lease, false)
+      }
+      try {
+        val out = fs.create(lease, false)
+        out.write(s"${System.currentTimeMillis}\n".getBytes("UTF-8"))
+        out.close()
+      } catch {
+        case e: java.io.IOException =>
+          if (fs.exists(lease)) loudlyHeld(e) else throw e
+      }
+    } catch { case t: Throwable => jvmLeases.remove(key); throw t }
+    try body finally {
+      try fs.delete(lease, false) finally jvmLeases.remove(key)
     }
-    try body finally fs.delete(lease, false)
   }
 
   /** Natural (digit-run-aware) `a ≤ b`: the segment ids of streamed

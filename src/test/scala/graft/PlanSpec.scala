@@ -497,14 +497,24 @@ class PlanSpec extends AnyFunSuite with CacheHygiene {
     assert("WindowGroupLimit .*Final".r.findFirstIn(p).isDefined)
   }
 
-  test("d12: dup-gram count is partial->final; verify join is a semi-prune") {
+  test("d12: one gram generation, one gram exchange; count rides a gram window") {
+    // r16 shape: duplicated positions come from count(*) over a
+    // gram-partitioned window riding ONE exchange of the (id, pos,
+    // gram8) rows — the former count-aggregate + semi-join shape ran the
+    // corpus-scan → window-generation subtree twice (the gram gen alone
+    // was a third of d12's runtime). Pin: exactly one corpus scan, one
+    // gram-keyed exchange + one id-keyed (islands) exchange, the window
+    // count keyed on the gram, and grams hashed to longs before the
+    // exchange (the 100 TB shuffle-bytes switch).
     val p = plan("d12_dup_spans")
-    // the gram census must map-side combine (repeated grams collapse
-    // before the exchange) and the duplicated-position fetch must be a
-    // semi join, never a full join carrying gram strings back out
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      s"gram count lost its partial stage:\n$p")
-    assert(p.contains("LeftSemi"), s"dup-gram fetch is not a semi join:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"gram generation should scan the corpus exactly once:\n$p")
+    assert("Exchange hashpartitioning\\(gram".r.findAllIn(p).size == 1,
+      s"expected exactly one gram-keyed exchange:\n$p")
+    assert("windowspecdefinition\\(gram".r.findFirstIn(p).isDefined,
+      s"dup-position filter should be a gram-partitioned window count:\n$p")
+    assert(p.contains("xxhash64"),
+      s"grams must hash to longs before the exchange:\n$p")
   }
 
   test("t11: LM vocab scalar broadcasts; no UDF anywhere in the plan") {
