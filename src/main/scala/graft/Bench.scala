@@ -375,6 +375,31 @@ object Bench {
     // from scan-path drift by which anchor moved
     val anchor = results.toMap.getOrElse("q01_tpch_agg", -1.0)
     val anchorSh = results.toMap.getOrElse("q66_shuffle_anchor", -1.0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"q01_tpch_agg":${fmt(anchor)},"q66_shuffle_anchor":${fmt(anchorSh)}},"n":${results.size},"passes":$passes,"anchor_q01":${fmt(anchor)},"anchor_q66":${fmt(anchorSh)},"disp_p50":${fmt2(dispP50)},"disp_max":${fmt2(dispMax)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    // r16 verdict #2 asked for the FULL per-query map here so PERF can
+    // adjudicate more than the two anchors. Hard physical constraint:
+    // BENCH_r08..r16 all carry an EXACTLY-2000-char stdout tail, and the
+    // full 106-entry map is >=2.8 KB even at 2 decimals — a full-map
+    // final line would have its head clipped outside the window and
+    // parse null (that is precisely the r08 parsed:null failure). So
+    // the final contract line keeps the anchors and packs as many
+    // ADDITIONAL per-query entries as fit under a 1900-byte budget,
+    // most expensive rows first — the rows that adjudicate a round.
+    // Additions-only: q01/q66 and every scalar field are unchanged; the
+    // complete map is in the full line above and in BENCH_LOCAL.json.
+    val fixedTail = s"""},"n":${results.size},"passes":$passes,"anchor_q01":${fmt(anchor)},"anchor_q66":${fmt(anchorSh)},"disp_p50":${fmt2(dispP50)},"disp_max":${fmt2(dispMax)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val sb = new StringBuilder
+    sb.append(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""")
+    sb.append("\"q01_tpch_agg\":" + fmt(anchor) +
+      ",\"q66_shuffle_anchor\":" + fmt(anchorSh))
+    var lineLen = sb.length + fixedTail.length
+    results
+      .filter(r => r._1 != "q01_tpch_agg" && r._1 != "q66_shuffle_anchor")
+      .sortBy(-_._2)
+      .foreach { case (k, v) =>
+        val e = ",\"" + k + "\":" + fmt(v)
+        if (lineLen + e.length <= 1900) { sb.append(e); lineLen += e.length }
+      }
+    sb.append(fixedTail)
+    println(sb.toString)
   }
 }

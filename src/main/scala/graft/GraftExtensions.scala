@@ -101,5 +101,8 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => JaroWinklerExpression(exprs(0), exprs(1))),
     ("unicode_normalize",
       "unicode_normalize(s, 'NFC') - Unicode normalization (NFC/NFD/NFKC/NFKD)",
-      (exprs: Seq[Expression]) => UnicodeNormalizeExpression.build(exprs)))
+      (exprs: Seq[Expression]) => UnicodeNormalizeExpression.build(exprs)),
+    ("html_extract",
+      "html_extract(html, minChars) - jusText-style main-content extraction",
+      (exprs: Seq[Expression]) => HtmlExtractExpression.build(exprs)))
 }

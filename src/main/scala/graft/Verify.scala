@@ -41,8 +41,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // d29's oracle reads the store THIS run wrote: splice the absolute,
+    // sf-keyed path (same resolver as the Spark side) into the SQL so
+    // the driver's DuckDB finds it regardless of that process's cwd.
+    val d29Store = graft.operators.PipelineQueries.d29StorePath(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__D29_STORE__", d29Store))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

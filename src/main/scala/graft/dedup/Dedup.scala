@@ -151,7 +151,8 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minContainment: Double = 0.5,
-      maxGramDf: Int = 0, hashGrams: Boolean = false): DataFrame = {
+      maxGramDf: Int = 0, hashGrams: Boolean = false,
+      mapSidePairs: Boolean = true): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       wordShingles(col(textCol), shingleN).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
@@ -169,16 +170,69 @@ object Dedup {
           .filter(col("df") > maxGramDf).select("g")
         inv0.join(hot, Seq("g"), "left_anti")
       } else inv0
-    // pair generation stays the inverted-index self-join: a gram-keyed
-    // collect_list + combination-explode rewrite was A/B-measured at
-    // parity on min and WORSE on median (r16: 2.98→3.03 min, 3.22→3.40
-    // med) — the self-join's exchange is reused across both sides and
-    // the merge streams, where the array form pays object aggregation
-    // + per-gram pair-array construction. Left as-is deliberately.
-    inv.select(col("g"), col("doc_id").as("a"))
-      .join(inv.select(col("g"), col("doc_id").as("b")), "g")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    // pair generation (r16→r17 history): the inverted-index SELF-JOIN
+    // (exchange reused across both sides, SMJ merge, partial hash-agg)
+    // was the r2-r16 shape; a gram-keyed collect_list + combination-
+    // explode rewrite measured parity-to-worse (r16: 2.98→3.03 min,
+    // 3.22→3.40 med). r17 implements the remaining unexplored variant
+    // (r16 verdict #4): MAP-SIDE pair emission below the exchange — one
+    // gram exchange, ONE (g, id) sort, and a partition-local run-walk
+    // that emits each gram's id-buffer combinations directly, skipping
+    // the second sort and the SMJ merge machinery entirely. ids are
+    // sorted within the run so a < b holds by construction; counts are
+    // exact (keyed on the true gram, no collision exposure). The walk
+    // buffers ONE gram's ids at a time — bounded by the df cap when
+    // maxGramDf > 0; the uncapped regime has the same Σdf² exposure the
+    // join had (a single hot gram simply arrives as one long run).
+    // Hashed-gram (long-key) path only; the string path keeps the join.
+    val pairCounts: DataFrame =
+      if (hashGrams && mapSidePairs) {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        inv.select(col("g"), col("doc_id"))
+          .repartition(col("g"))
+          .sortWithinPartitions(col("g"), col("doc_id"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val buf = new scala.collection.mutable.ArrayBuffer[Long](64)
+            var curG = 0L
+            var open = false
+            def pairs(): Iterator[(Long, Long)] =
+              if (buf.length < 2) { buf.clear(); Iterator.empty }
+              else {
+                val ids = buf.toArray
+                buf.clear()
+                ids.iterator.zipWithIndex.flatMap { case (a, i) =>
+                  ids.iterator.drop(i + 1).map(b => (a, b))
+                }
+              }
+            val out = it.flatMap { case (g, id) =>
+              if (open && g == curG) { buf += id; Iterator.empty }
+              else {
+                val emitted = if (open) pairs() else Iterator.empty
+                curG = g; open = true; buf += id
+                emitted
+              }
+            }
+            out ++ new Iterator[(Long, Long)] {
+              private var done = false
+              private var inner: Iterator[(Long, Long)] = null
+              def hasNext: Boolean = {
+                if (!done) { inner = pairs(); done = true }
+                inner.hasNext
+              }
+              def next(): (Long, Long) = { hasNext; inner.next() }
+            }
+          }
+          .toDF("a", "b")
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      } else {
+        inv.select(col("g"), col("doc_id").as("a"))
+          .join(inv.select(col("g"), col("doc_id").as("b")), "g")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      }
+    pairCounts
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("n_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("n_b")), "b")
       .withColumn("containment",

@@ -317,11 +317,96 @@ object AbMisc {
       arms("old_d21b") = () =>
         graft.dedup.Dedup.containmentPairs(Tables.documents(spark, sf),
             "doc_id", "text", shingleN = 3, minContainment = 0.5,
-            maxGramDf = 50, hashGrams = true)
+            maxGramDf = 50, hashGrams = true, mapSidePairs = false)
           .withColumn("containment", round(col("containment"), 4))
           .orderBy(col("containment").desc, col("a"), col("b"))
       arms("new_d21b") = () =>
         graft.SparkEntry.queries("d21_containment")(spark, sf)
+    }
+
+    if (which("d21")) {
+      // r17: map-side pair emission vs the r16 self-join (r16 verdict #4)
+      arms("old_d21") = () =>
+        graft.dedup.Dedup.containmentPairs(Tables.documents(spark, sf),
+            "doc_id", "text", shingleN = 3, minContainment = 0.5,
+            maxGramDf = 50, hashGrams = true, mapSidePairs = false)
+          .withColumn("containment", round(col("containment"), 4))
+          .orderBy(col("containment").desc, col("a"), col("b"))
+      arms("new_d21") = () =>
+        graft.SparkEntry.queries("d21_containment")(spark, sf)
+    }
+
+    if (which("html")) {
+      import graft.functions.TextFunctions
+      import graft.operators.{PipelineQueries, SortStage}
+      import org.apache.spark.sql.expressions.Window
+      // OLD t31/p01: the regex-battery extraction (r16 shape, sort
+      // staging kept identical so only the extraction differs)
+      arms("old_t31") = () => {
+        val content = TextFunctions.htmlExtractRegex(col("html"))
+        SortStage.orderByStaged(Tables.documents(spark, sf)
+          .select(col("doc_id"), PipelineQueries.stagedHtml.as("html"))
+          .select(col("doc_id"), content.as("content"))
+          .select(col("doc_id"),
+            when(col("content") === "", lit(0L))
+              .otherwise(size(split(col("content"), "\n")).cast("long"))
+              .as("n_kept"),
+            length(col("content")).cast("long").as("content_len"),
+            md5(col("content")).as("content_digest")),
+          col("doc_id"))
+      }
+      arms("new_t31") = () =>
+        graft.SparkEntry.queries("t31_html_extract")(spark, sf)
+      arms("old_p01") = () => {
+        val docs = Tables.documents(spark, sf)
+        val extracted = docs
+          .select(col("doc_id"), col("lang"), PipelineQueries.stagedHtml.as("html"))
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.htmlExtractRegex(col("html")).as("content"))
+          .filter(length(col("content")) > 0)
+        val scored = extracted.select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("content")).as("q"),
+          TextFunctions.tokenCount(col("content")).as("toks"),
+          md5(col("content")).as("digest"))
+          .filter(col("q") >= 0.5)
+        val deduped = scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
+          .filter(col("rk") === 1)
+        deduped.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("n_tokens"),
+            round(avg(col("q")), 4).as("avg_quality"))
+          .orderBy(col("lang"))
+      }
+      arms("new_p01") = () =>
+        graft.SparkEntry.queries("p01_curation_pipeline")(spark, sf)
+    }
+
+    if (which("htmlx")) {
+      // extraction stage ISOLATED: staged html -> extract -> filter -> noop
+      import graft.functions.TextFunctions
+      import graft.operators.PipelineQueries
+      def xtr(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        () => Tables.documents(spark, sf)
+          .select(col("doc_id"), col("lang"), PipelineQueries.stagedHtml.as("html"))
+          .select(col("doc_id"), col("lang"), f(col("html")).as("content"))
+          .filter(length(col("content")) > 0)
+      arms("old_xtr") = xtr(c => TextFunctions.htmlExtractRegex(c))
+      arms("new_xtr") = xtr(c => TextFunctions.htmlExtract(c))
+      // scoring stage ISOLATED on a pre-extracted frame (same for both)
+      arms("score_only") = () => {
+        val pre = Tables.documents(spark, sf)
+          .select(col("doc_id"), col("lang"), PipelineQueries.stagedHtml.as("html"))
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.htmlExtract(col("html")).as("content"))
+          .filter(length(col("content")) > 0)
+        pre.select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("content")).as("q"),
+          TextFunctions.tokenCount(col("content")).as("toks"),
+          md5(col("content")).as("digest"))
+          .filter(col("q") >= 0.5)
+      }
     }
 
     // time CONSTRUCTION + write: operators like perplexityBucketsScalable

@@ -342,12 +342,23 @@ object TextFunctions {
     *     drop; body paragraphs keep;
     *  5. join kept blocks with `\n`.
     *
-    * Pure codegen'd column composition (regex + higher-order array
-    * functions — no UDF, no shuffle): a narrow projection that runs at
-    * scan parallelism on any corpus size. Deterministic; the integer
-    * form `3 * linkChars <= textChars` avoids float ratios so the DuckDB
-    * replay is bit-exact. */
-  def htmlExtract(c: Column, minChars: Int = 25): Column = {
+    * Native single-pass expression ([[graft.plans.HtmlExtract]]): the
+    * whole battery above runs as ONE codegen'd kernel call per row — no
+    * UDF, no shuffle, no regex — a narrow projection at scan
+    * parallelism on any corpus size. Deterministic; the integer form
+    * `3 * linkChars <= textChars` avoids float ratios so the DuckDB
+    * replay is bit-exact. [[htmlExtractRegex]] keeps the original
+    * regex-battery column composition; HtmlExtractParitySpec pins the
+    * two byte-identical (adversarial cases + full staged corpus). */
+  def htmlExtract(c: Column, minChars: Int = 25): Column =
+    graft.plans.HtmlExtractExpression.htmlExtract(c, minChars)
+
+  /** The regex-battery form of [[htmlExtract]] — the executable
+    * specification the native kernel is parity-pinned against (and the
+    * shape the DuckDB oracles replay verbatim). Slower: ~6 regex passes
+    * per document vs the kernel's fused walk; not used in query paths
+    * since r17. */
+  def htmlExtractRegex(c: Column, minChars: Int = 25): Column = {
     val cleaned = regexp_replace(regexp_replace(regexp_replace(c,
       HtmlScriptRe, " "), HtmlStyleRe, " "), HtmlCommentRe, " ")
     val scored = transform(split(cleaned, HtmlBlockRe), b => {

@@ -431,12 +431,18 @@ object LanguageModel {
     // the window's ORDER BY (ll DESC, id ASC) as a range partitioning:
     // the .desc sort key on the range partitioner (and the matching
     // sortWithinPartitions) reproduces the window order directly.
-    // The hash repartition UNDER it is the SortStage discipline:
-    // repartitionByRange samples its child for range bounds — a full
-    // re-execution of the scoring join without the staging exchange
-    // (r16: measured as a second bigram-LL pass)
+    // NOTE (r17, advisor finding): a hash `.repartition` staged under
+    // this range partition is a NO-OP — Catalyst's CollapseRepartition
+    // removes a RepartitionByExpression's repartition child (the r16
+    // before/after plan dumps show identical plans), so the r16 −7%
+    // attributed to that line actually came from the outer
+    // SortStage.orderByStaged change measured in the same A/B. The
+    // range-bounds sampling therefore still re-executes the scoring
+    // join once; a persist/localCheckpoint of `scored` would stop that
+    // but the r16 LM-family persist A/B measured 16-60% SLOWER at
+    // sf0.1 (AQE stage reuse + cache overhead), so it stays unstaged
+    // pending the sf10 A/B (r16 verdict #6).
     val sorted = scored.toDF("__id", "__c", "__ll")
-      .repartition(col("__c"), col("__ll"), col("__id"))
       .repartitionByRange(col("__c"), col("__ll").desc, col("__id"))
       .sortWithinPartitions(col("__c"), col("__ll").desc, col("__id"))
       .as[(Long, String, Double)]

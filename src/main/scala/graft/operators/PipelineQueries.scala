@@ -20,6 +20,19 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** d29's segment store, ABSOLUTE and sf-keyed. One resolver for both
+    * sides of the gate: the Spark query writes here, and Verify splices
+    * the same string into the d29 oracle SQL (replacing
+    * `__D29_STORE__`) before serializing oracle_sql.json — so the
+    * driver's DuckDB process finds the store regardless of its own cwd,
+    * and a Verify at any sf keys its own store. (r16 verdict: the
+    * relative `target/qtmp/...` path in the oracle made d29 fail under
+    * the driver whose DuckDB leg runs from a different cwd.) */
+  def d29StorePath(sfDir: String): String =
+    new java.io.File(
+      s"target/qtmp/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/d29_idx")
+      .getAbsolutePath
+
   val queries: Map[String, Q] = Map(
     // -- exact dedup: normalized-digest groupBy, keep min doc_id ---------
     "d01_exact_dedup" -> ((s, d) => {
@@ -2609,7 +2622,7 @@ object PipelineQueries {
     // operator's numbers are pinned to what is actually on disk. -----
     "d29_store_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = s"target/qtmp/${d.replaceAll("[^a-zA-Z0-9]", "_")}/d29_idx"
+      val dir = d29StorePath(d)
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
@@ -4796,11 +4809,15 @@ object PipelineQueries {
     // parquet_file_metadata gives per-FILE segment/row counts (a
     // zero-pair batch still counts as a segment — rows-based DISTINCT
     // would miss it), real reads give the capstats/dropped sums, and
-    // the derived cap replays Census.derivedCap. The store path embeds
-    // the DRIVER's sf key (correctness always runs at sf0.01; a Verify
-    // at another sf would need the path swapped).
+    // the derived cap replays Census.derivedCap. The store path is the
+    // `__D29_STORE__` placeholder: Verify splices in
+    // `d29StorePath(sfDir)` — ABSOLUTE, sf-keyed, the exact path the
+    // Spark side wrote in the same run — before serializing
+    // oracle_sql.json, so the check holds from any DuckDB cwd and at
+    // any sf (r16: the relative sf0.01-pinned path failed under the
+    // driver).
     "d29_store_stats" -> {
-      val p = "target/qtmp/_root_testdata_sf0_01/d29_idx"
+      val p = "__D29_STORE__"
       s"""WITH fm AS (
          |  SELECT 'bands' AS sub, file_name, num_rows
          |    FROM parquet_file_metadata('$p/bands/*/*.parquet')

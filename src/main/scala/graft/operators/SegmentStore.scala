@@ -100,8 +100,19 @@ object SegmentStore {
     * stores with atomic create don't). The probe-vs-swap read race is
     * unchanged and stays documented: a manifest-based listing is a
     * larger redesign. */
+  /** Per-acquisition token (r17, advisor finding): the map value is an
+    * identity-distinct token, not a bare timestamp — a holder that
+    * overruns `staleMs` and is reclaimed by another thread must not
+    * release the RECLAIMER's lease in its `finally` (conditional
+    * `remove(key, token)`; the lease file carries the token too, so the
+    * file delete is equally conditional). */
+  private final class LeaseTok(val at: Long) {
+    val id: Long = leaseIds.incrementAndGet()
+    def stamp: String = s"$at:$id"
+  }
+  private val leaseIds = new java.util.concurrent.atomic.AtomicLong(0L)
   private val jvmLeases =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, LeaseTok]()
 
   private[graft] def withLease[T](fs: FileSystem, path: String,
       staleMs: Long)(body: => T): T = {
@@ -116,12 +127,12 @@ object SegmentStore {
     // non-atomic local-FS create below; stale in-process entries (a
     // writer killed without its finally — fatal JVM errors only) age out
     // on the same clock as the lease file
-    val now = java.lang.Long.valueOf(System.currentTimeMillis)
-    val prev = jvmLeases.putIfAbsent(key, now)
+    val tok = new LeaseTok(System.currentTimeMillis)
+    val prev = jvmLeases.putIfAbsent(key, tok)
     if (prev != null) {
-      if (System.currentTimeMillis - prev.longValue <= staleMs)
+      if (System.currentTimeMillis - prev.at <= staleMs)
         loudlyHeld(null)
-      else if (!jvmLeases.replace(key, prev, now)) loudlyHeld(null)
+      else if (!jvmLeases.replace(key, prev, tok)) loudlyHeld(null)
     }
     try {
       if (fs.exists(lease)) {
@@ -131,15 +142,31 @@ object SegmentStore {
       }
       try {
         val out = fs.create(lease, false)
-        out.write(s"${System.currentTimeMillis}\n".getBytes("UTF-8"))
+        out.write(s"${tok.stamp}\n".getBytes("UTF-8"))
         out.close()
       } catch {
         case e: java.io.IOException =>
           if (fs.exists(lease)) loudlyHeld(e) else throw e
       }
-    } catch { case t: Throwable => jvmLeases.remove(key); throw t }
+    } catch { case t: Throwable => jvmLeases.remove(key, tok); throw t }
     try body finally {
-      try fs.delete(lease, false) finally jvmLeases.remove(key)
+      // release ONLY what this acquisition still owns: if the holder
+      // overran staleMs and a reclaimer replaced the entry (and lease
+      // file), deleting unconditionally would re-open the double-writer
+      // window for a third thread while the reclaimer is mid-body
+      try {
+        if (jvmLeases.get(key) eq tok) {
+          val ours =
+            try {
+              val in = fs.open(lease)
+              val buf = new Array[Byte](64)
+              val n = math.max(in.read(buf), 0)
+              in.close()
+              new String(buf, 0, n, "UTF-8").trim == tok.stamp
+            } catch { case _: java.io.IOException => false }
+          if (ours) fs.delete(lease, false)
+        }
+      } finally jvmLeases.remove(key, tok)
     }
   }
 

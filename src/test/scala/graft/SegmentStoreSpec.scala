@@ -400,6 +400,46 @@ class SegmentStoreSpec extends AnyFunSuite with CacheHygiene {
     assert(readIds(dir, "pairs") == Set(1L, 3L))
   }
 
+  test("overrunning holder must not release the reclaimer's lease (token release)") {
+    // r17 advisor finding: holder A overruns staleMs, thread B reclaims
+    // (replaces the map entry + lease file); A's finally then must be a
+    // NO-OP — the old unconditional delete+remove re-opened the
+    // double-writer window for a third thread while B is mid-body.
+    import scala.concurrent.{Await, Future, Promise}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = "target/qtmp/segstore_lease_tok"
+    new java.io.File(dir).mkdirs()
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/.compact.lease")
+    val aIn = Promise[Unit]()
+    val aRelease = Promise[Unit]()
+    val a = Future(SegmentStore.withLease(fs, dir, staleMs = 300L) {
+      aIn.success(())
+      Await.result(aRelease.future, 60.seconds)
+      "a"
+    })
+    Await.result(aIn.future, 60.seconds)
+    Thread.sleep(400L) // A overruns its staleMs
+    // touch the file's mtime back so B's file-staleness check agrees
+    new java.io.File(s"$dir/.compact.lease")
+      .setLastModified(System.currentTimeMillis - 400L)
+    val b = Future(SegmentStore.withLease(fs, dir, staleMs = 300L) {
+      // B holds. Let A's finally run to completion NOW...
+      aRelease.success(())
+      Await.result(a, 60.seconds)
+      // ...then the lease must STILL be B's: a third acquisition fails
+      // loudly and B's lease file is still on disk
+      val e = intercept[IllegalStateException] {
+        SegmentStore.withLease(fs, dir, staleMs = 300L)("c")
+      }
+      assert(e.getMessage.contains("single-writer"))
+      assert(fs.exists(lease), "A's finally deleted B's lease file")
+      "b"
+    })
+    assert(Await.result(b, 60.seconds) == "b")
+    assert(!fs.exists(lease), "B must release its own lease on exit")
+  }
+
   test("naturalLeq: digit runs compare numerically") {
     assert(SegmentStore.naturalLeq("b2", "b10"))
     assert(!SegmentStore.naturalLeq("b10", "b2"))
