@@ -529,11 +529,18 @@ object Dedup {
       .distinct()
     // verify: re-shingle ONLY candidate corpus docs (semi-join prune,
     // same discipline as minhashLshPairs); bench re-shingles fully and
-    // rides broadcast joins — it is small by contract
-    val needed = c.join(cand.select(col("cid")), Seq("cid"), "left_semi")
+    // rides broadcast joins — it is small by contract.
+    // r17: BROADCAST the candidate id set (and the pair list) —
+    // unhinted, the size-unknown post-distinct cand planned as a
+    // SortMergeJoin that SHUFFLED THE CORPUS (text and all) by cid for
+    // a semi-join against a pair list that is sparse by the operator's
+    // own contract (bench is broadcast-small, buckets bounded); with
+    // the hints the corpus never shuffles — the same "corpus never
+    // moves" property candidate generation already had.
+    val needed = c.join(broadcast(cand.select(col("cid"))), Seq("cid"), "left_semi")
       .select(col("cid"), wordShingles(col("ctxt"), shingleN).as("csh"))
     val bsh = b.select(col("bid"), wordShingles(col("btxt"), shingleN).as("bsh"))
-    cand.join(needed, "cid").join(broadcast(bsh), "bid")
+    broadcast(cand).join(needed, "cid").join(broadcast(bsh), "bid")
       .select(col("cid"), col("bid"), jaccard(col("csh"), col("bsh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("cid").as(corpusId), col("bid").as(benchId), col("jaccard"))

@@ -409,6 +409,96 @@ object AbMisc {
       }
     }
 
+    if (which("d15")) {
+      // r17: broadcast-hinted candidate semi-join vs the unhinted SMJ
+      // (which shuffled the corpus by cid) — old form inlined
+      import graft.dedup.Dedup
+      arms("old_d15") = () => {
+        val docs = Tables.documents(spark, sf)
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("bid"), col("text").as("btxt"))
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("cid"), col("text").as("ctxt"))
+        def banded(src: DataFrame, id: String, txt: String) = src.select(col(id),
+          posexplode(graft.plans.MinHashBandsExpression.minhashBands(
+            Dedup.wordShingles(col(txt), 3), 64, 16)).as(Seq("band", "h")))
+        val cand = banded(corpus, "cid", "ctxt")
+          .join(broadcast(banded(bench, "bid", "btxt")), Seq("band", "h"))
+          .select(col("cid"), col("bid"))
+          .distinct()
+        val needed = corpus.join(cand.select(col("cid")), Seq("cid"), "left_semi")
+          .select(col("cid"), Dedup.wordShingles(col("ctxt"), 3).as("csh"))
+        val bsh = bench.select(col("bid"), Dedup.wordShingles(col("btxt"), 3).as("bsh"))
+        cand.join(needed, "cid").join(broadcast(bsh), "bid")
+          .select(col("cid"), col("bid"), Dedup.jaccard(col("csh"), col("bsh")).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("cid").as("doc_id"), col("bid").as("bench_id"),
+            round(col("jaccard"), 4).as("j"))
+          .orderBy(col("doc_id"), col("bench_id"))
+      }
+      arms("new_d15") = () =>
+        graft.SparkEntry.queries("d15_fuzzy_decontaminate")(spark, sf)
+    }
+
+    if (which("lmp")) {
+      // sf10 LM persist question (r16 verdict #6): persisted count
+      // tables vs AQE stage reuse, at a scale where the tables stop
+      // fitting page cache. Persist variant = current
+      // trigramInterpolatedLL with c3/cb/cu persisted (the r16
+      // experiment, re-run at sf10).
+      def persistedTrigram(df: DataFrame): DataFrame = {
+        val (l3, l2, l1) = (0.6, 0.3, 0.1)
+        def key(c: org.apache.spark.sql.Column) = xxhash64(c)
+        val tg = df.select(col("doc_id").as("id"), split(col("text"), " ").as("t"))
+          .select(col("id"),
+            explode(when(size(col("t")) >= 3,
+              transform(sequence(lit(0), size(col("t")) - 3),
+                i => struct(element_at(col("t"), i + 1).as("w1"),
+                  element_at(col("t"), i + 2).as("w2"),
+                  element_at(col("t"), i + 3).as("w3"))))
+              .otherwise(array())).as("g"))
+          .select(col("id"), key(col("g.w1")).as("w1"),
+            key(col("g.w2")).as("w2"), key(col("g.w3")).as("w3"))
+        val bg = df.select(col("doc_id").as("id"), split(col("text"), " ").as("t"))
+          .select(col("id"),
+            explode(when(size(col("t")) >= 2,
+              transform(sequence(lit(0), size(col("t")) - 2),
+                i => struct(element_at(col("t"), i + 1).as("w1"),
+                  element_at(col("t"), i + 2).as("w2"))))
+              .otherwise(array())).as("b"))
+          .select(col("id"), key(col("b.w1")).as("w1"), key(col("b.w2")).as("w2"))
+        val c3 = tg.groupBy(col("w1"), col("w2"), col("w3"))
+          .agg(count(lit(1)).as("c3")).persist()
+        val ch3 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("ch3"))
+        val cb = bg.groupBy(col("w1").as("b1"), col("w2").as("b2"))
+          .agg(count(lit(1)).as("cb")).persist()
+        val chb = cb.groupBy(col("b1")).agg(sum(col("cb")).as("chb"))
+          .withColumnRenamed("b1", "h1")
+        val toks = df.select(explode(split(col("text"), " ")).as("tok0"))
+        val cu = toks.select(key(col("tok0")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cu")).persist()
+        val nv = cu.agg(coalesce(sum(col("cu")), lit(0L)).as("n_tok"),
+          count(lit(1)).as("v"))
+        val p3 = (col("c3") + lit(1.0)) / (col("ch3") + col("v"))
+        val p2 = (col("cb") + lit(1.0)) / (col("chb") + col("v"))
+        val p1 = (col("cu") + lit(1.0)) / (col("n_tok") + col("v"))
+        tg.join(c3, Seq("w1", "w2", "w3")).join(ch3, Seq("w1", "w2"))
+          .join(cb, col("w2") === col("b1") && col("w3") === col("b2"))
+          .join(chb, col("w2") === col("h1"))
+          .join(cu, col("w3") === cu("w"))
+          .crossJoin(broadcast(nv))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_trigrams"),
+            (floor(avg(log(lit(l3) * p3 + lit(l2) * p2 + lit(l1) * p1))
+              * 10000 + lit(0.5)) / 10000).as("ll"))
+          .select(col("id").as("doc_id"), col("n_trigrams"), col("ll"))
+          .orderBy(col("doc_id"))
+      }
+      arms("old_t22_reuse") = () =>
+        graft.SparkEntry.queries("t22_trigram_lm")(spark, sf)
+      arms("new_t22_persist") = () => persistedTrigram(Tables.documents(spark, sf))
+    }
+
     // time CONSTRUCTION + write: operators like perplexityBucketsScalable
     // run jobs at construction (census collect), which a df-argument
     // timing would silently exclude (Bench times construction too)
