@@ -116,6 +116,15 @@ object JaroWinkler {
 case class JaroWinklerExpression(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Deliberately DETERMINISTIC (r17, measured): the d22/d23 threshold
+  // filters are pushed into the blocked self-join's condition, inlining
+  // the kernel ~3× per candidate pair — but the in-join evaluation also
+  // prunes pairs before they are emitted as rows. The §4.4
+  // nondeterministic treatment (word_shingles/minhash_bands/
+  // html_extract) was tried here and measured a WASH at sf0.1 and sf10
+  // (1-eval-late vs 3-eval-early cancel out; the ThreadLocal-scratch
+  // kernel is cheap next to the join's row machinery). Kept pushable.
+
   override def dataType: DataType = DoubleType
   // NullType is accepted (a NULL literal argument short-circuits to a
   // null result in BinaryExpression.eval before the kernel runs)
